@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory from SURVEY.md §2.3–§2.7: the
+  * aggregation / join / window / set-op shapes the reference implements
+  * with pandas (`email_providers.py`, `extra_utils.py`,
+  * `generate_usage_report.py`), re-expressed as declarative DataFrame
+  * plans so Catalyst gets predicate pushdown, column pruning and join
+  * selection for free.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dimension joins (`part`, `nation`, `region`, `customer`) are
+  *    explicitly `broadcast()` — no shuffle of the fact side;
+  *  - aggregations are plain hash aggregates with map-side partial
+  *    aggregation; no driver-side collect anywhere;
+  *  - windows partition by high-cardinality keys (custkey/suppkey), so
+  *    they parallelize across executors.
+  */
+object RelationalReports extends QueryModule {
+
+  /** A1/A5/P2 (email_providers.py:500-508 value_counts; utils.py:770-796
+    * file stats): TPC-H Q1-shaped pricing/status summary over lineitem.
+    */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1 (email_providers.py:500-508): count-by-status report. */
+  def statusCounts(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** A2 (email_providers.py:130,277-283): distinct-entity counts per group. */
+  def distinctCustomersByPriority(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("o_orderpriority")
+
+  /** A6 (utils.py:1196-1208 source_type consolidation): single-value
+    * consolidation with conflict detection — label "mixed" when a group
+    * has more than one distinct value.
+    */
+  def segmentConsolidation(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer.join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        when(countDistinct(col("c_mktsegment")) > 1, lit("mixed"))
+          .otherwise(min(col("c_mktsegment"))).as("segment"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+
+  /** A5 (utils.py:770-796): per-group file/size stats, on documents. */
+  def docStats(documents: DataFrame): DataFrame =
+    documents.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy("source")
+
+  /** J2/J3 (generate_usage_report.py:200-212, CPU_GPU_statistics.py:139):
+    * fact-to-dimension enrichment as an explicit broadcast hash join —
+    * the small side never shuffles the fact table.
+    */
+  def revenueByBrand(li: DataFrame, part: DataFrame): DataFrame =
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+
+  /** J8-flavored multi-hop dimension walk (survey.py:226-251 organs/donor
+    * lookups become joins): customer → nation → region rollup.
+    */
+  def regionRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy("r_name")
+
+  /** J7/W3 (extra_utils.py:20-49 latest published derived child): top-1
+    * per group by timestamp — `row_number()` over a per-key window, which
+    * shuffles once on the partition key and scales with key cardinality.
+    */
+  def latestOrderPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("latest_orderkey"),
+        col("o_orderdate").cast("date").as("latest_orderdate"),
+        round(col("o_totalprice"), 2).as("latest_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** J10 (utils.py:2110-2112 anti-membership): customers with no orders —
+    * left anti join (broadcast of the keys side is left to AQE; at 100 TB
+    * this is a shuffled anti join on the key, which is the right plan).
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** P5 (split_and_create.py:254-257 per-parent-row equality filter →
+    * real semi-join): parts that have at least one high-quantity sale.
+    */
+  def partsWithBigSales(part: DataFrame, li: DataFrame): DataFrame =
+    part.join(li.filter(col("l_quantity") > 40), part("p_partkey") === li("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** §2.7 set ops (status_manager.py:102-107, utils.py:2110-2112):
+    * customers that placed orders EXCEPT those that hit an error event.
+    */
+  def activeMinusErrored(orders: DataFrame, events: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("custkey")).distinct()
+      .except(events.filter(col("event_type") === "error")
+        .select(col("user_id").as("custkey")).distinct())
+      .orderBy("custkey")
+
+  /** P8 (split_and_create.py:142-146 NaN scrub): null/negative scrubbing
+    * with coalesce/when — pure narrow projection, no shuffle.
+    */
+  def scrubbedBalances(customer: DataFrame): DataFrame =
+    customer.select(
+        col("c_custkey"),
+        round(when(col("c_acctbal").isNull || col("c_acctbal") < 0, lit(0.0))
+          .otherwise(col("c_acctbal")), 2).as("acctbal_clean"),
+        when(col("c_acctbal") < 0, lit("debtor")).otherwise(lit("ok")).as("flag"))
+      .orderBy("c_custkey")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> ((s, d) => pricingSummary(Tables(s, d).lineitem)),
+    "q02_status_counts"     -> ((s, d) => statusCounts(Tables(s, d).orders)),
+    "q03_distinct_by_prio"  -> ((s, d) => distinctCustomersByPriority(Tables(s, d).orders)),
+    "q04_segment_consolidation" -> ((s, d) => { val t = Tables(s, d); segmentConsolidation(t.customer, t.nation) }),
+    "q05_doc_stats"         -> ((s, d) => docStats(Tables(s, d).documents)),
+    "q06_revenue_by_brand"  -> ((s, d) => { val t = Tables(s, d); revenueByBrand(t.lineitem, t.part) }),
+    "q07_region_rollup"     -> ((s, d) => { val t = Tables(s, d); regionRollup(t.customer, t.nation, t.region) }),
+    "q08_latest_order"      -> ((s, d) => latestOrderPerCustomer(Tables(s, d).orders)),
+    "q09_customers_no_orders" -> ((s, d) => { val t = Tables(s, d); customersWithoutOrders(t.customer, t.orders) }),
+    "q10_parts_big_sales"   -> ((s, d) => { val t = Tables(s, d); partsWithBigSales(t.part, t.lineitem) }),
+    "q15_active_minus_errored" -> ((s, d) => { val t = Tables(s, d); activeMinusErrored(t.orders, t.events) }),
+    "q18_scrubbed_balances" -> ((s, d) => scrubbedBalances(Tables(s, d).customer)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_status_counts" ->
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q03_distinct_by_prio" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q04_segment_consolidation" ->
+      """SELECT n_name,
+         CASE WHEN count(DISTINCT c_mktsegment) > 1 THEN 'mixed' ELSE min(c_mktsegment) END AS segment,
+         count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q05_doc_stats" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         round(avg(n_chars), 2) AS avg_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    "q06_revenue_by_brand" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q07_region_rollup" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q08_latest_order" ->
+      """SELECT o_custkey, latest_orderkey, latest_orderdate, latest_totalprice FROM (
+           SELECT o_custkey, o_orderkey AS latest_orderkey,
+                  CAST(o_orderdate AS DATE) AS latest_orderdate,
+                  round(o_totalprice, 2) AS latest_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "q09_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q10_parts_big_sales" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 40)
+         ORDER BY p_partkey""",
+    "q15_active_minus_errored" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+         EXCEPT
+         SELECT DISTINCT user_id AS custkey FROM events WHERE event_type = 'error'
+         ORDER BY custkey""",
+    "q18_scrubbed_balances" ->
+      """SELECT c_custkey,
+         round(CASE WHEN c_acctbal IS NULL OR c_acctbal < 0 THEN 0.0 ELSE c_acctbal END, 2) AS acctbal_clean,
+         CASE WHEN c_acctbal < 0 THEN 'debtor' ELSE 'ok' END AS flag
+         FROM customer ORDER BY c_custkey""",
+  )
+}
