@@ -13,6 +13,13 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     RelationalReports,
+    LogPipeline,
+    TextAnalysis,
+    Dedup,
+    Similarity,
+    Routing,
+    EntityGraph,
+    Validation,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data-pipeline mandate: exact
+  * (hash fingerprint groupBy), MinHash signatures + LSH band bucketing,
+  * and n-gram Jaccard similarity. The checksum-manifest operator (A7,
+  * launch_checksums.py:130-179) lives here too — same shape: hash every
+  * record, aggregate per group.
+  *
+  * Scale notes:
+  *  - exact dedup is one shuffle on the fingerprint (a 128-bit hash →
+  *    uniform partitioning, no skew);
+  *  - MinHash signatures are narrow per-row compute (shingle → md5 →
+  *    array_min), so the only shuffle in LSH dedup is the band-bucket
+  *    self-join, which groups candidates by band key instead of the
+  *    O(n²) all-pairs compare;
+  *  - Jaccard on candidate pairs uses set sizes only (array_distinct +
+  *    array_intersect), no explode.
+  */
+object Dedup extends QueryModule {
+
+  /** Canonical text fingerprint: md5 of the trimmed, lowercased body. */
+  def fingerprint(c: Column): Column = md5(lower(trim(c)).cast("binary"))
+
+  /** Exact dedup via hash-groupBy (P9 distinct + the dedup mandate):
+    * keeper = min id per fingerprint, with duplicate count.
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(fingerprint(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy("fingerprint")
+
+  /** Word k-shingles of the document text (k=3), truncating at the tail
+    * like the slice semantics DuckDB shares; ≥1 shingle even for short
+    * docs.
+    */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val words = split(c, " ")
+    transform(
+      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+      i => array_join(slice(words, i, lit(k)), " "))
+  }
+
+  /** MinHash signature: per hash function j, min over shingles of
+    * md5(salt_j || shingle). Pure narrow compute — signatures for 100 TB
+    * of docs cost one scan.
+    */
+  def minhashSignatures(documents: DataFrame, nHashes: Int = 4): DataFrame = {
+    val sh = shingles(col("text"))
+    val sigCols = (0 until nHashes).map { j =>
+      array_min(transform(sh, s => md5(concat(lit(s"salt$j|"), s).cast("binary")))).as(s"mh$j")
+    }
+    documents.select((col("doc_id") +: sigCols): _*).orderBy("doc_id")
+  }
+
+  /** LSH band bucketing: candidate duplicate pairs = docs sharing a band
+    * (here band 0 = mh0). The self-join shuffles on the band key only —
+    * this is the scale path that replaces the O(n²) similarity matrix.
+    */
+  def lshCandidatePairs(documents: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(documents).select("doc_id", "mh0")
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.mh0") === col("b.mh0") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
+              col("a.mh0").as("band_key"))
+      .orderBy("left_id", "right_id")
+  }
+
+  /** n-gram Jaccard similarity over candidate pairs (here: consecutive
+    * doc ids as a deterministic pair generator so the oracle has real
+    * values to check). Uses distinct shingle-set sizes only.
+    */
+  def ngramJaccardPairs(documents: DataFrame): DataFrame = {
+    val withSh = documents.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val a = withSh.as("a")
+    val b = withSh.as("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("left_id"),
+        col("b.doc_id").as("right_id"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
+        round(
+          size(array_intersect(col("a.sh"), col("b.sh"))) /
+            (size(col("a.sh")) + size(col("b.sh")) -
+             size(array_intersect(col("a.sh"), col("b.sh")))).cast("double"),
+          4).as("jaccard"))
+      .orderBy("left_id")
+  }
+
+  /** A7 (launch_checksums.py:130-179): per-record checksum manifest —
+    * md5 + sha256 over the payload bytes, computed in one scan with
+    * codegen'd hash expressions (the reference forks a multiprocessing
+    * pool for this).
+    */
+  def checksumManifest(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("md5_checksum"),
+        sha2(col("text").cast("binary"), 256).as("sha256_checksum"),
+        length(col("text")).cast("long").as("size"))
+      .orderBy("doc_id")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact"    -> ((s, d) => exactDedup(Tables(s, d).documents)),
+    "q24_checksum_manifest" -> ((s, d) => checksumManifest(Tables(s, d).documents)),
+    "q33_minhash_signatures" -> ((s, d) => minhashSignatures(Tables(s, d).documents)),
+    "q34_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
+    "q35_lsh_candidates" -> ((s, d) => lshCandidatePairs(Tables(s, d).documents)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keeper_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q24_checksum_manifest" ->
+      """SELECT doc_id, md5(text) AS md5_checksum, sha256(text) AS sha256_checksum,
+                CAST(length(text) AS BIGINT) AS size
+         FROM documents ORDER BY doc_id""",
+    "q33_minhash_signatures" ->
+      """SELECT doc_id,
+             list_aggregate(list_transform(sh, s -> md5('salt0|' || s)), 'min') AS mh0,
+             list_aggregate(list_transform(sh, s -> md5('salt1|' || s)), 'min') AS mh1,
+             list_aggregate(list_transform(sh, s -> md5('salt2|' || s)), 'min') AS mh2,
+             list_aggregate(list_transform(sh, s -> md5('salt3|' || s)), 'min') AS mh3
+         FROM (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                                i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS sh
+               FROM documents) ORDER BY doc_id""",
+    "q34_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                           i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+           FROM documents)
+         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+                round(len(list_intersect(a.s, b.s)) /
+                      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4) AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         ORDER BY left_id""",
+    "q35_lsh_candidates" ->
+      """WITH sigs AS (
+           SELECT doc_id,
+             list_aggregate(list_transform(
+               list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                              i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')),
+               s -> md5('salt0|' || s)), 'min') AS mh0
+           FROM documents)
+         SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.mh0 AS band_key
+         FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+         ORDER BY left_id, right_id""",
+  )
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.{cents, fromCents, moneySum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Log/event dataflow operators from SURVEY.md §2.4 J1, §2.5 A4, §2.6
+  * W2/W3/W6 and the usage-report / status-store jobs (§7 modules 6–7):
+  * the reference does these with O(n·m) nested loops and imperative
+  * line-scanners (`generate_usage_report.py:153-198`,
+  * `extra_utils.py:184-257`); here every one is normalize-first
+  * (regexp_extract into columns) followed by hash joins and windows.
+  *
+  * Scale notes: the J1-shaped join extracts keys BEFORE joining, so the
+  * theta/substring join of the reference becomes a shuffle hash join on
+  * an equi-key; sessionization windows partition by user_id (high
+  * cardinality → parallel), and the cumulative frames are ROWS-bounded
+  * so they stream within a partition without materializing it.
+  */
+object LogPipeline extends QueryModule {
+
+  /** J1 (generate_usage_report.py:153-198): the reference scans every log
+    * line per task id (`line.find(task_id)`). Normalize-then-equi-join:
+    * pull the numeric ref out of the free-form props payload with a
+    * regex, then hash-join to the dimension.
+    */
+  def extractAndJoin(events: DataFrame, part: DataFrame): DataFrame =
+    events
+      .withColumn("ref", regexp_extract(col("props"), """"k": (\d+)""", 1).cast("long"))
+      .filter(col("ref").isNotNull)
+      .join(broadcast(part), col("ref") === part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy("p_brand")
+
+  /** W6 (extra_utils.py:200-246 carry-forward analytics): running revenue
+    * per supplier — cumulative ROWS frame over a fully-deterministic
+    * ordering (date, orderkey, linenumber) so float accumulation order
+    * is identical across engines.
+    */
+  def runningRevenue(li: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Accumulate in integer cents: summing integer-valued doubles is
+    // exact, so the running total is bitwise identical across engines
+    // and accumulation structures (no 0.005-boundary rounding jitter).
+    li.filter(col("l_suppkey") <= 25)
+      .withColumn("running_revenue",
+        fromCents(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).over(w)))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_revenue")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** W2 (email_providers.py:345,485-489 top-N with cap): top 3 parts by
+    * revenue within each brand — aggregate first (map-side partial agg
+    * shrinks the shuffle), then a small per-brand ranking window.
+    */
+  def top3PartsPerBrand(li: DataFrame, part: DataFrame): DataFrame = {
+    val rev = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("p_brand", "p_partkey", "revenue", "rank")
+      .orderBy("p_brand", "rank")
+  }
+
+  /** A4/W6 (extra_utils.py:184-257 CPU/GPU log sessionization): gap-based
+    * sessionization — lag() flags a session break when the gap exceeds
+    * 30 minutes, a cumulative sum numbers sessions, then two hash
+    * aggregations produce per-user session stats. Integer microsecond
+    * arithmetic keeps the break predicate exact.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    val sessions = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+    sessions.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("events_in_session"))
+      .groupBy("user_id")
+      .agg(max(col("session_id")).as("n_sessions"),
+           sum(col("events_in_session")).as("n_events"),
+           max(col("events_in_session")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  /** F6/§2.11 (generate_usage_report.py:96-127 weekly usage report):
+    * epoch-cutoff + category filter then tumbling weekly rollup — the
+    * cron-scheduled pandas report as one windowed aggregation.
+    */
+  def weeklyUsage(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("purchase", "click") &&
+              col("ts") >= lit("2024-01-08"))
+      .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy("week")
+
+  /** K4/W3 (status_manager.py append + latest-wins view): current status
+    * per entity = last event by time — the status-store read path.
+    */
+  def latestStatus(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_type").as("last_status"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+      .orderBy("user_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_extract_join"   -> ((s, d) => { val t = Tables(s, d); extractAndJoin(t.events, t.part) }),
+    "q12_running_revenue" -> ((s, d) => runningRevenue(Tables(s, d).lineitem)),
+    "q13_top3_per_brand" -> ((s, d) => { val t = Tables(s, d); top3PartsPerBrand(t.lineitem, t.part) }),
+    "q14_sessionize"     -> ((s, d) => sessionize(Tables(s, d).events)),
+    "q25_weekly_usage"   -> ((s, d) => weeklyUsage(Tables(s, d).events)),
+    "q26_latest_status"  -> ((s, d) => latestStatus(Tables(s, d).events)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q11_extract_join" ->
+      """SELECT p_brand, count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS ref, value
+               FROM events) e
+         JOIN part ON e.ref = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q12_running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+             sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_revenue
+         FROM lineitem WHERE l_suppkey <= 25
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q13_top3_per_brand" ->
+      """SELECT p_brand, p_partkey, revenue, rank FROM (
+           SELECT p_brand, p_partkey, revenue,
+                  row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rank
+           FROM (SELECT p_brand, p_partkey,
+                        sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS revenue
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 GROUP BY p_brand, p_partkey))
+         WHERE rank <= 3 ORDER BY p_brand, rank""",
+    "q14_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ns(ts - lag(ts) OVER w) > 1800000000000 THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         per_session AS (
+           SELECT user_id, session_id, count(*) AS events_in_session
+           FROM numbered GROUP BY user_id, session_id)
+         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                CAST(sum(events_in_session) AS BIGINT) AS n_events,
+                max(events_in_session) AS max_session_events
+         FROM per_session GROUP BY user_id ORDER BY user_id""",
+    "q25_weekly_usage" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events
+         WHERE event_type IN ('purchase', 'click') AND ts >= TIMESTAMP '2024-01-08'
+         GROUP BY 1 ORDER BY week""",
+    "q26_latest_status" ->
+      """SELECT user_id, last_status, last_seen FROM (
+           SELECT user_id, event_type AS last_status,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+  )
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
+import graft.functions.moneySum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,8 +32,8 @@ object RelationalReports extends QueryModule {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -79,7 +80,7 @@ object RelationalReports extends QueryModule {
   def revenueByBrand(li: DataFrame, part: DataFrame): DataFrame =
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .groupBy("p_brand")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
 
@@ -169,8 +170,8 @@ object RelationalReports extends QueryModule {
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS sum_disc_price,
+         sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)) / 100 AS sum_charge,
          round(avg(l_quantity), 4) AS avg_qty,
          round(avg(l_extendedprice), 4) AS avg_price,
          round(avg(l_discount), 4) AS avg_disc,
@@ -189,11 +190,11 @@ object RelationalReports extends QueryModule {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
     "q05_doc_stats" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          round(avg(n_chars), 2) AS avg_chars
          FROM documents GROUP BY source ORDER BY source""",
     "q06_revenue_by_brand" ->
-      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT p_brand, sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS revenue,
          count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",

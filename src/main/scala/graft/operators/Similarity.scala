@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity-search operators over the
+  * `embeddings` table (`Array[Float]` vectors) — training-data-pipeline
+  * mandate. Brute-force cosine top-k is the correctness baseline; the
+  * label-blocked pair search is the scale path shape (block first, then
+  * compare within blocks — same partitioning idea as IVF cells).
+  *
+  * Float elements are cast to double BEFORE multiplying and the fold is
+  * sequential (`aggregate`), which makes the arithmetic bit-identical to
+  * the DuckDB oracle's `list_sum(list_transform(...))` — verified, so
+  * the hash compare is robust.
+  */
+object Similarity extends QueryModule {
+
+  /** Sequential-fold double dot product of two float vectors. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k against one query vector: broadcast the
+    * query row, narrow per-row cosine, then a global top-k (Spark's
+    * TakeOrderedAndProject — no full sort at scale).
+    */
+  def cosineTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val query = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_vec"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+              round(cosine(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Blocked near-duplicate pair search: candidate pairs only within the
+    * same `label` block (the IVF-cell pattern — at 100 TB the blocking
+    * key is the coarse quantizer cell). Shuffles on label, not all-pairs.
+    */
+  def blockedSimilarPairs(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val e = embeddings.select("vec_id", "label", "embedding")
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+              col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"),
+              round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+      .orderBy("label", "left_id", "right_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_cosine_topk"  -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
+    "q36_blocked_pairs" -> ((s, d) => blockedSimilarPairs(Tables(s, d).embeddings)),
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(generate_series(1, len(%1$s)), i -> CAST(%1$s[i] AS DOUBLE) * CAST(%2$s[i] AS DOUBLE)))"
+  private def dot(a: String, b: String): String = dotSql.format(a, b)
+  private def cosSql(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  override def oracles: Map[String, String] = Map(
+    "q28_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, round(${cosSql("embedding", "qv")}, 6) AS cos_sim
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q36_blocked_pairs" ->
+      s"""SELECT a.label AS label, a.vec_id AS left_id, b.vec_id AS right_id,
+                 round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) > 0.5
+          ORDER BY label, left_id, right_id""",
+  )
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * mandate (BASELINE.json north star): language ID (stopword-hit
+  * heuristic), quality scoring (length/stopword ratios), token counting
+  * and normalization. Also covers the reference's P6 regex tagging
+  * (utils.py:91-101 FILE_TYPE_MATCHERS) and P10 text-list normalization
+  * (survey.py:82-97).
+  *
+  * All functions are pure narrow projections built from codegen'd
+  * builtins (split / transform / filter / regexp_*) — no UDFs, no
+  * shuffles except the final reporting groupBys, so they stream over
+  * 100 TB of documents at scan speed.
+  */
+object TextAnalysis extends QueryModule {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** P6 (utils.py:91-101,700-714): ordered first-match regex tagging as a
+    * constant-folded CASE/WHEN chain — Catalyst evaluates the whens in
+    * order, same semantics as the reference's first-match loop.
+    */
+  def regexTagSummary(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("tag",
+        when(col("text").rlike("spark"), "spark")
+          .when(col("text").rlike("stream"), "streaming")
+          .when(col("text").rlike("join|merge"), "relational")
+          .otherwise("other"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("tag")
+
+  /** P10 (survey.py:82-97 parse_text_list): normalize free text — strip
+    * non-alphanumerics, collapse whitespace — and take a bounded token
+    * prefix.
+    */
+  def normalized(documents: DataFrame): DataFrame = {
+    val cleaned = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    val collapsed = trim(regexp_replace(cleaned, " +", " "))
+    documents.select(
+        col("doc_id"),
+        array_join(slice(tokens(collapsed), 1, 5), " ").as("head5"),
+        size(tokens(collapsed)).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-count statistics per language bucket. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Quality scoring: chars-per-token and stopword ratio, combined into a
+    * deterministic quality score. `filter` (a codegen'd higher-order
+    * function) counts stopword tokens without a shuffle.
+    */
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stops = size(filter(toks, w => w === "the" || w === "a")).cast("long")
+    documents.select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(col("n_chars") / nTok, 4).as("chars_per_token"),
+        round(stops / nTok.cast("double"), 4).as("stop_ratio"),
+        round((lit(1.0) - stops / nTok.cast("double")) * log(lit(1.0) + col("n_chars")), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID via stopword-hit scoring — the n-gram-heuristic shape:
+    * count hits from per-language marker sets, argmax with a fixed tie
+    * order. (The synthetic corpus is English-ish, so the interesting
+    * output is the deterministic scoring pipeline, not accuracy.)
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, w => ws.map(s => w === s).reduce(_ || _))).cast("long")
+    val en = hits(Seq("the", "a", "and"))
+    val es = hits(Seq("el", "la", "los"))
+    val de = hits(Seq("der", "die", "und"))
+    val fr = hits(Seq("le", "les", "des"))
+    documents.select(
+        col("doc_id"),
+        col("lang"),
+        when(en >= es && en >= de && en >= fr && en > 0, "en")
+          .when(es >= de && es >= fr && es > 0, "es")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("und").as("pred_lang"))
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_regex_tag"    -> ((s, d) => regexTagSummary(Tables(s, d).documents)),
+    "q19_text_normalize" -> ((s, d) => normalized(Tables(s, d).documents)),
+    "q21_token_stats"  -> ((s, d) => tokenStats(Tables(s, d).documents)),
+    "q22_quality_scores" -> ((s, d) => qualityScores(Tables(s, d).documents)),
+    "q23_langid"       -> ((s, d) => languageId(Tables(s, d).documents)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q16_regex_tag" ->
+      """SELECT tag, count(*) AS n_docs FROM (
+           SELECT CASE WHEN regexp_matches(text, 'spark') THEN 'spark'
+                       WHEN regexp_matches(text, 'stream') THEN 'streaming'
+                       WHEN regexp_matches(text, 'join|merge') THEN 'relational'
+                       ELSE 'other' END AS tag
+           FROM documents) GROUP BY tag ORDER BY tag""",
+    "q19_text_normalize" ->
+      """SELECT doc_id,
+             array_to_string((string_split(collapsed, ' '))[1:5], ' ') AS head5,
+             CAST(len(string_split(collapsed, ' ')) AS BIGINT) AS n_tokens
+         FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS collapsed
+               FROM documents) ORDER BY doc_id""",
+    "q21_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q22_quality_scores" ->
+      """SELECT doc_id, n_tokens,
+             round(n_chars / n_tokens, 4) AS chars_per_token,
+             round(stops / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+             round((1.0 - stops / CAST(n_tokens AS DOUBLE)) * ln(1.0 + n_chars), 4) AS quality
+         FROM (SELECT doc_id, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS stops
+               FROM documents) ORDER BY doc_id""",
+    "q23_langid" ->
+      """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
+           SELECT doc_id, lang,
+             CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                  WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                  WHEN de >= fr AND de > 0 THEN 'de'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS pred_lang
+           FROM (SELECT doc_id, lang,
+                   len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) AS en,
+                   len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los'))) AS es,
+                   len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und'))) AS de,
+                   len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des'))) AS fr
+                 FROM documents)) ORDER BY doc_id""",
+  )
+}

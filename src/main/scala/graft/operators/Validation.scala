@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Validation & consistency operators (SURVEY.md §2.8) and structured
+  * payload extraction (S5/S15): the reference asserts JSON Schemas and
+  * row constraints at every boundary (schema_utils.py, utils.py:
+  * 1286-1369); here constraints are aggregate expressions producing a
+  * violations report instead of throwing, and JSON payload parsing is a
+  * codegen'd `get_json_object` — no UDF, pushdown-friendly.
+  */
+object Validation extends QueryModule {
+
+  /** V1/V2-shaped constraint check: one row of violation counters over
+    * the whole table — a single partial-aggregated scan.
+    */
+  def documentConstraints(documents: DataFrame): DataFrame =
+    documents.agg(
+      sum(when(col("text").isNull || length(col("text")) === 0, 1).otherwise(0)).as("n_empty_text"),
+      sum(when(length(col("text")) =!= col("n_chars"), 1).otherwise(0)).as("n_len_mismatch"),
+      sum(when(!col("lang").isin("en", "fr", "es", "zh", "de"), 1).otherwise(0)).as("n_bad_lang"),
+      count(lit(1)).as("n_total"))
+
+  /** S15 (email_providers.py:205-234 json_normalize of ES hits): parse a
+    * JSON payload column and aggregate over an extracted field.
+    */
+  def jsonPropsHistogram(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("bucket", pmod(col("k"), lit(10)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("bucket")
+
+  /** V4 (akoya_codex_data_collection.py:36-64 close_enough_match):
+    * relative-tolerance numeric consistency between two sources — here
+    * order totals vs their lineitem sums, |a-b|/(|a|+|b|) < 1e-9 → the
+    * mismatch report the reference computes per-field in Python.
+    */
+  def toleranceConsistency(orders: DataFrame, li: DataFrame): DataFrame = {
+    val sums = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("li_total"))
+    orders.join(sums, orders("o_orderkey") === sums("l_orderkey"))
+      .withColumn("close_enough",
+        abs(col("o_totalprice") - col("li_total")) /
+          (abs(col("o_totalprice")) + abs(col("li_total"))) < lit(0.05))
+      .groupBy("close_enough")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("close_enough")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_doc_constraints" -> ((s, d) => documentConstraints(Tables(s, d).documents)),
+    "q37_json_props"      -> ((s, d) => jsonPropsHistogram(Tables(s, d).events)),
+    "q38_tolerance_check" -> ((s, d) => { val t = Tables(s, d); toleranceConsistency(t.orders, t.lineitem) }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q32_doc_constraints" ->
+      """SELECT
+           CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+           CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+           CAST(sum(CASE WHEN lang NOT IN ('en','fr','es','zh','de') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+           count(*) AS n_total
+         FROM documents""",
+    "q37_json_props" ->
+      """SELECT bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                      CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS bucket
+               FROM events)
+         GROUP BY bucket ORDER BY bucket""",
+    "q38_tolerance_check" ->
+      """SELECT close_enough, count(*) AS n_orders FROM (
+           SELECT abs(o_totalprice - li_total) / (abs(o_totalprice) + abs(li_total)) < 0.05 AS close_enough
+           FROM orders JOIN (
+             SELECT l_orderkey,
+                    sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS li_total
+             FROM lineitem GROUP BY l_orderkey) s
+           ON o_orderkey = s.l_orderkey)
+         GROUP BY close_enough ORDER BY close_enough""",
+  )
+}
