@@ -28,7 +28,10 @@ object LogPipeline extends QueryModule {
     */
   def extractAndJoin(events: DataFrame, part: DataFrame): DataFrame =
     events
-      .withColumn("ref", regexp_extract(col("props"), """"k": (\d+)""", 1).cast("long"))
+      .withColumn("ref_str", regexp_extract(col("props"), """"k": (\d+)""", 1))
+      // regexp_extract yields "" on no match; ANSI cast would throw, so
+      // gate the cast (try_cast semantics) and drop non-matching rows.
+      .withColumn("ref", when(col("ref_str") =!= "", col("ref_str").cast("long")))
       .filter(col("ref").isNotNull)
       .join(broadcast(part), col("ref") === part("p_partkey"))
       .groupBy("p_brand")

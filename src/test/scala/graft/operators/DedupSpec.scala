@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produce word 3-grams with tail truncation") {
+    val df = Seq(Tuple1("a b c d")).toDF("text")
+    val got = df.select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("short docs still get one (truncated) shingle") {
+    val df = Seq(Tuple1("only")).toDF("text")
+    val got = df.select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
+    assert(got == Seq("only"))
+  }
+
+  test("exactDedup groups case/whitespace-insensitive duplicates") {
+    val docs = Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs)
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("identical docs share full minhash signature; lsh pairs them") {
+    val docs = Seq((1L, "w x y z a b"), (2L, "w x y z a b"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).collect()
+    val byId = sigs.map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId(1L) != byId(3L))
+    val pairs = Dedup.lshCandidatePairs(docs)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("ngram jaccard is 1.0 for identical consecutive docs") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs)
+      .select("left_id", "jaccard").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.0)
+  }
+
+  test("checksumManifest matches known md5/sha256") {
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    val r = Dedup.checksumManifest(docs).head()
+    assert(r.getString(1) == "5d41402abc4b2a76b9719d911017c592")
+    assert(r.getString(2) == "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    assert(r.getLong(3) == 5L)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("statusCounts counts per status") {
+    val df = Seq(("O", 1), ("F", 2), ("O", 3)).toDF("o_orderstatus", "x")
+    val got = RelationalReports.statusCounts(df).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("F", 1L), ("O", 2L)))
+  }
+
+  test("latestOrderPerCustomer picks argmax by (date, orderkey)") {
+    val df = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 5.0),
+      (1L, 11L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 7.0),
+      (1L, 9L,  java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 3.0),
+      (2L, 20L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = RelationalReports.latestOrderPerCustomer(df)
+      .select("o_custkey", "latest_orderkey").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 9L), (2L, 20L)))
+  }
+
+  test("customersWithoutOrders is an anti join") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val ords = Seq(Tuple1(2L)).toDF("o_custkey")
+    val got = RelationalReports.customersWithoutOrders(cust, ords)
+      .select("c_custkey").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("segmentConsolidation labels conflicts as mixed") {
+    val cust = Seq((1, "AUTO"), (1, "BUILDING"), (2, "AUTO"))
+      .toDF("c_nationkey", "c_mktsegment")
+    val nat = Seq((1, "ALPHA"), (2, "BETA")).toDF("n_nationkey", "n_name")
+    val got = RelationalReports.segmentConsolidation(cust, nat)
+      .select("n_name", "segment").as[(String, String)].collect().toMap
+    assert(got == Map("ALPHA" -> "mixed", "BETA" -> "AUTO"))
+  }
+
+  test("pricingSummary has the full column contract and plausible values") {
+    val got = RelationalReports.pricingSummary(graft.Tables(spark, sf("")).lineitem)
+    assert(got.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+      "avg_disc", "count_order"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(4) <= r.getDouble(3))) // disc <= base
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), "same"),
+      (Seq(1f, 0f), Seq(0f, 1f), "orth"),
+      (Seq(1f, 0f), Seq(-1f, 0f), "opp"),
+    ).toDF("a", "b", "label")
+    val got = df.select(col("label"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("same") - 1.0) < 1e-12)
+    assert(math.abs(got("orth")) < 1e-12)
+    assert(math.abs(got("opp") + 1.0) < 1e-12)
+  }
+
+  test("cosineTopK ranks the most similar vectors first and excludes the query") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.1f, 0f), 0),   // closest
+      (2L, Seq(0f, 1f, 0f), 0),
+      (3L, Seq(0.9f, 0.5f, 0f), 0), // second
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.cosineTopK(emb, 0L, 2).select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("blockedSimilarPairs only compares within the same label block") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(1f, 0.01f), 0),
+      (3L, Seq(1f, 0f), 1), // same direction but different block → never paired
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.blockedSimilarPairs(emb, 0.9)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+}
