@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.sources.SimpleYaml
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Format readers S2–S5, S10–S12 (SURVEY.md §2.1): schema-on-read
+  * tabular/text sources with the reference's validation semantics —
+  * all-string columns (typing is an explicit later cast stage, §1.2),
+  * delimiter-error detection, required-column checks.
+  */
+object Readers {
+
+  /** S2 (tsv_metadata_file.py:14-31): strict TSV — header row defines the
+    * schema, every column `StringType` (schema-on-read). The reference's
+    * delimiter-sanity check (an empty key ⇒ the file probably isn't
+    * really tab-separated) becomes [[tsvDelimiterViolations]].
+    */
+  def tsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path)
+
+  /** Delimiter-error detection (tsv_metadata_file.py:25-30): empty header
+    * names or a single mega-column signal a wrong delimiter. Returns
+    * violation messages (empty = OK).
+    */
+  def tsvDelimiterViolations(df: DataFrame): Seq[String] = {
+    val cols = df.columns
+    val empties = cols.count(c => c.trim.isEmpty || c.startsWith("_c"))
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (empties > 0) msgs += s"$empties unnamed column(s) — wrong delimiter?"
+    if (cols.length == 1 && cols.head.contains(",")) msgs += "single comma-bearing column — file looks comma-separated"
+    msgs.toSeq
+  }
+
+  /** S3 (csv_metadata_file.py:13-22 dialect sniffing): probe the head
+    * bytes for the densest candidate separator, then read with it.
+    */
+  def sniffSeparator(spark: SparkSession, path: String, candidates: Seq[String] = Seq(",", "\t", ";", "|")): String = {
+    val head = spark.read.text(path).limit(1).collect().headOption.map(_.getString(0)).getOrElse("")
+    candidates.maxBy(s => head.count(_ == s.charAt(0)))
+  }
+
+  def csvSniffed(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", sniffSeparator(spark, path))
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path)
+
+  /** S4/V2 (generic_metadatatsv_data_collection.py:81-88): metadata.tsv
+    * reader + required-column structural validation. Returns the data
+    * plus a violations DataFrame (rule, detail) instead of throwing
+    * (SURVEY.md §1.3).
+    */
+  def metadataTsv(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val df = tsv(spark, path)
+    val cols = df.columns.toSet
+    val violations = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    if (!cols.contains("assay_type") && !cols.contains("dataset_type"))
+      violations += (("required_column", "one of assay_type|dataset_type missing"))
+    if (!cols.contains("data_path")) violations += (("required_column", "data_path missing"))
+    if (!cols.contains("contributors_path")) violations += (("required_column", "contributors_path missing"))
+    tsvDelimiterViolations(df).foreach(m => violations += (("delimiter", m)))
+    val rowViolations =
+      if (cols.contains("tissue_id") && cols.contains("donor_id"))
+        df.filter(!col("tissue_id").startsWith(concat(col("donor_id"), lit("-"))))
+          .select(lit("tissue_id_prefix").as("rule"),
+                  concat(lit("tissue_id "), col("tissue_id"), lit(" !startswith "), col("donor_id")).as("detail"))
+      else spark.emptyDataset[(String, String)].toDF("rule", "detail")
+    (df, violations.toSeq.toDF("rule", "detail").unionByName(rowViolations))
+  }
+
+  /** S5: whole-doc JSON (multiLine) — one row per document. */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** S5: YAML → one-row DataFrame of (path, json); feed `from_json` with
+    * a schema downstream. Parsing is distributed over files via
+    * wholetext reads; the SimpleYaml subset covers the reference's own
+    * config/metadata YAML shapes.
+    */
+  def yaml(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val yamlToJson = udf((s: String) => SimpleYaml.toJson(s))
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("path"), yamlToJson(col("value")).as("json"))
+  }
+
+  /** S10 (txt_tform_metadata_file.py:9-40): geometric-transform text —
+    * `(key v1 v2 ...)` lines → key + typed value array.
+    */
+  def tformText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(regexp_extract(col("value"), "^\\((\\S+)\\s+(.*)\\)\\s*$", 1).as("key"),
+              regexp_extract(col("value"), "^\\((\\S+)\\s+(.*)\\)\\s*$", 2).as("vals"))
+      .filter(col("key") =!= "")
+      .select(col("key"),
+              transform(split(col("vals"), "\\s+"), v => v.cast("double")).as("values"))
+
+  /** S11 (txt_wordlist_metadata_file.py): one word per line. */
+  def wordlist(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(trim(col("value")).as("word")).filter(col("word") =!= "")
+
+  /** S12 (fastq/ignore/false_json stubs): recognized-but-unparsed types —
+    * catalog entry with a type tag and empty payload, preserving the
+    * reference's "known but skipped" semantics.
+    */
+  def stubCatalogEntry(spark: SparkSession, path: String, typeTag: String): DataFrame = {
+    import spark.implicits._
+    Seq((path, typeTag, "{}")).toDF("path", "type", "payload")
+  }
+}

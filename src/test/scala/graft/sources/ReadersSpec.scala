@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ReadersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gen = "src/test/resources/fixture_generic"
+  private val dev = "src/test/resources/fixture_devtest"
+
+  test("tsv reads all-string schema-on-read") {
+    val df = Readers.tsv(spark, s"$gen/my-metadata.tsv")
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 1)
+    assert(df.head().getAs[String]("assay_type") == "codex")
+    assert(Readers.tsvDelimiterViolations(df).isEmpty)
+  }
+
+  test("metadataTsv validates required columns and tissue/donor prefix") {
+    val (df, violations) = Readers.metadataTsv(spark, s"$gen/my-metadata.tsv")
+    assert(df.count() == 1)
+    assert(violations.count() == 0)
+  }
+
+  test("metadataTsv flags missing required columns") {
+    val (_, violations) = Readers.metadataTsv(spark, s"$gen/contributors.tsv")
+    val rules = violations.select("rule").as[String].collect().toSeq
+    assert(rules.count(_ == "required_column") == 3)
+  }
+
+  test("sniffSeparator detects commas and tabs") {
+    assert(Readers.sniffSeparator(spark, s"$gen/raw/sample_001.csv") == ",")
+    assert(Readers.sniffSeparator(spark, s"$gen/my-metadata.tsv") == "\t")
+  }
+
+  test("yaml reader parses devtest control file to JSON") {
+    val df = Readers.yaml(spark, s"$dev/test.yml")
+    val json = df.head().getAs[String]("json")
+    val parsed = spark.range(1).select(
+      from_json(lit(json), org.apache.spark.sql.types.DataType.fromDDL(
+        "collectiontype STRING, delay_sec INT, files_to_copy ARRAY<STRING>, " +
+        "metadata_to_return STRUCT<collectiontype: STRING, flag: BOOLEAN>")).as("j"))
+      .select("j.*").head()
+    assert(parsed.getAs[String]("collectiontype") == "devtest")
+    assert(parsed.getAs[Int]("delay_sec") == 30)
+    assert(parsed.getSeq[String](parsed.fieldIndex("files_to_copy")).toList == List("file_068.bov"))
+    val meta = parsed.getStruct(parsed.fieldIndex("metadata_to_return"))
+    assert(meta.getAs[Boolean]("flag"))
+    assert(json.contains(""""b":[1,2,3]"""))
+  }
+
+  test("tformText parses typed value arrays and drops noise lines") {
+    val df = Readers.tformText(spark, s"$dev/tform.txt")
+    val m = df.as[(String, Seq[Double])].collect().toMap
+    assert(m == Map("rotation" -> Seq(0.5, 1.5, 2.0), "translation" -> Seq(10.0, 20.0, 30.0)))
+  }
+
+  test("contributors is_contact filter matches reference truthy set") {
+    val df = Readers.tsv(spark, s"$gen/contributors.tsv")
+    val contacts = df.filter(upper(col("is_contact")).isin("TRUE", "T", "1", "Y", "YES"))
+      .select("email").as[String].collect().toSeq
+    assert(contacts == Seq("ada@example.org"))
+  }
+}
