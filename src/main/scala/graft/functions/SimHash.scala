@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SimHash64 as a native Catalyst expression (custom-Expression path per
+  * SURVEY.md §7 "built-in vs custom"): 64-bit document fingerprint over
+  * a token array — per-token 64-bit hash, per-bit vote, sign of the vote
+  * vector. Near-duplicate docs differ in few bits (dedup by hamming
+  * distance ≤ k on grouped prefixes).
+  *
+  * Implemented as an `Expression` (not a Scala UDF) so it evaluates on
+  * Catalyst's internal rows with zero serialization; `CodegenFallback`
+  * keeps surrounding operators in whole-stage codegen. The token hash is
+  * the public 64-bit FNV-1a — deterministic across JVMs/partitions.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = SimHash64.fnv1a64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** Public-domain FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(s: UTF8String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Column API: simhash64(tokensColumn). */
+  def simhash64(tokens: Column): Column =
+    GraftGlue.column(SimHash64(GraftGlue.expression(tokens)))
+
+  def hammingDistance(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (training-data-pipeline mandate): media
+  * payloads are opaque `binary` columns with typed metadata columns
+  * alongside. The Spark-side plumbing — schema, partition-parallel batch
+  * decode via `mapPartitions`, metadata projection — is real; the codec
+  * itself is STUBBED (no image/audio libraries in this container) with a
+  * deterministic fake decoder, clearly marked below, so the pipeline
+  * shape is testable end-to-end and a real codec drops in behind the
+  * same trait.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+  final case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                             width: Int, height: Int, n_frames: Int, format: String)
+
+  /** Codec boundary: a real implementation wraps an image/audio library;
+    * partition-level batching amortizes codec init (the Pandas-UDF batch
+    * pattern, in Scala).
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, String)
+  }
+
+  /** STUB DECODER — deterministic fake: derives "dimensions" from the
+    * payload bytes (length + first-bytes hash) instead of decoding. The
+    * container has no media codecs; replace with a real decoder behind
+    * the same trait. Everything around it (schema, batching,
+    * partitioning) is production-shaped.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, String) = {
+      val h = bytes.take(16).foldLeft(17)((a, b) => a * 31 + b)
+      val w = 64 + math.abs(h % 512)
+      val ht = 64 + math.abs((h / 512) % 512)
+      val frames = kind match {
+        case "video" => 1 + math.abs(h % 300)
+        case "audio" => 1 + math.abs(h % 48000)
+        case _ => 1
+      }
+      (w, ht, frames, s"stub/$kind")
+    }
+  }
+
+  /** Decode media metadata partition-parallel. The decoder is created
+    * once per partition (codec init amortization) and rows stream
+    * through it — the `mapInPandas` batch shape, JVM-native.
+    */
+  def decodeMeta(media: Dataset[MediaRow], decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val (w, h, frames, fmt) = decoder.decode(row.kind, row.bytes)
+        MediaMeta(row.media_id, row.kind, row.bytes.length.toLong, w, h, frames, fmt)
+      }
+    }
+  }
+
+  /** Frame-sample plan: pick every k-th frame index per video row —
+    * generator expansion, no decode needed for planning.
+    */
+  def frameSamplePlan(meta: Dataset[MediaMeta], every: Int = 30): DataFrame =
+    meta.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
+
+  /** Build a media table from a directory of binary files: the 100 TB
+    * path — `binaryFile` scan partitions by file, payload stays
+    * distributed, metadata extraction happens next to the bytes.
+    */
+  def fromDirectory(spark: SparkSession, root: String, kind: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(xxhash64(col("path")).as("media_id"), lit(kind).as("kind"), col("content").as("bytes"))
+      .as[MediaRow]
+  }
+}

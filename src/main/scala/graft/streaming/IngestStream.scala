@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming layer (SURVEY.md §2.11): the reference is
+  * event-triggered batch (REST triggers + cron + sleep-polling); here
+  * the ingest queue is a real stream with the upgrade semantics the
+  * survey maps out:
+  *  - run-id dedup (`endpoint.py:370-372` "The request happened twice?")
+  *    → `dropDuplicates` within the watermark;
+  *  - cron report jobs (`@weekly` usage report) → event-time tumbling
+  *    windows with a watermark for late data;
+  *  - status stream → append-only events, latest-wins view at read.
+  *
+  * All transforms are expressed on an unbounded DataFrame, so the same
+  * code runs in batch (tests, backfills) and streaming (production).
+  */
+object IngestStream {
+
+  /** Ingest-request stream: dedup by run_id within the watermark window.
+    * Input schema: (run_id, dataset_id, process, request_time).
+    */
+  def dedupRequests(requests: DataFrame, watermark: String = "1 hour"): DataFrame =
+    requests
+      .withWatermark("request_time", watermark)
+      .dropDuplicates("run_id")
+
+  /** Weekly usage report as an event-time tumbling window (replaces the
+    * @weekly cron + pandas scan): count + value sum per (window, type).
+    */
+  def windowedUsage(events: DataFrame, window_ : String = "7 days",
+                    watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("event_type"), col("n_events"), col("total_value"))
+
+  /** Route a deduped request micro-batch through the workflow rule table
+    * and append status events — the foreachBatch body (batch-mode
+    * DataFrame in, side-effect-free DataFrames out; sinks are adapters).
+    */
+  def routeBatch(batch: DataFrame, rules: Seq[graft.operators.Routing.RoutingRule]): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val rulesDf = rules.toDF("pattern", "workflow", "priority")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("run_id").orderBy("priority")
+    batch
+      .join(broadcast(rulesDf), expr("process rlike pattern"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("run_id"), col("dataset_id"), col("process"),
+        coalesce(col("workflow"), lit("wf_default")).as("workflow"),
+        col("request_time"))
+  }
+
+  /** Wire the full stream: requests → dedup → route → injected sink
+    * adapter (K5 pattern: selection/formatting is DataFrame work, the
+    * send is a driver side-effect).
+    */
+  def start(requests: DataFrame, rules: Seq[graft.operators.Routing.RoutingRule])
+           (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupRequests(requests)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) => onBatch(routeBatch(batch, rules)) }
+      .start()
+}

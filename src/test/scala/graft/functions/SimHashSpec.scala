@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.SimHash64.{hammingDistance, simhash64}
+import org.apache.spark.sql.functions._
+
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical token arrays hash identically; disjoint ones differ") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("id", "toks")
+    val got = df.select($"id", simhash64($"toks").as("h")).as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+
+  test("near-duplicates land at small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(5, "CHANGED")
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "toks")
+    val h = df.select($"id", simhash64($"toks").as("h"))
+    val pairs = h.as("a").crossJoin(h.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id", $"b.id", hammingDistance($"a.h", $"b.h").as("d"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (l, r, d) => (l, r) -> d }.toMap
+    assert(pairs((1L, 2L)) < pairs((1L, 3L)))
+    assert(pairs((1L, 2L)) <= 16)
+    assert(pairs((1L, 3L)) >= 16)
+  }
+
+  test("simhash-based near-dup bucketing on real documents runs") {
+    val docs = graft.Tables(spark, sf("")).documents
+    val sigs = docs.select($"doc_id", simhash64(split(lower($"text"), " ")).as("sig"))
+    assert(sigs.filter($"sig" === 0L).count() == 0)
+    assert(sigs.count() == docs.count())
+  }
+}

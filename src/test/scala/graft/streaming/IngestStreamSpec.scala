@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Routing.RoutingRule
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class IngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dedupRequests drops duplicate run_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, String, java.sql.Timestamp)]
+    val requests = input.toDF()
+      .toDF("run_id", "dataset_id", "process", "request_time")
+    val routed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = IngestStream.start(requests, Seq(
+      RoutingRule("^mock\\.", "wf_mock", 1),
+      RoutingRule("rnaseq", "wf_salmon", 2))) { batch =>
+      routed ++= batch.select("run_id", "workflow").as[(String, String)].collect()
+    }
+    input.addData(
+      ("r1", "d1", "mock.rnaseq.10x", ts("2024-01-01 00:00:00")),
+      ("r2", "d2", "salmon_rnaseq", ts("2024-01-01 00:01:00")),
+      ("r1", "d1", "mock.rnaseq.10x", ts("2024-01-01 00:02:00")), // duplicate
+      ("r3", "d3", "unknown_process", ts("2024-01-01 00:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(routed.sortBy(_._1).toList == List(
+      ("r1", "wf_mock"), ("r2", "wf_salmon"), ("r3", "wf_default")))
+  }
+
+  test("windowedUsage aggregates tumbling event-time windows in batch mode") {
+    val events = Seq(
+      (ts("2024-01-01 00:01:00"), "purchase", 10.0),
+      (ts("2024-01-01 00:05:00"), "purchase", 5.0),
+      (ts("2024-01-10 00:00:00"), "purchase", 7.0),
+    ).toDF("ts", "event_type", "value")
+    val got = IngestStream.windowedUsage(events)
+      .select("event_type", "n_events", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("purchase", 2L, 15.0), ("purchase", 1L, 7.0)))
+  }
+}
