@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Dot product of two float vectors as a native Catalyst expression.
+  *
+  * Semantically identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` —
+  * each float is widened to double before multiplying and the fold is
+  * sequential, so results are bitwise identical to the HOF formulation
+  * (and to the DuckDB oracle's list_sum/list_transform arithmetic). The
+  * difference is speed: a primitive loop over the unboxed array data
+  * versus interpreted per-element lambda evaluation — the HOF path
+  * dominated the similarity benchmarks.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires (array<float>, array<float>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x(i).toDouble * y(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+object VecOps {
+  /** Column API: sequential-fold double dot product of float vectors. */
+  def vecDot(a: Column, b: Column): Column =
+    GraftGlue.column(FloatVecDot(GraftGlue.expression(a), GraftGlue.expression(b)))
+}

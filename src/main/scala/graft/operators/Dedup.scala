@@ -63,12 +63,19 @@ object Dedup extends QueryModule {
     * this is the scale path that replaces the O(n²) similarity matrix.
     */
   def lshCandidatePairs(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents).select("doc_id", "mh0")
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    a.join(b, col("a.mh0") === col("b.mh0") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
-              col("a.mh0").as("band_key"))
+    // Single-pass bucidating: group ids per band key and expand in-bucket
+    // pairs with higher-order functions — ONE scan + ONE shuffle, versus
+    // a self-join that computes the (md5-heavy) signatures twice and
+    // shuffles both sides. At 100 TB the bucket sizes stay small (that's
+    // the point of banding), so the per-bucket pair expansion is cheap.
+    val sigs = minhashSignatures(documents, nHashes = 1).select(col("doc_id"), col("mh0"))
+    sigs.groupBy(col("mh0").as("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("band_key"), explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as left_id, y as right_id))))"
+      )).as("pair"))
+      .select(col("pair.left_id"), col("pair.right_id"), col("band_key"))
       .orderBy("left_id", "right_id")
   }
 

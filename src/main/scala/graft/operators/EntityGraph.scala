@@ -20,7 +20,7 @@ object EntityGraph extends QueryModule {
     */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val e = edges.select(col("child"), col("parent")).distinct().cache()
-    var closure = e.select(col("child"), col("parent").as("ancestor"))
+    var closure = e.select(col("child"), col("parent").as("ancestor")).cache()
     var frontier = closure
     var i = 0
     var done = false
@@ -33,7 +33,9 @@ object EntityGraph extends QueryModule {
         .cache()
       if (next.isEmpty) done = true
       else {
-        closure = closure.union(next)
+        // cache each union so later iterations (and the final read) don't
+        // recompute the whole join lineage from scratch
+        closure = closure.union(next).cache()
         frontier = next
         i += 1
       }

@@ -100,18 +100,20 @@ object RelationalReports extends QueryModule {
     * per group by timestamp — `row_number()` over a per-key window, which
     * shuffles once on the partition key and scales with key cardinality.
     */
-  def latestOrderPerCustomer(orders: DataFrame): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    orders.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def latestOrderPerCustomer(orders: DataFrame): DataFrame =
+    // argmax as a struct-max hash aggregate (map-side partial agg, no
+    // per-partition sort) instead of a row_number window: one shuffle of
+    // pre-aggregated rows. Struct comparison is lexicographic, so
+    // max(struct(date, key, ...)) == row_number over (date DESC, key
+    // DESC) = 1.
+    orders.groupBy("o_custkey")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))).as("top"))
       .select(
         col("o_custkey"),
-        col("o_orderkey").as("latest_orderkey"),
-        col("o_orderdate").cast("date").as("latest_orderdate"),
-        round(col("o_totalprice"), 2).as("latest_totalprice"))
+        col("top.o_orderkey").as("latest_orderkey"),
+        col("top.o_orderdate").cast("date").as("latest_orderdate"),
+        round(col("top.o_totalprice"), 2).as("latest_totalprice"))
       .orderBy("o_custkey")
-  }
 
   /** J10 (utils.py:2110-2112 anti-membership): customers with no orders —
     * left anti join (broadcast of the keys side is left to AQE; at 100 TB

@@ -32,9 +32,24 @@ object Routing extends QueryModule {
     */
   def routeByRules(documents: DataFrame, rules: Seq[RoutingRule],
                    default: String = "wf_default"): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val rulesDf = rules.toDF("pattern", "workflow", "priority")
+    // Static rule tables compile to a first-match CASE chain with
+    // LITERAL patterns (SURVEY.md §4): each regex compiles once inside
+    // codegen, versus an rlike-join whose non-literal pattern recompiles
+    // per row×rule. No join, no shuffle — a narrow projection.
+    val chain = rules.sortBy(_.priority).foldLeft(lit(null).cast("string")) { (acc, r) =>
+      when(acc.isNotNull, acc).otherwise(when(col("source").rlike(r.pattern), r.workflow))
+    }
+    documents.select(col("doc_id"), col("source"),
+        coalesce(chain, lit(default)).as("workflow"))
+      .orderBy("doc_id")
+  }
+
+  /** Dynamic-rules variant (rule table only known at runtime, e.g. read
+    * from a config table): broadcast rlike join + priority row_number —
+    * J5's general form. Use [[routeByRules]] when the table is static.
+    */
+  def routeByRulesTable(documents: DataFrame, rulesDf: DataFrame,
+                        default: String = "wf_default"): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("priority")
     val matched = documents.select("doc_id", "source")
       .join(broadcast(rulesDf), expr("source rlike pattern"))
