@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.moneySum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining §2 inventory shapes: A2 collect_set consolidation, A4
+  * duration sessionization (exact integer-µs arithmetic), W2 top-N with
+  * "…N more" footer, §2.7 intersect, and tagged multi-source union.
+  */
+object SetOpsAndSessions extends QueryModule {
+
+  /** A2 (email_providers.py:277-283 unique_groups_found): sorted distinct
+    * value set per group as an array column.
+    */
+  def segmentSets(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer.join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+           countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy("n_name")
+
+  /** A4 (extra_utils.py:184-257 per-dataset CPU seconds): gap-based
+    * sessions with summed durations — all arithmetic in integer
+    * microseconds (exact across engines; no float time math).
+    */
+  def sessionDurations(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg((max(col("us")) - min(col("us"))).as("dur_us"),
+           count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(sum(col("dur_us")).as("total_session_us"),
+           max(col("dur_us")).as("longest_session_us"),
+           count(lit(1)).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** W2 (email_providers.py:345,485-489): top-N rows with the overall
+    * count alongside, so the "…k more" footer is derivable. Ranking on
+    * cents-exact totals keeps the cut deterministic.
+    */
+  def topSpenders(orders: DataFrame, n: Int = 20): DataFrame = {
+    val totals = orders.groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("total_spent"),
+           count(lit(1)).as("n_orders"))
+    val overall = totals.agg(count(lit(1)).as("total_customers"))
+    totals.orderBy(col("total_spent").desc, col("o_custkey"))
+      .limit(n)
+      .crossJoin(broadcast(overall))
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+  }
+
+  /** §2.7 intersect: entities present in both activity sources. */
+  def activeInBoth(orders: DataFrame, events: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("id")).distinct()
+      .intersect(events.select(col("user_id").as("id")).distinct())
+      .orderBy("id")
+
+  /** §2.7 union (utils.py:178-183 accumulate across sources): tagged
+    * unionByName + per-source counts.
+    */
+  def taggedUnionCounts(orders: DataFrame, events: DataFrame, li: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("id")).withColumn("src", lit("orders"))
+      .unionByName(events.select(col("user_id").as("id")).withColumn("src", lit("events")))
+      .unionByName(li.select(col("l_orderkey").as("id")).withColumn("src", lit("lineitem")))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("n_ids"))
+      .orderBy("src")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_segment_sets"   -> ((s, d) => { val t = Tables(s, d); segmentSets(t.customer, t.nation) }),
+    "q40_session_durations" -> ((s, d) => sessionDurations(Tables(s, d).events)),
+    "q41_top_spenders"   -> ((s, d) => topSpenders(Tables(s, d).orders)),
+    "q42_active_in_both" -> ((s, d) => { val t = Tables(s, d); activeInBoth(t.orders, t.events) }),
+    "q43_tagged_union"   -> ((s, d) => { val t = Tables(s, d); taggedUnionCounts(t.orders, t.events, t.lineitem) }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q39_segment_sets" ->
+      """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+                count(DISTINCT c_mktsegment) AS n_segments
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q40_session_durations" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, us,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         per_session AS (
+           SELECT user_id, session_id, max(us) - min(us) AS dur_us, count(*) AS n_events
+           FROM numbered GROUP BY user_id, session_id)
+         SELECT user_id, CAST(sum(dur_us) AS BIGINT) AS total_session_us,
+                max(dur_us) AS longest_session_us, count(*) AS n_sessions
+         FROM per_session GROUP BY user_id ORDER BY user_id""",
+    "q41_top_spenders" ->
+      """WITH totals AS (
+           SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)) / 100 AS total_spent,
+                  count(*) AS n_orders
+           FROM orders GROUP BY o_custkey),
+         overall AS (SELECT count(*) AS total_customers FROM totals)
+         SELECT o_custkey, total_spent, n_orders, total_customers
+         FROM totals, overall
+         ORDER BY total_spent DESC, o_custkey LIMIT 20""",
+    "q42_active_in_both" ->
+      """SELECT DISTINCT o_custkey AS id FROM orders
+         INTERSECT
+         SELECT DISTINCT user_id AS id FROM events
+         ORDER BY id""",
+    "q43_tagged_union" ->
+      """SELECT src, count(*) AS n_rows, count(DISTINCT id) AS n_ids FROM (
+           SELECT o_custkey AS id, 'orders' AS src FROM orders
+           UNION ALL SELECT user_id, 'events' FROM events
+           UNION ALL SELECT l_orderkey, 'lineitem' FROM lineitem)
+         GROUP BY src ORDER BY src""",
+  )
+}
