@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.VecOps.vecDot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor (the scale path beyond
+  * [[Similarity.cosineTopK]] brute force): a coarse quantizer (k-means,
+  * Lloyd's iterations as Spark aggregations) partitions vectors into
+  * cells; a query probes only the `nprobe` nearest cells. At 100 TB the
+  * vector table is written partitioned by `cell`, so a probe reads
+  * nprobe/k of the data — partition pruning does the rest.
+  *
+  * Determinism: centroid init is by lowest vec_id (no RNG), ties in
+  * assignment break by lowest cell id, so index builds are reproducible
+  * run-to-run (important for resumable corpus builds).
+  */
+object Ann {
+
+  /** Train coarse centroids with Lloyd's algorithm. Centroids live on
+    * the driver (k × dim floats — tiny); assignments are distributed.
+    */
+  def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 5): Array[Array[Float]] = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    var centroids: Array[Array[Float]] = embeddings
+      .orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(embeddings, centroids)
+      // mean per cell: exploded positional sum (one shuffle)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = (0 until k).map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Float](dim)
+            rows.foreach(r => arr(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+            arr
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  private def centroidArrayCol(centroids: Array[Array[Float]]): Column =
+    array(centroids.map(c => array(c.map(v => lit(v)): _*)): _*)
+
+  /** Distributed cell assignment: argmin squared-L2 to each centroid,
+    * computed with the native dot-product expression
+    * (|x-c|² = |x|² - 2x·c + |c|²; |x|² is constant per row, so argmin
+    * uses c·c - 2x·c).
+    */
+  def assignCells(embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.map(v => lit(v)): _*).cast("array<float>")
+      val cNormSq = c.map(v => v.toDouble * v.toDouble).sum
+      struct((lit(cNormSq) - lit(2.0) * vecDot(col("embedding"), cCol)).as("score"),
+             lit(i).as("cell"))
+    }
+    embeddings.withColumn("cell", array_min(array(scores: _*)).getField("cell"))
+  }
+
+  /** Probe: rank cells by the query's distance, keep `nprobe`, exact
+    * cosine inside the probed cells only, global top-k of the survivors.
+    */
+  def ivfTopK(embeddings: DataFrame, centroids: Array[Array[Float]],
+              query: Array[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val qNormSq = query.map(v => v.toDouble * v.toDouble).sum
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val cNormSq = c.map(v => v.toDouble * v.toDouble).sum
+      (cNormSq - 2 * dot, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    val qCol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    val qNorm = math.sqrt(qNormSq)
+    assignCells(embeddings, centroids)
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("cell"),
+        (vecDot(col("embedding"), qCol) /
+          (sqrt(vecDot(col("embedding"), col("embedding"))) * lit(qNorm))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}
