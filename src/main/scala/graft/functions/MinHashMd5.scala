@@ -1,0 +1,151 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `min(md5(salt || shingle))` over a shingle array as one native
+  * expression.
+  *
+  * Equivalent to `array_min(transform(sh, s -> md5(salt || s)))` — hex
+  * strings compare character-wise exactly as the raw digests compare as
+  * unsigned bytes ('0'..'9' < 'a'..'f' matches nibble order), so
+  * comparing 16-byte digests and hex-encoding only the winner returns
+  * the identical value while skipping per-shingle concat + hex-encode +
+  * UTF8String allocation and interpreted lambda dispatch. MD5 stays the
+  * hash because the DuckDB oracle can compute it.
+  */
+case class MinHashMd5(child: Expression, salt: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_md5 requires array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val saltBytes = salt.getBytes(StandardCharsets.UTF_8)
+  // ThreadLocal: an expression instance may be evaluated by several
+  // local-mode tasks concurrently; MessageDigest is stateful
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = mdLocal.get()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(saltBytes)
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        if (best == null || MinHashMd5.unsignedLess(d, best)) best = d
+      }
+      i += 1
+    }
+    if (best == null) null else UTF8String.fromString(MinHashMd5.hex(best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashMd5 =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_md5"
+}
+
+object MinHashMd5 {
+  def minhashMd5(shingles: Column, salt: String): Column =
+    GraftGlue.column(MinHashMd5(GraftGlue.expression(shingles), salt))
+
+  def textMinhashMd5(text: Column, salt: String, k: Int = 3): Column =
+    GraftGlue.column(TextMinHashMd5(GraftGlue.expression(text), salt, k))
+
+  private[functions] def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+  private[functions] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
+/** Fused tokenize→shingle→min-md5: equivalent to
+  * `minhash_md5(transform(sequence(...), i -> array_join(slice(split(
+  * text, ' '), i, k), ' ')), salt)` but one pass over the text with no
+  * intermediate Catalyst arrays — shingle construction (not hashing)
+  * dominated the interpreted path. Split semantics mirror Spark's
+  * `split(text, " ")` (limit -1: trailing empties kept).
+  */
+case class TextMinHashMd5(child: Expression, salt: String, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"text_minhash_md5 requires string, got ${other.catalogString}")
+    }
+
+  @transient private lazy val saltBytes = salt.getBytes(StandardCharsets.UTF_8)
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = words.length
+    val nShingles = math.max(n - k + 1, 1)
+    val md = mdLocal.get()
+    val space = " ".getBytes(StandardCharsets.UTF_8)
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < nShingles) {
+      md.reset()
+      md.update(saltBytes)
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (j > i) md.update(space)
+        md.update(words(j).getBytes(StandardCharsets.UTF_8))
+        j += 1
+      }
+      val d = md.digest()
+      if (best == null || MinHashMd5.unsignedLess(d, best)) best = d
+      i += 1
+    }
+    if (best == null) null else UTF8String.fromString(MinHashMd5.hex(best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextMinHashMd5 =
+    copy(child = newChild)
+  override def prettyName: String = "text_minhash_md5"
+}

@@ -51,9 +51,11 @@ object Dedup extends QueryModule {
     * of docs cost one scan.
     */
   def minhashSignatures(documents: DataFrame, nHashes: Int = 4): DataFrame = {
-    val sh = shingles(col("text"))
+    // fused tokenize→shingle→min-md5 native expression: equivalent to
+    // array_min(transform(shingles(text), s -> md5(salt||s))) but one
+    // pass with no intermediate arrays (see functions.TextMinHashMd5)
     val sigCols = (0 until nHashes).map { j =>
-      array_min(transform(sh, s => md5(concat(lit(s"salt$j|"), s).cast("binary")))).as(s"mh$j")
+      graft.functions.MinHashMd5.textMinhashMd5(col("text"), s"salt$j|").as(s"mh$j")
     }
     documents.select((col("doc_id") +: sigCols): _*).orderBy("doc_id")
   }
@@ -113,7 +115,22 @@ object Dedup extends QueryModule {
         length(col("text")).cast("long").as("size"))
       .orderBy("doc_id")
 
+  /** A7+K7 shape (launch_checksums.py RECS_PER_BLOCK=100): checksum
+    * manifest rolled up into delivery blocks — per-block counts and a
+    * block digest (min md5), the verification summary the uuid-api POST
+    * loop tracks.
+    */
+  def checksumBlocks(documents: DataFrame, blockSize: Int = 100): DataFrame =
+    checksumManifest(documents)
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_records"),
+           min(col("md5_checksum")).as("block_digest"),
+           sum(col("size")).as("block_bytes"))
+      .orderBy("block")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_checksum_blocks" -> ((s, d) => checksumBlocks(Tables(s, d).documents)),
     "q20_dedup_exact"    -> ((s, d) => exactDedup(Tables(s, d).documents)),
     "q24_checksum_manifest" -> ((s, d) => checksumManifest(Tables(s, d).documents)),
     "q33_minhash_signatures" -> ((s, d) => minhashSignatures(Tables(s, d).documents)),
@@ -122,6 +139,11 @@ object Dedup extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q47_checksum_blocks" ->
+      """SELECT doc_id // 100 AS block, count(*) AS n_records,
+                min(md5(text)) AS block_digest,
+                CAST(sum(length(text)) AS BIGINT) AS block_bytes
+         FROM documents GROUP BY 1 ORDER BY block""",
     "q20_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keeper_id,
                 count(*) AS n_copies

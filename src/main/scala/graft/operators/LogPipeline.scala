@@ -126,7 +126,58 @@ object LogPipeline extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** P2 (email_providers.py:300-338 ingest_url/created_date derivation):
+    * derived string/date columns with native expressions — no UDFs.
+    */
+  def derivedDateReport(events: DataFrame): DataFrame =
+    events
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      .withColumn("entity_url",
+        concat(lit("https://example.org/"), col("event_type"), lit("/"), col("user_id")))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("entity_url")).as("n_entities"))
+      .orderBy("month")
+
+  /** J1 complete two-hop shape (generate_usage_report.py:153-198): first
+    * hop joins the extracted ref to the dimension, second hop joins the
+    * dimension key into the fact table — both equi-joins after
+    * normalization.
+    */
+  def twoHopUsage(events: DataFrame, part: DataFrame, li: DataFrame): DataFrame =
+    events
+      .withColumn("ref_str", regexp_extract(col("props"), """"k": (\d+)""", 1))
+      .withColumn("ref", when(col("ref_str") =!= "", col("ref_str").cast("long")))
+      .filter(col("ref").isNotNull)
+      .join(broadcast(part), col("ref") === part("p_partkey"))
+      .join(li, part("p_partkey") === li("l_partkey"))
+      .groupBy("p_brand")
+      .agg(countDistinct(col("event_id")).as("n_events"),
+           count(lit(1)).as("n_lines"),
+           moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("p_brand")
+
+  /** V4 timestamp tolerance (akoya_codex_data_collection.py:36-64 ±1h):
+    * events within one hour of the user's previous event — exact integer
+    * microsecond comparison.
+    */
+  def withinTolerancePairs(events: DataFrame, toleranceSeconds: Long = 3600L): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tolUs = toleranceSeconds * 1000000L
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byTs))
+      .withColumn("close", col("prev_us").isNotNull && col("us") - col("prev_us") <= tolUs)
+      .groupBy("user_id")
+      .agg(sum(when(col("close"), 1L).otherwise(0L)).as("n_close"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_derived_dates"  -> ((s, d) => derivedDateReport(Tables(s, d).events)),
+    "q45_two_hop_usage"  -> ((s, d) => { val t = Tables(s, d); twoHopUsage(t.events, t.part, t.lineitem) }),
+    "q48_tolerance_pairs" -> ((s, d) => withinTolerancePairs(Tables(s, d).events)),
     "q11_extract_join"   -> ((s, d) => { val t = Tables(s, d); extractAndJoin(t.events, t.part) }),
     "q12_running_revenue" -> ((s, d) => runningRevenue(Tables(s, d).lineitem)),
     "q13_top3_per_brand" -> ((s, d) => { val t = Tables(s, d); top3PartsPerBrand(t.lineitem, t.part) }),
@@ -136,6 +187,27 @@ object LogPipeline extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q44_derived_dates" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n_events,
+                count(DISTINCT 'https://example.org/' || event_type || '/' || user_id) AS n_entities
+         FROM events GROUP BY 1 ORDER BY month""",
+    "q45_two_hop_usage" ->
+      """SELECT p_brand, count(DISTINCT event_id) AS n_events, count(*) AS n_lines,
+                sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS revenue
+         FROM (SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS ref
+               FROM events) e
+         JOIN part ON e.ref = p_partkey
+         JOIN lineitem ON p_partkey = l_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q48_tolerance_pairs" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN close THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+                count(*) AS n_events
+         FROM (SELECT user_id,
+                 lag(ts) OVER w IS NOT NULL AND
+                 (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000) <= 3600000000 AS close
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         GROUP BY user_id ORDER BY user_id""",
     "q11_extract_join" ->
       """SELECT p_brand, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS ref, value
