@@ -1,0 +1,26 @@
+package graft
+
+/** Driver-contract smoke (gate t1): entry() returns rows at sf0.001,
+  * every declared query runs there, and every oracle key has a query.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys ⊆ queries keys; all 46 queries declared") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    assert(q.size >= 46)
+  }
+
+  test("every query executes at sf0.001 (schema resolves, no runtime error)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
