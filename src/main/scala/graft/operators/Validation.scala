@@ -53,13 +53,60 @@ object Validation extends QueryModule {
       .orderBy("close_enough")
   }
 
+  /** V6 (diagnostics/diagnostic_plugin.py:31-80 ordered plugin chain;
+    * find_errors_plugin.py regex scan): first-match diagnostic
+    * classification of error events — the plugin chain as a CASE
+    * cascade, counts per diagnosis.
+    */
+  def errorDiagnostics(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "error")
+      .withColumn("diagnosis",
+        when(get_json_object(col("props"), "$.k").cast("long") >= 90, "resource_exhausted")
+          .when(get_json_object(col("props"), "$.k").cast("long") >= 50, "illegal_argument")
+          .when(col("props").rlike("\"k\": \\d"), "io_error")
+          .otherwise("unclassified"))
+      .groupBy("diagnosis")
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("diagnosis")
+
+  /** BPE-ish token counting (training-data mandate): regex token classes
+    * (letter runs / digit runs) instead of whitespace — the
+    * subword-tokenizer-approximation used for corpus budgeting.
+    */
+  def bpeTokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_bpe_tokens",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+           round(avg(col("n_bpe_tokens")), 4).as("avg_bpe_tokens"))
+      .orderBy("lang")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_error_diagnostics" -> ((s, d) => errorDiagnostics(Tables(s, d).events)),
+    "q49_bpe_tokens"        -> ((s, d) => bpeTokenStats(Tables(s, d).documents)),
     "q32_doc_constraints" -> ((s, d) => documentConstraints(Tables(s, d).documents)),
     "q37_json_props"      -> ((s, d) => jsonPropsHistogram(Tables(s, d).events)),
     "q38_tolerance_check" -> ((s, d) => { val t = Tables(s, d); toleranceConsistency(t.orders, t.lineitem) }),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q46_error_diagnostics" ->
+      """SELECT diagnosis, count(*) AS n, round(avg(value), 4) AS avg_value FROM (
+           SELECT value,
+             CASE WHEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) >= 90 THEN 'resource_exhausted'
+                  WHEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) >= 50 THEN 'illegal_argument'
+                  WHEN regexp_matches(props, '"k": \d') THEN 'io_error'
+                  ELSE 'unclassified' END AS diagnosis
+           FROM events WHERE event_type = 'error')
+         GROUP BY diagnosis ORDER BY diagnosis""",
+    "q49_bpe_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS total_bpe_tokens,
+                round(avg(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS DOUBLE)), 4) AS avg_bpe_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q32_doc_constraints" ->
       """SELECT
            CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
