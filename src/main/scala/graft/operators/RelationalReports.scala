@@ -152,7 +152,26 @@ object RelationalReports extends QueryModule {
         when(col("c_acctbal") < 0, lit("debtor")).otherwise(lit("ok")).as("flag"))
       .orderBy("c_custkey")
 
+  /** A9 (scanpy_entry_point.py:37-47 calculate_qc_metrics): per-entity QC
+    * over a long-format (cell, gene, count) table — here (orderkey,
+    * partkey, quantity): feature counts, totals, and top-feature
+    * fraction, one hash aggregation + an argmax.
+    */
+  def qcMetrics(li: DataFrame): DataFrame = {
+    val perGene = li.groupBy("l_orderkey", "l_partkey")
+      .agg(sum(col("l_quantity")).as("gene_count"))
+    perGene.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_partkey")).as("n_genes"),
+           sum(col("gene_count")).as("total_counts"),
+           max(col("gene_count")).as("top_gene_count"))
+      .select(col("l_orderkey"), col("n_genes"),
+        col("total_counts").cast("long").as("total_counts"),
+        round(col("top_gene_count") / col("total_counts"), 4).as("pct_top_gene"))
+      .orderBy("l_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_qc_metrics"        -> ((s, d) => qcMetrics(Tables(s, d).lineitem)),
     "q01_pricing_summary"   -> ((s, d) => pricingSummary(Tables(s, d).lineitem)),
     "q02_status_counts"     -> ((s, d) => statusCounts(Tables(s, d).orders)),
     "q03_distinct_by_prio"  -> ((s, d) => distinctCustomersByPriority(Tables(s, d).orders)),
@@ -168,6 +187,15 @@ object RelationalReports extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q50_qc_metrics" ->
+      """SELECT l_orderkey, n_genes, CAST(total_counts AS BIGINT) AS total_counts,
+                round(top_gene_count / total_counts, 4) AS pct_top_gene
+         FROM (SELECT l_orderkey, count(DISTINCT l_partkey) AS n_genes,
+                      sum(gene_count) AS total_counts, max(gene_count) AS top_gene_count
+               FROM (SELECT l_orderkey, l_partkey, sum(l_quantity) AS gene_count
+                     FROM lineitem GROUP BY 1, 2)
+               GROUP BY l_orderkey)
+         ORDER BY l_orderkey""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
