@@ -25,10 +25,10 @@ object EntityGraph extends QueryModule {
     var i = 0
     var done = false
     while (!done && i < maxIters) {
+      // no explicit distinct: EXCEPT has set semantics and dedups anyway
       val next = frontier.as("f")
         .join(e.as("g"), col("f.ancestor") === col("g.child"))
         .select(col("f.child"), col("g.parent").as("ancestor"))
-        .distinct()
         .except(closure)
         .cache()
       if (next.isEmpty) done = true
