@@ -53,7 +53,10 @@ object CollectionDispatch {
       sum(when(col("rel_path").rlike(p), 1L).otherwise(0L)).as(s"p$i")
     }
     val row = listing.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val counts = patterns.zipWithIndex.map { case (p, i) => p -> row.getLong(i) }.toMap
+    // sum() over zero rows is null — an empty listing matches nothing
+    val counts = patterns.zipWithIndex.map { case (p, i) =>
+      p -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
     matchers.sortBy(-_.priority).find { m =>
       m.requiredPatterns.forall(p => counts(p) > 0) &&
         m.countPattern.forall { case (p, n) => counts(p) >= n }

@@ -54,10 +54,11 @@ object IngestSlice {
     val violationList =
       if (metadataPath.isEmpty) Seq("required_file: metadata.tsv missing")
       else violations.collect().map(r => s"${r.getString(0)}: ${r.getString(1)}").toSeq
-    // contributors sub-TSV (F1 contract)
+    // contributors sub-TSV (F1 contract); guard: header-only metadata.tsv
+    // has the column but no rows — report violations, don't throw
     val contributors = metadataPath.flatMap { _ =>
-      val cPath = md.columns.find(_ == "contributors_path")
-        .flatMap(_ => Option(md.head().getAs[String]("contributors_path")))
+      val firstRow = if (md.columns.contains("contributors_path")) md.take(1).headOption else None
+      val cPath = firstRow.flatMap(r => Option(r.getAs[String]("contributors_path")))
       cPath.map(p => Readers.tsv(spark, s"$dir/${p.stripPrefix("./")}")
         .withColumn("dataset_id", lit(datasetId)))
     }.getOrElse(spark.range(0).select(

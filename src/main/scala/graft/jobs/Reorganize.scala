@@ -69,8 +69,10 @@ object Reorganize {
     */
   def movePlan(frozen: DataFrame, listing: DataFrame): DataFrame = {
     val children = frozen.select(col("child_id"), col("data_path").as("orig_data_path"))
-    val dataFiles = listing.join(children,
-      col("rel_path").startsWith(regexp_replace(col("orig_data_path"), "^\\.\\/", "")))
+    // match on "<dir>/" (trailing slash) so sibling dirs that are string
+    // prefixes of each other ("raw1" vs "raw10") can't cross-match
+    val prefix = concat(regexp_replace(col("orig_data_path"), "^\\.\\/", ""), lit("/"))
+    val dataFiles = listing.join(children, col("rel_path").startsWith(prefix))
     val globalFiles = listing.filter(col("rel_path").startsWith("global/"))
       .crossJoin(frozen.select("child_id").distinct())
     dataFiles.select(col("child_id"), col("rel_path").as("src"),

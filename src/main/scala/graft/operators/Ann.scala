@@ -26,6 +26,9 @@ object Ann {
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
+    // fewer vectors than requested cells → train with what exists
+    val kEff = centroids.length
+    require(kEff > 0, "trainCentroids: embeddings table is empty")
     var it = 0
     while (it < iters) {
       val assigned = assignCells(embeddings, centroids)
@@ -36,7 +39,7 @@ object Ann {
         .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
-      centroids = (0 until k).map { c =>
+      centroids = (0 until kEff).map { c =>
         byCell.get(c) match {
           case Some(rows) =>
             val arr = new Array[Float](dim)

@@ -34,11 +34,18 @@ object EntityGraph extends QueryModule {
       if (next.isEmpty) done = true
       else {
         // cache each union so later iterations (and the final read) don't
-        // recompute the whole join lineage from scratch
+        // recompute the whole join lineage from scratch; drop the old
+        // frontier's cache once superseded
         closure = closure.union(next).cache()
+        if (frontier ne e) frontier.unpersist()
         frontier = next
         i += 1
       }
+    }
+    if (!done) {
+      System.err.println(
+        s"[graft] transitiveClosure stopped at maxIters=$maxIters with a non-empty frontier — " +
+          "closure may be incomplete; raise maxIters for deeper graphs")
     }
     closure
   }

@@ -44,24 +44,31 @@ object Routing extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** Dynamic-rules variant (rule table only known at runtime, e.g. read
-    * from a config table): broadcast rlike join + priority row_number —
-    * J5's general form. Use [[routeByRules]] when the table is static.
+  /** Shared first-match core for dynamic rule tables: broadcast rlike
+    * join + priority row_number, left-joined back so unmatched rows get
+    * `default`. `keyCol` must be unique per input row.
     */
-  def routeByRulesTable(documents: DataFrame, rulesDf: DataFrame,
-                        default: String = "wf_default"): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("priority")
-    val matched = documents.select("doc_id", "source")
-      .join(broadcast(rulesDf), expr("source rlike pattern"))
+  def firstMatch(df: DataFrame, rulesDf: DataFrame, keyCol: String,
+                 matchCol: String, default: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("priority")
+    val matched = df.select(col(keyCol), col(matchCol))
+      .join(broadcast(rulesDf), expr(s"$matchCol rlike pattern"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("workflow"))
-    documents.select("doc_id", "source")
-      .join(matched, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-              coalesce(col("workflow"), lit(default)).as("workflow"))
-      .orderBy("doc_id")
+      .select(col(keyCol), col("workflow"))
+    df.join(matched, Seq(keyCol), "left")
+      .withColumn("workflow", coalesce(col("workflow"), lit(default)))
   }
+
+  /** Dynamic-rules variant (rule table only known at runtime, e.g. read
+    * from a config table) — J5's general form. Use [[routeByRules]] when
+    * the table is static.
+    */
+  def routeByRulesTable(documents: DataFrame, rulesDf: DataFrame,
+                        default: String = "wf_default"): DataFrame =
+    firstMatch(documents.select("doc_id", "source"), rulesDf, "doc_id", "source", default)
+      .select("doc_id", "source", "workflow")
+      .orderBy("doc_id")
 
   /** P7 (PipelineFileMatcher.get_file_metadata utils.py:155-203): ordered
     * first-match regex annotation with templated descriptions built from

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object TiffMeta {
 
-  final case class Tag(id: Int, typ: Int, count: Long, valueOrOffset: Long)
+  /** `entryOffset` = byte offset of this IFD entry's value field, so
+    * inline payloads (count×size ≤ 4) can be read in file byte order.
+    */
+  final case class Tag(id: Int, typ: Int, count: Long, valueOrOffset: Long,
+                       entryOffset: Int)
 
   private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8,
     6 -> 1, 7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8)
@@ -50,17 +54,19 @@ object TiffMeta {
         val v = buf.getInt(base + 8).toLong & 0xffffffffL
         // SHORT values are packed into the first 2 bytes of the value field
         val value = if (typ == 3 && count == 1) (buf.getShort(base + 8) & 0xffff).toLong else v
-        Some(id -> Tag(id, typ, count, value))
+        Some(id -> Tag(id, typ, count, value, base + 8))
       }
     }.toMap
     Some(tags)
   }
 
-  /** Read an ASCII tag's payload (inline or offset). */
+  /** Read an ASCII tag's payload — inline (≤4 bytes live in the value
+    * field itself, in file byte order) or via offset.
+    */
   def asciiValue(bytes: Array[Byte], tag: Tag): Option[String] = {
     if (tag.typ != 2) return None
     val len = tag.count.toInt
-    val start = if (len <= 4) -1 else tag.valueOrOffset.toInt
+    val start = if (len <= 4) tag.entryOffset else tag.valueOrOffset.toInt
     if (start < 0 || start + len > bytes.length) None
     else Some(new String(bytes, start, math.max(len - 1, 0), "US-ASCII")) // strip trailing NUL
   }

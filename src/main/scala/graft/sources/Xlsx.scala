@@ -104,8 +104,11 @@ object Xlsx {
     val rows = files.flatMap { case (p, bytes) =>
       parseFirstSheet(bytes).zipWithIndex.map { case (cells, i) => (p, i.toLong, cells) }
     }.toDF("path", "row_idx", "cells")
-    val maxW = rows.agg(org.apache.spark.sql.functions.max(
-      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("cells"))))
+    // coalesce: max() over zero rows (no matching workbooks) is null
+    val maxW = rows.agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("cells"))),
+        org.apache.spark.sql.functions.lit(0)))
       .head().getInt(0)
     // try_element_at: rows are ragged (a cell in column C doesn't imply
     // A/B exist in that row) and ANSI element_at throws out-of-bounds

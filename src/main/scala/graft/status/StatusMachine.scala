@@ -67,11 +67,26 @@ object StatusMachine {
       case Some(s) => Right(Some(s))
     }
 
-  /** Append-only event-store schema: (uuid, entity_type, status, ts,
-    * source). Current status = latest-wins window (W3).
+  /** Stamp a raw event batch (uuid, entity_type, status) with event-store
+    * metadata: the write path appends (ts, seq) so the read path can
+    * resolve latest-wins deterministically. `ts` is caller-provided
+    * (job event time, not wall clock) for reproducible folds.
+    */
+  def stampEvents(batch: DataFrame, tsMicros: Long, seqStart: Long = 0L): DataFrame =
+    batch
+      .withColumn("ts", lit(tsMicros))
+      .withColumn("seq", lit(seqStart) + row_number().over(
+        Window.orderBy("uuid", "entity_type", "status")) - 1)
+
+  /** Append-only event-store schema: (uuid, entity_type, status, ts
+    * [, seq]). Current status = latest-wins window (W3); `seq` breaks
+    * same-ts ties when present (see [[stampEvents]]).
     */
   def currentStatuses(statusEvents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("uuid").orderBy(col("ts").desc, col("seq").desc)
+    val order =
+      if (statusEvents.columns.contains("seq")) Seq(col("ts").desc, col("seq").desc)
+      else Seq(col("ts").desc)
+    val w = Window.partitionBy("uuid").orderBy(order: _*)
     statusEvents.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("uuid"), col("entity_type"), col("status"), col("ts").as("since"))

@@ -24,7 +24,10 @@ object IngestStream {
   def dedupRequests(requests: DataFrame, watermark: String = "1 hour"): DataFrame =
     requests
       .withWatermark("request_time", watermark)
-      .dropDuplicates("run_id")
+      // WithinWatermark variant: plain dropDuplicates(subset) ignores the
+      // watermark when the event-time column isn't in the subset → state
+      // grows unboundedly; this evicts run_ids older than the watermark
+      .dropDuplicatesWithinWatermark("run_id")
 
   /** Weekly usage report as an event-time tumbling window (replaces the
     * @weekly cron + pandas scan): count + value sum per (window, type).
@@ -47,14 +50,9 @@ object IngestStream {
     val spark = batch.sparkSession
     import spark.implicits._
     val rulesDf = rules.toDF("pattern", "workflow", "priority")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("run_id").orderBy("priority")
-    batch
-      .join(broadcast(rulesDf), expr("process rlike pattern"), "left")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("run_id"), col("dataset_id"), col("process"),
-        coalesce(col("workflow"), lit("wf_default")).as("workflow"),
-        col("request_time"))
+    graft.operators.Routing
+      .firstMatch(batch, rulesDf, keyCol = "run_id", matchCol = "process", default = "wf_default")
+      .select("run_id", "dataset_id", "process", "workflow", "request_time")
   }
 
   /** Wire the full stream: requests → dedup → route → injected sink

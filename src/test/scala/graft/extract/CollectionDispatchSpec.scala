@@ -21,6 +21,11 @@ class CollectionDispatchSpec extends SparkSpec {
     assert(CollectionDispatch.dispatch(listing) == "multiassay_metadatatsv")
   }
 
+  test("empty listing dispatches to unrecognized (no NPE)") {
+    val empty = Seq.empty[String].toDF("rel_path")
+    assert(CollectionDispatch.dispatch(empty) == "unrecognized")
+  }
+
   test("dispatchAll routes many datasets in one pass") {
     val listing = Seq(
       ("d1", "my-metadata.tsv"),

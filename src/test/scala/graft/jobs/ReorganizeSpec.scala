@@ -35,6 +35,14 @@ class ReorganizeSpec extends SparkSpec {
     assert(events.contains(("up1", "upload", "reorganized")))
   }
 
+  test("movePlan: prefix-sibling dirs (raw1 vs raw10) never cross-match") {
+    val frozen = Seq(("c1", "./raw1"), ("c2", "./raw10")).toDF("child_id", "data_path")
+    val listing = Seq("raw1/a.bin", "raw10/b.bin").toDF("rel_path")
+    val got = Reorganize.movePlan(frozen, listing)
+      .select("child_id", "src").as[(String, String)].collect().toSet
+    assert(got == Set(("c1", "raw1/a.bin"), ("c2", "raw10/b.bin")))
+  }
+
   test("movePlan routes data files per child and fans global files to all") {
     val frozen = Seq(("c1", "./dataset1"), ("c2", "./dataset2"))
       .toDF("child_id", "data_path")

@@ -25,6 +25,16 @@ class StatusMachineSpec extends SparkSpec {
     assert(got == Map("u1" -> "published", "u2" -> "valid"))
   }
 
+  test("write path output feeds the read path: stampEvents → currentStatuses") {
+    val raw = Seq(
+      ("u1", "upload", "reorganized"),
+      ("c1", "dataset", "submitted")).toDF("uuid", "entity_type", "status")
+    val stamped = StatusMachine.stampEvents(raw, tsMicros = 1000L)
+    val cur = StatusMachine.currentStatuses(stamped)
+      .select("uuid", "status").as[(String, String)].collect().toMap
+    assert(cur == Map("u1" -> "reorganized", "c1" -> "submitted"))
+  }
+
   test("validateBatch rejects illegal and suppresses same-status") {
     val requested = Seq(
       ("u1", "dataset", "qa"),        // ok (current=new)
