@@ -67,7 +67,7 @@ object LogPipeline extends QueryModule {
       .groupBy("p_brand", "p_partkey")
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
-    rev.withColumn("rank", row_number().over(w))
+    rev.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("p_brand", "p_partkey", "revenue", "rank")
       .orderBy("p_brand", "rank")

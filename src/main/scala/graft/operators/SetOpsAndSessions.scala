@@ -78,7 +78,23 @@ object SetOpsAndSessions extends QueryModule {
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("n_ids"))
       .orderBy("src")
 
+  /** W4/W5 (survey.py:52-104 column_sorter / ROW_SORT_KEYS): survey
+    * report with computed multi-key row ordering and a dense rank over
+    * the primary grouping — presentation-layer ordering as part of the
+    * plan, not a post-process.
+    */
+  def surveyReport(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    orders
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("total_price"))
+      .withColumn("report_rank", dense_rank().over(w).cast("long"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_survey_report"  -> ((s, d) => surveyReport(Tables(s, d).orders)),
     "q39_segment_sets"   -> ((s, d) => { val t = Tables(s, d); segmentSets(t.customer, t.nation) }),
     "q40_session_durations" -> ((s, d) => sessionDurations(Tables(s, d).events)),
     "q41_top_spenders"   -> ((s, d) => topSpenders(Tables(s, d).orders)),
@@ -87,6 +103,12 @@ object SetOpsAndSessions extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q51_survey_report" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                sum(floor(o_totalprice * 100 + 0.5)) / 100 AS total_price,
+                CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT) AS report_rank
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
     "q39_segment_sets" ->
       """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
                 count(DISTINCT c_mktsegment) AS n_segments

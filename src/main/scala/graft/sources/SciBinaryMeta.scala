@@ -20,8 +20,44 @@ import org.apache.spark.sql.functions._
   */
 object SciBinaryMeta {
 
-  /** Locate and slice the XML document inside a CZI byte stream. */
+  /** Walk the ZISRAW segment chain: each segment is a 32-byte header
+    * (16-byte ASCII id, int64 allocated size, int64 used size) followed
+    * by `allocated` payload bytes. The ZISRAWMETADATA payload leads with
+    * int32 xmlSize + int32 attachmentSize + 248 spare bytes, then the
+    * XML document. Falls back to a marker scan for truncated/nonstandard
+    * streams (we often only have the leading bytes of a huge file).
+    */
   def cziXml(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 32 ||
+        !new String(bytes, 0, 10, StandardCharsets.US_ASCII).startsWith("ZISRAWFILE"))
+      return cziXmlByMarker(bytes)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 0L
+    var guard = 0
+    while (off + 32 <= bytes.length && guard < 10000) {
+      val id = new String(bytes, off.toInt, 16, StandardCharsets.US_ASCII)
+        .takeWhile(c => c != '\u0000' && c != ' ')
+      val alloc = buf.getLong(off.toInt + 16)
+      if (id == "ZISRAWMETADATA") {
+        val payload = off.toInt + 32
+        if (payload + 8 > bytes.length) return cziXmlByMarker(bytes)
+        val xmlSize = buf.getInt(payload)
+        val xmlStart = payload + 256
+        if (xmlSize <= 0 || xmlStart >= bytes.length) return cziXmlByMarker(bytes)
+        val len = math.min(xmlSize, bytes.length - xmlStart)
+        return Some(new String(bytes, xmlStart, len, StandardCharsets.UTF_8).trim)
+      }
+      if (alloc <= 0) return cziXmlByMarker(bytes)
+      off += 32 + alloc
+      guard += 1
+    }
+    cziXmlByMarker(bytes)
+  }
+
+  /** Fallback: locate the metadata segment id anywhere and slice the XML
+    * document that follows it.
+    */
+  private def cziXmlByMarker(bytes: Array[Byte]): Option[String] = {
     val marker = "ZISRAWMETADATA".getBytes(StandardCharsets.US_ASCII)
     val at = indexOfBytes(bytes, marker, 0)
     if (at < 0) return None
