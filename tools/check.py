@@ -68,6 +68,24 @@ def main():
             print(f"SQLERR   {name}: {e}")
             n_bad += 1
             continue
+        # schema-type audit (int32 vs int64 etc. would fail the driver)
+        norm = {'int64': 'BIGINT', 'int32': 'INTEGER', 'double': 'DOUBLE',
+                'float': 'FLOAT', 'string': 'VARCHAR', 'large_string': 'VARCHAR',
+                'bool': 'BOOLEAN', 'date32[day]': 'DATE'}
+        spark_types = dict(zip(tbl.column_names, [str(t) for t in tbl.schema.types]))
+        rel = con.sql(oracle[name])
+        duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        type_errs = []
+        for c, t in spark_types.items():
+            st = norm.get(t, t)
+            dt = duck_types.get(c, 'MISSING')
+            if st != dt and not (st.startswith('timestamp') and dt.startswith('TIMESTAMP')) \
+               and not (t.startswith('list') and dt.endswith(']')):
+                type_errs.append(f'{c}: spark={t} duck={dt}')
+        if type_errs:
+            print(f"TYPES    {name}: {'; '.join(type_errs)}")
+            n_bad += 1
+            continue
         s_rows, s_cols = canon(spark_rows, spark_cols)
         d_rows, d_cols = canon(duck_rows, duck_cols)
         if s_cols != d_cols:
