@@ -21,6 +21,7 @@ object SparkEntry {
     EntityGraph,
     Validation,
     SetOpsAndSessions,
+    NonSqlOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftGlue
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeps surrounding operators in whole-stage codegen. The token hash is
   * the public 64-bit FNV-1a — deterministic across JVMs/partitions.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -53,6 +53,36 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     out
   }
+
+  /** Real codegen: the vote loop inline, token hashing via the static
+    * FNV helper — keeps surrounding projections in WholeStageCodegen.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = graft.functions.SimHash64.fnv1a64($c.getUTF8String($i));
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
   override def prettyName: String = "simhash64"
