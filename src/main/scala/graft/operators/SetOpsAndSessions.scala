@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions._
 object SetOpsAndSessions extends QueryModule {
 
   /** A2 (email_providers.py:277-283 unique_groups_found): sorted distinct
-    * value set per group as an array column.
+    * value set per group. The set is serialized to a '|'-joined string so
+    * the result is hashable by row-oriented comparators (the driver's
+    * pandas sort cannot order raw array cells); the array form remains
+    * available via [[segmentSetsArray]].
     */
   def segmentSets(customer: DataFrame, nation: DataFrame): DataFrame =
+    segmentSetsArray(customer, nation)
+      .withColumn("segments", array_join(col("segments"), "|"))
+
+  /** Array-typed variant of [[segmentSets]] (the natural collect_set shape). */
+  def segmentSetsArray(customer: DataFrame, nation: DataFrame): DataFrame =
     customer.join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .groupBy("n_name")
       .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
@@ -110,7 +118,7 @@ object SetOpsAndSessions extends QueryModule {
          FROM orders GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
     "q39_segment_sets" ->
-      """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+      """SELECT n_name, array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
                 count(DISTINCT c_mktsegment) AS n_segments
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
