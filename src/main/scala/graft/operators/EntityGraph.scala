@@ -20,8 +20,15 @@ object EntityGraph extends QueryModule {
     */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val e = edges.select(col("child"), col("parent")).distinct().cache()
-    var closure = e.select(col("child"), col("parent").as("ancestor")).cache()
-    var frontier = closure
+    // Cache each BFS level once and keep the cumulative closure as a
+    // plain union VIEW over the cached levels: union scans its cached
+    // children, so re-caching the whole closure every iteration (an extra
+    // full materialization pass + a second in-memory copy per level) is
+    // pure overhead. One action per iteration (count materializes the new
+    // level AND answers the emptiness check).
+    val first = e.select(col("child"), col("parent").as("ancestor")).cache()
+    var closure = first
+    var frontier = first
     var i = 0
     var done = false
     while (!done && i < maxIters) {
@@ -31,13 +38,9 @@ object EntityGraph extends QueryModule {
         .select(col("f.child"), col("g.parent").as("ancestor"))
         .except(closure)
         .cache()
-      if (next.isEmpty) done = true
+      if (next.count() == 0L) done = true
       else {
-        // cache each union so later iterations (and the final read) don't
-        // recompute the whole join lineage from scratch; drop the old
-        // frontier's cache once superseded
-        closure = closure.union(next).cache()
-        if (frontier ne e) frontier.unpersist()
+        closure = closure.union(next)
         frontier = next
         i += 1
       }

@@ -144,18 +144,32 @@ object LogPipeline extends QueryModule {
     * dimension key into the fact table — both equi-joins after
     * normalization.
     */
-  def twoHopUsage(events: DataFrame, part: DataFrame, li: DataFrame): DataFrame =
-    events
+  def twoHopUsage(events: DataFrame, part: DataFrame, li: DataFrame): DataFrame = {
+    // Aggregation pushdown below the join: every (event, line) pair for a
+    // part contributes the same per-part line stats, so pre-aggregate the
+    // fact table per partkey (map-side partial agg collapses it before the
+    // shuffle) and join the tiny per-part rollup instead of the raw fact.
+    // Cents stay integers, so n_refs × cents_p is exact — bit-identical to
+    // aggregating the expanded pairs. At 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling one row per key.
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("part_lines"),
+           sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("part_cents"))
+    val refs = events
       .withColumn("ref_str", regexp_extract(col("props"), """"k": (\d+)""", 1))
       .withColumn("ref", when(col("ref_str") =!= "", col("ref_str").cast("long")))
       .filter(col("ref").isNotNull)
       .join(broadcast(part), col("ref") === part("p_partkey"))
-      .join(li, part("p_partkey") === li("l_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(countDistinct(col("event_id")).as("n_distinct_events"),
+           count(lit(1)).as("n_event_rows"))
+    refs.join(perPart, refs("p_partkey") === perPart("l_partkey"))
       .groupBy("p_brand")
-      .agg(countDistinct(col("event_id")).as("n_events"),
-           count(lit(1)).as("n_lines"),
-           moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(sum(col("n_distinct_events")).as("n_events"),
+           sum(col("n_event_rows") * col("part_lines")).as("n_lines"),
+           fromCents(sum(col("n_event_rows") * col("part_cents"))).as("revenue"))
       .orderBy("p_brand")
+  }
 
   /** V4 timestamp tolerance (akoya_codex_data_collection.py:36-64 ±1h):
     * events within one hour of the user's previous event — exact integer
