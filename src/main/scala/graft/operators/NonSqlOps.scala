@@ -6,11 +6,13 @@ import graft.functions.WinnowFingerprints.winnowFingerprints
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Operators whose semantics aren't expressible in DuckDB SQL (custom
-  * hash kernels, stubbed codecs): declared WITHOUT oracle entries, so
-  * the driver records its weaker rows-only check — correctness for
-  * these is covered by the spec layer (SimHashSpec, WinnowSpec,
-  * MultimodalSpec) instead.
+/** Operators built on custom hash kernels (SimHash, winnowing) plus the
+  * stubbed-codec multimodal path. The hash kernels ARE oracle-checked:
+  * FNV-1a64 and the Karp-Rabin/fmix64 winnow are re-derived in portable
+  * DuckDB SQL (HUGEINT arithmetic mod 2^64, 32-bit split multiplication
+  * to stay inside 128-bit intermediates), so q52/q53 hash-match like any
+  * relational query. Only q54 (stub codec — no media libs in the
+  * container) stays rows-only, covered by MultimodalSpec.
   */
 object NonSqlOps extends QueryModule {
 
@@ -50,6 +52,92 @@ object NonSqlOps extends QueryModule {
     "q54_media_meta"      -> ((s, d) => mediaMeta(Tables(s, d).documents)),
   )
 
-  /** Intentionally empty: no SQL-expressible oracle (rows-only checks). */
-  override def oracles: Map[String, String] = Map.empty
+  /** DuckDB re-derivations of the custom hash kernels. Conventions that
+    * make these bit-exact: all 64-bit wrapping arithmetic is HUGEINT
+    * mod 2^64; (a*c) mod 2^64 for 64-bit c uses the 32-bit split
+    * `(a_lo*c + ((a_hi*(c mod 2^32)) mod 2^32)*2^32) mod 2^64` so
+    * intermediates stay under 2^127; xor/shift run on UBIGINT; the
+    * winnow window-min compares SIGNED longs (matching JVM `Long`
+    * ordering); text is ASCII so `unicode(substr(...))` == UTF-8 byte.
+    * q54 has no oracle (stub codec).
+    */
+  override def oracles: Map[String, String] = Map(
+    "q52_simhash_buckets" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(tok)+1), i -> unicode(substr(tok, i, 1))::HUGEINT)),
+        |      (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    )::UBIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |),
+        |votes AS (
+        |  SELECT doc_id, r.range AS b,
+        |    SUM(CASE WHEN (h >> r.range::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, range(64) r
+        |  GROUP BY doc_id, r.range
+        |),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << b::INTEGER)::HUGEINT ELSE 0::HUGEINT END) AS usig
+        |  FROM votes GROUP BY doc_id
+        |),
+        |signed_sigs AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN usig >= 9223372036854775808::HUGEINT THEN usig - 18446744073709551616::HUGEINT ELSE usig END)::BIGINT AS sig,
+        |    (usig // 281474976710656::HUGEINT)::BIGINT AS bucket
+        |  FROM sigs
+        |)
+        |SELECT bucket, count(*)::BIGINT AS n_docs, count(DISTINCT sig)::BIGINT AS n_distinct_sigs
+        |FROM signed_sigs GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q53_winnow_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(text) AS t, length(text) AS n, n_chars FROM documents
+        |),
+        |pos AS (
+        |  SELECT doc_id, n, n_chars, unnest(range(1, (n - 3)::BIGINT))::INTEGER AS i, t FROM docs
+        |),
+        |raw AS (
+        |  SELECT doc_id, n, n_chars, i,
+        |    (((((((( unicode(substr(t, i,   1))::HUGEINT * 1000003
+        |           + unicode(substr(t, i+1, 1))::HUGEINT) % 18446744073709551616::HUGEINT) * 1000003
+        |           + unicode(substr(t, i+2, 1))::HUGEINT) % 18446744073709551616::HUGEINT) * 1000003
+        |           + unicode(substr(t, i+3, 1))::HUGEINT) % 18446744073709551616::HUGEINT) * 1000003
+        |           + unicode(substr(t, i+4, 1))::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM pos
+        |),
+        |m1 AS (SELECT doc_id, n, n_chars, i, xor(h::UBIGINT, h::UBIGINT >> 33)::HUGEINT AS x1 FROM raw),
+        |m2 AS (
+        |  SELECT doc_id, n, n_chars, i,
+        |    (( (x1 % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+        |     + (((x1 // 4294967296::HUGEINT) * (18397679294719823053::HUGEINT % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |     ) % 18446744073709551616::HUGEINT) AS y1 FROM m1
+        |),
+        |m3 AS (SELECT doc_id, n, n_chars, i, xor(y1::UBIGINT, y1::UBIGINT >> 33)::HUGEINT AS x2 FROM m2),
+        |m4 AS (
+        |  SELECT doc_id, n, n_chars, i,
+        |    (( (x2 % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+        |     + (((x2 // 4294967296::HUGEINT) * (14181476777654086739::HUGEINT % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |     ) % 18446744073709551616::HUGEINT) AS y2 FROM m3
+        |),
+        |fh AS (SELECT doc_id, n, n_chars, i, xor(y2::UBIGINT, y2::UBIGINT >> 33) AS u FROM m4),
+        |signed_h AS (
+        |  SELECT doc_id, n, n_chars, i,
+        |    (CASE WHEN u >= 9223372036854775808::UBIGINT
+        |          THEN u::HUGEINT - 18446744073709551616::HUGEINT
+        |          ELSE u::HUGEINT END)::BIGINT AS sh
+        |  FROM fh
+        |),
+        |wmins AS (
+        |  SELECT doc_id, n, n_chars, i,
+        |    min(sh) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+        |  FROM signed_h
+        |)
+        |SELECT doc_id, count(DISTINCT wm)::BIGINT AS n_fingerprints, any_value(n_chars) AS n_chars
+        |FROM wmins
+        |WHERE i <= n - 4 - 3
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+  )
 }
