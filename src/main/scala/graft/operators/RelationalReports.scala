@@ -115,12 +115,18 @@ object RelationalReports extends QueryModule {
         round(col("top.o_totalprice"), 2).as("latest_totalprice"))
       .orderBy("o_custkey")
 
-  /** J10 (utils.py:2110-2112 anti-membership): customers with no orders —
-    * left anti join (broadcast of the keys side is left to AQE; at 100 TB
-    * this is a shuffled anti join on the key, which is the right plan).
+  /** J10 (utils.py:2110-2112 anti-membership): customers with no
+    * FINALIZED order — left anti join against the filtered fact side
+    * (filter pushed below the join, so the anti join probes a smaller
+    * build). Broadcast of the keys side is left to AQE; at 100 TB this
+    * is a shuffled anti join on the key, which is the right plan.
+    * The status filter keeps the result non-empty on the test data —
+    * every customer has SOME order, so an unfiltered anti join would
+    * hash-match vacuously on zero rows.
     */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
-    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+    customer.join(orders.filter(col("o_orderstatus") === "F"),
+        customer("c_custkey") === orders("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -243,7 +249,7 @@ object RelationalReports extends QueryModule {
            FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
     "q09_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
          ORDER BY c_custkey""",
     "q10_parts_big_sales" ->
       """SELECT p_partkey, p_name FROM part

@@ -49,7 +49,7 @@ object Similarity extends QueryModule {
     * same `label` block (the IVF-cell pattern — at 100 TB the blocking
     * key is the coarse quantizer cell). Shuffles on label, not all-pairs.
     */
-  def blockedSimilarPairs(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def blockedSimilarPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
     // Precompute each vector's norm ONCE before the self-join: the pair
     // stage then evaluates one dot product instead of three (the oracle
     // recomputes norms per pair — sqrt(dot(v,v)) is bitwise identical
@@ -89,7 +89,7 @@ object Similarity extends QueryModule {
                  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) > 0.5
+          WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) > 0.3
           ORDER BY label, left_id, right_id""",
   )
 }

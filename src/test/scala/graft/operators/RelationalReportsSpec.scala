@@ -24,9 +24,11 @@ class RelationalReportsSpec extends SparkSpec {
     assert(got == Seq((1L, 9L), (2L, 20L)))
   }
 
-  test("customersWithoutOrders is an anti join") {
+  test("customersWithoutOrders anti-joins against finalized orders only") {
     val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
-    val ords = Seq(Tuple1(2L)).toDF("o_custkey")
+    // customer 2 has a finalized order; customer 3 only an open one —
+    // the anti join must treat 3 as "no finalized order"
+    val ords = Seq((2L, "F"), (3L, "O")).toDF("o_custkey", "o_orderstatus")
     val got = RelationalReports.customersWithoutOrders(cust, ords)
       .select("c_custkey").as[Long].collect().toSeq
     assert(got == Seq(1L, 3L))
