@@ -22,6 +22,8 @@ object SparkEntry {
     Validation,
     SetOpsAndSessions,
     NonSqlOps,
+    Quantize,
+    graft.streaming.StreamParity,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

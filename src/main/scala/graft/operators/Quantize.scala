@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding quantization (training-data-pipeline storage path): scalar
@@ -10,7 +11,7 @@ import org.apache.spark.sql.functions._
   * for the quantize path; dequantized similarity reuses FloatVecDot
   * after a cast).
   */
-object Quantize {
+object Quantize extends QueryModule {
 
   /** Per-vector max-abs scale: q = round(x * 127 / scale) clamped to
     * [-127, 127], stored with the scale for dequantization.
@@ -38,4 +39,44 @@ object Quantize {
     graft.functions.VecOps.vecDot(a, b) /
       (sqrt(graft.functions.VecOps.vecDot(a, a)) * sqrt(graft.functions.VecOps.vecDot(b, b)))
   }
+
+  /** Per-vector int8 quantization stats — the oracle surface for the
+    * quantize kernel. Every value is exact: the scale is float32 math
+    * (abs/max are exact ops, the float→double widening is exact, so no
+    * rounding is needed for the hash compare), the rest is int8
+    * arithmetic. Max-abs scaling guarantees n_saturated ≥ 1.
+    */
+  def quantizeStats(embeddings: DataFrame): DataFrame =
+    quantize(embeddings)
+      .select(
+        col("vec_id"),
+        col("q_scale").cast("double").as("q_scale"),
+        aggregate(col("q_vec"), lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
+        array_min(col("q_vec")).cast("long").as("q_min"),
+        array_max(col("q_vec")).cast("long").as("q_max"),
+        size(filter(col("q_vec"), q => abs(q) === 127)).cast("long").as("n_saturated"))
+      .orderBy("vec_id")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_quantize_stats" -> ((s, d) => quantizeStats(Tables(s, d).embeddings)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q55_quantize_stats" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12::FLOAT) AS scale_f,
+        |    list_transform(embedding, x ->
+        |      greatest(-127, least(127, round(
+        |        x::DOUBLE * 127.0 / greatest(list_max(list_transform(embedding, y -> abs(y))), 1e-12::FLOAT)::DOUBLE
+        |      )::INTEGER))) AS qv
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, scale_f::DOUBLE AS q_scale,
+        |       list_sum(qv)::BIGINT AS q_sum,
+        |       list_min(qv)::BIGINT AS q_min,
+        |       list_max(qv)::BIGINT AS q_max,
+        |       len(list_filter(qv, v -> abs(v) = 127))::BIGINT AS n_saturated
+        |FROM q ORDER BY vec_id""".stripMargin,
+  )
 }

@@ -67,3 +67,33 @@ object IngestStream {
       .foreachBatch { (batch: DataFrame, _: Long) => onBatch(routeBatch(batch, rules)) }
       .start()
 }
+
+/** Batch-parity oracle surface for the streaming layer: the SAME
+  * `IngestStream.windowedUsage` plan (tumbling event-time window over a
+  * watermarked column) run as a batch DataFrame — Structured Streaming's
+  * unified model means the plan is identical in both modes, so a DuckDB
+  * hash-match here certifies the streaming report's window arithmetic.
+  * Spark's `window(ts, "1 day")` aligns buckets to the epoch in the
+  * session timezone (UTC) — i.e. calendar UTC days, which is exactly
+  * DuckDB `date_trunc('day', ts)`.
+  */
+object StreamParity extends graft.QueryModule {
+  import org.apache.spark.sql.functions._
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_windowed_usage" -> ((s, d) =>
+      IngestStream.windowedUsage(graft.Tables(s, d).events, "1 day", "1 day")
+        .select(col("window_start"), col("window_end"), col("event_type"),
+                col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start", "event_type")),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q57_windowed_usage" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
+        |       date_trunc('day', ts)::TIMESTAMP + INTERVAL 1 DAY AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+  )
+}
