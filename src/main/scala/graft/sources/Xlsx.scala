@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** S13 (SURVEY.md §2.1; tsv_to_mudata.py:182-200 `pd.read_excel(...,
   * header=None)`): minimal XLSX reader using only the JDK — an .xlsx is
-  * a zip of XML parts; we read `xl/sharedStrings.xml` and the first
-  * worksheet, returning all cells as strings with positional columns
-  * (`c0..cN`, header=None semantics like the reference).
+  * a zip of XML parts; we read `xl/sharedStrings.xml` plus EVERY
+  * worksheet (resolved through `xl/workbook.xml` + its .rels so sheet
+  * names and workbook order are honored, like pandas `sheet_name=None`),
+  * returning all cells as strings with positional columns (`c0..cN`,
+  * header=None semantics like the reference).
   *
   * The reference only reads small `*objects*.xlsx` config workbooks, so
   * parsing happens where the bytes are (one task per file via the
@@ -19,24 +21,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Xlsx {
 
-  /** Parse one workbook's bytes → rows of cell strings (first sheet). */
-  def parseFirstSheet(bytes: Array[Byte]): Seq[Seq[String]] = {
-    var shared: IndexedSeq[String] = IndexedSeq.empty
-    var sheetXml: Option[String] = None
-    var sharedXml: Option[String] = None
+  /** Parse one workbook's bytes → sheets in workbook order, each
+    * (sheet_name, rows of cell strings). Sheet names and order come from
+    * `xl/workbook.xml` (resolved to worksheet parts via the workbook
+    * .rels); workbooks without one (bare zips) fall back to
+    * `xl/worksheets/sheetN.xml` in numeric order.
+    */
+  def parseSheets(bytes: Array[Byte]): Seq[(String, Seq[Seq[String]])] = {
+    val parts = mutable.LinkedHashMap.empty[String, String]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
         val name = e.getName
-        if (name == "xl/sharedStrings.xml") sharedXml = Some(readAll(zin))
-        else if (name.matches("xl/worksheets/sheet1\\.xml")) sheetXml = Some(readAll(zin))
+        if (name == "xl/sharedStrings.xml" || name == "xl/workbook.xml" ||
+            name == "xl/_rels/workbook.xml.rels" || name.startsWith("xl/worksheets/"))
+          parts(name) = readAll(zin)
         e = zin.getNextEntry
       }
     } finally zin.close()
-    sharedXml.foreach { xml => shared = extractSharedStrings(xml) }
-    sheetXml.map(xml => extractRows(xml, shared)).getOrElse(Seq.empty)
+    val shared = parts.get("xl/sharedStrings.xml").map(extractSharedStrings)
+      .getOrElse(IndexedSeq.empty)
+
+    val ordered: Seq[(String, String)] = // (sheetName, partPath)
+      (parts.get("xl/workbook.xml"), parts.get("xl/_rels/workbook.xml.rels")) match {
+        case (Some(wb), Some(rels)) =>
+          val targets = RelRe.findAllMatchIn(rels).map(m => m.group(1) -> m.group(2)).toMap
+          SheetRe.findAllMatchIn(wb).flatMap { m =>
+            val attrs = m.group(1)
+            val name = NameAttr.findFirstMatchIn(attrs).map(x => unescape(x.group(1)))
+            val rid = RidAttr.findFirstMatchIn(attrs).map(_.group(1))
+            for {
+              n <- name
+              r <- rid
+              t <- targets.get(r)
+            } yield n -> ("xl/" + t.stripPrefix("/xl/").stripPrefix("xl/"))
+          }.toSeq
+        case _ =>
+          parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).toSeq
+            .sortBy(p => "\\d+".r.findFirstIn(p).map(_.toInt).getOrElse(0))
+            .map(p => p.stripPrefix("xl/worksheets/").stripSuffix(".xml") -> p)
+      }
+    ordered.flatMap { case (name, path) =>
+      parts.get(path).map(xml => name -> extractRows(xml, shared))
+    }
   }
+
+  /** First sheet only (the reference's default `pd.read_excel` path). */
+  def parseFirstSheet(bytes: Array[Byte]): Seq[Seq[String]] =
+    parseSheets(bytes).headOption.map(_._2).getOrElse(Seq.empty)
 
   private def readAll(in: java.io.InputStream): String = {
     val out = new java.io.ByteArrayOutputStream()
@@ -53,6 +86,10 @@ object Xlsx {
   private val RefAttr = """r="([A-Z]+)(\d+)"""".r
   private val TypeAttr = """t="([a-z]+)"""".r
   private val VRe = "(?s)<v>(.*?)</v>".r
+  private val SheetRe = """<sheet\s+([^>]*?)/?>""".r
+  private val NameAttr = """name="([^"]*)"""".r
+  private val RidAttr = """r:id="([^"]*)"""".r
+  private val RelRe = """<Relationship\s+[^>]*?Id="([^"]*)"[^>]*?Target="([^"]*)"[^>]*?/?>""".r
 
   private def extractSharedStrings(xml: String): IndexedSeq[String] =
     SiRe.findAllMatchIn(xml).map { m =>
@@ -93,8 +130,9 @@ object Xlsx {
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&")
 
-  /** Read xlsx files under a path → DataFrame (path, row_idx, c0..cN) —
-    * header=None semantics, all strings.
+  /** Read xlsx files under a path → DataFrame (path, sheet, row_idx,
+    * c0..cN) — every sheet of every workbook, header=None semantics, all
+    * strings.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -102,8 +140,10 @@ object Xlsx {
       .option("pathGlobFilter", "*.xlsx").load(path)
       .select("path", "content").as[(String, Array[Byte])]
     val rows = files.flatMap { case (p, bytes) =>
-      parseFirstSheet(bytes).zipWithIndex.map { case (cells, i) => (p, i.toLong, cells) }
-    }.toDF("path", "row_idx", "cells")
+      parseSheets(bytes).flatMap { case (sheet, sheetRows) =>
+        sheetRows.zipWithIndex.map { case (cells, i) => (p, sheet, i.toLong, cells) }
+      }
+    }.toDF("path", "sheet", "row_idx", "cells")
     // coalesce: max() over zero rows (no matching workbooks) is null
     val maxW = rows.agg(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.max(
@@ -117,6 +157,7 @@ object Xlsx {
         org.apache.spark.sql.functions.col("cells"),
         org.apache.spark.sql.functions.lit(i + 1)).as(s"c$i"))
     rows.select((Seq(org.apache.spark.sql.functions.col("path"),
+      org.apache.spark.sql.functions.col("sheet"),
       org.apache.spark.sql.functions.col("row_idx")) ++ cols): _*)
   }
 }
