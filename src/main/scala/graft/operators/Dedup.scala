@@ -129,7 +129,71 @@ object Dedup extends QueryModule {
            sum(col("size")).as("block_bytes"))
       .orderBy("block")
 
+  /** End-to-end near-duplicate clustering — the full corpus-dedup
+    * pipeline at 100 TB scale: LSH band bucketing proposes candidates
+    * (one shuffle on the band key), an exact Jaccard check verifies them
+    * (join only the candidate pairs against the shingle sets — never
+    * all-pairs), then connected components group transitively-linked
+    * docs via min-label propagation to fixpoint (each iteration is one
+    * shuffled join + aggregate; convergence count doubles as the
+    * termination action, and near-dup components have tiny diameters so
+    * the loop is short).
+    */
+  def nearDupClusters(documents: DataFrame, threshold: Double = 0.2,
+                      maxIters: Int = 20): DataFrame = {
+    // cached: referenced twice in the verify join (a/b sides) — one
+    // shingle computation, both branches read the InMemoryRelation
+    val withSh = documents.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .cache()
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    // no distinct: single-band bucketing emits each in-bucket pair once,
+    // and duplicate edges would be absorbed by the CC min-agg anyway
+    val verified = lshCandidatePairs(documents)
+      .select(col("left_id"), col("right_id"))
+      .join(withSh.as("a"), col("left_id") === col("a.doc_id"))
+      .join(withSh.as("b"), col("right_id") === col("b.doc_id"))
+      .filter(inter / (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double")
+                >= threshold)
+      .select(col("left_id"), col("right_id"))
+    connectedComponents(verified)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+      .orderBy("cluster_id")
+  }
+
+  /** Connected components over an undirected pair list (left_id,
+    * right_id) by min-label propagation: labels start as each node's own
+    * id; every iteration each node takes the min of its own and its
+    * neighbors' labels (one shuffled join + aggregate) until a fixpoint.
+    * Returns (id, label) for every node that appears in some edge.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.toDF("src", "dst")
+    val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = sym.select(col("src").as("id"), col("src").as("label"))
+      .distinct().cache()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      val fromNeighbors = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      if (changed == 0L) converged = true else i += 1
+    }
+    if (!converged) System.err.println(
+      s"[graft] connectedComponents stopped at maxIters=$maxIters before convergence")
+    labels
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_neardup_clusters" -> ((s, d) => nearDupClusters(Tables(s, d).documents)),
     "q47_checksum_blocks" -> ((s, d) => checksumBlocks(Tables(s, d).documents)),
     "q20_dedup_exact"    -> ((s, d) => exactDedup(Tables(s, d).documents)),
     "q24_checksum_manifest" -> ((s, d) => checksumManifest(Tables(s, d).documents)),
@@ -139,6 +203,35 @@ object Dedup extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q58_neardup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id, list_aggregate(list_transform(
+        |      list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                     i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')),
+        |      s -> md5('salt0|' || s)), 'min') AS mh0
+        |  FROM documents),
+        |cand AS (SELECT a.doc_id AS l, b.doc_id AS r
+        |         FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT l, r FROM cand
+        |  JOIN sh a ON a.doc_id = l JOIN sh b ON b.doc_id = r
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.2),
+        |edges AS (SELECT l AS src, r AS dst FROM ver UNION SELECT r, l FROM ver),
+        |reach(src, node) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT rc.src, e.dst FROM reach rc JOIN edges e ON rc.node = e.src
+        |),
+        |comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src)
+        |SELECT cluster_id, count(*) AS n_members,
+        |       string_agg(doc_id, ',' ORDER BY doc_id) AS members
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q47_checksum_blocks" ->
       """SELECT doc_id // 100 AS block, count(*) AS n_records,
                 min(md5(text)) AS block_digest,

@@ -54,4 +54,25 @@ class DedupSpec extends SparkSpec {
     assert(r.getString(2) == "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
     assert(r.getLong(3) == 5L)
   }
+  test("connectedComponents merges transitively-linked nodes") {
+    // 1-2, 2-3 chain plus an isolated 8-9 pair: min-label propagation
+    // must give {1,2,3} label 1 and {8,9} label 8
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 8L)).toDF("left_id", "right_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("nearDupClusters clusters exact duplicates end-to-end") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (5L, "a b c d e f g h"),
+      (4L, "z y x w v u t s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupClusters(docs, threshold = 0.2)
+      .select("cluster_id", "n_members", "members")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 3L, "1,2,5")))
+  }
 }
