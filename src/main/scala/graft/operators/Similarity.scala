@@ -67,9 +67,26 @@ object Similarity extends QueryModule {
       .orderBy("label", "left_id", "right_id")
   }
 
+  /** IVF ANN exactness gate: probe EVERY cell (nprobe = k), which must
+    * reproduce brute-force top-k bit-for-bit — certifies the whole
+    * index path (deterministic k-means train, cell assignment, probe,
+    * in-cell exact cosine) against the same oracle as q28. The recall
+    * behavior at nprobe < k is covered by AnnSpec.
+    */
+  def ivfExactTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+                   cells: Int = 8): DataFrame = {
+    val query = embeddings.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val centroids = Ann.trainCentroids(embeddings, cells)
+    Ann.ivfTopK(embeddings.filter(col("vec_id") =!= queryId), centroids, query,
+        k = k, nprobe = cells)
+      .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_cosine_topk"  -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
     "q36_blocked_pairs" -> ((s, d) => blockedSimilarPairs(Tables(s, d).embeddings)),
+    "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings)),
   )
 
   private val dotSql =
@@ -80,6 +97,11 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q28_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, round(${cosSql("embedding", "qv")}, 6) AS cos_sim
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q59_ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, round(${cosSql("embedding", "qv")}, 6) AS cos_sim
           FROM embeddings, q WHERE vec_id <> 0

@@ -48,4 +48,18 @@ class EnvelopeSpec extends SparkSpec {
     assert(doc.contains(""""contacts":[{"name":"Ada""""))
     assert(doc.contains(""""dag_provenance_list":[{"name":"graft""""))
   }
+  test("golden envelope documents match byte-for-byte (F5 exact-doc compare)") {
+    // Frozen canonical output: any change to field order, null handling,
+    // promotion rules, or struct layout shows up as a diff here.
+    val goldenD1 =
+      """{"metadata":{"assay_type":"codex","data_path":"./raw"},"files":[{"rel_path":"my-metadata.tsv","type":"tsv","size":5,"description":"","edam_term":"","is_qa_qc":false,"is_data_product":false},{"rel_path":"raw/a.csv","type":"csv","size":10,"description":"sample table","edam_term":"EDAM:1","is_qa_qc":false,"is_data_product":true}],"contributors":[{"name":"Ada","affiliation":"Uni","orcid_id":"0000-1","is_contact":"TRUE","email":"ada@x.org"},{"name":"Bob","affiliation":"Lab","orcid_id":"0000-2","is_contact":"no","email":"bob@x.org"}],"contacts":[{"name":"Ada","email":"ada@x.org","affiliation":"Uni"}],"dag_provenance_list":[{"name":"graft","hash":"abc123","origin":"origin","version":"0.1"}]}"""
+    val goldenD2 =
+      """{"metadata":{"assay_type":"rnaseq"},"files":[],"contributors":[],"contacts":[],"dag_provenance_list":[{"name":"graft","hash":"abc123","origin":"origin","version":"0.1"}]}"""
+    val (md, listing, contribs) = fixtures
+    val env = Envelope.assemble(md, listing, contribs, Seq(("graft", "abc123", "origin", "0.1")))
+    val docs = Envelope.toJsonDoc(env).orderBy("dataset_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(docs("d1") == goldenD1)
+    assert(docs("d2") == goldenD2)
+  }
 }
