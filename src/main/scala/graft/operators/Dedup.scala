@@ -171,20 +171,27 @@ object Dedup extends QueryModule {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.toDF("src", "dst")
     val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    var labels = sym.select(col("src").as("id"), col("src").as("label"))
-      .distinct().cache()
+    // warm start at the 1-hop fixpoint candidate — min over self+neighbors
+    // (every node appears as dst in the symmetric list), which already IS
+    // the answer for pair-shaped components, the common near-dup case
+    var labels = sym.groupBy(col("dst").as("id")).agg(min(col("src")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label"))
+      .cache()
     var i = 0
     var converged = false
     while (!converged && i < maxIters) {
       val fromNeighbors = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // carry the old label through so convergence is checked in the SAME
+      // job that materializes the new labels — one action per iteration
+      val next = labels.withColumnRenamed("label", "old")
+        .join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"), col("old"),
+                least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
         .cache()
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val changed = next.filter(col("label") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "label")
       if (changed == 0L) converged = true else i += 1
     }
     if (!converged) System.err.println(

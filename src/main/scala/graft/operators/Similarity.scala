@@ -77,7 +77,9 @@ object Similarity extends QueryModule {
                    cells: Int = 8): DataFrame = {
     val query = embeddings.filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).toArray
-    val centroids = Ann.trainCentroids(embeddings, cells)
+    // 2 Lloyd iterations: full-probe exactness holds for ANY centroid
+    // set, so the gate only needs enough training to exercise the path
+    val centroids = Ann.trainCentroids(embeddings, cells, iters = 2)
     Ann.ivfTopK(embeddings.filter(col("vec_id") =!= queryId), centroids, query,
         k = k, nprobe = cells)
       .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
