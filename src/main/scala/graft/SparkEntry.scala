@@ -23,6 +23,7 @@ object SparkEntry {
     SetOpsAndSessions,
     NonSqlOps,
     Quantize,
+    AsOfJoin,
     graft.streaming.StreamParity,
   )
 
