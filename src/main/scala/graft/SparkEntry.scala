@@ -24,6 +24,7 @@ object SparkEntry {
     NonSqlOps,
     Quantize,
     AsOfJoin,
+    RangeJoin,
     graft.streaming.StreamParity,
   )
 

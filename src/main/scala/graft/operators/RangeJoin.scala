@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — match point rows into [start, end] intervals
+  * of the same key. Spark's built-in answer to `ts BETWEEN start AND
+  * end` join conditions is a broadcast-nested-loop or a sort-merge on
+  * the key with a post-filter, both of which degrade when keys carry
+  * many intervals; the scale path is TIME BUCKETING: slice time into
+  * fixed buckets, replicate each interval into every bucket it spans,
+  * put each point into its single bucket, and equi-join on
+  * (key, bucket) before the exact range filter. Each (point, interval)
+  * pair is examined exactly once — points live in exactly one bucket —
+  * so no dedup pass is needed, and the join is a plain shuffled
+  * equi-join Catalyst can plan and AQE can skew-split.
+  */
+object RangeJoin extends QueryModule {
+
+  /** points ⋈ intervals on `keyCol` with tsCol ∈ [startCol, endCol]
+    * (inclusive both ends). `bucketUs` should approximate the typical
+    * interval length: shorter wastes replication, longer wastes
+    * post-filtering.
+    */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame, keyCol: String,
+                        tsCol: String, startCol: String, endCol: String,
+                        bucketUs: Long = 3600L * 1000000L): DataFrame = {
+    val p = points.withColumn("__bucket", expr(s"unix_micros($tsCol) div $bucketUs"))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"unix_micros($startCol) div $bucketUs"),
+                       expr(s"unix_micros($endCol) div $bucketUs"))))
+    p.join(iv, Seq(keyCol, "__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Error events range-joined into the user's ACTIVITY sessions (gap
+    * sessionization over non-error events): per-session error counts,
+    * sessions with none kept at 0 via a left join of the interval side
+    * against the matched rollup.
+    */
+  def errorsPerSession(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val nonErr = events.filter(col("event_type") =!= "error")
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    val sessions = nonErr
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"))
+    val matched = bucketedRangeJoin(errors, sessions, "user_id",
+        "err_ts", "session_start", "session_end")
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_err"))
+    sessions.join(matched, Seq("user_id", "session_id"), "left")
+      .select(col("user_id"), col("session_id"),
+              col("session_start"), col("session_end"),
+              coalesce(col("n_err"), lit(0L)).as("n_errors"))
+      .orderBy("user_id", "session_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_session_errors" -> ((s, d) => errorsPerSession(Tables(s, d).events)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q61_session_errors" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_ns(ts - lag(ts) OVER w) > 1800000000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE event_type <> 'error'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM numbered GROUP BY 1, 2),
+        |err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id,
+        |       s.s_start::TIMESTAMP AS session_start, s.s_end::TIMESTAMP AS session_end,
+        |       CAST(count(e.ts) AS BIGINT) AS n_errors
+        |FROM sessions s LEFT JOIN err e
+        |  ON e.user_id = s.user_id AND e.ts BETWEEN s.s_start AND s.s_end
+        |GROUP BY s.user_id, s.session_id, s.s_start, s.s_end
+        |ORDER BY s.user_id, s.session_id""".stripMargin,
+  )
+}
