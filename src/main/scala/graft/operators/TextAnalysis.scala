@@ -101,7 +101,30 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Exact corpus heavy hitters by the 2-pass sketch plan: pass 1 folds
+    * every partition's tokens into a bounded Misra-Gries sketch
+    * ([[graft.functions.TopKSketch]] — partial sketches merge, raw
+    * tokens never shuffle) plus the total token count; pass 2 counts
+    * ONLY the surviving candidates exactly and keeps those above the
+    * frequency threshold N/(capacity+1). The sketch's survival guarantee
+    * makes the result exact and merge-order independent — at 100 TB this
+    * replaces a full-vocabulary shuffle with a capacity-sized one.
+    */
+  def heavyHitterTokens(documents: DataFrame, capacity: Int = 64): DataFrame = {
+    val toks = documents.select(explode(split(lower(col("text")), " ")).as("token"))
+    val firstPass = toks.agg(
+      graft.functions.TopKSketch.topkCandidates(col("token"), capacity).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = firstPass.getSeq[String](0)
+    val total = firstPass.getLong(1)
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * (capacity + 1) > total)
+      .orderBy("token")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_heavy_tokens" -> ((s, d) => heavyHitterTokens(Tables(s, d).documents)),
     "q16_regex_tag"    -> ((s, d) => regexTagSummary(Tables(s, d).documents)),
     "q19_text_normalize" -> ((s, d) => normalized(Tables(s, d).documents)),
     "q21_token_stats"  -> ((s, d) => tokenStats(Tables(s, d).documents)),
@@ -110,6 +133,12 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q62_heavy_tokens" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |cnt AS (SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token)
+        |SELECT token, n_occurrences FROM cnt, tot
+        |WHERE n_occurrences * 65 > n ORDER BY token""".stripMargin,
     "q16_regex_tag" ->
       """SELECT tag, count(*) AS n_docs FROM (
            SELECT CASE WHEN regexp_matches(text, 'spark') THEN 'spark'
