@@ -25,6 +25,7 @@ object SparkEntry {
     Quantize,
     AsOfJoin,
     RangeJoin,
+    SkewJoin,
     graft.streaming.StreamParity,
   )
 

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling joins (builder mandate "salting for skew, AQE for
@@ -14,7 +15,7 @@ import org.apache.spark.sql.functions._
   * key's rows over n reducers. Result set is identical to the unsalted
   * join (spec-checked).
   */
-object SkewJoin {
+object SkewJoin extends QueryModule {
 
   def saltedInnerJoin(skewed: DataFrame, other: DataFrame, key: String,
                       salts: Int = 8): DataFrame = {
@@ -24,4 +25,31 @@ object SkewJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Brand revenue computed THROUGH the salted join — the salt split
+    * must be invisible in the result, so this shares q06's oracle
+    * semantics. Keeps the hot-key path under the hash-match gate, not
+    * just a spec: if salting ever dropped or duplicated rows, the
+    * cents-exact revenue would catch it.
+    */
+  def revenueByBrandSalted(li: DataFrame, part: DataFrame): DataFrame =
+    saltedInnerJoin(
+        li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey")
+      .groupBy("p_brand")
+      .agg(graft.functions.moneySum(
+             col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_salted_revenue" -> ((s, d) => { val t = Tables(s, d); revenueByBrandSalted(t.lineitem, t.part) }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q63_salted_revenue" ->
+      """SELECT p_brand, sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+  )
 }

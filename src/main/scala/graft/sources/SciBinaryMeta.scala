@@ -54,6 +54,50 @@ object SciBinaryMeta {
     cziXmlByMarker(bytes)
   }
 
+  /** Full ZISRAW segment inventory — one row per segment in chain order:
+    * (segment_id, offset, allocated, used). The catalog view of a CZI
+    * container (subblock/attachment/directory counts fall out of a
+    * groupBy on segment_id); stops cleanly at truncation, which is the
+    * normal case when only a file's leading bytes were fetched.
+    */
+  def cziSegments(bytes: Array[Byte]): Seq[(String, Long, Long, Long)] = {
+    if (bytes.length < 32 ||
+        !new String(bytes, 0, 10, StandardCharsets.US_ASCII).startsWith("ZISRAWFILE"))
+      return Seq.empty
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    var off = 0L
+    var guard = 0
+    var ok = true
+    while (ok && off + 32 <= bytes.length && guard < 10000) {
+      val id = new String(bytes, off.toInt, 16, StandardCharsets.US_ASCII)
+        .takeWhile(c => c != '\u0000' && c != ' ')
+      val alloc = buf.getLong(off.toInt + 16)
+      val used = buf.getLong(off.toInt + 24)
+      if (id.isEmpty || alloc < 0) ok = false
+      else {
+        out += ((id, off, alloc, used))
+        if (alloc == 0) ok = false else off += 32 + alloc
+      }
+      guard += 1
+    }
+    out.toSeq
+  }
+
+  /** Distributed CZI segment catalog over a directory of .czi files. */
+  def scanCziSegments(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.czi")
+      .load(root)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        cziSegments(bytes).map { case (id, off, alloc, used) => (p, id, off, alloc, used) }
+      }
+      .toDF("path", "segment_id", "offset", "allocated", "used")
+  }
+
   /** Fallback: locate the metadata segment id anywhere and slice the XML
     * document that follows it.
     */
