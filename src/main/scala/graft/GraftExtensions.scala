@@ -1,41 +1,62 @@
 package graft
 
-import graft.functions.{FloatVecDot, SimHash64}
+import graft.functions.{FloatVecDot, SimHash64, TextMinHashMd5, TopKSketchAgg, WinnowFingerprints}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for graft's custom Catalyst expressions: registers
-  * `simhash64(array<string>)` and `vec_dot(array<float>, array<float>)`
-  * in the function registry, so `spark.sql` queries and downstream
-  * tools can call them. Install either via
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * post-hoc with [[GraftFunctions.register]].
+  * `simhash64(array<string>)`, `vec_dot(array<float>, array<float>)`,
+  * `winnow_fingerprints(string[, k, w])`,
+  * `text_minhash_md5(string, salt[, k])` and the
+  * `topk_sketch(string, capacity)` aggregate in the function registry,
+  * so `spark.sql` queries and downstream tools can call them. Install
+  * either via `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or post-hoc with [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftFunctions.simhashDescriptor)
-    e.injectFunction(GraftFunctions.vecDotDescriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-  val simhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("simhash64"),
-    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-    (children: Seq[Expression]) => SimHash64(children.head))
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
-  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("vec_dot"),
-    new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => FloatVecDot(children(0), children(1)))
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (children => SimHash64(children.head)),
+    "vec_dot" -> (children => FloatVecDot(children(0), children(1))),
+    "winnow_fingerprints" -> (children => WinnowFingerprints(children.head,
+      k = if (children.length > 1) intArg(children(1), "winnow k") else 5,
+      w = if (children.length > 2) intArg(children(2), "winnow w") else 4)),
+    "text_minhash_md5" -> (children => TextMinHashMd5(children.head,
+      salt = stringArg(children(1), "minhash salt"),
+      k = if (children.length > 2) intArg(children(2), "minhash k") else 3)),
+    "topk_sketch" -> (children => TopKSketchAgg(children.head,
+      capacity = intArg(children(1), "topk_sketch capacity")).toAggregateExpression()),
+  )
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+    }
 
   /** Register on an existing session (tests, REPLs). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

@@ -24,4 +24,15 @@ class GraftFunctionsSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(mismatches == 0)
   }
+  test("winnow, minhash, and topk_sketch are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT size(winnow_fingerprints('the quick brown fox jumps over the lazy dog')) AS nw,
+                text_minhash_md5('a b c d e', 'salt0|') AS mh""").head()
+    assert(r.getInt(0) > 0)
+    assert(r.getString(1).length == 32)
+    Seq("x", "x", "x", "y").toDF("t").createOrReplaceTempView("toks")
+    val agg = spark.sql("SELECT topk_sketch(t, 1) AS c FROM toks").head().getSeq[String](0)
+    assert(agg == Seq("x"))
+  }
 }
