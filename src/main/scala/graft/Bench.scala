@@ -18,14 +18,18 @@ object Bench {
     // scan path (parquet footers, file listing, page cache) so the first
     // query touching a table doesn't absorb its one-time setup cost —
     // per-query numbers then measure the query, not filesystem metadata
-    try {
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings").foreach { t =>
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      // per-table try: one unreadable table must not abort the rest of
+      // the warm-up (that would silently re-attribute its setup cost to
+      // the first query touching the later tables)
+      try {
         val p = new java.io.File(s"$sfDir/$t.parquet")
         if (p.exists()) spark.read.parquet(p.getPath).count()
-      }
-      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+      } catch { case _: Throwable => () }
+    }
+    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

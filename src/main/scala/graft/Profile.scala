@@ -11,7 +11,8 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
-    val iters = if (args.length > 2) args(2).toInt else 3
+    // [iters] and [explain] are independent optional args in any order
+    val iters = args.drop(2).flatMap(_.toIntOption).headOption.getOrElse(3)
     val doExplain = args.contains("explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)

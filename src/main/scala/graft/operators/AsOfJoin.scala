@@ -33,7 +33,11 @@ object AsOfJoin extends QueryModule {
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
     val rv = struct(carry.map(col) :+ col(rightTs).as("__asof_ts"): _*)
-    val r2 = right.select(col(keyCol).as("__key"), col(rightTs).as("__ts"), rv.as("__rv"))
+    // null-ts right rows would sort FIRST (nulls-first asc) with a
+    // non-null payload struct, poisoning every left row's "no prior
+    // match" null — an unordered event can never be "the latest before"
+    val r2 = right.filter(col(rightTs).isNotNull)
+      .select(col(keyCol).as("__key"), col(rightTs).as("__ts"), rv.as("__rv"))
       .withColumn("__is_right", lit(1))
     val lCols = left.columns.toSeq
     val l2 = left

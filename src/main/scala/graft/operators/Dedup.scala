@@ -155,7 +155,11 @@ object Dedup extends QueryModule {
       .filter(inter / (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double")
                 >= threshold)
       .select(col("left_id"), col("right_id"))
-    connectedComponents(verified)
+    val labels = connectedComponents(verified, maxIters)
+    // CC's driver loop has run by now, so the shingle cache served its
+    // purpose (both sides of the verify join) — release it
+    withSh.unpersist()
+    labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
            concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
@@ -196,6 +200,10 @@ object Dedup extends QueryModule {
     }
     if (!converged) System.err.println(
       s"[graft] connectedComponents stopped at maxIters=$maxIters before convergence")
+    // the loop's count() actions have materialized `labels`; the edge
+    // list is no longer needed (the labels cache itself is the return
+    // value and stays resident until the caller is done with it)
+    sym.unpersist()
     labels
   }
 

@@ -152,6 +152,11 @@ object LogPipeline extends QueryModule {
     // Cents stay integers, so n_refs × cents_p is exact — bit-identical to
     // aggregating the expanded pairs. At 100 TB this is the difference
     // between shuffling the whole fact table and shuffling one row per key.
+    // PRECONDITION for sum(n_distinct_events) == countDistinct(event_id)
+    // per brand: an event_id resolves to at most one ref (one regexp
+    // capture per row, and event_id is unique in the events table) — a
+    // repeated event_id spanning two parts of one brand would be counted
+    // once per part here but once per brand by the direct formulation.
     val perPart = li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("part_lines"),
            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("part_cents"))
@@ -249,7 +254,8 @@ object LogPipeline extends QueryModule {
       """WITH flagged AS (
            SELECT user_id, event_id, ts,
                   CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_ns(ts - lag(ts) OVER w) > 1800000000000 THEN 1 ELSE 0 END AS new_session
+                         OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000 > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          numbered AS (

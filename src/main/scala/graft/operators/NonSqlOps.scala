@@ -95,8 +95,15 @@ object NonSqlOps extends QueryModule {
       """WITH docs AS (
         |  SELECT doc_id, lower(text) AS t, length(text) AS n, n_chars FROM documents
         |),
+        |-- n <= 7: fewer hashes than one full window (n < k gives one
+        |-- whole-string hash; 5 <= n <= 7 gives <= 3 hashes, single min)
+        |-- -> exactly one fingerprint, mirroring the Scala short paths
+        |short AS (
+        |  SELECT doc_id, 1::BIGINT AS n_fingerprints, n_chars FROM docs WHERE n <= 7
+        |),
         |pos AS (
-        |  SELECT doc_id, n, n_chars, unnest(range(1, (n - 3)::BIGINT))::INTEGER AS i, t FROM docs
+        |  SELECT doc_id, n, n_chars, unnest(range(1, (n - 3)::BIGINT))::INTEGER AS i, t
+        |  FROM docs WHERE n >= 8
         |),
         |raw AS (
         |  SELECT doc_id, n, n_chars, i,
@@ -134,10 +141,14 @@ object NonSqlOps extends QueryModule {
         |    min(sh) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
         |  FROM signed_h
         |)
-        |SELECT doc_id, count(DISTINCT wm)::BIGINT AS n_fingerprints, any_value(n_chars) AS n_chars
-        |FROM wmins
-        |WHERE i <= n - 4 - 3
-        |GROUP BY doc_id
+        |SELECT doc_id, n_fingerprints, n_chars FROM (
+        |  SELECT doc_id, count(DISTINCT wm)::BIGINT AS n_fingerprints, any_value(n_chars) AS n_chars
+        |  FROM wmins
+        |  WHERE i <= n - 4 - 3
+        |  GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, n_fingerprints, n_chars FROM short
+        |)
         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -75,7 +75,8 @@ object RangeJoin extends QueryModule {
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch_ns(ts - lag(ts) OVER w) > 1800000000000 THEN 1 ELSE 0 END AS new_session
+        |                OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000 > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
         |  FROM events WHERE event_type <> 'error'
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |numbered AS (
@@ -91,7 +92,8 @@ object RangeJoin extends QueryModule {
         |       s.s_start::TIMESTAMP AS session_start, s.s_end::TIMESTAMP AS session_end,
         |       CAST(count(e.ts) AS BIGINT) AS n_errors
         |FROM sessions s LEFT JOIN err e
-        |  ON e.user_id = s.user_id AND e.ts BETWEEN s.s_start AND s.s_end
+        |  ON e.user_id = s.user_id
+        |  AND epoch_ns(e.ts) // 1000 BETWEEN epoch_ns(s.s_start) // 1000 AND epoch_ns(s.s_end) // 1000
         |GROUP BY s.user_id, s.session_id, s.s_start, s.s_end
         |ORDER BY s.user_id, s.session_id""".stripMargin,
   )

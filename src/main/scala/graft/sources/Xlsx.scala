@@ -46,7 +46,12 @@ object Xlsx {
     val ordered: Seq[(String, String)] = // (sheetName, partPath)
       (parts.get("xl/workbook.xml"), parts.get("xl/_rels/workbook.xml.rels")) match {
         case (Some(wb), Some(rels)) =>
-          val targets = RelRe.findAllMatchIn(rels).map(m => m.group(1) -> m.group(2)).toMap
+          val targets = RelElemRe.findAllMatchIn(rels).flatMap { m =>
+            for {
+              id <- RelIdAttr.findFirstMatchIn(m.group(1)).map(_.group(1))
+              t <- RelTargetAttr.findFirstMatchIn(m.group(1)).map(_.group(1))
+            } yield id -> t
+          }.toMap
           SheetRe.findAllMatchIn(wb).flatMap { m =>
             val attrs = m.group(1)
             val name = NameAttr.findFirstMatchIn(attrs).map(x => unescape(x.group(1)))
@@ -88,8 +93,13 @@ object Xlsx {
   private val VRe = "(?s)<v>(.*?)</v>".r
   private val SheetRe = """<sheet\s+([^>]*?)/?>""".r
   private val NameAttr = """name="([^"]*)"""".r
-  private val RidAttr = """r:id="([^"]*)"""".r
-  private val RelRe = """<Relationship\s+[^>]*?Id="([^"]*)"[^>]*?Target="([^"]*)"[^>]*?/?>""".r
+  // any-prefix relationship id: producers emit r:id, d2p1:id, etc.
+  private val RidAttr = """(?:\w+:)?id="([^"]*)"""".r
+  // attribute order inside <Relationship> is producer-dependent, so
+  // match the element and pull Id/Target out independently
+  private val RelElemRe = """<Relationship\s+([^>]*?)/?>""".r
+  private val RelIdAttr = """\bId="([^"]*)"""".r
+  private val RelTargetAttr = """\bTarget="([^"]*)"""".r
 
   private def extractSharedStrings(xml: String): IndexedSeq[String] =
     SiRe.findAllMatchIn(xml).map { m =>

@@ -25,4 +25,14 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toMap
     assert(got == Map(1L -> Some("b"), 2L -> Some("c"), 3L -> None))
   }
+  test("null right timestamps never match (no-prior rows stay null)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 08:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, Option.empty[Timestamp], "poison"),
+      (10L, Some(ts("2024-01-01 09:00:00")), "later"),
+    ).toDF("user_id", "ts", "tag")
+    val got = AsOfJoin.asOfJoin(left, right, "user_id", "ts", "ts", carry = Seq("tag"))
+      .selectExpr("event_id", "asof.tag").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> None))
+  }
 }

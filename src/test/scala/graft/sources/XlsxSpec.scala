@@ -45,8 +45,10 @@ class XlsxSpec extends SparkSpec {
         |<sheet name="Objects &amp; Refs" sheetId="2" r:id="rId1"/>
         |</sheets></workbook>""".stripMargin,
     "xl/_rels/workbook.xml.rels" ->
+      // attribute order intentionally varies per element: producers
+      // are free to emit Target before Id
       """<?xml version="1.0"?><Relationships>
-        |<Relationship Id="rId1" Type="..." Target="worksheets/sheet1.xml"/>
+        |<Relationship Target="worksheets/sheet1.xml" Type="..." Id="rId1"/>
         |<Relationship Id="rId2" Type="..." Target="worksheets/sheet2.xml"/>
         |</Relationships>""".stripMargin,
     "xl/worksheets/sheet1.xml" -> sheetXml,
