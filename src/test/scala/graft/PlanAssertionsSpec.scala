@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Physical-plan contracts for the headline queries — the properties
+  * that make them hold at 100 TB, asserted so a refactor that silently
+  * loses a broadcast, a pushed filter, or a pruned schema fails CI, not
+  * the cluster. Checked on the optimized/executed plan text (covers the
+  * AQE-finalized form).
+  */
+class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def planText(df: DataFrame): String = {
+    df.collect() // finalize AQE so the executed plan is the real one
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def t = Tables(spark, sf(""))
+
+  test("q13 joins the dimension by broadcast and pushes the top-k into the sort") {
+    val p = planText(graft.operators.LogPipeline.top3PartsPerBrand(t.lineitem, t.part))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val df = graft.operators.RelationalReports.pricingSummary(t.lineitem)
+    val p = planText(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected shipdate pushdown:\n$p")
+    // 7 needed columns, not the 16-column table
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      s"expected column pruning:\n$p")
+  }
+
+  test("q06 aggregates map-side before the shuffle (partial_sum present)") {
+    val p = planText(graft.operators.RelationalReports.revenueByBrand(t.lineitem, t.part))
+    assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("q28 brute-force top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planText(graft.operators.Similarity.cosineTopK(t.embeddings))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("headline aggregation runs inside whole-stage codegen") {
+    val df = graft.operators.RelationalReports.pricingSummary(t.lineitem)
+    val p = planText(df)
+    // codegen'd stages carry the "*(n)" prefix in the plan string
+    assert(p.contains("*("), s"expected codegen spans:\n$p")
+  }
+}
