@@ -69,6 +69,62 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
 
+  final case class MediaResized(media_id: Long, kind: String, width: Int,
+                                height: Int, bytes: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String, embedding: Array[Float])
+
+  /** Transform boundary for resize-class ops (bytes → bytes at a target
+    * geometry). STUB: emits a deterministic payload derived from the
+    * input (first bytes + geometry tag) — a real implementation wraps an
+    * image library behind the same trait.
+    */
+  trait MediaTransformer extends Serializable {
+    def resize(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  object StubTransformer extends MediaTransformer {
+    def resize(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      s"stub-resize/$kind/${w}x$h/".getBytes("UTF-8") ++ bytes.take(32)
+  }
+
+  /** Resize every payload to a target geometry, partition-parallel —
+    * same batch shape as [[decodeMeta]]: transformer built once per
+    * partition, rows stream through, output stays a binary column.
+    */
+  def resizeAll(media: Dataset[MediaRow], w: Int, h: Int,
+                transformer: MediaTransformer = StubTransformer): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(row => MediaResized(row.media_id, row.kind, w, h,
+        transformer.resize(row.kind, row.bytes, w, h)))
+    }
+  }
+
+  /** Feature extraction: bytes → dense float embedding, the producer for
+    * the `embeddings`-table shape (ANN/dedup input). STUB embedding is a
+    * deterministic byte-hash expansion; a real model server or ONNX
+    * runtime drops in per partition behind the same signature.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val emb = new Array[Float](dim)
+        var h = 1125899906842597L
+        var i = 0
+        val n = math.min(row.bytes.length, 256)
+        while (i < n) { h = h * 31 + (row.bytes(i) & 0xff); i += 1 }
+        i = 0
+        while (i < dim) {
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+          emb(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+          i += 1
+        }
+        MediaFeatures(row.media_id, row.kind, emb)
+      }
+    }
+  }
+
   /** Build a media table from a directory of binary files: the 100 TB
     * path — `binaryFile` scan partitions by file, payload stays
     * distributed, metadata extraction happens next to the bytes.

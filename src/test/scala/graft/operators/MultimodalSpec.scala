@@ -38,4 +38,22 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.length == 1)
     assert(metas.head.n_bytes > 0)
   }
+  test("resizeAll and extractFeatures keep the partition-parallel batch shape") {
+    import Multimodal.MediaRow
+    val rows = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3, 4)),
+      MediaRow(2L, "image", Array[Byte](9, 8, 7)))
+    val ds = spark.createDataset(rows).repartition(2)
+    val resized = Multimodal.resizeAll(ds, 224, 224).collect().map(r => r.media_id -> r).toMap
+    assert(resized(1L).width == 224 && resized(1L).height == 224)
+    assert(new String(resized(1L).bytes.take(22), "UTF-8") == "stub-resize/image/224x")
+    val feats = Multimodal.extractFeatures(ds, dim = 8).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).embedding.length == 8)
+    assert(feats(1L).embedding.forall(v => v >= -0.5f && v <= 0.5f))
+    // deterministic and input-sensitive
+    val again = Multimodal.extractFeatures(spark.createDataset(rows), dim = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).embedding.toSeq == again(1L).embedding.toSeq)
+    assert(feats(1L).embedding.toSeq != feats(2L).embedding.toSeq)
+  }
 }
