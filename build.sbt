@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw stdout for forked runMain: without this sbt pipes the child's
+// output through its logger and prefixes every line with "[info] ",
+// which breaks line-oriented consumers of Bench's single JSON line
+// (BENCH_r01.json recorded parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
