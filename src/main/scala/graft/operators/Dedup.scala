@@ -147,7 +147,11 @@ object Dedup extends QueryModule {
       .cache()
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     // no distinct: single-band bucketing emits each in-bucket pair once,
-    // and duplicate edges would be absorbed by the CC min-agg anyway
+    // and duplicate edges would be absorbed by the CC min-agg anyway.
+    // (Measured alternative: deriving the band key from the cached
+    // shingle arrays via interpreted transform+md5 is ~20% SLOWER cold
+    // than the fused native TextMinHashMd5 re-tokenizing — interpreted
+    // HOF md5 costs more than the second tokenize pass.)
     val verified = lshCandidatePairs(documents)
       .select(col("left_id"), col("right_id"))
       .join(withSh.as("a"), col("left_id") === col("a.doc_id"))
