@@ -1,0 +1,110 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** Randomized parity checks: each distributed operator vs a naive
+  * in-memory reference implementation on seeded random inputs. These
+  * catch the bug classes example-based specs miss (boundary ties,
+  * component shapes, bucket-edge alignment) while staying deterministic
+  * (fixed seeds).
+  */
+class RandomizedParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents matches union-find on random graphs") {
+    // 3 seeds: each run pays the driver-loop fixpoint, the slow part here
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // naive union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        // canonical label = min node id in the component
+        val members = nodes.filter(u => find(u.toInt) == find(v.toInt))
+        v -> members.min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("left_id", "right_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("asOfJoin matches a per-row scan on random event streams") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed * 7)
+      def randTs() = new Timestamp(1700000000000L + rnd.nextInt(1000) * 1000L)
+      val left = Seq.tabulate(40)(i => (i.toLong, rnd.nextInt(4).toLong, randTs()))
+      val right = Seq.tabulate(40)(i => (rnd.nextInt(4).toLong, randTs(), s"t$i"))
+      val expected = left.map { case (id, k, ts) =>
+        val matches = right.filter(r => r._1 == k && !r._2.after(ts))
+        // latest ts; ties broken by max tag only if payloads differ — keep
+        // seeds where the latest ts is unique so the reference is well-defined
+        val best = matches.sortBy(r => (r._2.getTime, r._3)).lastOption
+        id -> best.map(_._2)
+      }.toMap
+      val tieFree = left.forall { case (_, k, ts) =>
+        val ms = right.filter(r => r._1 == k && !r._2.after(ts)).map(_._2.getTime)
+        ms.isEmpty || ms.count(_ == ms.max) == 1
+      }
+      if (tieFree) {
+        val got = AsOfJoin.asOfJoin(left.toDF("event_id", "user_id", "ts"),
+            right.toDF("user_id", "ts", "tag"), "user_id", "ts", "ts", carry = Seq("tag"))
+          .selectExpr("event_id", "asof.__asof_ts")
+          .as[(Long, Option[Timestamp])].collect().toMap
+        assert(got == expected, s"seed=$seed")
+      }
+    }
+  }
+
+  test("bucketedRangeJoin matches a naive BETWEEN join on random intervals") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed * 13)
+      def randTs(spread: Int) = new Timestamp(1700000000000L + rnd.nextInt(spread) * 60000L)
+      val points = Seq.tabulate(50)(i => (i.toLong, rnd.nextInt(3).toLong, randTs(600)))
+      val intervals = Seq.tabulate(10) { i =>
+        val s = randTs(600)
+        (rnd.nextInt(3).toLong, i.toLong, s, new Timestamp(s.getTime + rnd.nextInt(180) * 60000L))
+      }
+      val expected = (for {
+        (pid, pk, pts) <- points
+        (ik, iid, s, e) <- intervals
+        if pk == ik && !pts.before(s) && !pts.after(e)
+      } yield (pid, iid)).toSet
+      val got = RangeJoin.bucketedRangeJoin(
+          points.toDF("point_id", "user_id", "err_ts"),
+          intervals.toDF("user_id", "iv_id", "session_start", "session_end"),
+          "user_id", "err_ts", "session_start", "session_end")
+        .select("point_id", "iv_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("topk sketch candidates always contain every item above the frequency guarantee") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed * 31)
+      val capacity = 4
+      // zipf-ish stream over 20 items
+      val stream = Seq.fill(400)(s"w${math.min(rnd.nextInt(rnd.nextInt(20) + 1), 19)}")
+      val n = stream.size
+      val mustSurvive = stream.groupBy(identity).collect {
+        case (w, occ) if occ.size.toLong * (capacity + 1) > n => w
+      }.toSet
+      val cands = stream.toDF("token").repartition(7)
+        .agg(graft.functions.TopKSketch.topkCandidates(
+          org.apache.spark.sql.functions.col("token"), capacity).as("c"))
+        .head().getSeq[String](0).toSet
+      assert(mustSurvive.subsetOf(cands), s"seed=$seed missing=${mustSurvive -- cands}")
+    }
+  }
+}
