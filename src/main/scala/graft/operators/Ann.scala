@@ -71,19 +71,52 @@ object Ann {
     embeddings.withColumn("cell", array_min(array(scores: _*)).getField("cell"))
   }
 
+  /** Persist the index: vectors written PARTITIONED BY cell. This is
+    * the 100 TB layout claim made concrete — a probe then reads
+    * nprobe/k of the files via partition pruning (the cell filter shows
+    * up as PartitionFilters on the scan, spec-asserted), instead of
+    * filtering after a full scan.
+    */
+  def writeIndex(embeddings: DataFrame, centroids: Array[Array[Float]],
+                 path: String): Unit =
+    assignCells(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a persisted index: same ranking/probing as [[ivfTopK]] but
+    * against the cell-partitioned files, so the `cell IN (...)` filter
+    * prunes partitions at planning time.
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 centroids: Array[Array[Float]], query: Array[Float],
+                 k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val probeCells = rankCells(centroids, query).take(nprobe)
+    val qCol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    val qNorm = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("cell"),
+        (vecDot(col("embedding"), qCol) /
+          (sqrt(vecDot(col("embedding"), col("embedding"))) * lit(qNorm))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Cells ranked by the query's distance (nearest first). */
+  def rankCells(centroids: Array[Array[Float]], query: Array[Float]): Array[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val cNormSq = c.map(v => v.toDouble * v.toDouble).sum
+      (cNormSq - 2 * dot, i)
+    }.sortBy(_._1).map(_._2)
+
   /** Probe: rank cells by the query's distance, keep `nprobe`, exact
     * cosine inside the probed cells only, global top-k of the survivors.
     */
   def ivfTopK(embeddings: DataFrame, centroids: Array[Array[Float]],
               query: Array[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val qNormSq = query.map(v => v.toDouble * v.toDouble).sum
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
-      val dot = c.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      val cNormSq = c.map(v => v.toDouble * v.toDouble).sum
-      (cNormSq - 2 * dot, i)
-    }.sortBy(_._1).take(nprobe).map(_._2)
+    val probeCells = rankCells(centroids, query).take(nprobe)
     val qCol = array(query.map(v => lit(v)): _*).cast("array<float>")
-    val qNorm = math.sqrt(qNormSq)
+    val qNorm = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
     assignCells(embeddings, centroids)
       .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .select(col("vec_id"), col("cell"),

@@ -36,4 +36,23 @@ class AnnSpec extends SparkSpec {
     assert(got.select("cell").distinct().count() == 1)
     assert(got.count() == 5)
   }
+  test("persisted index probes prune partitions and match the in-memory probe") {
+    val centroids = Ann.trainCentroids(emb, k = 4, iters = 2)
+    val query = emb.filter($"vec_id" === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toFile.getAbsolutePath
+    Ann.writeIndex(emb, centroids, dir)
+    val probed = Ann.probeIndex(spark, dir, centroids, query, k = 5, nprobe = 2)
+    probed.collect()
+    val scanText = probed.queryExecution.executedPlan.toString
+    // the cell filter must reach the scan as a partition filter, not a
+    // post-scan row filter: that's the nprobe/k read-volume claim
+    assert(scanText.contains("PartitionFilters: [cell#") ||
+           scanText.contains("PartitionFilters: [isnotnull(cell") ||
+           scanText.contains("PartitionFilters: [cell"),
+      s"expected partition pruning on cell:\n$scanText")
+    val inMemory = Ann.ivfTopK(emb, centroids, query, k = 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed.select("vec_id").as[Long].collect().toSeq == inMemory)
+  }
 }
