@@ -33,6 +33,27 @@ object NonSqlOps extends QueryModule {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** Winnow-fingerprint CONTAINMENT between consecutive docs — the MOSS
+    * overlap measure: |fp(a) ∩ fp(b)| / |fp(a)|. Set sizes only (no
+    * array columns in the output, so the driver's value hash is stable).
+    * The length >= 8 filter keeps the pair inside the oracle's
+    * general-path re-derivation (shorter docs collapse to a single
+    * whole-string hash the SQL can't enumerate as a set); the operator
+    * itself handles any length.
+    */
+  def winnowContainment(documents: DataFrame): DataFrame = {
+    val withFp = documents.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), winnowFingerprints(lower(col("text"))).as("fp"))
+    val inter = size(array_intersect(col("a.fp"), col("b.fp")))
+    withFp.as("a")
+      .join(withFp.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
+        size(col("a.fp")).cast("long").as("n_fp_left"),
+        inter.cast("long").as("n_common"),
+        round(inter / size(col("a.fp")).cast("double"), 4).as("containment"))
+      .orderBy("left_id")
+  }
+
   /** Multimodal metadata over the documents' bytes through the real
     * decode plumbing (stub codec — deterministic).
     */
@@ -50,6 +71,7 @@ object NonSqlOps extends QueryModule {
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
     "q53_winnow_stats"    -> ((s, d) => winnowStats(Tables(s, d).documents)),
     "q54_media_meta"      -> ((s, d) => mediaMeta(Tables(s, d).documents)),
+    "q64_winnow_containment" -> ((s, d) => winnowContainment(Tables(s, d).documents)),
   )
 
   /** DuckDB re-derivations of the custom hash kernels. Conventions that
@@ -91,6 +113,59 @@ object NonSqlOps extends QueryModule {
         |)
         |SELECT bucket, count(*)::BIGINT AS n_docs, count(DISTINCT sig)::BIGINT AS n_distinct_sigs
         |FROM signed_sigs GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q64_winnow_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(text) AS t, length(text) AS n FROM documents WHERE length(text) >= 8
+        |),
+        |pos AS (
+        |  SELECT doc_id, n, unnest(range(1, (n - 3)::BIGINT))::INTEGER AS i, t FROM docs
+        |),
+        |raw AS (
+        |  SELECT doc_id, n, i,
+        |    (((((((( unicode(substr(t, i,   1))::HUGEINT * 1000003
+        |           + unicode(substr(t, i+1, 1))::HUGEINT) % 18446744073709551616::HUGEINT) * 1000003
+        |           + unicode(substr(t, i+2, 1))::HUGEINT) % 18446744073709551616::HUGEINT) * 1000003
+        |           + unicode(substr(t, i+3, 1))::HUGEINT) % 18446744073709551616::HUGEINT) * 1000003
+        |           + unicode(substr(t, i+4, 1))::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM pos
+        |),
+        |m1 AS (SELECT doc_id, n, i, xor(h::UBIGINT, h::UBIGINT >> 33)::HUGEINT AS x1 FROM raw),
+        |m2 AS (
+        |  SELECT doc_id, n, i,
+        |    (( (x1 % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT
+        |     + (((x1 // 4294967296::HUGEINT) * (18397679294719823053::HUGEINT % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |     ) % 18446744073709551616::HUGEINT) AS y1 FROM m1
+        |),
+        |m3 AS (SELECT doc_id, n, i, xor(y1::UBIGINT, y1::UBIGINT >> 33)::HUGEINT AS x2 FROM m2),
+        |m4 AS (
+        |  SELECT doc_id, n, i,
+        |    (( (x2 % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT
+        |     + (((x2 // 4294967296::HUGEINT) * (14181476777654086739::HUGEINT % 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |     ) % 18446744073709551616::HUGEINT) AS y2 FROM m3
+        |),
+        |fh AS (SELECT doc_id, n, i, xor(y2::UBIGINT, y2::UBIGINT >> 33) AS u FROM m4),
+        |signed_h AS (
+        |  SELECT doc_id, n, i,
+        |    (CASE WHEN u >= 9223372036854775808::UBIGINT
+        |          THEN u::HUGEINT - 18446744073709551616::HUGEINT
+        |          ELSE u::HUGEINT END)::BIGINT AS sh
+        |  FROM fh
+        |),
+        |wmins AS (
+        |  SELECT doc_id, n, i,
+        |    min(sh) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+        |  FROM signed_h
+        |),
+        |fps AS (
+        |  SELECT doc_id, list_distinct(list(wm)) AS fp
+        |  FROM wmins WHERE i <= n - 4 - 3 GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |       len(a.fp)::BIGINT AS n_fp_left,
+        |       len(list_intersect(a.fp, b.fp))::BIGINT AS n_common,
+        |       round(len(list_intersect(a.fp, b.fp)) / len(a.fp)::DOUBLE, 4) AS containment
+        |FROM fps a JOIN fps b ON b.doc_id = a.doc_id + 1
+        |ORDER BY left_id""".stripMargin,
     "q53_winnow_stats" ->
       """WITH docs AS (
         |  SELECT doc_id, lower(text) AS t, length(text) AS n, n_chars FROM documents
