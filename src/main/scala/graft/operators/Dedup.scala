@@ -81,6 +81,31 @@ object Dedup extends QueryModule {
       .orderBy("left_id", "right_id")
   }
 
+  /** Multi-band LSH: the production recall shape — b independent hash
+    * bands, a pair is a candidate if it collides in ANY band. Bands are
+    * stacked with one explode (band index carried in the group key so
+    * collisions never cross bands), so the whole thing is still ONE scan
+    * + ONE shuffle; the final distinct dedups pairs that collide in
+    * several bands. Recall rises with b at the classic 1-(1-s^r)^b
+    * S-curve; [[lshCandidatePairs]] is the b=1 special case.
+    */
+  def multiBandCandidatePairs(documents: DataFrame, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(documents, nHashes = bands)
+    val stacked = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band_idx"), col(s"mh$j").as("band_key"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+    stacked.groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as left_id, y as right_id))))"
+      )).as("pair"))
+      .select(col("pair.left_id"), col("pair.right_id"))
+      .distinct()
+      .orderBy("left_id", "right_id")
+  }
+
   /** n-gram Jaccard similarity over candidate pairs (here: consecutive
     * doc ids as a deterministic pair generator so the oracle has real
     * values to check). Uses distinct shingle-set sizes only.
@@ -219,6 +244,7 @@ object Dedup extends QueryModule {
     "q33_minhash_signatures" -> ((s, d) => minhashSignatures(Tables(s, d).documents)),
     "q34_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "q35_lsh_candidates" -> ((s, d) => lshCandidatePairs(Tables(s, d).documents)),
+    "q65_multiband_lsh"  -> ((s, d) => multiBandCandidatePairs(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -286,6 +312,24 @@ object Dedup extends QueryModule {
                       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          ORDER BY left_id""",
+    "q65_multiband_lsh" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                            i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS s
+           FROM documents),
+         sigs AS (
+           SELECT doc_id,
+             list_aggregate(list_transform(s, x -> md5('salt0|' || x)), 'min') AS mh0,
+             list_aggregate(list_transform(s, x -> md5('salt1|' || x)), 'min') AS mh1,
+             list_aggregate(list_transform(s, x -> md5('salt2|' || x)), 'min') AS mh2,
+             list_aggregate(list_transform(s, x -> md5('salt3|' || x)), 'min') AS mh3
+           FROM sh)
+         SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         FROM sigs a JOIN sigs b
+           ON a.doc_id < b.doc_id
+          AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+         ORDER BY left_id, right_id""",
     "q35_lsh_candidates" ->
       """WITH sigs AS (
            SELECT doc_id,

@@ -75,4 +75,13 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSeq
     assert(got == Seq((1L, 3L, "1,2,5")))
   }
+  test("multiBandCandidatePairs dedups cross-band collisions and never crosses bands") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),   // identical: collide in ALL 4 bands
+      (3L, "p q r s t"), (4L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.multiBandCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L))) // once, despite 4 band collisions
+  }
 }
