@@ -163,31 +163,54 @@ object Dedup extends QueryModule {
     * shuffled join + aggregate; convergence count doubles as the
     * termination action, and near-dup components have tiny diameters so
     * the loop is short).
+    *
+    * `scopeVerifyToCandidates`: compute shingle sets only for docs that
+    * appear in a candidate pair (semi-join) instead of the whole corpus.
+    * Asymptotically right when candidates are a sliver of the corpus
+    * (the 100 TB regime — banding touches <1%), but it serializes the
+    * pipeline behind the LSH stage and re-scans the text column, which
+    * measures slower at sf0.1 where candidates are ~8% of docs. Flip it
+    * when |candidate docs| / |corpus| is small.
     */
   def nearDupClusters(documents: DataFrame, threshold: Double = 0.2,
-                      maxIters: Int = 20): DataFrame = {
-    // cached: referenced twice in the verify join (a/b sides) — one
-    // shingle computation, both branches read the InMemoryRelation
-    val withSh = documents.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+                      maxIters: Int = 20,
+                      scopeVerifyToCandidates: Boolean = false): DataFrame = {
+    // Candidates first, cached: they drive everything downstream.
+    // (Measured alternative: deriving the band key from cached shingle
+    // arrays via interpreted transform+md5 is ~20% SLOWER cold than the
+    // fused native TextMinHashMd5 re-tokenizing — interpreted HOF md5
+    // costs more than the second tokenize pass.)
+    val cands0 = lshCandidatePairs(documents).select(col("left_id"), col("right_id"))
+    // cache only when the scoped path will read candidates twice
+    // (candIds + verify join); otherwise they flow straight into the
+    // verify join and an extra cache layer is pure overhead
+    val cands = if (scopeVerifyToCandidates) cands0.cache() else cands0
+    // Shingle sets for the verify join, cached — both join sides read
+    // the one InMemoryRelation. Optionally scoped to candidate docs
+    // (see scaladoc).
+    val shSource =
+      if (scopeVerifyToCandidates) {
+        val candIds = cands.select(col("left_id").as("doc_id"))
+          .unionByName(cands.select(col("right_id").as("doc_id"))).distinct()
+        documents.join(candIds, Seq("doc_id"), "left_semi")
+      } else documents
+    val withSh = shSource
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
       .cache()
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     // no distinct: single-band bucketing emits each in-bucket pair once,
-    // and duplicate edges would be absorbed by the CC min-agg anyway.
-    // (Measured alternative: deriving the band key from the cached
-    // shingle arrays via interpreted transform+md5 is ~20% SLOWER cold
-    // than the fused native TextMinHashMd5 re-tokenizing — interpreted
-    // HOF md5 costs more than the second tokenize pass.)
-    val verified = lshCandidatePairs(documents)
-      .select(col("left_id"), col("right_id"))
+    // and duplicate edges would be absorbed by the CC min-agg anyway
+    val verified = cands
       .join(withSh.as("a"), col("left_id") === col("a.doc_id"))
       .join(withSh.as("b"), col("right_id") === col("b.doc_id"))
       .filter(inter / (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double")
                 >= threshold)
       .select(col("left_id"), col("right_id"))
     val labels = connectedComponents(verified, maxIters)
-    // CC's driver loop has run by now, so the shingle cache served its
-    // purpose (both sides of the verify join) — release it
+    // CC's driver loop has run by now, so the candidate and shingle
+    // caches served their purpose — release them
     withSh.unpersist()
+    if (scopeVerifyToCandidates) cands.unpersist()
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),

@@ -84,4 +84,14 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L))) // once, despite 4 band collisions
   }
+  test("candidate-scoped verify produces identical clusters") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (5L, "a b c d e f g h"), (4L, "z y x w v u t s")
+    ).toDF("doc_id", "text")
+    val full = Dedup.nearDupClusters(docs, threshold = 0.2).collect().map(_.toString).toSeq
+    val scoped = Dedup.nearDupClusters(docs, threshold = 0.2,
+      scopeVerifyToCandidates = true).collect().map(_.toString).toSeq
+    assert(full == scoped)
+  }
 }
