@@ -115,4 +115,55 @@ object Readers {
     import spark.implicits._
     Seq((path, typeTag, "{}")).toDF("path", "type", "payload")
   }
+
+  /** Split one markdown document into (frontmatter yaml, content) the way
+    * python-frontmatter does: a leading `---` line opens the block, the
+    * next `---` line closes it, content is everything after (trimmed).
+    * No frontmatter → empty metadata, whole doc as content.
+    */
+  def splitFrontmatter(doc: String): (String, String) = {
+    val t = doc.replace("\r\n", "\n")
+    if (t.startsWith("---\n")) {
+      val close = "\n---"
+      val e = t.indexOf(close, 3)
+      val afterOk = e >= 0 && (e + 4 >= t.length || t.charAt(e + 4) == '\n')
+      if (afterOk) {
+        val meta = t.substring(4, e + 1)
+        val content = if (e + 5 <= t.length) t.substring(math.min(e + 5, t.length)) else ""
+        (meta, content.trim)
+      } else ("", t.trim)
+    } else ("", t.trim)
+  }
+
+  /** S5+ (gen_pub_ancillary.py:159-180 `frontmatter.loads`): vignette
+    * markdown with a YAML frontmatter block → one row per file with the
+    * metadata as JSON (SimpleYaml) and the markdown content. Distributed
+    * wholetext reads — parsing happens next to the bytes.
+    */
+  def frontmatterMd(spark: SparkSession, path: String): DataFrame = {
+    val metaJson = udf((s: String) => SimpleYaml.toJson(splitFrontmatter(s)._1))
+    val content = udf((s: String) => splitFrontmatter(s)._2)
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("path"),
+              metaJson(col("value")).as("meta_json"),
+              content(col("value")).as("content"))
+  }
+
+  /** The reference's vignette assertions as a violations DataFrame (the
+    * V-pattern): name present, figures present, every figure carries
+    * file + name (gen_pub_ancillary.py:169-176).
+    */
+  def vignetteViolations(fm: DataFrame): DataFrame = {
+    val parsed = fm.withColumn("m", from_json(col("meta_json"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "name STRING, figures ARRAY<STRUCT<file: STRING, name: STRING>>")))
+    parsed.select(col("path"), explode(array(
+        when(col("m.name").isNull, lit("vignette markdown has no name")),
+        when(col("m.figures").isNull, lit("vignette markdown has no figures")),
+        when(exists(col("m.figures"), f => f.getField("file").isNull),
+          lit("figure dict does not reference a file")),
+        when(exists(col("m.figures"), f => f.getField("name").isNull),
+          lit("figure dict does not provide a name")))).as("violation"))
+      .filter(col("violation").isNotNull)
+  }
 }

@@ -62,4 +62,24 @@ class ReadersSpec extends SparkSpec {
       .select("email").as[String].collect().toSeq
     assert(contacts == Seq("ada@example.org"))
   }
+  test("frontmatter markdown splits metadata from content and validates vignette keys") {
+    val doc = "---\nname: My Vignette\nfigures:\n  - file: f1.png\n    name: Fig 1\n---\nBody text here.\n"
+    val (meta, content) = Readers.splitFrontmatter(doc)
+    assert(meta.contains("name: My Vignette"))
+    assert(content == "Body text here.")
+    val (m2, c2) = Readers.splitFrontmatter("no frontmatter at all")
+    assert(m2 == "" && c2 == "no frontmatter at all")
+
+    val dir = java.nio.file.Files.createTempDirectory("vig").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "good.md").toPath, doc)
+    java.nio.file.Files.writeString(new java.io.File(dir, "bad.md").toPath,
+      "---\nfigures:\n  - file: f2.png\n---\nNo name.\n")
+    val fm = Readers.frontmatterMd(spark, dir.getAbsolutePath)
+    assert(fm.count() == 2)
+    val violations = Readers.vignetteViolations(fm)
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1))).toSet
+    assert(violations == Set(
+      ("bad.md", "vignette markdown has no name"),
+      ("bad.md", "figure dict does not provide a name")))
+  }
 }
