@@ -43,4 +43,26 @@ class IngestStreamSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(got == Set(("purchase", 2L, 15.0), ("purchase", 1L, 7.0)))
   }
+  test("windowedUsage in streaming append mode finalizes windows as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = IngestStream.windowedUsage(
+        input.toDF().toDF("ts", "event_type", "value"),
+        window_ = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wu_stream").outputMode("append").start()
+    // two events in the 00:00 window
+    input.addData((ts("2024-01-01 00:10:00"), "purchase", 10.0),
+                  (ts("2024-01-01 00:40:00"), "purchase", 5.0))
+    q.processAllAvailable()
+    // append mode holds the open window until the watermark passes its end
+    assert(spark.table("wu_stream").count() == 0)
+    // an event far enough ahead advances the watermark past 01:00 + 30min
+    input.addData((ts("2024-01-01 02:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wu_stream")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(rows == Set((ts("2024-01-01 00:00:00"), "purchase", 2L, 15.0)))
+  }
 }
