@@ -9,6 +9,7 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+ThisBuild / scalacOptions ++= Seq("-deprecation")
 Test / fork := true
 run / fork := true
 // Raw stdout for forked runMain: without this sbt pipes the child's

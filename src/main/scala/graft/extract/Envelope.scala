@@ -68,7 +68,7 @@ object Envelope {
   /** Envelope → canonical JSON document column (K3). */
   def toJsonDoc(envelope: DataFrame): DataFrame =
     envelope.select(col("dataset_id"),
-      to_json(struct(envelope.columns.filter(_ != "dataset_id").map(col): _*)).as("doc"))
+      to_json(struct(envelope.columns.filter(_ != "dataset_id").toIndexedSeq.map(col): _*)).as("doc"))
 
   /** V1-style envelope checks: required members present and well-formed;
     * returns violations (empty = valid).

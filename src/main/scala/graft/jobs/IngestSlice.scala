@@ -33,7 +33,7 @@ object IngestSlice {
   /** Melt a one-row schema-on-read table to (key, value) metadata rows. */
   def meltRow(df: DataFrame, datasetId: String): DataFrame = {
     val kvs = df.columns.map(c => struct(lit(c).as("key"), col(c).as("value")))
-    df.select(explode(array(kvs: _*)).as("kv"))
+    df.select(explode(array(kvs.toIndexedSeq: _*)).as("kv"))
       .select(lit(datasetId).as("dataset_id"), col("kv.key"), col("kv.value"))
   }
 

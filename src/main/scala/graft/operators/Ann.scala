@@ -54,7 +54,7 @@ object Ann {
   }
 
   private def centroidArrayCol(centroids: Array[Array[Float]]): Column =
-    array(centroids.map(c => array(c.map(v => lit(v)): _*)): _*)
+    array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(v => lit(v)): _*)): _*)
 
   /** Distributed cell assignment: argmin squared-L2 to each centroid,
     * computed with the native dot-product expression
@@ -63,12 +63,12 @@ object Ann {
     */
   def assignCells(embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val scores = centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.map(v => lit(v)): _*).cast("array<float>")
+      val cCol = array(c.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
       val cNormSq = c.map(v => v.toDouble * v.toDouble).sum
       struct((lit(cNormSq) - lit(2.0) * vecDot(col("embedding"), cCol)).as("score"),
              lit(i).as("cell"))
     }
-    embeddings.withColumn("cell", array_min(array(scores: _*)).getField("cell"))
+    embeddings.withColumn("cell", array_min(array(scores.toIndexedSeq: _*)).getField("cell"))
   }
 
   /** Persist the index: vectors written PARTITIONED BY cell. This is
@@ -90,10 +90,10 @@ object Ann {
                  centroids: Array[Array[Float]], query: Array[Float],
                  k: Int = 10, nprobe: Int = 2): DataFrame = {
     val probeCells = rankCells(centroids, query).take(nprobe)
-    val qCol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
     val qNorm = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
     spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("vec_id"), col("cell"),
         (vecDot(col("embedding"), qCol) /
           (sqrt(vecDot(col("embedding"), col("embedding"))) * lit(qNorm))).as("cos_sim"))
@@ -115,10 +115,10 @@ object Ann {
   def ivfTopK(embeddings: DataFrame, centroids: Array[Array[Float]],
               query: Array[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
     val probeCells = rankCells(centroids, query).take(nprobe)
-    val qCol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
     val qNorm = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
     assignCells(embeddings, centroids)
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("vec_id"), col("cell"),
         (vecDot(col("embedding"), qCol) /
           (sqrt(vecDot(col("embedding"), col("embedding"))) * lit(qNorm))).as("cos_sim"))
