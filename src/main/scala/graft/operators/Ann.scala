@@ -88,11 +88,19 @@ object Ann {
     */
   def probeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                  centroids: Array[Array[Float]], query: Array[Float],
-                 k: Int = 10, nprobe: Int = 2): DataFrame = {
+                 k: Int = 10, nprobe: Int = 2): DataFrame =
+    probeScored(spark.read.parquet(path), centroids, query, k, nprobe)
+
+  /** Shared probe tail: filter to the nprobe nearest cells, exact cosine
+    * against the query, deterministic top-k — ONE implementation so the
+    * persisted-index and in-memory probes cannot drift.
+    */
+  private def probeScored(assigned: DataFrame, centroids: Array[Array[Float]],
+                          query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val probeCells = rankCells(centroids, query).take(nprobe)
     val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
     val qNorm = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
-    spark.read.parquet(path)
+    assigned
       .filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col("vec_id"), col("cell"),
         (vecDot(col("embedding"), qCol) /
@@ -113,16 +121,6 @@ object Ann {
     * cosine inside the probed cells only, global top-k of the survivors.
     */
   def ivfTopK(embeddings: DataFrame, centroids: Array[Array[Float]],
-              query: Array[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val probeCells = rankCells(centroids, query).take(nprobe)
-    val qCol = array(query.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
-    val qNorm = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
-    assignCells(embeddings, centroids)
-      .filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
-      .select(col("vec_id"), col("cell"),
-        (vecDot(col("embedding"), qCol) /
-          (sqrt(vecDot(col("embedding"), col("embedding"))) * lit(qNorm))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
-  }
+              query: Array[Float], k: Int = 10, nprobe: Int = 2): DataFrame =
+    probeScored(assignCells(embeddings, centroids), centroids, query, k, nprobe)
 }

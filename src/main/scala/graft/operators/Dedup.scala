@@ -60,6 +60,13 @@ object Dedup extends QueryModule {
     documents.select((col("doc_id") +: sigCols): _*).orderBy("doc_id")
   }
 
+  /** In-bucket pair expansion over a sorted `ids` array — shared by the
+    * single- and multi-band candidate generators so the slice arithmetic
+    * lives in exactly one place.
+    */
+  private val PairExpansionExpr =
+    "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as left_id, y as right_id))))"
+
   /** LSH band bucketing: candidate duplicate pairs = docs sharing a band
     * (here band 0 = mh0). The self-join shuffles on the band key only —
     * this is the scale path that replaces the O(n²) similarity matrix.
@@ -70,13 +77,14 @@ object Dedup extends QueryModule {
     // a self-join that computes the (md5-heavy) signatures twice and
     // shuffles both sides. At 100 TB the bucket sizes stay small (that's
     // the point of banding), so the per-bucket pair expansion is cheap.
+    // Null signatures (null text) are NOT candidates: a null band key
+    // never equals anything, matching the oracle's equi-join semantics.
     val sigs = minhashSignatures(documents, nHashes = 1).select(col("doc_id"), col("mh0"))
-    sigs.groupBy(col("mh0").as("band_key"))
+    sigs.filter(col("mh0").isNotNull)
+      .groupBy(col("mh0").as("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(col("band_key"), explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as left_id, y as right_id))))"
-      )).as("pair"))
+      .select(col("band_key"), explode(expr(PairExpansionExpr)).as("pair"))
       .select(col("pair.left_id"), col("pair.right_id"), col("band_key"))
       .orderBy("left_id", "right_id")
   }
@@ -95,12 +103,12 @@ object Dedup extends QueryModule {
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band_idx"), col(s"mh$j").as("band_key"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
-    stacked.groupBy(col("band_idx"), col("band_key"))
+    // null band keys (null text) never collide — equi-join semantics
+    stacked.filter(col("band_key").isNotNull)
+      .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as left_id, y as right_id))))"
-      )).as("pair"))
+      .select(explode(expr(PairExpansionExpr)).as("pair"))
       .select(col("pair.left_id"), col("pair.right_id"))
       .distinct()
       .orderBy("left_id", "right_id")

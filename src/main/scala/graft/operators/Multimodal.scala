@@ -100,28 +100,42 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction: bytes → dense float embedding, the producer for
-    * the `embeddings`-table shape (ANN/dedup input). STUB embedding is a
-    * deterministic byte-hash expansion; a real model server or ONNX
-    * runtime drops in per partition behind the same signature.
+  /** Embedding boundary for feature extraction (bytes → dense float
+    * vector). A real model server or ONNX runtime implements this trait
+    * and is constructed once per partition.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+  trait FeatureExtractor extends Serializable {
+    def embed(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB: deterministic byte-hash expansion in [-0.5, 0.5). */
+  object StubFeatureExtractor extends FeatureExtractor {
+    def embed(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      val emb = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      val n = math.min(bytes.length, 256)
+      while (i < n) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+      i = 0
+      while (i < dim) {
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+        emb(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+        i += 1
+      }
+      emb
+    }
+  }
+
+  /** Feature extraction: bytes → dense float embedding, the producer for
+    * the `embeddings`-table shape (ANN/dedup input) — same partition-
+    * parallel batch shape as [[decodeMeta]]/[[resizeAll]].
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
+                      extractor: FeatureExtractor = StubFeatureExtractor): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { row =>
-        val emb = new Array[Float](dim)
-        var h = 1125899906842597L
-        var i = 0
-        val n = math.min(row.bytes.length, 256)
-        while (i < n) { h = h * 31 + (row.bytes(i) & 0xff); i += 1 }
-        i = 0
-        while (i < dim) {
-          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
-          emb(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
-          i += 1
-        }
-        MediaFeatures(row.media_id, row.kind, emb)
-      }
+      it.map(row => MediaFeatures(row.media_id, row.kind,
+        extractor.embed(row.kind, row.bytes, dim)))
     }
   }
 

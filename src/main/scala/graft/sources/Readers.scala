@@ -118,21 +118,23 @@ object Readers {
 
   /** Split one markdown document into (frontmatter yaml, content) the way
     * python-frontmatter does: a leading `---` line opens the block, the
-    * next `---` line closes it, content is everything after (trimmed).
-    * No frontmatter → empty metadata, whole doc as content.
+    * next delimiter line (3+ dashes, optional trailing whitespace —
+    * python-frontmatter's `^-{3,}\s*$` boundary) closes it, content is
+    * everything after (trimmed). No frontmatter → empty metadata, whole
+    * doc as content.
     */
   def splitFrontmatter(doc: String): (String, String) = {
-    val t = doc.replace("\r\n", "\n")
-    if (t.startsWith("---\n")) {
-      val close = "\n---"
-      val e = t.indexOf(close, 3)
-      val afterOk = e >= 0 && (e + 4 >= t.length || t.charAt(e + 4) == '\n')
-      if (afterOk) {
-        val meta = t.substring(4, e + 1)
-        val content = if (e + 5 <= t.length) t.substring(math.min(e + 5, t.length)) else ""
-        (meta, content.trim)
-      } else ("", t.trim)
-    } else ("", t.trim)
+    val lines = doc.replace("\r\n", "\n").split("\n", -1)
+    val isDelim = (l: String) => l.matches("-{3,}\\s*")
+    if (lines.nonEmpty && lines.head.matches("---\\s*")) {
+      val close = lines.indexWhere(isDelim, 1)
+      if (close > 0) {
+        val meta = lines.slice(1, close).mkString("", "\n", "\n")
+        val content = lines.drop(close + 1).mkString("\n").trim
+        return (meta, content)
+      }
+    }
+    ("", doc.replace("\r\n", "\n").trim)
   }
 
   /** S5+ (gen_pub_ancillary.py:159-180 `frontmatter.loads`): vignette
@@ -141,12 +143,14 @@ object Readers {
     * wholetext reads — parsing happens next to the bytes.
     */
   def frontmatterMd(spark: SparkSession, path: String): DataFrame = {
-    val metaJson = udf((s: String) => SimpleYaml.toJson(splitFrontmatter(s)._1))
-    val content = udf((s: String) => splitFrontmatter(s)._2)
+    // one split per document: a single UDF returns both halves
+    val fm = udf((s: String) => {
+      val (meta, content) = splitFrontmatter(s)
+      (SimpleYaml.toJson(meta), content)
+    })
     spark.read.option("wholetext", "true").text(path)
-      .select(input_file_name().as("path"),
-              metaJson(col("value")).as("meta_json"),
-              content(col("value")).as("content"))
+      .select(input_file_name().as("path"), fm(col("value")).as("fm"))
+      .select(col("path"), col("fm._1").as("meta_json"), col("fm._2").as("content"))
   }
 
   /** The reference's vignette assertions as a violations DataFrame (the

@@ -20,15 +20,17 @@ class DeterminismSpec extends SparkSpec {
 
   test("results are identical under different shuffle partitionings") {
     val dir = sf("")
-    queriesUnderTest.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      spark.conf.set("spark.sql.shuffle.partitions", "3")
-      val a = fn(spark, dir).collect().map(_.toString).toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "17")
-      val b = fn(spark, dir).collect().map(_.toString).toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      assert(a == b, s"$name differs across partitionings")
-      assert(a.nonEmpty, s"$name returned no rows")
-    }
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      queriesUnderTest.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = fn(spark, dir).collect().map(_.toString).toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        val b = fn(spark, dir).collect().map(_.toString).toSeq
+        assert(a == b, s"$name differs across partitionings")
+        assert(a.nonEmpty, s"$name returned no rows")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
   }
 }

@@ -82,4 +82,10 @@ class ReadersSpec extends SparkSpec {
       ("bad.md", "vignette markdown has no name"),
       ("bad.md", "figure dict does not provide a name")))
   }
+  test("frontmatter accepts 4+-dash and trailing-whitespace close delimiters") {
+    val (m1, c1) = Readers.splitFrontmatter("---\nname: A\n----\nbody")
+    assert(m1 == "name: A\n" && c1 == "body")
+    val (m2, c2) = Readers.splitFrontmatter("---\nname: B\n---  \nbody two")
+    assert(m2 == "name: B\n" && c2 == "body two")
+  }
 }
