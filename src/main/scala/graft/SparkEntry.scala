@@ -26,6 +26,7 @@ object SparkEntry {
     AsOfJoin,
     RangeJoin,
     SkewJoin,
+    CorpusOps,
     graft.streaming.StreamParity,
   )
 

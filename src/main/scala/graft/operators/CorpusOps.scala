@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators (training-data-pipeline mandate): the
+  * two steps between "cleaned corpus" and "training shards" —
+  * reproducible mixture sampling and token-budget shard packing.
+  */
+object CorpusOps extends QueryModule {
+
+  /** Deterministic hash sampling: keep a row iff
+    * md5(salt|source|doc_id) < per-source hex threshold. No RNG, no
+    * partitioning dependence — the SAME sample falls out on any cluster,
+    * any retry, any engine (md5 is engine-portable), which is what makes
+    * corpus mixtures reproducible at 100 TB. Threshold "80" ≈ 50%,
+    * "40" ≈ 25% of the uniform md5 space.
+    */
+  def hashSampled(documents: DataFrame, salt: String = "smp"): DataFrame = {
+    val threshold = when(length(col("source")) === 4, lit("80")).otherwise(lit("40"))
+    documents.filter(
+      md5(concat(lit(salt + "|"), col("source"), lit("|"), col("doc_id"))) < threshold)
+  }
+
+  /** Per-source sampling report: exact kept counts under the mixture. */
+  def sampleReport(documents: DataFrame): DataFrame = {
+    val kept = hashSampled(documents)
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
+  /** Pack docs (in doc_id order) into shards of ~`budgetTokens` tokens:
+    * shard = the doc's START token offset div budget — a global running
+    * sum. Computed with the scalable TWO-PHASE pattern instead of one
+    * unpartitioned window (which drags every row to a single task):
+    * per-block partial sums roll up to block offsets (the only global
+    * window runs over #blocks rows, a factor `blockSize` smaller; at
+    * extreme scale, recurse), then within-block running sums shift by
+    * the block offset. Every value is an exact integer.
+    */
+  def shardPacking(documents: DataFrame, budgetTokens: Long = 5000L,
+                   blockSize: Long = 100L): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        expr(s"doc_id div $blockSize").as("block"))
+    val blockOffsets = toks.groupBy("block").agg(sum(col("toks")).as("block_sum"))
+      .withColumn("block_offset",
+        coalesce(sum(col("block_sum")).over(
+          Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("block", "block_offset")
+    val inBlock = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(blockOffsets, Seq("block"))
+      .withColumn("cum", col("block_offset") + sum(col("toks")).over(inBlock))
+      .withColumn("shard", expr(s"(cum - toks) div $budgetTokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+      .orderBy("shard")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
+    "q67_shard_packing" -> ((s, d) => shardPacking(Tables(s, d).documents)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q66_hash_sample" ->
+      """WITH kept AS (
+        |  SELECT source, count(*) AS n_sampled FROM documents
+        |  WHERE md5('smp|' || source || '|' || doc_id) <
+        |        CASE WHEN length(source) = 4 THEN '80' ELSE '40' END
+        |  GROUP BY source)
+        |SELECT d.source, count(*) AS n_docs,
+        |       coalesce(any_value(k.n_sampled), 0)::BIGINT AS n_sampled
+        |FROM documents d LEFT JOIN kept k ON d.source = k.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q67_shard_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT ((cum - toks) // 5000)::BIGINT AS shard, count(*) AS n_docs,
+        |       sum(toks)::BIGINT AS total_tokens
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+  )
+}

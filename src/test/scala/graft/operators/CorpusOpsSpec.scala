@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-phase shard packing equals the naive single-window running sum") {
+    val docs = (0L until 137L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val twoPhase = CorpusOps.shardPacking(docs, budgetTokens = 40L, blockSize = 10L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val naive = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard", expr("(cum - toks) div 40"))
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+      .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
+    assert(twoPhase == naive)
+  }
+
+  test("hash sampling is deterministic and respects the per-source mixture roughly") {
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 2}", "text"))
+      .toDF("doc_id", "source", "n/a").withColumnRenamed("n/a", "text")
+    val a = CorpusOps.hashSampled(docs).select("doc_id").as[Long].collect().toSet
+    val b = CorpusOps.hashSampled(docs.repartition(13)).select("doc_id").as[Long].collect().toSet
+    assert(a == b) // partitioning-independent membership
+    val bySource = CorpusOps.sampleReport(docs)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._3.toDouble / r._2)).toMap
+    // length-4 sources target ~50%, others ~25% — allow wide tolerance
+    assert(bySource("src0") > 0.4 && bySource("src0") < 0.6)
+    assert(bySource("src1") > 0.4 && bySource("src1") < 0.6)
+  }
+}
