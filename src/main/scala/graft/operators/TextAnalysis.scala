@@ -42,10 +42,13 @@ object TextAnalysis extends QueryModule {
   def normalized(documents: DataFrame): DataFrame = {
     val cleaned = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
     val collapsed = trim(regexp_replace(cleaned, " +", " "))
-    documents.select(
+    // materialize the token array once — both outputs derive from it,
+    // and the regex chain is the expensive part of this query
+    documents.withColumn("toks", tokens(collapsed))
+      .select(
         col("doc_id"),
-        array_join(slice(tokens(collapsed), 1, 5), " ").as("head5"),
-        size(tokens(collapsed)).cast("long").as("n_tokens"))
+        array_join(slice(col("toks"), 1, 5), " ").as("head5"),
+        size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
   }
 
