@@ -32,8 +32,10 @@ object Profile {
     if (doExplain) fn(spark, sfDir).explain("formatted")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      // noop sink, same methodology as Bench: count() would let the
+      // optimizer prune projections and under-measure narrow transforms
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }
