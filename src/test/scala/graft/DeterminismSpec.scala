@@ -16,6 +16,8 @@ class DeterminismSpec extends SparkSpec {
     "q28_cosine_topk",      // float-vector fold
     "q52_simhash_buckets",  // hash kernel + aggregation
     "q62_heavy_tokens",     // sketch-driven two-pass
+    "q66_hash_sample",      // hash-threshold sampling membership
+    "q67_shard_packing",    // two-phase global running sum
   )
 
   test("results are identical under different shuffle partitionings") {
