@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Shared measurement methodology for Bench and Profile: execute the
+    * FULL plan via the noop sink — count() would let the optimizer prune
+    * expensive projections that nothing aggregates over (e.g. a checksum
+    * column followed only by orderBy), silently benchmarking a row count
+    * instead of the query.
+    */
+  def runFullPlan(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -28,22 +37,19 @@ object Bench {
         if (p.exists()) spark.read.parquet(p.getPath).count()
       } catch { case _: Throwable => () }
     }
-    // full-plan execution via the noop sink: count() would let the
-    // optimizer prune expensive projections that nothing aggregates over
-    // (e.g. a checksum column followed only by orderBy), silently
-    // benchmarking a row count instead of the query
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-    try SparkEntry.queries.headOption.foreach(q => run(q._2))
+    try SparkEntry.queries.headOption.foreach(q => Bench.runFullPlan(q._2(spark, sfDir)))
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must NOT masquerade as a fast one: record the -1
+      // sentinel and keep it out of the total
+      val ok = try { Bench.runFullPlan(fn(spark, sfDir)); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink full-plan execution; r1 used count(), which let Catalyst prune unaggregated projections"}""")
     spark.stop()
   }

@@ -26,15 +26,14 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    // session warmup on an unrelated cheap query
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    // session warmup on an unrelated cheap query — same methodology as
+    // the measured runs so the noop write path is warm too
+    try SparkEntry.queries.headOption.foreach(q => Bench.runFullPlan(q._2(spark, sfDir)))
     catch { case _: Throwable => () }
     if (doExplain) fn(spark, sfDir).explain("formatted")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      // noop sink, same methodology as Bench: count() would let the
-      // optimizer prune projections and under-measure narrow transforms
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      Bench.runFullPlan(fn(spark, sfDir))
       println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()

@@ -11,22 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps extends QueryModule {
 
-  /** Deterministic hash sampling: keep a row iff
-    * md5(salt|source|doc_id) < per-source hex threshold. No RNG, no
-    * partitioning dependence — the SAME sample falls out on any cluster,
-    * any retry, any engine (md5 is engine-portable), which is what makes
-    * corpus mixtures reproducible at 100 TB. Threshold "80" ≈ 50%,
-    * "40" ≈ 25% of the uniform md5 space.
+  /** The q66 fixture mixture: short source names (src0..src9) at ~50%
+    * ("80"), long ones at ~25% ("40") of the uniform md5 hex space.
     */
-  def hashSampled(documents: DataFrame, salt: String = "smp"): DataFrame = {
-    val threshold = when(length(col("source")) === 4, lit("80")).otherwise(lit("40"))
+  val DefaultMixture: Column =
+    when(length(col("source")) === 4, lit("80")).otherwise(lit("40"))
+
+  /** Deterministic hash sampling: keep a row iff
+    * md5(salt|source|doc_id) < `threshold` (a per-row hex-prefix column,
+    * usually a CASE over source). No RNG, no partitioning dependence —
+    * the SAME sample falls out on any cluster, any retry, any engine
+    * (md5 is engine-portable), which is what makes corpus mixtures
+    * reproducible at 100 TB.
+    */
+  def hashSampled(documents: DataFrame, salt: String = "smp",
+                  threshold: Column = DefaultMixture): DataFrame =
     documents.filter(
       md5(concat(lit(salt + "|"), col("source"), lit("|"), col("doc_id"))) < threshold)
-  }
 
   /** Per-source sampling report: exact kept counts under the mixture. */
-  def sampleReport(documents: DataFrame): DataFrame = {
-    val kept = hashSampled(documents)
+  def sampleReport(documents: DataFrame, threshold: Column = DefaultMixture): DataFrame = {
+    val kept = hashSampled(documents, threshold = threshold)
       .groupBy("source").agg(count(lit(1)).as("n_sampled"))
     documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .join(kept, Seq("source"), "left")
@@ -39,16 +44,24 @@ object CorpusOps extends QueryModule {
     * shard = the doc's START token offset div budget — a global running
     * sum. Computed with the scalable TWO-PHASE pattern instead of one
     * unpartitioned window (which drags every row to a single task):
-    * per-block partial sums roll up to block offsets (the only global
-    * window runs over #blocks rows, a factor `blockSize` smaller; at
-    * extreme scale, recurse), then within-block running sums shift by
-    * the block offset. Every value is an exact integer.
+    * range-partition by doc_id into `blocks` contiguous ranges (the
+    * partition id IS the block, so sparse or hashed 64-bit ids work —
+    * block count never depends on id magnitude), per-block partial sums
+    * roll up to block offsets (the only global window runs over
+    * `blocks` rows), then within-block running sums shift by the block
+    * offset. Block boundaries never affect the result (the spec pins
+    * two-phase == naive window), so the range sampler's placement
+    * doesn't matter. One eager materialization of the tokenized input
+    * feeds BOTH phases — a single corpus scan. Every value is an exact
+    * integer.
     */
   def shardPacking(documents: DataFrame, budgetTokens: Long = 5000L,
-                   blockSize: Long = 100L): DataFrame = {
+                   blocks: Int = 32): DataFrame = {
     val toks = documents.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("toks"),
-        expr(s"doc_id div $blockSize").as("block"))
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .repartitionByRange(blocks, col("doc_id"))
+      .withColumn("block", spark_partition_id())
+      .localCheckpoint(true)
     val blockOffsets = toks.groupBy("block").agg(sum(col("toks")).as("block_sum"))
       .withColumn("block_offset",
         coalesce(sum(col("block_sum")).over(
@@ -56,7 +69,7 @@ object CorpusOps extends QueryModule {
       .select("block", "block_offset")
     val inBlock = Window.partitionBy("block").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.join(blockOffsets, Seq("block"))
+    toks.join(broadcast(blockOffsets), Seq("block"))
       .withColumn("cum", col("block_offset") + sum(col("toks")).over(inBlock))
       .withColumn("shard", expr(s"(cum - toks) div $budgetTokens"))
       .groupBy("shard")

@@ -119,11 +119,14 @@ object Dedup extends QueryModule {
     * values to check). Uses distinct shingle-set sizes only.
     */
   def ngramJaccardPairs(documents: DataFrame): DataFrame = {
-    // cache the shingle arrays: the self-join reads them on BOTH sides,
-    // and the interpreted shingle HOFs dominate this query's cost — one
-    // computation, two InMemoryRelation readers (measured ~2× on bench)
+    // materialize the shingle arrays ONCE for both self-join sides via
+    // an eager localCheckpoint (the interpreted shingle HOFs dominate
+    // this query, measured ~2×). Unlike .cache(), whose entry lives in
+    // the CacheManager until an explicit unpersist (impossible here —
+    // the returned plan is lazy), checkpoint blocks are released by the
+    // ContextCleaner when the plan is garbage-collected.
     val withSh = documents.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
-      .cache()
+      .localCheckpoint(true)
     val a = withSh.as("a")
     val b = withSh.as("b")
     a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
