@@ -41,4 +41,25 @@ class CollectionDispatchSpec extends SparkSpec {
       "d3" -> "unrecognized",
       "d4" -> "generic_metadatatsv")) // single metadata.tsv beats akoya priority
   }
+  test("the full reference ladder: epic, generic shadowing, stanford, ims") {
+    def d(paths: String*) = CollectionDispatch.dispatch(paths.toSeq.toDF("rel_path"))
+    // epic: metadata.tsv + derived/<dir>/ files beats generic (2.1 > 2.0)
+    assert(d("sample-metadata.tsv", "derived/imgset1/a.ome.tiff") == "epic_metadata")
+    // faithful shadowing: ONE metadata.tsv -> generic (2.0) wins even
+    // over a dir that also looks stanford/rnaseq-shaped (1.0) — same
+    // first-match outcome as the reference's ladder
+    assert(d("x-metadata.tsv", "raw/processingOptions.json", "raw/Experiment.json",
+             "raw/channelNames.txt") == "generic_metadatatsv")
+    // generic REJECTS two metadata.tsv ("Too many matches!"); with only
+    // one of them dashed, multiassay (needs 2 dashed) also passes, so
+    // the stanford instrument files finally win
+    assert(d("x-metadata.tsv", "extrametadata.tsv", "raw/processingOptions.json",
+             "raw/Experiment.json", "raw/channelNames.txt") == "stanford_codex")
+    // ims has NO metadata.tsv at all -> nothing shadows it
+    assert(d("s-spatial_meta.txt", "raw_microscopy/s-AF_raw.czi",
+             "raw_microscopy/s-PAS_raw.scn", "IMS/s-instrument_metadata.yml") == "ims")
+    // a directory containing ONLY a dashed metadata.tsv: generic and
+    // metadatatsv both match; generic wins on priority
+    assert(d("only-metadata.tsv") == "generic_metadatatsv")
+  }
 }
