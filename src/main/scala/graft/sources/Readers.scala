@@ -116,6 +116,33 @@ object Readers {
     Seq((path, typeTag, "{}")).toDF("path", "type", "payload")
   }
 
+  /** S11 (mtx_tform_metadata_file.py:10-25): geometric-transform matrix
+    * files — whitespace-separated floats, EXACTLY 4 rows per file. One
+    * row per file with the 4×4 matrix; format problems (non-float word,
+    * wrong row count — the reference's MetadataError asserts) surface in
+    * a `violation` column instead of throwing, per the V-pattern.
+    */
+  def mtxTform(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+      .map { case (p, text) =>
+        val rows = text.split("\n").map(_.trim).filter(_.nonEmpty)
+        val parsed = rows.map(_.split("\\s+").map(_.toDoubleOption))
+        val badLine = parsed.indexWhere(_.exists(_.isEmpty))
+        val violation =
+          if (badLine >= 0) s"Unexpected format line <${rows(badLine)}>"
+          else if (rows.length != 4) s"expected 4 rows, found ${rows.length}"
+          else null
+        val matrix =
+          if (violation == null) parsed.map(_.map(_.get))
+          else Array.empty[Array[Double]]
+        (p, matrix, violation)
+      }
+      .toDF("path", "transform", "violation")
+  }
+
   /** Split one markdown document into (frontmatter yaml, content) the way
     * python-frontmatter does: a leading `---` line opens the block, the
     * next delimiter line (3+ dashes, optional trailing whitespace —

@@ -88,4 +88,23 @@ class ReadersSpec extends SparkSpec {
     val (m2, c2) = Readers.splitFrontmatter("---\nname: B\n---  \nbody two")
     assert(m2 == "name: B\n" && c2 == "body two")
   }
+  test("mtxTform parses 4x4 matrices and reports format violations") {
+    val dir = java.nio.file.Files.createTempDirectory("mtx").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "good.txt").toPath,
+      "1 0 0 5\n0 1 0 6\n0 0 1 7\n0 0 0 1\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "badword.txt").toPath,
+      "1 0 0 0\n0 x 0 0\n0 0 1 0\n0 0 0 1\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "badrows.txt").toPath,
+      "1 0 0 0\n0 1 0 0\n")
+    val got = Readers.mtxTform(spark, dir.getAbsolutePath).collect()
+      .map(r => (r.getString(0).split('/').last,
+                 r.getSeq[scala.collection.Seq[Double]](1), Option(r.getString(2)))).toSeq
+      .sortBy(_._1)
+    val byName = got.map(g => g._1 -> g).toMap
+    assert(byName("good.txt")._3.isEmpty)
+    assert(byName("good.txt")._2.map(_.toList).toList ==
+      List(List(1.0, 0, 0, 5), List(0.0, 1, 0, 6), List(0.0, 0, 1, 7), List(0.0, 0, 0, 1)))
+    assert(byName("badword.txt")._3.get.startsWith("Unexpected format line"))
+    assert(byName("badrows.txt")._3.get == "expected 4 rows, found 2")
+  }
 }
