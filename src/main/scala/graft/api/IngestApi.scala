@@ -38,15 +38,20 @@ object IngestApi {
 
   /** bulk: the same slice over many (run_id, dir, dataset_id) requests,
     * dropping duplicate run_ids within the batch AND against the store —
-    * first occurrence wins, deterministically (lowest dataset_id).
+    * the POSITIONALLY first occurrence of each run_id wins. The store
+    * probe filters on the batch's run ids (bounded by batch size), never
+    * collecting the store itself.
     */
   def bulkIngest(spark: SparkSession, requests: Seq[(String, String, String)],
                  processedRunIds: DataFrame): Seq[IngestAck] = {
-    val seen = processedRunIds.select("run_id").collect().map(_.getString(0)).toSet
-    val firstOfEachRun = requests.groupBy(_._1).map { case (_, rs) => rs.minBy(_._3) }
-    requests.map { case (runId, dir, datasetId) =>
-      val isFirst = firstOfEachRun.exists(r => r._1 == runId && r._3 == datasetId)
-      if (seen.contains(runId) || !isFirst) IngestAck(runId, accepted = false, None)
+    val batchIds = requests.map(_._1).distinct
+    val seen = processedRunIds
+      .filter(col("run_id").isin(batchIds: _*))
+      .select("run_id").collect().map(_.getString(0)).toSet
+    val firstIdx: Map[String, Int] =
+      requests.zipWithIndex.groupBy(_._1._1).map { case (id, rs) => id -> rs.map(_._2).min }
+    requests.zipWithIndex.map { case ((runId, dir, datasetId), i) =>
+      if (seen.contains(runId) || firstIdx(runId) != i) IngestAck(runId, accepted = false, None)
       else IngestAck(runId, accepted = true, Some(IngestSlice.run(spark, dir, datasetId)))
     }
   }

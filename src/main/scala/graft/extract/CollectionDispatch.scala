@@ -63,7 +63,10 @@ object CollectionDispatch {
         "(?i)^IMS/.*-instrument_metadata\\.yml$")),
     CollectionMatcher("metadatatsv", 1.0,
       // the reference requires the dir to contain NOTHING BUT the one
-      // dashed metadata.tsv (len(candidates) == 1)
+      // dashed metadata.tsv (len(candidates) == 1). Note: every listing
+      // this rung accepts is also accepted by generic (2.0), so it is
+      // shadowed — IN THE REFERENCE TOO (generic is the later-added
+      // "developer convenience" type); kept for ladder fidelity.
       requiredPatterns = Seq("(?i)^[^/]*-metadata\\.tsv$"),
       maxPattern = Some((".*", 1L))),
     CollectionMatcher("devtest", 1.0,

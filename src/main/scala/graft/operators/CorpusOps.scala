@@ -51,17 +51,19 @@ object CorpusOps extends QueryModule {
     * `blocks` rows), then within-block running sums shift by the block
     * offset. Block boundaries never affect the result (the spec pins
     * two-phase == naive window), so the range sampler's placement
-    * doesn't matter. One eager materialization of the tokenized input
-    * feeds BOTH phases — a single corpus scan. Every value is an exact
-    * integer.
+    * doesn't matter. The tokenization is materialized eagerly BEFORE the
+    * range partitioning — RangePartitioner's boundary-sampling pass
+    * would otherwise re-evaluate the split over the whole corpus a
+    * second time; after the checkpoint, the sampler and both phases read
+    * 16-byte (doc_id, toks) rows. Every value is an exact integer.
     */
   def shardPacking(documents: DataFrame, budgetTokens: Long = 5000L,
                    blocks: Int = 32): DataFrame = {
-    val toks = documents.select(col("doc_id"),
+    val base = documents.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("toks"))
-      .repartitionByRange(blocks, col("doc_id"))
-      .withColumn("block", spark_partition_id())
       .localCheckpoint(true)
+    val toks = base.repartitionByRange(blocks, col("doc_id"))
+      .withColumn("block", spark_partition_id())
     val blockOffsets = toks.groupBy("block").agg(sum(col("toks")).as("block_sum"))
       .withColumn("block_offset",
         coalesce(sum(col("block_sum")).over(

@@ -117,10 +117,12 @@ object Readers {
   }
 
   /** S11 (mtx_tform_metadata_file.py:10-25): geometric-transform matrix
-    * files — whitespace-separated floats, EXACTLY 4 rows per file. One
-    * row per file with the 4×4 matrix; format problems (non-float word,
-    * wrong row count — the reference's MetadataError asserts) surface in
-    * a `violation` column instead of throwing, per the V-pattern.
+    * files — whitespace-separated floats, EXACTLY 4 rows per file (the
+    * reference asserts the row count but, faithfully, NOT the width;
+    * interior blank lines count as empty rows exactly like its per-line
+    * loop). Format problems (non-float word, wrong row count — the
+    * reference's MetadataError asserts) surface in a `violation` column
+    * instead of throwing, per the V-pattern.
     */
   def mtxTform(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -128,8 +130,15 @@ object Readers {
       .select(input_file_name().as("path"), col("value"))
       .as[(String, String)]
       .map { case (p, text) =>
-        val rows = text.split("\n").map(_.trim).filter(_.nonEmpty)
-        val parsed = rows.map(_.split("\\s+").map(_.toDoubleOption))
+        // a trailing newline does not make an extra line in the
+        // reference's file iteration; interior blanks DO count as rows
+        val rows = {
+          val ls = text.split("\n", -1).map(_.trim)
+          if (ls.nonEmpty && ls.last.isEmpty) ls.dropRight(1) else ls
+        }
+        val parsed = rows.map(r =>
+          if (r.isEmpty) Array.empty[Option[Double]]
+          else r.split("\\s+").map(_.toDoubleOption))
         val badLine = parsed.indexWhere(_.exists(_.isEmpty))
         val violation =
           if (badLine >= 0) s"Unexpected format line <${rows(badLine)}>"

@@ -16,15 +16,19 @@ class IngestApiSpec extends SparkSpec {
     assert(!replay.accepted && replay.result.isEmpty)
   }
 
-  test("bulkIngest: first occurrence of a run_id wins, store dedup respected") {
+  test("bulkIngest: positionally-first occurrence of a run_id wins, store dedup respected") {
     val processed = Seq("run-x").toDF("run_id")
     val acks = IngestApi.bulkIngest(spark, Seq(
       ("run-x", fixture, "ds-1"),   // already processed
+      ("run-y", fixture, "ds-9"),   // first occurrence wins despite larger id
       ("run-y", fixture, "ds-2"),
-      ("run-y", fixture, "ds-3"),   // duplicate within batch
+      ("run-z", fixture, "ds-4"),
+      ("run-z", fixture, "ds-4"),   // exact duplicate request
     ), processed)
     assert(acks.map(a => (a.runId, a.accepted)) ==
-      Seq(("run-x", false), ("run-y", true), ("run-y", false)))
+      Seq(("run-x", false), ("run-y", true), ("run-y", false),
+          ("run-z", true), ("run-z", false)))
+    assert(acks(1).result.isDefined && acks(2).result.isEmpty)
   }
 
   test("validateUpload returns the violation list without side effects") {
