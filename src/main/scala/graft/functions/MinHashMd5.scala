@@ -7,7 +7,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftGlue
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,11 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * the identical value while skipping per-shingle concat + hex-encode +
   * UTF8String allocation and interpreted lambda dispatch. MD5 stays the
   * hash because the DuckDB oracle can compute it.
+  *
+  * Real `doGenCode` (a static-helper call, like [[SimHash64]]): the
+  * expression itself is a JVM loop either way, but CodegenFallback would
+  * break WHOLE-STAGE codegen for every operator fused around it — these
+  * are the hottest kernels in the dedup family (q33/q35/q58/q65).
   */
 case class MinHashMd5(child: Expression, salt: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -36,29 +42,16 @@ case class MinHashMd5(child: Expression, salt: String)
     }
 
   @transient private lazy val saltBytes = salt.getBytes(StandardCharsets.UTF_8)
-  // ThreadLocal: an expression instance may be evaluated by several
-  // local-mode tasks concurrently; MessageDigest is stateful
-  @transient private lazy val mdLocal =
-    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val md = mdLocal.get()
-    var best: Array[Byte] = null
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        md.reset()
-        md.update(saltBytes)
-        md.update(arr.getUTF8String(i).getBytes)
-        val d = md.digest()
-        if (best == null || MinHashMd5.unsignedLess(d, best)) best = d
-      }
-      i += 1
-    }
-    if (best == null) null else UTF8String.fromString(MinHashMd5.hex(best))
+  override def nullSafeEval(input: Any): Any =
+    MinHashMd5.evalArray(input.asInstanceOf[ArrayData], saltBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("saltBytes", saltBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinHashMd5.evalArray($c, $saltRef);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashMd5 =
@@ -72,6 +65,62 @@ object MinHashMd5 {
 
   def textMinhashMd5(text: Column, salt: String, k: Int = 3): Column =
     GraftGlue.column(TextMinHashMd5(GraftGlue.expression(text), salt, k))
+
+  // ThreadLocal: several local-mode tasks may evaluate concurrently and
+  // MessageDigest is stateful; one instance per thread, shared by both
+  // the interpreted and generated paths
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def evalArray(arr: ArrayData, saltBytes: Array[Byte]): UTF8String = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = mdLocal.get()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(saltBytes)
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        if (best == null || unsignedLess(d, best)) best = d
+      }
+      i += 1
+    }
+    if (best == null) null else UTF8String.fromString(hex(best))
+  }
+
+  /** Static kernel for the fused text variant. Never null for non-null
+    * input: even empty text yields one (empty) shingle.
+    */
+  def evalText(text: UTF8String, saltBytes: Array[Byte], k: Int): UTF8String = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val nShingles = math.max(n - k + 1, 1)
+    val md = mdLocal.get()
+    val space = SpaceBytes
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < nShingles) {
+      md.reset()
+      md.update(saltBytes)
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (j > i) md.update(space)
+        md.update(words(j).getBytes(StandardCharsets.UTF_8))
+        j += 1
+      }
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    UTF8String.fromString(hex(best))
+  }
+
+  private val SpaceBytes = " ".getBytes(StandardCharsets.UTF_8)
 
   private[functions] def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
@@ -102,10 +151,11 @@ object MinHashMd5 {
   * text, ' '), i, k), ' ')), salt)` but one pass over the text with no
   * intermediate Catalyst arrays — shingle construction (not hashing)
   * dominated the interpreted path. Split semantics mirror Spark's
-  * `split(text, " ")` (limit -1: trailing empties kept).
+  * `split(text, " ")` (limit -1: trailing empties kept). Real codegen,
+  * same rationale as [[MinHashMd5]].
   */
 case class TextMinHashMd5(child: Expression, salt: String, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -117,32 +167,14 @@ case class TextMinHashMd5(child: Expression, salt: String, k: Int)
     }
 
   @transient private lazy val saltBytes = salt.getBytes(StandardCharsets.UTF_8)
-  @transient private lazy val mdLocal =
-    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val n = words.length
-    val nShingles = math.max(n - k + 1, 1)
-    val md = mdLocal.get()
-    val space = " ".getBytes(StandardCharsets.UTF_8)
-    var best: Array[Byte] = null
-    var i = 0
-    while (i < nShingles) {
-      md.reset()
-      md.update(saltBytes)
-      var j = i
-      val end = math.min(i + k, n)
-      while (j < end) {
-        if (j > i) md.update(space)
-        md.update(words(j).getBytes(StandardCharsets.UTF_8))
-        j += 1
-      }
-      val d = md.digest()
-      if (best == null || MinHashMd5.unsignedLess(d, best)) best = d
-      i += 1
-    }
-    if (best == null) null else UTF8String.fromString(MinHashMd5.hex(best))
+  override def nullSafeEval(input: Any): Any =
+    MinHashMd5.evalText(input.asInstanceOf[UTF8String], saltBytes, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("saltBytes", saltBytes, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashMd5.evalText($c, $saltRef, $k)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextMinHashMd5 =
