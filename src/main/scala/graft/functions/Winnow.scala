@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftGlue
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * one pass, O(n) per document, no UDF boxing.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -31,10 +31,15 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
         s"winnow_fingerprints requires string, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].getBytes
-    new GenericArrayData(WinnowFingerprints.fingerprints(s, k, w))
-  }
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.evalBytes(input.asInstanceOf[UTF8String], k, w)
+
+  /** Static-helper codegen (same rationale as [[MinHashMd5]]): keeps the
+    * surrounding projection inside whole-stage codegen.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFingerprints.evalBytes($c, $k, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
@@ -43,6 +48,10 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
 object WinnowFingerprints {
   private val Base = 1000003L
+
+  /** Shared kernel for the interpreted and generated paths. */
+  def evalBytes(s: UTF8String, k: Int, w: Int): GenericArrayData =
+    new GenericArrayData(fingerprints(s.getBytes, k, w))
 
   /** Rolling-hash winnowing over bytes; returns sorted distinct mins. */
   def fingerprints(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
