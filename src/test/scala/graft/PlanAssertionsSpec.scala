@@ -50,4 +50,27 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // codegen'd stages carry the "*(n)" prefix in the plan string
     assert(p.contains("*("), s"expected codegen spans:\n$p")
   }
+
+  test("custom hash kernels participate in generated code (no CodegenFallback)") {
+    // parquet-backed, exchange-free projections: LocalRelation fixtures
+    // constant-fold custom expressions away, and AQE wraps any plan with
+    // an exchange so its codegen subtrees aren't visible pre-execution
+    import org.apache.spark.sql.functions.col
+    val mh = t.documents.select(
+      graft.functions.MinHashMd5.textMinhashMd5(col("text"), "s|").as("mh"))
+    val mhCode = org.apache.spark.sql.execution.debug.codegenString(
+      mh.queryExecution.executedPlan)
+    assert(mhCode.contains("evalText"), "TextMinHashMd5 fell out of generated code")
+    val fp = t.documents.select(
+      graft.functions.WinnowFingerprints.winnowFingerprints(col("text")).as("fp"))
+    val fpCode = org.apache.spark.sql.execution.debug.codegenString(
+      fp.queryExecution.executedPlan)
+    assert(fpCode.contains("evalBytes"), "WinnowFingerprints fell out of generated code")
+    val sh = t.documents.select(
+      graft.functions.SimHash64.simhash64(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("sig"))
+    val shCode = org.apache.spark.sql.execution.debug.codegenString(
+      sh.queryExecution.executedPlan)
+    assert(shCode.contains("fnv1a64"), "SimHash64 fell out of generated code")
+  }
 }
