@@ -1,16 +1,30 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import java.util.ServiceLoader
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, UnsupportedAudioFileException}
+import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (training-data-pipeline mandate): media
   * payloads are opaque `binary` columns with typed metadata columns
   * alongside. The Spark-side plumbing — schema, partition-parallel batch
-  * decode via `mapPartitions`, metadata projection — is real; the codec
-  * itself is STUBBED (no image/audio libraries in this container) with a
-  * deterministic fake decoder, clearly marked below, so the pipeline
-  * shape is testable end-to-end and a real codec drops in behind the
-  * same trait.
+  * decode via `mapPartitions`, metadata projection — is production-shaped,
+  * and the codecs are REAL for images and audio using JDK-bundled
+  * libraries only (`javax.imageio` decodes/encodes PNG/JPEG/GIF/BMP;
+  * `javax.sound.sampled` decodes/encodes WAV/AIFF/AU). Video remains a
+  * clearly-marked stub: the JDK genuinely ships no video codec, so frame
+  * sampling is planned over declared frame counts and the decode boundary
+  * stays injectable for an external codec.
   */
 object Multimodal {
 
@@ -18,22 +32,49 @@ object Multimodal {
   final case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
                              width: Int, height: Int, n_frames: Int, format: String)
 
-  /** Codec boundary: a real implementation wraps an image/audio library;
+  /** Full decode result for one payload: geometry, frame count, container
+    * format name, and a content checksum (sum of decoded sample values —
+    * pixels for images, PCM bytes for audio), which is what round-trip
+    * oracles verify: a broken decoder cannot reproduce the checksum.
+    */
+  final case class Decoded(width: Int, height: Int, nFrames: Int,
+                           format: String, checksum: Long)
+
+  /** Codec boundary: a real implementation wraps a media library;
     * partition-level batching amortizes codec init (the Pandas-UDF batch
-    * pattern, in Scala).
+    * pattern, in Scala). [[JdkMediaDecoder]] is the default and is REAL
+    * for image/audio kinds.
     */
   trait MediaDecoder extends Serializable {
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, String)
+    def analyze(kind: String, bytes: Array[Byte]): Decoded
   }
 
-  /** STUB DECODER — deterministic fake: derives "dimensions" from the
-    * payload bytes (length + first-bytes hash) instead of decoding. The
-    * container has no media codecs; replace with a real decoder behind
-    * the same trait. Everything around it (schema, batching,
-    * partitioning) is production-shaped.
+  /** Real decoder on JDK-bundled codecs only (zero dependencies):
+    *   - image → `javax.imageio` (PNG, JPEG, GIF, BMP): true pixel
+    *     decode; checksum = Σ red-channel values; n_frames counts images
+    *     in the container (animated GIF > 1).
+    *   - audio → `javax.sound.sampled` (WAV, AIFF, AU): true PCM
+    *     decode; n_frames = frame count; checksum = Σ unsigned bytes of
+    *     the decoded PCM stream.
+    *   - video → STUB (the JDK has no video codec): deterministic
+    *     byte-derived dimensions, checksum = payload length. An external
+    *     codec implements the same trait and drops in.
+    */
+  object JdkMediaDecoder extends MediaDecoder {
+    def analyze(kind: String, bytes: Array[Byte]): Decoded = kind match {
+      case "image" => MediaCodec.analyzeImage(bytes)
+      case "audio" => MediaCodec.analyzeAudio(bytes)
+      case _       => StubDecoder.analyze(kind, bytes)
+    }
+  }
+
+  /** STUB DECODER — deterministic fake for kinds the JDK cannot decode
+    * (video); derives "dimensions" from the payload bytes instead of
+    * decoding. Kept injectable so the pipeline shape is testable without
+    * an external codec.
     */
   object StubDecoder extends MediaDecoder {
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, String) = {
+    def analyze(kind: String, bytes: Array[Byte]): Decoded = {
       val h = bytes.take(16).foldLeft(17)((a, b) => a * 31 + b)
       val w = 64 + math.abs(h % 512)
       val ht = 64 + math.abs((h / 512) % 512)
@@ -42,7 +83,7 @@ object Multimodal {
         case "audio" => 1 + math.abs(h % 48000)
         case _ => 1
       }
-      (w, ht, frames, s"stub/$kind")
+      Decoded(w, ht, frames, s"stub/$kind", bytes.length.toLong)
     }
   }
 
@@ -50,12 +91,30 @@ object Multimodal {
     * once per partition (codec init amortization) and rows stream
     * through it — the `mapInPandas` batch shape, JVM-native.
     */
-  def decodeMeta(media: Dataset[MediaRow], decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] = {
+  def decodeMeta(media: Dataset[MediaRow], decoder: MediaDecoder = JdkMediaDecoder): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { row =>
-        val (w, h, frames, fmt) = decoder.decode(row.kind, row.bytes)
-        MediaMeta(row.media_id, row.kind, row.bytes.length.toLong, w, h, frames, fmt)
+        val d = decoder.analyze(row.kind, row.bytes)
+        MediaMeta(row.media_id, row.kind, row.bytes.length.toLong,
+          d.width, d.height, d.nFrames, d.format)
+      }
+    }
+  }
+
+  final case class MediaStats(media_id: Long, kind: String, width: Int, height: Int,
+                              n_frames: Int, format: String, checksum: Long)
+
+  /** Full decode with content checksum — the round-trip-verifiable
+    * surface (q54): encode deterministic media, decode with the REAL
+    * codec, and the checksum is independently re-derivable arithmetic.
+    */
+  def decodeStats(media: Dataset[MediaRow], decoder: MediaDecoder = JdkMediaDecoder): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val d = decoder.analyze(row.kind, row.bytes)
+        MediaStats(row.media_id, row.kind, d.width, d.height, d.nFrames, d.format, d.checksum)
       }
     }
   }
@@ -74,17 +133,20 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, embedding: Array[Float])
 
   /** Transform boundary for resize-class ops (bytes → bytes at a target
-    * geometry). STUB: emits a deterministic payload derived from the
-    * input (first bytes + geometry tag) — a real implementation wraps an
-    * image library behind the same trait.
+    * geometry). [[ImageIoTransformer]] is the real JDK implementation.
     */
   trait MediaTransformer extends Serializable {
     def resize(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
-  object StubTransformer extends MediaTransformer {
+  /** REAL resize on JDK imaging: decode via ImageIO, scale with
+    * Graphics2D bilinear interpolation (the production thumbnailing
+    * path), re-encode as PNG. Non-image kinds pass through unchanged
+    * (resize has no meaning for raw PCM; an external codec overrides).
+    */
+  object ImageIoTransformer extends MediaTransformer {
     def resize(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-      s"stub-resize/$kind/${w}x$h/".getBytes("UTF-8") ++ bytes.take(32)
+      if (kind == "image") MediaCodec.resizeBilinear(bytes, w, h) else bytes
   }
 
   /** Resize every payload to a target geometry, partition-parallel —
@@ -92,7 +154,7 @@ object Multimodal {
     * partition, rows stream through, output stays a binary column.
     */
   def resizeAll(media: Dataset[MediaRow], w: Int, h: Int,
-                transformer: MediaTransformer = StubTransformer): Dataset[MediaResized] = {
+                transformer: MediaTransformer = ImageIoTransformer): Dataset[MediaResized] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map(row => MediaResized(row.media_id, row.kind, w, h,
@@ -108,7 +170,9 @@ object Multimodal {
     def embed(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB: deterministic byte-hash expansion in [-0.5, 0.5). */
+  /** STUB: deterministic byte-hash expansion in [-0.5, 0.5) — a model
+    * runtime is a genuine external dependency, unlike the codecs above.
+    */
   object StubFeatureExtractor extends FeatureExtractor {
     def embed(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
       val emb = new Array[Float](dim)
@@ -150,5 +214,194 @@ object Multimodal {
       .load(root)
       .select(xxhash64(col("path")).as("media_id"), lit(kind).as("kind"), col("content").as("bytes"))
       .as[MediaRow]
+  }
+}
+
+/** JDK-only codec kernels shared by [[Multimodal.JdkMediaDecoder]] and
+  * the round-trip oracle queries. Everything here is `javax.imageio` /
+  * `javax.sound.sampled` / `java.awt` — bundled with every JDK, zero
+  * external dependencies.
+  */
+object MediaCodec {
+
+  // ImageIO defaults to a disk-backed stream cache (a temp file per
+  // encode/decode call) — ruinous for per-row codec work. Payloads here
+  // are in-memory byte arrays; cache in memory. Runs once per executor
+  // JVM at first use.
+  ImageIO.setUseCache(false)
+
+  /** Decode an image container: geometry + frame count + format name
+    * from the registered ImageIO reader, pixel checksum (Σ red channel)
+    * from a full raster decode of the first frame. PNG/JPEG/GIF/BMP.
+    */
+  def analyzeImage(bytes: Array[Byte]): Multimodal.Decoded = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no ImageIO reader for payload of ${bytes.length} bytes")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val img = reader.read(0)
+        val nFrames = reader.getNumImages(true)
+        Multimodal.Decoded(img.getWidth, img.getHeight, nFrames,
+          reader.getFormatName.toLowerCase, pixelSum(img))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Sum of red-channel values over the full raster — gray-encoded
+    * fixtures make this the plain Σ pixel-value the oracle re-derives.
+    */
+  def pixelSum(img: BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        s += (img.getRGB(x, y) >>> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Encode a grayscale image as PNG: pixel(x, y) supplies the 8-bit
+    * value, replicated across RGB. PNG is lossless, so a decode
+    * round-trips to the exact generated values.
+    */
+  def encodePng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pixel(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // `AudioSystem`'s static entry points re-resolve SPI providers through
+  // a synchronized registry on EVERY call — measured ~20× slowdown at 32
+  // concurrent decode threads. Resolve the providers once per JVM via
+  // the public `javax.sound.sampled.spi` interfaces and dispatch
+  // directly; same real JDK codecs, no global lock in the hot path.
+  // The soft-MIDI reader probes by attempting a full sequence parse
+  // (~30× the header-sniff cost of the container readers, with internal
+  // locking) and precedes WaveFileReader in provider order — try it
+  // last; a miss still falls through to every provider.
+  private lazy val audioReaders: List[AudioFileReader] =
+    ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
+      .sortBy(r => if (r.getClass.getName.contains("Midi")) 1 else 0)
+  private lazy val audioWriters: List[AudioFileWriter] =
+    ServiceLoader.load(classOf[AudioFileWriter]).asScala.toList
+
+  /** test-visible probes for the concurrency micro-benchmark */
+  private[graft] def probeAudioFileFormat(bytes: Array[Byte]): AudioFileFormat = audioFileFormat(bytes)
+  private[graft] def probeAudioInputStream(bytes: Array[Byte]): AudioInputStream = audioInputStream(bytes)
+
+  private def audioFileFormat(bytes: Array[Byte]): AudioFileFormat = {
+    audioReaders.foreach { r =>
+      try return r.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      catch { case _: UnsupportedAudioFileException => }
+    }
+    throw new UnsupportedAudioFileException(s"no audio reader for payload of ${bytes.length} bytes")
+  }
+
+  private def audioInputStream(bytes: Array[Byte]): AudioInputStream = {
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: UnsupportedAudioFileException => }
+    }
+    throw new UnsupportedAudioFileException(s"no audio reader for payload of ${bytes.length} bytes")
+  }
+
+  /** Decode an audio container via the JDK audio SPI: frame count from
+    * the stream, format name from the file-format probe, checksum =
+    * Σ unsigned bytes of the decoded PCM payload. WAV/AIFF/AU.
+    */
+  def analyzeAudio(bytes: Array[Byte]): Multimodal.Decoded = {
+    val fileFormat = audioFileFormat(bytes)
+    val in = audioInputStream(bytes)
+    try {
+      val nFrames = in.getFrameLength.toInt
+      var s = 0L
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) { s += buf(i) & 0xff; i += 1 }
+        n = in.read(buf)
+      }
+      val fmt = fileFormat.getType.toString.toLowerCase match {
+        case "wave" => "wav"
+        case other  => other
+      }
+      Multimodal.Decoded(0, 0, nFrames, fmt, s)
+    } finally in.close()
+  }
+
+  /** Encode unsigned 8-bit mono PCM samples as a WAV container. */
+  def encodeWav(sampleRate: Float, samples: Array[Byte]): Array[Byte] = {
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, sampleRate,
+      8, 1, 1, sampleRate, false)
+    val stream = new AudioInputStream(new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    val writer = audioWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, stream))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter on this JVM"))
+    try writer.write(stream, AudioFileFormat.Type.WAVE, out) finally stream.close()
+    out.toByteArray
+  }
+
+  /** Production-path resize: Graphics2D bilinear scaling, PNG re-encode.
+    * Pixel values are interpolation-dependent, so correctness is pinned
+    * by round-trip geometry + determinism specs, not a value oracle.
+    */
+  def resizeBilinear(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(src != null, "resizeBilinear: undecodable image payload")
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Exact nearest-neighbor resize on the decoded raster:
+    * dst(x, y) = src((x·sw)/dw, (y·sh)/dh) with floor integer division —
+    * fully deterministic, so a resize→decode round trip is value-oracle
+    * checkable (q68).
+    */
+  def resizeNearest(bytes: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(src != null, "resizeNearest: undecodable image payload")
+    val sw = src.getWidth
+    val sh = src.getHeight
+    val dst = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dh) {
+      val sy = y * sh / dh
+      var x = 0
+      while (x < dw) {
+        dst.setRGB(x, y, src.getRGB(x * sw / dw, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", out)
+    out.toByteArray
   }
 }

@@ -7,12 +7,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Operators built on custom hash kernels (SimHash, winnowing) plus the
-  * stubbed-codec multimodal path. The hash kernels ARE oracle-checked:
+  * real-codec multimodal round trips. The hash kernels ARE oracle-checked:
   * FNV-1a64 and the Karp-Rabin/fmix64 winnow are re-derived in portable
   * DuckDB SQL (HUGEINT arithmetic mod 2^64, 32-bit split multiplication
   * to stay inside 128-bit intermediates), so q52/q53 hash-match like any
-  * relational query. Only q54 (stub codec — no media libs in the
-  * container) stays rows-only, covered by MultimodalSpec.
+  * relational query. The media queries (q54/q68) are encode→decode round
+  * trips through the REAL JDK codecs (`javax.imageio`,
+  * `javax.sound.sampled`): deterministic PNG/WAV payloads are generated
+  * per document, decoded for geometry/frames/pixel checksums, and the
+  * oracle re-derives every expected value arithmetically — a broken
+  * decoder cannot reproduce the checksums.
   */
 object NonSqlOps extends QueryModule {
 
@@ -54,16 +58,67 @@ object NonSqlOps extends QueryModule {
       .orderBy("left_id")
   }
 
-  /** Multimodal metadata over the documents' bytes through the real
-    * decode plumbing (stub codec — deterministic).
+  /** Deterministic media fixtures per document: a grayscale PNG whose
+    * geometry and pixels derive from `doc_id` (pixel(x,y) =
+    * (31x + 17y + id) mod 256) and an 8-bit mono WAV whose samples are
+    * (7i + id) mod 256 — every decoded property is closed-form
+    * arithmetic over `doc_id`, which is what makes the decode
+    * round-trippable by a SQL oracle.
     */
-  def mediaMeta(documents: DataFrame): DataFrame = {
+  private def mediaFixtures(documents: DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val media = documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => Multimodal.MediaRow(id, "image", text.getBytes("UTF-8")) }
-    Multimodal.decodeMeta(media).toDF()
-      .select("media_id", "n_bytes", "width", "height", "format")
+    // codec stages are CPU-bound, not IO-bound: a small id projection
+    // collapses to one input split (and AQE would coalesce an advisory
+    // repartition of ~KBs right back to one partition), so pin one
+    // partition per core before the per-row encode/decode work — the
+    // same reason a 100 TB decode stage repartitions by media_id
+    // instead of inheriting file splits
+    documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { it =>
+      it.flatMap { d =>
+        val w = (8 + d % 24).toInt
+        val h = (8 + (d / 5) % 24).toInt
+        val png = MediaCodec.encodePng(w, h, (x, y) => ((x * 31 + y * 17 + d) % 256).toInt)
+        val n = (800 + d % 800).toInt
+        val wav = MediaCodec.encodeWav(8000f,
+          Array.tabulate(n)(i => ((i * 7 + d) % 256).toByte))
+        Iterator(Multimodal.MediaRow(d, "image", png), Multimodal.MediaRow(d, "audio", wav))
+      }
+    }
+  }
+
+  /** Multimodal metadata: encode → REAL JDK decode → stats. The decoded
+    * width/height/frame-count/pixel-checksum round-trip against the
+    * generation formulas, so the oracle verifies the actual codecs.
+    */
+  def mediaMeta(documents: DataFrame): DataFrame =
+    Multimodal.decodeStats(mediaFixtures(documents)).toDF()
+      .orderBy("media_id", "kind")
+
+  /** Resize round trip: PNG fixture → exact nearest-neighbor resize on
+    * the decoded raster → decode the resized image → geometry + pixel
+    * checksum. dst(x,y) = src((x·sw)/dw, (y·sh)/dh) floor division makes
+    * every resized pixel closed-form over `doc_id`.
+    */
+  def mediaResize(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val resized = documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { it =>
+      it.map { d =>
+        val sw = (8 + d % 24).toInt
+        val sh = (8 + (d / 5) % 24).toInt
+        val png = MediaCodec.encodePng(sw, sh, (x, y) => ((x * 31 + y * 17 + d) % 256).toInt)
+        val dw = (4 + d % 8).toInt
+        val dh = (4 + (d / 3) % 8).toInt
+        Multimodal.MediaRow(d, "image", MediaCodec.resizeNearest(png, dw, dh))
+      }
+    }
+    Multimodal.decodeStats(resized).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("format"), col("checksum"))
       .orderBy("media_id")
   }
 
@@ -71,6 +126,7 @@ object NonSqlOps extends QueryModule {
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
     "q53_winnow_stats"    -> ((s, d) => winnowStats(Tables(s, d).documents)),
     "q54_media_meta"      -> ((s, d) => mediaMeta(Tables(s, d).documents)),
+    "q68_media_resize"    -> ((s, d) => mediaResize(Tables(s, d).documents)),
     "q64_winnow_containment" -> ((s, d) => winnowContainment(Tables(s, d).documents)),
   )
 
@@ -81,9 +137,52 @@ object NonSqlOps extends QueryModule {
     * intermediates stay under 2^127; xor/shift run on UBIGINT; the
     * winnow window-min compares SIGNED longs (matching JVM `Long`
     * ordering); text is ASCII so `unicode(substr(...))` == UTF-8 byte.
-    * q54 has no oracle (stub codec).
+    *
+    * The media oracles (q54/q68) re-derive the decoded geometry, frame
+    * counts, and content checksums from the generation formulas — the
+    * Spark side must push actual bytes through `javax.imageio` /
+    * `javax.sound.sampled` and get every pixel/sample back exactly to
+    * hash-match.
     */
   override def oracles: Map[String, String] = Map(
+    "q54_media_meta" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (8 + doc_id % 24)::INTEGER AS w, (8 + (doc_id // 5) % 24)::INTEGER AS h
+        |  FROM documents
+        |),
+        |ipx AS (SELECT doc_id, w, h, unnest(range(w::BIGINT * h)) AS p FROM dims),
+        |img AS (
+        |  SELECT doc_id AS media_id, 'image' AS kind,
+        |         any_value(w) AS width, any_value(h) AS height,
+        |         1::INTEGER AS n_frames, 'png' AS format,
+        |         sum(((p % w) * 31 + (p // w) * 17 + doc_id) % 256)::BIGINT AS checksum
+        |  FROM ipx GROUP BY doc_id
+        |),
+        |adims AS (SELECT doc_id, (800 + doc_id % 800)::INTEGER AS n FROM documents),
+        |apx AS (SELECT doc_id, n, unnest(range(n::BIGINT)) AS i FROM adims),
+        |aud AS (
+        |  SELECT doc_id AS media_id, 'audio' AS kind,
+        |         0::INTEGER AS width, 0::INTEGER AS height,
+        |         any_value(n) AS n_frames, 'wav' AS format,
+        |         sum((i * 7 + doc_id) % 256)::BIGINT AS checksum
+        |  FROM apx GROUP BY doc_id
+        |)
+        |SELECT media_id, kind, width, height, n_frames, format, checksum
+        |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
+        |ORDER BY media_id, kind""".stripMargin,
+    "q68_media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         (8 + doc_id % 24)::BIGINT AS sw, (8 + (doc_id // 5) % 24)::BIGINT AS sh,
+        |         (4 + doc_id % 8)::INTEGER AS dw, (4 + (doc_id // 3) % 8)::INTEGER AS dh
+        |  FROM documents
+        |),
+        |px AS (SELECT doc_id, sw, sh, dw, dh, unnest(range(dw::BIGINT * dh)) AS p FROM dims)
+        |SELECT doc_id AS media_id,
+        |       any_value(dw) AS width, any_value(dh) AS height,
+        |       'png' AS format,
+        |       sum(((((p % dw) * sw) // dw) * 31 + (((p // dw) * sh) // dh) * 17 + doc_id) % 256)::BIGINT AS checksum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q52_simhash_buckets" ->
       """WITH th AS (
         |  SELECT doc_id,

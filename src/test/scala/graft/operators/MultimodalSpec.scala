@@ -6,27 +6,64 @@ import graft.operators.Multimodal.{MediaRow, StubDecoder}
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decodeMeta is deterministic and partition-parallel") {
+  private def gray(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+
+  test("real PNG round trip: encode → ImageIO decode recovers geometry and every pixel") {
+    val png = MediaCodec.encodePng(13, 7, gray)
+    // PNG magic — this is a real container, not a fake payload
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val d = MediaCodec.analyzeImage(png)
+    assert(d.width == 13 && d.height == 7 && d.nFrames == 1 && d.format == "png")
+    val expected = (for (y <- 0 until 7; x <- 0 until 13) yield gray(x, y).toLong).sum
+    assert(d.checksum == expected)
+  }
+
+  test("real WAV round trip: encode → javax.sound decode recovers frames and samples") {
+    val samples = Array.tabulate(1234)(i => ((i * 7 + 5) % 256).toByte)
+    val wav = MediaCodec.encodeWav(8000f, samples)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val d = MediaCodec.analyzeAudio(wav)
+    assert(d.nFrames == 1234 && d.format == "wav")
+    assert(d.checksum == samples.map(_ & 0xff).map(_.toLong).sum)
+  }
+
+  test("JdkMediaDecoder dispatches image/audio to real codecs, video to the stub") {
+    val png = MediaCodec.encodePng(4, 4, gray)
+    val img = Multimodal.JdkMediaDecoder.analyze("image", png)
+    assert(img.format == "png" && img.width == 4)
+    val wav = MediaCodec.encodeWav(8000f, Array[Byte](1, 2, 3))
+    val aud = Multimodal.JdkMediaDecoder.analyze("audio", wav)
+    assert(aud.format == "wav" && aud.nFrames == 3)
+    val vid = Multimodal.JdkMediaDecoder.analyze("video", Array[Byte](9, 8, 7))
+    assert(vid.format == "stub/video" && vid.nFrames > 1)
+  }
+
+  test("decodeMeta is deterministic and partition-parallel over real payloads") {
     val rows = Seq(
-      MediaRow(1L, "image", Array[Byte](1, 2, 3, 4)),
+      MediaRow(1L, "image", MediaCodec.encodePng(9, 5, gray)),
       MediaRow(2L, "video", Array[Byte](9, 8, 7)),
-      MediaRow(3L, "audio", Array.fill(100)(42.toByte)))
+      MediaRow(3L, "audio", MediaCodec.encodeWav(8000f, Array.fill(100)(42.toByte))))
     val ds = spark.createDataset(rows).repartition(3)
     val got = Multimodal.decodeMeta(ds).collect().map(m => m.media_id -> m).toMap
-    assert(got(1L).n_bytes == 4L)
-    assert(got(1L).format == "stub/image")
+    assert(got(1L).width == 9 && got(1L).height == 5 && got(1L).format == "png")
     assert(got(1L).n_frames == 1)
-    assert(got(2L).n_frames > 1)
-    // determinism: same bytes → same fake dims
+    assert(got(2L).n_frames > 1) // stub video path
+    assert(got(3L).n_frames == 100 && got(3L).format == "wav")
     val again = Multimodal.decodeMeta(spark.createDataset(rows)).collect()
       .map(m => m.media_id -> m).toMap
     assert(got(1L) == again(1L) && got(2L) == again(2L))
   }
 
+  test("stub decoder stays available behind the same trait for external-codec kinds") {
+    val d = StubDecoder.analyze("video", Array[Byte](1, 2, 3, 4))
+    val again = StubDecoder.analyze("video", Array[Byte](1, 2, 3, 4))
+    assert(d == again && d.nFrames > 1 && d.checksum == 4L)
+  }
+
   test("frameSamplePlan expands every k-th frame for videos only") {
     val meta = Seq(
       Multimodal.MediaMeta(1L, "video", 10L, 64, 64, 90, "stub/video"),
-      Multimodal.MediaMeta(2L, "image", 10L, 64, 64, 1, "stub/image"))
+      Multimodal.MediaMeta(2L, "image", 10L, 64, 64, 1, "png"))
     val got = Multimodal.frameSamplePlan(spark.createDataset(meta), every = 30)
       .as[(Long, Long)].collect().toSeq.sorted
     assert(got == Seq((1L, 0L), (1L, 30L), (1L, 60L)))
@@ -34,23 +71,36 @@ class MultimodalSpec extends SparkSpec {
 
   test("fromDirectory builds a distributed media table") {
     val ds = Multimodal.fromDirectory(spark, "src/test/resources/fixture_generic/extras", "image")
-    val metas = Multimodal.decodeMeta(ds).collect()
+    val metas = Multimodal.decodeMeta(ds, StubDecoder).collect()
     assert(metas.length == 1)
     assert(metas.head.n_bytes > 0)
   }
-  test("resizeAll and extractFeatures keep the partition-parallel batch shape") {
-    import Multimodal.MediaRow
+
+  test("resizeAll does a real bilinear resize; nearest-neighbor resize is pixel-exact") {
+    val src = MediaCodec.encodePng(16, 12, gray)
+    val rows = Seq(MediaRow(1L, "image", src))
+    val ds = spark.createDataset(rows).repartition(2)
+    val resized = Multimodal.resizeAll(ds, 224, 224).collect().head
+    val meta = MediaCodec.analyzeImage(resized.bytes)
+    assert(meta.width == 224 && meta.height == 224 && meta.format == "png")
+    // determinism of the production path
+    val again = Multimodal.resizeAll(spark.createDataset(rows), 224, 224).collect().head
+    assert(resized.bytes.toSeq == again.bytes.toSeq)
+    // nearest-neighbor: every destination pixel equals its mapped source pixel
+    val nn = MediaCodec.analyzeImage(MediaCodec.resizeNearest(src, 5, 3))
+    val expected = (for (y <- 0 until 3; x <- 0 until 5)
+      yield gray(x * 16 / 5, y * 12 / 3).toLong).sum
+    assert(nn.width == 5 && nn.height == 3 && nn.checksum == expected)
+  }
+
+  test("extractFeatures keeps the partition-parallel batch shape") {
     val rows = Seq(
       MediaRow(1L, "image", Array[Byte](1, 2, 3, 4)),
       MediaRow(2L, "image", Array[Byte](9, 8, 7)))
     val ds = spark.createDataset(rows).repartition(2)
-    val resized = Multimodal.resizeAll(ds, 224, 224).collect().map(r => r.media_id -> r).toMap
-    assert(resized(1L).width == 224 && resized(1L).height == 224)
-    assert(new String(resized(1L).bytes.take(22), "UTF-8") == "stub-resize/image/224x")
     val feats = Multimodal.extractFeatures(ds, dim = 8).collect().map(f => f.media_id -> f).toMap
     assert(feats(1L).embedding.length == 8)
     assert(feats(1L).embedding.forall(v => v >= -0.5f && v <= 0.5f))
-    // deterministic and input-sensitive
     val again = Multimodal.extractFeatures(spark.createDataset(rows), dim = 8)
       .collect().map(f => f.media_id -> f).toMap
     assert(feats(1L).embedding.toSeq == again(1L).embedding.toSeq)
