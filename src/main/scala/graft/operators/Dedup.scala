@@ -119,14 +119,14 @@ object Dedup extends QueryModule {
     * values to check). Uses distinct shingle-set sizes only.
     */
   def ngramJaccardPairs(documents: DataFrame): DataFrame = {
-    // materialize the shingle arrays ONCE for both self-join sides via
-    // an eager localCheckpoint (the interpreted shingle HOFs dominate
-    // this query, measured ~2×). Unlike .cache(), whose entry lives in
-    // the CacheManager until an explicit unpersist (impossible here —
-    // the returned plan is lazy), checkpoint blocks are released by the
-    // ContextCleaner when the plan is garbage-collected.
-    val withSh = documents.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
-      .localCheckpoint(true)
+    // compute shingles inline on EACH join side. The earlier eager
+    // localCheckpoint reuse was measured ~2× faster at spec scale but is
+    // a 100 TB scale-killer: it materializes every document's shingle
+    // set in executor block storage (cluster-memory/disk cliff) and
+    // breaks lineage (executor loss = job failure). Recomputing keeps
+    // the plan a pure two-scan equi-join — each side is narrow
+    // scan→project work that AQE/spill handle at any scale.
+    val withSh = documents.select(col("doc_id"), graft.functions.ShingleSet.shingleSet(col("text")).as("sh"))
     val a = withSh.as("a")
     val b = withSh.as("b")
     a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
@@ -211,7 +211,7 @@ object Dedup extends QueryModule {
         documents.join(candIds, Seq("doc_id"), "left_semi")
       } else documents
     val withSh = shSource
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), graft.functions.ShingleSet.shingleSet(col("text")).as("sh"))
       .cache()
     val inter = size(array_intersect(col("a.sh"), col("b.sh")))
     // no distinct: single-band bucketing emits each in-bucket pair once,

@@ -70,6 +70,43 @@ object Validation extends QueryModule {
            round(avg(col("value")), 4).as("avg_value"))
       .orderBy("diagnosis")
 
+  /** S15 end-to-end (email_providers.py:205-234,291-320): a full ES
+    * search-response round trip through the REAL reader. A bounded
+    * "search page" is rendered from orders as an actual ES envelope
+    * (took/timed_out/hits.total/hits.hits with _index/_id/_score/
+    * _source), parsed back with `spark.read.json`, and flattened by
+    * [[graft.sources.EsJson.flattenHits]] — explode + `_id` → uuid +
+    * `_source.*` keep-list rename. The oracle recomputes the page
+    * directly from orders, so a reader that mangles any field or type
+    * fails the hash. Pages are bounded by construction (ES caps
+    * hits at 10k), so the single-doc assembly is not a scale concern;
+    * scrolled pages land as one doc per file and stay distributed.
+    */
+  def esRoundTrip(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val page = orders.filter(col("o_orderkey") % 97 === 0)
+    val hitJson = page.select(to_json(struct(
+      lit("orders").as("_index"),
+      concat(lit("order-"), col("o_orderkey")).as("_id"),
+      lit(1.0).as("_score"),
+      struct(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("created_date"),
+        col("o_orderpriority")).as("_source"))).as("hit"))
+    val envelope = hitJson.agg(concat(
+      lit("""{"took":3,"timed_out":false,"hits":{"total":{"value":"""),
+      count(lit(1)),
+      lit(""","relation":"eq"},"max_score":1.0,"hits":["""),
+      concat_ws(",", collect_list(col("hit"))),
+      lit("]}}")).as("body")).as[String]
+    graft.sources.EsJson.flattenHits(spark.read.json(envelope),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "created_date", "o_orderpriority"))
+      .orderBy("uuid")
+  }
+
   /** BPE-ish token counting (training-data mandate): regex token classes
     * (letter runs / digit runs) instead of whitespace — the
     * subword-tokenizer-approximation used for corpus budgeting.
@@ -90,6 +127,7 @@ object Validation extends QueryModule {
     "q32_doc_constraints" -> ((s, d) => documentConstraints(Tables(s, d).documents)),
     "q37_json_props"      -> ((s, d) => jsonPropsHistogram(Tables(s, d).events)),
     "q38_tolerance_check" -> ((s, d) => { val t = Tables(s, d); toleranceConsistency(t.orders, t.lineitem) }),
+    "q69_es_hits"         -> ((s, d) => esRoundTrip(Tables(s, d).orders)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -129,5 +167,11 @@ object Validation extends QueryModule {
              FROM lineitem GROUP BY l_orderkey) s
            ON o_orderkey = s.l_orderkey)
          GROUP BY close_enough ORDER BY close_enough""",
+    "q69_es_hits" ->
+      """SELECT 'order-' || o_orderkey AS uuid,
+                o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                strftime(o_orderdate, '%Y-%m-%d') AS created_date,
+                o_orderpriority
+         FROM orders WHERE o_orderkey % 97 = 0 ORDER BY uuid""",
   )
 }

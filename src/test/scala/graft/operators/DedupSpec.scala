@@ -18,6 +18,20 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq("only"))
   }
 
+  test("fused shingle_set matches array_distinct(shingles(text)) on edge inputs") {
+    val texts = Seq("a b c d e", "a b c a b c a b c", "only", "", "a  b   c",
+      " leading", "trailing ", "x y", "a b c d a b c d",
+      "repeat repeat repeat repeat")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fused = df.select(col("doc_id"),
+        graft.functions.ShingleSet.shingleSet(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val hof = df.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.indices.foreach(i => assert(fused(i.toLong) == hof(i.toLong), s"doc $i"))
+  }
+
   test("exactDedup groups case/whitespace-insensitive duplicates") {
     val docs = Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "other"))
       .toDF("doc_id", "text")
