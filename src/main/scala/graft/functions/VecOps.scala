@@ -72,4 +72,84 @@ object VecOps {
   /** Column API: sequential-fold double dot product of float vectors. */
   def vecDot(a: Column, b: Column): Column =
     GraftGlue.column(FloatVecDot(GraftGlue.expression(a), GraftGlue.expression(b)))
+
+  /** Column API: index of the squared-L2-nearest centroid (ties →
+    * lowest index).
+    */
+  def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column =
+    GraftGlue.column(NearestCell(GraftGlue.expression(vec), centroids))
+}
+
+/** Argmin-squared-L2 cell assignment against a centroid matrix held as a
+  * REFERENCED OBJECT, not an expression tree: the earlier formulation
+  * built `array(array(lit...))` per centroid — a k×dim nest of Literal
+  * nodes that blows up planning/codegen at realistic IVF sizes
+  * (thousands of cells × hundreds of dims → multi-MB plan per query).
+  * Here the plan carries ONE node regardless of k; the matrix rides the
+  * serialized task closure (Spark broadcasts task binaries per stage),
+  * which is exactly how a broadcast centroid table would ship — without
+  * the join + re-aggregation a relational argmin would need.
+  *
+  * Scoring matches the literal formulation bitwise: per cell,
+  * `|c|² - 2·(v·c)` with floats widened to double and both sums folded
+  * in ascending index order (|v|² is row-constant and irrelevant to the
+  * argmin); strict `<` keeps the lowest cell id on ties, like the old
+  * `array_min` over (score, cell) structs.
+  */
+case class NearestCell(child: Expression, centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell requires array<float>, got ${other.catalogString}")
+    }
+
+  // |c|² per cell, precomputed once per executor instead of per row
+  @transient private lazy val centroidNormsSq: Array[Double] = NearestCell.normsSq(centroids)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCell.eval(input.asInstanceOf[ArrayData], centroids, centroidNormsSq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("centroidNormsSq", centroidNormsSq, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NearestCell.eval($c, $cRef, $nRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cell"
+}
+
+object NearestCell {
+  def normsSq(centroids: Array[Array[Float]]): Array[Double] =
+    centroids.map { c =>
+      var s = 0.0
+      var j = 0
+      while (j < c.length) { s += c(j).toDouble * c(j).toDouble; j += 1 }
+      s
+    }
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def eval(vec: ArrayData, centroids: Array[Array[Float]], normsSq: Array[Double]): Int = {
+    val v = vec.toFloatArray()
+    var best = Double.PositiveInfinity
+    var bestCell = 0
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      val n = math.min(v.length, c.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j).toDouble * c(j).toDouble; j += 1 }
+      val score = normsSq(i) - 2.0 * dot
+      if (score < best) { best = score; bestCell = i }
+      i += 1
+    }
+    bestCell
+  }
 }

@@ -53,23 +53,17 @@ object Ann {
     centroids
   }
 
-  private def centroidArrayCol(centroids: Array[Array[Float]]): Column =
-    array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(v => lit(v)): _*)): _*)
-
-  /** Distributed cell assignment: argmin squared-L2 to each centroid,
-    * computed with the native dot-product expression
+  /** Distributed cell assignment: argmin squared-L2 to each centroid
     * (|x-c|² = |x|² - 2x·c + |c|²; |x|² is constant per row, so argmin
-    * uses c·c - 2x·c).
+    * uses c·c - 2x·c) via the native [[graft.functions.NearestCell]]
+    * kernel. The centroid matrix is a referenced object, so the plan is
+    * ONE expression node regardless of k — the literal-array formulation
+    * this replaced built a k×dim nest of `lit()`s, a multi-MB expression
+    * tree at realistic IVF sizes.
     */
-  def assignCells(embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
-      val cNormSq = c.map(v => v.toDouble * v.toDouble).sum
-      struct((lit(cNormSq) - lit(2.0) * vecDot(col("embedding"), cCol)).as("score"),
-             lit(i).as("cell"))
-    }
-    embeddings.withColumn("cell", array_min(array(scores.toIndexedSeq: _*)).getField("cell"))
-  }
+  def assignCells(embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    embeddings.withColumn("cell",
+      graft.functions.VecOps.nearestCell(col("embedding"), centroids))
 
   /** Persist the index: vectors written PARTITIONED BY cell. This is
     * the 100 TB layout claim made concrete — a probe then reads

@@ -17,6 +17,32 @@ class AnnSpec extends SparkSpec {
     assert(cells.distinct.length > 1) // not degenerate
   }
 
+  test("assignCells matches a driver-side argmin oracle at k=64") {
+    val centroids = Ann.trainCentroids(emb, k = 64, iters = 1)
+    val got = Ann.assignCells(emb, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      val scores = centroids.map { c =>
+        val dot = c.indices.map(j => v(j).toDouble * c(j).toDouble).sum
+        c.map(x => x.toDouble * x.toDouble).sum - 2.0 * dot
+      }
+      val expect = scores.indices.minBy(i => (scores(i), i))
+      assert(got(id) == expect, s"vec $id")
+    }
+  }
+
+  test("assignCells plan size is independent of k (referenced matrix, not literals)") {
+    val small = Ann.assignCells(emb, Ann.trainCentroids(emb, k = 2, iters = 1))
+      .queryExecution.optimizedPlan.treeString.length
+    val large = Ann.assignCells(emb, Ann.trainCentroids(emb, k = 256, iters = 1))
+      .queryExecution.optimizedPlan.treeString.length
+    // the literal-nest formulation grew the plan ~linearly in k×dim;
+    // the referenced-object kernel must not
+    assert(math.abs(large - small) < 200,
+      s"plan grew with k: k=2 → $small chars, k=256 → $large chars")
+  }
+
   test("ivfTopK with all cells probed equals brute-force top-k") {
     val centroids = Ann.trainCentroids(emb, k = 4, iters = 2)
     val query = emb.filter($"vec_id" === 0L).select("embedding")

@@ -21,6 +21,22 @@ class CpuGpuLogsSpec extends SparkSpec {
     assert(got("segment") == ((300L, 300L)))
   }
 
+  test("S17: gzipped logs parse identically through the same reader") {
+    // the reference's usage reports read gunzipped transfer logs
+    // (generate_usage_report.py:64-151); Spark's text source decompresses
+    // .gz transparently, so the SAME readLogs drives both — proven here
+    // end-to-end against the plain-file golden results
+    val fromGz = CpuGpuLogs.usage(
+        CpuGpuLogs.readLogs(spark, "src/test/resources/fixture_logs_gz/session.log.gz"))
+      .select("job", "cpu_seconds", "gpu_seconds")
+      .as[(String, Long, Long)].collect().toSet
+    val fromPlain = CpuGpuLogs.usage(
+        CpuGpuLogs.readLogs(spark, "src/test/resources/fixture_logs/session.log"))
+      .select("job", "cpu_seconds", "gpu_seconds")
+      .as[(String, Long, Long)].collect().toSet
+    assert(fromGz == fromPlain && fromGz.nonEmpty)
+  }
+
   test("unpaired starts (still running) charge nothing") {
     val lines = Seq(
       ("f", 1, "[job x] start 2024-01-01 00:00:00 docker run tool"),
