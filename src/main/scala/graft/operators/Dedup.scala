@@ -275,6 +275,76 @@ object Dedup extends QueryModule {
     labels
   }
 
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) rounds on ANY graph shape, vs min-label
+    * propagation's O(diameter). [[connectedComponents]] stays the
+    * default for near-dup clustering (tiny diameters, its warm start
+    * converges in one check); this is the general-graph path for long
+    * chains/adversarial shapes.
+    *
+    *  - large-star: per node u, link every strictly-larger neighbor to
+    *    m(u) = min(Γ(u) ∪ u) — done as one window-min over the
+    *    symmetric edge list, no join;
+    *  - small-star: per node u, link every ≤ neighbor and u itself to
+    *    m(u) over the down-oriented edges;
+    *  - converged when the directed edge multiset is stable, checked by
+    *    (count, xor-of-row-hashes) in the same aggregation — one action
+    *    per round, no extra `except` job.
+    *
+    * Output contract matches [[connectedComponents]]: (id, label) per
+    * node appearing in an edge, label = component min.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy("u")
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      sym.withColumn("m", least(col("u"), min(col("v")).over(byU)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val down = e.select(greatest(col("u"), col("v")).as("u"),
+                          least(col("u"), col("v")).as("v"))
+      val withM = down.withColumn("m", min(col("v")).over(byU))
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs.toDF("u", "v").filter(col("u") =!= col("v")).distinct().cache()
+    var signature = (-1L, 0L)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      // eager localCheckpoint BOTH materializes the round and truncates
+      // lineage — without it each round's plan embeds the previous
+      // round's twice (the star expansions reference their input twice),
+      // an exponential tree that kills the planner long before data
+      // does. Iterative graph algorithms checkpoint per round for
+      // exactly this reason; the payload is only the shrinking edge
+      // list, not corpus-sized state.
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // stability check folded into one aggregation — a changed round
+      // can't collide on BOTH count and xor-of-hashes (bit_xor, not sum:
+      // summing full-range hashes overflows under ANSI)
+      val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      edges.unpersist()
+      edges = next
+      if (sig == signature) converged = true else { signature = sig; i += 1 }
+    }
+    if (!converged) System.err.println(
+      s"[graft] connectedComponentsStar stopped at maxIters=$maxIters before convergence")
+    // fixpoint edges form stars child → component-min; the roots label
+    // themselves
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_neardup_clusters" -> ((s, d) => nearDupClusters(Tables(s, d).documents)),
     "q47_checksum_blocks" -> ((s, d) => checksumBlocks(Tables(s, d).documents)),
