@@ -296,11 +296,17 @@ object Dedup extends QueryModule {
     * node appearing in an edge, label = component min.
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byU = Window.partitionBy("u")
+    // m(u) via groupBy + join-back rather than an unbounded window:
+    // min() gets map-side partial aggregation (a 10^8-degree hub
+    // combines locally instead of sorting its whole neighbor list in
+    // one window task), and the join is AQE-skew-splittable where a
+    // window partition is not
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      sym.withColumn("m", least(col("u"), min(col("v")).over(byU)))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
@@ -308,9 +314,10 @@ object Dedup extends QueryModule {
     def smallStar(e: DataFrame): DataFrame = {
       val down = e.select(greatest(col("u"), col("v")).as("u"),
                           least(col("u"), col("v")).as("v"))
-      val withM = down.withColumn("m", min(col("v")).over(byU))
+      val mins = down.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = down.join(mins, "u")
       withM.select(col("v").as("u"), col("m").as("v"))
-        .unionByName(withM.select(col("u"), col("m").as("v")))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
     }

@@ -224,18 +224,20 @@ object Multimodal {
   */
 object MediaCodec {
 
-  // ImageIO defaults to a disk-backed stream cache (a temp file per
-  // encode/decode call) — ruinous for per-row codec work. Payloads here
-  // are in-memory byte arrays; cache in memory. Runs once per executor
-  // JVM at first use.
-  ImageIO.setUseCache(false)
+  // ImageIO's default createImageInputStream/write path goes through a
+  // DISK-backed stream cache (a temp file per encode/decode call) —
+  // ruinous for per-row codec work. Payloads here are in-memory byte
+  // arrays, so every entry point below builds an explicit
+  // MemoryCacheImage{Input,Output}Stream instead; scoping the choice
+  // per-stream (rather than ImageIO.setUseCache(false)) leaves the
+  // JVM-global default untouched for other ImageIO users.
 
   /** Decode an image container: geometry + frame count + format name
     * from the registered ImageIO reader, pixel checksum (Σ red channel)
     * from a full raster decode of the first frame. PNG/JPEG/GIF/BMP.
     */
   def analyzeImage(bytes: Array[Byte]): Multimodal.Decoded = {
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
       require(readers.hasNext, s"no ImageIO reader for payload of ${bytes.length} bytes")
@@ -283,9 +285,36 @@ object MediaCodec {
       }
       y += 1
     }
+    writePng(img)
+  }
+
+  /** PNG encode through an explicit in-memory output stream (see the
+    * caching note above).
+    */
+  private def writePng(img: BufferedImage): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val writers = ImageIO.getImageWritersByFormatName("png")
+    require(writers.hasNext, "no PNG ImageIO writer on this JVM")
+    val writer = writers.next()
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally { writer.dispose(); ios.close() }
     out.toByteArray
+  }
+
+  /** Image decode through an explicit in-memory input stream. */
+  private def readImage(bytes: Array[Byte]): BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no ImageIO reader for payload of ${bytes.length} bytes")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try reader.read(0) finally reader.dispose()
+    } finally iis.close()
   }
 
   // `AudioSystem`'s static entry points re-resolve SPI providers through
@@ -331,15 +360,24 @@ object MediaCodec {
     val fileFormat = audioFileFormat(bytes)
     val in = audioInputStream(bytes)
     try {
-      val nFrames = in.getFrameLength.toInt
       var s = 0L
+      var bytesRead = 0L
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) {
         var i = 0
         while (i < n) { s += buf(i) & 0xff; i += 1 }
+        bytesRead += n
         n = in.read(buf)
       }
+      // frame count: the declared stream length when the container
+      // carries one, else derived from the decoded byte count
+      // (getFrameLength is NOT_SPECIFIED = -1 for unframed containers);
+      // saturate instead of wrapping on >2^31-frame streams
+      val frameSize = math.max(in.getFormat.getFrameSize, 1)
+      val framesLong =
+        if (in.getFrameLength >= 0) in.getFrameLength else bytesRead / frameSize
+      val nFrames = math.min(framesLong, Int.MaxValue.toLong).toInt
       val fmt = fileFormat.getType.toString.toLowerCase match {
         case "wave" => "wav"
         case other  => other
@@ -365,8 +403,7 @@ object MediaCodec {
     * by round-trip geometry + determinism specs, not a value oracle.
     */
   def resizeBilinear(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val src = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(src != null, "resizeBilinear: undecodable image payload")
+    val src = readImage(bytes)
     val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val g = dst.createGraphics()
     try {
@@ -374,9 +411,7 @@ object MediaCodec {
         RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(src, 0, 0, w, h, null)
     } finally g.dispose()
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(dst, "png", out)
-    out.toByteArray
+    writePng(dst)
   }
 
   /** Exact nearest-neighbor resize on the decoded raster:
@@ -385,8 +420,7 @@ object MediaCodec {
     * checkable (q68).
     */
   def resizeNearest(bytes: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
-    val src = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(src != null, "resizeNearest: undecodable image payload")
+    val src = readImage(bytes)
     val sw = src.getWidth
     val sh = src.getHeight
     val dst = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
@@ -400,8 +434,6 @@ object MediaCodec {
       }
       y += 1
     }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(dst, "png", out)
-    out.toByteArray
+    writePng(dst)
   }
 }

@@ -65,6 +65,21 @@ object NonSqlOps extends QueryModule {
     * arithmetic over `doc_id`, which is what makes the decode
     * round-trippable by a SQL oracle.
     */
+  /** ONE copy of the fixture formulas (both oracles re-derive them in
+    * SQL): image dims/pixels and audio length/samples as closed forms
+    * over the doc id.
+    */
+  private def fixturePng(d: Long): Array[Byte] = {
+    val w = (8 + d % 24).toInt
+    val h = (8 + (d / 5) % 24).toInt
+    MediaCodec.encodePng(w, h, (x, y) => ((x * 31 + y * 17 + d) % 256).toInt)
+  }
+
+  private def fixtureWav(d: Long): Array[Byte] = {
+    val n = (800 + d % 800).toInt
+    MediaCodec.encodeWav(8000f, Array.tabulate(n)(i => ((i * 7 + d) % 256).toByte))
+  }
+
   private def mediaFixtures(documents: DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -78,13 +93,8 @@ object NonSqlOps extends QueryModule {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .as[Long].mapPartitions { it =>
       it.flatMap { d =>
-        val w = (8 + d % 24).toInt
-        val h = (8 + (d / 5) % 24).toInt
-        val png = MediaCodec.encodePng(w, h, (x, y) => ((x * 31 + y * 17 + d) % 256).toInt)
-        val n = (800 + d % 800).toInt
-        val wav = MediaCodec.encodeWav(8000f,
-          Array.tabulate(n)(i => ((i * 7 + d) % 256).toByte))
-        Iterator(Multimodal.MediaRow(d, "image", png), Multimodal.MediaRow(d, "audio", wav))
+        Iterator(Multimodal.MediaRow(d, "image", fixturePng(d)),
+                 Multimodal.MediaRow(d, "audio", fixtureWav(d)))
       }
     }
   }
@@ -109,12 +119,9 @@ object NonSqlOps extends QueryModule {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .as[Long].mapPartitions { it =>
       it.map { d =>
-        val sw = (8 + d % 24).toInt
-        val sh = (8 + (d / 5) % 24).toInt
-        val png = MediaCodec.encodePng(sw, sh, (x, y) => ((x * 31 + y * 17 + d) % 256).toInt)
         val dw = (4 + d % 8).toInt
         val dh = (4 + (d / 3) % 8).toInt
-        Multimodal.MediaRow(d, "image", MediaCodec.resizeNearest(png, dw, dh))
+        Multimodal.MediaRow(d, "image", MediaCodec.resizeNearest(fixturePng(d), dw, dh))
       }
     }
     Multimodal.decodeStats(resized).toDF()

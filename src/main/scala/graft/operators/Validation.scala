@@ -78,14 +78,16 @@ object Validation extends QueryModule {
     * [[graft.sources.EsJson.flattenHits]] — explode + `_id` → uuid +
     * `_source.*` keep-list rename. The oracle recomputes the page
     * directly from orders, so a reader that mangles any field or type
-    * fails the hash. Pages are bounded by construction (ES caps
-    * hits at 10k), so the single-doc assembly is not a scale concern;
-    * scrolled pages land as one doc per file and stay distributed.
+    * fails the hash. The page is bounded like a real ES page: the key
+    * cap mirrors the API's `size` limit (≤10k hits at ANY scale
+    * factor), deterministic so the oracle can reproduce it — the
+    * single-doc assembly never grows with the corpus; scrolled pages
+    * land as one doc per file and stay distributed.
     */
   def esRoundTrip(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
-    val page = orders.filter(col("o_orderkey") % 97 === 0)
+    val page = orders.filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") <= 970000)
     val hitJson = page.select(to_json(struct(
       lit("orders").as("_index"),
       concat(lit("order-"), col("o_orderkey")).as("_id"),
@@ -172,6 +174,6 @@ object Validation extends QueryModule {
                 o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 strftime(o_orderdate, '%Y-%m-%d') AS created_date,
                 o_orderpriority
-         FROM orders WHERE o_orderkey % 97 = 0 ORDER BY uuid""",
+         FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey <= 970000 ORDER BY uuid""",
   )
 }

@@ -27,14 +27,36 @@ object EsJson {
 
   /** `hits.hits` → flat table: `_id` becomes `uuid`, each requested
     * `_source` field comes out under its bare name (the reference's
-    * rename keep-list). Fields absent from a hit surface as null, like
-    * `json_normalize`.
+    * rename keep-list). Fields absent from EVERY hit surface as null
+    * string columns (like `json_normalize` over sparse records), and a
+    * zero-hit page — where JSON inference can't even type the empty
+    * array — yields an empty frame with the uuid + keep-list schema
+    * instead of failing analysis.
     */
   def flattenHits(response: DataFrame, sourceFields: Seq[String]): DataFrame = {
-    val hit = response.select(explode(col("hits.hits")).as("hit"))
-    val keep = col("hit._id").as("uuid") +:
-      sourceFields.map(f => col("hit._source").getField(f).as(f))
-    hit.select(keep: _*)
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+    val spark = response.sparkSession
+    val hitsType = response.schema.fields.find(_.name == "hits")
+      .map(_.dataType).collect { case s: StructType => s }
+      .flatMap(_.fields.find(_.name == "hits")).map(_.dataType)
+    hitsType match {
+      case Some(ArrayType(hitStruct: StructType, _)) =>
+        val hit = response.select(explode(col("hits.hits")).as("hit"))
+        val sourceStruct = hitStruct.fields.find(_.name == "_source")
+          .map(_.dataType).collect { case s: StructType => s }
+        val keep = col("hit._id").as("uuid") +: sourceFields.map { f =>
+          if (sourceStruct.exists(_.fieldNames.contains(f)))
+            col("hit._source").getField(f).as(f)
+          else lit(null).cast(StringType).as(f) // absent from every hit on this page
+        }
+        hit.select(keep: _*)
+      case _ =>
+        // empty page: hits.hits inferred as array<string> (or missing)
+        val schema = StructType(
+          org.apache.spark.sql.types.StructField("uuid", StringType) +:
+            sourceFields.map(f => org.apache.spark.sql.types.StructField(f, StringType)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** `ingest_url` derivation (email_providers.py:334-338): entity page

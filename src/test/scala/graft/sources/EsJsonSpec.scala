@@ -43,6 +43,23 @@ class EsJsonSpec extends SparkSpec {
     assert(nulled.forall(_.getAs[String]("ingest_url") == ""))
   }
 
+  test("zero-hit pages and fully-absent keep-list fields degrade to nulls, not errors") {
+    import spark.implicits._
+    // a normal empty ES result: hits.hits is [] and inference can't type it
+    val empty = spark.read.json(Seq(
+      """{"took":1,"timed_out":false,"hits":{"total":{"value":0,"relation":"eq"},"hits":[]}}""").toDS())
+    val flatEmpty = EsJson.flattenHits(empty, Seq("status", "title"))
+    assert(flatEmpty.columns.toSeq == Seq("uuid", "status", "title"))
+    assert(flatEmpty.count() == 0)
+    // a keep-list field carried by NO hit on the page → null column
+    val sparse = spark.read.json(Seq(
+      """{"hits":{"hits":[{"_id":"a","_source":{"status":"New"}}]}}""").toDS())
+    val flatSparse = EsJson.flattenHits(sparse, Seq("status", "not_present_anywhere"))
+    val row = flatSparse.collect().head
+    assert(row.getAs[String]("status") == "New")
+    assert(row.getAs[String]("not_present_anywhere") == null)
+  }
+
   test("groupViolations flags hits from the wrong group") {
     val bad = EsJson.groupViolations(flat, "group_name", "Group A").collect()
     assert(bad.map(_.getAs[String]("uuid")).toSeq == Seq("uuid-0003"))
