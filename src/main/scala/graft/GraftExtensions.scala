@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, SimHash64, TextMinHashMd5, TopKSketchAgg, WinnowFingerprints}
+import graft.functions.{FloatVecDot, MinHashMd5, ShingleSet, SimHash64, TextMinHashMd5, TopKSketchAgg, WinnowFingerprints}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.unsafe.types.UTF8String
@@ -46,6 +46,13 @@ object GraftFunctions {
       k = if (children.length > 2) intArg(children(2), "minhash k") else 3)),
     "topk_sketch" -> (children => TopKSketchAgg(children.head,
       capacity = intArg(children(1), "topk_sketch capacity")).toAggregateExpression()),
+    "shingle_set" -> (children => ShingleSet(children.head,
+      k = if (children.length > 1) intArg(children(1), "shingle k") else 3)),
+    "minhash_md5" -> (children => MinHashMd5(children.head,
+      salt = stringArg(children(1), "minhash salt"))),
+    // NearestCell is deliberately NOT SQL-registered: its centroid matrix
+    // is a referenced object (the whole point of its O(1) plan size), and
+    // a SQL literal argument would reintroduce the k×dim expression nest
   )
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

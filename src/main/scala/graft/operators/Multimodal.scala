@@ -305,6 +305,44 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Encode a multi-frame grayscale GIF (the JDK GIF writer supports
+    * sequences) — exercises the n_frames-greater-than-one decode path
+    * with a real container: [[analyzeImage]]'s `getNumImages(true)`
+    * counts the frames and the checksum reads frame 0. Grayscale fits a
+    * 256-color palette exactly, so pixel values round-trip.
+    */
+  def encodeGif(w: Int, h: Int, nFrames: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val writers = ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF ImageIO writer on this JVM")
+    val writer = writers.next()
+    try {
+      writer.setOutput(ios)
+      require(writer.canWriteSequence, "GIF writer cannot write sequences")
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = pixel(f, x, y) & 0xff
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** Image decode through an explicit in-memory input stream. */
   private def readImage(bytes: Array[Byte]): BufferedImage = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))

@@ -35,4 +35,19 @@ class GraftFunctionsSpec extends SparkSpec {
     val agg = spark.sql("SELECT topk_sketch(t, 1) AS c FROM toks").head().getSeq[String](0)
     assert(agg == Seq("x"))
   }
+
+  test("shingle_set and minhash_md5 are callable from SQL and compose") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT shingle_set('a b c d') AS sh,
+                shingle_set('a b c d', 2) AS sh2,
+                minhash_md5(shingle_set('a b c d'), 'salt0|') AS mh""").head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(r.getString(2).length == 32)
+    // composed SQL form == the fused text kernel
+    val pair = spark.sql(
+      """SELECT minhash_md5(shingle_set('w x y z'), 's|') = text_minhash_md5('w x y z', 's|') AS eq""").head()
+    assert(pair.getBoolean(0))
+  }
 }

@@ -72,5 +72,16 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val shCode = org.apache.spark.sql.execution.debug.codegenString(
       sh.queryExecution.executedPlan)
     assert(shCode.contains("fnv1a64"), "SimHash64 fell out of generated code")
+    val ss = t.documents.select(
+      graft.functions.ShingleSet.shingleSet(col("text")).as("sh"))
+    val ssCode = org.apache.spark.sql.execution.debug.codegenString(
+      ss.queryExecution.executedPlan)
+    assert(ssCode.contains("ShingleSet.evalText"), "ShingleSet fell out of generated code")
+    val nc = t.embeddings.select(
+      graft.functions.VecOps.nearestCell(col("embedding"),
+        Array(Array(0f, 1f), Array(1f, 0f))).as("cell"))
+    val ncCode = org.apache.spark.sql.execution.debug.codegenString(
+      nc.queryExecution.executedPlan)
+    assert(ncCode.contains("NearestCell.eval"), "NearestCell fell out of generated code")
   }
 }

@@ -27,6 +27,17 @@ class MultimodalSpec extends SparkSpec {
     assert(d.checksum == samples.map(_ & 0xff).map(_.toLong).sum)
   }
 
+  test("real multi-frame GIF round trip: frame count and first-frame pixels decode") {
+    val gifBytes = MediaCodec.encodeGif(7, 5, nFrames = 3,
+      (f, x, y) => (f * 50 + x * 31 + y * 17) % 256)
+    assert(new String(gifBytes.take(3), "US-ASCII") == "GIF")
+    val d = MediaCodec.analyzeImage(gifBytes)
+    assert(d.width == 7 && d.height == 5 && d.format == "gif")
+    assert(d.nFrames == 3)
+    val frame0 = (for (y <- 0 until 5; x <- 0 until 7) yield ((x * 31 + y * 17) % 256).toLong).sum
+    assert(d.checksum == frame0)
+  }
+
   test("JdkMediaDecoder dispatches image/audio to real codecs, video to the stub") {
     val png = MediaCodec.encodePng(4, 4, gray)
     val img = Multimodal.JdkMediaDecoder.analyze("image", png)
