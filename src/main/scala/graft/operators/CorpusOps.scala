@@ -79,9 +79,38 @@ object CorpusOps extends QueryModule {
       .orderBy("shard")
   }
 
+  /** Stratified sampling with EXACT per-group quotas: within each
+    * stratum keep the `frac`-quantile of rows by hash order
+    * (md5(salt|doc_id), doc_id tie-break) — deterministic, engine- and
+    * partitioning-independent like [[hashSampled]], but the quota is
+    * exact (ceil(n·frac) per group) instead of expected.
+    *
+    * Scale shape: the rank window sorts only narrow (group, hash, id)
+    * triples — payloads are projected away before the shuffle and can
+    * re-join on id afterwards. A handful of strata means a handful of
+    * sort tasks; when strata are few AND huge, prefer [[hashSampled]]
+    * (no sort, approximate quota) or salt the stratum into sub-ranges
+    * and take per-sub-quota. Exactness costs the sort; the mixture
+    * sampler is the no-sort default.
+    */
+  def stratifiedSample(documents: DataFrame, groupCol: String = "lang",
+                       frac: Double = 0.25, salt: String = "strat"): DataFrame = {
+    val narrow = documents.select(col(groupCol), col("doc_id"),
+      md5(concat(lit(salt + "|"), col("doc_id"))).as("h"))
+    val rankW = Window.partitionBy(groupCol).orderBy(col("h"), col("doc_id"))
+    val quotaW = Window.partitionBy(groupCol)
+    narrow
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .withColumn("quota", ceil(count(lit(1)).over(quotaW) * lit(frac)).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select(col(groupCol), col("doc_id"), col("rn"))
+      .orderBy(groupCol, "doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
     "q67_shard_packing" -> ((s, d) => shardPacking(Tables(s, d).documents)),
+    "q71_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -105,5 +134,14 @@ object CorpusOps extends QueryModule {
         |SELECT ((cum - toks) // 5000)::BIGINT AS shard, count(*) AS n_docs,
         |       sum(toks)::BIGINT AS total_tokens
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q71_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5('strat|' || doc_id), doc_id) AS rn,
+        |         ceil(count(*) OVER (PARTITION BY lang) * 0.25)::BIGINT AS quota
+        |  FROM documents)
+        |SELECT lang, doc_id, rn::BIGINT AS rn
+        |FROM ranked WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin,
   )
 }

@@ -85,10 +85,40 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Batch k-NN join: top-k cosine neighbors for EACH query vector — the
+    * retrieval-eval / dedup-audit workhorse. The query batch broadcasts
+    * (bounded like any probe batch), scoring is narrow per corpus row,
+    * and the per-query top-k is a rank window on `query_id` — Spark's
+    * WindowGroupLimit pushes the `rank <= k` cut ahead of the shuffle,
+    * so only each partition's local top-k rows move. Ranks over the
+    * ROUNDED similarity with a vec_id tie-break so ordering is
+    * deterministic on both engines.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+              round(cosine(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q70 wrapper: a deterministic bounded probe batch (key-capped like
+    * q69's ES page, ≤100 queries at any scale factor).
+    */
+  def knnJoinReport(embeddings: DataFrame): DataFrame =
+    knnJoin(embeddings.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700),
+      embeddings)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_cosine_topk"  -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
     "q36_blocked_pairs" -> ((s, d) => blockedSimilarPairs(Tables(s, d).embeddings)),
     "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings)),
+    "q70_knn_join"     -> ((s, d) => knnJoinReport(Tables(s, d).embeddings)),
   )
 
   private val dotSql =
@@ -115,5 +145,19 @@ object Similarity extends QueryModule {
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) > 0.3
           ORDER BY label, left_id, right_id""",
+    "q70_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                     WHERE vec_id % 97 = 0 AND vec_id <= 9700),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, vec_id, cos_sim, rank::BIGINT AS rank
+          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
   )
 }

@@ -24,6 +24,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(twoPhase == naive)
   }
 
+  test("stratifiedSample takes exactly ceil(n*frac) per stratum, deterministically") {
+    val docs = graft.Tables(spark, sf("")).documents
+    val perGroup = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = CorpusOps.stratifiedSample(docs, frac = 0.25)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val sampledBy = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    perGroup.foreach { case (lang, n) =>
+      assert(sampledBy.getOrElse(lang, 0L) == math.ceil(n * 0.25).toLong, s"lang $lang")
+    }
+    // repartitioning the input cannot change the selected set
+    val again = CorpusOps.stratifiedSample(docs.repartition(17), frac = 0.25)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
   test("hash sampling is deterministic and respects BOTH mixture branches") {
     // src0 is length 4 (~50% branch); src10 is length 5 (~25% branch)
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "src0" else "src10", "text"))

@@ -30,6 +30,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  test("knnJoin returns each query's top-k, matching per-query cosineTopK") {
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val queries = emb.filter(col("vec_id").isin(0L, 7L, 13L))
+    val got = Similarity.knnJoin(queries, emb, k = 4)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3).toSeq }
+    Seq(0L, 7L, 13L).foreach { q =>
+      val single = Similarity.cosineTopK(emb, queryId = q, k = 4)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got(q) == single, s"query $q")
+    }
+    // every query contributes exactly k rows
+    assert(got.values.forall(_.length == 4))
+  }
+
   test("blockedSimilarPairs only compares within the same label block") {
     val emb = Seq(
       (1L, Seq(1f, 0f), 0),
