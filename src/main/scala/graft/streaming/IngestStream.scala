@@ -42,6 +42,17 @@ object IngestStream {
               col("window.end").as("window_end"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment: join the request stream against a static
+    * dimension snapshot (the entity-api lookup table of SURVEY S19) —
+    * broadcast on the static side, so each micro-batch pays a map-side
+    * hash join and the stream never shuffles. The static plan re-reads
+    * per micro-batch, so a parquet-backed dimension picks up snapshot
+    * refreshes without restarting the query.
+    */
+  def enrichRequests(requests: DataFrame, dim: DataFrame,
+                     key: String = "dataset_id"): DataFrame =
+    requests.join(broadcast(dim), Seq(key), "left")
+
   /** Route a deduped request micro-batch through the workflow rule table
     * and append status events — the foreachBatch body (batch-mode
     * DataFrame in, side-effect-free DataFrames out; sinks are adapters).

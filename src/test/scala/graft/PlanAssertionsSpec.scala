@@ -44,6 +44,15 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("q70 knn join cuts per-query top-k before the window shuffle") {
+    val p = planText(graft.operators.Similarity.knnJoinReport(t.embeddings))
+    // WindowGroupLimit is the rank-pushdown operator: each map task keeps
+    // only its local top-k per query before shuffling — the difference
+    // between moving k rows and moving the whole scored corpus
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+    assert(p.contains("BroadcastExchange"), s"expected broadcast query batch:\n$p")
+  }
+
   test("headline aggregation runs inside whole-stage codegen") {
     val df = graft.operators.RelationalReports.pricingSummary(t.lineitem)
     val p = planText(df)

@@ -32,6 +32,28 @@ class IngestStreamSpec extends SparkSpec {
       ("r1", "wf_mock"), ("r2", "wf_salmon"), ("r3", "wf_default")))
   }
 
+  test("enrichRequests joins the stream against a static snapshot without shuffling it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val requests = input.toDF().toDF("run_id", "dataset_id", "request_time")
+    val dim = Seq(("d1", "Group A"), ("d2", "Group B")).toDF("dataset_id", "group_name")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = IngestStream.enrichRequests(requests, dim)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= batch.select("run_id", "group_name").as[(String, String)].collect()
+        ()
+      }.start()
+    input.addData(
+      ("r1", "d1", ts("2024-01-01 00:00:00")),
+      ("r2", "d2", ts("2024-01-01 00:01:00")),
+      ("r3", "d9", ts("2024-01-01 00:02:00"))) // no dim row → left-join null
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sortBy(_._1).toList == List(
+      ("r1", "Group A"), ("r2", "Group B"), ("r3", null)))
+  }
+
   test("windowedUsage aggregates tumbling event-time windows in batch mode") {
     val events = Seq(
       (ts("2024-01-01 00:01:00"), "purchase", 10.0),
