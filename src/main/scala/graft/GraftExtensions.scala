@@ -8,7 +8,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `simhash64(array<string>)`, `vec_dot(array<float>, array<float>)`,
   * `winnow_fingerprints(string[, k, w])`,
-  * `text_minhash_md5(string, salt[, k])` and the
+  * `text_minhash_md5(string, salt[, k])`, `shingle_set(string[, k])`,
+  * `minhash_md5(array<string>, salt)` and the
   * `topk_sketch(string, capacity)` aggregate in the function registry,
   * so `spark.sql` queries and downstream tools can call them. Install
   * either via `SparkSession.builder().withExtensions(new
@@ -48,8 +49,11 @@ object GraftFunctions {
       capacity = intArg(children(1), "topk_sketch capacity")).toAggregateExpression()),
     "shingle_set" -> (children => ShingleSet(children.head,
       k = if (children.length > 1) intArg(children(1), "shingle k") else 3)),
-    "minhash_md5" -> (children => MinHashMd5(children.head,
-      salt = stringArg(children(1), "minhash salt"))),
+    "minhash_md5" -> (children => {
+      require(children.length == 2,
+        s"minhash_md5(shingles, salt) takes exactly 2 arguments, got ${children.length}")
+      MinHashMd5(children.head, salt = stringArg(children(1), "minhash salt"))
+    }),
     // NearestCell is deliberately NOT SQL-registered: its centroid matrix
     // is a referenced object (the whole point of its O(1) plan size), and
     // a SQL literal argument would reintroduce the k×dim expression nest

@@ -94,21 +94,36 @@ object Similarity extends QueryModule {
     * ROUNDED similarity with a vec_id tie-break so ordering is
     * deterministic on both engines.
     */
-  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+              excludeSelfId: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // norms once per side, not per pair: the pair loop then evaluates ONE
+    // dot product instead of three (same hash-identical optimization as
+    // blockedSimilarPairs — sqrt(dot(x,x)) is the same arithmetic wherever
+    // it's computed). Corpus norms are narrow per-row work; query norms
+    // ride the broadcast.
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+      l2Norm(col("embedding")).as("query_norm"))
+    val c = corpus.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("norm"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
+    val scored = c.crossJoin(broadcast(q))
+    // self-exclusion only makes sense when the queries ARE corpus rows
+    // (id spaces coincide); for a separate query table with its own id
+    // sequence, pass excludeSelfId = false or an id collision silently
+    // drops a valid neighbor
+    val filtered = if (excludeSelfId) scored.filter(col("vec_id") =!= col("query_id")) else scored
+    filtered
       .select(col("query_id"), col("vec_id"),
-              round(cosine(col("embedding"), col("query_vec")), 6).as("cos_sim"))
+              round(dotProduct(col("embedding"), col("query_vec")) /
+                    (col("norm") * col("query_norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
 
   /** q70 wrapper: a deterministic bounded probe batch (key-capped like
-    * q69's ES page, ≤100 queries at any scale factor).
+    * q69's ES page — ids 0, 97, …, 9700: at most 101 queries at any
+    * scale factor).
     */
   def knnJoinReport(embeddings: DataFrame): DataFrame =
     knnJoin(embeddings.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700),

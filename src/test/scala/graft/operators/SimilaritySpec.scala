@@ -46,6 +46,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.forall(_.length == 4))
   }
 
+  test("knnJoin with a separate query table keeps id-colliding corpus rows") {
+    val emb = graft.Tables(spark, sf("")).embeddings
+    // external queries with their own id space that collides with corpus ids
+    val external = emb.filter(col("vec_id") === 42L)
+      .select(lit(7L).as("vec_id"), col("embedding"))
+    val withExclusion = Similarity.knnJoin(external, emb, k = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val noExclusion = Similarity.knnJoin(external, emb, k = 3, excludeSelfId = false)
+      .select("vec_id").as[Long].collect().toSet
+    // vec 42 is its own nearest neighbor; id-7 exclusion must not apply
+    assert(noExclusion.contains(42L))
+    assert(!withExclusion.contains(7L)) // the documented same-corpus semantics
+  }
+
   test("blockedSimilarPairs only compares within the same label block") {
     val emb = Seq(
       (1L, Seq(1f, 0f), 0),
