@@ -126,7 +126,25 @@ object TextAnalysis extends QueryModule {
       .orderBy("token")
   }
 
+  /** Gopher-style repetition gates (Rae et al. 2021 §A1.1): one-pass
+    * per-row kernel (no token explode/shuffle — raw tokens stay next to
+    * the row, the q62 design argument), with the drop rule as a
+    * relational flag: a document dominated by one token (>10%) or by
+    * repeated bigrams (>18%) is filtered before training.
+    */
+  def repetitionGates(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.RepetitionStats.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_words").as("n_words"),
+        round(col("r.top_word_frac"), 4).as("top_word_frac"),
+        round(col("r.dup_bigram_frac"), 4).as("dup_bigram_frac"),
+        (col("r.top_word_frac") <= 0.1 && col("r.dup_bigram_frac") <= 0.18).as("kept"))
+      .orderBy("doc_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_repetition"   -> ((s, d) => repetitionGates(Tables(s, d).documents)),
     "q62_heavy_tokens" -> ((s, d) => heavyHitterTokens(Tables(s, d).documents)),
     "q16_regex_tag"    -> ((s, d) => regexTagSummary(Tables(s, d).documents)),
     "q19_text_normalize" -> ((s, d) => normalized(Tables(s, d).documents)),
@@ -136,6 +154,29 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q72_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_words, max(c) AS top_c
+        |  FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) - 1 AS total,
+        |         len(list_distinct(list_transform(
+        |           range(1, len(string_split(text, ' '))),
+        |           i -> string_split(text, ' ')[i] || chr(31) || string_split(text, ' ')[i+1]))) AS dist
+        |  FROM documents)
+        |SELECT wc.doc_id, wc.n_words,
+        |       round(top_c / wc.n_words::DOUBLE, 4) AS top_word_frac,
+        |       round(CASE WHEN bg.total > 0
+        |                  THEN (bg.total - bg.dist) / bg.total::DOUBLE ELSE 0.0 END, 4) AS dup_bigram_frac,
+        |       (top_c / wc.n_words::DOUBLE <= 0.1 AND
+        |        CASE WHEN bg.total > 0
+        |             THEN (bg.total - bg.dist) / bg.total::DOUBLE ELSE 0.0 END <= 0.18) AS kept
+        |FROM wc JOIN bg ON wc.doc_id = bg.doc_id
+        |ORDER BY wc.doc_id""".stripMargin,
     "q62_heavy_tokens" ->
       """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
         |tot AS (SELECT count(*) AS n FROM toks),

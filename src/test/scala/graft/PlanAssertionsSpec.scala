@@ -92,5 +92,10 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val ncCode = org.apache.spark.sql.execution.debug.codegenString(
       nc.queryExecution.executedPlan)
     assert(ncCode.contains("NearestCell.eval"), "NearestCell fell out of generated code")
+    val rs = t.documents.select(
+      graft.functions.RepetitionStats.repetitionStats(col("text")).as("r"))
+    val rsCode = org.apache.spark.sql.execution.debug.codegenString(
+      rs.queryExecution.executedPlan)
+    assert(rsCode.contains("RepetitionStats.evalText"), "RepetitionStats fell out of generated code")
   }
 }

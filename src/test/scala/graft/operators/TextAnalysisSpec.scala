@@ -5,6 +5,35 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetition kernel matches the relational explode formulation") {
+    val docs = Seq(
+      (1L, "a a a a"),            // one token dominates; all bigrams identical
+      (2L, "a b c d e"),          // all distinct
+      (3L, "x y x y x y"),        // alternating: 2 distinct bigrams of 5
+      (4L, "solo"),               // no bigrams
+      (5L, "p q p q r r r p q")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionGates(docs)
+      .select("doc_id", "n_words", "top_word_frac", "dup_bigram_frac")
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (id, n, t, d) => id -> ((n, t, d)) }.toMap
+    // relational oracle: explode words / bigrams
+    import org.apache.spark.sql.functions.{col, explode, split, count, max, round => rnd}
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val wc = words.groupBy("doc_id", "w").agg(count("*").as("c"))
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.sum("c").as("n"), max("c").as("top"))
+      .as[(Long, Long, Long)].collect().map { case (id, n, top) => id -> ((n, top)) }.toMap
+    wc.foreach { case (id, (n, top)) =>
+      val (gn, gt, _) = got(id)
+      assert(gn == n, s"doc $id n_words")
+      val expectFrac = math.rint(top.toDouble / n * 10000) / 10000
+      assert(math.abs(gt - expectFrac) < 1e-9, s"doc $id top frac")
+    }
+    assert(got(1L) == ((4L, 1.0, 2.0 / 3)) || got(1L)._3 == 0.6667)
+    assert(got(2L)._3 == 0.0 && got(2L)._2 == 0.2)
+    assert(got(3L) == ((6L, 0.5, 0.6)))   // 5 bigrams, 2 distinct -> 3/5
+    assert(got(4L) == ((1L, 1.0, 0.0)))
+  }
+
   test("qualityScores: ratios and score are deterministic") {
     val docs = Seq((1L, "the cat sat", 11L)).toDF("doc_id", "text", "n_chars")
     val r = TextAnalysis.qualityScores(docs).head()
