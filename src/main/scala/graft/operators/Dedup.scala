@@ -275,6 +275,29 @@ object Dedup extends QueryModule {
     labels
   }
 
+  /** Chunk-level cross-document dedup (the scalable variant of
+    * substring dedup, Lee et al. 2021 "Deduplicating Training Data
+    * Makes Language Models Better"): overlapping fixed-width word
+    * chunks (window `chunkWords`, step `stride`), hashed and grouped —
+    * a chunk seen more than once is duplicated text, and `keeper_doc`
+    * (lowest id) marks which copy survives a removal pass. Shape at
+    * scale: chunk expansion is narrow per-row work; the ONLY shuffle is
+    * the groupBy on a 128-bit chunk hash (uniform by construction).
+    */
+  def chunkDedup(documents: DataFrame, chunkWords: Int = 6, stride: Int = 3): DataFrame =
+    documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          greatest(size(col("ws")) - chunkWords, lit(0)), lit(stride))).as("off"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("ws"), col("off") + 1, lit(chunkWords)), " ")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("chunk_hash")
+
   /** Connected components by the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — O(log n) rounds on ANY graph shape, vs min-label
@@ -361,6 +384,7 @@ object Dedup extends QueryModule {
     "q34_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "q35_lsh_candidates" -> ((s, d) => lshCandidatePairs(Tables(s, d).documents)),
     "q65_multiband_lsh"  -> ((s, d) => multiBandCandidatePairs(Tables(s, d).documents)),
+    "q73_chunk_dedup"    -> ((s, d) => chunkDedup(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -457,5 +481,15 @@ object Dedup extends QueryModule {
          SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.mh0 AS band_key
          FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
          ORDER BY left_id, right_id""",
+    "q73_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, greatest(len(ws) - 6 + 1, 1), 3)) AS off, ws FROM w),
+        |h AS (
+        |  SELECT doc_id, md5(array_to_string(ws[off+1:off+6], ' ')) AS chunk_hash FROM chunks)
+        |SELECT chunk_hash, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
+        |FROM h GROUP BY chunk_hash HAVING count(*) > 1
+        |ORDER BY chunk_hash""".stripMargin,
   )
 }

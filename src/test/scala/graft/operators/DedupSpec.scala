@@ -32,6 +32,24 @@ class DedupSpec extends SparkSpec {
     texts.indices.foreach(i => assert(fused(i.toLong) == hof(i.toLong), s"doc $i"))
   }
 
+  test("chunkDedup finds planted cross-document chunk duplication") {
+    val shared = "one two three four five six" // exactly one 6-word chunk
+    val docs = Seq(
+      (1L, s"$shared tail a b c"),
+      (2L, s"x y z $shared"),      // same chunk at stride-aligned offset 3
+      (3L, "totally different words here now ok")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, chunkWords = 6, stride = 3)
+      .select("n_occurrences", "n_docs", "keeper_doc")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1)
+    assert(got.head == ((2L, 2L, 1L)))
+    // a doc shorter than the window still contributes one truncated chunk
+    val short = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val g2 = Dedup.chunkDedup(short, chunkWords = 6, stride = 3)
+      .select("n_occurrences").as[Long].collect()
+    assert(g2.toSeq == Seq(2L))
+  }
+
   test("exactDedup groups case/whitespace-insensitive duplicates") {
     val docs = Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "other"))
       .toDF("doc_id", "text")
