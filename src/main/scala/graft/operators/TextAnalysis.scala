@@ -143,7 +143,41 @@ object TextAnalysis extends QueryModule {
         (col("r.top_word_frac") <= 0.1 && col("r.dup_bigram_frac") <= 0.18).as("kept"))
       .orderBy("doc_id")
 
+  /** Generic PII scrubbing (training-data mandate: corpora are scrubbed
+    * of emails/phones before training): codegen'd `regexp_replace` /
+    * `regexp_extract_all` — narrow per-row work, patterns injectable.
+    * Counts are taken pre-redaction so the report shows what was
+    * removed.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(df: DataFrame, textCol: String,
+                emailRe: String = EmailPattern, phoneRe: String = PhonePattern): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+
+  /** q74: deterministic contact notes synthesized from customer fields,
+    * scrubbed with the generic patterns — every redaction is
+    * re-derivable, so the oracle checks both the counts AND the exact
+    * redacted text.
+    */
+  def piiScrubReport(customer: DataFrame): DataFrame = {
+    val note = concat(
+      lit("contact "), col("c_name"),
+      lit(" at user"), col("c_custkey").cast("string"), lit("@example.com or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" re "), lower(col("c_mktsegment")))
+    redactPii(customer.select(col("c_custkey"), note.as("note")), "note")
+      .orderBy("c_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_pii_scrub"    -> ((s, d) => piiScrubReport(Tables(s, d).customer)),
     "q72_repetition"   -> ((s, d) => repetitionGates(Tables(s, d).documents)),
     "q62_heavy_tokens" -> ((s, d) => heavyHitterTokens(Tables(s, d).documents)),
     "q16_regex_tag"    -> ((s, d) => regexTagSummary(Tables(s, d).documents)),
@@ -154,6 +188,19 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q74_pii_scrub" ->
+      """WITH notes AS (
+        |  SELECT c_custkey,
+        |         'contact ' || c_name || ' at user' || c_custkey || '@example.com or +1-555-' ||
+        |         lpad((c_custkey % 10000)::VARCHAR, 4, '0') || ' re ' || lower(c_mktsegment) AS note
+        |  FROM customer)
+        |SELECT c_custkey,
+        |       regexp_replace(regexp_replace(note,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS note,
+        |       len(regexp_extract_all(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        |       len(regexp_extract_all(note, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
+        |FROM notes ORDER BY c_custkey""".stripMargin,
     "q72_repetition" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -5,6 +5,18 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redactPii scrubs every email/phone occurrence and counts pre-redaction") {
+    val rows = Seq(
+      (1L, "write a@b.io and c.d+x@e.org or call +1-555-0100 and +44-555-0199 now"),
+      (2L, "no pii here at all")).toDF("id", "note")
+    val got = TextAnalysis.redactPii(rows, "note")
+      .select("id", "note", "n_emails", "n_phones")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0)._2 == "write <EMAIL> and <EMAIL> or call <PHONE> and <PHONE> now")
+    assert(got(0)._3 == 2L && got(0)._4 == 2L)
+    assert(got(1)._2 == "no pii here at all" && got(1)._3 == 0L && got(1)._4 == 0L)
+  }
+
   test("repetition kernel matches the relational explode formulation") {
     val docs = Seq(
       (1L, "a a a a"),            // one token dominates; all bigrams identical
