@@ -21,6 +21,45 @@ class PropertySpec extends AnyFunSuite {
   private def randText(r: Random, maxWords: Int = 20): String =
     (1 to (1 + r.nextInt(maxWords))).map(_ => randWord(r)).mkString(" ")
 
+  test("shingle_set kernel: pure-JVM invariants over random texts") {
+    import graft.functions.ShingleSet
+    val r = new Random(44)
+    (1 to 200).foreach { _ =>
+      val t = randText(r)
+      val arr = ShingleSet.evalText(UTF8String.fromString(t), 3)
+      val shingles = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      // distinct, deterministic, and exactly the k-gram set of the split
+      assert(shingles.distinct == shingles)
+      val words = t.split(" ", -1)
+      val expected = (0 until math.max(words.length - 2, 1))
+        .map(i => words.slice(i, i + 3).mkString(" ")).distinct
+      assert(shingles == expected, s"text=$t")
+    }
+  }
+
+  test("repetition stats kernel: bounds and exactness over random texts") {
+    import graft.functions.RepetitionStats
+    val r = new Random(45)
+    (1 to 200).foreach { _ =>
+      val t = randText(r)
+      val row = RepetitionStats.evalText(UTF8String.fromString(t))
+      val n = row.getLong(0)
+      val topFrac = row.getDouble(1)
+      val dupFrac = row.getDouble(2)
+      val words = t.split(" ", -1)
+      assert(n == words.length)
+      val expTop = words.groupBy(identity).values.map(_.length).max.toDouble / n
+      assert(math.abs(topFrac - expTop) < 1e-12)
+      assert(topFrac > 0 && topFrac <= 1.0)
+      assert(dupFrac >= 0 && dupFrac < 1.0)
+      if (words.length >= 2) {
+        val bigrams = words.sliding(2).map(_.mkString("\u001f")).toSeq
+        val expDup = (bigrams.length - bigrams.distinct.length).toDouble / bigrams.length
+        assert(math.abs(dupFrac - expDup) < 1e-12)
+      }
+    }
+  }
+
   test("winnowing: deterministic, nonempty, self-identical") {
     val r = new Random(42)
     (1 to 200).foreach { _ =>
