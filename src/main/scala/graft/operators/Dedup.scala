@@ -285,18 +285,44 @@ object Dedup extends QueryModule {
     * the groupBy on a 128-bit chunk hash (uniform by construction).
     */
   def chunkDedup(documents: DataFrame, chunkWords: Int = 6, stride: Int = 3): DataFrame =
-    documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0),
-          greatest(size(col("ws")) - chunkWords, lit(0)), lit(stride))).as("off"))
-      .select(col("doc_id"),
-        md5(array_join(slice(col("ws"), col("off") + 1, lit(chunkWords)), " ")).as("chunk_hash"))
+    chunkHashes(documents, chunkWords, stride)
       .groupBy("chunk_hash")
       .agg(count(lit(1)).as("n_occurrences"),
            countDistinct(col("doc_id")).as("n_docs"),
            min(col("doc_id")).as("keeper_doc"))
       .filter(col("n_occurrences") > 1)
       .orderBy("chunk_hash")
+
+  /** Per-doc chunk hashes — shared by [[chunkDedup]] and
+    * [[decontaminate]].
+    */
+  private def chunkHashes(docs: DataFrame, chunkWords: Int, stride: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          greatest(size(col("ws")) - chunkWords, lit(0)), lit(stride))).as("off"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("ws"), col("off") + 1, lit(chunkWords)), " ")).as("chunk_hash"))
+
+  /** Benchmark decontamination (the eval-leak gate every serious
+    * training pipeline runs — e.g. GPT-3 §C, PaLM §7): flag corpus
+    * documents sharing any `chunkWords`-gram chunk with a benchmark
+    * set. Both sides reduce to chunk hashes; the benchmark side is
+    * distinct-ed and (being an eval set, small relative to the corpus)
+    * broadcast — the corpus never shuffles. Returns one row per
+    * contaminated doc with the overlap count; the removal pass is an
+    * anti-join on these ids.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    chunkWords: Int = 6, stride: Int = 1): DataFrame = {
+    val benchChunks = chunkHashes(benchmark, chunkWords, stride)
+      .select("chunk_hash").distinct()
+    chunkHashes(corpus, chunkWords, stride)
+      .join(broadcast(benchChunks), "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_chunks"))
+      .orderBy("doc_id")
+  }
 
   /** Connected components by the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -385,6 +411,11 @@ object Dedup extends QueryModule {
     "q35_lsh_candidates" -> ((s, d) => lshCandidatePairs(Tables(s, d).documents)),
     "q65_multiband_lsh"  -> ((s, d) => multiBandCandidatePairs(Tables(s, d).documents)),
     "q73_chunk_dedup"    -> ((s, d) => chunkDedup(Tables(s, d).documents)),
+    "q75_decontaminate"  -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 11 === 0), chunkWords = 4)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -491,5 +522,16 @@ object Dedup extends QueryModule {
         |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
         |FROM h GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
+    "q75_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, greatest(len(ws) - 4 + 1, 1), 1)) AS off, ws FROM w),
+        |h AS (
+        |  SELECT doc_id, md5(array_to_string(ws[off+1:off+4], ' ')) AS chunk_hash FROM chunks),
+        |bench AS (SELECT DISTINCT chunk_hash FROM h WHERE doc_id % 11 = 0),
+        |corpus AS (SELECT * FROM h WHERE doc_id % 11 <> 0)
+        |SELECT doc_id, count(*) AS n_contaminated_chunks
+        |FROM corpus JOIN bench USING (chunk_hash)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -50,6 +50,17 @@ class DedupSpec extends SparkSpec {
     assert(g2.toSeq == Seq(2L))
   }
 
+  test("decontaminate flags exactly the corpus docs overlapping the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then alpha beta gamma delta epsilon zeta and more"), // contains it
+      (2L, "alpha beta gamma but the run stops here early now"),             // only 3-gram overlap
+      (3L, "completely unrelated content with no shared spans at all")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, chunkWords = 6, stride = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L)) // one shared 6-gram; doc 2's partial overlap is below the window
+  }
+
   test("exactDedup groups case/whitespace-insensitive duplicates") {
     val docs = Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "other"))
       .toDF("doc_id", "text")
