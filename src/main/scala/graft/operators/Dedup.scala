@@ -39,10 +39,10 @@ object Dedup extends QueryModule {
     * like the slice semantics DuckDB shares; ≥1 shingle even for short
     * docs.
     */
-  def shingles(c: Column, k: Int = 3): Column = {
+  def shingles(c: Column, k: Int = 3, stride: Int = 1): Column = {
     val words = split(c, " ")
     transform(
-      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+      sequence(lit(1), greatest(size(words) - (k - 1), lit(1)), lit(stride)),
       i => array_join(slice(words, i, lit(k)), " "))
   }
 
@@ -283,8 +283,13 @@ object Dedup extends QueryModule {
     * (lowest id) marks which copy survives a removal pass. Shape at
     * scale: chunk expansion is narrow per-row work; the ONLY shuffle is
     * the groupBy on a 128-bit chunk hash (uniform by construction).
+    *
+    * stride trades cost for recall: stride > 1 only detects duplication
+    * whose word offsets are congruent mod stride across copies (a
+    * misaligned verbatim span produces disjoint chunk sets), so the
+    * default is full-recall stride 1 — raise it only for cheap triage.
     */
-  def chunkDedup(documents: DataFrame, chunkWords: Int = 6, stride: Int = 3): DataFrame =
+  def chunkDedup(documents: DataFrame, chunkWords: Int = 6, stride: Int = 1): DataFrame =
     chunkHashes(documents, chunkWords, stride)
       .groupBy("chunk_hash")
       .agg(count(lit(1)).as("n_occurrences"),
@@ -294,15 +299,14 @@ object Dedup extends QueryModule {
       .orderBy("chunk_hash")
 
   /** Per-doc chunk hashes — shared by [[chunkDedup]] and
-    * [[decontaminate]].
+    * [[decontaminate]]; built on the same windowing as [[shingles]] so
+    * the truncated-tail / at-least-one-window edge arithmetic lives in
+    * ONE place.
     */
   private def chunkHashes(docs: DataFrame, chunkWords: Int, stride: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0),
-          greatest(size(col("ws")) - chunkWords, lit(0)), lit(stride))).as("off"))
-      .select(col("doc_id"),
-        md5(array_join(slice(col("ws"), col("off") + 1, lit(chunkWords)), " ")).as("chunk_hash"))
+    docs.select(col("doc_id"),
+        explode(shingles(col("text"), chunkWords, stride)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
 
   /** Benchmark decontamination (the eval-leak gate every serious
     * training pipeline runs — e.g. GPT-3 §C, PaLM §7): flag corpus
@@ -315,10 +319,23 @@ object Dedup extends QueryModule {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     chunkWords: Int = 6, stride: Int = 1): DataFrame = {
-    val benchChunks = chunkHashes(benchmark, chunkWords, stride)
-      .select("chunk_hash").distinct()
-    chunkHashes(corpus, chunkWords, stride)
-      .join(broadcast(benchChunks), "chunk_hash")
+    // benchmark items SHORTER than the window hash to a single truncated
+    // chunk that no full-width corpus window can equal — the classic
+    // silent hole for short QA answer keys. Handle them by also sliding
+    // corpus windows at each short benchmark length (at most
+    // chunkWords-1 distinct widths; the driver-side collect is bounded
+    // by that constant, not by data).
+    val benchLens = benchmark
+      .select(least(size(split(col("text"), " ")), lit(chunkWords)).as("len"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val matches = benchLens.map { len =>
+      val benchSide = benchmark.filter(
+        least(size(split(col("text"), " ")), lit(chunkWords)) === len)
+      val benchChunks = chunkHashes(benchSide, len, stride)
+        .select("chunk_hash").distinct()
+      chunkHashes(corpus, len, stride).join(broadcast(benchChunks), "chunk_hash")
+    }
+    matches.reduce(_ unionByName _)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_chunks"))
       .orderBy("doc_id")
@@ -515,7 +532,7 @@ object Dedup extends QueryModule {
     "q73_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |chunks AS (
-        |  SELECT doc_id, unnest(range(0, greatest(len(ws) - 6 + 1, 1), 3)) AS off, ws FROM w),
+        |  SELECT doc_id, unnest(range(0, greatest(len(ws) - 6 + 1, 1), 1)) AS off, ws FROM w),
         |h AS (
         |  SELECT doc_id, md5(array_to_string(ws[off+1:off+6], ' ')) AS chunk_hash FROM chunks)
         |SELECT chunk_hash, count(*) AS n_occurrences,

@@ -146,20 +146,26 @@ object TextAnalysis extends QueryModule {
   /** Generic PII scrubbing (training-data mandate: corpora are scrubbed
     * of emails/phones before training): codegen'd `regexp_replace` /
     * `regexp_extract_all` — narrow per-row work, patterns injectable.
-    * Counts are taken pre-redaction so the report shows what was
-    * removed.
+    * Counts reconcile exactly with the replacements in the output
+    * (emails counted on the original, phones on the email-redacted
+    * text — see the in-code note).
     */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
   def redactPii(df: DataFrame, textCol: String,
-                emailRe: String = EmailPattern, phoneRe: String = PhonePattern): DataFrame =
+                emailRe: String = EmailPattern, phoneRe: String = PhonePattern): DataFrame = {
+    // phones are counted on the email-redacted text, not the original:
+    // a phone-shaped span INSIDE an email match is consumed by <EMAIL>,
+    // and the counts must reconcile with what the output actually
+    // replaced
+    val emailsRedacted = regexp_replace(col(textCol), emailRe, "<EMAIL>")
     df.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
       .withColumn("n_phones",
-        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
-      .withColumn(textCol,
-        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+        size(regexp_extract_all(emailsRedacted, lit(phoneRe), lit(0))).cast("long"))
+      .withColumn(textCol, regexp_replace(emailsRedacted, phoneRe, "<PHONE>"))
+  }
 
   /** q74: deterministic contact notes synthesized from customer fields,
     * scrubbed with the generic patterns — every redaction is
@@ -196,10 +202,12 @@ object TextAnalysis extends QueryModule {
         |  FROM customer)
         |SELECT c_custkey,
         |       regexp_replace(regexp_replace(note,
-        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS note,
-        |       len(regexp_extract_all(note, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
-        |       len(regexp_extract_all(note, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
+        |       len(regexp_extract_all(note, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        |       len(regexp_extract_all(regexp_replace(note,
+        |         '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
         |FROM notes ORDER BY c_custkey""".stripMargin,
     "q72_repetition" ->
       """WITH words AS (

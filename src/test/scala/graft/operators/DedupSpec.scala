@@ -32,17 +32,22 @@ class DedupSpec extends SparkSpec {
     texts.indices.foreach(i => assert(fused(i.toLong) == hof(i.toLong), s"doc $i"))
   }
 
-  test("chunkDedup finds planted cross-document chunk duplication") {
+  test("chunkDedup finds planted cross-document chunk duplication at ANY offset") {
     val shared = "one two three four five six" // exactly one 6-word chunk
     val docs = Seq(
       (1L, s"$shared tail a b c"),
-      (2L, s"x y z $shared"),      // same chunk at stride-aligned offset 3
+      (2L, s"x y $shared z"),      // deliberately misaligned offset (2)
       (3L, "totally different words here now ok")).toDF("doc_id", "text")
-    val got = Dedup.chunkDedup(docs, chunkWords = 6, stride = 3)
+    val got = Dedup.chunkDedup(docs, chunkWords = 6)
+      .filter(col("n_docs") > 1)
       .select("n_occurrences", "n_docs", "keeper_doc")
       .as[(Long, Long, Long)].collect()
     assert(got.length == 1)
     assert(got.head == ((2L, 2L, 1L)))
+    // stride > 1 is the documented recall trade: the SAME duplication
+    // becomes invisible because the copies' offsets are not congruent
+    assert(Dedup.chunkDedup(docs, chunkWords = 6, stride = 3)
+      .filter(col("n_docs") > 1).count() == 0)
     // a doc shorter than the window still contributes one truncated chunk
     val short = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
     val g2 = Dedup.chunkDedup(short, chunkWords = 6, stride = 3)
@@ -59,6 +64,19 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.decontaminate(corpus, bench, chunkWords = 6, stride = 1)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L)) // one shared 6-gram; doc 2's partial overlap is below the window
+  }
+
+  test("decontaminate catches benchmark items SHORTER than the chunk window") {
+    // a 3-word eval answer key verbatim inside a long corpus doc: full-width
+    // corpus chunks can never hash-equal the truncated benchmark chunk, so
+    // the short-length matching pass must catch it
+    val bench = Seq((100L, "forty two exactly")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the model answered forty two exactly as the key required it to"),
+      (2L, "nothing relevant in this one at all today")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench, chunkWords = 6, stride = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L))
   }
 
   test("exactDedup groups case/whitespace-insensitive duplicates") {

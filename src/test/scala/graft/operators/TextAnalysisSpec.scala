@@ -15,6 +15,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0)._2 == "write <EMAIL> and <EMAIL> or call <PHONE> and <PHONE> now")
     assert(got(0)._3 == 2L && got(0)._4 == 2L)
     assert(got(1)._2 == "no pii here at all" && got(1)._3 == 0L && got(1)._4 == 0L)
+    // mixed-case emails are still PII; a phone-shaped span consumed by an
+    // email match is neither counted nor double-redacted
+    val tricky = Seq(
+      (1L, "mail John.Doe@Gmail.com or +1-555-0100@relay.io today")).toDF("id", "note")
+    val t = TextAnalysis.redactPii(tricky, "note")
+      .select("note", "n_emails", "n_phones").as[(String, Long, Long)].head()
+    assert(t._1 == "mail <EMAIL> or <EMAIL> today")
+    assert(t._2 == 2L && t._3 == 0L)
   }
 
   test("repetition kernel matches the relational explode formulation") {
