@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * order like `array_distinct`. Real codegen via a static-helper call,
   * same rationale as [[MinHashMd5]].
   */
-case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleSet(child: Expression, k: Int, stride: Int = 1,
+                      distinct: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -33,10 +34,11 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleSet.evalText(input.asInstanceOf[UTF8String], k)
+    ShingleSet.evalText(input.asInstanceOf[UTF8String], k, stride, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleSet.evalText($c, $k)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleSet.evalText($c, $k, $stride, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
@@ -47,16 +49,28 @@ object ShingleSet {
   def shingleSet(text: Column, k: Int = 3): Column =
     GraftGlue.column(ShingleSet(GraftGlue.expression(text), k))
 
+  /** Non-distinct strided windows — the chunk-hashing shape (q73/q75):
+    * every window survives (duplicates included, offsets `stride`
+    * apart), matching `transform(sequence(1, greatest(n-k+1, 1),
+    * stride), i -> array_join(slice(words, i, k), ' '))`.
+    */
+  def shingleWindows(text: Column, k: Int, stride: Int = 1): Column =
+    GraftGlue.column(ShingleSet(GraftGlue.expression(text), k, stride, distinct = false))
+
   /** Static kernel shared by interpreted eval and generated code. Never
     * null for non-null input: even empty text yields one (empty)
-    * shingle, matching `sequence(1, greatest(n-k+1, 1))`.
+    * shingle, matching `sequence(1, greatest(n-k+1, 1), stride)`.
+    * `distinct = true` keeps first-occurrence order like
+    * `array_distinct`; `false` emits every window.
     */
-  def evalText(text: UTF8String, k: Int): ArrayData = {
+  def evalText(text: UTF8String, k: Int, stride: Int = 1,
+               distinct: Boolean = true): ArrayData = {
     val words = text.toString.split(" ", -1)
     val n = words.length
     val nShingles = math.max(n - k + 1, 1)
-    // first-occurrence order, like array_distinct
-    val seen = new java.util.LinkedHashSet[String](math.min(nShingles * 2, 1 << 16))
+    val acc: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](math.min(nShingles * 2, 1 << 16))
+      else new java.util.ArrayList[String]((nShingles + stride - 1) / stride)
     var i = 0
     while (i < nShingles) {
       val end = math.min(i + k, n)
@@ -70,11 +84,11 @@ object ShingleSet {
         sb.append(words(j))
         j += 1
       }
-      seen.add(sb.toString)
-      i += 1
+      acc.add(sb.toString)
+      i += stride
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
+    val out = new Array[Any](acc.size)
+    val it = acc.iterator()
     var p = 0
     while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
     new GenericArrayData(out)

@@ -305,7 +305,8 @@ object Dedup extends QueryModule {
     */
   private def chunkHashes(docs: DataFrame, chunkWords: Int, stride: Int): DataFrame =
     docs.select(col("doc_id"),
-        explode(shingles(col("text"), chunkWords, stride)).as("chunk"))
+        explode(graft.functions.ShingleSet.shingleWindows(
+          col("text"), chunkWords, stride)).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
 
   /** Benchmark decontamination (the eval-leak gate every serious

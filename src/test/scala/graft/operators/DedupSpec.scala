@@ -32,6 +32,21 @@ class DedupSpec extends SparkSpec {
     texts.indices.foreach(i => assert(fused(i.toLong) == hof(i.toLong), s"doc $i"))
   }
 
+  test("shingleWindows (non-distinct, strided) matches the HOF windowing") {
+    val texts = Seq("a b c d e f g", "x x x x x", "only", "", "p q", "a b c d e f g h i")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (stride <- Seq(1, 2, 3)) {
+      val fused = df.select(col("doc_id"),
+          graft.functions.ShingleSet.shingleWindows(col("text"), 4, stride).as("w"))
+        .as[(Long, Seq[String])].collect().toMap
+      val hof = df.select(col("doc_id"),
+          Dedup.shingles(col("text"), 4, stride).as("w"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.indices.foreach(i =>
+        assert(fused(i.toLong) == hof(i.toLong), s"doc $i stride $stride"))
+    }
+  }
+
   test("chunkDedup finds planted cross-document chunk duplication at ANY offset") {
     val shared = "one two three four five six" // exactly one 6-word chunk
     val docs = Seq(
