@@ -46,15 +46,29 @@ object NonSqlOps extends QueryModule {
     * itself handles any length.
     */
   def winnowContainment(documents: DataFrame): DataFrame = {
+    // A self-join on doc_id+1 would run the winnow kernel TWICE (once per
+    // join side) and shuffle each side separately. Instead: compute each
+    // document's fingerprint set ONCE, fan the array out to the (at most
+    // two) consecutive pairs it participates in, and reassemble pairs
+    // with a single hash-partitioned aggregation — same shuffle volume,
+    // half the kernel work, one scan. Each pair group holds exactly one
+    // 'l' and one 'r' row, so first(ignoreNulls) is deterministic.
     val withFp = documents.filter(length(col("text")) >= 8)
       .select(col("doc_id"), winnowFingerprints(lower(col("text"))).as("fp"))
-    val inter = size(array_intersect(col("a.fp"), col("b.fp")))
-    withFp.as("a")
-      .join(withFp.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
-        size(col("a.fp")).cast("long").as("n_fp_left"),
+    val sides = withFp.select(col("fp"),
+        explode(array(
+          struct(col("doc_id").as("pair_id"), lit("l").as("side")),
+          struct((col("doc_id") - 1).as("pair_id"), lit("r").as("side")))).as("e"))
+      .select(col("e.pair_id").as("pair_id"), col("e.side").as("side"), col("fp"))
+    val paired = sides.groupBy("pair_id").agg(
+        first(when(col("side") === "l", col("fp")), ignoreNulls = true).as("fp_l"),
+        first(when(col("side") === "r", col("fp")), ignoreNulls = true).as("fp_r"))
+      .filter(col("fp_l").isNotNull && col("fp_r").isNotNull)
+    val inter = size(array_intersect(col("fp_l"), col("fp_r")))
+    paired.select(col("pair_id").as("left_id"), (col("pair_id") + 1).as("right_id"),
+        size(col("fp_l")).cast("long").as("n_fp_left"),
         inter.cast("long").as("n_common"),
-        round(inter / size(col("a.fp")).cast("double"), 4).as("containment"))
+        round(inter / size(col("fp_l")).cast("double"), 4).as("containment"))
       .orderBy("left_id")
   }
 
