@@ -17,6 +17,11 @@ run / fork := true
 // which breaks line-oriented consumers of Bench's single JSON line
 // (BENCH_r01.json recorded parsed:null for exactly this reason).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and without this sbt appends "[success] Total time: ..." AFTER the
+// JSON line, so a consumer that parses the last stdout line still fails
+// (every BENCH_r*.json so far recorded parsed:null). The exit code
+// already carries success/failure.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
