@@ -112,12 +112,12 @@ case class NearestCell(child: Expression, centroids: Array[Array[Float]])
   @transient private lazy val centroidNormsSq: Array[Double] = NearestCell.normsSq(centroids)
 
   override def nullSafeEval(input: Any): Any =
-    NearestCell.eval(input.asInstanceOf[ArrayData], centroids, centroidNormsSq)
+    NearestCell.evalVec(input.asInstanceOf[ArrayData], centroids, centroidNormsSq)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
     val nRef = ctx.addReferenceObj("centroidNormsSq", centroidNormsSq, "double[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.NearestCell.eval($c, $cRef, $nRef)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NearestCell.evalVec($c, $cRef, $nRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCell =
@@ -135,7 +135,7 @@ object NearestCell {
     }
 
   /** Static kernel shared by interpreted eval and generated code. */
-  def eval(vec: ArrayData, centroids: Array[Array[Float]], normsSq: Array[Double]): Int = {
+  def evalVec(vec: ArrayData, centroids: Array[Array[Float]], normsSq: Array[Double]): Int = {
     val v = vec.toFloatArray()
     var best = Double.PositiveInfinity
     var bestCell = 0

@@ -64,7 +64,7 @@ object Dedup extends QueryModule {
     * single- and multi-band candidate generators so the slice arithmetic
     * lives in exactly one place.
     */
-  private val PairExpansionExpr =
+  private[operators] val PairExpansionExpr =
     "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as left_id, y as right_id))))"
 
   /** LSH band bucketing: candidate duplicate pairs = docs sharing a band

@@ -129,11 +129,68 @@ object Similarity extends QueryModule {
     knnJoin(embeddings.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700),
       embeddings)
 
+  /** Embedding-cosine near-duplicate detection via signed-random-
+    * projection LSH (hyperplane MinHash analogue): band keys from
+    * [[graft.functions.SrpBandKeys]], candidates = pairs colliding in ANY
+    * band (the multi-band one-scan-one-shuffle shape of q65), then an
+    * exact-cosine verify join SCOPED TO CANDIDATES ONLY (the q58 shape —
+    * at 100 TB the candidate set is tiny next to the corpus, so the two
+    * id-keyed joins touch a sliver of it). Bucket fan-out shuffles bare
+    * (id, band) rows — vectors only ride the verify join.
+    */
+  def srpCandidatePairs(vectors: DataFrame, bands: Int, bitsPerBand: Int,
+                        dim: Int): DataFrame = {
+    val planes = graft.functions.SrpBandKeys.planes(bands * bitsPerBand, dim)
+    vectors
+      .select(col("vec_id"),
+        posexplode(graft.functions.SrpBandKeys.srpBandKeys(col("embedding"), planes, bitsPerBand)))
+      .toDF("vec_id", "band_idx", "band_key")
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(Dedup.PairExpansionExpr)).as("pair"))
+      .select(col("pair.left_id"), col("pair.right_id"))
+      .distinct()
+  }
+
+  def srpNearDupPairs(vectors: DataFrame, bands: Int = 8, bitsPerBand: Int = 8,
+                      dim: Int = 64, threshold: Double = 0.98): DataFrame = {
+    val cands = srpCandidatePairs(vectors, bands, bitsPerBand, dim)
+    val e = vectors.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("norm"))
+    cands
+      .join(e.as("a"), col("left_id") === col("a.vec_id"))
+      .join(e.as("b"), col("right_id") === col("b.vec_id"))
+      .select(col("left_id"), col("right_id"),
+        round(dotProduct(col("a.embedding"), col("b.embedding")) /
+              (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("left_id", "right_id")
+  }
+
+  /** q76: the synthetic embeddings have no high-cosine pairs (max ≈ 0.51
+    * at sf0.01), so near-duplicates are PLANTED in-plan — every tenth
+    * vector re-enters under a shifted id with its first component nudged
+    * by +0.1f (the vectors are unit-normalized, so cosine ≈ 0.995) — and the SRP pipeline must recover
+    * exactly those pairs. The float nudge is single-rounding arithmetic
+    * (both engines: f32 + f32 exact in double, rounded once to f32), so
+    * the oracle rebuilds the identical corpus.
+    */
+  def srpNearDupReport(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val planted = embeddings.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.1f)).otherwise(x)).as("embedding"))
+    srpNearDupPairs(base.unionByName(planted))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_cosine_topk"  -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
     "q36_blocked_pairs" -> ((s, d) => blockedSimilarPairs(Tables(s, d).embeddings)),
     "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings)),
     "q70_knn_join"     -> ((s, d) => knnJoinReport(Tables(s, d).embeddings)),
+    "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings)),
   )
 
   private val dotSql =
@@ -174,5 +231,44 @@ object Similarity extends QueryModule {
             FROM scored)
           SELECT query_id, vec_id, cos_sim, rank::BIGINT AS rank
           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q76: rebuilds the planted corpus, re-derives the md5 hyperplane
+    // signs and the sequential-fold dots (list_sum/list_transform is the
+    // proven bit-identical mirror of FloatVecDot), rebuilds the band
+    // keys, and checks the exact candidate->verify pipeline output.
+    "q76_srp_neardup" ->
+      s"""WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000,
+                   list_transform(generate_series(1, len(embedding)), i ->
+                     CASE WHEN i = 1
+                          THEN embedding[1] + CAST(0.1 AS FLOAT)
+                          ELSE embedding[i] END) AS embedding
+            FROM embeddings WHERE vec_id % 10 = 0
+          ),
+          keys AS (
+            SELECT vec_id, r.range AS band_idx,
+              CAST(list_sum(list_transform(generate_series(0, 7), jj ->
+                CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+                    CAST(embedding[i] AS DOUBLE) *
+                    CASE WHEN substr(md5('srp:' || (r.range * 8 + jj) || ':' || (i - 1)), 1, 1)
+                         BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END
+                  )) >= 0 THEN (1 << jj) ELSE 0 END
+              )) AS BIGINT) AS band_key
+            FROM corpus, range(8) r
+          ),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM keys a JOIN keys b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id
+          )
+          SELECT c.left_id, c.right_id,
+                 round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+          FROM cand c
+          JOIN corpus a ON c.left_id = a.vec_id
+          JOIN corpus b ON c.right_id = b.vec_id
+          WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.98
+          ORDER BY left_id, right_id""",
   )
 }

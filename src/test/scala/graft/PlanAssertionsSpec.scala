@@ -91,11 +91,27 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         Array(Array(0f, 1f), Array(1f, 0f))).as("cell"))
     val ncCode = org.apache.spark.sql.execution.debug.codegenString(
       nc.queryExecution.executedPlan)
-    assert(ncCode.contains("NearestCell.eval"), "NearestCell fell out of generated code")
+    assert(ncCode.contains("NearestCell.evalVec"), "NearestCell fell out of generated code")
     val rs = t.documents.select(
       graft.functions.RepetitionStats.repetitionStats(col("text")).as("r"))
     val rsCode = org.apache.spark.sql.execution.debug.codegenString(
       rs.queryExecution.executedPlan)
     assert(rsCode.contains("RepetitionStats.evalText"), "RepetitionStats fell out of generated code")
+    val sb = t.embeddings.select(
+      graft.functions.SrpBandKeys.srpBandKeys(col("embedding"),
+        graft.functions.SrpBandKeys.planes(8, 64), 4).as("keys"))
+    val sbCode = org.apache.spark.sql.execution.debug.codegenString(
+      sb.queryExecution.executedPlan)
+    assert(sbCode.contains("SrpBandKeys.evalVec"), "SrpBandKeys fell out of generated code")
+
+    // source presence is necessary but not sufficient: a generated call
+    // that doesn't COMPILE (e.g. a companion kernel whose static
+    // forwarder scalac suppressed because the class has a same-named
+    // instance method — the NearestCell.eval regression) only logs a
+    // warning and silently degrades to interpreted projections. Force
+    // codegen-only mode and execute, so a compile error fails the suite.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try Seq(mh, fp, sh, ss, nc, rs, sb).foreach(_.collect())
+    finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 }

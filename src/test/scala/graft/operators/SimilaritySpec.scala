@@ -70,4 +70,51 @@ class SimilaritySpec extends SparkSpec {
       .select("left_id", "right_id").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L)))
   }
+
+  test("SrpBandKeys matches the composed vecDot-sign formulation") {
+    val planes = graft.functions.SrpBandKeys.planes(16, 64)
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val kernel = emb.select(col("vec_id"),
+      graft.functions.SrpBandKeys.srpBandKeys(col("embedding"), planes, 4).as("keys"))
+    // reference: one vecDot per plane, bits packed 4 per band
+    val bandCols = (0 until 4).map { band =>
+      (0 until 4).map { jj =>
+        val j = band * 4 + jj
+        when(graft.functions.VecOps.vecDot(col("embedding"),
+          typedlit(planes(j).toSeq)) >= 0d, lit(1L << jj)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val composed = emb.select(col("vec_id"), array(bandCols: _*).as("keys"))
+    assert(kernel.as[(Long, Seq[Long])].collect().toMap ==
+      composed.as[(Long, Seq[Long])].collect().toMap)
+  }
+
+  test("srp planes are deterministic ±1 and plan size is independent of band count") {
+    val p1 = graft.functions.SrpBandKeys.planes(8, 16)
+    val p2 = graft.functions.SrpBandKeys.planes(8, 16)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(v => v == 1.0f || v == -1.0f))
+    val emb = graft.Tables(spark, sf("")).embeddings
+    def planLen(bands: Int): Int = emb.select(
+      graft.functions.SrpBandKeys.srpBandKeys(col("embedding"),
+        graft.functions.SrpBandKeys.planes(bands * 8, 64), 8).as("k"))
+      .queryExecution.optimizedPlan.toString.length
+    // the plane matrix rides a reference object, not the expression tree
+    assert(math.abs(planLen(32) - planLen(2)) < 64)
+  }
+
+  test("srpNearDupPairs recovers planted near-duplicates and nothing else") {
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val planted = emb.select((col("vec_id") + 10000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.1f)).otherwise(x))
+        .as("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val got = Similarity.srpNearDupPairs(corpus)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val nVecs = emb.count()
+    val expected = (0L until nVecs).map(i => (i, i + 10000000L)).toSet
+    // every planted pair is a candidate in SOME band at cos≈0.995 and
+    // survives the exact verify; random pairs (cos ≤ ~0.55) never pass
+    assert(got == expected)
+  }
 }
