@@ -22,6 +22,7 @@ object SparkEntry {
     Validation,
     SetOpsAndSessions,
     NonSqlOps,
+    Ranking,
     Quantize,
     AsOfJoin,
     RangeJoin,

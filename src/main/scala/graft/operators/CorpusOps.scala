@@ -107,10 +107,31 @@ object CorpusOps extends QueryModule {
       .orderBy(groupCol, "doc_id")
   }
 
+  /** Temperature-scaled mixture weights per source (the GPT-3/PaLM
+    * corpus-mix recipe: weight ∝ n_tokens^α with α < 1, upweighting
+    * small high-quality sources): one map-side-combined aggregation to
+    * source granularity, then the normalizer over the handful of source
+    * rows — the single unpartitioned window runs over `n_sources` rows,
+    * never over documents (the q67 two-phase argument applied where the
+    * key space is already tiny).
+    */
+  def mixtureWeights(documents: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val bySource = documents.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val all = Window.partitionBy()
+    bySource
+      .withColumn("raw", pow(col("n_tokens").cast("double"), lit(alpha)))
+      .withColumn("weight", round(col("raw") / sum(col("raw")).over(all), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
     "q67_shard_packing" -> ((s, d) => shardPacking(Tables(s, d).documents)),
     "q71_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
+    "q82_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -134,6 +155,14 @@ object CorpusOps extends QueryModule {
         |SELECT ((cum - toks) // 5000)::BIGINT AS shard, count(*) AS n_docs,
         |       sum(toks)::BIGINT AS total_tokens
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q82_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |       round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6) AS weight
+        |FROM s ORDER BY source""".stripMargin,
     "q71_stratified_sample" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id,

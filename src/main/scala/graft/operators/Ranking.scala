@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval / scoring operators over the documents corpus —
+  * the index-building side of a training-data pipeline (dedup and
+  * decontamination both lean on posting lists and term statistics, and
+  * retrieval evals need a scoring baseline).
+  *
+  * All three operators share the same scale anatomy: one token explode,
+  * map-side-combined groupBys, a vocabulary-sized dimension table that
+  * BROADCASTS back onto the term-keyed fact (vocabulary ≪ corpus — the
+  * classic small-dim join), and per-key windows whose limits Spark cuts
+  * map-side (WindowGroupLimit). No driver-side state, no all-pairs.
+  *
+  * Determinism contract with the DuckDB oracle: ranks order by the
+  * ROUNDED score with a term tie-break (the q70 pattern — raw doubles
+  * may differ in the last ulp across engines, rounded ones don't);
+  * every per-document sum is either integer-exact or a fixed-order sum
+  * of per-term columns.
+  */
+object Ranking extends QueryModule {
+
+  private def termsOf(textCol: String): org.apache.spark.sql.Column =
+    explode(split(lower(col(textCol)), " "))
+
+  /** Per-document term frequencies — the shared first stage. */
+  private def termFreq(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), termsOf("text").as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** q77: top-k terms per document by tf·idf (idf = ln(N/df)). The df
+    * table is vocabulary-sized, so it broadcasts; the per-doc top-k is
+    * a rank window over the rounded score.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = termFreq(documents)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** q78: Okapi BM25 of a fixed query against every document
+    * (idf = ln(1 + (N - df + ½)/(df + ½)), k1 = 1.2, b = 0.75).
+    * The corpus stats (N, avgdl) are one broadcast scalar row; scoring
+    * is a narrow projection over the term-filtered tf table. The final
+    * score adds the per-term sums in FIXED query-term order — each sum
+    * has at most one row per document, so the addition order (the only
+    * float-order hazard in the query) is pinned on both engines.
+    */
+  def bm25Scores(documents: DataFrame,
+                 queryTerms: Seq[String] = Seq("spark", "join", "window")): DataFrame = {
+    val stats = documents.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(split(lower(col("text")), " "))).as("avgdl"))
+    // dl rides the tf shuffle as a group-constant (max of a constant) —
+    // cheaper than a second documents-sized join keyed on doc_id
+    val tf = documents.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("dl"),
+        termsOf("text").as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val perTerm = queryTerms.map(t =>
+      coalesce(sum(when(col("term") === t, col("c"))), lit(0.0)))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), contrib.as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), round(perTerm.reduce(_ + _), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  /** q80: inverted-index build — per term: document frequency, total
+    * occurrences, and the head of the doc_id-sorted posting list as a
+    * bounded CSV string. The head cut is a rank window per term, so
+    * WindowGroupLimit keeps only k rows per term per map task — the
+    * full posting list never materializes in one place (the unbounded
+    * `collect_list` per hot term is exactly what this avoids at 100 TB).
+    */
+  def invertedIndex(documents: DataFrame, headK: Int = 8): DataFrame = {
+    val tf = termFreq(documents)
+    val stats = tf.groupBy("term").agg(
+      count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val heads = tf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= headK)
+      .groupBy("term")
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("postings_head"))
+    stats.join(heads, "term")
+      .select(col("term"), col("df"), col("total_tf"), col("postings_head"))
+      .orderBy("term")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)),
+    "q78_bm25"           -> ((s, d) => bm25Scores(Tables(s, d).documents)),
+    "q80_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q77_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term, tf, df, round(tf * ln(n_docs / df), 4) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, rank::BIGINT AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q78_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM d),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(ts)) AS avgdl FROM d),
+        |toks AS (SELECT doc_id, unnest(ts) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT doc_id, term,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |         (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS c
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, count(*)::BIGINT AS n_matched,
+        |       round(coalesce(sum(c) FILTER (term = 'spark'), 0.0)
+        |           + coalesce(sum(c) FILTER (term = 'join'), 0.0)
+        |           + coalesce(sum(c) FILTER (term = 'window'), 0.0), 4) AS bm25
+        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q80_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |stats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM tf),
+        |heads AS (
+        |  SELECT term, string_agg(doc_id, ',' ORDER BY doc_id) AS postings_head
+        |  FROM ranked WHERE rn <= 8 GROUP BY term)
+        |SELECT term, df, total_tf, postings_head
+        |FROM stats JOIN heads USING (term) ORDER BY term""".stripMargin,
+  )
+}

@@ -143,6 +143,36 @@ object TextAnalysis extends QueryModule {
         (col("r.top_word_frac") <= 0.1 && col("r.dup_bigram_frac") <= 0.18).as("kept"))
       .orderBy("doc_id")
 
+  /** Gopher-style document-quality gates (Rae et al. 2021 §A1.1, the
+    * rules that aren't repetition — q72 covers those): word-count
+    * bounds, mean word length, minimum distinct stop-word hits, and
+    * alphabetic-word fraction, each surfaced as a flag plus the final
+    * keep decision. All-narrow projection (integer sums via a
+    * higher-order fold; ratios rounded before comparison so both
+    * engines gate on identical values).
+    */
+  def gopherQualityFlags(documents: DataFrame,
+                         stopWords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val meanLen = round(sumLen / nWords.cast("double"), 4)
+    val nStop = stopWords.map(s0 => when(array_contains(toks, s0), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val alphaFrac = round(
+      size(filter(toks, w => w.rlike("[a-z]"))) / nWords.cast("double"), 4)
+    documents.select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        nStop.as("n_stop_words"), alphaFrac.as("alpha_frac"))
+      .withColumn("words_ok", col("n_words").between(50L, 100000L))
+      .withColumn("mean_len_ok", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("stop_ok", col("n_stop_words") >= 2L)
+      .withColumn("alpha_ok", col("alpha_frac") >= 0.8)
+      .withColumn("kept",
+        col("words_ok") && col("mean_len_ok") && col("stop_ok") && col("alpha_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Generic PII scrubbing (training-data mandate: corpora are scrubbed
     * of emails/phones before training): codegen'd `regexp_replace` /
     * `regexp_extract_all` — narrow per-row work, patterns injectable.
@@ -191,6 +221,7 @@ object TextAnalysis extends QueryModule {
     "q21_token_stats"  -> ((s, d) => tokenStats(Tables(s, d).documents)),
     "q22_quality_scores" -> ((s, d) => qualityScores(Tables(s, d).documents)),
     "q23_langid"       -> ((s, d) => languageId(Tables(s, d).documents)),
+    "q79_gopher_flags" -> ((s, d) => gopherQualityFlags(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -232,6 +263,26 @@ object TextAnalysis extends QueryModule {
         |             THEN (bg.total - bg.dist) / bg.total::DOUBLE ELSE 0.0 END <= 0.18) AS kept
         |FROM wc JOIN bg ON wc.doc_id = bg.doc_id
         |ORDER BY wc.doc_id""".stripMargin,
+    "q79_gopher_flags" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(ts)::BIGINT AS n_words,
+        |         round(list_sum(list_transform(ts, w -> len(w))) / len(ts)::DOUBLE, 4) AS mean_word_len,
+        |         ((CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN list_contains(ts, 'a') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END)
+        |        + (CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END))::BIGINT AS n_stop_words,
+        |         round(len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) / len(ts)::DOUBLE, 4) AS alpha_frac
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))
+        |SELECT doc_id, n_words, mean_word_len, n_stop_words, alpha_frac,
+        |       n_words BETWEEN 50 AND 100000 AS words_ok,
+        |       mean_word_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+        |       n_stop_words >= 2 AS stop_ok,
+        |       alpha_frac >= 0.8 AS alpha_ok,
+        |       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |       AND n_stop_words >= 2 AND alpha_frac >= 0.8 AS kept
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q62_heavy_tokens" ->
       """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
         |tot AS (SELECT count(*) AS n FROM toks),

@@ -51,4 +51,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bySource("src0") > 0.4 && bySource("src0") < 0.6)
     assert(bySource("src10") > 0.15 && bySource("src10") < 0.35)
   }
+  test("mixtureWeights: alpha<1 upweights small sources, weights sum to 1") {
+    val docs = ((0L until 900L).map(i => (i, "w w w w", "en", "big")) ++
+                (900L until 1000L).map(i => (i, "w w w w", "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.mixtureWeights(docs)
+      .select("source", "n_tokens", "weight").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("big")._1 == 3600L && got("small")._1 == 400L)
+    // proportional sampling would give small 0.1; temperature 0.7 gives more
+    assert(got("small")._2 > 0.1)
+    assert(math.abs(got("big")._2 + got("small")._2 - 1.0) < 1e-4)
+    // alpha=1 recovers exact proportionality
+    val prop = CorpusOps.mixtureWeights(docs, alpha = 1.0)
+      .select("source", "weight").as[(String, Double)].collect().toMap
+    assert(prop("small") == 0.1)
+  }
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "cat dog cat", "en", "s0", 11L),
+    (1L, "dog fish", "en", "s0", 8L),
+    (2L, "cat cat cat fish", "en", "s0", 15L),
+    (3L, "bird", "en", "s0", 4L),
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("tfidf: rare terms outscore common ones, ranks are per-doc and capped") {
+    val got = Ranking.tfidfTopTerms(docs, k = 2)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    // doc 0: cat tf=2 df=2 -> 2*ln(4/2)=1.3863; dog tf=1 df=2 -> ln(2)=0.6931
+    val d0 = got.filter(_._1 == 0L).sortBy(_._6).map(r => (r._2, r._5)).toSeq
+    assert(d0 == Seq(("cat", 1.3863), ("dog", 0.6931)))
+    // bird: unique to doc 3 -> tf=1, df=1 -> ln(4) top-ranked
+    assert(got.filter(_._1 == 3L).head._5 == 1.3863)
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
+  test("bm25: more matched query terms and higher tf raise the score") {
+    val scored = Ranking.bm25Scores(docs, Seq("cat", "fish"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 3 has no query term at all -> absent
+    assert(!scored.contains(3L))
+    // doc 2 (cat tf=3 + fish) beats doc 0 (cat tf=2) and doc 1 (fish only)
+    assert(scored(2L)._1 == 2L)
+    assert(scored(2L)._2 > scored(0L)._2)
+    assert(scored(2L)._2 > scored(1L)._2)
+  }
+
+  test("invertedIndex: df/total_tf exact, posting head sorted and capped") {
+    val idx = Ranking.invertedIndex(docs, headK = 2)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(idx("cat") == ((2L, 5L, "0,2")))
+    assert(idx("fish") == ((2L, 2L, "1,2")))
+    assert(idx("bird") == ((1L, 1L, "3")))
+    // head capped at 2 even when df exceeds it
+    val many = (0L until 5L).map(i => (i, "x", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val head = Ranking.invertedIndex(many, headK = 2)
+      .select("postings_head").as[String].head()
+    assert(head == "0,1")
+  }
+}

@@ -87,4 +87,18 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == Map("spark" -> 1L, "streaming" -> 1L, "relational" -> 1L, "other" -> 1L))
   }
+  test("gopherQualityFlags gates on word count, mean length, and stop words") {
+    val long50 = ("the a " + Seq.fill(48)("word").mkString(" "))
+    val docs = Seq(
+      (1L, long50, "en", "s0", 0L),             // 50 words, has the+a -> kept
+      (2L, "the a short doc", "en", "s0", 0L),  // 4 words -> words_ok false
+      (3L, Seq.fill(60)("word").mkString(" "), "en", "s0", 0L), // no stop words
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.gopherQualityFlags(docs)
+      .select("doc_id", "n_words", "words_ok", "stop_ok", "kept")
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 50L, true, true, true)))
+    assert(got(2L) == ((2L, 4L, false, true, false)))
+    assert(got(3L) == ((3L, 60L, true, false, false)))
+  }
 }
