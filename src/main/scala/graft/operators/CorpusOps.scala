@@ -127,11 +127,37 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
+  /** Fixed-window chunking with overlap (the context-window packer /
+    * RAG chunker): token windows of `window` words starting every
+    * `stride` words, last window clamped to the tail. Chunk count is
+    * exact integer arithmetic (1 + ceil((n-window)/stride) for
+    * n > window, else 1), the explode is a generator (no shuffle), and
+    * every chunk is a bounded slice — per-row narrow work at any scale.
+    */
+  def chunkWithOverlap(documents: DataFrame, window: Int = 32,
+                       stride: Int = 24): DataFrame = {
+    require(stride > 0 && window >= stride, "need stride > 0 and window >= stride")
+    val nChunks = when(col("n") <= window, lit(1L))
+      .otherwise(lit(1L) + expr(s"(n - $window + $stride - 1) div $stride"))
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .select(col("doc_id"), col("ts"), col("n"),
+        posexplode(sequence(lit(0L), nChunks - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        array_join(slice(col("ts"), (col("pos") * stride + 1).cast("int"), lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("ts"), (col("pos") * stride + 1).cast("int"), lit(window)))
+          .cast("long").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
     "q67_shard_packing" -> ((s, d) => shardPacking(Tables(s, d).documents)),
     "q71_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
     "q82_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
+    "q83_chunk_overlap" -> ((s, d) => chunkWithOverlap(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -163,6 +189,20 @@ object CorpusOps extends QueryModule {
         |SELECT source, n_docs, n_tokens,
         |       round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6) AS weight
         |FROM s ORDER BY source""".stripMargin,
+    "q83_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts,
+        |         len(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts, n,
+        |         unnest(range(CASE WHEN n <= 32 THEN 1
+        |                           ELSE 1 + (n - 32 + 24 - 1) // 24 END)) AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |       array_to_string(ts[(chunk_idx * 24 + 1)::INTEGER : (chunk_idx * 24 + 32)::INTEGER], ' ') AS chunk_text,
+        |       len(ts[(chunk_idx * 24 + 1)::INTEGER : (chunk_idx * 24 + 32)::INTEGER])::BIGINT AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q71_stratified_sample" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id,

@@ -173,6 +173,29 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish/boilerplate signal (low entropy = repeated padding, high
+    * = random noise; natural text sits in a band). Order-pinned for the
+    * oracle: the per-character sum folds over the SORTED distinct
+    * alphabet (both engines fold the same sequence, so the only
+    * cross-engine jitter is the final ulp, absorbed by round-4).
+    * All-narrow per-row work: the alphabet is bounded, so the inner
+    * filter scan is O(n·|alphabet|) with no shuffle.
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val cs = array_remove(split(col("text"), ""), "")
+    val n = size(cs).cast("double")
+    val alphabet = array_sort(array_distinct(cs))
+    val sumPlogP = aggregate(alphabet, lit(0.0),
+      (acc, c) => acc + (size(filter(cs, x => x === c)) / n) *
+        log(size(filter(cs, x => x === c)) / n))
+    documents.select(col("doc_id"),
+        size(cs).cast("long").as("n_chars_split"),
+        size(alphabet).cast("long").as("n_distinct_chars"),
+        round(-sumPlogP / log(lit(2.0)), 4).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Generic PII scrubbing (training-data mandate: corpora are scrubbed
     * of emails/phones before training): codegen'd `regexp_replace` /
     * `regexp_extract_all` — narrow per-row work, patterns injectable.
@@ -222,6 +245,7 @@ object TextAnalysis extends QueryModule {
     "q22_quality_scores" -> ((s, d) => qualityScores(Tables(s, d).documents)),
     "q23_langid"       -> ((s, d) => languageId(Tables(s, d).documents)),
     "q79_gopher_flags" -> ((s, d) => gopherQualityFlags(Tables(s, d).documents)),
+    "q81_char_entropy" -> ((s, d) => charEntropy(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -283,6 +307,22 @@ object TextAnalysis extends QueryModule {
         |       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |       AND n_stop_words >= 2 AND alpha_frac >= 0.8 AS kept
         |FROM f ORDER BY doc_id""".stripMargin,
+    // the per-char sum folds over the SORTED distinct alphabet on both
+    // engines (list_sum/list_transform is the proven sequential-fold
+    // mirror of Spark's `aggregate`), pinning the summation order
+    "q81_char_entropy" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         len(cs)::BIGINT AS n_chars_split,
+        |         len(list_distinct(cs))::BIGINT AS n_distinct_chars,
+        |         list_sum(list_transform(list_sort(list_distinct(cs)), c ->
+        |           (len(list_filter(cs, x -> x = c)) / len(cs)::DOUBLE) *
+        |           ln(len(list_filter(cs, x -> x = c)) / len(cs)::DOUBLE))) AS s
+        |  FROM d)
+        |SELECT doc_id, n_chars_split, n_distinct_chars,
+        |       round(-s / ln(2.0), 4) AS entropy_bits
+        |FROM e ORDER BY doc_id""".stripMargin,
     "q62_heavy_tokens" ->
       """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
         |tot AS (SELECT count(*) AS n FROM toks),

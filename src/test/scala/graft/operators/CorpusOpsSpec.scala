@@ -67,4 +67,20 @@ class CorpusOpsSpec extends SparkSpec {
       .select("source", "weight").as[(String, Double)].collect().toMap
     assert(prop("small") == 0.1)
   }
+  test("chunkWithOverlap covers every token with clamped tails") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "s0"), // 10 words
+      (2L, "a b c", "en", "s0"),                                  // n <= window
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.chunkWithOverlap(docs, window = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect()
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "a b c" && d2.head._4 == 3L)
+    // every source token appears in some chunk (coverage, no gaps)
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
 }

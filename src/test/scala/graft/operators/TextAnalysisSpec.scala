@@ -101,4 +101,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((2L, 4L, false, true, false)))
     assert(got(3L) == ((3L, 60L, true, false, false)))
   }
+  test("charEntropy: 0 for constant text, 2 bits for a uniform 4-symbol alphabet") {
+    val docs = Seq(
+      (1L, "aaaaaaaa", "en", "s0", 8L),
+      (2L, "abcdabcd", "en", "s0", 8L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.charEntropy(docs)
+      .select("doc_id", "n_chars_split", "n_distinct_chars", "entropy_bits")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 8L, 1L, -0.0)) || got(1L) == ((1L, 8L, 1L, 0.0)))
+    assert(got(2L) == ((2L, 8L, 4L, 2.0)))
+  }
 }
