@@ -55,7 +55,16 @@ case class SrpBandKeys(child: Expression, planes: Array[Array[Float]], bitsPerBa
 
 object SrpBandKeys {
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * Dimension mismatches truncate the fold to the shorter of vector and
+    * plane (the [[FloatVecDot]] convention — callers own dimension
+    * agreement; the planes() caller passes `dim` explicitly). Note the
+    * degenerate case every SRP scheme shares: an all-zero (or empty)
+    * vector has dot 0 against every plane, so `>= 0` sets every bit and
+    * all such vectors collide — harmless for near-dup use (they ARE
+    * mutual duplicates) but worth knowing when vectors can be null-ish.
+    */
   def evalVec(vec: ArrayData, planes: Array[Array[Float]], bitsPerBand: Int): GenericArrayData = {
     val v = vec.toFloatArray()
     val nBands = planes.length / bitsPerBand

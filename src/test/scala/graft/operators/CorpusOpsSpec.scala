@@ -59,8 +59,8 @@ class CorpusOpsSpec extends SparkSpec {
       .select("source", "n_tokens", "weight").as[(String, Long, Double)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(got("big")._1 == 3600L && got("small")._1 == 400L)
-    // proportional sampling would give small 0.1; temperature 0.7 gives more
-    assert(got("small")._2 > 0.1)
+    // proportional sampling would give small 0.1; temperature 0.5 gives sqrt(400)/80 = 0.25
+    assert(got("small")._2 == 0.25)
     assert(math.abs(got("big")._2 + got("small")._2 - 1.0) < 1e-4)
     // alpha=1 recovers exact proportionality
     val prop = CorpusOps.mixtureWeights(docs, alpha = 1.0)

@@ -105,11 +105,14 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (1L, "aaaaaaaa", "en", "s0", 8L),
       (2L, "abcdabcd", "en", "s0", 8L),
+      (3L, "", "en", "s0", 0L),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = TextAnalysis.charEntropy(docs)
       .select("doc_id", "n_chars_split", "n_distinct_chars", "entropy_bits")
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    assert(got(1L) == ((1L, 8L, 1L, -0.0)) || got(1L) == ((1L, 8L, 1L, 0.0)))
+    // the +0.0 normalization pins the zero-entropy case to +0.0 exactly
+    assert(got(1L).toString == (1L, 8L, 1L, 0.0).toString)
     assert(got(2L) == ((2L, 8L, 4L, 2.0)))
+    assert(got(3L).toString == (3L, 0L, 0L, 0.0).toString)
   }
 }
