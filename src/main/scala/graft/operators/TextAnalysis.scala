@@ -184,26 +184,21 @@ object TextAnalysis extends QueryModule {
     * All-narrow per-row work: the alphabet is bounded, so the inner
     * filter scan is O(n·|alphabet|) with no shuffle.
     */
-  def charEntropy(documents: DataFrame): DataFrame = {
-    val cs = array_remove(split(col("text"), ""), "")
-    val n = size(cs).cast("double")
-    val alphabet = array_sort(array_distinct(cs))
-    // counts materialized once per distinct char (the filter scan is the
-    // dominant O(n·|alphabet|) term — no reason to run it twice per char)
-    val counts = transform(alphabet, c => size(filter(cs, x => x === c)).cast("double"))
-    val sumPlogP = aggregate(counts, lit(0.0),
-      (acc, cnt) => acc + (cnt / n) * log(cnt / n))
-    // `+ 0.0` collapses the single-distinct-char case's -0.0 to +0.0 on
-    // any engine (entropy is otherwise strictly positive); empty text
-    // (n = 0) pins to 0.0 instead of a 0/0 NaN
+  def charEntropy(documents: DataFrame): DataFrame =
+    // one-pass codegen'd kernel (the HOF formulation — filter inside
+    // aggregate over split chars — was ~40× slower; CharEntropySpec pins
+    // their bit-equality). `+ 0.0` collapses the single-distinct-char
+    // case's -0.0 to +0.0 on any engine (entropy is otherwise strictly
+    // positive); empty text (n = 0) pins to 0.0 instead of a 0/0 NaN.
     documents.select(col("doc_id"),
-        size(cs).cast("long").as("n_chars_split"),
-        size(alphabet).cast("long").as("n_distinct_chars"),
-        when(size(cs) === 0, lit(0.0))
-          .otherwise(round(-sumPlogP / log(lit(2.0)), 4) + lit(0.0))
+        graft.functions.CharEntropyStats.charEntropyStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_chars").as("n_chars_split"),
+        col("r.n_distinct").as("n_distinct_chars"),
+        when(col("r.n_chars") === 0, lit(0.0))
+          .otherwise(round(-col("r.sum_plogp") / log(lit(2.0)), 4) + lit(0.0))
           .as("entropy_bits"))
       .orderBy("doc_id")
-  }
 
   /** Generic PII scrubbing (training-data mandate: corpora are scrubbed
     * of emails/phones before training): codegen'd `regexp_replace` /
