@@ -176,13 +176,41 @@ object Similarity extends QueryModule {
     * (both engines: f32 + f32 exact in double, rounded once to f32), so
     * the oracle rebuilds the identical corpus.
     */
-  def srpNearDupReport(embeddings: DataFrame): DataFrame = {
-    val base = embeddings.select(col("vec_id"), col("embedding"))
-    val planted = embeddings.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(i === 0, x + lit(0.1f)).otherwise(x)).as("embedding"))
-    srpNearDupPairs(base.unionByName(planted))
+  /** Corpus with planted near-duplicates: for each (mod, idOffset, dim)
+    * plant, every `mod`-th vector re-enters under `vec_id + idOffset`
+    * with component `dim` nudged by +0.1f (single-rounding float
+    * arithmetic both engines reproduce exactly).
+    */
+  private[operators] def plantedCorpus(embeddings: DataFrame,
+                                       plants: Seq[(Int, Long, Int)]): DataFrame =
+    plants.foldLeft(embeddings.select(col("vec_id"), col("embedding"))) {
+      case (acc, (mod, idOffset, dim)) =>
+        acc.unionByName(embeddings.filter(col("vec_id") % mod === 0)
+          .select((col("vec_id") + lit(idOffset)).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === dim, x + lit(0.1f)).otherwise(x)).as("embedding")))
+    }
+
+  def srpNearDupReport(embeddings: DataFrame): DataFrame =
+    srpNearDupPairs(plantedCorpus(embeddings, Seq((10, 10000000L, 0))))
+
+  /** q84: embedding-space near-duplicate CLUSTERS — the SRP candidate →
+    * exact-verify pipeline feeding connected components (the q58 shape
+    * with cosine edges instead of Jaccard edges). A second plant every
+    * 20th vector makes 3-member components, so the cluster step genuinely
+    * merges: both copies reach the base vector at cos ≈ 0.995 and each
+    * other only transitively (their direct cosine sits at the threshold's
+    * edge) — exactly the chain shape near-dup clustering exists for.
+    */
+  def srpNearDupClusterReport(embeddings: DataFrame): DataFrame = {
+    val corpus = plantedCorpus(embeddings,
+      Seq((10, 10000000L, 0), (20, 20000000L, 1)))
+    val pairs = srpNearDupPairs(corpus).select(col("left_id"), col("right_id"))
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+      .orderBy("cluster_id")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -191,6 +219,7 @@ object Similarity extends QueryModule {
     "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings)),
     "q70_knn_join"     -> ((s, d) => knnJoinReport(Tables(s, d).embeddings)),
     "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings)),
+    "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings)),
   )
 
   private val dotSql =
@@ -231,38 +260,17 @@ object Similarity extends QueryModule {
             FROM scored)
           SELECT query_id, vec_id, cos_sim, rank::BIGINT AS rank
           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
-    // q76: rebuilds the planted corpus, re-derives the md5 hyperplane
+    // q76/q84: rebuild the planted corpus, re-derive the md5 hyperplane
     // signs and the sequential-fold dots (list_sum/list_transform is the
-    // proven bit-identical mirror of FloatVecDot), rebuilds the band
-    // keys, and checks the exact candidate->verify pipeline output.
+    // proven bit-identical mirror of FloatVecDot), rebuild the band
+    // keys, and check the exact candidate->verify pipeline output.
     "q76_srp_neardup" ->
       s"""WITH corpus AS (
             SELECT vec_id, embedding FROM embeddings
             UNION ALL
-            SELECT vec_id + 10000000,
-                   list_transform(generate_series(1, len(embedding)), i ->
-                     CASE WHEN i = 1
-                          THEN embedding[1] + CAST(0.1 AS FLOAT)
-                          ELSE embedding[i] END) AS embedding
-            FROM embeddings WHERE vec_id % 10 = 0
+            ${srpPlantArm(10, 10000000L, 1)}
           ),
-          keys AS (
-            SELECT vec_id, r.range AS band_idx,
-              CAST(list_sum(list_transform(generate_series(0, 7), jj ->
-                CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
-                    CAST(embedding[i] AS DOUBLE) *
-                    CASE WHEN substr(md5('srp:' || (r.range * 8 + jj) || ':' || (i - 1)), 1, 1)
-                         BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END
-                  )) >= 0 THEN (1 << jj) ELSE 0 END
-              )) AS BIGINT) AS band_key
-            FROM corpus, range(8) r
-          ),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
-            FROM keys a JOIN keys b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.vec_id < b.vec_id
-          )
+          $srpKeysCandSql
           SELECT c.left_id, c.right_id,
                  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
           FROM cand c
@@ -270,5 +278,66 @@ object Similarity extends QueryModule {
           JOIN corpus b ON c.right_id = b.vec_id
           WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.98
           ORDER BY left_id, right_id""",
+    "q84_srp_clusters" ->
+      s"""WITH RECURSIVE corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            ${srpPlantArm(10, 10000000L, 1)}
+            UNION ALL
+            ${srpPlantArm(20, 20000000L, 2)}
+          ),
+          $srpKeysCandSql,
+          ver AS (
+            SELECT c.left_id AS l, c.right_id AS r
+            FROM cand c
+            JOIN corpus a ON c.left_id = a.vec_id
+            JOIN corpus b ON c.right_id = b.vec_id
+            WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.98
+          ),
+          edges AS (SELECT l AS src, r AS dst FROM ver UNION SELECT r, l FROM ver),
+          reach(src, node) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+            UNION
+            SELECT rc.src, e.dst FROM reach rc JOIN edges e ON rc.node = e.src
+          ),
+          comp AS (SELECT src AS vec_id, min(node) AS cluster_id FROM reach GROUP BY src)
+          SELECT cluster_id, count(*) AS n_members,
+                 string_agg(vec_id, ',' ORDER BY vec_id) AS members
+          FROM comp GROUP BY cluster_id ORDER BY cluster_id""",
   )
+
+  /** One plant arm of the SRP fixture corpus: every-`mod`-th copies
+    * under `idOffset` with 1-based SQL component `dim` nudged +0.1f —
+    * the SQL mirror of one [[plantedCorpus]] plant.
+    */
+  private def srpPlantArm(mod: Int, idOffset: Long, dim: Int): String =
+    s"""SELECT vec_id + $idOffset,
+               list_transform(generate_series(1, len(embedding)), i ->
+                 CASE WHEN i = $dim
+                      THEN embedding[$dim] + CAST(0.1 AS FLOAT)
+                      ELSE embedding[i] END) AS embedding
+        FROM embeddings WHERE vec_id % $mod = 0"""
+
+  /** Band keys + any-band candidate pairs over the `corpus` CTE — the
+    * SQL mirror of [[graft.functions.SrpBandKeys]] (8 bands × 8 bits,
+    * md5-sign planes) + [[srpCandidatePairs]].
+    */
+  private val srpKeysCandSql: String =
+    """keys AS (
+         SELECT vec_id, r.range AS band_idx,
+           CAST(list_sum(list_transform(generate_series(0, 7), jj ->
+             CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(embedding[i] AS DOUBLE) *
+                 CASE WHEN substr(md5('srp:' || (r.range * 8 + jj) || ':' || (i - 1)), 1, 1)
+                      BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END
+               )) >= 0 THEN (1 << jj) ELSE 0 END
+           )) AS BIGINT) AS band_key
+         FROM corpus, range(8) r
+       ),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+         FROM keys a JOIN keys b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          AND a.vec_id < b.vec_id
+       )"""
 }

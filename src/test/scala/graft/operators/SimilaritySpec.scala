@@ -103,6 +103,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(planLen(32) - planLen(2)) < 64)
   }
 
+  test("srpNearDupClusterReport merges double-planted vectors into 3-member clusters") {
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val got = Similarity.srpNearDupClusterReport(emb)
+      .as[(Long, Long, String)].collect()
+    val nVecs = emb.count()
+    // every 20th vector carries two plants -> 3-member component (the
+    // copies connect through the base vector); other 10th vectors pair
+    assert(got.length == (nVecs / 10).toInt)
+    got.foreach { case (cid, n, members) =>
+      val expected =
+        if (cid % 20 == 0) Seq(cid, cid + 10000000L, cid + 20000000L)
+        else Seq(cid, cid + 10000000L)
+      assert(n == expected.length && members == expected.mkString(","), s"cluster $cid")
+    }
+  }
+
   test("srpNearDupPairs recovers planted near-duplicates and nothing else") {
     val emb = graft.Tables(spark, sf("")).embeddings
     val planted = emb.select((col("vec_id") + 10000000L).as("vec_id"),
