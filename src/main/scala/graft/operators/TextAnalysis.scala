@@ -200,6 +200,25 @@ object TextAnalysis extends QueryModule {
           .as("entropy_bits"))
       .orderBy("doc_id")
 
+  /** Per-language document-length quantiles — the corpus-profiling
+    * report behind length-filter thresholds. Spark's exact `percentile`
+    * sorts within the aggregation buffer per group (no global sort);
+    * linear interpolation at rank p·(n−1) matches DuckDB's
+    * quantile_cont, with round-4 absorbing interpolation-arithmetic
+    * ulps. At 100 TB swap in approx_percentile for the same shape with
+    * bounded memory — the exact form is the oracle-able gate.
+    */
+  def lengthQuantiles(documents: DataFrame): DataFrame =
+    documents.select(col("lang"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_toks, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("q"), 1), 4).as("p25"),
+        round(element_at(col("q"), 2), 4).as("p50"),
+        round(element_at(col("q"), 3), 4).as("p75"))
+      .orderBy("lang")
+
   /** Generic PII scrubbing (training-data mandate: corpora are scrubbed
     * of emails/phones before training): codegen'd `regexp_replace` /
     * `regexp_extract_all` — narrow per-row work, patterns injectable.
@@ -250,6 +269,7 @@ object TextAnalysis extends QueryModule {
     "q23_langid"       -> ((s, d) => languageId(Tables(s, d).documents)),
     "q79_gopher_flags" -> ((s, d) => gopherQualityFlags(Tables(s, d).documents)),
     "q81_char_entropy" -> ((s, d) => charEntropy(Tables(s, d).documents)),
+    "q85_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -311,6 +331,13 @@ object TextAnalysis extends QueryModule {
         |       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |       AND n_stop_words >= 2 AND alpha_frac >= 0.8 AS kept
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q85_length_quantiles" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |       round(quantile_cont(n_toks, 0.25), 4) AS p25,
+        |       round(quantile_cont(n_toks, 0.50), 4) AS p50,
+        |       round(quantile_cont(n_toks, 0.75), 4) AS p75
+        |FROM (SELECT lang, len(string_split(text, ' '))::BIGINT AS n_toks FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the per-char sum folds over the SORTED distinct alphabet on both
     // engines (list_sum/list_transform is the proven sequential-fold
     // mirror of Spark's `aggregate`), pinning the summation order

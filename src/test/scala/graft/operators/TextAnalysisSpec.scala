@@ -115,4 +115,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((2L, 8L, 4L, 2.0)))
     assert(got(3L).toString == (3L, 0L, 0L, 0.0).toString)
   }
+  test("lengthQuantiles: exact interpolated percentiles per group") {
+    val docs = Seq(
+      (1L, "a b", "en", "s0", 3L),       // 2 toks
+      (2L, "a b c d", "en", "s0", 7L),   // 4
+      (3L, "a b c d e f", "en", "s0", 11L), // 6
+      (4L, "a", "de", "s0", 1L),         // 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.lengthQuantiles(docs)
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // en: sorted [2,4,6]; p25 = 2 + 0.5*(4-2) = 3.0; p50 = 4; p75 = 5.0
+    assert(got("en") == (("en", 3L, 3.0, 4.0, 5.0)))
+    assert(got("de") == (("de", 1L, 1.0, 1.0, 1.0)))
+  }
 }
