@@ -108,13 +108,60 @@ object Ranking extends QueryModule {
       .orderBy("term")
   }
 
+  /** q86: pointwise mutual information of adjacent word pairs — the
+    * collocation / multi-word-expression miner. One bigram explode
+    * (zip_with over shifted slices — no self-join), map-side-combined
+    * counts, unigram stats broadcast back onto the bigram table (vocab
+    * ≪ corpus), top-k by TakeOrderedAndProject on the integer count
+    * with a lexical tie-break. PMI arithmetic is pinned left-to-right
+    * so both engines evaluate identical double sequences.
+    */
+  def pmiBigrams(documents: DataFrame, k: Int = 20): DataFrame = {
+    val ts = split(lower(col("text")), " ")
+    val pairs = documents.select(explode(zip_with(
+      slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val unigrams = documents.select(explode(ts).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = documents.agg(
+      sum(size(ts)).cast("double").as("n_uni"),
+      sum(greatest(size(ts) - 1, lit(0))).cast("double").as("n_bi"))
+    val pmi = round(log(
+      (col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+      (col("n_bi") * col("c_x") * col("c_y"))), 4)
+    bigramCounts
+      .join(broadcast(unigrams.select(col("w").as("w1"), col("c").as("c_x"))), "w1")
+      .join(broadcast(unigrams.select(col("w").as("w2"), col("c").as("c_y"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_xy"), pmi.as("pmi"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)),
+    "q86_pmi_bigrams"    -> ((s, d) => pmiBigrams(Tables(s, d).documents)),
     "q78_bm25"           -> ((s, d) => bm25Scores(Tables(s, d).documents)),
     "q80_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q86_pmi_bigrams" ->
+      """WITH d AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+        |pairs AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d)),
+        |bg AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*)::BIGINT AS c
+        |        FROM (SELECT unnest(ts) AS w FROM d) GROUP BY 1),
+        |tot AS (SELECT sum(len(ts))::DOUBLE AS n_uni,
+        |               sum(greatest(len(ts) - 1, 0))::DOUBLE AS n_bi FROM d)
+        |SELECT w1, w2, c_xy,
+        |       round(ln((c_xy::DOUBLE * n_uni * n_uni) / (n_bi * ux.c * uy.c)), 4) AS pmi
+        |FROM bg JOIN uni ux ON bg.w1 = ux.w JOIN uni uy ON bg.w2 = uy.w, tot
+        |ORDER BY c_xy DESC, w1, w2 LIMIT 20""".stripMargin,
     "q77_tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),

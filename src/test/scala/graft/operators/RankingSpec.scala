@@ -50,4 +50,22 @@ class RankingSpec extends SparkSpec {
       .select("postings_head").as[String].head()
     assert(head == "0,1")
   }
+  test("pmiBigrams: collocated pairs score positive, independent pairs negative") {
+    // "x y" always adjacent (perfect collocation); "a"/"b" mixed freely
+    val docs = Seq(
+      (1L, "x y a b a b x y", "en", "s0", 0L),
+      (2L, "b a x y b a a b", "en", "s0", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Ranking.pmiBigrams(docs, k = 30)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // x always precedes y: p(x,y) >> p(x)p(y)
+    assert(got(("x", "y"))._2 > 1.0)
+    // y never precedes x
+    assert(!got.contains(("y", "x")))
+    // top-k ordering is by count desc then lexical
+    val ordered = Ranking.pmiBigrams(docs, k = 3)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(ordered.map(_._3).sorted.reverse == ordered.map(_._3))
+  }
 }
