@@ -140,14 +140,49 @@ object Ranking extends QueryModule {
       .limit(k)
   }
 
+  /** q87: unigram cross-entropy per token — the CCNet-shaped
+    * language-model quality filter (documents whose tokens are
+    * improbable under the corpus distribution are noise; a real
+    * deployment swaps the unigram table for KenLM scores, same plan).
+    * Per-token -ln p(w) comes from a broadcast vocabulary join; the
+    * per-document mean folds over the SORTED logprob list (one bounded
+    * collect per doc), because a shuffled-order double sum is the one
+    * nondeterminism a grouped mean would smuggle in.
+    */
+  def unigramCrossEntropy(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), termsOf("text").as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    toks
+      .join(broadcast(vocab), "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), (-log(col("c") / col("n_total"))).as("nlp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(aggregate(array_sort(collect_list(col("nlp"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1)), 4).as("xent_per_token"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)),
     "q86_pmi_bigrams"    -> ((s, d) => pmiBigrams(Tables(s, d).documents)),
+    "q87_unigram_xent"   -> ((s, d) => unigramCrossEntropy(Tables(s, d).documents)),
     "q78_bm25"           -> ((s, d) => bm25Scores(Tables(s, d).documents)),
     "q80_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
+    // the per-doc mean folds over the sorted logprob list on both
+    // engines — the grouped double sum is otherwise order-unpinned
+    "q87_unigram_xent" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |vocab AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS n_total FROM toks),
+        |nl AS (SELECT doc_id, -ln(c / n_total) AS nlp FROM toks JOIN vocab USING (w), tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |       round(list_sum(list_sort(list(nlp))) / count(*), 4) AS xent_per_token
+        |FROM nl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q86_pmi_bigrams" ->
       """WITH d AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
         |pairs AS (

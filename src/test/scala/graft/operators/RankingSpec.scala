@@ -68,4 +68,17 @@ class RankingSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(ordered.map(_._3).sorted.reverse == ordered.map(_._3))
   }
+  test("unigramCrossEntropy: rare-token docs score higher than common-token docs") {
+    val docs = Seq(
+      (1L, "a a a a", "en", "s0", 0L),
+      (2L, "a a a rare", "en", "s0", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Ranking.unigramCrossEntropy(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // corpus: a x7, rare x1, N=8 -> -ln(7/8) vs mean with -ln(1/8)
+    val a = -math.log(7.0 / 8)
+    assert(got(1L)._3 == math.rint(a * 10000) / 10000)
+    assert(got(2L)._3 > got(1L)._3)
+    assert(got(1L)._2 == 4L && got(2L)._2 == 4L)
+  }
 }
