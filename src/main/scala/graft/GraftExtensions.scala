@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, MinHashMd5, ShingleSet, SimHash64, TextMinHashMd5, TopKSketchAgg, WinnowFingerprints}
+import graft.functions.{FloatVecDot, MinHashMd5, ShingleSet, SimHash64, TextMinHashMd5, TopKSketchAgg, UnicodeNormalize, WinnowFingerprints}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.unsafe.types.UTF8String
@@ -49,6 +49,9 @@ object GraftFunctions {
       capacity = intArg(children(1), "topk_sketch capacity")).toAggregateExpression()),
     "shingle_set" -> (children => ShingleSet(children.head,
       k = if (children.length > 1) intArg(children(1), "shingle k") else 3)),
+    "unicode_normalize" -> (children => UnicodeNormalize(children.head,
+      form = if (children.length > 1) stringArg(children(1), "normalization form")
+             else "NFC")),
     "minhash_md5" -> (children => {
       require(children.length == 2,
         s"minhash_md5(shingles, salt) takes exactly 2 arguments, got ${children.length}")

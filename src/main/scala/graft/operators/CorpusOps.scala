@@ -163,7 +163,66 @@ object CorpusOps extends QueryModule {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** q89: per-source document caps — the crawl-curation "domain cap"
+    * (no single domain may dominate the corpus; CommonCrawl pipelines
+    * cap per registered domain). Keeps the top-`cap` docs per source by
+    * (n_chars DESC, doc_id) — a quality-greedy cap, vs
+    * [[stratifiedSample]]'s fraction quota.
+    *
+    * Scale shape: rank window over narrow (source, doc_id, n_chars)
+    * triples; the `row_number <= cap` filter compiles to
+    * WindowGroupLimit, so each map task keeps only `cap` rows per
+    * source before the shuffle — a hot domain never materializes its
+    * full posting in one task's sort buffer.
+    */
+  def perSourceCap(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    documents.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .orderBy("source", "rk")
+  }
+
+  /** q93: quality-quartile corpus profile — the curriculum /
+    * quality-bucketing step (train on high buckets first, or mix
+    * buckets with different weights). Scale-safe shape: instead of a
+    * global ntile window (which drags every row through ONE sort
+    * task), compute the three quartile cut points in one aggregation,
+    * BROADCAST them, and assign buckets by comparison — two passes,
+    * no global sort, unchanged at 1000 executors. Cuts are rounded to
+    * 4 before comparison (the q85 contract: Spark's exact `percentile`
+    * and DuckDB's quantile_cont interpolate identically up to ulps,
+    * and rounding absorbs the ulps); per-bucket stats are min/max and
+    * an integer-sum average, all order-free.
+    */
+  def qualityQuartiles(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val stops = size(filter(toks, w => w === "the" || w === "a"))
+    val quality = round(
+      (lit(1.0) - stops / nTok.cast("double")) * log(lit(1.0) + col("n_chars")), 4)
+    val scored = documents.select(col("doc_id"), col("n_chars"), quality.as("quality"))
+    val cuts = scored.agg(expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").as("c"))
+      .select(round(element_at(col("c"), 1), 4).as("p25"),
+        round(element_at(col("c"), 2), 4).as("p50"),
+        round(element_at(col("c"), 3), 4).as("p75"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("quality") <= col("p25"), 1L)
+          .when(col("quality") <= col("p50"), 2L)
+          .when(col("quality") <= col("p75"), 3L)
+          .otherwise(4L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_source_cap"    -> ((s, d) => perSourceCap(Tables(s, d).documents)),
+    "q93_quality_quartiles" -> ((s, d) => qualityQuartiles(Tables(s, d).documents)),
     "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
     "q67_shard_packing" -> ((s, d) => shardPacking(Tables(s, d).documents)),
     "q71_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
@@ -172,6 +231,39 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q89_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, rk::BIGINT AS rk
+        |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // quartile cuts rounded to 4 before the bucket comparison on both
+    // engines (the q85 percentile-interpolation contract); bucket stats
+    // are min/max and integer-sum averages — no float-order hazard
+    "q93_quality_quartiles" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |         round((1.0 - len(list_filter(string_split(text, ' '),
+        |                 w -> w = 'the' OR w = 'a'))
+        |                 / len(string_split(text, ' '))::DOUBLE)
+        |               * ln(1.0 + n_chars), 4) AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT round(quantile_cont(quality, 0.25), 4) AS p25,
+        |         round(quantile_cont(quality, 0.50), 4) AS p50,
+        |         round(quantile_cont(quality, 0.75), 4) AS p75
+        |  FROM s)
+        |SELECT CASE WHEN quality <= p25 THEN 1
+        |            WHEN quality <= p50 THEN 2
+        |            WHEN quality <= p75 THEN 3
+        |            ELSE 4 END::BIGINT AS bucket,
+        |       count(*)::BIGINT AS n_docs,
+        |       min(quality) AS min_quality,
+        |       max(quality) AS max_quality,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM s, c GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q66_hash_sample" ->
       """WITH kept AS (
         |  SELECT source, count(*) AS n_sampled FROM documents

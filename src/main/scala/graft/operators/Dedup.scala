@@ -190,7 +190,20 @@ object Dedup extends QueryModule {
     */
   def nearDupClusters(documents: DataFrame, threshold: Double = 0.2,
                       maxIters: Int = 20,
-                      scopeVerifyToCandidates: Boolean = false): DataFrame = {
+                      scopeVerifyToCandidates: Boolean = false): DataFrame =
+    nearDupLabels(documents, threshold, maxIters, scopeVerifyToCandidates)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+      .orderBy("cluster_id")
+
+  /** The LSH → verify → CC pipeline up to per-document labels (id,
+    * label) — shared by the cluster report (q58) and the canonical
+    * picker (q92).
+    */
+  def nearDupLabels(documents: DataFrame, threshold: Double = 0.2,
+                    maxIters: Int = 20,
+                    scopeVerifyToCandidates: Boolean = false): DataFrame = {
     // Candidates first, cached: they drive everything downstream.
     // (Measured alternative: deriving the band key from cached shingle
     // arrays via interpreted transform+md5 is ~20% SLOWER cold than the
@@ -228,9 +241,33 @@ object Dedup extends QueryModule {
     withSh.unpersist()
     if (scopeVerifyToCandidates) cands.unpersist()
     labels
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-           concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+  }
+
+  /** q92: the dedup FINISHER — near-dup clusters from [[nearDupLabels]]
+    * reduced to one surviving document each: the canonical is the
+    * longest member (n_chars DESC, doc_id tie-break — "keep the most
+    * complete copy"), everything else is listed as dropped. This is the
+    * step that turns a cluster report into an actual corpus shrink:
+    * anti-join `dropped` against the corpus downstream.
+    *
+    * Scale shape: labels cover only documents that appear in some
+    * verified edge (≪ corpus); the n_chars lookup is an equi-join on
+    * doc_id, the canonical pick is a per-cluster rank window over
+    * narrow triples, and near-dup components are tiny (the CC
+    * warm-start argument), so no window partition is ever hot.
+    */
+  def nearDupCanonical(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    nearDupLabels(documents, threshold)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("canonical_id"),
+           count(lit(1)).as("n_members"),
+           concat_ws(",", sort_array(collect_list(
+             when(col("rk") > 1, col("doc_id"))))).as("dropped"))
       .orderBy("cluster_id")
   }
 
@@ -421,6 +458,7 @@ object Dedup extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_neardup_clusters" -> ((s, d) => nearDupClusters(Tables(s, d).documents)),
+    "q92_neardup_canonical" -> ((s, d) => nearDupCanonical(Tables(s, d).documents)),
     "q47_checksum_blocks" -> ((s, d) => checksumBlocks(Tables(s, d).documents)),
     "q20_dedup_exact"    -> ((s, d) => exactDedup(Tables(s, d).documents)),
     "q24_checksum_manifest" -> ((s, d) => checksumManifest(Tables(s, d).documents)),
@@ -466,6 +504,43 @@ object Dedup extends QueryModule {
         |SELECT cluster_id, count(*) AS n_members,
         |       string_agg(doc_id, ',' ORDER BY doc_id) AS members
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // q58's component CTE + the canonical rank (n_chars DESC, doc_id)
+    "q92_neardup_canonical" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id, list_aggregate(list_transform(
+        |      list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                     i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')),
+        |      s -> md5('salt0|' || s)), 'min') AS mh0
+        |  FROM documents),
+        |cand AS (SELECT a.doc_id AS l, b.doc_id AS r
+        |         FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT l, r FROM cand
+        |  JOIN sh a ON a.doc_id = l JOIN sh b ON b.doc_id = r
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.2),
+        |edges AS (SELECT l AS src, r AS dst FROM ver UNION SELECT r, l FROM ver),
+        |reach(src, node) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT rc.src, e.dst FROM reach rc JOIN edges e ON rc.node = e.src
+        |),
+        |comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
+        |j AS (
+        |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+        |SELECT cluster_id,
+        |       max(doc_id) FILTER (rk = 1) AS canonical_id,
+        |       count(*) AS n_members,
+        |       string_agg(doc_id, ',' ORDER BY doc_id) FILTER (rk > 1) AS dropped
+        |FROM j GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q47_checksum_blocks" ->
       """SELECT doc_id // 100 AS block, count(*) AS n_records,
                 min(md5(text)) AS block_digest,

@@ -164,7 +164,48 @@ object Ranking extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q90: DSIR-style data-selection importance weights (Xie et al.
+    * 2023): score every document by the log-likelihood ratio of its
+    * tokens under a TARGET distribution (here: the `lang = targetLang`
+    * slice — in production, a trusted high-quality corpus) vs the RAW
+    * corpus distribution, both unigram models with add-1 smoothing over
+    * the shared vocabulary. High scores = looks like the target;
+    * selection then keeps the top fraction (or hash-samples
+    * proportionally — [[CorpusOps.hashSampled]] composes downstream).
+    *
+    * Scale shape: one token explode feeds BOTH unigram models
+    * (map-side-combined counts); the merged vocabulary (raw count +
+    * target count, vocab ≪ corpus) broadcasts back onto the token
+    * stream, and the per-document sum folds over the SORTED per-token
+    * ratios (the q87 contract — grouped double sums are otherwise
+    * order-unpinned).
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en"): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"), termsOf("text").as("w"))
+    val raw = toks.groupBy("w").agg(count(lit(1)).as("c_raw"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy("w").agg(count(lit(1)).as("c_tgt"))
+    val vocab = raw.join(tgt, Seq("w"), "left")
+      .select(col("w"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+    val totals = vocab.agg(
+      sum(col("c_raw")).cast("double").as("n_raw"),
+      sum(col("c_tgt")).cast("double").as("n_tgt"),
+      count(lit(1)).cast("double").as("v"))
+    toks
+      .join(broadcast(vocab), "w")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("v"))) -
+         log((col("c_raw") + lit(1.0)) / (col("n_raw") + col("v")))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(aggregate(array_sort(collect_list(col("lr"))), lit(0.0),
+          (acc, x) => acc + x), 4).as("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_dsir_weights"   -> ((s, d) => dsirWeights(Tables(s, d).documents)),
     "q77_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)),
     "q86_pmi_bigrams"    -> ((s, d) => pmiBigrams(Tables(s, d).documents)),
     "q87_unigram_xent"   -> ((s, d) => unigramCrossEntropy(Tables(s, d).documents)),
@@ -173,6 +214,27 @@ object Ranking extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // per-token ratios are pure functions of integer counts (identical
+    // doubles on both engines); the per-doc sum folds over the sorted
+    // ratio list — the q87 order-pinning contract
+    "q90_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |raw AS (SELECT w, count(*)::BIGINT AS c_raw FROM toks GROUP BY 1),
+        |tgt AS (SELECT w, count(*)::BIGINT AS c_tgt FROM toks WHERE lang = 'en' GROUP BY 1),
+        |vocab AS (
+        |  SELECT raw.w, c_raw, coalesce(c_tgt, 0)::BIGINT AS c_tgt
+        |  FROM raw LEFT JOIN tgt ON raw.w = tgt.w),
+        |tot AS (
+        |  SELECT sum(c_raw)::DOUBLE AS n_raw, sum(c_tgt)::DOUBLE AS n_tgt,
+        |         count(*)::DOUBLE AS v
+        |  FROM vocab),
+        |lr AS (
+        |  SELECT doc_id,
+        |         ln((c_tgt + 1.0) / (n_tgt + v)) - ln((c_raw + 1.0) / (n_raw + v)) AS lr
+        |  FROM toks JOIN vocab ON toks.w = vocab.w, tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |       round(list_sum(list_sort(list(lr))), 4) AS dsir_logratio
+        |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the per-doc mean folds over the sorted logprob list on both
     // engines — the grouped double sum is otherwise order-unpinned
     "q87_unigram_xent" ->

@@ -243,6 +243,67 @@ object TextAnalysis extends QueryModule {
       .withColumn(textCol, regexp_replace(emailsRedacted, phoneRe, "<PHONE>"))
   }
 
+  /** q88: Unicode canonicalization over the corpus via the
+    * [[graft.functions.UnicodeNormalize]] kernel. Equivalent text in
+    * composed vs decomposed form hashes differently, so every
+    * hash-keyed stage upstream (exact dedup q20, MinHash q33,
+    * decontamination q75) silently misses near-identical documents
+    * unless text is normalized first — this is the canonical first
+    * projection of a text pipeline. The corpus is ASCII, so the query
+    * synthesizes decomposed accent sequences deterministically from
+    * each doc_id (base letter + combining mark chosen by doc_id % 3)
+    * and normalizes them; the oracle rebuilds the same codepoints with
+    * chr() and DuckDB's nfc_normalize. A kernel that mangles, drops, or
+    * double-applies marks fails the exact-string hash.
+    */
+  def nfcNormalized(documents: DataFrame): DataFrame = {
+    // U+0301 combining acute / U+0308 diaeresis / U+0303 tilde — all
+    // compose with 'e' under NFC (é ë ẽ), so len_norm = len_raw - 2
+    val mark = element_at(
+      array(lit("\u0301"), lit("\u0308"), lit("\u0303")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val raw = concat(substring(col("text"), 1, 8), lit("e"), mark, lit("o\u0308"))
+    documents
+      .select(col("doc_id"), raw.as("raw"),
+        graft.functions.UnicodeNormalize.unicodeNormalize(raw).as("norm"))
+      .withColumn("len_raw", length(col("raw")).cast("long"))
+      .withColumn("len_norm", length(col("norm")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** q91: boilerplate detection by frequent n-gram coverage — the
+    * C4/RefinedWeb-style signal for template text (navigation chrome,
+    * license blocks, SEO spam repeat the same word spans across many
+    * documents). A document's boilerplate ratio = fraction of its
+    * n-gram positions whose gram occurs in ≥ `minDocs` DISTINCT
+    * documents.
+    *
+    * Scale shape: one gram explode; document frequency via a distinct
+    * (gram, doc) pass then a map-side-combined count; the frequent set
+    * (df ≥ threshold) is orders of magnitude smaller than the gram
+    * table — the classic small-dim BROADCAST back onto the fact. The
+    * ratio is integer-counts-divided-once, so no float-order hazard.
+    */
+  def boilerplateGramRatio(documents: DataFrame, n: Int = 4, minDocs: Int = 3): DataFrame = {
+    val ts = tokens(col("text"))
+    val grams = documents.select(col("doc_id"),
+      explode(when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => array_join(slice(ts, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val frequent = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("g"), lit(1L).as("is_boiler"))
+    grams.join(broadcast(frequent), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("is_boiler")), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler") / col("n_grams").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   /** q74: deterministic contact notes synthesized from customer fields,
     * scrubbed with the generic patterns — every redaction is
     * re-derivable, so the oracle checks both the counts AND the exact
@@ -270,9 +331,41 @@ object TextAnalysis extends QueryModule {
     "q79_gopher_flags" -> ((s, d) => gopherQualityFlags(Tables(s, d).documents)),
     "q81_char_entropy" -> ((s, d) => charEntropy(Tables(s, d).documents)),
     "q85_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)),
+    "q88_nfc_normalize" -> ((s, d) => nfcNormalized(Tables(s, d).documents)),
+    "q91_boilerplate_grams" -> ((s, d) => boilerplateGramRatio(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
+    // raw is rebuilt codepoint-for-codepoint with chr(); nfc_normalize
+    // is DuckDB's ICU-backed NFC — byte equality with the JDK kernel is
+    // the whole check (lengths pin the two compositions per row)
+    "q88_nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 8) || 'e' ||
+        |         CASE doc_id % 3 WHEN 0 THEN chr(769)
+        |                         WHEN 1 THEN chr(776)
+        |                         ELSE chr(771) END ||
+        |         'o' || chr(776) AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw, nfc_normalize(raw) AS norm,
+        |       length(raw)::BIGINT AS len_raw,
+        |       length(nfc_normalize(raw))::BIGINT AS len_norm
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q91_boilerplate_grams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS g
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 2)) AS i
+        |        FROM d WHERE len(ts) >= 4)),
+        |freq AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+        |  WHERE df >= 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |       count(freq.g)::BIGINT AS n_boiler,
+        |       round(count(freq.g) / count(*)::DOUBLE, 4) AS boiler_ratio
+        |FROM grams LEFT JOIN freq ON grams.g = freq.g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q74_pii_scrub" ->
       """WITH notes AS (
         |  SELECT c_custkey,
