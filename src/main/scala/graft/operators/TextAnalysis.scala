@@ -278,27 +278,34 @@ object TextAnalysis extends QueryModule {
     * n-gram positions whose gram occurs in ≥ `minDocs` DISTINCT
     * documents.
     *
-    * Scale shape: one gram explode; document frequency via a distinct
-    * (gram, doc) pass then a map-side-combined count; the frequent set
-    * (df ≥ threshold) is orders of magnitude smaller than the gram
-    * table — the classic small-dim BROADCAST back onto the fact. The
-    * ratio is integer-counts-divided-once, so no float-order hazard.
+    * Scale shape: ONE aggregation over the raw gram stream —
+    * `groupBy(doc_id, g).count` with map-side partial agg — and every
+    * downstream step works off that pair-count table: document
+    * frequency is a second (much smaller) count over it, the frequent
+    * set (df ≥ threshold, orders of magnitude smaller still) BROADCASTs
+    * back onto it, and the per-doc rollup re-shuffles only pair counts,
+    * never raw gram positions. Both consumers of the pair table hang
+    * off the same Exchange, so ReuseExchange evaluates the explode
+    * exactly once. The ratio is integer-counts-divided-once, so no
+    * float-order hazard.
     */
   def boilerplateGramRatio(documents: DataFrame, n: Int = 4, minDocs: Int = 3): DataFrame = {
-    val ts = tokens(col("text"))
-    val grams = documents.select(col("doc_id"),
-      explode(when(size(ts) >= n,
-          transform(sequence(lit(1), size(ts) - (n - 1)),
-            i => array_join(slice(ts, i, lit(n)), " ")))
+    // gram expansion via the fused ShingleSet kernel (one pass, no
+    // intermediate Catalyst arrays) — the interpreted
+    // transform+slice+array_join chain was the query's hot spot
+    val pairCounts = documents.select(col("doc_id"),
+      explode(when(size(tokens(col("text"))) >= n,
+          graft.functions.ShingleSet.shingleWindows(col("text"), n))
         .otherwise(array().cast("array<string>"))).as("g"))
-    val frequent = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val frequent = pairCounts
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("g"), lit(1L).as("is_boiler"))
-    grams.join(broadcast(frequent), Seq("g"), "left")
+      .select(col("g"), lit(true).as("is_boiler"))
+    pairCounts.join(broadcast(frequent), Seq("g"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        coalesce(sum(col("is_boiler")), lit(0L)).as("n_boiler"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        coalesce(sum(when(col("is_boiler"), col("cnt"))), lit(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
         round(col("n_boiler") / col("n_grams").cast("double"), 4))
       .orderBy("doc_id")
