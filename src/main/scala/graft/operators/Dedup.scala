@@ -143,6 +143,67 @@ object Dedup extends QueryModule {
       .orderBy("left_id")
   }
 
+  /** q94: MinHash accuracy report — for every LSH candidate pair,
+    * the sketch's Jaccard ESTIMATE (fraction of agreeing minhash
+    * components over `nHashes` independent salts) next to the EXACT
+    * shingle Jaccard and the absolute error. This is the calibration
+    * query a dedup rollout runs before trusting banding thresholds:
+    * the estimate's error distribution tells you how many hashes you
+    * need for the similarity band you care about (stderr ≈
+    * sqrt(s(1-s)/k)).
+    *
+    * Scale shape: per-doc features (8-salt signature vector + shingle
+    * set) tokenize the shingle array once and hash it per salt; the
+    * feature scan is pure narrow work. `scopeToCandidates` computes
+    * features only for docs appearing in some pair (broadcast
+    * semi-join) — the same tradeoff as [[nearDupClusters]]'s
+    * `scopeVerifyToCandidates`: asymptotically right at 100 TB where
+    * banding touches <1% of the corpus, and measured at parity even at
+    * sf0.1 where candidates are ~8% of docs (scoping serializes the
+    * feature scan behind the LSH stage + cache/broadcast barriers,
+    * offsetting the smaller scan) — so unlike q58's verify scope, the
+    * scale-correct setting is also the default here. The estimate
+    * folds over a fixed-length zip (order pinned by construction), and
+    * the exact ratio is integers-divided-once.
+    */
+  def minhashAccuracy(documents: DataFrame, nHashes: Int = 8,
+                      scopeToCandidates: Boolean = true): DataFrame = {
+    val cands = lshCandidatePairs(documents).select("left_id", "right_id")
+    val featSrc =
+      if (scopeToCandidates) {
+        val c = cands.cache()
+        val ids = c.select(col("left_id").as("doc_id"))
+          .unionByName(c.select(col("right_id").as("doc_id"))).distinct()
+        documents.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      } else documents
+    // per-salt fused text→minhash kernels, NOT minhash over a shared
+    // shingle-array column: CollapseProject would inline the array
+    // into every consumer (9 shingle expansions), and the fused kernel
+    // re-tokenizing per salt measures faster than array reuse anyway
+    // (same finding as nearDupLabels' in-code note)
+    val feats = featSrc.select(
+      col("doc_id"),
+      graft.functions.ShingleSet.shingleSet(col("text")).as("sh"),
+      array((0 until nHashes).map(j =>
+        graft.functions.MinHashMd5.textMinhashMd5(col("text"), s"salt$j|")): _*).as("sig"))
+    cands
+      .join(feats.select(col("doc_id").as("left_id"),
+        col("sh").as("lsh"), col("sig").as("lsig")), "left_id")
+      .join(feats.select(col("doc_id").as("right_id"),
+        col("sh").as("rsh"), col("sig").as("rsig")), "right_id")
+      .withColumn("inter", size(array_intersect(col("lsh"), col("rsh"))))
+      .withColumn("est",
+        size(filter(zip_with(col("lsig"), col("rsig"), (x, y) => x === y),
+          b => b)) / lit(nHashes.toDouble))
+      .withColumn("exact", col("inter") /
+        (size(col("lsh")) + size(col("rsh")) - col("inter")).cast("double"))
+      .select(col("left_id"), col("right_id"),
+        round(col("est"), 4).as("est_jaccard"),
+        round(col("exact"), 4).as("exact_jaccard"),
+        round(abs(col("est") - col("exact")), 4).as("abs_err"))
+      .orderBy("left_id", "right_id")
+  }
+
   /** A7 (launch_checksums.py:130-179): per-record checksum manifest —
     * md5 + sha256 over the payload bytes, computed in one scan with
     * codegen'd hash expressions (the reference forks a multiprocessing
@@ -466,6 +527,7 @@ object Dedup extends QueryModule {
     "q34_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "q35_lsh_candidates" -> ((s, d) => lshCandidatePairs(Tables(s, d).documents)),
     "q65_multiband_lsh"  -> ((s, d) => multiBandCandidatePairs(Tables(s, d).documents)),
+    "q94_minhash_accuracy" -> ((s, d) => minhashAccuracy(Tables(s, d).documents)),
     "q73_chunk_dedup"    -> ((s, d) => chunkDedup(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
@@ -504,6 +566,41 @@ object Dedup extends QueryModule {
         |SELECT cluster_id, count(*) AS n_members,
         |       string_agg(doc_id, ',' ORDER BY doc_id) AS members
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // est is an exact multiple of 1/8 and exact is integers-divided-
+    // once, so abs(est-exact) is bit-identical on both engines before
+    // the output rounding
+    "q94_minhash_accuracy" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(ws) AS s FROM w),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         [list_aggregate(list_transform(ws, s -> md5('salt0|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('salt1|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('salt2|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('salt3|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('salt4|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('salt5|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('salt6|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('salt7|' || s)), 'min')] AS sig
+        |  FROM w),
+        |cand AS (SELECT a.doc_id AS l, b.doc_id AS r
+        |         FROM sigs a JOIN sigs b ON a.sig[1] = b.sig[1] AND a.doc_id < b.doc_id),
+        |m AS (
+        |  SELECT l, r,
+        |         len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) / 8.0 AS est,
+        |         len(list_intersect(ha.s, hb.s)) /
+        |           CAST(len(ha.s) + len(hb.s) - len(list_intersect(ha.s, hb.s)) AS DOUBLE) AS exact
+        |  FROM cand
+        |  JOIN sigs sa ON sa.doc_id = l JOIN sigs sb ON sb.doc_id = r
+        |  JOIN sh ha ON ha.doc_id = l JOIN sh hb ON hb.doc_id = r)
+        |SELECT l AS left_id, r AS right_id,
+        |       round(est, 4) AS est_jaccard,
+        |       round(exact, 4) AS exact_jaccard,
+        |       round(abs(est - exact), 4) AS abs_err
+        |FROM m ORDER BY left_id, right_id""".stripMargin,
     // q58's component CTE + the canonical rank (n_chars DESC, doc_id)
     "q92_neardup_canonical" ->
       """WITH RECURSIVE

@@ -57,8 +57,50 @@ object Quantize extends QueryModule {
         size(filter(col("q_vec"), q => abs(q) === 127)).cast("long").as("n_saturated"))
       .orderBy("vec_id")
 
+  /** q96: embedding standardization — the feature-scaling pass before
+    * clustering / ANN training (k-means and IVF are distance-based, so
+    * an unscaled dimension dominates every centroid): per-dimension
+    * z-score over the corpus, then per-vector stats of the standardized
+    * vector (L2 norm, extremes).
+    *
+    * Scale shape: the classic two-pass broadcast normalization —
+    * pass 1 aggregates per-dimension (n, Σx, Σx²) via posexplode with
+    * map-side partial agg (the stats table is dim-count rows, i.e.
+    * tiny); pass 2 broadcasts it back onto the exploded stream and
+    * rolls up per vector. No global sort, no driver collect. The
+    * per-vector z² sum folds over the dim-SORTED struct list — dims
+    * per vector are bounded (64 here), so the order-pinning collect is
+    * O(width), not O(corpus) (the q87 contract). σ uses the explicit
+    * E[x²]−E[x]² form so the oracle can reproduce it verbatim rather
+    * than matching an engine's Welford variant.
+    */
+  def standardizedStats(embeddings: DataFrame): DataFrame = {
+    val ex = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val mu = col("s") / col("n")
+    val stats = ex.groupBy("dim").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .select(col("dim"), mu.as("mu"),
+        sqrt(col("ss") / col("n") - mu * mu).as("sigma"))
+    ex.join(broadcast(stats), "dim")
+      .withColumn("z", (col("x") - col("mu")) / col("sigma"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        round(sqrt(aggregate(
+          array_sort(collect_list(struct(col("dim"), col("z")))), lit(0.0),
+          (acc, s) => acc + s.getField("z") * s.getField("z"))), 4).as("z_l2"),
+        round(max(col("z")), 4).as("max_z"),
+        round(min(col("z")), 4).as("min_z"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_quantize_stats" -> ((s, d) => quantizeStats(Tables(s, d).embeddings)),
+    "q96_standardize_stats" -> ((s, d) => standardizedStats(Tables(s, d).embeddings)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -78,5 +120,25 @@ object Quantize extends QueryModule {
         |       list_max(qv)::BIGINT AS q_max,
         |       len(list_filter(qv, v -> abs(v) = 127))::BIGINT AS n_saturated
         |FROM q ORDER BY vec_id""".stripMargin,
+    // per-dim sums accumulate float→double widenings in engine-specific
+    // order (ulp drift absorbed by the round(4)); the per-vector z² sum
+    // folds in dim order on both engines
+    "q96_standardize_stats" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |stats AS (
+        |  SELECT dim, sum(x) / count(*) AS mu,
+        |         sqrt(sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*))) AS sigma
+        |  FROM ex GROUP BY dim),
+        |z AS (
+        |  SELECT vec_id, ex.dim, (x - mu) / sigma AS z
+        |  FROM ex JOIN stats ON ex.dim = stats.dim)
+        |SELECT vec_id, count(*)::BIGINT AS n_dims,
+        |       round(sqrt(list_sum(list_transform(
+        |         list_sort(list({'d': dim, 'z': z})), s -> s.z * s.z))), 4) AS z_l2,
+        |       round(max(z), 4) AS max_z,
+        |       round(min(z), 4) AS min_z
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
 }

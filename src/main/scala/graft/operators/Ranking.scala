@@ -204,8 +204,49 @@ object Ranking extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q95: corpus-drift monitor — per-source KL(P_source ‖ P_corpus)
+    * over unigram distributions, restricted to the corpus's top-K
+    * vocabulary and add-1 smoothed within it. This is the dashboard
+    * query behind "did the crawl mix shift": a source whose token
+    * distribution diverges from the blend shows up as a KL spike.
+    *
+    * Restricting to top-K (the standard practical drift monitor) is
+    * what makes the query BOTH scale-safe and deterministic: the
+    * source × vocab grid is |sources|·K rows (tiny), the top-K table
+    * broadcasts everywhere, and the per-source sum folds over ≤ K
+    * sorted doubles (the q87 order-pinning contract) instead of a
+    * vocabulary-sized collect. Top-K itself is a
+    * TakeOrderedAndProject over the vocab counts — no global sort.
+    * Ties at the cut are pinned by (count DESC, term).
+    */
+  def sourceKlDrift(documents: DataFrame, topK: Int = 50): DataFrame = {
+    val toks = documents.select(col("source"), termsOf("text").as("w"))
+    // cache: K rows, but each recompute is a full-vocab aggregation
+    // over the token stream — and `top` feeds three consumers
+    val top = toks.groupBy("w").agg(count(lit(1)).as("c_c"))
+      .orderBy(col("c_c").desc, col("w")).limit(topK).cache()
+    val tot = top.agg(sum(col("c_c")).cast("double").as("n_c"),
+      count(lit(1)).cast("double").as("v"))
+    val sc = toks.join(broadcast(top.select("w")), "w")
+      .groupBy("source", "w").agg(count(lit(1)).as("c_s"))
+    val srcs = sc.groupBy("source").agg(sum(col("c_s")).cast("double").as("n_s"))
+    val ps = (col("c_s") + lit(1.0)) / (col("n_s") + col("v"))
+    val pc = (col("c_c") + lit(1.0)) / (col("n_c") + col("v"))
+    srcs.crossJoin(broadcast(top))
+      .join(sc, Seq("source", "w"), "left")
+      .withColumn("c_s", coalesce(col("c_s"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), (ps * log(ps / pc)).as("kc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        round(aggregate(array_sort(collect_list(col("kc"))), lit(0.0),
+          (acc, x) => acc + x), 4).as("kl_to_corpus"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_dsir_weights"   -> ((s, d) => dsirWeights(Tables(s, d).documents)),
+    "q95_source_kl"      -> ((s, d) => sourceKlDrift(Tables(s, d).documents)),
     "q77_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)),
     "q86_pmi_bigrams"    -> ((s, d) => pmiBigrams(Tables(s, d).documents)),
     "q87_unigram_xent"   -> ((s, d) => unigramCrossEntropy(Tables(s, d).documents)),
@@ -214,6 +255,29 @@ object Ranking extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // contributions are pure functions of integer counts (identical
+    // doubles both engines); per-source sum folds over the ≤K sorted
+    // contributions; top-K cut pinned by (count DESC, term)
+    "q95_source_kl" ->
+      """WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |cc AS (SELECT w, count(*)::BIGINT AS c_c FROM toks GROUP BY w),
+        |top AS (SELECT w, c_c FROM cc ORDER BY c_c DESC, w LIMIT 50),
+        |tot AS (SELECT sum(c_c)::DOUBLE AS n_c, count(*)::DOUBLE AS v FROM top),
+        |sc AS (SELECT source, toks.w AS w, count(*)::BIGINT AS c_s
+        |       FROM toks JOIN top ON toks.w = top.w GROUP BY 1, 2),
+        |srcs AS (SELECT source, sum(c_s)::DOUBLE AS n_s FROM sc GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, t.w, t.c_c, coalesce(sc.c_s, 0)::BIGINT AS c_s, s.n_s
+        |  FROM srcs s CROSS JOIN top t
+        |  LEFT JOIN sc ON sc.source = s.source AND sc.w = t.w),
+        |contrib AS (
+        |  SELECT source,
+        |         ((c_s + 1.0) / (n_s + v)) *
+        |           ln(((c_s + 1.0) / (n_s + v)) / ((c_c + 1.0) / (n_c + v))) AS kc
+        |  FROM grid, tot)
+        |SELECT source, count(*)::BIGINT AS n_terms,
+        |       round(list_sum(list_sort(list(kc))), 4) AS kl_to_corpus
+        |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
     // per-token ratios are pure functions of integer counts (identical
     // doubles on both engines); the per-doc sum folds over the sorted
     // ratio list — the q87 order-pinning contract
