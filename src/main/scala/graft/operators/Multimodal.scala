@@ -457,6 +457,34 @@ object MediaCodec {
     * fully deterministic, so a resize→decode round trip is value-oracle
     * checkable (q68).
     */
+  /** 64-bit average-hash (aHash) of an encoded image: decode →
+    * nearest-resize to 8×8 through the REAL codec round trip (so the
+    * hash witnesses both decode paths) → bit p set iff gray(p) exceeds
+    * the integer mean of the 64 gray values. Every step is exact
+    * integer arithmetic over the decoded raster, so the hash is
+    * closed-form re-derivable for generated fixtures (q97).
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val img = readImage(resizeNearest(bytes, 8, 8))
+    val vals = new Array[Int](64)
+    var sum = 0L
+    var p = 0
+    while (p < 64) {
+      val v = (img.getRGB(p % 8, p / 8) >>> 16) & 0xff
+      vals(p) = v
+      sum += v
+      p += 1
+    }
+    val mean = sum / 64
+    var hsh = 0L
+    p = 0
+    while (p < 64) {
+      if (vals(p) > mean) hsh |= 1L << p
+      p += 1
+    }
+    hsh
+  }
+
   def resizeNearest(bytes: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
     val src = readImage(bytes)
     val sw = src.getWidth

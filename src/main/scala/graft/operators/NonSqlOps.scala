@@ -143,8 +143,44 @@ object NonSqlOps extends QueryModule {
       .orderBy("media_id")
   }
 
+  /** q97: perceptual image dedup — the image-side analogue of MinHash
+    * banding: decode every image, average-hash the 8×8-resized raster
+    * (both through the REAL JDK codecs), and group identical hashes
+    * into duplicate-image clusters. Fixtures reuse the PNG generator
+    * with seed = doc_id % 29, so visually-identical images recur under
+    * different doc ids and the groups are non-trivial; the oracle
+    * re-derives the full decode→resize→threshold→bit-pack chain as
+    * closed-form integer arithmetic.
+    *
+    * Scale shape: decode + hash is narrow per-row work behind an
+    * explicit by-id repartition (CPU-bound stage, same note as
+    * [[mediaFixtures]]); the ONLY shuffle is the groupBy on a 64-bit
+    * hash — uniform by construction, exactly like exact text dedup.
+    */
+  def imageAHashGroups(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val hashes = documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { d =>
+          val seed = d % 29
+          val w = (8 + seed % 13).toInt
+          val h = (8 + seed % 11).toInt
+          val png = MediaCodec.encodePng(w, h,
+            (x, y) => ((x * 31 + y * 17 + seed * 7) % 256).toInt)
+          (d, MediaCodec.aHash64(png))
+        }
+      }.toDF("doc_id", "ahash")
+    hashes.groupBy("ahash")
+      .agg(count(lit(1)).as("n_images"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+      .orderBy("ahash")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
+    "q97_image_ahash"     -> ((s, d) => imageAHashGroups(Tables(s, d).documents)),
     "q53_winnow_stats"    -> ((s, d) => winnowStats(Tables(s, d).documents)),
     "q54_media_meta"      -> ((s, d) => mediaMeta(Tables(s, d).documents)),
     "q68_media_resize"    -> ((s, d) => mediaResize(Tables(s, d).documents)),
@@ -166,6 +202,33 @@ object NonSqlOps extends QueryModule {
     * hash-match.
     */
   override def oracles: Map[String, String] = Map(
+    // decode→8×8 nearest-resize→integer-mean threshold→bit-pack, all
+    // closed-form over seed = doc_id % 29; unsigned→signed conversion
+    // follows the q52 HUGEINT convention
+    "q97_image_ahash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 29 AS seed,
+        |         (8 + (doc_id % 29) % 13)::BIGINT AS sw,
+        |         (8 + (doc_id % 29) % 11)::BIGINT AS sh
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, p,
+        |         ((((p % 8) * sw) // 8) * 31 + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256 AS val
+        |  FROM dims, unnest(range(64)) AS t(p)),
+        |m AS (SELECT doc_id, sum(val) // 64 AS mean FROM v GROUP BY doc_id),
+        |h AS (
+        |  SELECT v.doc_id,
+        |         sum(CASE WHEN val > mean THEN (1::UBIGINT << p::INTEGER)::HUGEINT
+        |                  ELSE 0::HUGEINT END) AS uh
+        |  FROM v JOIN m ON v.doc_id = m.doc_id GROUP BY v.doc_id),
+        |s AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN uh >= 9223372036854775808::HUGEINT
+        |               THEN uh - 18446744073709551616::HUGEINT ELSE uh END)::BIGINT AS ahash
+        |  FROM h)
+        |SELECT ahash, count(*)::BIGINT AS n_images,
+        |       string_agg(doc_id, ',' ORDER BY doc_id) AS members
+        |FROM s GROUP BY ahash ORDER BY ahash""".stripMargin,
     "q54_media_meta" ->
       """WITH dims AS (
         |  SELECT doc_id, (8 + doc_id % 24)::INTEGER AS w, (8 + (doc_id // 5) % 24)::INTEGER AS h

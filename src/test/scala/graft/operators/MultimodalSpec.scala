@@ -117,4 +117,24 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).embedding.toSeq == again(1L).embedding.toSeq)
     assert(feats(1L).embedding.toSeq != feats(2L).embedding.toSeq)
   }
+
+  test("aHash64: deterministic, scale-invariant, brightness-invariant, content-sensitive") {
+    val base = MediaCodec.encodePng(16, 12, gray)
+    val h = MediaCodec.aHash64(base)
+    // identical bytes → identical hash
+    assert(MediaCodec.aHash64(base) == h)
+    // 2× nearest upscale is hash-invariant: the 8×8 resample indices
+    // satisfy floor(floor(2a)/2) = floor(a), so the sampled raster is
+    // identical — the property that makes aHash a RESOLUTION-blind dedup key
+    val up = MediaCodec.resizeNearest(base, 32, 24)
+    assert(MediaCodec.aHash64(up) == h)
+    // uniform brightness shift (no wraparound) moves mean and values
+    // together → same threshold pattern
+    val brighter = MediaCodec.encodePng(16, 12, (x, y) => gray(x, y) % 128 + 40)
+    val dimmer = MediaCodec.encodePng(16, 12, (x, y) => gray(x, y) % 128)
+    assert(MediaCodec.aHash64(brighter) == MediaCodec.aHash64(dimmer))
+    // different content → different hash
+    val checker = MediaCodec.encodePng(16, 12, (x, y) => ((x + y) % 2) * 255)
+    assert(MediaCodec.aHash64(checker) != h)
+  }
 }
