@@ -33,12 +33,18 @@ case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpres
         s"unicode_normalize requires string, got ${other.catalogString}")
     }
 
+  // resolve the enum once per expression, not per row (the constructor
+  // require() already guarantees valueOf succeeds)
+  @transient private lazy val resolvedForm = java.text.Normalizer.Form.valueOf(form)
+
   override def nullSafeEval(input: Any): Any =
-    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], form)
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"""graft.functions.UnicodeNormalize.normalize($c, "$form")""")
+      // form names ARE the enum constant names, so the generated code
+      // references the constant directly — no per-row valueOf
+      c => s"graft.functions.UnicodeNormalize.normalize($c, java.text.Normalizer.Form.$form)")
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
@@ -52,10 +58,9 @@ object UnicodeNormalize {
     GraftGlue.column(UnicodeNormalize(GraftGlue.expression(text), form))
 
   /** Static kernel shared by interpreted eval and generated code. */
-  def normalize(text: UTF8String, form: String): UTF8String = {
-    val f = java.text.Normalizer.Form.valueOf(form)
+  def normalize(text: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
     val s = text.toString
-    if (java.text.Normalizer.isNormalized(s, f)) text
-    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+    if (java.text.Normalizer.isNormalized(s, form)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
   }
 }

@@ -162,18 +162,29 @@ object Dedup extends QueryModule {
     * sf0.1 where candidates are ~8% of docs (scoping serializes the
     * feature scan behind the LSH stage + cache/broadcast barriers,
     * offsetting the smaller scan) — so unlike q58's verify scope, the
-    * scale-correct setting is also the default here. The estimate
-    * folds over a fixed-length zip (order pinned by construction), and
-    * the exact ratio is integers-divided-once.
+    * scale-correct setting is also the default here. The estimator's
+    * salts (`acc0..`) are DISJOINT from the banding salt (`salt0`):
+    * candidate pairs agree on the band component by construction, so
+    * including it would floor every estimate at 1/k and systematically
+    * understate error exactly at the band boundary the calibration
+    * exists to measure. The estimate folds over a fixed-length zip
+    * (order pinned by construction), and the exact ratio is
+    * integers-divided-once.
     */
   def minhashAccuracy(documents: DataFrame, nHashes: Int = 8,
                       scopeToCandidates: Boolean = true): DataFrame = {
     val cands = lshCandidatePairs(documents).select("left_id", "right_id")
     val featSrc =
       if (scopeToCandidates) {
-        val c = cands.cache()
-        val ids = c.select(col("left_id").as("doc_id"))
-          .unionByName(c.select(col("right_id").as("doc_id"))).distinct()
+        // the id scope re-derives the candidate chain instead of caching
+        // it: a cache pinned here could never be unpersisted (no action
+        // runs inside this lazily-built plan, unlike nearDupLabels'
+        // internal CC loop), and leaking session-lifetime executor
+        // storage costs more than one extra narrow md5 pass + small-key
+        // shuffle
+        val ids = lshCandidatePairs(documents)
+          .select(explode(array(col("left_id"), col("right_id"))).as("doc_id"))
+          .distinct()
         documents.join(broadcast(ids), Seq("doc_id"), "left_semi")
       } else documents
     // per-salt fused text→minhash kernels, NOT minhash over a shared
@@ -185,7 +196,7 @@ object Dedup extends QueryModule {
       col("doc_id"),
       graft.functions.ShingleSet.shingleSet(col("text")).as("sh"),
       array((0 until nHashes).map(j =>
-        graft.functions.MinHashMd5.textMinhashMd5(col("text"), s"salt$j|")): _*).as("sig"))
+        graft.functions.MinHashMd5.textMinhashMd5(col("text"), s"acc$j|")): _*).as("sig"))
     cands
       .join(feats.select(col("doc_id").as("left_id"),
         col("sh").as("lsh"), col("sig").as("lsig")), "left_id")
@@ -577,17 +588,20 @@ object Dedup extends QueryModule {
         |sh AS (SELECT doc_id, list_distinct(ws) AS s FROM w),
         |sigs AS (
         |  SELECT doc_id,
-        |         [list_aggregate(list_transform(ws, s -> md5('salt0|' || s)), 'min'),
-        |          list_aggregate(list_transform(ws, s -> md5('salt1|' || s)), 'min'),
-        |          list_aggregate(list_transform(ws, s -> md5('salt2|' || s)), 'min'),
-        |          list_aggregate(list_transform(ws, s -> md5('salt3|' || s)), 'min'),
-        |          list_aggregate(list_transform(ws, s -> md5('salt4|' || s)), 'min'),
-        |          list_aggregate(list_transform(ws, s -> md5('salt5|' || s)), 'min'),
-        |          list_aggregate(list_transform(ws, s -> md5('salt6|' || s)), 'min'),
-        |          list_aggregate(list_transform(ws, s -> md5('salt7|' || s)), 'min')] AS sig
+        |         [list_aggregate(list_transform(ws, s -> md5('acc0|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('acc1|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('acc2|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('acc3|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('acc4|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('acc5|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('acc6|' || s)), 'min'),
+        |          list_aggregate(list_transform(ws, s -> md5('acc7|' || s)), 'min')] AS sig
+        |  FROM w),
+        |band AS (
+        |  SELECT doc_id, list_aggregate(list_transform(ws, s -> md5('salt0|' || s)), 'min') AS mh0
         |  FROM w),
         |cand AS (SELECT a.doc_id AS l, b.doc_id AS r
-        |         FROM sigs a JOIN sigs b ON a.sig[1] = b.sig[1] AND a.doc_id < b.doc_id),
+        |         FROM band a JOIN band b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),
         |m AS (
         |  SELECT l, r,
         |         len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) / 8.0 AS est,

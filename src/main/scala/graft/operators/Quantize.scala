@@ -87,7 +87,12 @@ object Quantize extends QueryModule {
       .select(col("dim"), mu.as("mu"),
         sqrt(col("ss") / col("n") - mu * mu).as("sigma"))
     ex.join(broadcast(stats), "dim")
-      .withColumn("z", (col("x") - col("mu")) / col("sigma"))
+      // a corpus-constant dimension (zeroed/padded dims are common in
+      // truncated embedding dumps) has σ = 0 — define its z as 0
+      // instead of NaN-poisoning every vector's rollup
+      .withColumn("z",
+        when(col("sigma") === 0d, lit(0d))
+          .otherwise((col("x") - col("mu")) / col("sigma")))
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_dims"),
         round(sqrt(aggregate(
@@ -132,7 +137,8 @@ object Quantize extends QueryModule {
         |         sqrt(sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*))) AS sigma
         |  FROM ex GROUP BY dim),
         |z AS (
-        |  SELECT vec_id, ex.dim, (x - mu) / sigma AS z
+        |  SELECT vec_id, ex.dim,
+        |         CASE WHEN sigma = 0 THEN 0 ELSE (x - mu) / sigma END AS z
         |  FROM ex JOIN stats ON ex.dim = stats.dim)
         |SELECT vec_id, count(*)::BIGINT AS n_dims,
         |       round(sqrt(list_sum(list_transform(

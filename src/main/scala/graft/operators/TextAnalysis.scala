@@ -441,15 +441,20 @@ object TextAnalysis extends QueryModule {
     // the per-char sum folds over the SORTED distinct alphabet on both
     // engines (list_sum/list_transform is the proven sequential-fold
     // mirror of Spark's `aggregate`), pinning the summation order
+    // the CASE pins DuckDB's string_split('', '') = [''] (one empty
+    // element) to the kernel's n=0 contract for empty text
     "q81_char_entropy" ->
-      """WITH d AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+      """WITH d AS (SELECT doc_id,
+        |                  CASE WHEN text = '' THEN []::VARCHAR[]
+        |                       ELSE string_split(text, '') END AS cs
+        |           FROM documents),
         |e AS (
         |  SELECT doc_id,
         |         len(cs)::BIGINT AS n_chars_split,
         |         len(list_distinct(cs))::BIGINT AS n_distinct_chars,
-        |         list_sum(list_transform(list_sort(list_distinct(cs)), c ->
+        |         coalesce(list_sum(list_transform(list_sort(list_distinct(cs)), c ->
         |           (len(list_filter(cs, x -> x = c)) / len(cs)::DOUBLE) *
-        |           ln(len(list_filter(cs, x -> x = c)) / len(cs)::DOUBLE))) AS s
+        |           ln(len(list_filter(cs, x -> x = c)) / len(cs)::DOUBLE))), 0.0) AS s
         |  FROM d)
         |SELECT doc_id, n_chars_split, n_distinct_chars,
         |       round(-s / ln(2.0), 4) + 0.0 AS entropy_bits

@@ -108,6 +108,11 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val ceCode = org.apache.spark.sql.execution.debug.codegenString(
       ce.queryExecution.executedPlan)
     assert(ceCode.contains("CharEntropyStats.evalText"), "CharEntropyStats fell out of generated code")
+    val un = t.documents.select(
+      graft.functions.UnicodeNormalize.unicodeNormalize(col("text"), "NFKC").as("n"))
+    val unCode = org.apache.spark.sql.execution.debug.codegenString(
+      un.queryExecution.executedPlan)
+    assert(unCode.contains("UnicodeNormalize.normalize"), "UnicodeNormalize fell out of generated code")
 
     // source presence is necessary but not sufficient: a generated call
     // that doesn't COMPILE (e.g. a companion kernel whose static
@@ -116,7 +121,7 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // warning and silently degrades to interpreted projections. Force
     // codegen-only mode and execute, so a compile error fails the suite.
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    try Seq(mh, fp, sh, ss, nc, rs, sb, ce).foreach(_.collect())
+    try Seq(mh, fp, sh, ss, nc, rs, sb, ce, un).foreach(_.collect())
     finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 }
