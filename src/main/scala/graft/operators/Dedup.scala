@@ -215,6 +215,41 @@ object Dedup extends QueryModule {
       .orderBy("left_id", "right_id")
   }
 
+  /** q99: INCREMENTAL dedup — the production ingest shape: a new batch
+    * arrives and must be deduped (a) against the already-ingested
+    * corpus and (b) within itself, without ever re-scanning corpus
+    * text. The existing side reduces to its fingerprint set (in
+    * production this is the persisted dedup index, not a scan); batch
+    * docs joining an existing fingerprint are `dup_of_corpus`,
+    * remaining batch docs sharing a fingerprint keep min-id as keeper
+    * (`dup_in_batch` otherwise `new`).
+    *
+    * Scale shape: the corpus side ships ONLY 128-bit fingerprints
+    * (16 B/doc — the index a 100 TB corpus maintains incrementally);
+    * the batch (≪ corpus by definition of an increment) shuffles once
+    * on the fingerprint for the within-batch window, and the
+    * corpus-membership check is a left join on the same key so it
+    * shares that shuffle's partitioning. No text column ever moves.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusFp = corpus
+      .select(fingerprint(col("text")).as("fingerprint")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fingerprint").orderBy("doc_id")
+    batch.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .join(corpusFp, Seq("fingerprint"), "left")
+      .withColumn("keeper_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("fingerprint"),
+        when(col("in_corpus"), lit("dup_of_corpus"))
+          .when(col("rk") > 1, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        when(col("in_corpus").isNull && col("rk") > 1, col("keeper_id")).as("keeper_id"))
+      .orderBy("doc_id")
+  }
+
   /** A7 (launch_checksums.py:130-179): per-record checksum manifest —
     * md5 + sha256 over the payload bytes, computed in one scan with
     * codegen'd hash expressions (the reference forks a multiprocessing
@@ -545,6 +580,20 @@ object Dedup extends QueryModule {
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
         benchmark = docs.filter(col("doc_id") % 11 === 0), chunkWords = 4)
     }),
+    // the corpus has no byte-exact duplicates, so the batch plants the
+    // three verdict classes deterministically: fresh docs (id % 5 = 0),
+    // re-submissions of corpus docs under new ids (+100000 — the retry/
+    // re-crawl case), and in-batch copies of fresh docs (+200000)
+    "q99_incremental_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val resub = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val copies = fresh.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      incrementalDedup(batch = fresh.unionByName(resub).unionByName(copies),
+        corpus = docs.filter(col("doc_id") % 5 =!= 0))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -577,6 +626,34 @@ object Dedup extends QueryModule {
         |SELECT cluster_id, count(*) AS n_members,
         |       string_agg(doc_id, ',' ORDER BY doc_id) AS members
         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // same 5-way split as the Spark wiring; fingerprint parity with
+    // q20's oracle (md5 over lower/trim UTF-8 bytes)
+    "q99_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT md5(lower(trim(text))) AS fingerprint
+        |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 30 = 0),
+        |b AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM batch),
+        |j AS (
+        |  SELECT b.doc_id, b.fingerprint,
+        |         corpus.fingerprint IS NOT NULL AS in_corpus,
+        |         min(b.doc_id) OVER (PARTITION BY b.fingerprint) AS keeper,
+        |         row_number() OVER (PARTITION BY b.fingerprint ORDER BY b.doc_id) AS rk
+        |  FROM b LEFT JOIN corpus USING (fingerprint))
+        |SELECT doc_id, fingerprint,
+        |       CASE WHEN in_corpus THEN 'dup_of_corpus'
+        |            WHEN rk > 1 THEN 'dup_in_batch'
+        |            ELSE 'new' END AS verdict,
+        |       CASE WHEN NOT in_corpus AND rk > 1 THEN keeper END AS keeper_id
+        |FROM j ORDER BY doc_id""".stripMargin,
     // est is an exact multiple of 1/8 and exact is integers-divided-
     // once, so abs(est-exact) is bit-identical on both engines before
     // the output rounding

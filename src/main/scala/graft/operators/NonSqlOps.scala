@@ -29,6 +29,44 @@ object NonSqlOps extends QueryModule {
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("sig")).as("n_distinct_sigs"))
       .orderBy("bucket")
 
+  /** q98: SimHash near-duplicate PAIRS — the step q52's bucket summary
+    * stops short of. 64-bit signatures are split into 4×16-bit blocks;
+    * docs sharing ANY block become candidates (one explode + one
+    * groupBy, the minhash-LSH shape) and survive iff
+    * `bit_count(sig_l XOR sig_r) <= maxHamming`. With 4 blocks and
+    * radius 3 the pigeonhole principle makes recall EXACT: 3 differing
+    * bits can touch at most 3 blocks, so at least one block matches —
+    * this is banding with a guarantee, not a heuristic.
+    *
+    * Scale shape: signatures are narrow codegen'd compute; the only
+    * shuffle groups by (block_idx, block_key); in-bucket pair expansion
+    * carries (id, sig) structs so the hamming verify is in-bucket
+    * arithmetic — no second join back to the corpus; `distinct` dedups
+    * pairs colliding in several blocks.
+    */
+  def simhashHammingPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = documents
+      .select(col("doc_id"), simhash64(split(lower(col("text")), " ")).as("sig"))
+    val stacked = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("block_idx"),
+          shiftrightunsigned(col("sig"), 16 * j).bitwiseAND(lit(0xffffL)).as("block_key"))): _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.block_idx"), col("b.block_key"))
+    val expand = "flatten(transform(members, (x, i) -> " +
+      "transform(slice(members, i + 2, size(members) - i - 1), " +
+      "y -> struct(x.doc_id as left_id, x.sig as left_sig, y.doc_id as right_id, y.sig as right_sig))))"
+    stacked
+      .groupBy("block_idx", "block_key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(expand)).as("p"))
+      .select(col("p.left_id"), col("p.right_id"),
+        expr("bit_count(p.left_sig ^ p.right_sig)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("left_id", "right_id")
+  }
+
   /** Winnowing fingerprint stats per document. */
   def winnowStats(documents: DataFrame): DataFrame =
     documents.select(
@@ -181,6 +219,7 @@ object NonSqlOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
     "q97_image_ahash"     -> ((s, d) => imageAHashGroups(Tables(s, d).documents)),
+    "q98_simhash_pairs"   -> ((s, d) => simhashHammingPairs(Tables(s, d).documents)),
     "q53_winnow_stats"    -> ((s, d) => winnowStats(Tables(s, d).documents)),
     "q54_media_meta"      -> ((s, d) => mediaMeta(Tables(s, d).documents)),
     "q68_media_resize"    -> ((s, d) => mediaResize(Tables(s, d).documents)),
@@ -202,6 +241,48 @@ object NonSqlOps extends QueryModule {
     * hash-match.
     */
   override def oracles: Map[String, String] = Map(
+    // q52's FNV-1a + bit-vote signature chain, then 16-bit block
+    // bucketing and an in-bucket hamming verify (bit_count over the
+    // signed xor — two's complement makes signed/unsigned equivalent)
+    "q98_simhash_pairs" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(tok)+1), i -> unicode(substr(tok, i, 1))::HUGEINT)),
+        |      (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::HUGEINT * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    )::UBIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |),
+        |votes AS (
+        |  SELECT doc_id, r.range AS b,
+        |    SUM(CASE WHEN (h >> r.range::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, range(64) r
+        |  GROUP BY doc_id, r.range
+        |),
+        |usigs AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << b::INTEGER)::HUGEINT ELSE 0::HUGEINT END) AS usig
+        |  FROM votes GROUP BY doc_id
+        |),
+        |signed AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN usig >= 9223372036854775808::HUGEINT THEN usig - 18446744073709551616::HUGEINT ELSE usig END)::BIGINT AS sig,
+        |    usig
+        |  FROM usigs
+        |),
+        |blocks AS (
+        |  SELECT doc_id, sig, t.j,
+        |         ((usig // (1::UBIGINT << (16 * t.j)::INTEGER)::HUGEINT) % 65536) AS key
+        |  FROM signed, unnest(range(4)) AS t(j)
+        |),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+        |         bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        |  FROM blocks a JOIN blocks b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id
+        |)
+        |SELECT left_id, right_id, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY left_id, right_id""".stripMargin,
     // decode→8×8 nearest-resize→integer-mean threshold→bit-pack, all
     // closed-form over seed = doc_id % 29; unsigned→signed conversion
     // follows the q52 HUGEINT convention

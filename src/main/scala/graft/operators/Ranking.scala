@@ -244,9 +244,31 @@ object Ranking extends QueryModule {
       .orderBy("source")
   }
 
+  /** q100: per-source vocabulary health — token count, vocabulary size,
+    * type-token ratio, and hapax-legomena fraction (terms occurring
+    * once). The classic corpus diagnostics: a source whose TTR
+    * collapses is template spam; one whose hapax fraction explodes is
+    * OCR noise or encoding damage.
+    *
+    * Scale shape: ONE groupBy over (source, term) with map-side partial
+    * agg, then a source-count-sized rollup; every output is integer
+    * counts divided once.
+    */
+  def vocabularyStats(documents: DataFrame): DataFrame =
+    documents.select(col("source"), termsOf("text").as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        coalesce(sum(when(col("cnt") === 1, 1L)), lit(0L)).as("hapax"))
+      .withColumn("ttr", round(col("vocab") / col("n_tokens").cast("double"), 4))
+      .withColumn("hapax_frac", round(col("hapax") / col("vocab").cast("double"), 4))
+      .orderBy("source")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_dsir_weights"   -> ((s, d) => dsirWeights(Tables(s, d).documents)),
     "q95_source_kl"      -> ((s, d) => sourceKlDrift(Tables(s, d).documents)),
+    "q100_vocab_stats"   -> ((s, d) => vocabularyStats(Tables(s, d).documents)),
     "q77_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)),
     "q86_pmi_bigrams"    -> ((s, d) => pmiBigrams(Tables(s, d).documents)),
     "q87_unigram_xent"   -> ((s, d) => unigramCrossEntropy(Tables(s, d).documents)),
@@ -255,6 +277,18 @@ object Ranking extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q100_vocab_stats" ->
+      """WITH tc AS (
+        |  SELECT source, w, count(*)::BIGINT AS cnt
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source,
+        |       sum(cnt)::BIGINT AS n_tokens,
+        |       count(*)::BIGINT AS vocab,
+        |       coalesce(sum(CASE WHEN cnt = 1 THEN 1 END), 0)::BIGINT AS hapax,
+        |       round(count(*) / sum(cnt)::DOUBLE, 4) AS ttr,
+        |       round(coalesce(sum(CASE WHEN cnt = 1 THEN 1 END), 0) / count(*)::DOUBLE, 4) AS hapax_frac
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
     // contributions are pure functions of integer counts (identical
     // doubles both engines); per-source sum folds over the ≤K sorted
     // contributions; top-K cut pinned by (count DESC, term)

@@ -292,12 +292,22 @@ object TextAnalysis extends QueryModule {
   def boilerplateGramRatio(documents: DataFrame, n: Int = 4, minDocs: Int = 3): DataFrame = {
     // gram expansion via the fused ShingleSet kernel (one pass, no
     // intermediate Catalyst arrays) — the interpreted
-    // transform+slice+array_join chain was the query's hot spot
-    val pairCounts = documents.select(col("doc_id"),
-      explode(when(size(tokens(col("text"))) >= n,
-          graft.functions.ShingleSet.shingleWindows(col("text"), n))
-        .otherwise(array().cast("array<string>"))).as("g"))
+    // transform+slice+array_join chain was the query's hot spot.
+    // Two deliberate plan-shape choices (asserted in
+    // PlanAssertionsSpec) make BOTH consumers share ONE exchange, so
+    // the explode is evaluated once:
+    //  - short docs are dropped by a FILTER, not an empty-array CASE
+    //    arm: the cast's containsNull=true made `g` nullable, and the
+    //    join's inferred isnotnull filter then broke subtree equality;
+    //  - the trivially-true `cnt > 0` predicate pins `cnt` into the df
+    //    consumer, which would otherwise prune it to a distinct-shaped
+    //    partial agg that no longer canonicalizes with the other branch.
+    val pairCounts = documents
+      .filter(size(tokens(col("text"))) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleSet.shingleWindows(col("text"), n)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 0)
     val frequent = pairCounts
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)

@@ -60,6 +60,41 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("*("), s"expected codegen spans:\n$p")
   }
 
+  test("q89 per-source cap pushes the rank cut below the window shuffle") {
+    val p = planText(graft.operators.CorpusOps.perSourceCap(t.documents))
+    // WindowGroupLimit = each map task keeps <= cap rows per source
+    // BEFORE the shuffle: a hot domain never materializes its full
+    // posting in one task's sort buffer
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+  }
+
+  test("q91 evaluates the gram explode once (pair-count exchange reused)") {
+    val p = planText(graft.operators.TextAnalysis.boilerplateGramRatio(t.documents))
+    // both consumers of the (doc_id, gram) pair counts must hang off
+    // ONE exchange — a second Generate means the explode is computed
+    // twice over the raw gram stream
+    val generates = "\\bGenerate explode".r.findAllIn(p).size
+    assert(p.contains("ReusedExchange") || generates == 1,
+      s"expected a reused pair-count exchange or a single explode (got $generates):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast frequent set:\n$p")
+  }
+
+  test("q95 KL drift broadcasts the top-K vocab and never sorts globally") {
+    val p = planText(graft.operators.Ranking.sourceKlDrift(t.documents))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-K via TakeOrdered:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast vocab grid:\n$p")
+  }
+
+  test("q98 simhash pairs bucket by block key — no cartesian, no corpus re-join") {
+    val p = planText(graft.operators.NonSqlOps.simhashHammingPairs(t.documents))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"expected no all-pairs join:\n$p")
+    // the hamming verify rides the in-bucket structs: exactly zero
+    // join operators in the whole plan
+    assert(!p.contains("Join"), s"expected a join-free bucketed plan:\n$p")
+  }
+
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
     // parquet-backed, exchange-free projections: LocalRelation fixtures
     // constant-fold custom expressions away, and AQE wraps any plan with

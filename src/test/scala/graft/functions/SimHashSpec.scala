@@ -39,4 +39,22 @@ class SimHashSpec extends SparkSpec {
     assert(sigs.filter($"sig" === 0L).count() == 0)
     assert(sigs.count() == docs.count())
   }
+
+  test("q98 block banding has EXACT recall at radius 3 (pigeonhole) vs brute force") {
+    val docs = graft.Tables(spark, sf("")).documents
+    val banded = graft.operators.NonSqlOps.simhashHammingPairs(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over all pairs, driver-side (test scale only)
+    val sigs = docs.select($"doc_id", simhash64(split(lower($"text"), " ")).as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (l, ls) <- sigs.iterator
+      (r, rs) <- sigs.iterator
+      if l < r
+      d = java.lang.Long.bitCount(ls ^ rs)
+      if d <= 3
+    } yield (l, r, d.toLong)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
 }

@@ -170,4 +170,37 @@ class DedupSpec extends SparkSpec {
       scopeVerifyToCandidates = true).collect().map(_.toString).toSeq
     assert(full == scoped)
   }
+
+  test("minhashAccuracy: scoped == unscoped, and est is exact for identical docs") {
+    val docs = graft.Tables(spark, sf("")).documents.limit(120)
+    val scoped = Dedup.minhashAccuracy(docs).collect().map(_.toString).toSeq
+    val unscoped = Dedup.minhashAccuracy(docs, scopeToCandidates = false)
+      .collect().map(_.toString).toSeq
+    assert(scoped == unscoped)
+    // identical texts: est and exact are both 1.0, error 0
+    val twins = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val r = Dedup.minhashAccuracy(twins).as[(Long, Long, Double, Double, Double)].head()
+    assert(r == ((1L, 2L, 1.0, 1.0, 0.0)))
+  }
+
+  test("incrementalDedup classifies corpus re-submissions, in-batch copies, and new docs") {
+    val corpus = Seq((10L, "alpha beta"), (11L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta"),   // re-submission of corpus text
+      (21L, "fresh one"),    // genuinely new
+      (22L, "fresh two"),    // new, duplicated in batch...
+      (23L, "fresh two"),    // ...same text, higher id -> dup_in_batch
+      (24L, "ALPHA   BETA")  // canonicalization catches case? (fingerprint lowercases+trims, not inner spaces)
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, corpus)
+      .select("doc_id", "verdict", "keeper_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(got(20L) == (("dup_of_corpus", None)))
+    assert(got(21L) == (("new", None)))
+    assert(got(22L) == (("new", None)))
+    assert(got(23L) == (("dup_in_batch", Some(22L))))
+    // inner whitespace differs -> different fingerprint -> new
+    assert(got(24L) == (("new", None)))
+  }
 }

@@ -27,4 +27,31 @@ class QuantizeSpec extends SparkSpec {
     val maxErr = pairs.select(max(abs(col("exact") - col("approx")))).head().getDouble(0)
     assert(maxErr < 0.02, s"max quantization error $maxErr")
   }
+
+  test("standardizedStats: z-scores recenter every dimension; sigma=0 dims yield z=0") {
+    // after z-scoring, each dim has mean ~0 and variance ~1, so the
+    // MEAN of per-vector z_l2^2 values equals n_dims exactly (the sum
+    // over dims of per-dim variances)
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val stats = Quantize.standardizedStats(emb)
+    val n = emb.count().toDouble
+    val dims = stats.select(max("n_dims")).head().getLong(0)
+    val meanSq = stats.select(avg(pow(col("z_l2"), 2))).head().getDouble(0)
+    assert(math.abs(meanSq - dims) < 0.05 * dims, s"mean z_l2^2 = $meanSq, dims = $dims")
+    // constant dimension: every vector's z for that dim is 0, not NaN
+    val const = Seq(
+      (1L, Array(1.0f, 5.0f)), (2L, Array(2.0f, 5.0f)), (3L, Array(3.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Quantize.standardizedStats(const)
+      .select("vec_id", "z_l2", "max_z", "min_z")
+      .as[(Long, Double, Double, Double)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    r.values.foreach { case (zl2, mx, mn) =>
+      assert(!zl2.isNaN && !mx.isNaN && !mn.isNaN)
+    }
+    // dim-2 contributes nothing: vector 2 sits at dim-1's mean, so its
+    // entire z-vector is 0
+    assert(Quantize.standardizedStats(const)
+      .filter(col("vec_id") === 2).select("z_l2").as[Double].head() == 0.0)
+  }
 }

@@ -81,4 +81,35 @@ class RankingSpec extends SparkSpec {
     assert(got(2L)._3 > got(1L)._3)
     assert(got(1L)._2 == 4L && got(2L)._2 == 4L)
   }
+
+  test("dsirWeights: docs written in the target distribution outscore off-target docs") {
+    // target slice (lang=en) speaks 'ml data training'; the off-target
+    // slice speaks 'cat dog bird' — a doc made of target-heavy tokens
+    // must get a higher log-ratio than one made of off-target tokens
+    val docs = Seq(
+      (1L, "ml data training ml data", "en", "s0", 0L),
+      (2L, "ml training data data ml", "en", "s0", 0L),
+      (3L, "cat dog bird cat dog", "xx", "s0", 0L),
+      (4L, "cat bird dog dog cat", "xx", "s0", 0L),
+      (5L, "ml data cat", "xx", "s0", 0L) // mixed, written off-target
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = Ranking.dsirWeights(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(1L) > w(3L) && w(2L) > w(4L))
+    assert(w(5L) > w(3L) && w(5L) < w(1L)) // mixed doc lands between
+  }
+
+  test("vocabularyStats: ttr and hapax fraction match a hand computation") {
+    val docs = Seq(
+      (1L, "a b a c", "en", "s1", 0L),   // s1 tokens: a,b,a,c + d,d
+      (2L, "d d", "en", "s1", 0L),
+      (3L, "x y z", "en", "s2", 0L)      // s2: all hapax
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Ranking.vocabularyStats(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1: 6 tokens, vocab {a,b,c,d}=4, hapax {b,c}=2
+    assert(got("s1") == (("s1", 6L, 4L, 2L, 0.6667, 0.5)))
+    assert(got("s2") == (("s2", 3L, 3L, 3L, 1.0, 1.0)))
+  }
 }
