@@ -158,11 +158,14 @@ object Dedup extends QueryModule {
     * features only for docs appearing in some pair (broadcast
     * semi-join) — the same tradeoff as [[nearDupClusters]]'s
     * `scopeVerifyToCandidates`: asymptotically right at 100 TB where
-    * banding touches <1% of the corpus, and measured at parity even at
-    * sf0.1 where candidates are ~8% of docs (scoping serializes the
-    * feature scan behind the LSH stage + cache/broadcast barriers,
-    * offsetting the smaller scan) — so unlike q58's verify scope, the
-    * scale-correct setting is also the default here. The estimator's
+    * banding touches <1% of the corpus, but measured ~20% SLOWER at
+    * sf0.1 where candidates are ~8% of docs (the id scope re-derives
+    * the banding chain and serializes the feature scan behind it +
+    * broadcast barriers, while the unscoped feature scan is
+    * embarrassingly parallel and never shuffles — the candidate table
+    * broadcasts onto it). Same default logic as q58's verify scope:
+    * measured-faster off, flip on when banding touches a sliver.
+    * The estimator's
     * salts (`acc0..`) are DISJOINT from the banding salt (`salt0`):
     * candidate pairs agree on the band component by construction, so
     * including it would floor every estimate at 1/k and systematically
@@ -172,7 +175,7 @@ object Dedup extends QueryModule {
     * integers-divided-once.
     */
   def minhashAccuracy(documents: DataFrame, nHashes: Int = 8,
-                      scopeToCandidates: Boolean = true): DataFrame = {
+                      scopeToCandidates: Boolean = false): DataFrame = {
     val cands = lshCandidatePairs(documents).select("left_id", "right_id")
     val featSrc =
       if (scopeToCandidates) {

@@ -42,6 +42,30 @@ object IngestStream {
               col("window.end").as("window_end"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming corpus-quality monitor (the training-data-pipeline
+    * twin of [[windowedUsage]]): per (event-time window, lang) — doc
+    * arrival counts, short-doc fraction, and mean length. This is the
+    * dashboard a crawl-ingest pipeline watches to catch a source going
+    * bad IN FLIGHT (encoding breakage shows up as a short-doc spike
+    * minutes after it starts, not at the next batch profile).
+    * Same unified-plan contract as windowedUsage: identical code runs
+    * as a batch backfill, which is what the q101 oracle hash-matches.
+    */
+  def windowedQuality(docs: DataFrame, window_ : String = "1 hour",
+                      watermark: String = "10 minutes",
+                      minChars: Int = 200): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), window_), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("n_chars") < minChars, 1L)), lit(0L)).as("n_low"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("lang"), col("n_docs"), col("n_low"),
+        round(col("n_low") / col("n_docs").cast("double"), 4).as("low_frac"),
+        col("avg_chars"))
+
   /** Stream-static enrichment: join the request stream against a static
     * dimension snapshot (the entity-api lookup table of SURVEY S19) —
     * broadcast on the static side, so each micro-batch pays a map-side
@@ -97,6 +121,14 @@ object StreamParity extends graft.QueryModule {
         .select(col("window_start"), col("window_end"), col("event_type"),
                 col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
+    // documents carry no event time; the wiring plants a deterministic
+    // arrival clock (one doc per minute from a fixed origin) so the
+    // hour windows hold 60 docs each and the oracle can rebuild them
+    "q101_windowed_quality" -> ((s, d) =>
+      IngestStream.windowedQuality(
+        graft.Tables(s, d).documents.withColumn("ingest_ts",
+          expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")))
+        .orderBy("window_start", "lang")),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -106,5 +138,17 @@ object StreamParity extends graft.QueryModule {
         |       event_type, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+    "q101_windowed_quality" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |         TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+        |  FROM documents)
+        |SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+        |       date_trunc('hour', ts)::TIMESTAMP + INTERVAL 1 HOUR AS window_end,
+        |       lang, count(*)::BIGINT AS n_docs,
+        |       coalesce(sum(CASE WHEN n_chars < 200 THEN 1 END), 0)::BIGINT AS n_low,
+        |       round(coalesce(sum(CASE WHEN n_chars < 200 THEN 1 END), 0) / count(*)::DOUBLE, 4) AS low_frac,
+        |       round(sum(n_chars) / count(*)::DOUBLE, 4) AS avg_chars
+        |FROM d GROUP BY 1, 2, 3 ORDER BY window_start, lang""".stripMargin,
   )
 }

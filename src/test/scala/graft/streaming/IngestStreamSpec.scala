@@ -87,4 +87,30 @@ class IngestStreamSpec extends SparkSpec {
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     assert(rows == Set((ts("2024-01-01 00:00:00"), "purchase", 2L, 15.0)))
   }
+
+  test("windowedQuality: streaming append output equals the batch run (unified plan)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:05:00"), "en", 500L),
+      (ts("2024-01-01 00:15:00"), "en", 100L),  // short doc
+      (ts("2024-01-01 00:25:00"), "fr", 300L),
+      (ts("2024-01-01 01:10:00"), "en", 250L))
+    val batch = IngestStream.windowedQuality(
+        rows.toDF("ingest_ts", "lang", "n_chars"))
+      .collect().map(_.toString).toSet
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = IngestStream.windowedQuality(
+        input.toDF().toDF("ingest_ts", "lang", "n_chars"))
+      .writeStream.format("memory").queryName("wq_stream").outputMode("append").start()
+    input.addData(rows: _*)
+    // advance the watermark far past every window end to flush them all
+    input.addData((ts("2024-01-01 09:00:00"), "xx", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wq_stream").collect().map(_.toString).toSet
+    // all of the batch's windows are closed by the flush row, and the
+    // flush row's own window stays open — so streaming append output
+    // IS the batch result, row for row
+    assert(streamed == batch)
+  }
 }
