@@ -199,8 +199,10 @@ object Ranking extends QueryModule {
          log((col("c_raw") + lit(1.0)) / (col("n_raw") + col("v")))).as("lr"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(aggregate(array_sort(collect_list(col("lr"))), lit(0.0),
-          (acc, x) => acc + x), 4).as("dsir_logratio"))
+        // + 0.0 canonicalizes a -0.0 fold result (engines' summation
+        // algorithms may differ in zero sign; q81 convention)
+        (round(aggregate(array_sort(collect_list(col("lr"))), lit(0.0),
+          (acc, x) => acc + x), 4) + lit(0.0)).as("dsir_logratio"))
       .orderBy("doc_id")
   }
 
@@ -239,8 +241,9 @@ object Ranking extends QueryModule {
       .select(col("source"), (ps * log(ps / pc)).as("kc"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_terms"),
-        round(aggregate(array_sort(collect_list(col("kc"))), lit(0.0),
-          (acc, x) => acc + x), 4).as("kl_to_corpus"))
+        // + 0.0 canonicalizes a -0.0 fold result (q81 convention)
+        (round(aggregate(array_sort(collect_list(col("kc"))), lit(0.0),
+          (acc, x) => acc + x), 4) + lit(0.0)).as("kl_to_corpus"))
       .orderBy("source")
   }
 
@@ -310,7 +313,7 @@ object Ranking extends QueryModule {
         |           ln(((c_s + 1.0) / (n_s + v)) / ((c_c + 1.0) / (n_c + v))) AS kc
         |  FROM grid, tot)
         |SELECT source, count(*)::BIGINT AS n_terms,
-        |       round(list_sum(list_sort(list(kc))), 4) AS kl_to_corpus
+        |       round(list_sum(list_sort(list(kc))), 4) + 0.0 AS kl_to_corpus
         |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
     // per-token ratios are pure functions of integer counts (identical
     // doubles on both engines); the per-doc sum folds over the sorted
@@ -331,7 +334,7 @@ object Ranking extends QueryModule {
         |         ln((c_tgt + 1.0) / (n_tgt + v)) - ln((c_raw + 1.0) / (n_raw + v)) AS lr
         |  FROM toks JOIN vocab ON toks.w = vocab.w, tot)
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |       round(list_sum(list_sort(list(lr))), 4) AS dsir_logratio
+        |       round(list_sum(list_sort(list(lr))), 4) + 0.0 AS dsir_logratio
         |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the per-doc mean folds over the sorted logprob list on both
     // engines — the grouped double sum is otherwise order-unpinned
