@@ -213,7 +213,43 @@ object Similarity extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** q102: hybrid retrieval — the two-stage ranker every RAG/dataset
+    * search deploys: a cheap LEXICAL stage (BM25 over the inverted
+    * statistics) shortlists `shortlist` docs, then the expensive
+    * VECTOR stage re-ranks only the shortlist by embedding cosine to a
+    * query-by-example vector. Output carries both ranks so the rank
+    * inversion (lexical hit, semantic miss) is visible.
+    *
+    * Scale shape: stage 1 is q78's plan (broadcast dims + fixed-order
+    * sums) cut by TakeOrderedAndProject — the corpus never sorts
+    * globally; the shortlist is O(k) rows, so stage 2 is a broadcast
+    * join against the embedding table plus a window over k rows.
+    * Re-ranking cost is independent of corpus size — the whole point
+    * of the architecture.
+    */
+  def hybridRetrieval(documents: DataFrame, embeddings: DataFrame,
+                      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+                      queryVecId: Long = 0L, shortlist: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Ranking.bm25Scores(documents, queryTerms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(shortlist)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    lex
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("qv")), 6))
+      .withColumn("final_rank", row_number()
+        .over(Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"), col("bm25"), col("cos_sim"), col("final_rank"))
+      .orderBy("final_rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_hybrid_retrieval" -> ((s, d) =>
+      hybridRetrieval(Tables(s, d).documents, Tables(s, d).embeddings)),
     "q28_cosine_topk"  -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
     "q36_blocked_pairs" -> ((s, d) => blockedSimilarPairs(Tables(s, d).embeddings)),
     "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings)),
@@ -229,6 +265,40 @@ object Similarity extends QueryModule {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
   override def oracles: Map[String, String] = Map(
+    // q78's BM25 chain → rounded-score shortlist → cosine re-rank over
+    // the (inner-joined) embedded subset; both ranks order by rounded
+    // scores with doc_id tie-breaks (the q70/q77 determinism contract)
+    "q102_hybrid_retrieval" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM d),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(ts)) AS avgdl FROM d),
+        |toks AS (SELECT doc_id, unnest(ts) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT doc_id, term,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |         (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS c
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+        |bm AS (
+        |  SELECT doc_id,
+        |         round(coalesce(sum(c) FILTER (term = 'spark'), 0.0)
+        |             + coalesce(sum(c) FILTER (term = 'join'), 0.0)
+        |             + coalesce(sum(c) FILTER (term = 'window'), 0.0), 4) AS bm25
+        |  FROM contrib GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, bm25,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM bm QUALIFY lex_rank <= 20),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |rr AS (
+        |  SELECT lex.doc_id, lex_rank, bm25,
+        |         round(${cosSql("e.embedding", "q")}, 6) AS cos_sim
+        |  FROM lex JOIN embeddings e ON e.vec_id = lex.doc_id, qv)
+        |SELECT doc_id, lex_rank::BIGINT AS lex_rank, bm25, cos_sim,
+        |       row_number() OVER (ORDER BY cos_sim DESC, doc_id)::BIGINT AS final_rank
+        |FROM rr ORDER BY final_rank""".stripMargin,
     "q28_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, round(${cosSql("embedding", "qv")}, 6) AS cos_sim
