@@ -60,12 +60,16 @@ object Dedup extends QueryModule {
     documents.select((col("doc_id") +: sigCols): _*).orderBy("doc_id")
   }
 
-  /** In-bucket pair expansion over a sorted `ids` array — shared by the
-    * single- and multi-band candidate generators so the slice arithmetic
-    * lives in exactly one place.
+  /** In-bucket pair expansion over a sorted array column: every ordered
+    * element pair as `struct(l, r)` — shared by the minhash band
+    * generators AND the simhash block banding (NonSqlOps) so the slice
+    * arithmetic lives in exactly one place. Elements may be scalars or
+    * structs; callers destructure `l`/`r`.
     */
-  private[operators] val PairExpansionExpr =
-    "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as left_id, y as right_id))))"
+  private[operators] def pairExpansionExpr(arr: String): String =
+    s"flatten(transform($arr, (x, i) -> transform(slice($arr, i + 2, size($arr) - i - 1), y -> struct(x as l, y as r))))"
+
+  private[operators] val PairExpansionExpr = pairExpansionExpr("ids")
 
   /** LSH band bucketing: candidate duplicate pairs = docs sharing a band
     * (here band 0 = mh0). The self-join shuffles on the band key only —
@@ -85,7 +89,7 @@ object Dedup extends QueryModule {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("band_key"), explode(expr(PairExpansionExpr)).as("pair"))
-      .select(col("pair.left_id"), col("pair.right_id"), col("band_key"))
+      .select(col("pair.l").as("left_id"), col("pair.r").as("right_id"), col("band_key"))
       .orderBy("left_id", "right_id")
   }
 
@@ -109,7 +113,7 @@ object Dedup extends QueryModule {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(PairExpansionExpr)).as("pair"))
-      .select(col("pair.left_id"), col("pair.right_id"))
+      .select(col("pair.l").as("left_id"), col("pair.r").as("right_id"))
       .distinct()
       .orderBy("left_id", "right_id")
   }

@@ -30,38 +30,52 @@ object NonSqlOps extends QueryModule {
       .orderBy("bucket")
 
   /** q98: SimHash near-duplicate PAIRS — the step q52's bucket summary
-    * stops short of. 64-bit signatures are split into 4×16-bit blocks;
-    * docs sharing ANY block become candidates (one explode + one
-    * groupBy, the minhash-LSH shape) and survive iff
-    * `bit_count(sig_l XOR sig_r) <= maxHamming`. With 4 blocks and
-    * radius 3 the pigeonhole principle makes recall EXACT: 3 differing
-    * bits can touch at most 3 blocks, so at least one block matches —
-    * this is banding with a guarantee, not a heuristic.
+    * stops short of, via Manku-style block-combination banding
+    * (Manku, Jain & Das Sarma, WWW'07): the 64-bit signature splits
+    * into `nBlocks` equal blocks; a pair within hamming `maxHamming`
+    * differs in at most `maxHamming` blocks, so it AGREES on some
+    * (nBlocks − maxHamming)-subset — every such subset becomes a band
+    * whose key packs those block values into one long. Candidates are
+    * docs sharing any band key; the in-bucket
+    * `bit_count(sig_l XOR sig_r) <= maxHamming` verify makes recall
+    * EXACT by pigeonhole — banding with a guarantee, not a heuristic.
     *
-    * Scale shape: signatures are narrow codegen'd compute; the only
-    * shuffle groups by (block_idx, block_key); in-bucket pair expansion
-    * carries (id, sig) structs so the hamming verify is in-bucket
-    * arithmetic — no second join back to the corpus; `distinct` dedups
-    * pairs colliding in several blocks.
+    * Scale shape: the knob that keeps buckets small is `nBlocks` —
+    * key width is 64 − maxHamming·(64/nBlocks) bits, so the DEFAULT
+    * (4, 3) keys on 16 bits (fine up to ~10^6 docs, and what the
+    * oracle mirrors), while (8, 3) keys on 40 bits — ~10^12 buckets,
+    * the 10^9-docs setting, at the cost of C(8,5) = 56 bands/doc vs 4
+    * (recall-identical: spec'd equal to brute force for BOTH configs).
+    * One explode + ONE groupBy either way; pair expansion carries
+    * (id, sig) structs so the verify is in-bucket arithmetic — no
+    * second join against the corpus; `distinct` dedups pairs colliding
+    * in several bands.
     */
-  def simhashHammingPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashHammingPairs(documents: DataFrame, maxHamming: Int = 3,
+                          nBlocks: Int = 4): DataFrame = {
+    require(64 % nBlocks == 0, s"nBlocks must divide 64, got $nBlocks")
+    require(maxHamming < nBlocks, "pigeonhole needs maxHamming < nBlocks")
+    val w = 64 / nBlocks
+    val block: Int => org.apache.spark.sql.Column = j =>
+      shiftrightunsigned(col("sig"), w * j).bitwiseAND(lit((1L << w) - 1))
+    // every (nBlocks − maxHamming)-subset of blocks, packed into a long
+    val bands = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+      .zipWithIndex.map { case (combo, ci) =>
+        val key = combo.zipWithIndex.map { case (j, pos) =>
+          shiftleft(block(j), w * pos)
+        }.reduce(_.bitwiseOR(_))
+        struct(lit(ci).as("band_idx"), key.as("band_key"))
+      }
     val sigs = documents
       .select(col("doc_id"), simhash64(split(lower(col("text")), " ")).as("sig"))
-    val stacked = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("block_idx"),
-          shiftrightunsigned(col("sig"), 16 * j).bitwiseAND(lit(0xffffL)).as("block_key"))): _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.block_idx"), col("b.block_key"))
-    val expand = "flatten(transform(members, (x, i) -> " +
-      "transform(slice(members, i + 2, size(members) - i - 1), " +
-      "y -> struct(x.doc_id as left_id, x.sig as left_sig, y.doc_id as right_id, y.sig as right_sig))))"
-    stacked
-      .groupBy("block_idx", "block_key")
+    sigs.select(col("doc_id"), col("sig"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band_idx"), col("b.band_key"))
+      .groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(expr(expand)).as("p"))
-      .select(col("p.left_id"), col("p.right_id"),
-        expr("bit_count(p.left_sig ^ p.right_sig)").cast("long").as("hamming"))
+      .select(explode(expr(Dedup.pairExpansionExpr("members"))).as("p"))
+      .select(col("p.l.doc_id").as("left_id"), col("p.r.doc_id").as("right_id"),
+        expr("bit_count(p.l.sig ^ p.r.sig)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("left_id", "right_id")

@@ -44,6 +44,11 @@ class SimHashSpec extends SparkSpec {
     val docs = graft.Tables(spark, sf("")).documents
     val banded = graft.operators.NonSqlOps.simhashHammingPairs(docs)
       .as[(Long, Long, Long)].collect().toSet
+    // the 100 TB config — C(8,5)=56 bands on 40-bit keys — must find
+    // the SAME pair set (recall is exact for every valid block count)
+    val banded8 = graft.operators.NonSqlOps.simhashHammingPairs(docs, nBlocks = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded8 == banded)
     // brute force over all pairs, driver-side (test scale only)
     val sigs = docs.select($"doc_id", simhash64(split(lower($"text"), " ")).as("sig"))
       .as[(Long, Long)].collect()

@@ -173,7 +173,8 @@ class DedupSpec extends SparkSpec {
 
   test("minhashAccuracy: scoped == unscoped, and est is exact for identical docs") {
     val docs = graft.Tables(spark, sf("")).documents.limit(120)
-    val scoped = Dedup.minhashAccuracy(docs).collect().map(_.toString).toSeq
+    val scoped = Dedup.minhashAccuracy(docs, scopeToCandidates = true)
+      .collect().map(_.toString).toSeq
     val unscoped = Dedup.minhashAccuracy(docs, scopeToCandidates = false)
       .collect().map(_.toString).toSeq
     assert(scoped == unscoped)
