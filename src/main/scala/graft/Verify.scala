@@ -25,6 +25,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output from a previous run: a failed query
+        // must read as MISSING downstream, not silently pass against
+        // yesterday's parquet
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

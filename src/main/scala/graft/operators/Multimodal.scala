@@ -424,6 +424,20 @@ object MediaCodec {
     } finally in.close()
   }
 
+  /** Decode an audio container to its raw unsigned-8-bit PCM samples
+    * through the real `javax.sound` stream (q103's feature source).
+    */
+  def decodePcm8(bytes: Array[Byte]): Array[Int] = {
+    val in = audioInputStream(bytes)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray.map(b => b & 0xff)
+    } finally in.close()
+  }
+
   /** Encode unsigned 8-bit mono PCM samples as a WAV container. */
   def encodeWav(sampleRate: Float, samples: Array[Byte]): Array[Byte] = {
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, sampleRate,

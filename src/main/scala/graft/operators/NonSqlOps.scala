@@ -81,6 +81,37 @@ object NonSqlOps extends QueryModule {
       .orderBy("left_id", "right_id")
   }
 
+  /** q103: frame-level audio features — the windowed feature extraction
+    * every speech-data pipeline runs before VAD / quality filtering:
+    * decode the container to PCM through the REAL `javax.sound` stream,
+    * window into fixed frames (160 samples = 20 ms @ 8 kHz), and emit
+    * per-frame integer features: sample count, amplitude sum, and
+    * energy Σ(v−128)² about the unsigned-8-bit midline. All-integer
+    * outputs make the real decode round-trippable by a closed-form
+    * oracle (the q54 contract — a broken decoder can't reproduce them).
+    *
+    * Scale shape: decode+window is narrow per-row work behind the by-id
+    * repartition (CPU-bound codec stage); the frame fan-out is a
+    * flatMap, no shuffle anywhere before the output sort.
+    */
+  def audioFrameFeatures(documents: DataFrame, frameLen: Int = 160): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        it.flatMap { d =>
+          val pcm = MediaCodec.decodePcm8(fixtureWav(d))
+          pcm.grouped(frameLen).zipWithIndex.map { case (frame, idx) =>
+            val sumAmp = frame.map(_.toLong).sum
+            val energy = frame.map(v => (v - 128L) * (v - 128L)).sum
+            (d, idx.toLong, frame.length.toLong, sumAmp, energy)
+          }
+        }
+      }.toDF("media_id", "frame_idx", "n_samples", "sum_amp", "energy")
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Winnowing fingerprint stats per document. */
   def winnowStats(documents: DataFrame): DataFrame =
     documents.select(
@@ -234,6 +265,7 @@ object NonSqlOps extends QueryModule {
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
     "q97_image_ahash"     -> ((s, d) => imageAHashGroups(Tables(s, d).documents)),
     "q98_simhash_pairs"   -> ((s, d) => simhashHammingPairs(Tables(s, d).documents)),
+    "q103_audio_frames"   -> ((s, d) => audioFrameFeatures(Tables(s, d).documents)),
     "q53_winnow_stats"    -> ((s, d) => winnowStats(Tables(s, d).documents)),
     "q54_media_meta"      -> ((s, d) => mediaMeta(Tables(s, d).documents)),
     "q68_media_resize"    -> ((s, d) => mediaResize(Tables(s, d).documents)),
@@ -255,6 +287,18 @@ object NonSqlOps extends QueryModule {
     * hash-match.
     */
   override def oracles: Map[String, String] = Map(
+    // frame features re-derived from the WAV generation formula
+    // ((7i + d) mod 256 over n = 800 + d mod 800 samples, frames of
+    // 160): all-integer, so the real decode must be sample-exact
+    "q103_audio_frames" ->
+      """WITH adims AS (SELECT doc_id, (800 + doc_id % 800)::BIGINT AS n FROM documents),
+        |apx AS (SELECT doc_id, i, (i * 7 + doc_id) % 256 AS v
+        |        FROM adims, unnest(range(n)) AS t(i))
+        |SELECT doc_id AS media_id, i // 160 AS frame_idx,
+        |       count(*)::BIGINT AS n_samples,
+        |       sum(v)::BIGINT AS sum_amp,
+        |       sum((v - 128) * (v - 128))::BIGINT AS energy
+        |FROM apx GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
     // q52's FNV-1a + bit-vote signature chain, then 16-bit block
     // bucketing and an in-bucket hamming verify (bit_count over the
     // signed xor — two's complement makes signed/unsigned equivalent)

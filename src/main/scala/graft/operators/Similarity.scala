@@ -149,7 +149,7 @@ object Similarity extends QueryModule {
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(Dedup.PairExpansionExpr)).as("pair"))
-      .select(col("pair.left_id"), col("pair.right_id"))
+      .select(col("pair.l").as("left_id"), col("pair.r").as("right_id"))
       .distinct()
   }
 
