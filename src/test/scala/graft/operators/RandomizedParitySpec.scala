@@ -126,4 +126,73 @@ class RandomizedParitySpec extends SparkSpec {
       assert(mustSurvive.subsetOf(cands), s"seed=$seed missing=${mustSurvive -- cands}")
     }
   }
+
+  private def randomDocs(rnd: Random, n: Int, vocab: Int = 8): Seq[(Long, String)] =
+    (0L until n).map { id =>
+      id -> Seq.fill(rnd.nextInt(12) + 1)(s"w${rnd.nextInt(vocab)}").mkString(" ")
+    }
+
+  test("boilerplateGramRatio matches a naive in-memory computation on random docs") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed * 7)
+      val docs = randomDocs(rnd, 40, vocab = 4) // small vocab -> frequent grams exist
+      val n = 4; val minDocs = 3
+      val grams = docs.map { case (id, t) =>
+        val ts = t.split(" ", -1)
+        id -> (if (ts.length >= n) ts.sliding(n).map(_.mkString(" ")).toSeq else Seq.empty)
+      }.toMap
+      val df = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, occ) => g -> occ.size }
+      val frequent = df.collect { case (g, c) if c >= minDocs => g }.toSet
+      val expected = grams.collect { case (id, gs) if gs.nonEmpty =>
+        val boiler = gs.count(frequent)
+        (id, gs.size.toLong, boiler.toLong,
+          math.rint(boiler.toDouble / gs.size * 10000) / 10000)
+      }.toSet
+      val got = TextAnalysis.boilerplateGramRatio(docs.toDF("doc_id", "text"), n, minDocs)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("perSourceCap keeps exactly the top-cap docs per source on random corpora") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed * 13)
+      val docs = (0L until 60L).map(id =>
+        (id, s"s${rnd.nextInt(4)}", rnd.nextInt(5).toLong * 100)) // heavy n_chars ties
+      val cap = 3
+      val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy(r => (-r._3, r._1)).take(cap).zipWithIndex
+          .map { case ((id, s, nc), i) => (s, id, nc, (i + 1).toLong) }
+      }.toSet
+      val got = CorpusOps.perSourceCap(
+          docs.toDF("doc_id", "source", "n_chars"), cap)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("incrementalDedup verdicts partition the batch and agree with a naive pass") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed * 17)
+      // tiny text space -> lots of collisions within and across sides
+      val corpus = (0L until 20L).map(id => (id, s"t${rnd.nextInt(8)}"))
+      val batch = (100L until 130L).map(id => (id, s"t${rnd.nextInt(12)}"))
+      val corpusTexts = corpus.map(_._2).toSet
+      val expected = batch.map { case (id, t) =>
+        if (corpusTexts(t)) (id, "dup_of_corpus", None)
+        else {
+          val sameText = batch.filter(b => b._2 == t && !corpusTexts(b._2)).map(_._1)
+          if (id == sameText.min) (id, "new", None)
+          else (id, "dup_in_batch", Some(sameText.min))
+        }
+      }.toSet
+      val got = Dedup.incrementalDedup(
+          batch.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"))
+        .select("doc_id", "verdict", "keeper_id")
+        .as[(Long, String, Option[Long])].collect().toSet
+      assert(got == expected, s"seed=$seed")
+      assert(got.size == batch.size) // every batch doc, exactly one verdict
+    }
+  }
 }
