@@ -321,6 +321,32 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q104: character-class mix per document — the script/noise profile
+    * (OCR damage shows up as punctuation/digit spikes, encoding damage
+    * as "other" codepoints; mixed-script ratios are the homoglyph-spam
+    * signal). Four class counts via codegen'd `regexp_count` — no
+    * per-char explode, no interpreted HOF — and a flag for docs whose
+    * non-letter mass exceeds a threshold.
+    *
+    * Scale shape: narrow per-row regex counting inside whole-stage
+    * codegen; zero shuffles before the output sort.
+    */
+  def charClassMix(documents: DataFrame, maxNonAlpha: Double = 0.5): DataFrame = {
+    val total = length(col("text"))
+    def cls(name: String, re: String) =
+      expr(s"regexp_count(text, '$re')").cast("long").as(name)
+    documents
+      .select(col("doc_id"), total.cast("long").as("n_chars_total"),
+        cls("n_alpha", "[a-zA-Z]"), cls("n_digit", "[0-9]"),
+        cls("n_space", " "), cls("n_punct", "[^a-zA-Z0-9 ]"))
+      .withColumn("alpha_frac",
+        round(col("n_alpha") / greatest(col("n_chars_total"), lit(1L)).cast("double"), 4))
+      .withColumn("noisy",
+        col("n_chars_total") > 0 &&
+          (col("n_chars_total") - col("n_alpha")).cast("double") / col("n_chars_total") > maxNonAlpha)
+      .orderBy("doc_id")
+  }
+
   /** q74: deterministic contact notes synthesized from customer fields,
     * scrubbed with the generic patterns — every redaction is
     * re-derivable, so the oracle checks both the counts AND the exact
@@ -350,6 +376,7 @@ object TextAnalysis extends QueryModule {
     "q85_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)),
     "q88_nfc_normalize" -> ((s, d) => nfcNormalized(Tables(s, d).documents)),
     "q91_boilerplate_grams" -> ((s, d) => boilerplateGramRatio(Tables(s, d).documents)),
+    "q104_char_classes" -> ((s, d) => charClassMix(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -451,6 +478,18 @@ object TextAnalysis extends QueryModule {
     // the per-char sum folds over the SORTED distinct alphabet on both
     // engines (list_sum/list_transform is the proven sequential-fold
     // mirror of Spark's `aggregate`), pinning the summation order
+    "q104_char_classes" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_chars_total,
+        |       (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT AS n_alpha,
+        |       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+        |       (length(text) - length(regexp_replace(text, ' ', '', 'g')))::BIGINT AS n_space,
+        |       (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::BIGINT AS n_punct,
+        |       round((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |             / greatest(length(text), 1)::DOUBLE, 4) AS alpha_frac,
+        |       length(text) > 0 AND
+        |         (length(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+        |           / length(text)::DOUBLE > 0.5 AS noisy
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the CASE pins DuckDB's string_split('', '') = [''] (one empty
     // element) to the kernel's n=0 contract for empty text
     "q81_char_entropy" ->
