@@ -27,13 +27,22 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run: a failed query
         // must read as MISSING downstream, not silently pass against
-        // yesterday's parquet
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
+        // yesterday's parquet. Best-effort and self-contained — a
+        // cleanup failure must never abort the remaining queries or
+        // the oracle_sql.json dump.
+        try {
+          def rm(f: java.io.File): Boolean = {
+            val children =
+              if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+              else Array.empty[java.io.File]
+            children.forall(rm) && f.delete()
+          }
+          val dir = new java.io.File(s"$outDir/$name")
+          if (dir.exists() && !rm(dir))
+            System.err.println(s"[verify] $name: WARNING stale output not fully removed")
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name: WARNING stale-output cleanup failed: ${c.getMessage}")
         }
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -394,19 +394,26 @@ object MediaCodec {
     * the stream, format name from the file-format probe, checksum =
     * Σ unsigned bytes of the decoded PCM payload. WAV/AIFF/AU.
     */
+  /** Drain a decoded audio stream chunk-by-chunk — the ONE read loop
+    * both audio consumers share (n > 0 guard: AudioInputStream.read
+    * returns 0, not -1, when fewer than one frame remains).
+    */
+  private def drainAudio(in: AudioInputStream)(f: (Array[Byte], Int) => Unit): Unit = {
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { f(buf, n); n = in.read(buf) }
+  }
+
   def analyzeAudio(bytes: Array[Byte]): Multimodal.Decoded = {
     val fileFormat = audioFileFormat(bytes)
     val in = audioInputStream(bytes)
     try {
       var s = 0L
       var bytesRead = 0L
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) {
+      drainAudio(in) { (buf, n) =>
         var i = 0
         while (i < n) { s += buf(i) & 0xff; i += 1 }
         bytesRead += n
-        n = in.read(buf)
       }
       // frame count: the declared stream length when the container
       // carries one, else derived from the decoded byte count
@@ -431,9 +438,7 @@ object MediaCodec {
     val in = audioInputStream(bytes)
     try {
       val out = new ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      drainAudio(in)((buf, n) => out.write(buf, 0, n))
       out.toByteArray.map(b => b & 0xff)
     } finally in.close()
   }
