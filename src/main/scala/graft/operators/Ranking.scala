@@ -268,8 +268,43 @@ object Ranking extends QueryModule {
       .withColumn("hapax_frac", round(col("hapax") / col("vocab").cast("double"), 4))
       .orderBy("source")
 
+  /** q105: Zipf rank-frequency fit — least-squares slope of
+    * log(count) vs log(rank) over the top-K vocabulary. Natural text
+    * sits near slope −1; templated/spam corpora flatten, encoding
+    * damage steepens — a one-row corpus fingerprint cheap enough to
+    * track per ingest batch.
+    *
+    * Scale shape: the only corpus work is the vocab count (map-side
+    * combined); the fit runs over K rank-ordered points collected into
+    * ONE bounded list, folded in rank order on both engines — the
+    * regression sums are deterministic because the fold order is
+    * pinned, and K is a constant (the q87 contract, n=1 group).
+    */
+  def zipfFit(documents: DataFrame, topK: Int = 100): DataFrame = {
+    val top = documents.select(termsOf("text").as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topK)
+    val pts = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .select(struct(col("rank"), log(col("rank")).as("x"), log(col("c")).as("y")).as("p"))
+    // one bounded group: fold Σx, Σy, Σxy, Σx² in rank order
+    val folded = pts.agg(array_sort(collect_list(col("p"))).as("ps"))
+      .select(size(col("ps")).cast("long").as("n_terms"),
+        aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("x")).as("sx"),
+        aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("y")).as("sy"),
+        aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("x") * p.getField("y")).as("sxy"),
+        aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("x") * p.getField("x")).as("sxx"))
+    val n = col("n_terms").cast("double")
+    val slope = (col("sxy") - col("sx") * col("sy") / n) /
+      (col("sxx") - col("sx") * col("sx") / n)
+    folded.select(col("n_terms"),
+      round(slope, 4).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / n, 4).as("intercept"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_dsir_weights"   -> ((s, d) => dsirWeights(Tables(s, d).documents)),
+    "q105_zipf_fit"      -> ((s, d) => zipfFit(Tables(s, d).documents)),
     "q95_source_kl"      -> ((s, d) => sourceKlDrift(Tables(s, d).documents)),
     "q100_vocab_stats"   -> ((s, d) => vocabularyStats(Tables(s, d).documents)),
     "q77_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)),
@@ -280,6 +315,25 @@ object Ranking extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // regression sums fold over the rank-sorted bounded point list on
+    // both engines (q87 order-pinning, n=1 group); the fit arithmetic
+    // is identical double expressions over those sums
+    "q105_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |cc AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        |        FROM cc ORDER BY c DESC, w LIMIT 100),
+        |l AS (SELECT list_sort(list({'r': rank, 'x': ln(rank), 'y': ln(c)})) AS ps FROM top),
+        |f AS (SELECT len(ps)::BIGINT AS n_terms, len(ps)::DOUBLE AS n,
+        |             list_sum(list_transform(ps, p -> p.x)) AS sx,
+        |             list_sum(list_transform(ps, p -> p.y)) AS sy,
+        |             list_sum(list_transform(ps, p -> p.x * p.y)) AS sxy,
+        |             list_sum(list_transform(ps, p -> p.x * p.x)) AS sxx
+        |      FROM l)
+        |SELECT n_terms,
+        |       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS zipf_slope,
+        |       round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 4) AS intercept
+        |FROM f""".stripMargin,
     "q100_vocab_stats" ->
       """WITH tc AS (
         |  SELECT source, w, count(*)::BIGINT AS cnt
