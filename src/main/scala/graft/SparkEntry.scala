@@ -28,6 +28,7 @@ object SparkEntry {
     RangeJoin,
     SkewJoin,
     CorpusOps,
+    Sketches,
     graft.streaming.StreamParity,
   )
 

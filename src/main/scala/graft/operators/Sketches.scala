@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches over the token stream —
+  * the sketch family a 100 TB corpus dashboard actually runs on
+  * (exact `count(distinct)` and exact per-token counts both shuffle
+  * the raw token stream; these shuffle fixed-size register arrays).
+  *
+  * Both queries are CALIBRATION reports: sketch estimate side-by-side
+  * with the exact answer (affordable at oracle scale), so the accuracy
+  * claim is itself oracle-checked — the q94 (MinHash estimate vs exact
+  * Jaccard) pattern.
+  *
+  * Cross-engine determinism: every hash is a 60-bit integer parsed
+  * from 15 hex chars of md5 (engine-portable, the q66 convention); the
+  * HLL harmonic sum is computed in SCALED INTEGER form (Σ 2^(55−r) ≤
+  * 64·2^55 < 2^63 — exact in int64/HUGEINT, one IEEE int→double
+  * conversion at the end), so there is NO float summation order to pin
+  * — stronger than the sorted-fold contract the float queries need.
+  */
+object Sketches extends QueryModule {
+
+  private def toks(documents: DataFrame): DataFrame =
+    documents.select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+
+  /** 60-bit salted hash of a token: md5 hex prefix parsed as an integer
+    * (identical arithmetic on the DuckDB side via a list_reduce fold).
+    */
+  private def hash60(salt: String, c: Column): Column =
+    conv(substring(md5(concat(lit(salt + "|"), c)), 1, 15), 16, 10).cast("long")
+
+  /** q106: HyperLogLog distinct-token estimate per source vs the exact
+    * vocabulary — m = 64 registers (p = 6), rank = leading-zero count
+    * of the remaining 54 bits + 1, with the standard small-range linear
+    * counting correction (Flajolet et al. 2007).
+    *
+    * Scale shape: the registers are ONE groupBy (source, bucket) with
+    * map-side partial `max` — at 100 TB each executor reduces its
+    * token stream to ≤ 64 longs per source before the shuffle, and
+    * registers from different days/partitions MERGE by pointwise max
+    * (spec-pinned), which is what makes the sketch incrementally
+    * maintainable. Repeated tokens collapse into the same register
+    * update, so NO distinct shuffle ever happens — the exact
+    * `vocab_exact` column beside it is the calibration reference, not
+    * part of the sketch path.
+    */
+  def hllDistinct(documents: DataFrame): DataFrame = {
+    val t = toks(documents)
+    val h = t.select(col("source"), hash60("hll", col("w")).as("v"))
+      .select(col("source"), (col("v") % 64).as("bucket"), (col("v") / 64).cast("long").as("rest"))
+    val rank = when(col("rest") === 0, lit(55))
+      .otherwise(lit(55) - length(bin(col("rest")))).cast("int")
+    val regs = h.select(col("source"), col("bucket"), rank.as("r"))
+      .groupBy("source", "bucket").agg(max("r").as("r"))
+    // Σ 2^(55−r) over present buckets + 2^55 per empty bucket: exact
+    // integer arithmetic (≤ 64·2^55 < 2^63), ONE int→double conversion
+    val agg = regs.groupBy("source").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(expr("shiftleft(1L, cast(55 - r as int))")).as("s"))
+      .withColumn("m0", lit(64L) - col("n_buckets"))
+      .withColumn("sum_pow",
+        (col("s") + col("m0") * expr("shiftleft(1L, 55)")).cast("double") / lit(math.pow(2, 55)))
+    val raw = lit(0.709 * 64 * 64) / col("sum_pow")
+    val est = when(raw <= 160.0 && col("m0") > 0, lit(64.0) * log(lit(64.0) / col("m0")))
+      .otherwise(raw)
+    val exact = t.groupBy("source").agg(countDistinct(col("w")).as("vocab_exact"))
+    agg.join(exact, "source")
+      .select(col("source"), col("vocab_exact"), col("n_buckets"), col("m0"),
+        round(est, 4).as("hll_est"),
+        round((est - col("vocab_exact")) / col("vocab_exact"), 4).as("rel_err"))
+      .orderBy("source")
+  }
+
+  /** q107: count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    * estimates for the corpus's top-k tokens vs their exact counts —
+    * depth d = 4 salted rows × width w = 64 buckets.
+    *
+    * Scale shape: the counter table is ONE groupBy over a 4-row
+    * explode, map-side combined to ≤ 256 cells per partition — the raw
+    * token stream never shuffles, and cells from separate batches merge
+    * by addition (the CMS mergeability contract, spec-pinned). Probing
+    * broadcasts the 256-cell table onto the bounded probe set. The
+    * estimate is min over rows, so it can only OVERcount (spec-pinned;
+    * the `overest` column is the calibration signal).
+    */
+  def cmsFrequencies(documents: DataFrame, depth: Int = 4, probeK: Int = 10): DataFrame = {
+    val t = toks(documents).select("w")
+    val cells = t.select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), (hash60(s"cm$j", col("w")) % 64).as("b"))): _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = t.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("w")).limit(probeK)
+    val probeCells = probes.select(col("w"), col("exact_cnt"),
+      explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), (hash60(s"cm$j", col("w")) % 64).as("b"))): _*)).as("c"))
+      .select(col("w"), col("exact_cnt"), col("c.j").as("j"), col("c.b").as("b"))
+    probeCells.join(broadcast(cells), Seq("j", "b"))
+      .groupBy("w")
+      .agg(max("exact_cnt").as("exact_cnt"), min("cnt").as("cm_est"))
+      .withColumn("overest", col("cm_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("w"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_hll_distinct" -> ((s, d) => hllDistinct(Tables(s, d).documents)),
+    "q107_cms_freq"     -> ((s, d) => cmsFrequencies(Tables(s, d).documents)),
+  )
+
+  /** 15-hex-char md5 prefix → 60-bit integer, as a DuckDB fold — the
+    * oracle mirror of [[hash60]].
+    */
+  private def hx(saltedArg: String): String =
+    s"list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5($saltedArg), i, 1)) - 1), (a, b) -> a * 16 + b)::UBIGINT"
+
+  override def oracles: Map[String, String] = Map(
+    // identical 60-bit hash (md5-prefix fold), identical integer
+    // register arithmetic; the single int->double conversion and the
+    // ln() in the small-range branch are the only float ops
+    "q106_hll_distinct" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |h AS (SELECT source, ${hx("'hll|' || w")} AS v FROM toks),
+        |reg AS (
+        |  SELECT source, v % 64 AS bucket,
+        |         max(CASE WHEN v // 64 = 0 THEN 55
+        |                  ELSE 55 - length(bin(v // 64)) END)::INTEGER AS r
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, count(*)::BIGINT AS n_buckets, (64 - count(*))::BIGINT AS m0,
+        |         (sum((1::UBIGINT << (55 - r))::HUGEINT)
+        |          + (64 - count(*))::HUGEINT * (1::UBIGINT << 55)::HUGEINT)::DOUBLE
+        |           / 36028797018963968.0 AS sum_pow
+        |  FROM reg GROUP BY 1),
+        |est AS (
+        |  SELECT source, n_buckets, m0,
+        |         CASE WHEN (0.709 * 64 * 64) / sum_pow <= 160.0 AND m0 > 0
+        |              THEN 64.0 * ln(64.0 / m0)
+        |              ELSE (0.709 * 64 * 64) / sum_pow END AS e
+        |  FROM agg),
+        |ex AS (SELECT source, count(DISTINCT w)::BIGINT AS vocab_exact FROM toks GROUP BY 1)
+        |SELECT est.source, vocab_exact, n_buckets, m0,
+        |       round(e, 4) AS hll_est,
+        |       round((e - vocab_exact) / vocab_exact, 4) AS rel_err
+        |FROM est JOIN ex ON est.source = ex.source ORDER BY est.source""".stripMargin,
+    // pure integer counts end to end
+    "q107_cms_freq" ->
+      s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |cells AS (
+        |  SELECT j, ${hx("'cm' || j || '|' || w")} % 64 AS b, count(*)::BIGINT AS cnt
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS j) GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT w, count(*)::BIGINT AS exact_cnt FROM toks GROUP BY 1
+        |  ORDER BY exact_cnt DESC, w LIMIT 10),
+        |pc AS (
+        |  SELECT w, exact_cnt, j, ${hx("'cm' || j || '|' || w")} % 64 AS b
+        |  FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+        |SELECT pc.w AS w, max(exact_cnt)::BIGINT AS exact_cnt,
+        |       min(cnt)::BIGINT AS cm_est,
+        |       (min(cnt) - max(exact_cnt))::BIGINT AS overest
+        |FROM pc JOIN cells ON pc.j = cells.j AND pc.b = cells.b
+        |GROUP BY pc.w ORDER BY exact_cnt DESC, w""".stripMargin,
+  )
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables(spark, sf("")).documents
+
+  test("HLL estimate lands within the m=64 error envelope on every source") {
+    val rows = Sketches.hllDistinct(docs)
+      .select("source", "vocab_exact", "hll_est", "rel_err")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, exact, est, rel) =>
+      // 1.04/sqrt(64) = 13% standard error; 4 sigma as the spec bound
+      assert(math.abs(rel) < 0.52, s"source $src: est $est vs exact $exact (rel $rel)")
+      assert(math.abs((est - exact) / exact - rel) < 1e-3)
+    }
+  }
+
+  test("HLL registers merge by pointwise max (incremental-batch contract)") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    // registers on the union == pointwise max of per-half registers
+    def regs(df: org.apache.spark.sql.DataFrame) = {
+      val t = df.select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .select(col("source"),
+          conv(substring(md5(concat(lit("hll|"), col("w"))), 1, 15), 16, 10).cast("long").as("v"))
+        .select(col("source"), (col("v") % 64).as("bucket"), (col("v") / 64).cast("long").as("rest"))
+      t.select(col("source"), col("bucket"),
+          when(col("rest") === 0, lit(55)).otherwise(lit(55) - length(bin(col("rest")))).cast("int").as("r"))
+        .groupBy("source", "bucket").agg(max("r").as("r"))
+        .as[(String, Long, Int)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    }
+    val whole = regs(docs)
+    val ra = regs(a)
+    val rb = regs(b)
+    val merged = (ra.keySet ++ rb.keySet).map { k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))
+    }.toMap
+    assert(whole == merged)
+  }
+
+  test("CMS never undercounts and is exact on a collision-free fixture") {
+    val est = Sketches.cmsFrequencies(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(est.length == 10)
+    est.foreach { case (w, exact, cm, over) =>
+      assert(cm >= exact, s"token $w undercounted: $cm < $exact")
+      assert(over == cm - exact)
+    }
+    // 3 distinct tokens in 256 cells: overwhelmingly collision-free,
+    // and exactness here pins that the counter/probe hashes agree
+    val tiny = Seq((1L, "alpha alpha beta", "en", "s", 16L),
+                   (2L, "beta gamma", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = Sketches.cmsFrequencies(tiny, probeK = 3)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(t("alpha") == ((2L, 2L)) && t("beta") == ((2L, 2L)) && t("gamma") == ((1L, 1L)))
+  }
+
+  test("CMS cells merge by addition (incremental-batch contract)") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    def cells(df: org.apache.spark.sql.DataFrame) = {
+      val t = df.select(explode(split(lower(col("text")), " ")).as("w"))
+      t.select(explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+          (conv(substring(md5(concat(lit(s"cm$j|"), col("w"))), 1, 15), 16, 10).cast("long") % 64).as("b"))): _*)).as("c"))
+        .groupBy(col("c.j"), col("c.b")).agg(count(lit(1)).as("cnt"))
+        .as[(Int, Long, Long)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    }
+    val whole = cells(docs)
+    val ca = cells(a)
+    val cb = cells(b)
+    val merged = (ca.keySet ++ cb.keySet).map { k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))
+    }.toMap
+    assert(whole == merged)
+  }
+}
