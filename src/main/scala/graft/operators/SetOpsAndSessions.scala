@@ -54,6 +54,42 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q110: time-decayed engagement per user — each event's value decays
+    * by a daily half-life (weight 2^-⌊age_days⌋ relative to the
+    * corpus's newest event), the standard recency-weighted feature for
+    * training-data user/source scoring. Day-floored powers of two keep
+    * every weight EXACT in double (no libm exp/pow in the plan), so the
+    * only float hazard is summation order — pinned by folding each
+    * user's weighted values in (ts, event_id) order (the q87 contract).
+    * Raw totals use the cents-exact q51 convention.
+    *
+    * Scale shape: the global max timestamp is one broadcast scalar row;
+    * everything else is narrow per-row arithmetic plus ONE groupBy with
+    * a per-user bounded collect. Ages ≥ 63 days clamp to weight 0
+    * (shift-width guard; at a daily half-life they are ≈ 0 anyway).
+    */
+  def decayedEngagement(events: DataFrame): DataFrame = {
+    val mx = events.agg(max(unix_micros(col("ts"))).as("max_us"))
+    val weighted = events
+      .withColumn("us", unix_micros(col("ts")))
+      .crossJoin(broadcast(mx))
+      .withColumn("age_days", expr("(max_us - us) div 86400000000"))
+      .withColumn("wv",
+        when(col("age_days") >= 63, lit(0.0))
+          .otherwise(col("value") /
+            expr("shiftleft(1L, cast(age_days as int))").cast("double")))
+    weighted
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("age_days")).as("last_seen_days"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("total_value"),
+        (round(aggregate(
+          array_sort(collect_list(struct(col("us"), col("event_id"), col("wv")))),
+          lit(0.0), (acc, x) => acc + x.getField("wv")), 4) + lit(0.0)).as("decayed_value"))
+      .withColumn("total_value", round(col("total_value"), 2))
+      .orderBy("user_id")
+  }
+
   /** W2 (email_providers.py:345,485-489): top-N rows with the overall
     * count alongside, so the "…k more" footer is derivable. Ranking on
     * cents-exact totals keeps the cut deterministic.
@@ -108,6 +144,7 @@ object SetOpsAndSessions extends QueryModule {
     "q41_top_spenders"   -> ((s, d) => topSpenders(Tables(s, d).orders)),
     "q42_active_in_both" -> ((s, d) => { val t = Tables(s, d); activeInBoth(t.orders, t.events) }),
     "q43_tagged_union"   -> ((s, d) => { val t = Tables(s, d); taggedUnionCounts(t.orders, t.events, t.lineitem) }),
+    "q110_decayed_engagement" -> ((s, d) => decayedEngagement(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -122,6 +159,28 @@ object SetOpsAndSessions extends QueryModule {
                 count(DISTINCT c_mktsegment) AS n_segments
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // ns -> us truncation mirrors Tables.events (epoch_ns // 1000, the
+    // q40 convention); weights are exact powers of two; the per-user
+    // sum folds over the (us, event_id)-sorted weighted list (q87) and
+    // the raw total uses the q51 cents convention
+    "q110_decayed_engagement" ->
+      """WITH mx AS (SELECT max(epoch_ns(ts) // 1000) AS max_us FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value,
+        |         (max_us - epoch_ns(ts) // 1000) // 86400000000 AS age_days
+        |  FROM events, mx),
+        |w AS (
+        |  SELECT user_id, us, event_id, value, age_days,
+        |         CASE WHEN age_days >= 63 THEN 0.0
+        |              ELSE value / (1::UBIGINT << age_days::INTEGER)::DOUBLE END AS wv
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |       min(age_days)::BIGINT AS last_seen_days,
+        |       round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value,
+        |       round(list_sum(list_transform(
+        |         list_sort(list({'u': us, 'e': event_id, 'w': wv})), x -> x.w)), 4) + 0.0
+        |         AS decayed_value
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q40_session_durations" ->
       """WITH flagged AS (
            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,

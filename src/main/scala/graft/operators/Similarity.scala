@@ -129,6 +129,39 @@ object Similarity extends QueryModule {
     knnJoin(embeddings.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700),
       embeddings)
 
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most-similar corpus vectors carrying a DIFFERENT label — the pairs
+    * a contrastive/embedding trainer wants as negatives precisely
+    * because the encoder currently confuses them. Same plan anatomy as
+    * [[knnJoin]] (broadcast probe batch, narrow per-row cosine,
+    * WindowGroupLimit top-k per query); the label-mismatch predicate
+    * runs BEFORE scoring, so same-label rows never pay the dot product.
+    * A label mismatch also implies vec_id ≠ query_id — no separate
+    * self-exclusion needed.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("label").as("query_label"),
+      col("embedding").as("query_vec"), l2Norm(col("embedding")).as("query_norm"))
+    val c = corpus.select(col("vec_id"), col("label"), col("embedding"),
+      l2Norm(col("embedding")).as("norm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("label").as("neg_label"),
+        round(dotProduct(col("embedding"), col("query_vec")) /
+              (col("norm") * col("query_norm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q108 wrapper: the q70 probe batch mined for hard negatives. */
+  def hardNegativeReport(embeddings: DataFrame): DataFrame =
+    hardNegatives(embeddings.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700),
+      embeddings)
+
   /** Embedding-cosine near-duplicate detection via signed-random-
     * projection LSH (hyperplane MinHash analogue): band keys from
     * [[graft.functions.SrpBandKeys]], candidates = pairs colliding in ANY
@@ -254,6 +287,7 @@ object Similarity extends QueryModule {
     "q36_blocked_pairs" -> ((s, d) => blockedSimilarPairs(Tables(s, d).embeddings)),
     "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings)),
     "q70_knn_join"     -> ((s, d) => knnJoinReport(Tables(s, d).embeddings)),
+    "q108_hard_negatives" -> ((s, d) => hardNegativeReport(Tables(s, d).embeddings)),
     "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings)),
     "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings)),
   )
@@ -316,6 +350,22 @@ object Similarity extends QueryModule {
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) > 0.3
           ORDER BY label, left_id, right_id""",
+    // the q70 contract (rounded-cosine rank, vec_id tie-break) with the
+    // label-mismatch predicate; label <> label implies id <> id
+    "q108_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+                     FROM embeddings WHERE vec_id % 97 = 0 AND vec_id <= 9700),
+          scored AS (
+            SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+                   round(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+            FROM embeddings e, q WHERE e.label <> q.query_label),
+          ranked AS (
+            SELECT query_id, query_label, vec_id, neg_label, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored)
+          SELECT query_id, query_label, vec_id, neg_label, cos_sim, rank::BIGINT AS rank
+          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q70_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                      WHERE vec_id % 97 = 0 AND vec_id <= 9700),

@@ -351,6 +351,36 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q109: Flesch reading-ease per document — the classic readability
+    * quality signal (a corpus whose reading-ease distribution collapses
+    * toward 0 is legalese/boilerplate; one that spikes past 100 is
+    * fragment spam). Sentences are terminal-punctuation runs, syllables
+    * the standard vowel-group heuristic — both floored at 1 so the
+    * ratios are total.
+    *
+    * Scale shape: narrow per-row regex counts inside whole-stage
+    * codegen (the q104 anatomy); zero shuffles before the output sort.
+    * Band thresholds compare the ROUNDED score, so the cut is
+    * deterministic cross-engine (the q70 rounded-rank convention).
+    */
+  def readability(documents: DataFrame): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val sentences = greatest(expr("regexp_count(text, '[.!?]+')").cast("long"), lit(1L))
+    val syllables = greatest(expr("regexp_count(lower(text), '[aeiouy]+')").cast("long"), lit(1L))
+    val score = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+      lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))
+    documents
+      .select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .withColumn("flesch", round(score, 4))
+      .withColumn("band",
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "standard")
+          .otherwise("difficult"))
+      .orderBy("doc_id")
+  }
+
   /** q74: deterministic contact notes synthesized from customer fields,
     * scrubbed with the generic patterns — every redaction is
     * re-derivable, so the oracle checks both the counts AND the exact
@@ -381,6 +411,7 @@ object TextAnalysis extends QueryModule {
     "q88_nfc_normalize" -> ((s, d) => nfcNormalized(Tables(s, d).documents)),
     "q91_boilerplate_grams" -> ((s, d) => boilerplateGramRatio(Tables(s, d).documents)),
     "q104_char_classes" -> ((s, d) => charClassMix(Tables(s, d).documents)),
+    "q109_readability"  -> ((s, d) => readability(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -482,6 +513,24 @@ object TextAnalysis extends QueryModule {
     // the per-char sum folds over the SORTED distinct alphabet on both
     // engines (list_sum/list_transform is the proven sequential-fold
     // mirror of Spark's `aggregate`), pinning the summation order
+    // identical integer counts -> identical double ratios; the band
+    // thresholds compare the rounded score on both engines
+    "q109_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n_words,
+        |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+        |         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::BIGINT AS n_syllables
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+        |                          - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+        |       CASE WHEN flesch >= 60.0 THEN 'easy'
+        |            WHEN flesch >= 30.0 THEN 'standard'
+        |            ELSE 'difficult' END AS band
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q104_char_classes" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars_total,
         |       (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT AS n_alpha,

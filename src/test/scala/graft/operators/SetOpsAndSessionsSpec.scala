@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SetOpsAndSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decayedEngagement halves each event's value per elapsed day, hand-checked") {
+    val day = 86400000000L // µs
+    val base = 1700000000000000L
+    val rows = Seq(
+      // user 1: newest event value 10 (age 0), one 1-day-old value 8,
+      // one 2-day-old value 4 -> 10/1 + 8/2 + 4/4 = 15.0
+      (101L, 1L, base + 2 * day, 10.0),
+      (102L, 1L, base + day, 8.0),
+      (103L, 1L, base, 4.0),
+      // user 2: single event 2.5 days before the GLOBAL max -> age
+      // floors to 2 -> 6.0 / 4 = 1.5
+      (201L, 2L, base - day / 2, 6.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"),
+        lit("t").as("event_type"), lit("{}").as("props"))
+    val got = SetOpsAndSessions.decayedEngagement(rows)
+      .select("user_id", "n_events", "last_seen_days", "total_value", "decayed_value")
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 0L, 22.0, 15.0)))
+    assert(got(2L) == ((2L, 1L, 2L, 6.0, 1.5)))
+  }
+
+  test("decayedEngagement is partitioning-independent (fold order pinned)") {
+    val ev = graft.Tables(spark, sf("")).events
+    val a = SetOpsAndSessions.decayedEngagement(ev).collect().toSeq
+    val b = SetOpsAndSessions.decayedEngagement(ev.repartition(13)).collect().toSeq
+    assert(a == b)
+  }
+}

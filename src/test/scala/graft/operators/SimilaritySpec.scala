@@ -133,4 +133,22 @@ class SimilaritySpec extends SparkSpec {
     // survives the exact verify; random pairs (cos ≤ ~0.55) never pass
     assert(got == expected)
   }
+
+  test("hardNegatives mines only label-mismatched neighbors, matching a brute-force filter") {
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val got = Similarity.hardNegativeReport(emb)
+      .select("query_id", "query_label", "vec_id", "neg_label", "rank")
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, ql, _, nl, _) => assert(ql != nl) }
+    // per query: exactly the label-filtered head of the full knn ranking
+    val queries = emb.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700)
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val full = Similarity.knnJoin(queries, emb, k = Int.MaxValue, excludeSelfId = false)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    val expected = full.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.map(_._2).filter(v => labels(v) != labels(qid)).take(5).map(qid -> _)
+    }.toSet
+    assert(got.map(r => (r._1, r._3)).toSet == expected)
+  }
 }

@@ -115,6 +115,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((2L, 8L, 4L, 2.0)))
     assert(got(3L).toString == (3L, 0L, 0L, 0.0).toString)
   }
+  test("readability: hand-computed Flesch on a fixed sentence, floors on degenerate text") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat. it was happy!", "en", "s", 37L),
+      (2L, "xxxx", "en", "s", 4L)) // no vowels, no terminals -> floors
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 9 words, 2 sentences, 10 vowel groups ("e a a o e a i a a-y" -> count)
+    val (_, w, s, syl, flesch, band) = got(1L)
+    assert(w == 9 && s == 2)
+    val expected = BigDecimal(206.835 - 1.015 * (w.toDouble / s) - 84.6 * (syl.toDouble / w))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(flesch - expected) < 1e-9)
+    assert(band == (if (flesch >= 60) "easy" else if (flesch >= 30) "standard" else "difficult"))
+    // degenerate doc: sentence and syllable floors keep the score total
+    val (_, w2, s2, syl2, f2, _) = got(2L)
+    assert(w2 == 1 && s2 == 1 && syl2 == 1 && !f2.isNaN)
+  }
+
   test("lengthQuantiles: exact interpolated percentiles per group") {
     val docs = Seq(
       (1L, "a b", "en", "s0", 3L),       // 2 toks
