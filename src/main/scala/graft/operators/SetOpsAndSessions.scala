@@ -90,6 +90,33 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q112: first-order Markov transition matrix over each user's event
+    * stream — P(next event type | current), the sequence-mining summary
+    * behind funnel and anomaly dashboards (a transition that drifts is
+    * a product change or a bot). One lead() per user-ordered stream,
+    * then an integer count matrix; probabilities are one ratio of
+    * counts (deterministic). The event order is (ts, event_id) with ts
+    * at µs truncation — the q40 ordering contract, so both engines walk
+    * identical sequences even for sub-µs neighbors.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead window, then a
+    * types×types-sized aggregation (map-side combined) — the matrix is
+    * tiny regardless of corpus size, and the per-row window carries no
+    * unbounded state.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+    val counts = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p", round(col("n") / col("n_from").cast("double"), 4))
+      .orderBy("from_type", "to_type")
+  }
+
   /** W2 (email_providers.py:345,485-489): top-N rows with the overall
     * count alongside, so the "…k more" footer is derivable. Ranking on
     * cents-exact totals keeps the cut deterministic.
@@ -145,6 +172,7 @@ object SetOpsAndSessions extends QueryModule {
     "q42_active_in_both" -> ((s, d) => { val t = Tables(s, d); activeInBoth(t.orders, t.events) }),
     "q43_tagged_union"   -> ((s, d) => { val t = Tables(s, d); taggedUnionCounts(t.orders, t.events, t.lineitem) }),
     "q110_decayed_engagement" -> ((s, d) => decayedEngagement(Tables(s, d).events)),
+    "q112_event_transitions"  -> ((s, d) => eventTransitions(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -159,6 +187,21 @@ object SetOpsAndSessions extends QueryModule {
                 count(DISTINCT c_mktsegment) AS n_segments
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // µs-truncated (ts, event_id) ordering = the q40 contract; counts
+    // are integers, p is one ratio
+    "q112_event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_ns(ts) // 1000, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, count(*)::BIGINT AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       sum(n) OVER (PARTITION BY from_type)::BIGINT AS n_from,
+        |       round(n / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 4) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     // ns -> us truncation mirrors Tables.events (epoch_ns // 1000, the
     // q40 convention); weights are exact powers of two; the per-user
     // sum folds over the (us, event_id)-sorted weighted list (q87) and

@@ -162,6 +162,44 @@ object Similarity extends QueryModule {
     hardNegatives(embeddings.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700),
       embeddings)
 
+  /** q111: label-centroid confusion — pairwise cosine between per-label
+    * mean embeddings. High-cosine label pairs are the classes the
+    * embedding space can't separate: the class-level audit behind
+    * "merge these labels / mine harder negatives there" (q108 is the
+    * per-pair follow-up).
+    *
+    * Scale shape: ONE posexplode + groupBy(label, dim) reduces the
+    * corpus to a labels×dim centroid table (map-side combined; the q96
+    * per-dim moment anatomy, where float32-exact doubles keep the sums
+    * stable), then the pairwise stage runs entirely on the tiny
+    * broadcast centroid table. The per-pair dot/norm sums fold over the
+    * dim-sorted list (the q87 order-pinning contract, ≤ dim elements).
+    */
+  def labelCentroidConfusion(embeddings: DataFrame): DataFrame = {
+    val ex = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val cent = ex.groupBy("label", "dim")
+      .agg((sum(col("x")) / count(lit(1))).as("mu"), count(lit(1)).as("n_vecs"))
+    val a = cent.select(col("label").as("label_a"), col("dim"),
+      col("mu").as("ma"), col("n_vecs").as("n_a"))
+    val b = cent.select(col("label").as("label_b"), col("dim"),
+      col("mu").as("mb"), col("n_vecs").as("n_b"))
+    val p = struct(col("dim"), (col("ma") * col("mb")).as("ab"),
+      (col("ma") * col("ma")).as("aa"), (col("mb") * col("mb")).as("bb"))
+    def fold(field: String) =
+      aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField(field))
+    a.join(broadcast(b), Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        array_sort(collect_list(p)).as("ps"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(fold("ab") / (sqrt(fold("aa")) * sqrt(fold("bb"))), 6).as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Embedding-cosine near-duplicate detection via signed-random-
     * projection LSH (hyperplane MinHash analogue): band keys from
     * [[graft.functions.SrpBandKeys]], candidates = pairs colliding in ANY
@@ -288,6 +326,7 @@ object Similarity extends QueryModule {
     "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings)),
     "q70_knn_join"     -> ((s, d) => knnJoinReport(Tables(s, d).embeddings)),
     "q108_hard_negatives" -> ((s, d) => hardNegativeReport(Tables(s, d).embeddings)),
+    "q111_label_confusion" -> ((s, d) => labelCentroidConfusion(Tables(s, d).embeddings)),
     "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings)),
     "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings)),
   )
@@ -350,6 +389,30 @@ object Similarity extends QueryModule {
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) > 0.3
           ORDER BY label, left_id, right_id""",
+    // per-(label,dim) means via plain sums (the q96 float32-exact-double
+    // convention); the per-pair dot/norm sums fold over the dim-sorted
+    // product list on both engines
+    "q111_label_confusion" ->
+      """WITH ex AS (
+        |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cent AS (
+        |  SELECT label, dim, sum(x) / count(*) AS mu, count(*)::BIGINT AS n_vecs
+        |  FROM ex GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.label AS label_a, b.label AS label_b, a.dim AS dim,
+        |         a.n_vecs AS n_a, b.n_vecs AS n_b,
+        |         {'d': a.dim, 'ab': a.mu * b.mu, 'aa': a.mu * a.mu, 'bb': b.mu * b.mu} AS p
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label),
+        |g AS (
+        |  SELECT label_a, label_b, max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+        |         list_sort(list(p)) AS ps
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT label_a, label_b, n_a, n_b,
+        |       round(list_sum(list_transform(ps, x -> x.ab)) /
+        |             (sqrt(list_sum(list_transform(ps, x -> x.aa))) *
+        |              sqrt(list_sum(list_transform(ps, x -> x.bb)))), 6) AS centroid_cos
+        |FROM g ORDER BY label_a, label_b""".stripMargin,
     // the q70 contract (rounded-cosine rank, vec_id tie-break) with the
     // label-mismatch predicate; label <> label implies id <> id
     "q108_hard_negatives" ->

@@ -35,4 +35,18 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     val b = SetOpsAndSessions.decayedEngagement(ev.repartition(13)).collect().toSeq
     assert(a == b)
   }
+
+  test("eventTransitions: each user contributes n-1 transitions and rows are a distribution") {
+    val ev = graft.Tables(spark, sf("")).events
+    val m = SetOpsAndSessions.eventTransitions(ev)
+      .as[(String, String, Long, Long, Double)].collect()
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(m.map(_._3).sum == nEvents - nUsers)
+    // per from_type: counts sum to n_from and p sums to ~1
+    m.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum == rows.head._4)
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 0.01)
+    }
+  }
 }

@@ -151,4 +151,26 @@ class SimilaritySpec extends SparkSpec {
     }.toSet
     assert(got.map(r => (r._1, r._3)).toSet == expected)
   }
+
+  test("labelCentroidConfusion matches a driver-side brute-force centroid cosine") {
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val vecs = emb.select("label", "embedding").as[(Int, Array[Float])].collect()
+    val cents = vecs.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val mu = Array.tabulate(dim)(d => vs.map(_._2(d).toDouble).sum / vs.length)
+      l -> mu
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.labelCentroidConfusion(emb)
+      .select("label_a", "label_b", "centroid_cos")
+      .as[(Int, Int, Double)].collect()
+    assert(got.length == cents.size * (cents.size - 1) / 2)
+    got.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(math.abs(c - cos(cents(a), cents(b))) < 1e-4, s"pair ($a,$b)")
+    }
+  }
 }
