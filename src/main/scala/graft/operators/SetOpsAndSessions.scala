@@ -117,6 +117,44 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("from_type", "to_type")
   }
 
+  /** q114: ordered funnel conversion — users who did stage 1, then
+    * stage 2 strictly after their first stage-1 event, then stage 3
+    * strictly after that first qualifying stage-2 event. The
+    * first-touch semantics ("after the FIRST qualifying prior stage")
+    * make the count well-defined without scanning subsequences.
+    *
+    * Scale shape: one min-aggregation per stage, each keyed on
+    * user_id — co-partitioned joins, no window over the full stream,
+    * no per-user state beyond one timestamp. Times compare at the µs
+    * truncation on both engines (q40 contract).
+    */
+  def funnelConversion(events: DataFrame,
+                       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val s0 = e.filter(col("event_type") === stages(0))
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val s1 = e.filter(col("event_type") === stages(1)).join(s0, "user_id")
+      .filter(col("us") > col("t0")).groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = e.filter(col("event_type") === stages(2)).join(s1, "user_id")
+      .filter(col("us") > col("t1")).groupBy("user_id").agg(min("us").as("t2"))
+    val counts = s0.agg(count(lit(1)).as("n0"))
+      .crossJoin(s1.agg(count(lit(1)).as("n1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+    val stageRows = Seq(
+      (lit(1L), lit(stages(0)), col("n0"), lit(1.0), lit(1.0)),
+      (lit(2L), lit(stages(1)), col("n1"),
+        round(col("n1") / col("n0").cast("double"), 4),
+        round(col("n1") / col("n0").cast("double"), 4)),
+      (lit(3L), lit(stages(2)), col("n2"),
+        round(col("n2") / col("n1").cast("double"), 4),
+        round(col("n2") / col("n0").cast("double"), 4)))
+    stageRows.map { case (i, nm, n, cp, cf) =>
+      counts.select(i.as("stage"), nm.as("stage_name"), n.as("n_users"),
+        cp.as("conv_from_prev"), cf.as("conv_from_first"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
   /** W2 (email_providers.py:345,485-489): top-N rows with the overall
     * count alongside, so the "…k more" footer is derivable. Ranking on
     * cents-exact totals keeps the cut deterministic.
@@ -173,6 +211,7 @@ object SetOpsAndSessions extends QueryModule {
     "q43_tagged_union"   -> ((s, d) => { val t = Tables(s, d); taggedUnionCounts(t.orders, t.events, t.lineitem) }),
     "q110_decayed_engagement" -> ((s, d) => decayedEngagement(Tables(s, d).events)),
     "q112_event_transitions"  -> ((s, d) => eventTransitions(Tables(s, d).events)),
+    "q114_funnel"             -> ((s, d) => funnelConversion(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -187,6 +226,25 @@ object SetOpsAndSessions extends QueryModule {
                 count(DISTINCT c_mktsegment) AS n_segments
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // stage times compare at the µs truncation (q40 contract); counts
+    // are integers, conversions single ratios
+    "q114_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(us) AS t1 FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE event_type = 'click' AND us > t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'purchase' AND us > t1 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s0)::BIGINT AS n0,
+        |             (SELECT count(*) FROM s1)::BIGINT AS n1,
+        |             (SELECT count(*) FROM s2)::BIGINT AS n2)
+        |SELECT 1::BIGINT AS stage, 'view' AS stage_name, n0 AS n_users,
+        |       1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM c
+        |UNION ALL
+        |SELECT 2, 'click', n1, round(n1 / n0::DOUBLE, 4), round(n1 / n0::DOUBLE, 4) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', n2, round(n2 / n1::DOUBLE, 4), round(n2 / n0::DOUBLE, 4) FROM c
+        |ORDER BY stage""".stripMargin,
     // µs-truncated (ts, event_id) ordering = the q40 contract; counts
     // are integers, p is one ratio
     "q112_event_transitions" ->

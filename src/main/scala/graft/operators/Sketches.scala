@@ -105,9 +105,61 @@ object Sketches extends QueryModule {
       .orderBy(col("exact_cnt").desc, col("w"))
   }
 
+  /** q113: Bloom-filter membership calibration over 3-gram shingles —
+    * a reference batch (docs with doc_id ≡ 0 mod 10) builds an
+    * m-bit / k-hash filter; every source's distinct shingles probe it,
+    * and the report shows claimed vs true membership per source. The
+    * filter is the cheap first pass of incremental dedup /
+    * decontamination (q99/q75's exact-index lookup, but constant-size):
+    * a batch shingle that misses CANNOT be in the corpus, and the
+    * measured false-positive rate is the price of the shortcut.
+    *
+    * Scale shape: the bit set is ≤ m rows and broadcasts; probing is a
+    * narrow 4-way position explode against it. The exact semi-join
+    * producing `n_member` is the CALIBRATION REFERENCE only (the q106
+    * pattern) — production keeps just the broadcast bits. No false
+    * negatives by construction (spec-pinned): claimed ⊇ member.
+    * m is the scale knob — size it to the expected reference
+    * cardinality (fill_frac in the output is the saturation gauge).
+    */
+  def bloomCalibration(documents: DataFrame, m: Int = 16384, k: Int = 4): DataFrame = {
+    val sh = documents.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.ShingleSet.shingleSet(col("text"), 3)).as("sh"))
+    def pos(j: Int, c: Column): Column = hash60(s"bf$j", c) % m
+    val ref = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
+    val bits = ref
+      .select(explode(array((0 until k).map(j => pos(j, col("sh"))): _*)).as("pos"))
+      .distinct().withColumn("hit", lit(1))
+    val probe = sh.select("source", "sh").distinct()
+    val claimed = probe
+      .select(col("source"), col("sh"),
+        explode(array((0 until k).map(j => pos(j, col("sh"))): _*)).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("source", "sh")
+      .agg((count(col("hit")) === k).as("claimed"))
+    val member = probe.join(ref.select(col("sh"), lit(1).as("is_member")), Seq("sh"), "left")
+    val refStats = ref.agg(count(lit(1)).as("n_ref"))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+    claimed.join(member, Seq("source", "sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_probe"),
+        coalesce(sum(col("is_member")), lit(0L)).cast("long").as("n_member"),
+        sum(when(col("claimed"), 1L).otherwise(0L)).as("n_claimed"))
+      .crossJoin(broadcast(refStats))
+      .withColumn("false_pos", col("n_claimed") - col("n_member"))
+      .withColumn("fp_rate",
+        round(col("false_pos") / greatest(col("n_probe") - col("n_member"), lit(1L)).cast("double"), 4))
+      .withColumn("fill_frac", round(col("bits_set") / lit(m.toDouble), 4))
+      .select(col("source"), col("n_probe"), col("n_member"), col("n_claimed"),
+        col("false_pos"), col("fp_rate"), col("n_ref"), col("bits_set"), col("fill_frac"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_hll_distinct" -> ((s, d) => hllDistinct(Tables(s, d).documents)),
     "q107_cms_freq"     -> ((s, d) => cmsFrequencies(Tables(s, d).documents)),
+    "q113_bloom_calibration" -> ((s, d) => bloomCalibration(Tables(s, d).documents)),
   )
 
   /** 15-hex-char md5 prefix → 60-bit integer, as a DuckDB fold — the
@@ -145,6 +197,43 @@ object Sketches extends QueryModule {
         |       round(e, 4) AS hll_est,
         |       round((e - vocab_exact) / vocab_exact, 4) AS rel_err
         |FROM est JOIN ex ON est.source = ex.source ORDER BY est.source""".stripMargin,
+    // identical shingle windows (the q91 slice form), identical salted
+    // positions, pure integer counts end to end
+    "q113_bloom_calibration" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT doc_id, source, array_to_string(ts[i:i+2], ' ') AS sh
+        |  FROM (SELECT doc_id, source, ts, unnest(range(1, len(ts) - 1)) AS i FROM d)),
+        |ref AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT DISTINCT pos FROM (
+        |    SELECT unnest([${(0 until 4).map(j => hx(s"'bf$j|' || sh") + " % 16384").mkString(", ")}]) AS pos
+        |    FROM ref)),
+        |probe AS (SELECT DISTINCT source, sh FROM sh0),
+        |pp AS (
+        |  SELECT source, sh,
+        |         unnest([${(0 until 4).map(j => hx(s"'bf$j|' || sh") + " % 16384").mkString(", ")}]) AS pos
+        |  FROM probe),
+        |cl AS (
+        |  SELECT source, sh, (count(b.pos) = 4) AS claimed
+        |  FROM pp LEFT JOIN bits b ON pp.pos = b.pos GROUP BY 1, 2),
+        |mem AS (
+        |  SELECT p.source, p.sh, CASE WHEN r.sh IS NULL THEN 0 ELSE 1 END AS is_member
+        |  FROM probe p LEFT JOIN ref r ON p.sh = r.sh),
+        |stats AS (SELECT (SELECT count(*) FROM ref)::BIGINT AS n_ref,
+        |                 (SELECT count(*) FROM bits)::BIGINT AS bits_set),
+        |g AS (
+        |  SELECT cl.source AS source, count(*)::BIGINT AS n_probe,
+        |         sum(is_member)::BIGINT AS n_member,
+        |         sum(CASE WHEN claimed THEN 1 ELSE 0 END)::BIGINT AS n_claimed
+        |  FROM cl JOIN mem ON cl.source = mem.source AND cl.sh = mem.sh
+        |  GROUP BY 1)
+        |SELECT source, n_probe, n_member, n_claimed,
+        |       (n_claimed - n_member)::BIGINT AS false_pos,
+        |       round((n_claimed - n_member) / greatest(n_probe - n_member, 1)::DOUBLE, 4) AS fp_rate,
+        |       n_ref, bits_set, round(bits_set / 16384.0, 4) AS fill_frac
+        |FROM g, stats ORDER BY source""".stripMargin,
     // pure integer counts end to end
     "q107_cms_freq" ->
       s"""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),

@@ -36,6 +36,26 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("funnelConversion: hand-checked ordered funnel with out-of-order exclusion") {
+    val day = 86400000000L
+    val base = 1700000000000000L
+    // u1 completes in order; u2 clicks BEFORE viewing (excluded from
+    // stage 2 on); u3 views+clicks but never purchases
+    val rows = Seq(
+      (1L, 1L, base, "view"), (2L, 1L, base + day, "click"), (3L, 1L, base + 2 * day, "purchase"),
+      (4L, 2L, base + day, "view"), (5L, 2L, base, "click"),
+      (6L, 3L, base, "view"), (7L, 3L, base + day, "click"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    val got = SetOpsAndSessions.funnelConversion(rows)
+      .select("stage", "n_users", "conv_from_prev", "conv_from_first")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1.0, 1.0)))
+    assert(got(2L) == ((2L, 2L, 0.6667, 0.6667)))
+    assert(got(3L) == ((3L, 1L, 0.5, 0.3333)))
+  }
+
   test("eventTransitions: each user contributes n-1 transitions and rows are a distribution") {
     val ev = graft.Tables(spark, sf("")).events
     val m = SetOpsAndSessions.eventTransitions(ev)

@@ -61,6 +61,24 @@ class SketchesSpec extends SparkSpec {
     assert(t("alpha") == ((2L, 2L)) && t("beta") == ((2L, 2L)) && t("gamma") == ((1L, 1L)))
   }
 
+  test("bloom filter has no false negatives and only overclaims") {
+    val rows = Sketches.bloomCalibration(docs)
+      .select("source", "n_probe", "n_member", "n_claimed", "false_pos")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nProbe, nMember, nClaimed, fp) =>
+      // claimed ⊇ member (bloom's one-sided error), and both ≤ probe
+      assert(nClaimed >= nMember, s"$src lost a true member")
+      assert(nClaimed <= nProbe && nMember <= nProbe)
+      assert(fp == nClaimed - nMember)
+    }
+    // sources whose docs all sit in the reference batch (doc_id % 10 = 0
+    // covers the % 20 = 0 and % 20 = 10 sources entirely) must claim
+    // every shingle — the exact-membership degenerate case
+    val full = rows.filter(r => r._1 == "src0" || r._1 == "src10")
+    full.foreach { case (_, nProbe, nMember, _, _) => assert(nMember == nProbe) }
+  }
+
   test("CMS cells merge by addition (incremental-batch contract)") {
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 =!= 0)
