@@ -95,6 +95,32 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), s"expected a join-free bucketed plan:\n$p")
   }
 
+  test("q106 HLL registers reduce map-side; no distinct shuffle on the token stream") {
+    val p = planText(graft.operators.Sketches.hllDistinct(t.documents))
+    // the register path must show partial max BEFORE its exchange —
+    // each map task reduces its tokens to <= 64 registers per source
+    assert(p.contains("partial_max"), s"expected map-side register reduction:\n$p")
+  }
+
+  test("q108 hard negatives broadcast the probe batch and cut top-k pre-shuffle") {
+    val p = planText(graft.operators.Similarity.hardNegativeReport(t.embeddings))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast probe batch:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+  }
+
+  test("q113 bloom probe joins the bit set by broadcast (no shuffle on positions)") {
+    val p = planText(graft.operators.Sketches.bloomCalibration(t.documents))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bit set:\n$p")
+    assert(!p.contains("CartesianProduct"), s"expected no all-pairs:\n$p")
+  }
+
+  test("q111 centroid confusion aggregates dims map-side; pair stage is broadcast-only") {
+    val p = planText(graft.operators.Similarity.labelCentroidConfusion(t.embeddings))
+    assert(p.contains("partial_sum"), s"expected map-side moment sums:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast centroid pair join:\n$p")
+  }
+
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
     // parquet-backed, exchange-free projections: LocalRelation fixtures
     // constant-fold custom expressions away, and AQE wraps any plan with
