@@ -220,7 +220,40 @@ object CorpusOps extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** q117: cross-source shingle-overlap matrix — per source pair, the
+    * Jaccard similarity of their distinct 3-gram shingle sets. The
+    * provenance/contamination audit: a pair whose overlap spikes is
+    * mirrored crawling, syndication, or template reuse, and it tells
+    * the near-dup pipeline (q58/q92) where to look first.
+    *
+    * Scale shape: one distinct over (source, shingle), then an
+    * equi-join on the shingle key — pair fan-out per shingle is
+    * bounded by the number of SOURCES sharing it (≤ |sources|², never
+    * corpus-sized), and the set sizes broadcast back. Pairs sharing
+    * zero shingles are absent from the output by construction.
+    */
+  def sourceOverlapMatrix(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, size => asize, split => ssplit}
+    val sh = documents.filter(asize(ssplit(col("text"), " ")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.ShingleSet.shingleSet(col("text"), 3)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b"))), "source_b")
+      .withColumn("jaccard", round(col("n_shared") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_source_overlap" -> ((s, d) => sourceOverlapMatrix(Tables(s, d).documents)),
     "q89_source_cap"    -> ((s, d) => perSourceCap(Tables(s, d).documents)),
     "q93_quality_quartiles" -> ((s, d) => qualityQuartiles(Tables(s, d).documents)),
     "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
@@ -231,6 +264,23 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the q91/q113 shingle-window form; integer set arithmetic
+    "q117_source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS ts
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT source, array_to_string(ts[i:i+2], ' ') AS sh
+        |  FROM (SELECT source, ts, unnest(range(1, len(ts) - 1)) AS i FROM d)),
+        |sizes AS (SELECT source, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |       round(n_shared / (sa.n_sh + sb.n_sh - n_shared)::DOUBLE, 4) AS jaccard
+        |FROM shared JOIN sizes sa ON shared.source_a = sa.source
+        |            JOIN sizes sb ON shared.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "q89_source_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id, n_chars,

@@ -117,6 +117,90 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("from_type", "to_type")
   }
 
+  /** q115: winsorized (robust) per-type value stats — p05/p95 exact
+    * interpolated percentiles, the raw mean, and the mean after
+    * clipping to [p05, p95]. The outlier-robust preprocessing step for
+    * any numeric feature column: a raw mean a few bots can drag is
+    * reported next to the clipped one.
+    *
+    * Determinism: the raw mean is cents-exact (q51 convention); the
+    * percentile interpolation is the q85 contract; the clipped sum
+    * folds per type in (event_id)-pinned order because clipped values
+    * inherit the percentile cut's full double precision.
+    *
+    * Scale shape: cuts are one aggregation to a types-sized broadcast
+    * table; the clip pass is narrow per-row work.
+    */
+  def winsorizedStats(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), col("event_id"), col("value"))
+    val counts = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    // interpolated percentile computed EXPLICITLY (vl + (vu − vl)·frac
+    // over the two bracketing order statistics) so both engines run the
+    // identical double expression — builtin percentile implementations
+    // are free to interpolate as (1−g)·l + g·u, which differs in ulps
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val ranked = e.withColumn("rn", row_number().over(w).cast("long") - 1)
+      .join(broadcast(counts.select("event_type", "n")), "event_type")
+    def cut(q: Double, name: String): DataFrame = {
+      val h = (col("n") - 1) * lit(q)
+      ranked.filter(col("rn") === floor(h) || col("rn") === ceil(h))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === floor((col("n") - 1) * lit(q)), col("value"))).as("vl"),
+          max(when(col("rn") === ceil((col("n") - 1) * lit(q)), col("value"))).as("vu"),
+          max((col("n") - 1) * lit(q)).as("h"))
+        .select(col("event_type"),
+          (col("vl") + (col("vu") - col("vl")) * (col("h") - floor(col("h")))).as(name))
+    }
+    val cuts = counts.join(cut(0.05, "p05"), "event_type").join(cut(0.95, "p95"), "event_type")
+    e.join(broadcast(cuts), "event_type")
+      .withColumn("cv", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        round(max(col("cents")) / 100.0 / max(col("n")), 4).as("raw_mean"),
+        round(max(col("p05")), 4).as("p05"),
+        round(max(col("p95")), 4).as("p95"),
+        (round(aggregate(
+          array_sort(collect_list(struct(col("event_id"), col("cv")))),
+          lit(0.0), (acc, x) => acc + x.getField("cv")) / max(col("n")), 4) + lit(0.0))
+          .as("winsor_mean"))
+      .orderBy("event_type")
+  }
+
+  /** q116: top session paths — sessionize (the q14/q40 gap rule), take
+    * each session's first `headLen` event types in stream order, and
+    * count sessions per path string. The classic "how do users actually
+    * move" report; a path whose frequency jumps is a bot signature.
+    *
+    * Scale shape: the session assignment is the one user-keyed window
+    * shuffle q40 already pays; the per-session head is row_number ≤ k
+    * (WindowGroupLimit), so no unbounded per-session state; the path
+    * count is a tiny aggregation over path strings.
+    */
+  def topSessionPaths(events: DataFrame, gapSeconds: Long = 1800L,
+                      headLen: Int = 5, k: Int = 20): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSeconds * 1000000L
+    val sessions = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+    val inSession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("us"), col("event_id"))
+    sessions
+      .withColumn("rn", row_number().over(inSession))
+      .filter(col("rn") <= headLen)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+  }
+
   /** q114: ordered funnel conversion — users who did stage 1, then
     * stage 2 strictly after their first stage-1 event, then stage 3
     * strictly after that first qualifying stage-2 event. The
@@ -212,6 +296,8 @@ object SetOpsAndSessions extends QueryModule {
     "q110_decayed_engagement" -> ((s, d) => decayedEngagement(Tables(s, d).events)),
     "q112_event_transitions"  -> ((s, d) => eventTransitions(Tables(s, d).events)),
     "q114_funnel"             -> ((s, d) => funnelConversion(Tables(s, d).events)),
+    "q115_winsorized_stats"   -> ((s, d) => winsorizedStats(Tables(s, d).events)),
+    "q116_session_paths"      -> ((s, d) => topSessionPaths(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -226,6 +312,76 @@ object SetOpsAndSessions extends QueryModule {
                 count(DISTINCT c_mktsegment) AS n_segments
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // the interpolation expression (vl + (vu − vl)·frac over explicit
+    // order statistics) is written out identically on both engines; the
+    // clipped sum folds in event_id-pinned order (q87), raw mean is
+    // cents-exact (q51)
+    "q115_winsorized_stats" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |c AS (SELECT event_type, count(*)::BIGINT AS n,
+        |             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT e.event_type, event_id, value, n,
+        |             row_number() OVER (PARTITION BY e.event_type
+        |                                ORDER BY value, event_id) - 1 AS rn
+        |      FROM e JOIN c ON e.event_type = c.event_type),
+        |p05 AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rn = floor((n - 1) * 0.05) THEN value END) +
+        |         (max(CASE WHEN rn = ceil((n - 1) * 0.05) THEN value END) -
+        |          max(CASE WHEN rn = floor((n - 1) * 0.05) THEN value END)) *
+        |         (max((n - 1) * 0.05) - floor(max((n - 1) * 0.05))) AS p05
+        |  FROM r WHERE rn = floor((n - 1) * 0.05) OR rn = ceil((n - 1) * 0.05)
+        |  GROUP BY 1),
+        |p95 AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rn = floor((n - 1) * 0.95) THEN value END) +
+        |         (max(CASE WHEN rn = ceil((n - 1) * 0.95) THEN value END) -
+        |          max(CASE WHEN rn = floor((n - 1) * 0.95) THEN value END)) *
+        |         (max((n - 1) * 0.95) - floor(max((n - 1) * 0.95))) AS p95
+        |  FROM r WHERE rn = floor((n - 1) * 0.95) OR rn = ceil((n - 1) * 0.95)
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT e.event_type, e.event_id,
+        |         least(greatest(e.value, p05.p05), p95.p95) AS cv
+        |  FROM e JOIN p05 ON e.event_type = p05.event_type
+        |         JOIN p95 ON e.event_type = p95.event_type)
+        |SELECT c.event_type AS event_type, c.n AS n_events,
+        |       round(c.cents / 100.0 / c.n, 4) AS raw_mean,
+        |       round(p05.p05, 4) AS p05, round(p95.p95, 4) AS p95,
+        |       round(list_sum(list_transform(
+        |         list_sort(list({'e': w.event_id, 'v': w.cv})), x -> x.v)) / c.n, 4) + 0.0
+        |         AS winsor_mean
+        |FROM w JOIN c ON w.event_type = c.event_type
+        |       JOIN p05 ON w.event_type = p05.event_type
+        |       JOIN p95 ON w.event_type = p95.event_type
+        |GROUP BY c.event_type, c.n, c.cents, p05.p05, p95.p95
+        |ORDER BY event_type""".stripMargin,
+    // session rule and ordering are the q40 contract at µs truncation;
+    // the path is an ordered string_agg over the rank-capped head
+    "q116_session_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR (epoch_ns(ts) // 1000) - (epoch_ns(lag(ts) OVER w) // 1000) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |headed AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |                               ORDER BY us, event_id) AS rn
+        |  FROM sess),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM headed WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_sessions
+        |FROM paths GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // stage times compare at the µs truncation (q40 contract); counts
     // are integers, conversions single ratios
     "q114_funnel" ->

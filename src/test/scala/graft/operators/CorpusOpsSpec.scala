@@ -24,6 +24,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(twoPhase == naive)
   }
 
+  test("sourceOverlapMatrix: identical sources hit jaccard 1, disjoint pairs are absent") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1", "en", 9L),
+      (2L, "a b c d e", "s2", "en", 9L), // exact copy of s1's shingles
+      (3L, "x y z w v", "s3", "en", 9L)) // disjoint
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val got = CorpusOps.sourceOverlapMatrix(docs)
+      .select("source_a", "source_b", "jaccard")
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", "s2")) == 1.0)
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
+  }
+
   test("stratifiedSample takes exactly ceil(n*frac) per stratum, deterministically") {
     val docs = graft.Tables(spark, sf("")).documents
     val perGroup = docs.groupBy("lang").count().as[(String, Long)].collect().toMap

@@ -56,6 +56,34 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 0.5, 0.3333)))
   }
 
+  test("winsorizedStats clips a planted outlier: winsor mean < raw mean, cuts bracket it") {
+    val base = 1700000000000000L
+    val vals = (1 to 99).map(_.toDouble) :+ 100000.0 // one outlier
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L + i % 7, base + i * 1000000L, v)
+    }.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"),
+        lit("click").as("event_type"), col("value"), lit("{}").as("props"))
+    val r = SetOpsAndSessions.winsorizedStats(rows)
+      .select("event_type", "n_events", "raw_mean", "p05", "p95", "winsor_mean")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    assert(r._2 == 100)
+    // h = 99*0.05 = 4.95 -> p05 = 5 + (6-5)*0.95 = 5.95; p95 = 95 + 0.05 = 95.05
+    assert(math.abs(r._4 - 5.95) < 1e-9 && math.abs(r._5 - 95.05) < 1e-9)
+    assert(r._6 < r._3, "outlier must be clipped out of the winsorized mean")
+    assert(r._6 >= r._4 && r._6 <= r._5)
+  }
+
+  test("topSessionPaths caps the head and counts every session exactly once") {
+    val ev = graft.Tables(spark, sf("")).events
+    val got = SetOpsAndSessions.topSessionPaths(ev, k = 1000000)
+      .as[(String, Long)].collect()
+    got.foreach { case (path, _) => assert(path.split(">").length <= 5) }
+    val totalSessions = SetOpsAndSessions.sessionDurations(ev)
+      .agg(sum("n_sessions")).as[Long].head()
+    assert(got.map(_._2).sum == totalSessions)
+  }
+
   test("eventTransitions: each user contributes n-1 transitions and rows are a distribution") {
     val ev = graft.Tables(spark, sf("")).events
     val m = SetOpsAndSessions.eventTransitions(ev)
