@@ -252,8 +252,35 @@ object CorpusOps extends QueryModule {
       .orderBy("source_a", "source_b")
   }
 
+  /** q119: quasi-identifier uniqueness (k-anonymity audit) — bucket
+    * every document by its quasi-identifier tuple (lang, source,
+    * length decile band) and report, per lang, how many documents sit
+    * in buckets of size < k. A corpus slice full of k<2 buckets is
+    * re-identifiable metadata — the privacy-side curation gate next to
+    * the PII scrub (q74): scrubbing the text is moot if the metadata
+    * fingerprint is unique.
+    *
+    * Scale shape: two map-side-combined groupBys (tuple counts →
+    * per-lang rollup); the length band is integer division, so bucket
+    * keys are stable across engines.
+    */
+  def quasiIdentifierAudit(documents: DataFrame, k: Int = 2): DataFrame = {
+    val buckets = documents
+      .select(col("lang"), col("source"), expr("n_chars div 100").as("len_band"))
+      .groupBy("lang", "source", "len_band")
+      .agg(count(lit(1)).as("bucket_n"))
+    buckets.groupBy("lang")
+      .agg(sum(col("bucket_n")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("bucket_n") < k, col("bucket_n"))), lit(0L)).as("n_risky_docs"),
+        coalesce(sum(when(col("bucket_n") < k, 1L)), lit(0L)).as("n_risky_buckets"))
+      .withColumn("risky_frac", round(col("n_risky_docs") / col("n_docs").cast("double"), 4))
+      .orderBy("lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_source_overlap" -> ((s, d) => sourceOverlapMatrix(Tables(s, d).documents)),
+    "q119_quasi_id_audit" -> ((s, d) => quasiIdentifierAudit(Tables(s, d).documents)),
     "q89_source_cap"    -> ((s, d) => perSourceCap(Tables(s, d).documents)),
     "q93_quality_quartiles" -> ((s, d) => qualityQuartiles(Tables(s, d).documents)),
     "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
@@ -264,6 +291,17 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // integer bucket keys (floor-div band), integer rollups
+    "q119_quasi_id_audit" ->
+      """WITH b AS (
+        |  SELECT lang, source, n_chars // 100 AS len_band, count(*)::BIGINT AS bucket_n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, sum(bucket_n)::BIGINT AS n_docs, count(*)::BIGINT AS n_buckets,
+        |       coalesce(sum(CASE WHEN bucket_n < 2 THEN bucket_n END), 0)::BIGINT AS n_risky_docs,
+        |       coalesce(sum(CASE WHEN bucket_n < 2 THEN 1 END), 0)::BIGINT AS n_risky_buckets,
+        |       round(coalesce(sum(CASE WHEN bucket_n < 2 THEN bucket_n END), 0)
+        |             / sum(bucket_n)::DOUBLE, 4) AS risky_frac
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
     // the q91/q113 shingle-window form; integer set arithmetic
     "q117_source_overlap" ->
       """WITH d AS (SELECT source, string_split(text, ' ') AS ts

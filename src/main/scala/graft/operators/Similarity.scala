@@ -162,6 +162,32 @@ object Similarity extends QueryModule {
     hardNegatives(embeddings.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700),
       embeddings)
 
+  /** q118: kNN label purity — for the q70 probe batch, how many of each
+    * probe's top-k cosine neighbors carry the probe's own label,
+    * rolled up per label. Low purity for a label = its examples sit in
+    * other labels' neighborhoods — the label-error / confident-learning
+    * mining signal (q108 then mines the offending pairs, q111 shows the
+    * class-level geometry).
+    *
+    * Determinism: purity is INTEGER hit counts divided once at the end
+    * — no mean-of-fractions summation. Plan shape is exactly q70's
+    * (broadcast probes, narrow scoring, WindowGroupLimit top-k).
+    */
+  def knnLabelPurity(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val probes = embeddings.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700)
+    val labels = embeddings.select(col("vec_id"), col("label").as("neighbor_label"))
+    val probeLabels = probes.select(col("vec_id").as("query_id"), col("label").as("query_label"))
+    knnJoin(probes, embeddings, k)
+      .join(broadcast(probeLabels), "query_id")
+      .join(labels, "vec_id")
+      .groupBy("query_id", "query_label")
+      .agg(sum(when(col("neighbor_label") === col("query_label"), 1L).otherwise(0L)).as("hits"))
+      .groupBy(col("query_label").as("label"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("hits")).as("n_hits"))
+      .withColumn("purity", round(col("n_hits") / (col("n_probes") * k).cast("double"), 4))
+      .orderBy("label")
+  }
+
   /** q111: label-centroid confusion — pairwise cosine between per-label
     * mean embeddings. High-cosine label pairs are the classes the
     * embedding space can't separate: the class-level audit behind
@@ -327,6 +353,7 @@ object Similarity extends QueryModule {
     "q70_knn_join"     -> ((s, d) => knnJoinReport(Tables(s, d).embeddings)),
     "q108_hard_negatives" -> ((s, d) => hardNegativeReport(Tables(s, d).embeddings)),
     "q111_label_confusion" -> ((s, d) => labelCentroidConfusion(Tables(s, d).embeddings)),
+    "q118_knn_purity"      -> ((s, d) => knnLabelPurity(Tables(s, d).embeddings)),
     "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings)),
     "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings)),
   )
@@ -389,6 +416,28 @@ object Similarity extends QueryModule {
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) > 0.3
           ORDER BY label, left_id, right_id""",
+    // the q70 ranking chain with label joins; purity is integer hit
+    // counts divided once
+    "q118_knn_purity" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+                     FROM embeddings WHERE vec_id % 97 = 0 AND vec_id <= 9700),
+          scored AS (
+            SELECT q.query_id, q.query_label, e.vec_id, e.label AS neighbor_label,
+                   round(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, query_label, neighbor_label, cos_sim, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored),
+          hits AS (
+            SELECT query_id, query_label,
+                   sum(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END)::BIGINT AS hits
+            FROM ranked WHERE rank <= 5 GROUP BY 1, 2)
+          SELECT query_label AS label, count(*)::BIGINT AS n_probes,
+                 sum(hits)::BIGINT AS n_hits,
+                 round(sum(hits) / (count(*) * 5)::DOUBLE, 4) AS purity
+          FROM hits GROUP BY 1 ORDER BY label""",
     // per-(label,dim) means via plain sums (the q96 float32-exact-double
     // convention); the per-pair dot/norm sums fold over the dim-sorted
     // product list on both engines

@@ -38,6 +38,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
   }
 
+  test("quasiIdentifierAudit flags exactly the sub-k buckets") {
+    val docs = Seq(
+      // (lang en, s1, band 1) has 2 docs -> safe at k=2
+      (1L, "t", "en", "s1", 150L), (2L, "t", "en", "s1", 199L),
+      // (en, s1, band 3) and (en, s2, band 1) are singletons -> risky
+      (3L, "t", "en", "s1", 350L), (4L, "t", "en", "s2", 150L),
+      // fr: one bucket of 3 -> nothing risky
+      (5L, "t", "fr", "s1", 10L), (6L, "t", "fr", "s1", 20L), (7L, "t", "fr", "s1", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.quasiIdentifierAudit(docs)
+      .select("lang", "n_docs", "n_buckets", "n_risky_docs", "n_risky_buckets", "risky_frac")
+      .as[(String, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 4L, 3L, 2L, 2L, 0.5)))
+    assert(got("fr") == (("fr", 3L, 1L, 0L, 0L, 0.0)))
+  }
+
   test("stratifiedSample takes exactly ceil(n*frac) per stratum, deterministically") {
     val docs = graft.Tables(spark, sf("")).documents
     val perGroup = docs.groupBy("lang").count().as[(String, Long)].collect().toMap

@@ -152,6 +152,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => (r._1, r._3)).toSet == expected)
   }
 
+  test("knnLabelPurity counts integer hits consistent with hardNegatives' complement") {
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val purity = Similarity.knnLabelPurity(emb)
+      .select("label", "n_probes", "n_hits", "purity")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(purity.nonEmpty)
+    purity.foreach { case (_, nProbes, hits, p) =>
+      assert(hits >= 0 && hits <= nProbes * 5)
+      // p is round(·, 4) in the query
+      assert(math.abs(p - hits.toDouble / (nProbes * 5)) < 1e-4)
+    }
+    // cross-check per-probe hits against the full knn ranking
+    val probes = emb.filter(col("vec_id") % 97 === 0 && col("vec_id") <= 9700)
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val knn = Similarity.knnJoin(probes, emb, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    val expectedHits = knn.groupBy(r => labels(r._1))
+      .view.mapValues(_.count(r => labels(r._2) == labels(r._1)).toLong).toMap
+    purity.foreach { case (label, _, hits, _) =>
+      assert(hits == expectedHits.getOrElse(label, 0L), s"label $label")
+    }
+  }
+
   test("labelCentroidConfusion matches a driver-side brute-force centroid cosine") {
     val emb = graft.Tables(spark, sf("")).embeddings
     val vecs = emb.select("label", "embedding").as[(Int, Array[Float])].collect()
