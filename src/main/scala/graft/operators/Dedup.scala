@@ -440,6 +440,22 @@ object Dedup extends QueryModule {
     * misaligned verbatim span produces disjoint chunk sets), so the
     * default is full-recall stride 1 — raise it only for cheap triage.
     */
+  /** q121: chunk-duplication histogram — the size distribution of
+    * chunk-hash clusters (how much of the corpus is 1×, 2×, n×
+    * duplicated at the q73 chunk granularity). THE dedup dashboard
+    * number: the tail of this histogram is the boilerplate mass, and
+    * its drift release-over-release is the crawl-health alarm.
+    *
+    * Scale shape: two map-side-combined groupBys (hash → cluster size
+    * → histogram); output is at most max-cluster-size rows.
+    */
+  def chunkDupHistogram(documents: DataFrame, chunkWords: Int = 6, stride: Int = 1): DataFrame =
+    chunkHashes(documents, chunkWords, stride)
+      .groupBy("chunk_hash").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_chunks", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
   def chunkDedup(documents: DataFrame, chunkWords: Int = 6, stride: Int = 1): DataFrame =
     chunkHashes(documents, chunkWords, stride)
       .groupBy("chunk_hash")
@@ -582,6 +598,7 @@ object Dedup extends QueryModule {
     "q65_multiband_lsh"  -> ((s, d) => multiBandCandidatePairs(Tables(s, d).documents)),
     "q94_minhash_accuracy" -> ((s, d) => minhashAccuracy(Tables(s, d).documents)),
     "q73_chunk_dedup"    -> ((s, d) => chunkDedup(Tables(s, d).documents)),
+    "q121_chunk_histogram" -> ((s, d) => chunkDupHistogram(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
@@ -800,6 +817,17 @@ object Dedup extends QueryModule {
          SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.mh0 AS band_key
          FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
          ORDER BY left_id, right_id""",
+    // the q73 chunk form, two integer groupBys
+    "q121_chunk_histogram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, greatest(len(ws) - 6 + 1, 1), 1)) AS off, ws FROM w),
+        |h AS (
+        |  SELECT doc_id, md5(array_to_string(ws[off+1:off+6], ' ')) AS chunk_hash FROM chunks),
+        |cl AS (SELECT chunk_hash, count(*)::BIGINT AS cluster_size FROM h GROUP BY 1)
+        |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+        |       (cluster_size * count(*))::BIGINT AS n_chunks
+        |FROM cl GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q73_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |chunks AS (

@@ -268,6 +268,38 @@ object Ranking extends QueryModule {
       .withColumn("hapax_frac", round(col("hapax") / col("vocab").cast("double"), 4))
       .orderBy("source")
 
+  /** q120: token burstiness — variance-to-mean ratio of per-document
+    * counts for the corpus's top-K tokens (zeros included). Function
+    * words sit near VMR ≈ 1 (Poisson); content words are bursty
+    * (VMR ≫ 1); a "content" token with VMR ≈ 1 is template spam. The
+    * classic Church–Gale corpus statistic, and a cheap spam signal the
+    * quality gates (q79/q91) don't capture.
+    *
+    * Determinism: every moment is an INTEGER sum (Σc, Σc² over per-doc
+    * counts; absent docs contribute zero via N from the corpus count),
+    * so the doubles are two divisions at the end. Top-K cut pinned by
+    * (count DESC, term) via TakeOrderedAndProject.
+    */
+  def tokenBurstiness(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val tf = termFreq(documents)
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val top = tf.groupBy("term").agg(sum(col("tf")).as("total_tf"))
+      .orderBy(col("total_tf").desc, col("term")).limit(topK)
+    tf.join(broadcast(top.select("term")), "term")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_docs_with"),
+        sum(col("tf")).as("sum_c"),
+        sum(col("tf") * col("tf")).as("sum_c2"))
+      .crossJoin(broadcast(n))
+      .withColumn("mean_c", col("sum_c") / col("n_docs").cast("double"))
+      .withColumn("vmr", round(
+        (col("sum_c2") / col("n_docs").cast("double") - col("mean_c") * col("mean_c")) /
+          col("mean_c"), 4))
+      .select(col("term"), col("n_docs_with"), col("sum_c"),
+        round(col("mean_c"), 4).as("mean_c"), col("vmr"))
+      .orderBy(col("sum_c").desc, col("term"))
+  }
+
   /** q105: Zipf rank-frequency fit — least-squares slope of
     * log(count) vs log(rank) over the top-K vocabulary. Natural text
     * sits near slope −1; templated/spam corpora flatten, encoding
@@ -312,6 +344,7 @@ object Ranking extends QueryModule {
     "q87_unigram_xent"   -> ((s, d) => unigramCrossEntropy(Tables(s, d).documents)),
     "q78_bm25"           -> ((s, d) => bm25Scores(Tables(s, d).documents)),
     "q80_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
+    "q120_burstiness"    -> ((s, d) => tokenBurstiness(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -334,6 +367,22 @@ object Ranking extends QueryModule {
         |       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS zipf_slope,
         |       round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 4) AS intercept
         |FROM f""".stripMargin,
+    // integer moment sums; VMR = two divisions at the end
+    "q120_burstiness" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |top AS (SELECT term, sum(tf)::BIGINT AS total_tf FROM tf GROUP BY 1
+        |        ORDER BY total_tf DESC, term LIMIT 20),
+        |m AS (
+        |  SELECT tf.term, count(*)::BIGINT AS n_docs_with,
+        |         sum(tf)::BIGINT AS sum_c, sum(tf * tf)::BIGINT AS sum_c2
+        |  FROM tf JOIN top ON tf.term = top.term GROUP BY 1)
+        |SELECT term, n_docs_with, sum_c,
+        |       round(sum_c / n_docs::DOUBLE, 4) AS mean_c,
+        |       round((sum_c2 / n_docs::DOUBLE - (sum_c / n_docs::DOUBLE) * (sum_c / n_docs::DOUBLE))
+        |             / (sum_c / n_docs::DOUBLE), 4) AS vmr
+        |FROM m, n ORDER BY sum_c DESC, term""".stripMargin,
     "q100_vocab_stats" ->
       """WITH tc AS (
         |  SELECT source, w, count(*)::BIGINT AS cnt

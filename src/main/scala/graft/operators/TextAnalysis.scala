@@ -381,6 +381,40 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q122: per-source Pearson correlation between document length and
+    * stopword ratio — the "does quality drift with length in this
+    * source" diagnostic behind length-bucketed curricula (q85/q93).
+    * The stop ratio is INTEGER-SCALED before any moment is taken
+    * (y = ⌊stops·10⁴ / n_tokens⌋, pure integer division), so all five
+    * Pearson moments are exact integer sums and r is a closed-form
+    * expression over them — zero float-summation hazards, the q120
+    * convention. σ = 0 on either axis reports r = 0.
+    *
+    * Scale shape: one narrow per-row pass then a sources-sized rollup
+    * with map-side partial sums. (At 10⁹ docs/source the int64 moment
+    * sums need widening to decimal — noted, not needed at test SFs.)
+    */
+  def lengthQualityCorrelation(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val x = size(toks).cast("long")
+    val stops = size(filter(toks, w => w === "the" || w === "a")).cast("long")
+    val rows = documents.select(col("source"), x.as("x"), stops.as("stops"))
+      .select(col("source"), col("x"), expr("(stops * 10000L) div x").as("y"))
+    val m = rows.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("source"), col("n").as("n_docs"),
+        when(varx === 0d || vary === 0d, lit(0.0))
+          .otherwise(round(num / (sqrt(varx) * sqrt(vary)), 4)).as("r_len_stop"))
+      .orderBy("source")
+  }
+
   /** q74: deterministic contact notes synthesized from customer fields,
     * scrubbed with the generic patterns — every redaction is
     * re-derivable, so the oracle checks both the counts AND the exact
@@ -412,6 +446,7 @@ object TextAnalysis extends QueryModule {
     "q91_boilerplate_grams" -> ((s, d) => boilerplateGramRatio(Tables(s, d).documents)),
     "q104_char_classes" -> ((s, d) => charClassMix(Tables(s, d).documents)),
     "q109_readability"  -> ((s, d) => readability(Tables(s, d).documents)),
+    "q122_len_quality_corr" -> ((s, d) => lengthQualityCorrelation(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -515,6 +550,27 @@ object TextAnalysis extends QueryModule {
     // mirror of Spark's `aggregate`), pinning the summation order
     // identical integer counts -> identical double ratios; the band
     // thresholds compare the rounded score on both engines
+    // y is integer-scaled BEFORE any moment (floor-div), so all five
+    // Pearson moments are exact integer sums on both engines
+    "q122_len_quality_corr" ->
+      """WITH rows_ AS (
+        |  SELECT source,
+        |         len(string_split(text, ' '))::BIGINT AS x,
+        |         (len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))::BIGINT
+        |          * 10000) // len(string_split(text, ' '))::BIGINT AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, count(*)::BIGINT AS n,
+        |         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |         sum(y * y)::BIGINT AS syy
+        |  FROM rows_ GROUP BY 1)
+        |SELECT source, n AS n_docs,
+        |       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN 0.0
+        |            ELSE round((n * sxy - sx * sy)::DOUBLE /
+        |                       (sqrt((n * sxx - sx * sx)::DOUBLE) *
+        |                        sqrt((n * syy - sy * sy)::DOUBLE)), 4) END AS r_len_stop
+        |FROM m ORDER BY source""".stripMargin,
     "q109_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -204,4 +204,19 @@ class DedupSpec extends SparkSpec {
     // inner whitespace differs -> different fingerprint -> new
     assert(got(24L) == (("new", None)))
   }
+
+  test("chunkDupHistogram: planted duplication lands in the size-2 bin; mass conserved") {
+    val shared = "one two three four five six" // exactly one 6-word chunk
+    val docs = Seq(
+      (1L, s"$shared tail a b c"),              // 10 words -> 5 chunks
+      (2L, s"x y $shared z"),                   // 9 words -> 4 chunks (offset-2 copy)
+      (3L, "totally different words here now ok") // 6 words -> 1 chunk
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDupHistogram(docs, chunkWords = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 10 chunks total: the shared chunk forms the one size-2 cluster
+    assert(got == Seq((1L, 8L, 8L), (2L, 1L, 2L)))
+    // conservation: sum(n_chunks) == total chunk count
+    assert(got.map(_._3).sum == 10L)
+  }
 }

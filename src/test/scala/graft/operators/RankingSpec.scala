@@ -112,4 +112,25 @@ class RankingSpec extends SparkSpec {
     assert(got("s1") == (("s1", 6L, 4L, 2L, 0.6667, 0.5)))
     assert(got("s2") == (("s2", 3L, 3L, 3L, 1.0, 1.0)))
   }
+
+  test("tokenBurstiness: bursty vs uniform vs partial-presence VMR, topK cut pinned") {
+    val docs = Seq(
+      (0L, "the cat cat cat cat", "en", "s0", 0L),
+      (1L, "the dog", "en", "s0", 0L),
+      (2L, "the dog", "en", "s0", 0L),
+      (3L, "the dog", "en", "s0", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Ranking.tokenBurstiness(docs)
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // cat: counts (4,0,0,0) -> mean 1, E[c^2] 4, var 3 -> VMR 3
+    assert(got("cat") == (("cat", 1L, 4L, 1.0, 3.0)))
+    // the: count 1 in every doc -> zero variance -> VMR 0 (uniform, NOT Poisson)
+    assert(got("the") == (("the", 4L, 4L, 1.0, 0.0)))
+    // dog: counts (0,1,1,1) -> mean .75, var .1875 -> VMR .25
+    assert(got("dog") == (("dog", 3L, 3L, 0.75, 0.25)))
+    // topK=2 keeps cat,the (total_tf 4 each; ties broken by term asc) and drops dog
+    val capped = Ranking.tokenBurstiness(docs, topK = 2).select("term")
+      .as[String].collect().toSet
+    assert(capped == Set("cat", "the"))
+  }
 }

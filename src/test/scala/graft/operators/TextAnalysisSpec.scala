@@ -147,4 +147,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("en") == (("en", 3L, 3.0, 4.0, 5.0)))
     assert(got("de") == (("de", 1L, 1.0, 1.0, 1.0)))
   }
+
+  test("lengthQualityCorrelation: r=1 on a perfectly linear source, 0 when either axis is constant") {
+    val docs = Seq(
+      // pos: (x, y) = (2,0), (4,2500), (6,5000) -- y = 1250(x-2), exactly linear
+      (1L, "cat dog", "pos"),
+      (2L, "the cat dog fish", "pos"),
+      (3L, "the the the dog cat fish", "pos"),
+      // flat: stop ratio constant (zero) across lengths -> sigma_y = 0 -> r = 0
+      (4L, "cat dog", "flat"),
+      (5L, "bird fish cow", "flat"),
+      // samelen: lengths constant, ratios differ -> sigma_x = 0 -> r = 0
+      (6L, "the cat", "samelen"),
+      (7L, "cat dog", "samelen"),
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.lengthQualityCorrelation(docs)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("pos") == (("pos", 3L, 1.0)))
+    assert(got("flat") == (("flat", 2L, 0.0)))
+    assert(got("samelen") == (("samelen", 2L, 0.0)))
+  }
 }
