@@ -138,6 +138,33 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
+  /** q128: training-mix epoch plan — turn the q82 temperature weights
+    * plus a total token budget into per-source token assignments,
+    * epoch counts (assigned / available), and an over-cap flag where
+    * the mix would repeat a source past `maxEpochs` (the data-repetition
+    * ceiling every mixture designer enforces; capped sources need their
+    * surplus re-spread or accepted as a smaller effective budget).
+    *
+    * Determinism: downstream arithmetic starts from the ROUNDED q82
+    * weight (6 dp on both engines); assignment is floor(B·w + ½), the
+    * epoch ratio is one division rounded 4, and the cap flag compares
+    * the rounded ratio. Scale shape: everything after the q82 rollup
+    * runs on the sources-sized table.
+    */
+  def epochPlan(documents: DataFrame, budget: Long = 10000000L,
+                maxEpochs: Double = 4.0): DataFrame =
+    mixtureWeights(documents)
+      .withColumn("tokens_assigned",
+        floor(lit(budget) * col("weight") + 0.5).cast("long"))
+      .withColumn("epochs",
+        round(col("tokens_assigned") / col("n_tokens").cast("double"), 4))
+      .withColumn("over_cap", col("epochs") > maxEpochs)
+      .withColumn("effective_tokens",
+        least(col("tokens_assigned"), floor(col("n_tokens") * lit(maxEpochs)).cast("long")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("tokens_assigned"), col("epochs"), col("over_cap"), col("effective_tokens"))
+      .orderBy("source")
+
   /** Fixed-window chunking with overlap (the context-window packer /
     * RAG chunker): token windows of `window` words starting every
     * `stride` words, last window clamped to the tail. Chunk count is
@@ -287,6 +314,7 @@ object CorpusOps extends QueryModule {
     "q67_shard_packing" -> ((s, d) => shardPacking(Tables(s, d).documents)),
     "q71_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
     "q82_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
+    "q128_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
     "q83_chunk_overlap" -> ((s, d) => chunkWithOverlap(Tables(s, d).documents)),
   )
 
@@ -375,6 +403,23 @@ object CorpusOps extends QueryModule {
     // sqrt is correctly rounded (IEEE) on both engines and the
     // normalizer folds over the sorted weights — no float-order or
     // pow-ulp divergence anywhere in the query
+    // all downstream arithmetic starts from the ROUNDED q82 weight
+    "q128_epoch_plan" ->
+      """WITH s AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT list_sum(list_sort(list(sqrt(n_tokens)))) AS norm FROM s),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |             round(sqrt(n_tokens) / norm, 6) AS weight FROM s, n),
+        |p AS (SELECT source, n_docs, n_tokens, weight,
+        |             CAST(floor(10000000 * weight + 0.5) AS BIGINT) AS tokens_assigned
+        |      FROM w)
+        |SELECT source, n_docs, n_tokens, weight, tokens_assigned,
+        |       round(tokens_assigned / n_tokens::DOUBLE, 4) AS epochs,
+        |       round(tokens_assigned / n_tokens::DOUBLE, 4) > 4.0 AS over_cap,
+        |       least(tokens_assigned, CAST(floor(n_tokens * 4.0) AS BIGINT)) AS effective_tokens
+        |FROM p ORDER BY source""".stripMargin,
     "q82_mixture_weights" ->
       """WITH s AS (
         |  SELECT source, count(*)::BIGINT AS n_docs,

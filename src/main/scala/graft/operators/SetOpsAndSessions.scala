@@ -167,6 +167,45 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q125: daily rate-spike detection — per event type, each day's count
+    * z-scored against the trailing `window` days (the crawl/ingest
+    * health alarm: a type whose volume jumps >2σ is a bot, an outage,
+    * or a release). Warm-up days (< 3 prior days) are excluded.
+    *
+    * Determinism: the trailing moments are integer sums over ≤ `window`
+    * integer day-counts, and z's numerator k·n − Σc stays integer, so
+    * z = (k·n − Σc)/√(k·Σc² − (Σc)²) is two correctly-rounded IEEE ops
+    * — identical on both engines. σ = 0 windows: z = 0 when the day
+    * equals the constant, NULL-z + spike flag when it deviates.
+    *
+    * Scale shape: one map-side-combined (type, day) count — the only
+    * shuffle — then a window over (types × days) rows, partitioned by
+    * type. The fact table never enters a window.
+    */
+  def rateSpikes(events: DataFrame, window: Int = 7, zThresh: Double = 2.0): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-window, -1)
+    daily
+      .withColumn("n_prev", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("n_prev") >= 3)
+      .withColumn("var_num", col("n_prev") * col("s2") - col("s1") * col("s1"))
+      .withColumn("z",
+        when(col("var_num") === 0L,
+          when(col("n") * col("n_prev") === col("s1"), lit(0.0)).otherwise(lit(null).cast("double")))
+        .otherwise(round((col("n") * col("n_prev") - col("s1")).cast("double") /
+                         sqrt(col("var_num").cast("double")), 4)))
+      .withColumn("is_spike",
+        when(col("var_num") === 0L, col("n") * col("n_prev") =!= col("s1"))
+          .otherwise(abs(col("z")) >= zThresh))
+      .select(col("event_type"), col("day"), col("n"), col("n_prev"),
+        round(col("s1") / col("n_prev").cast("double"), 4).as("mean_prev"),
+        col("z"), col("is_spike"))
+      .orderBy("event_type", "day")
+  }
+
   /** q116: top session paths — sessionize (the q14/q40 gap rule), take
     * each session's first `headLen` event types in stream order, and
     * count sessions per path string. The classic "how do users actually
@@ -298,9 +337,34 @@ object SetOpsAndSessions extends QueryModule {
     "q114_funnel"             -> ((s, d) => funnelConversion(Tables(s, d).events)),
     "q115_winsorized_stats"   -> ((s, d) => winsorizedStats(Tables(s, d).events)),
     "q116_session_paths"      -> ((s, d) => topSessionPaths(Tables(s, d).events)),
+    "q125_rate_spikes"        -> ((s, d) => rateSpikes(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    // integer trailing moments; z's numerator k·n − Σc stays integer
+    "q125_rate_spikes" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |         count(n) OVER win::BIGINT AS n_prev,
+        |         sum(n) OVER win::BIGINT AS s1,
+        |         sum(n * n) OVER win::BIGINT AS s2
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, n_prev,
+        |       round(s1 / n_prev::DOUBLE, 4) AS mean_prev,
+        |       CASE WHEN n_prev * s2 - s1 * s1 = 0
+        |            THEN CASE WHEN n * n_prev = s1 THEN 0.0 END
+        |            ELSE round((n * n_prev - s1) / sqrt((n_prev * s2 - s1 * s1)::DOUBLE), 4)
+        |       END AS z,
+        |       CASE WHEN n_prev * s2 - s1 * s1 = 0 THEN n * n_prev <> s1
+        |            ELSE abs(round((n * n_prev - s1)
+        |                           / sqrt((n_prev * s2 - s1 * s1)::DOUBLE), 4)) >= 2.0
+        |       END AS is_spike
+        |FROM w WHERE n_prev >= 3 ORDER BY event_type, day""".stripMargin,
     "q51_survey_report" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                 sum(floor(o_totalprice * 100 + 0.5)) / 100 AS total_price,

@@ -188,6 +188,39 @@ object Similarity extends QueryModule {
       .orderBy("label")
   }
 
+  /** q126: neighborhood-density outlier audit — for a deterministic
+    * probe sample, the mean cosine to each probe's k nearest neighbors;
+    * the bottom-N loneliest vectors are the mislabeled / out-of-
+    * distribution / garbage-embedding review queue (low kth-NN density
+    * is the standard embedding-space outlier score).
+    *
+    * Scale shape: the q70 kNN anatomy (bounded broadcast probe batch,
+    * narrow per-row cosine, WindowGroupLimit top-k), then a probes-
+    * sized aggregation and a TakeOrdered bottom-N — auditing by
+    * deterministic sample is exactly how this runs at 100 TB; the full
+    * corpus is never ranked globally.
+    *
+    * Determinism: each probe's k rounded cosines are integer-scaled
+    * (round(c·10⁶) is exact on the already-rounded double) and SUMMED
+    * AS LONGS — no float fold order; the mean is one division. Bottom-N
+    * cut pinned by (mean asc, query_id).
+    */
+  def densityOutliers(embeddings: DataFrame, k: Int = 5, bottomN: Int = 20): DataFrame = {
+    val probes = embeddings.filter(col("vec_id") % 7 === 0)
+    val density = knnJoin(probes, embeddings, k)
+      .withColumn("scaled", expr("cast(round(cos_sim * 1000000) as bigint)"))
+      .groupBy("query_id")
+      .agg(sum(col("scaled")).as("sum_scaled"), count(lit(1)).as("n_nn"))
+      .filter(col("n_nn") === k)
+    // the probe-sized density table is the broadcast side; the corpus
+    // label table stays partitioned
+    embeddings.select(col("vec_id").as("query_id"), col("label"))
+      .join(broadcast(density), "query_id")
+      .select(col("query_id"), col("label"),
+        round(col("sum_scaled") / lit(k * 1e6), 6).as("mean_knn_sim"))
+      .orderBy(col("mean_knn_sim").asc, col("query_id")).limit(bottomN)
+  }
+
   /** q111: label-centroid confusion — pairwise cosine between per-label
     * mean embeddings. High-cosine label pairs are the classes the
     * embedding space can't separate: the class-level audit behind
@@ -354,6 +387,7 @@ object Similarity extends QueryModule {
     "q108_hard_negatives" -> ((s, d) => hardNegativeReport(Tables(s, d).embeddings)),
     "q111_label_confusion" -> ((s, d) => labelCentroidConfusion(Tables(s, d).embeddings)),
     "q118_knn_purity"      -> ((s, d) => knnLabelPurity(Tables(s, d).embeddings)),
+    "q126_density_outliers" -> ((s, d) => densityOutliers(Tables(s, d).embeddings)),
     "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings)),
     "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings)),
   )
@@ -478,6 +512,28 @@ object Similarity extends QueryModule {
             FROM scored)
           SELECT query_id, query_label, vec_id, neg_label, cos_sim, rank::BIGINT AS rank
           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // q70 anatomy + integer-scaled cosine sums; bottom-N by (mean, id)
+    "q126_density_outliers" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                     WHERE vec_id % 7 = 0),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored),
+          agg AS (
+            SELECT query_id,
+                   sum(CAST(round(cos_sim * 1000000) AS BIGINT))::BIGINT AS s,
+                   count(*)::BIGINT AS n_nn
+            FROM ranked WHERE rank <= 5 GROUP BY 1)
+          SELECT a.query_id, e.label, round(s / 5000000.0, 6) AS mean_knn_sim
+          FROM agg a JOIN embeddings e ON a.query_id = e.vec_id
+          WHERE n_nn = 5
+          ORDER BY mean_knn_sim, a.query_id LIMIT 20""",
     "q70_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                      WHERE vec_id % 97 = 0 AND vec_id <= 9700),

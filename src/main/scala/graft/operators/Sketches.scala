@@ -156,10 +156,69 @@ object Sketches extends QueryModule {
       .orderBy("source")
   }
 
+  /** q127: histogram-quantile sketch calibration — per-source p50/p90/
+    * p99 of `n_chars` estimated from a fixed-width integer-bin
+    * histogram (uniform-within-bin interpolation), side by side with
+    * the exact interpolated order statistic (the q115 percentile
+    * contract). The histogram is THE mergeable quantile structure: bins
+    * add across partitions/days, so the sketch maintains incrementally
+    * where the exact percentile would re-sort the world.
+    *
+    * Determinism: bin keys and cumulative counts are integers (floor-
+    * div binning, integer window sums); both estimates are closed-form
+    * doubles over those integers. The bin-pick predicate
+    * cum_before < q·n ≤ cum_before + bc runs on identical doubles on
+    * both engines.
+    *
+    * Scale shape: one (source, bin) map-side-combined count; windows
+    * run over the bounded histogram, never the fact table. The exact
+    * side is calibration-only reference (oracle-affordable SFs).
+    */
+  def quantileSketchCalibration(documents: DataFrame, binWidth: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qdf = documents.sparkSession.range(1)
+      .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+    val hist = documents
+      .groupBy(col("source"), expr(s"n_chars div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("bc"))
+    val wb = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before", coalesce(sum(col("bc")).over(wb), lit(0L)))
+    val totals = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val est = cum
+      .join(broadcast(totals), "source").crossJoin(broadcast(qdf))
+      .withColumn("r", col("q") * col("n_docs"))
+      .filter(col("cum_before") < col("r") && col("r") <= col("cum_before") + col("bc"))
+      .select(col("source"), col("q"), col("n_docs"),
+        (col("bin") * binWidth +
+         lit(binWidth) * (col("r") - col("cum_before")) / col("bc")).as("sketch_raw"))
+    // exact reference: explicit vl + (vu − vl)·frac over the bracketing
+    // order statistics (the q115 interpolation contract)
+    val wr = Window.partitionBy("source").orderBy("n_chars")
+    val exact = documents.select(col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(wr).cast("long") - 1)
+      .join(broadcast(totals), "source").crossJoin(broadcast(qdf))
+      .withColumn("h", (col("n_docs") - 1) * col("q"))
+      .filter(col("rn") === floor(col("h")) || col("rn") === ceil(col("h")))
+      .groupBy("source", "q")
+      .agg(max(when(col("rn") === floor(col("h")), col("n_chars"))).as("vl"),
+        max(when(col("rn") === ceil(col("h")), col("n_chars"))).as("vu"),
+        max(col("h")).as("h"))
+      .select(col("source"), col("q"),
+        (col("vl") + (col("vu") - col("vl")) * (col("h") - floor(col("h")))).as("exact_raw"))
+    est.join(exact, Seq("source", "q"))
+      .select(col("source"), col("q"), col("n_docs"),
+        round(col("sketch_raw"), 4).as("sketch_est"),
+        round(col("exact_raw"), 4).as("exact_pct"),
+        round(col("sketch_raw") - col("exact_raw"), 4).as("err"))
+      .orderBy("source", "q")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_hll_distinct" -> ((s, d) => hllDistinct(Tables(s, d).documents)),
     "q107_cms_freq"     -> ((s, d) => cmsFrequencies(Tables(s, d).documents)),
     "q113_bloom_calibration" -> ((s, d) => bloomCalibration(Tables(s, d).documents)),
+    "q127_quantile_sketch" -> ((s, d) => quantileSketchCalibration(Tables(s, d).documents)),
   )
 
   /** 15-hex-char md5 prefix → 60-bit integer, as a DuckDB fold — the
@@ -169,6 +228,43 @@ object Sketches extends QueryModule {
     s"list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5($saltedArg), i, 1)) - 1), (a, b) -> a * 16 + b)::UBIGINT"
 
   override def oracles: Map[String, String] = Map(
+    // integer bins + cumulative counts; both estimates are closed-form
+    // doubles over the integer moments
+    "q127_quantile_sketch" ->
+      """WITH qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+        |hist AS (
+        |  SELECT source, n_chars // 64 AS bin, count(*)::BIGINT AS bc
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bin, bc,
+        |         coalesce(sum(bc) OVER (PARTITION BY source ORDER BY bin
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM hist),
+        |tot AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |est AS (
+        |  SELECT c.source, q, n_docs,
+        |         bin * 64 + 64 * (q * n_docs - cum_before) / bc AS sketch_raw
+        |  FROM cum c JOIN tot USING (source), qs
+        |  WHERE cum_before < q * n_docs AND q * n_docs <= cum_before + bc),
+        |ranked AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn
+        |  FROM documents),
+        |ex AS (
+        |  SELECT r.source, q,
+        |         max(CASE WHEN rn = floor((n_docs - 1) * q) THEN n_chars END)
+        |         + (max(CASE WHEN rn = ceil((n_docs - 1) * q) THEN n_chars END)
+        |            - max(CASE WHEN rn = floor((n_docs - 1) * q) THEN n_chars END))
+        |           * ((n_docs - 1) * q - floor((n_docs - 1) * q)) AS exact_raw
+        |  FROM ranked r JOIN tot USING (source), qs
+        |  WHERE rn = floor((n_docs - 1) * q) OR rn = ceil((n_docs - 1) * q)
+        |  GROUP BY r.source, q, n_docs)
+        |SELECT est.source, est.q, n_docs,
+        |       round(sketch_raw, 4) AS sketch_est,
+        |       round(exact_raw, 4) AS exact_pct,
+        |       round(sketch_raw - exact_raw, 4) AS err
+        |FROM est JOIN ex ON est.source = ex.source AND est.q = ex.q
+        |ORDER BY est.source, est.q""".stripMargin,
     // identical 60-bit hash (md5-prefix fold), identical integer
     // register arithmetic; the single int->double conversion and the
     // ln() in the small-range branch are the only float ops

@@ -415,6 +415,36 @@ object TextAnalysis extends QueryModule {
       .orderBy("source")
   }
 
+  /** q123: tokenizer fertility per source — subword-ish tokens (the q49
+    * letter-run/digit-run BPE approximation) per whitespace word, plus
+    * chars per subword. THE corpus-budgeting conversion factor: a
+    * source whose fertility drifts up is costing more compute per word
+    * (typical for code, tables, or non-Latin scripts), and token-budget
+    * planning (q67/q82) is wrong without it.
+    *
+    * Determinism: both token counts are integers summed per source;
+    * the two ratios are single divisions over the exact sums.
+    * Scale shape: one narrow regex pass, one sources-sized rollup with
+    * map-side partial sums.
+    */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("words"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)"))
+          .cast("long").as("subwords"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("total_words"),
+        sum(col("subwords")).as("total_subwords"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("fertility",
+        round(col("total_subwords") / col("total_words").cast("double"), 4))
+      .withColumn("chars_per_subword",
+        round(col("total_chars") / col("total_subwords").cast("double"), 4))
+      .orderBy("source")
+
   /** q74: deterministic contact notes synthesized from customer fields,
     * scrubbed with the generic patterns — every redaction is
     * re-derivable, so the oracle checks both the counts AND the exact
@@ -447,6 +477,7 @@ object TextAnalysis extends QueryModule {
     "q104_char_classes" -> ((s, d) => charClassMix(Tables(s, d).documents)),
     "q109_readability"  -> ((s, d) => readability(Tables(s, d).documents)),
     "q122_len_quality_corr" -> ((s, d) => lengthQualityCorrelation(Tables(s, d).documents)),
+    "q123_fertility"    -> ((s, d) => tokenizerFertility(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -550,6 +581,17 @@ object TextAnalysis extends QueryModule {
     // mirror of Spark's `aggregate`), pinning the summation order
     // identical integer counts -> identical double ratios; the band
     // thresholds compare the rounded score on both engines
+    // integer token sums; the two ratios are single divisions
+    "q123_fertility" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(len(string_split(text, ' ')))::BIGINT AS total_words,
+        |       sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))::BIGINT AS total_subwords,
+        |       sum(n_chars)::BIGINT AS total_chars,
+        |       round(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+        |             / sum(len(string_split(text, ' ')))::DOUBLE, 4) AS fertility,
+        |       round(sum(n_chars)
+        |             / sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))::DOUBLE, 4) AS chars_per_subword
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // y is integer-scaled BEFORE any moment (floor-div), so all five
     // Pearson moments are exact integer sums on both engines
     "q122_len_quality_corr" ->

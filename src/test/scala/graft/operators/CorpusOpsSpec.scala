@@ -113,4 +113,19 @@ class CorpusOpsSpec extends SparkSpec {
     val covered = d1.flatMap(_._3.split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
+
+  test("epochPlan: hand-computed assignments, epoch ratios, and the repetition cap") {
+    // s1: 4 tokens, s2: 16 -> weights 2/6 and 4/6 (rounded 6dp)
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, (1 to 16).map(_ => "w").mkString(" "), "en", "s2"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.epochPlan(docs, budget = 90L, maxEpochs = 4.0)
+      .as[(String, Long, Long, Double, Long, Double, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1: floor(90·0.333333 + ½) = 30 -> 7.5 epochs, capped at 4·4 = 16
+    assert(got("s1") == (("s1", 1L, 4L, 0.333333, 30L, 7.5, true, 16L)))
+    // s2: floor(90·0.666667 + ½) = 60 -> 3.75 epochs, under the cap
+    assert(got("s2") == (("s2", 1L, 16L, 0.666667, 60L, 3.75, false, 60L)))
+  }
 }

@@ -97,4 +97,27 @@ class SetOpsAndSessionsSpec extends SparkSpec {
       assert(math.abs(rows.map(_._5).sum - 1.0) < 0.01)
     }
   }
+
+  test("rateSpikes: z from integer trailing moments; constant-window deviation still flags") {
+    val day = 86400000000L // µs
+    // type A: 1,2,3 then a 10-count day -> z = (3·10 − 6)/√(3·14 − 36) = 24/√6
+    // type B: 2,2,2 then 8 -> σ=0 window, deviation -> NULL z but spiked
+    val rows = (Seq(1, 2, 3, 10).zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n)(("A", d)) } ++ Seq.fill(2)(("B", 0)) ++ Seq.fill(2)(("B", 1)) ++
+      Seq.fill(2)(("B", 2)) ++ Seq.fill(8)(("B", 3)))
+    val ev = rows.zipWithIndex
+      .map { case ((t, d), i) => (i.toLong, t, d.toLong * day + i) }
+      .toDF("event_id", "event_type", "us")
+      .select(col("event_id"), col("event_type"), timestamp_micros(col("us")).as("ts"))
+    val got = SetOpsAndSessions.rateSpikes(ev, window = 7, zThresh = 2.0)
+      .select("event_type", "n", "n_prev", "mean_prev", "z", "is_spike")
+      .as[(String, Long, Long, Double, Option[Double], Boolean)].collect()
+    // only the 4th day of each type has >= 3 prior days
+    assert(got.length == 2)
+    val a = got.find(_._1 == "A").get
+    assert(a._2 == 10L && a._3 == 3L && a._4 == 2.0)
+    assert(a._5.contains(math.rint(24.0 / math.sqrt(6.0) * 10000) / 10000) && a._6)
+    val b = got.find(_._1 == "B").get
+    assert(b._4 == 2.0 && b._5.isEmpty && b._6)
+  }
 }

@@ -196,4 +196,20 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(c - cos(cents(a), cents(b))) < 1e-4, s"pair ($a,$b)")
     }
   }
+
+  test("densityOutliers: planted lonely vector ranks first with the lowest mean kNN cosine") {
+    // probes are vec_id % 7 == 0: ids 0 and 7. id 0 points AWAY from the
+    // cluster every other vector sits in.
+    val emb = (Seq((0L, Seq(-1f, 0f), 9)) ++
+      (1L to 7L).map(i => (i, Seq(1f, i.toFloat / 100), 0))
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.densityOutliers(emb, k = 5, bottomN = 20)
+      .as[(Long, Int, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 7L)) // loneliest first
+    assert(got(0)._2 == 9 && got(0)._3 < 0.0)  // anti-aligned neighborhood
+    assert(got(1)._3 > 0.99)                   // dense cluster member
+    // a probe with fewer than k possible neighbors is dropped, not mis-averaged
+    val tiny = (0L to 3L).map(i => (i, Seq(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.densityOutliers(tiny, k = 5).count() == 0)
+  }
 }

@@ -97,4 +97,26 @@ class SketchesSpec extends SparkSpec {
     }.toMap
     assert(whole == merged)
   }
+
+  test("quantileSketchCalibration: hand-computed histogram interpolation vs exact") {
+    // one value per width-10 bin: sketch and exact land on different,
+    // hand-derivable numbers
+    val d = Seq((1L, "t", "en", "s", 5L), (2L, "t", "en", "s", 15L),
+      (3L, "t", "en", "s", 25L), (4L, "t", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Sketches.quantileSketchCalibration(d, binWidth = 10)
+      .as[(String, Double, Long, Double, Double, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    // p50: r = 2 -> bin 1 -> 10 + 10·(2−1)/1 = 20; exact h=1.5 -> 15+0.5·10 = 20
+    assert(got(0.5) == (("s", 0.5, 4L, 20.0, 20.0, 0.0)))
+    // p90: r = 3.6 -> bin 3 -> 30 + 10·0.6 = 36; exact h=2.7 -> 25+0.7·10 = 32
+    assert(got(0.9) == (("s", 0.9, 4L, 36.0, 32.0, 4.0)))
+    // histogram bins MERGE BY ADDITION (the incremental maintenance contract)
+    val whole = Sketches.quantileSketchCalibration(d, binWidth = 10)
+      .as[(String, Double, Long, Double, Double, Double)].collect().toSet
+    val viaUnion = Sketches.quantileSketchCalibration(
+      d.filter(col("doc_id") <= 2).union(d.filter(col("doc_id") > 2)), binWidth = 10)
+      .as[(String, Double, Long, Double, Double, Double)].collect().toSet
+    assert(whole == viaUnion)
+  }
 }

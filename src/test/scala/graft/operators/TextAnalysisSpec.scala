@@ -167,4 +167,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("flat") == (("flat", 2L, 0.0)))
     assert(got("samelen") == (("samelen", 2L, 0.0)))
   }
+
+  test("tokenizerFertility: letter/digit runs per whitespace word, hand-computed") {
+    val docs = Seq(
+      // "ab2cd ef" -> 2 words, subwords ab|2|cd|ef = 4, fertility 2.0
+      (1L, "ab2cd ef", "en", "s1", 8L),
+      // "x-y z9" -> 2 words, subwords x|y|z|9 = 4
+      (2L, "x-y z9", "en", "s1", 6L),
+      // clean prose: 1 subword per word
+      (3L, "plain words only", "en", "s2", 16L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.tokenizerFertility(docs)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 2L, 4L, 8L, 14L, 2.0, 1.75)))
+    assert(got("s2") == (("s2", 1L, 3L, 3L, 16L, 1.0, 5.3333)))
+  }
 }
