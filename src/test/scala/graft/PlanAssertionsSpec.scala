@@ -121,6 +121,47 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast centroid pair join:\n$p")
   }
 
+  test("q120 burstiness cuts the top-K terms via TakeOrdered and broadcasts it") {
+    val p = planText(graft.operators.Ranking.tokenBurstiness(t.documents))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-K via TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast term cut:\n$p")
+  }
+
+  test("q124 skew audit never globally sorts the key table (histogram + TakeOrdered only)") {
+    val p = planText(graft.operators.SkewJoin.keySkewAudit(t.events, "user_id"))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-K via TakeOrdered:\n$p")
+    // the only Sort feeding a Window must be the single-partition
+    // histogram window, not a key-table-wide exchange+sort: counts
+    // reduce map-side first
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side key counting:\n$p")
+  }
+
+  test("q125 rate spikes window over the daily rollup, never the event stream") {
+    val df = graft.operators.SetOpsAndSessions.rateSpikes(t.events)
+    val p = planText(df)
+    // the window's input must be the aggregated (type, day) table:
+    // HashAggregate appears BELOW the Window in the plan tree
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, s"expected window over aggregate:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side daily counting:\n$p")
+  }
+
+  test("q126 density outliers keep the kNN rank cut and broadcast the probe densities") {
+    val p = planText(graft.operators.Similarity.densityOutliers(t.embeddings))
+    assert(p.contains("WindowGroupLimit"), s"expected kNN rank pushdown:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected bottom-N via TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast density table:\n$p")
+  }
+
+  test("q127 quantile sketch windows run over the histogram, not the corpus") {
+    val p = planText(graft.operators.Sketches.quantileSketchCalibration(t.documents))
+    assert(p.contains("partial_count"), s"expected map-side bin counting:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast totals/quantile grid:\n$p")
+  }
+
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
     // parquet-backed, exchange-free projections: LocalRelation fixtures
     // constant-fold custom expressions away, and AQE wraps any plan with
