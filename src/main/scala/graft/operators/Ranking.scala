@@ -300,6 +300,63 @@ object Ranking extends QueryModule {
       .orderBy(col("sum_c").desc, col("term"))
   }
 
+  /** q129: TextRank keyword salience (Mihalcea & Tarau 2004) — weighted
+    * PageRank over the adjacency co-occurrence graph of the corpus's
+    * top-K terms: rᵥ = (1−d) + d·Σᵤ rᵤ·w(u,v)/W(u), d = 0.85, run a
+    * fixed number of iterations. The corpus-level keyword extractor —
+    * high-rank terms are the hubs of the co-occurrence graph, a
+    * different (graphier) salience signal than raw tf or tf-idf.
+    *
+    * Determinism: the iteration runs in FIXED-POINT INTEGER arithmetic
+    * (ranks scaled ×10⁶; every contribution is floor(r·w / W) and the
+    * damping step is 150000 + (85·s) div 100) — integer sums are
+    * order-independent, so there is no float-convergence hazard to pin.
+    * (Contribution products r·w stay < 2⁶³ while Σw per node < ~10¹².)
+    *
+    * Scale shape: TWO corpus passes total — the adjacency-pair count
+    * (q86's bigram anatomy) and the term-frequency rollup; both reduce
+    * map-side. The graph itself is ≤ K² edges, COLLECTED ONCE (the Ann
+    * centroid convention: a bounded model-sized object), so the
+    * 10-iteration loop runs on local tables and never re-touches the
+    * corpus; the final rank table re-joins tf as the broadcast side.
+    */
+  def textRank(documents: DataFrame, topK: Int = 30, iterations: Int = 10,
+               dampNum: Long = 85L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ts = split(lower(col("text")), " ")
+    val pairs = documents.select(explode(zip_with(
+      slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2")).filter(col("w1") =!= col("w2"))
+    val tf = documents.select(explode(ts).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val nodes = tf.orderBy(col("c").desc, col("term")).limit(topK).select("term")
+    val sym = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+    val edges = sym
+      .join(broadcast(nodes.select(col("term").as("src"))), "src")
+      .join(broadcast(nodes.select(col("term").as("dst"))), "dst")
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val ew = edges
+      .join(edges.groupBy("src").agg(sum(col("w")).as("wsrc")), "src")
+      .select("src", "dst", "w", "wsrc")
+      .as[(String, String, Long, Long)].collect()          // ≤ K² rows
+    val terms = nodes.as[String].collect()                 // ≤ K rows
+    var rank: Map[String, Long] = terms.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val s = ew.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w, wsrc) => rank(src) * w / wsrc }.sum
+      }
+      rank = terms.map(t => t -> (150000L + dampNum * s.getOrElse(t, 0L) / 100L)).toMap
+    }
+    val ranks = rank.toSeq.toDF("term", "rank_scaled")
+    tf.join(broadcast(ranks), "term")
+      .select(col("term"), col("c").as("term_count"), col("rank_scaled"),
+        round(col("rank_scaled") / 1e6, 6).as("rank"))
+      .orderBy(col("rank_scaled").desc, col("term"))
+  }
+
   /** q105: Zipf rank-frequency fit — least-squares slope of
     * log(count) vs log(rank) over the top-K vocabulary. Natural text
     * sits near slope −1; templated/spam corpora flatten, encoding
@@ -345,7 +402,46 @@ object Ranking extends QueryModule {
     "q78_bm25"           -> ((s, d) => bm25Scores(Tables(s, d).documents)),
     "q80_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
     "q120_burstiness"    -> ((s, d) => tokenBurstiness(Tables(s, d).documents)),
+    "q129_textrank"      -> ((s, d) => textRank(Tables(s, d).documents)),
   )
+
+  /** q129 oracle: the fixed-point iteration unrolled into chained CTEs
+    * (identical integer arithmetic, `//` = `div` on positives).
+    */
+  private def textRankSql(topK: Int, iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT n.term, 150000 + (85 * coalesce(s.s, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS term, sum((p.r * e.w) // e.wsrc)::BIGINT AS s
+         |    FROM e2 e JOIN $prev p ON e.src = p.term GROUP BY 1) s USING (term))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+       |pairs AS (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d)
+       |  WHERE ts[i] <> ts[i + 1]),
+       |tf AS (SELECT w AS term, count(*)::BIGINT AS c
+       |       FROM (SELECT unnest(ts) AS w FROM d) GROUP BY 1),
+       |nodes AS (SELECT term FROM tf ORDER BY c DESC, term LIMIT $topK),
+       |sym AS (SELECT w1 AS src, w2 AS dst FROM pairs
+       |        UNION ALL SELECT w2, w1 FROM pairs),
+       |edges AS (
+       |  SELECT src, dst, count(*)::BIGINT AS w
+       |  FROM sym JOIN nodes a ON sym.src = a.term
+       |           JOIN nodes b ON sym.dst = b.term
+       |  GROUP BY 1, 2),
+       |e2 AS (SELECT e.src, e.dst, e.w, t.wsrc
+       |       FROM edges e JOIN (SELECT src, sum(w)::BIGINT AS wsrc
+       |                          FROM edges GROUP BY 1) t USING (src)),
+       |r0 AS (SELECT term, 1000000::BIGINT AS r FROM nodes),
+       |$iters
+       |SELECT f.term, tf.c AS term_count, f.r AS rank_scaled,
+       |       round(f.r / 1000000.0, 6) AS rank
+       |FROM r$iterations f JOIN tf USING (term)
+       |ORDER BY rank_scaled DESC, term""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     // regression sums fold over the rank-sorted bounded point list on
@@ -367,6 +463,7 @@ object Ranking extends QueryModule {
         |       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS zipf_slope,
         |       round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 4) AS intercept
         |FROM f""".stripMargin,
+    "q129_textrank" -> textRankSql(topK = 30, iterations = 10),
     // integer moment sums; VMR = two divisions at the end
     "q120_burstiness" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),

@@ -206,6 +206,41 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("event_type", "day")
   }
 
+  /** q130: association rules over user event baskets — for every event-
+    * type pair, support / confidence (both directions) / lift from the
+    * per-user distinct-type sets. The market-basket view of a product
+    * event stream: lift ≫ 1 pairs are the co-occurring behaviors a
+    * recommender or funnel designer wants surfaced.
+    *
+    * Scale shape: the basket table is distinct (user, type) — one
+    * map-side-combined shuffle on user_id — and the pair expansion is a
+    * per-user self-join bounded by types² per user (event-type
+    * vocabulary, not event volume). All moments are integer counts;
+    * confidence and lift are closing divisions.
+    */
+  def associationRules(events: DataFrame, minUsers: Long = 5L): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ante"), col("b.event_type").as("cons"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minUsers)
+    val singles = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val total = ut.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("ante"), col("n").as("n_a"))), "ante")
+      .join(broadcast(singles.select(col("event_type").as("cons"), col("n").as("n_b"))), "cons")
+      .crossJoin(broadcast(total))
+      .select(col("ante"), col("cons"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both") / col("n_users").cast("double"), 4).as("support"),
+        round(col("n_both") / col("n_a").cast("double"), 4).as("conf_a_to_b"),
+        round(col("n_both") / col("n_b").cast("double"), 4).as("conf_b_to_a"),
+        round((col("n_both") * col("n_users")).cast("double") /
+              (col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy("ante", "cons")
+  }
+
   /** q116: top session paths — sessionize (the q14/q40 gap rule), take
     * each session's first `headLen` event types in stream order, and
     * count sessions per path string. The classic "how do users actually
@@ -338,9 +373,27 @@ object SetOpsAndSessions extends QueryModule {
     "q115_winsorized_stats"   -> ((s, d) => winsorizedStats(Tables(s, d).events)),
     "q116_session_paths"      -> ((s, d) => topSessionPaths(Tables(s, d).events)),
     "q125_rate_spikes"        -> ((s, d) => rateSpikes(Tables(s, d).events)),
+    "q130_assoc_rules"        -> ((s, d) => associationRules(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    // integer basket counts; confidence/lift are closing divisions
+    "q130_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |p AS (
+        |  SELECT a.event_type AS ante, b.event_type AS cons, count(*)::BIGINT AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+        |t AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ut)
+        |SELECT ante, cons, n_both, sa.n AS n_a, sb.n AS n_b,
+        |       round(n_both / n_users::DOUBLE, 4) AS support,
+        |       round(n_both / sa.n::DOUBLE, 4) AS conf_a_to_b,
+        |       round(n_both / sb.n::DOUBLE, 4) AS conf_b_to_a,
+        |       round((n_both * n_users) / (sa.n * sb.n)::DOUBLE, 4) AS lift
+        |FROM p JOIN s sa ON p.ante = sa.event_type
+        |       JOIN s sb ON p.cons = sb.event_type, t
+        |ORDER BY ante, cons""".stripMargin,
     // integer trailing moments; z's numerator k·n − Σc stays integer
     "q125_rate_spikes" ->
       """WITH daily AS (

@@ -221,6 +221,37 @@ object Similarity extends QueryModule {
       .orderBy(col("mean_knn_sim").asc, col("query_id")).limit(bottomN)
   }
 
+  /** q131: class-balance audit — one-row label-distribution summary for
+    * a labeled embedding/training table: share extremes, imbalance
+    * ratio, and (normalized) entropy. The pre-training sanity gate: a
+    * norm-entropy far below 1 means a dominant class, and downstream
+    * samplers (q71/q93) need reweighting.
+    *
+    * Determinism: counts are integers; the entropy Σ −p·ln p folds over
+    * the VALUE-SORTED term list (the q82 pinned-fold convention) and is
+    * `+ 0.0`-canonicalized (a single-class corpus yields −0.0 · ln 1).
+    * Scale shape: one labels-sized map-side-combined count; everything
+    * after runs on the tiny label table.
+    */
+  def classBalance(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy("label").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+      max(col("c")).as("mx"), min(col("c")).as("mn"))
+    val p = col("c") / col("n").cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("n"), col("k"), col("mx"), col("mn"), (-p * log(p)).as("term"))
+      .groupBy("n", "k", "mx", "mn")
+      .agg((aggregate(array_sort(collect_list(col("term"))),
+        lit(0.0), (acc, x) => acc + x) + lit(0.0)).as("h"))
+      .select(col("n").as("n_rows"), col("k").as("n_classes"),
+        round(col("mx") / col("n").cast("double"), 4).as("max_share"),
+        round(col("mn") / col("n").cast("double"), 4).as("min_share"),
+        round(col("mx") / col("mn").cast("double"), 4).as("imbalance_ratio"),
+        round(col("h"), 4).as("entropy"),
+        when(col("k") === 1L, lit(0.0))
+          .otherwise(round(col("h") / log(col("k").cast("double")), 4)).as("norm_entropy"))
+  }
+
   /** q111: label-centroid confusion — pairwise cosine between per-label
     * mean embeddings. High-cosine label pairs are the classes the
     * embedding space can't separate: the class-level audit behind
@@ -388,6 +419,7 @@ object Similarity extends QueryModule {
     "q111_label_confusion" -> ((s, d) => labelCentroidConfusion(Tables(s, d).embeddings)),
     "q118_knn_purity"      -> ((s, d) => knnLabelPurity(Tables(s, d).embeddings)),
     "q126_density_outliers" -> ((s, d) => densityOutliers(Tables(s, d).embeddings)),
+    "q131_class_balance"   -> ((s, d) => classBalance(Tables(s, d).embeddings)),
     "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings)),
     "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings)),
   )
@@ -512,6 +544,20 @@ object Similarity extends QueryModule {
             FROM scored)
           SELECT query_id, query_label, vec_id, neg_label, cos_sim, rank::BIGINT AS rank
           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // integer counts; entropy folds the value-sorted term list
+    "q131_class_balance" ->
+      """WITH c AS (SELECT label, count(*)::BIGINT AS c FROM embeddings GROUP BY 1),
+        |t AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS k,
+        |             max(c)::BIGINT AS mx, min(c)::BIGINT AS mn FROM c),
+        |e AS (SELECT list_sum(list_sort(list(-(c.c / t.n::DOUBLE) * ln(c.c / t.n::DOUBLE)))) + 0.0 AS h
+        |      FROM c, t)
+        |SELECT n AS n_rows, k AS n_classes,
+        |       round(mx / n::DOUBLE, 4) AS max_share,
+        |       round(mn / n::DOUBLE, 4) AS min_share,
+        |       round(mx / mn::DOUBLE, 4) AS imbalance_ratio,
+        |       round(h, 4) AS entropy,
+        |       CASE WHEN k = 1 THEN 0.0 ELSE round(h / ln(k), 4) END AS norm_entropy
+        |FROM t, e""".stripMargin,
     // q70 anatomy + integer-scaled cosine sums; bottom-N by (mean, id)
     "q126_density_outliers" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

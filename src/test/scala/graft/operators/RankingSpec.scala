@@ -133,4 +133,23 @@ class RankingSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(capped == Set("cat", "the"))
   }
+
+  test("textRank: symmetric pair is an exact fixed point; hubs outrank leaves") {
+    // a↔b only: s = r_neighbor, so r' = 150000 + 85·10⁶/100 = 10⁶ exactly
+    val sym = Seq((1L, "a b a b a b", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rs = Ranking.textRank(sym).select("term", "rank_scaled")
+      .as[(String, Long)].collect().toMap
+    assert(rs == Map("a" -> 1000000L, "b" -> 1000000L))
+    // star graph: the hub receives both leaves' full rank, leaves split the hub's
+    val star = Seq((1L, "a b", "en", "s0", 3L), (2L, "a c", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val st = Ranking.textRank(star).select("term", "rank_scaled")
+      .as[(String, Long)].collect().toMap
+    assert(st("a") > st("b") && st("b") == st("c"))
+    // self-adjacency ("a a") never forms an edge; topK caps the node set
+    val self = Seq((1L, "a a a b", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Ranking.textRank(self, topK = 1).count() == 1)
+  }
 }

@@ -120,4 +120,23 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     val b = got.find(_._1 == "B").get
     assert(b._4 == 2.0 && b._5.isEmpty && b._6)
   }
+
+  test("associationRules: hand-computed support/confidence/lift over known baskets") {
+    // u1{A,B} u2{A,B} u3{A,C} u4{B}: duplicates within a user must not inflate counts
+    val ev = Seq(
+      (1L, "A"), (1L, "B"), (1L, "A"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B"),
+    ).toDF("user_id", "event_type")
+    val got = SetOpsAndSessions.associationRules(ev, minUsers = 1L)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // (A,B): n_both 2 of N=4; n_A=3, n_B=3 -> lift 2·4/9
+    assert(got(("A", "B")) == (("A", "B", 2L, 3L, 3L, 0.5, 0.6667, 0.6667, 0.8889)))
+    // (A,C): asymmetric confidences; lift > 1
+    assert(got(("A", "C")) == (("A", "C", 1L, 3L, 1L, 0.25, 0.3333, 1.0, 1.3333)))
+    // B and C never co-occur -> no row
+    assert(!got.contains(("B", "C")))
+  }
 }

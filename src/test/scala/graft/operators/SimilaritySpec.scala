@@ -212,4 +212,19 @@ class SimilaritySpec extends SparkSpec {
     val tiny = (0L to 3L).map(i => (i, Seq(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
     assert(Similarity.densityOutliers(tiny, k = 5).count() == 0)
   }
+
+  test("classBalance: hand-computed shares and entropy; degenerate single class is 0.0") {
+    val emb = Seq((0L, Seq(1f), 0), (1L, Seq(1f), 1), (2L, Seq(1f), 2), (3L, Seq(1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.classBalance(emb)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect().head
+    // counts (1,1,2): H = 2·0.25·ln4 + 0.5·ln2 = 1.0397; H/ln3 = 0.9464
+    assert(r == ((4L, 3L, 0.5, 0.25, 2.0, 1.0397, 0.9464)))
+    val mono = Seq((0L, Seq(1f), 7), (1L, Seq(1f), 7)).toDF("vec_id", "embedding", "label")
+    val m = Similarity.classBalance(mono)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect().head
+    // entropy must be +0.0, not -0.0, and the k=1 norm guard must hold
+    assert(m == ((2L, 1L, 1.0, 1.0, 1.0, 0.0, 0.0)))
+    assert(1.0 / m._6 > 0, "entropy folded to -0.0")
+  }
 }
