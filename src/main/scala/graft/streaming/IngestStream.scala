@@ -66,6 +66,42 @@ object IngestStream {
         round(col("n_low") / col("n_docs").cast("double"), 4).as("low_frac"),
         col("avg_chars"))
 
+  /** Stream-stream interval join: each error event joined to the SAME
+    * user's non-error actions in the preceding `lookbackMinutes` — the
+    * "what was this user doing right before it broke" attribution
+    * stream. Both sides carry a watermark and the join condition bounds
+    * act_ts to a closed-open interval ending at err_ts, so Spark can
+    * size the join state and evict rows once the watermark passes —
+    * the canonical bounded-state stream-stream join shape. The same
+    * plan runs as a batch backfill (unified model), which is what the
+    * q132 oracle hash-matches.
+    */
+  def priorActionJoin(events: DataFrame, lookbackMinutes: Int = 5,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val actions = events.filter(col("event_type") =!= "error")
+      .select(col("user_id").as("act_user"), col("event_type").as("action_type"),
+        col("ts").as("act_ts"))
+      .withWatermark("act_ts", watermark)
+    errors.join(actions,
+      col("err_user") === col("act_user") &&
+      col("act_ts") >= col("err_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+      col("act_ts") < col("err_ts"))
+  }
+
+  /** q132 report head over [[priorActionJoin]]: per error, how many
+    * prior actions and how many distinct kinds. Integer counts only.
+    */
+  def errorAttribution(events: DataFrame, lookbackMinutes: Int = 5): DataFrame =
+    priorActionJoin(events, lookbackMinutes)
+      .groupBy(col("err_id"), col("err_user").as("user_id"))
+      .agg(count(lit(1)).as("n_prior"),
+        countDistinct(col("action_type")).as("n_types"))
+      .orderBy("err_id")
+
   /** Stream-static enrichment: join the request stream against a static
     * dimension snapshot (the entity-api lookup table of SURVEY S19) —
     * broadcast on the static side, so each micro-batch pays a map-side
@@ -129,9 +165,25 @@ object StreamParity extends graft.QueryModule {
         graft.Tables(s, d).documents.withColumn("ingest_ts",
           expr("timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')")))
         .orderBy("window_start", "lang")),
+    "q132_error_attribution" -> ((s, d) =>
+      IngestStream.errorAttribution(graft.Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    // interval bounds compared in µs (epoch_ns // 1000 mirrors
+    // Tables.events's ns→µs truncation); integer counts only
+    "q132_error_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id AS err_id, user_id, epoch_ns(ts) // 1000 AS err_us
+        |  FROM events WHERE event_type = 'error'),
+        |a AS (
+        |  SELECT user_id, event_type AS action_type, epoch_ns(ts) // 1000 AS act_us
+        |  FROM events WHERE event_type <> 'error')
+        |SELECT err_id, e.user_id, count(*)::BIGINT AS n_prior,
+        |       count(DISTINCT action_type)::BIGINT AS n_types
+        |FROM e JOIN a ON e.user_id = a.user_id
+        |  AND a.act_us >= e.err_us - 300000000 AND a.act_us < e.err_us
+        |GROUP BY 1, 2 ORDER BY err_id""".stripMargin,
     "q57_windowed_usage" ->
       """SELECT date_trunc('day', ts)::TIMESTAMP AS window_start,
         |       date_trunc('day', ts)::TIMESTAMP + INTERVAL 1 DAY AS window_end,

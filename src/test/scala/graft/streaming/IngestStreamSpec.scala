@@ -113,4 +113,33 @@ class IngestStreamSpec extends SparkSpec {
     // IS the batch result, row for row
     assert(streamed == batch)
   }
+
+  test("priorActionJoin: streaming interval join equals the batch run; boundaries closed-open") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      // user 1: two actions inside the 5-min lookback of the error at 00:05
+      (1L, "click", 1L, ts("2024-01-01 00:00:00")),  // exactly err_ts − 5 min -> INCLUDED
+      (2L, "view", 1L, ts("2024-01-01 00:02:00")),
+      (3L, "error", 1L, ts("2024-01-01 00:05:00")),
+      (4L, "click", 1L, ts("2024-01-01 00:05:00")),  // at err_ts -> EXCLUDED (act < err)
+      // user 1: second error with nothing in its window
+      (5L, "error", 1L, ts("2024-01-01 00:20:00")),
+      // user 2: action 6 min before its error -> outside the lookback
+      (6L, "click", 2L, ts("2024-01-01 00:00:00")),
+      (7L, "error", 2L, ts("2024-01-01 00:06:00")))
+    val df = rows.toDF("event_id", "event_type", "user_id", "ts")
+    val batch = IngestStream.priorActionJoin(df)
+      .select("err_id", "action_type").as[(Long, String)].collect().toSet
+    assert(batch == Set((3L, "click"), (3L, "view")))
+    val input = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val q = IngestStream.priorActionJoin(
+        input.toDF().toDF("event_id", "event_type", "user_id", "ts"))
+      .select("err_id", "action_type")
+      .writeStream.format("memory").queryName("paj_stream").outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("paj_stream").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
 }
