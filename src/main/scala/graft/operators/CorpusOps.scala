@@ -138,6 +138,46 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
+  /** q133: per-source length-distribution drift — the two-sample
+    * Kolmogorov–Smirnov statistic between each source's `n_chars`
+    * distribution and the whole corpus: D = max over values of
+    * |ECDF_source − ECDF_corpus|. THE distribution-level drift alarm: a
+    * source whose KS-D jumps release-over-release changed its content
+    * shape even if its mean (q85) held still.
+    *
+    * Determinism: the ECDF difference is compared CROSS-MULTIPLIED —
+    * D's numerator max|cum_s·n_c − cum_c·n_s| is a max over exact
+    * integer products (fits int64 through ~10⁹ docs/source; beyond
+    * that, scale ECDFs to ppm integers first) and the statistic is one
+    * closing division.
+    *
+    * Scale shape: one (source, value) map-side-combined count; the
+    * ECDF grid is |sources| × |distinct values| (value domain bounded
+    * by max document length, NOT corpus size), windowed per source.
+    */
+  def lengthDriftKs(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val values = counts.select("v").distinct()
+    val sources = documents.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val corpusByV = documents.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cc"))
+    val nTotal = documents.agg(count(lit(1)).as("n_c"))
+    val grid = sources.crossJoin(values)
+      .join(counts, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(corpusByV), "v")
+    val w = Window.partitionBy("source").orderBy("v")
+    grid
+      .withColumn("cum_s", sum(col("c")).over(w))
+      .withColumn("cum_c", sum(col("cc")).over(w))
+      .crossJoin(broadcast(nTotal))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_s"), max(col("n_c")).as("n_c"),
+        max(abs(col("cum_s") * col("n_c") - col("cum_c") * col("n_s"))).as("d_num"))
+      .select(col("source"), col("n_s"), col("d_num"),
+        round(col("d_num") / (col("n_s") * col("n_c")).cast("double"), 4).as("ks_d"))
+      .orderBy("source")
+  }
+
   /** q128: training-mix epoch plan — turn the q82 temperature weights
     * plus a total token budget into per-source token assignments,
     * epoch counts (assigned / available), and an over-cap flag where
@@ -315,6 +355,7 @@ object CorpusOps extends QueryModule {
     "q71_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
     "q82_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
     "q128_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
+    "q133_length_drift" -> ((s, d) => lengthDriftKs(Tables(s, d).documents)),
     "q83_chunk_overlap" -> ((s, d) => chunkWithOverlap(Tables(s, d).documents)),
   )
 
@@ -403,6 +444,29 @@ object CorpusOps extends QueryModule {
     // sqrt is correctly rounded (IEEE) on both engines and the
     // normalizer folds over the sorted weights — no float-order or
     // pow-ulp divergence anywhere in the query
+    // cross-multiplied integer ECDF comparison; one closing division
+    "q133_length_drift" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars AS v, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |s AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+        |cv AS (SELECT n_chars AS v, count(*)::BIGINT AS cc FROM documents GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n_c FROM documents),
+        |grid AS (
+        |  SELECT s.source, s.n_s, vals.v, coalesce(c.c, 0)::BIGINT AS c, cv.cc
+        |  FROM s CROSS JOIN vals
+        |  LEFT JOIN counts c ON c.source = s.source AND c.v = vals.v
+        |  JOIN cv ON cv.v = vals.v),
+        |cums AS (
+        |  SELECT source, n_s, v,
+        |         sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum_s,
+        |         sum(cc) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum_c
+        |  FROM grid)
+        |SELECT source, max(n_s)::BIGINT AS n_s,
+        |       max(abs(cum_s * n_c - cum_c * n_s))::BIGINT AS d_num,
+        |       round(max(abs(cum_s * n_c - cum_c * n_s))
+        |             / (max(n_s) * max(n_c))::DOUBLE, 4) AS ks_d
+        |FROM cums, t GROUP BY source ORDER BY source""".stripMargin,
     // all downstream arithmetic starts from the ROUNDED q82 weight
     "q128_epoch_plan" ->
       """WITH s AS (

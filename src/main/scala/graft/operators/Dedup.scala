@@ -35,6 +35,27 @@ object Dedup extends QueryModule {
            count(lit(1)).as("n_copies"))
       .orderBy("fingerprint")
 
+  /** q134: duplicate-rate dashboard per source — for each source, how
+    * many of its documents share an exact fingerprint with ANY corpus
+    * document (cross-source duplication counts: a mirror site shows up
+    * as one source's rate spiking while its partner's text is the
+    * keeper elsewhere). The release-over-release number a dedup
+    * pipeline reports next to the q121 histogram.
+    *
+    * Scale shape: one fingerprint count (the q20 shuffle), re-joined to
+    * per-doc rows on the 16-byte key; the rollup is sources-sized.
+    */
+  def dupRateBySource(documents: DataFrame): DataFrame = {
+    val fps = documents.select(col("source"), fingerprint(col("text")).as("fp"))
+    val counts = fps.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    fps.join(counts, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_rate", round(col("n_dup_docs") / col("n_docs").cast("double"), 4))
+      .orderBy("source")
+  }
+
   /** Word k-shingles of the document text (k=3), truncating at the tail
     * like the slice semantics DuckDB shares; ≥1 shingle even for short
     * docs.
@@ -599,6 +620,7 @@ object Dedup extends QueryModule {
     "q94_minhash_accuracy" -> ((s, d) => minhashAccuracy(Tables(s, d).documents)),
     "q73_chunk_dedup"    -> ((s, d) => chunkDedup(Tables(s, d).documents)),
     "q121_chunk_histogram" -> ((s, d) => chunkDupHistogram(Tables(s, d).documents)),
+    "q134_dup_rate"      -> ((s, d) => dupRateBySource(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
@@ -762,6 +784,14 @@ object Dedup extends QueryModule {
       """SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keeper_id,
                 count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q134_dup_rate" ->
+      """WITH f AS (SELECT source, md5(lower(trim(text))) AS fp FROM documents),
+        |c AS (SELECT fp, count(*)::BIGINT AS n_copies FROM f GROUP BY 1)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       coalesce(sum(CASE WHEN n_copies > 1 THEN 1 END), 0)::BIGINT AS n_dup_docs,
+        |       round(coalesce(sum(CASE WHEN n_copies > 1 THEN 1 END), 0)
+        |             / count(*)::DOUBLE, 4) AS dup_rate
+        |FROM f JOIN c USING (fp) GROUP BY source ORDER BY source""".stripMargin,
     "q24_checksum_manifest" ->
       """SELECT doc_id, md5(text) AS md5_checksum, sha256(text) AS sha256_checksum,
                 CAST(length(text) AS BIGINT) AS size

@@ -206,6 +206,39 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("event_type", "day")
   }
 
+  /** q135: cohort retention — users bucketed by first-seen week, then
+    * the fraction of each cohort active in each subsequent week-offset.
+    * The product-health matrix every event pipeline ships; a cohort
+    * whose week-1 retention drops after a release is the canonical
+    * regression signal.
+    *
+    * Determinism: days are integer µs floor-divs (the q110 age
+    * convention), cohort/offset are integer floor-divs of those, and
+    * retention is one closing division of integer counts.
+    *
+    * Scale shape: first-seen is one map-side-combined min per user; the
+    * re-join is user-keyed (same key as the groupBy — the shuffle
+    * partitioning is reusable); the matrix is cohorts × offsets rows.
+    */
+  def cohortRetention(events: DataFrame, bucketDays: Int = 7): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val first = e.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val active = e.join(first, "user_id")
+      .select(col("user_id"),
+        expr(s"first_day div $bucketDays").as("cohort"),
+        expr(s"(day - first_day) div $bucketDays").as("offset"))
+      .distinct()
+    val sizes = first
+      .groupBy(expr(s"first_day div $bucketDays").as("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    active.groupBy("cohort", "offset").agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .withColumn("retention",
+        round(col("n_active") / col("cohort_users").cast("double"), 4))
+      .orderBy("cohort", "offset")
+  }
+
   /** q130: association rules over user event baskets — for every event-
     * type pair, support / confidence (both directions) / lift from the
     * per-user distinct-type sets. The market-basket view of a product
@@ -374,9 +407,26 @@ object SetOpsAndSessions extends QueryModule {
     "q116_session_paths"      -> ((s, d) => topSessionPaths(Tables(s, d).events)),
     "q125_rate_spikes"        -> ((s, d) => rateSpikes(Tables(s, d).events)),
     "q130_assoc_rules"        -> ((s, d) => associationRules(Tables(s, d).events)),
+    "q135_cohort_retention"   -> ((s, d) => cohortRetention(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    // µs floor-div day/cohort/offset keys; one closing division
+    "q135_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT e.user_id, f.first_day // 7 AS cohort,
+        |         (e.day - f.first_day) // 7 AS "offset"
+        |  FROM e JOIN f USING (user_id)),
+        |sizes AS (SELECT first_day // 7 AS cohort, count(*)::BIGINT AS cohort_users
+        |          FROM f GROUP BY 1)
+        |SELECT cohort, "offset", count(*)::BIGINT AS n_active, cohort_users,
+        |       round(count(*) / cohort_users::DOUBLE, 4) AS retention
+        |FROM act JOIN sizes USING (cohort)
+        |GROUP BY cohort, "offset", cohort_users
+        |ORDER BY cohort, "offset"""".stripMargin,
     // integer basket counts; confidence/lift are closing divisions
     "q130_assoc_rules" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

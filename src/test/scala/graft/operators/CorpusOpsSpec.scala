@@ -128,4 +128,21 @@ class CorpusOpsSpec extends SparkSpec {
     // s2: floor(90·0.666667 + ½) = 60 -> 3.75 epochs, under the cap
     assert(got("s2") == (("s2", 1L, 16L, 0.666667, 60L, 3.75, false, 60L)))
   }
+
+  test("lengthDriftKs: hand-computed two-sample KS against the corpus ECDF") {
+    val docs = Seq(
+      (1L, "t", "en", "a", 1L), (2L, "t", "en", "a", 2L), // a: values {1,2}
+      (3L, "t", "en", "b", 100L),                          // b: far right
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.lengthDriftKs(docs)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // a: max at v=2 -> |1·3 − 2·2| = 2 over 2·3 -> D = 1/3
+    assert(got("a") == (("a", 2L, 2L, 0.3333)))
+    // b: max at v=2 -> |0·3 − 2·1| = 2 over 1·3 -> D = 2/3
+    assert(got("b") == (("b", 1L, 2L, 0.6667)))
+    // a single source IS the corpus -> D = 0 exactly
+    val mono = docs.filter(col("source") === "a")
+    assert(CorpusOps.lengthDriftKs(mono)
+      .select("ks_d").as[Double].collect().toSeq == Seq(0.0))
+  }
 }

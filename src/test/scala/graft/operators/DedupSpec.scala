@@ -219,4 +219,17 @@ class DedupSpec extends SparkSpec {
     // conservation: sum(n_chunks) == total chunk count
     assert(got.map(_._3).sum == 10L)
   }
+
+  test("dupRateBySource counts cross-source duplication symmetrically") {
+    val docs = Seq(
+      (1L, "x", "s1"), (2L, "y", "s1"),   // s1's "x" duplicates s2's
+      (3L, "x", "s2"),
+      (4L, "z", "s3"),
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.dupRateBySource(docs)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 2L, 1L, 0.5)))
+    assert(got("s2") == (("s2", 1L, 1L, 1.0))) // its only doc exists elsewhere too
+    assert(got("s3") == (("s3", 1L, 0L, 0.0)))
+  }
 }

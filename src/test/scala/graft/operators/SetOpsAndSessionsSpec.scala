@@ -139,4 +139,21 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     // B and C never co-occur -> no row
     assert(!got.contains(("B", "C")))
   }
+
+  test("cohortRetention: hand-built cohorts; multiple same-week events count once") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 8L),             // user 1: cohort 0, active offsets 0 and 1
+      (2L, 0L),                        // user 2: cohort 0, offset 0 only
+      (3L, 14L), (3L, 16L),            // user 3: cohort 2; two events, SAME offset 0
+    ).zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d * day + i) }
+      .toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = SetOpsAndSessions.cohortRetention(ev)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (2L, 0L, 1L, 1L, 1.0)))
+  }
 }
