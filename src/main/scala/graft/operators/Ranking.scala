@@ -357,6 +357,37 @@ object Ranking extends QueryModule {
       .orderBy(col("rank_scaled").desc, col("term"))
   }
 
+  /** q136: vocabulary churn between two corpus snapshots (the release-
+    * over-release "what changed in the data" report): per-term smoothed
+    * log-ratio of frequencies, top movers by |drift|. A term surging
+    * between releases is a crawl change, a spam outbreak, or a news
+    * event; this is the triage list. Snapshots here are the doc-id
+    * parity split (the q75/q99 convention for synthesizing two
+    * releases from one table).
+    *
+    * Determinism: counts are integers; drift is ONE ln over an exact
+    * integer rational ((c_b+1)(n_a+1)) / ((c_a+1)(n_b+1)), rounded 4.
+    * Top-|drift| cut pinned by (|drift| desc, term) TakeOrdered.
+    */
+  def vocabChurn(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val toks = documents.select((col("doc_id") % 2 === 0).as("snap_a"),
+      termsOf("text").as("term"))
+    val counts = toks.groupBy("term").agg(
+      sum(when(col("snap_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("snap_a"), 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("drift", round(log(
+        ((col("c_b") + 1) * (col("n_a") + 1)).cast("double") /
+        ((col("c_a") + 1) * (col("n_b") + 1)).cast("double")), 4))
+      .withColumn("direction",
+        when(col("drift") > 0, lit("rising"))
+          .when(col("drift") < 0, lit("falling")).otherwise(lit("stable")))
+      .select(col("term"), col("c_a"), col("c_b"), col("drift"), col("direction"))
+      .orderBy(abs(col("drift")).desc, col("term"))
+      .limit(topK)
+  }
+
   /** q105: Zipf rank-frequency fit — least-squares slope of
     * log(count) vs log(rank) over the top-K vocabulary. Natural text
     * sits near slope −1; templated/spam corpora flatten, encoding
@@ -403,6 +434,7 @@ object Ranking extends QueryModule {
     "q80_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
     "q120_burstiness"    -> ((s, d) => tokenBurstiness(Tables(s, d).documents)),
     "q129_textrank"      -> ((s, d) => textRank(Tables(s, d).documents)),
+    "q136_vocab_churn"   -> ((s, d) => vocabChurn(Tables(s, d).documents)),
   )
 
   /** q129 oracle: the fixed-point iteration unrolled into chained CTEs
@@ -464,6 +496,25 @@ object Ranking extends QueryModule {
         |       round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 4) AS intercept
         |FROM f""".stripMargin,
     "q129_textrank" -> textRankSql(topK = 30, iterations = 10),
+    // integer counts; drift is one ln over an exact integer rational
+    "q136_vocab_churn" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 = 0 AS snap_a, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term,
+        |         coalesce(sum(CASE WHEN snap_a THEN 1 END), 0)::BIGINT AS c_a,
+        |         coalesce(sum(CASE WHEN NOT snap_a THEN 1 END), 0)::BIGINT AS c_b
+        |  FROM toks GROUP BY 1),
+        |t AS (SELECT sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b FROM c),
+        |d AS (
+        |  SELECT term, c_a, c_b,
+        |         round(ln(((c_b + 1) * (n_a + 1))::DOUBLE / ((c_a + 1) * (n_b + 1))::DOUBLE), 4) AS drift
+        |  FROM c, t)
+        |SELECT term, c_a, c_b, drift,
+        |       CASE WHEN drift > 0 THEN 'rising'
+        |            WHEN drift < 0 THEN 'falling' ELSE 'stable' END AS direction
+        |FROM d ORDER BY abs(drift) DESC, term LIMIT 20""".stripMargin,
     // integer moment sums; VMR = two divisions at the end
     "q120_burstiness" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),

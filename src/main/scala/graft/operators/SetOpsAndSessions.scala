@@ -206,6 +206,51 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("event_type", "day")
   }
 
+  /** q137: robust outlier audit — per event type, median and MAD
+    * (median absolute deviation) of `value`, and the count of events
+    * beyond k·MAD. The outlier detector that survives what q115's
+    * winsorized mean documents: a heavy tail wrecks mean/σ z-scores,
+    * while median/MAD stay put (the robust-statistics default).
+    *
+    * Determinism: both medians use the explicit (vl+vu)/2 bracketing
+    * form (exact for odd n, the standard interpolation for even n),
+    * deviations are identical double expressions on both engines, and
+    * the k·MAD comparison runs on those identical doubles. MAD = 0
+    * degenerates to "any deviation flags" — the conventional reading.
+    *
+    * Scale shape: two rank passes partitioned by type (the q115 order-
+    * statistic machinery) plus narrow flag arithmetic; the output is
+    * types-sized.
+    */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val e = events.select(col("event_type"), col("event_id"), col("value"))
+    def medianOf(df: DataFrame, valueCol: String, name: String): DataFrame = {
+      val counts = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("event_id"))
+      val h = (col("n") - 1) * lit(0.5)
+      df.withColumn("rn", row_number().over(w).cast("long") - 1)
+        .join(broadcast(counts), "event_type")
+        .filter(col("rn") === floor(h) || col("rn") === ceil(h))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === floor((col("n") - 1) * lit(0.5)), col(valueCol))).as("vl"),
+          max(when(col("rn") === ceil((col("n") - 1) * lit(0.5)), col(valueCol))).as("vu"))
+        .select(col("event_type"), ((col("vl") + col("vu")) / 2).as(name))
+    }
+    val med = medianOf(e, "value", "med")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = medianOf(dev.select(col("event_type"), col("event_id"), col("adev")), "adev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("med")), 4).as("median"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers") / col("n_events").cast("double"), 4))
+      .orderBy("event_type")
+  }
+
   /** q135: cohort retention — users bucketed by first-seen week, then
     * the fraction of each cohort active in each subsequent week-offset.
     * The product-health matrix every event pipeline ships; a cohort
@@ -408,9 +453,43 @@ object SetOpsAndSessions extends QueryModule {
     "q125_rate_spikes"        -> ((s, d) => rateSpikes(Tables(s, d).events)),
     "q130_assoc_rules"        -> ((s, d) => associationRules(Tables(s, d).events)),
     "q135_cohort_retention"   -> ((s, d) => cohortRetention(Tables(s, d).events)),
+    "q137_mad_outliers"       -> ((s, d) => madOutliers(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    // two explicit (vl+vu)/2 median passes; identical double flag expr
+    "q137_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |n1 AS (SELECT event_type, count(*)::BIGINT AS n FROM e GROUP BY 1),
+        |r1 AS (SELECT event_type, value,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn
+        |       FROM e),
+        |med AS (
+        |  SELECT r1.event_type,
+        |         (max(CASE WHEN rn = floor((n - 1) * 0.5) THEN value END)
+        |          + max(CASE WHEN rn = ceil((n - 1) * 0.5) THEN value END)) / 2 AS med
+        |  FROM r1 JOIN n1 USING (event_type)
+        |  WHERE rn = floor((n - 1) * 0.5) OR rn = ceil((n - 1) * 0.5)
+        |  GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.event_id, abs(e.value - m.med) AS adev, m.med
+        |        FROM e JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, adev,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) - 1 AS rn
+        |       FROM dev),
+        |mad AS (
+        |  SELECT r2.event_type,
+        |         (max(CASE WHEN rn = floor((n - 1) * 0.5) THEN adev END)
+        |          + max(CASE WHEN rn = ceil((n - 1) * 0.5) THEN adev END)) / 2 AS mad
+        |  FROM r2 JOIN n1 USING (event_type)
+        |  WHERE rn = floor((n - 1) * 0.5) OR rn = ceil((n - 1) * 0.5)
+        |  GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n_events,
+        |       round(max(d.med), 4) AS median, round(max(mad.mad), 4) AS mad,
+        |       coalesce(sum(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 END), 0)::BIGINT AS n_outliers,
+        |       round(coalesce(sum(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 END), 0)
+        |             / count(*)::DOUBLE, 4) AS outlier_rate
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // µs floor-div day/cohort/offset keys; one closing division
     "q135_cohort_retention" ->
       """WITH e AS (

@@ -109,6 +109,34 @@ object Validation extends QueryModule {
       .orderBy("uuid")
   }
 
+  /** q138: generic table profiler — one output row per column with null
+    * count, exact distinct count, and a uniqueness flag, for ANY input
+    * schema (columns enumerated from the DataFrame's own schema). The
+    * "what did we actually ingest" audit every new source gets before
+    * anything joins on it: a should-be-key column with is_unique=false
+    * or a should-be-populated column with nulls is caught here, not in
+    * a downstream join's row explosion.
+    *
+    * Scale shape: ONE aggregation pass computes every column's
+    * counters (Spark plans multi-distinct via a single Expand — cost
+    * grows with column count, not extra scans), then the one-row
+    * result is pivoted to per-column rows by a literal struct explode.
+    */
+  def tableProfile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fieldNames.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"))) :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"), col("p.n_distinct"),
+        (col("p.n_distinct") === col("p.n_rows")).as("is_unique"))
+      .orderBy("column")
+  }
+
   /** BPE-ish token counting (training-data mandate): regex token classes
     * (letter runs / digit runs) instead of whitespace — the
     * subword-tokenizer-approximation used for corpus budgeting.
@@ -130,9 +158,24 @@ object Validation extends QueryModule {
     "q37_json_props"      -> ((s, d) => jsonPropsHistogram(Tables(s, d).events)),
     "q38_tolerance_check" -> ((s, d) => { val t = Tables(s, d); toleranceConsistency(t.orders, t.lineitem) }),
     "q69_es_hits"         -> ((s, d) => esRoundTrip(Tables(s, d).orders)),
+    "q138_table_profile"  -> ((s, d) => tableProfile(Tables(s, d).orders)),
   )
 
+  /** q138 oracle: one UNION ALL arm per orders column. */
+  private def tableProfileSql(cols: Seq[String]): String = {
+    val arms = cols.map(c =>
+      s"""SELECT '$c' AS "column", (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+         |  (SELECT count(*) FROM orders WHERE $c IS NULL)::BIGINT AS n_nulls,
+         |  (SELECT count(DISTINCT $c) FROM orders)::BIGINT AS n_distinct""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""SELECT "column", n_rows, n_nulls, n_distinct, n_distinct = n_rows AS is_unique
+       |FROM ($arms) ORDER BY "column"""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q138_table_profile" -> tableProfileSql(Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")),
     "q46_error_diagnostics" ->
       """SELECT diagnosis, count(*) AS n, round(avg(value), 4) AS avg_value FROM (
            SELECT value,

@@ -152,4 +152,18 @@ class RankingSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(Ranking.textRank(self, topK = 1).count() == 1)
   }
+
+  test("vocabChurn: hand-computed smoothed log-ratios; top movers pinned by |drift|") {
+    val docs = Seq(
+      (0L, "x x y", "en", "s0", 5L),  // snapshot A (even ids)
+      (1L, "x z z", "en", "s0", 5L),  // snapshot B
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Ranking.vocabChurn(docs, topK = 2)
+      .as[(String, Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    // z: ln((2+1)(3+1) / (0+1)(3+1)) = ln 3; y: ln((0+1)·4 / (1+1)·4) = −ln 2
+    assert(got("z") == (("z", 0L, 2L, 1.0986, "rising")))
+    assert(got("y") == (("y", 1L, 0L, -0.6931, "falling")))
+    // x (|ln 2/3| = 0.4055) is the smallest mover and falls off the top-2
+    assert(!got.contains("x"))
+  }
 }

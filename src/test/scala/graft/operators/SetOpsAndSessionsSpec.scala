@@ -156,4 +156,17 @@ class SetOpsAndSessionsSpec extends SparkSpec {
       (0L, 1L, 1L, 2L, 0.5),
       (2L, 0L, 1L, 1L, 1.0)))
   }
+
+  test("madOutliers: hand-computed median/MAD; MAD=0 flags any deviation") {
+    val ev = (Seq(1.0, 2.0, 3.0, 100.0).map(("tail", _)) ++
+      Seq(5.0, 5.0, 5.0, 6.0).map(("flat", _)))
+      .zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+    val got = SetOpsAndSessions.madOutliers(ev)
+      .as[(String, Long, Double, Double, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // tail: median 2.5, adevs (.5,.5,1.5,97.5) -> MAD 1.0; only 97.5 > 3
+    assert(got("tail") == (("tail", 4L, 2.5, 1.0, 1L, 0.25)))
+    // flat: MAD 0 -> the single deviating value flags
+    assert(got("flat") == (("flat", 4L, 5.0, 0.0, 1L, 0.25)))
+  }
 }

@@ -34,4 +34,18 @@ class ValidationSpec extends SparkSpec {
       .select("close_enough", "n_orders").as[(Boolean, Long)].collect().toMap
     assert(got == Map(false -> 1L, true -> 1L))
   }
+
+  test("tableProfile: nulls, exact distincts, and uniqueness per column of any schema") {
+    val df = Seq(
+      (1L, Some("a"), 10),
+      (2L, None, 10),
+      (3L, Some("a"), 20),
+    ).toDF("id", "name", "grp")
+    val got = Validation.tableProfile(df)
+      .as[(String, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 3L, 0L, 3L, true)))
+    // countDistinct ignores the null; two distinct non-null groups? no — one
+    assert(got("name") == (("name", 3L, 1L, 1L, false)))
+    assert(got("grp") == (("grp", 3L, 0L, 2L, false)))
+  }
 }
