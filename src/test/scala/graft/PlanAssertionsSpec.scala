@@ -162,6 +162,43 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected broadcast totals/quantile grid:\n$p")
   }
 
+  test("q129 textrank: iteration runs on collected graph — corpus scanned exactly twice") {
+    val df = graft.operators.Ranking.textRank(t.documents)
+    val p = planText(df)
+    // the FINAL plan must touch documents once more (the tf re-join);
+    // the 10-iteration loop happens before planning, on the bounded
+    // collected graph — no 10-deep corpus lineage. (The AQE string
+    // repeats the tree under "== Initial Plan ==" — count final only.)
+    val scans = "Scan parquet".r.findAllIn(p.split("== Initial Plan ==").head).size
+    assert(scans == 1, s"expected exactly one corpus scan in the final plan (got $scans):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast rank table:\n$p")
+  }
+
+  test("q134 dup rate joins fingerprint counts without broadcasting the fact side") {
+    val p = planText(graft.operators.Dedup.dupRateBySource(t.documents))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side fingerprint counting:\n$p")
+    assert(!p.contains("CartesianProduct"), s"expected no all-pairs:\n$p")
+  }
+
+  test("q135 cohort retention broadcasts cohort sizes; no cartesian anywhere") {
+    val p = planText(graft.operators.SetOpsAndSessions.cohortRetention(t.events))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast cohort sizes:\n$p")
+    assert(!p.contains("CartesianProduct"), s"expected no all-pairs:\n$p")
+  }
+
+  test("q137 MAD outliers broadcast both median tables back onto the stream") {
+    val p = planText(graft.operators.SetOpsAndSessions.madOutliers(t.events))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast med/mad tables:\n$p")
+  }
+
+  test("q138 table profiler computes every column's counters in one scan") {
+    val p = planText(graft.operators.Validation.tableProfile(t.orders))
+    val scans = "Scan parquet".r.findAllIn(p.split("== Initial Plan ==").head).size
+    assert(scans == 1, s"expected a single input scan (got $scans):\n$p")
+    assert(p.contains("Expand"), s"expected Expand-based multi-distinct:\n$p")
+  }
+
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
     // parquet-backed, exchange-free projections: LocalRelation fixtures
     // constant-fold custom expressions away, and AQE wraps any plan with
