@@ -29,6 +29,7 @@ object SparkEntry {
     SkewJoin,
     CorpusOps,
     Sketches,
+    GraphOps,
     graft.streaming.StreamParity,
   )
 

@@ -56,6 +56,37 @@ object Dedup extends QueryModule {
       .orderBy("source")
   }
 
+  /** q141: train/test split-leakage audit. Docs split by deterministic
+    * hash (test iff md5('split|'||doc_id) starts below hex '2' — an
+    * expected 1/8 holdout, reproducible on any cluster/retry/engine like
+    * [[CorpusOps.hashSampled]]), then a test doc LEAKS if its exact
+    * fingerprint also appears in the train split — the contamination
+    * every eval-set builder must rule out before trusting a benchmark.
+    *
+    * Scale shape: the split is a narrow filter on two branches of one
+    * scan (no shuffle to assign membership); the leak check is a
+    * left-semi join on the 16-byte fingerprint with the train side
+    * reduced to DISTINCT fingerprints first, so the shuffle carries
+    * hashes, never text. Rollup is sources-sized.
+    */
+  def splitLeakage(documents: DataFrame): DataFrame = {
+    val tagged = documents.select(col("source"),
+      fingerprint(col("text")).as("fp"),
+      (md5(concat(lit("split|"), col("doc_id"))) < "2").as("is_test"))
+    val train = tagged.filter(!col("is_test"))
+    val test = tagged.filter(col("is_test"))
+    val leaked = test.join(train.select("fp").distinct(), Seq("fp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_leaked"))
+    train.groupBy("source").agg(count(lit(1)).as("n_train"))
+      .join(test.groupBy("source").agg(count(lit(1)).as("n_test")), Seq("source"), "full")
+      .join(leaked, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .orderBy("source")
+  }
+
   /** Word k-shingles of the document text (k=3), truncating at the tail
     * like the slice semantics DuckDB shares; ≥1 shingle even for short
     * docs.
@@ -621,6 +652,7 @@ object Dedup extends QueryModule {
     "q73_chunk_dedup"    -> ((s, d) => chunkDedup(Tables(s, d).documents)),
     "q121_chunk_histogram" -> ((s, d) => chunkDupHistogram(Tables(s, d).documents)),
     "q134_dup_rate"      -> ((s, d) => dupRateBySource(Tables(s, d).documents)),
+    "q141_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
@@ -784,6 +816,20 @@ object Dedup extends QueryModule {
       """SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keeper_id,
                 count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q141_split_leakage" ->
+      """WITH tagged AS (SELECT source, md5(lower(trim(text))) AS fp,
+                                md5('split|' || doc_id) < '2' AS is_test
+                         FROM documents),
+              tr AS (SELECT source, count(*)::BIGINT AS n_train FROM tagged WHERE NOT is_test GROUP BY 1),
+              te AS (SELECT source, count(*)::BIGINT AS n_test FROM tagged WHERE is_test GROUP BY 1),
+              lk AS (SELECT source, count(*)::BIGINT AS n_leaked FROM tagged t
+                     WHERE is_test AND EXISTS (SELECT 1 FROM tagged x WHERE NOT x.is_test AND x.fp = t.fp)
+                     GROUP BY 1)
+         SELECT source,
+                coalesce(n_train, 0) AS n_train, coalesce(n_test, 0) AS n_test,
+                coalesce(n_leaked, 0) AS n_leaked
+         FROM tr FULL JOIN te USING (source) LEFT JOIN lk USING (source)
+         ORDER BY source""",
     "q134_dup_rate" ->
       """WITH f AS (SELECT source, md5(lower(trim(text))) AS fp FROM documents),
         |c AS (SELECT fp, count(*)::BIGINT AS n_copies FROM f GROUP BY 1)

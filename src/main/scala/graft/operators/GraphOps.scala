@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over the part co-purchase graph (parts are
+  * linked when they appear in the same order) — the graph the reference
+  * walks entity-by-entity (survey.py provenance chains), generalized to
+  * corpus-scale structure metrics: triangle census / clustering
+  * coefficient (how clumpy is co-occurrence) and PageRank centrality
+  * (which items anchor the graph).
+  *
+  * Scale design:
+  *  - Edges derive from ONE self-join co-partitioned on the order key —
+  *    the fan-out per order is bounded by items-per-order², never by
+  *    graph size.
+  *  - Triangles use DEGREE-ORDERED orientation: every edge points from
+  *    its (degree, id)-smaller endpoint, so per-node out-degree is
+  *    O(√m) and the wedge join touches Σ outdeg² ≪ Σ deg² pairs — the
+  *    standard bound that keeps the join finite on power-law graphs
+  *    where a naive id-ordered wedge join explodes on hub nodes.
+  *    (The count is orientation-invariant, so the oracle's naive
+  *    id-ordered triple join must agree exactly.)
+  *  - PageRank is FIXED-POINT INTEGER arithmetic (total mass 10^12,
+  *    contribution = rank div degree): sums of integers are
+  *    order-independent, so the result is bit-identical on any
+  *    partitioning, any engine — no float-summation drift — and the
+  *    iteration is pure join + hash-aggregate with NO driver-side
+  *    collect (unlike q129's TextRank, whose graph is model-sized by
+  *    construction; this one never leaves the cluster).
+  */
+object GraphOps extends QueryModule {
+
+  /** Distinct undirected co-purchase edges (u < v by part id). */
+  def copurchaseEdges(li: DataFrame): DataFrame = {
+    val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    items.as("a").join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
+  /** q142: triangle census + global clustering coefficient.
+    *
+    * Orientation total order is (degree, id); a triangle a≺b≺c is found
+    * exactly once, as the wedge (a→b, a→c) closed by b→c. The closure
+    * probe is a semi-join of wedge endpoints against the oriented edge
+    * list — hashes of int pairs, never payloads.
+    */
+  def triangleCensus(li: DataFrame): DataFrame = {
+    // materialize edges once: degree pass + orientation + closure probe
+    // all read it, and recomputing means re-running the order self-join
+    val edges = copurchaseEdges(li).localCheckpoint(true)
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint(true)
+    // wedge self-join with IDENTICAL subtrees on both sides, so the
+    // HashPartitioning(src) exchange is planned once and reused — the
+    // oriented edge list shuffles a single time, not twice
+    val wedges = oriented.alias("x").join(oriented.alias("y"),
+        col("x.src") === col("y.src") &&
+        (col("x.dd") < col("y.dd") ||
+         (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
+      .select(col("x.dst").as("b"), col("y.dst").as("c"))
+    // closure probe: broadcast the edge list (ints, ~m rows) so the
+    // Σ outdeg² wedge stream is filtered map-side and NEVER shuffles —
+    // the count is all that leaves the stage. If the edge list outgrows
+    // broadcast (≫10^8 edges), drop the hint and this degrades to a
+    // shuffled semi-join of (int, int) keys, still payload-free.
+    val closed = wedges.join(
+      broadcast(oriented.select(col("src").as("b"), col("dst").as("c"))),
+      Seq("b", "c"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes"),
+            sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("clustering"))
+  }
+
+  /** q143: PageRank centrality, `iters` fixed-point integer iterations
+    * (damping 85/100, total mass 10^12, per-node base mass folded in as
+    * (0.15·T) div n). Top `topN` parts by final rank, id tie-break.
+    *
+    * Per iteration: one join of the edge list to the current ranks on
+    * the source key, one hash aggregate to the destination key — the
+    * shuffle carries (int, long) pairs. Rank mass rounds DOWN at each
+    * div, which is exactly reproducible (and what the oracle unrolls).
+    */
+  def copurchaseRank(und: DataFrame, iters: Int = 3, topN: Int = 10): DataFrame = {
+    // edges pre-partitioned on the source key and checkpointed ONCE:
+    // every iteration's rank join is then co-partitioned (ranks come out
+    // of the previous groupBy("node") already hash-partitioned), so the
+    // only shuffle per iteration is the contribution aggregate itself
+    val edges = und.select(col("u").as("s"), col("v").as("dd"))
+      .unionAll(und.select(col("v").as("s"), col("u").as("dd")))
+      .repartition(col("s"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("nn"))
+    val meta = deg.crossJoin(broadcast(n))
+      .select(col("s").as("node"), col("deg"),
+        expr("150000000000 div nn").as("base"),
+        expr("1000000000000 div nn").as("rank"))
+      .localCheckpoint(true)
+    var ranks = meta.select("node", "rank")
+    for (_ <- 1 to iters) {
+      val inc = edges
+        .join(meta.select("node", "deg").join(ranks, "node"), col("s") === col("node"))
+        .select(col("dd").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inc"))
+      ranks = meta.select("node", "base")
+        .join(inc, Seq("node"), "left")
+        .select(col("node"), (col("base") + expr("(85 * coalesce(inc, 0)) div 100")).as("rank"))
+    }
+    ranks.select(col("node").as("part"), col("rank"))
+      .orderBy(col("rank").desc, col("part")).limit(topN)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
+    "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q142_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+              e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+              deg AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+              tri AS (SELECT count(*) AS t FROM e e1
+                      JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+                (SELECT t FROM tri)::BIGINT AS n_triangles,
+                round(3.0 * (SELECT t FROM tri) / (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS clustering""",
+    "q143_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+              p2 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+              e AS (SELECT u AS s, v AS dd FROM p2 UNION ALL SELECT v AS s, u AS dd FROM p2),
+              deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+              n AS (SELECT count(*) AS nn FROM deg),
+              meta AS (SELECT s AS node, deg, 150000000000 // nn AS base,
+                              1000000000000 // nn AS r FROM deg, n),
+              i1 AS (SELECT m.node, CAST(m.base + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+                     FROM meta m LEFT JOIN (
+                       SELECT e.dd AS node, sum(m2.r // m2.deg) AS inc
+                       FROM e JOIN meta m2 ON e.s = m2.node GROUP BY e.dd) x USING (node)),
+              i2 AS (SELECT m.node, CAST(m.base + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+                     FROM meta m LEFT JOIN (
+                       SELECT e.dd AS node, sum(r1.r // m2.deg) AS inc
+                       FROM e JOIN i1 r1 ON e.s = r1.node JOIN meta m2 ON e.s = m2.node GROUP BY e.dd) x USING (node)),
+              i3 AS (SELECT m.node, CAST(m.base + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+                     FROM meta m LEFT JOIN (
+                       SELECT e.dd AS node, sum(r2.r // m2.deg) AS inc
+                       FROM e JOIN i2 r2 ON e.s = r2.node JOIN meta m2 ON e.s = m2.node GROUP BY e.dd) x USING (node))
+         SELECT node AS part, r AS rank FROM i3
+         ORDER BY rank DESC, part LIMIT 10""",
+  )
+}

@@ -176,8 +176,47 @@ object RelationalReports extends QueryModule {
       .orderBy("l_orderkey")
   }
 
+  /** Multi-grain margins in ONE pass (§2.5 extension): detail rows,
+    * per-flag subtotals and the grand total from a single `rollup`.
+    * Spark compiles this to one Expand + one hash aggregate — each input
+    * row fans out to its 3 grouping sets BEFORE the only shuffle, so the
+    * subtotals cost no extra fact-table scan (vs 3 aggregations + union,
+    * which would read 100 TB three times). `grouping_id` disambiguates
+    * genuine group values from the rolled-up 'ALL' rows.
+    */
+  def marginRollup(li: DataFrame): DataFrame =
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("grp"),
+           count(lit(1)).as("n_rows"),
+           moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("ret_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+        col("grp"), col("n_rows"), col("revenue"))
+      .orderBy("grp", "ret_flag", "line_status")
+
+  /** Status pivot matrix (§2.5 extension): orders counted per
+    * (priority, status) reshaped to one row per priority. The pivot
+    * values are pinned (`Seq("F","O","P")`), so Spark compiles straight
+    * to conditional aggregation — one scan, one shuffle to 5 priority
+    * rows, NO extra distinct-values job and no wide-row hazard (an
+    * unpinned pivot would first run a collect to discover columns).
+    */
+  def statusPivot(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .withColumn("n_total", col("n_f") + col("n_o") + col("n_p"))
+      .orderBy("o_orderpriority")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_qc_metrics"        -> ((s, d) => qcMetrics(Tables(s, d).lineitem)),
+    "q139_margin_rollup"    -> ((s, d) => marginRollup(Tables(s, d).lineitem)),
+    "q140_status_pivot"     -> ((s, d) => statusPivot(Tables(s, d).orders)),
     "q01_pricing_summary"   -> ((s, d) => pricingSummary(Tables(s, d).lineitem)),
     "q02_status_counts"     -> ((s, d) => statusCounts(Tables(s, d).orders)),
     "q03_distinct_by_prio"  -> ((s, d) => distinctCustomersByPriority(Tables(s, d).orders)),
@@ -193,6 +232,22 @@ object RelationalReports extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q139_margin_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+                coalesce(l_linestatus, 'ALL') AS line_status,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp,
+                count(*) AS n_rows,
+                sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS revenue
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY grp, ret_flag, line_status""",
+    "q140_status_pivot" ->
+      """SELECT o_orderpriority, n_f, n_o, n_p, n_f + n_o + n_p AS n_total FROM (
+           SELECT o_orderpriority,
+                  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                  count(*) FILTER (o_orderstatus = 'P') AS n_p
+           FROM orders GROUP BY o_orderpriority)
+         ORDER BY o_orderpriority""",
     "q50_qc_metrics" ->
       """SELECT l_orderkey, n_genes, CAST(total_counts AS BIGINT) AS total_counts,
                 round(top_gene_count / total_counts, 4) AS pct_top_gene

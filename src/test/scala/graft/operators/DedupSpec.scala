@@ -220,6 +220,25 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._3).sum == 10L)
   }
 
+  test("splitLeakage flags a test doc whose text also lives in the train split") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    // derive the deterministic split assignment first, then plant one
+    // duplicate across it — no hardcoded md5 prefixes in the test
+    val ids = (1L to 64L).toDF("doc_id")
+      .withColumn("is_test", md5(concat(lit("split|"), col("doc_id"))) < "2")
+      .as[(Long, Boolean)].collect()
+    val testId = ids.find(_._2).get._1
+    val trainIds = ids.filterNot(_._2).map(_._1)
+    val docs = (
+      Seq((testId, "LEAKED text", "s1"), (trainIds.head, "leaked TEXT  ", "s1")) ++
+      trainIds.tail.map(i => (i, s"unique text $i", "s1")) ++
+      ids.filter(t => t._2 && t._1 != testId).map(t => (t._1, s"unique test ${t._1}", "s1"))
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.splitLeakage(docs).as[(String, Long, Long, Long)].head()
+    val nTest = ids.count(_._2).toLong
+    assert(got == (("s1", 64L - nTest, nTest, 1L))) // fingerprint ignores case/trim
+  }
+
   test("dupRateBySource counts cross-source duplication symmetrically") {
     val docs = Seq(
       (1L, "x", "s1"), (2L, "y", "s1"),   // s1's "x" duplicates s2's

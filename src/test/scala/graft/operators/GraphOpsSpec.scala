@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A known lineitem-shaped graph: order 10 makes K3 on parts {1,2,3}
+    * (1 triangle), order 11 repeats edge (1,2) (must dedup), order 12
+    * adds the pendant edge (3,4), order 13 makes K4 on {5,6,7,8}
+    * (4 triangles). Degrees: 1:2 2:2 3:3 4:1 5..8:3 → 17 wedges.
+    */
+  private def li = Seq(
+    (10L, 1L), (10L, 2L), (10L, 3L),
+    (11L, 1L), (11L, 2L),
+    (12L, 3L), (12L, 4L),
+    (13L, 5L), (13L, 6L), (13L, 7L), (13L, 8L),
+  ).toDF("l_orderkey", "l_partkey")
+
+  test("triangleCensus: hand-built graph with dup edges and a pendant") {
+    val got = GraphOps.triangleCensus(li)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((8L, 10L, 17L, 5L, 0.8824)))
+  }
+
+  test("triangleCensus matches a naive driver-side count (orientation invariance)") {
+    val edges = GraphOps.copurchaseEdges(li).as[(Long, Long)].collect().toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = (for {
+      a <- nodes; b <- nodes if a < b && edges((a, b))
+      c <- nodes if b < c && edges((b, c)) && edges((a, c))
+    } yield 1).size
+    val spark_ = GraphOps.triangleCensus(li).select("n_triangles").as[Long].head()
+    assert(spark_ == naive && naive == 5)
+  }
+
+  test("copurchaseRank equals an exact driver-side fixed-point reference") {
+    val und = GraphOps.copurchaseEdges(li)
+    val got = GraphOps.copurchaseRank(und, iters = 3, topN = 100)
+      .as[(Long, Long)].collect().toMap
+
+    // independent integer PageRank on the collected edge set
+    val pairs = und.as[(Long, Long)].collect().toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = adj.size
+    val base = 150000000000L / n
+    var r = adj.keys.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val inc = adj.toSeq.flatMap { case (u, vs) => vs.map(_ -> r(u) / vs.size) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = adj.keys.map(k => k -> (base + 85L * inc.getOrElse(k, 0L) / 100L)).toMap
+    }
+    assert(got == r)
+    // the K4 members out-rank the pendant node
+    assert(Seq(5L, 6L, 7L, 8L).map(got).min > got(4L))
+  }
+}

@@ -43,6 +43,33 @@ class RelationalReportsSpec extends SparkSpec {
     assert(got == Map("ALPHA" -> "mixed", "BETA" -> "AUTO"))
   }
 
+  test("marginRollup emits detail, subtotal and grand-total grains that reconcile") {
+    val li = Seq(
+      ("A", "F", 100.0, 0.0), ("A", "F", 50.0, 0.1),
+      ("A", "O", 10.0, 0.0),
+      ("R", "F", 20.0, 0.5),
+    ).toDF("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount")
+    val got = RelationalReports.marginRollup(li)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // revenue: A/F = 100 + 45 = 145, A/O = 10, R/F = 10
+    assert(got == Seq(
+      ("A", "F", 0L, 2L, 145.0), ("A", "O", 0L, 1L, 10.0), ("R", "F", 0L, 1L, 10.0),
+      ("A", "ALL", 1L, 3L, 155.0), ("R", "ALL", 1L, 1L, 10.0),
+      ("ALL", "ALL", 3L, 4L, 165.0)))
+    // grand total reconciles with the detail grain
+    assert(got.filter(_._3 == 0L).map(_._5).sum == got.find(_._3 == 3L).get._5)
+  }
+
+  test("statusPivot fills absent (priority, status) cells with zero") {
+    val ords = Seq(
+      ("1-URGENT", "F"), ("1-URGENT", "F"), ("1-URGENT", "O"),
+      ("5-LOW", "P"),
+    ).toDF("o_orderpriority", "o_orderstatus")
+    val got = RelationalReports.statusPivot(ords)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("1-URGENT", 2L, 1L, 0L, 3L), ("5-LOW", 0L, 0L, 1L, 1L)))
+  }
+
   test("pricingSummary has the full column contract and plausible values") {
     val got = RelationalReports.pricingSummary(graft.Tables(spark, sf("")).lineitem)
     assert(got.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty",
