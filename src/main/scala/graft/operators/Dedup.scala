@@ -87,6 +87,33 @@ object Dedup extends QueryModule {
       .orderBy("source")
   }
 
+  /** q144: blocked fuzzy record linkage over the part-name dictionary.
+    *
+    * The scale shape of record linkage: (1) reduce entities to the
+    * DISTINCT-name dictionary first (the fuzzy comparison universe is
+    * names, not rows — here 64 names stand for 20k parts; at 100 TB,
+    * millions of names for billions of rows), carrying each name's
+    * entity count; (2) self-join the dictionary only WITHIN a blocking
+    * key (the trailing token), so candidate pairs are Σ block² over
+    * dictionary-sized blocks, never |entities|²; (3) keep pairs within
+    * `maxDist` edit distance. Multiplicities ride along, so "how many
+    * entity pairs does this link cover" is n_a·n_b downstream.
+    */
+  def fuzzyNameLinkage(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_entities"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("block"), col("name").as("name_a"), col("n_entities").as("n_a"))
+    val b = names.select(col("block"), col("name").as("name_b"), col("n_entities").as("n_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("block"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy("block", "name_a", "name_b")
+  }
+
   /** Word k-shingles of the document text (k=3), truncating at the tail
     * like the slice semantics DuckDB shares; ≥1 shingle even for short
     * docs.
@@ -653,6 +680,7 @@ object Dedup extends QueryModule {
     "q121_chunk_histogram" -> ((s, d) => chunkDupHistogram(Tables(s, d).documents)),
     "q134_dup_rate"      -> ((s, d) => dupRateBySource(Tables(s, d).documents)),
     "q141_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
+    "q144_fuzzy_linkage" -> ((s, d) => fuzzyNameLinkage(Tables(s, d).part)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
@@ -816,6 +844,16 @@ object Dedup extends QueryModule {
       """SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keeper_id,
                 count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q144_fuzzy_linkage" ->
+      """WITH names AS (SELECT p_name AS name, count(*)::BIGINT AS n_entities,
+                               split_part(p_name, ' ', -1) AS block
+                        FROM part GROUP BY p_name)
+         SELECT a.block, a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+                a.n_entities AS n_a, b.n_entities AS n_b
+         FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 3
+         ORDER BY block, name_a, name_b""",
     "q141_split_leakage" ->
       """WITH tagged AS (SELECT source, md5(lower(trim(text))) AS fp,
                                 md5('split|' || doc_id) < '2' AS is_test

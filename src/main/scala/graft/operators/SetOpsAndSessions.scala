@@ -438,6 +438,101 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** q146: gaps-and-islands per user — runs of consecutive active days
+    * (islands) and the silences between them (gaps), the classic
+    * retention-quality profile that [[cohortRetention]]'s matrix can't
+    * see (a user active on days 1 and 28 is not "retained for a month").
+    *
+    * The island key is the textbook trick: day_index − row_number is
+    * constant within a consecutive run, so islands fall out of ONE
+    * narrow window over distinct (user, day) pairs — no self-join, no
+    * spine table. Gaps derive from island boundaries (lead(start) −
+    * end − 1) over the islands-sized frame. Both windows partition by
+    * user, so they parallelize across the user key space; everything is
+    * exact integer day arithmetic.
+    */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"), max(col("day")).as("end"))
+    val iw = Window.partitionBy("user_id").orderBy("start")
+    islands
+      .withColumn("gap", lead(col("start"), 1).over(iw) - col("end") - 1)
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_run"),
+        coalesce(max(col("gap")), lit(0L)).cast("long").as("longest_gap"))
+      .orderBy("user_id")
+  }
+
+  /** q147: day-of-week seasonality with a chi-square uniformity score
+    * per event type. The χ² numerator stays EXACT INTEGER by
+    * cross-multiplying (Σ(7·n_d − T)² over the dense 7-cell grid — a
+    * zero-count weekday contributes T², which is why the grid must be
+    * densified with a literal spine, not just the observed cells);
+    * the single division happens once at the end. Day-of-week is epoch
+    * arithmetic (days-since-1970 mod 7), immune to engine locale/
+    * first-day-of-week conventions.
+    */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    val counts = events.select(col("event_type"),
+        (datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")) % 7).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val dense = counts.select("event_type").distinct()
+      .select(col("event_type"), explode(sequence(lit(0), lit(6))).as("dow"))
+      .join(counts, Seq("event_type", "dow"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val totals = dense.groupBy("event_type").agg(sum(col("n")).as("total"))
+    dense.join(totals, Seq("event_type"))
+      .withColumn("dev", lit(7L) * col("n") - col("total"))
+      .groupBy("event_type")
+      .agg(max(col("total")).as("total"), sum(col("dev") * col("dev")).as("chi2_num"))
+      .select(col("event_type"), col("total"),
+        round(col("chi2_num") / (lit(7.0) * col("total")), 4).as("chi2"))
+      .orderBy("event_type")
+  }
+
+  /** q148: A/B experiment read-out — users hash-split into two arms
+    * (md5, deterministic and engine-portable like the corpus samplers),
+    * conversion = "user emitted `convType` at least once", compared
+    * with a pooled two-proportion z-test. Counts are exact integers;
+    * the z statistic is ONE identical arithmetic expression on both
+    * engines (single sqrt, single division), rounded to 4.
+    *
+    * Scale shape: arm assignment is a narrow hash on the distinct-user
+    * frame; conversion is a left-semi-shaped join on the user key; the
+    * z-test runs on a 1-row frame.
+    */
+  def abTestReport(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val users = events.select("user_id").distinct()
+      .withColumn("arm",
+        when(md5(concat(lit("ab|"), col("user_id"))) < "8", lit("A")).otherwise(lit("B")))
+    val conv = events.filter(col("event_type") === convType)
+      .select("user_id").distinct().withColumn("converted", lit(1L))
+    val byArm = users.join(conv, Seq("user_id"), "left")
+      .groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(coalesce(col("converted"), lit(0L))).as("c"))
+    val one = byArm.agg(
+      sum(when(col("arm") === "A", col("n"))).as("n_a"),
+      sum(when(col("arm") === "A", col("c"))).as("conv_a"),
+      sum(when(col("arm") === "B", col("n"))).as("n_b"),
+      sum(when(col("arm") === "B", col("c"))).as("conv_b"))
+    one.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(col("conv_a") / col("n_a"), 4).as("rate_a"),
+      round(col("conv_b") / col("n_b"), 4).as("rate_b"),
+      round(
+        (col("conv_a") / col("n_a") - col("conv_b") / col("n_b")) /
+        sqrt(((col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+          * (lit(1) - (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_survey_report"  -> ((s, d) => surveyReport(Tables(s, d).orders)),
     "q39_segment_sets"   -> ((s, d) => { val t = Tables(s, d); segmentSets(t.customer, t.nation) }),
@@ -454,9 +549,58 @@ object SetOpsAndSessions extends QueryModule {
     "q130_assoc_rules"        -> ((s, d) => associationRules(Tables(s, d).events)),
     "q135_cohort_retention"   -> ((s, d) => cohortRetention(Tables(s, d).events)),
     "q137_mad_outliers"       -> ((s, d) => madOutliers(Tables(s, d).events)),
+    "q146_activity_islands"   -> ((s, d) => activityIslands(Tables(s, d).events)),
+    "q147_dow_seasonality"    -> ((s, d) => dowSeasonality(Tables(s, d).events)),
+    "q148_ab_test"            -> ((s, d) => abTestReport(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q146_activity_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day FROM events),
+              isl AS (SELECT user_id, day, day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM days),
+              islands AS (SELECT user_id, grp, count(*)::BIGINT AS len,
+                                 min(day) AS istart, max(day) AS iend
+                          FROM isl GROUP BY user_id, grp),
+              g AS (SELECT user_id, len,
+                           lead(istart) OVER (PARTITION BY user_id ORDER BY istart) - iend - 1 AS gap
+                    FROM islands)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days, count(*)::BIGINT AS n_islands,
+                CAST(max(len) AS BIGINT) AS longest_run,
+                CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "q147_dow_seasonality" ->
+      """WITH counts AS (SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow,
+                                count(*)::BIGINT AS n
+                         FROM events GROUP BY 1, 2),
+              dense AS (SELECT t.event_type, d.dow, coalesce(c.n, 0) AS n
+                        FROM (SELECT DISTINCT event_type FROM counts) t
+                        CROSS JOIN (SELECT CAST(range AS INT) AS dow FROM range(7)) d
+                        LEFT JOIN counts c ON c.event_type = t.event_type AND c.dow = d.dow),
+              tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM dense GROUP BY 1)
+         SELECT e.event_type, total,
+                round(CAST(sum((7 * n - total) * (7 * n - total)) AS DOUBLE) / (7.0 * total), 4) AS chi2
+         FROM dense e JOIN tot USING (event_type)
+         GROUP BY e.event_type, total ORDER BY event_type""",
+    "q148_ab_test" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+              arms AS (SELECT user_id, CASE WHEN md5('ab|' || user_id) < '8' THEN 'A' ELSE 'B' END AS arm
+                       FROM users),
+              conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+              by_arm AS (SELECT arm, count(*)::BIGINT AS n,
+                                coalesce(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 END), 0)::BIGINT AS c
+                         FROM arms a LEFT JOIN conv c USING (user_id) GROUP BY arm),
+              one AS (SELECT CAST(sum(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+                             CAST(sum(CASE WHEN arm = 'A' THEN c END) AS BIGINT) AS conv_a,
+                             CAST(sum(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+                             CAST(sum(CASE WHEN arm = 'B' THEN c END) AS BIGINT) AS conv_b
+                      FROM by_arm)
+         SELECT n_a, conv_a, n_b, conv_b,
+                round(conv_a / n_a, 4) AS rate_a,
+                round(conv_b / n_b, 4) AS rate_b,
+                round((conv_a / n_a - conv_b / n_b) /
+                      sqrt(((conv_a + conv_b) / (n_a + n_b)) * (1 - (conv_a + conv_b) / (n_a + n_b))
+                           * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+         FROM one""",
     // two explicit (vl+vu)/2 median passes; identical double flag expr
     "q137_mad_outliers" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events),

@@ -151,7 +151,37 @@ object Validation extends QueryModule {
            round(avg(col("n_bpe_tokens")), 4).as("avg_bpe_tokens"))
       .orderBy("lang")
 
+  /** q145: header-vs-detail reconciliation — the accounting audit that
+    * every header/detail pair needs: does each order's stored total
+    * equal the sum of its line charges? Exact integer cents on both
+    * sides (floor(x·100 + ½)), so "mismatch" means a genuine break,
+    * never float noise. Childless headers are their own bucket (a real
+    * referential break, not a zero-total match).
+    *
+    * Scale shape: the detail side collapses to per-order cents BEFORE
+    * the join (map-side combined aggregation), then one co-partitioned
+    * join on the order key; the rollup is status-sized.
+    */
+  def orderReconciliation(orders: DataFrame, li: DataFrame): DataFrame = {
+    val charges = li.groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * (lit(1) + col("l_tax")) * 100 + lit(0.5)).cast("long")).as("charge_cents"))
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("total_cents"))
+      .join(charges, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("charge_cents").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("charge_cents") === col("total_cents"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("charge_cents").isNotNull && col("charge_cents") =!= col("total_cents"), 1L)
+          .otherwise(0L)).as("n_mismatch"),
+        max(when(col("charge_cents").isNotNull,
+          abs(col("charge_cents") - col("total_cents"))).otherwise(lit(0L))).as("max_abs_diff_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_reconciliation" -> ((s, d) => { val t = Tables(s, d); orderReconciliation(t.orders, t.lineitem) }),
     "q46_error_diagnostics" -> ((s, d) => errorDiagnostics(Tables(s, d).events)),
     "q49_bpe_tokens"        -> ((s, d) => bpeTokenStats(Tables(s, d).documents)),
     "q32_doc_constraints" -> ((s, d) => documentConstraints(Tables(s, d).documents)),
@@ -173,6 +203,20 @@ object Validation extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q145_reconciliation" ->
+      """WITH charges AS (
+           SELECT l_orderkey,
+                  CAST(sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)) AS BIGINT) AS charge_cents
+           FROM lineitem GROUP BY l_orderkey),
+         j AS (SELECT o_orderstatus,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, charge_cents
+               FROM orders LEFT JOIN charges ON o_orderkey = l_orderkey)
+         SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(coalesce(sum(CASE WHEN charge_cents IS NULL THEN 1 END), 0) AS BIGINT) AS n_no_lines,
+                CAST(coalesce(sum(CASE WHEN charge_cents = total_cents THEN 1 END), 0) AS BIGINT) AS n_match,
+                CAST(coalesce(sum(CASE WHEN charge_cents IS NOT NULL AND charge_cents <> total_cents THEN 1 END), 0) AS BIGINT) AS n_mismatch,
+                CAST(max(CASE WHEN charge_cents IS NOT NULL THEN abs(charge_cents - total_cents) ELSE 0 END) AS BIGINT) AS max_abs_diff_cents
+         FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q138_table_profile" -> tableProfileSql(Seq(
       "o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")),
