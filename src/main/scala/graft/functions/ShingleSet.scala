@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * same rationale as [[MinHashMd5]].
   */
 case class ShingleSet(child: Expression, k: Int, stride: Int = 1,
-                      distinct: Boolean = true) extends UnaryExpression {
+                      distinct: Boolean = true, exact: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -34,11 +35,11 @@ case class ShingleSet(child: Expression, k: Int, stride: Int = 1,
     }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleSet.evalText(input.asInstanceOf[UTF8String], k, stride, distinct)
+    ShingleSet.evalText(input.asInstanceOf[UTF8String], k, stride, distinct, exact)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShingleSet.evalText($c, $k, $stride, $distinct)")
+      s"graft.functions.ShingleSet.evalText($c, $k, $stride, $distinct, $exact)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
@@ -57,6 +58,19 @@ object ShingleSet {
   def shingleWindows(text: Column, k: Int, stride: Int = 1): Column =
     GraftGlue.column(ShingleSet(GraftGlue.expression(text), k, stride, distinct = false))
 
+  /** Full windows ONLY — a doc shorter than `k` words yields an empty
+    * array instead of one truncated window. This is what makes
+    * multi-width single-scan matching sound (q75): a full `k`-window
+    * carries exactly `k−1` separator spaces (words contain none), so
+    * full windows are string-partitioned by width and widths can be
+    * unioned into ONE explode without cross-width collisions — whereas
+    * a truncated width-k window of an n<k-word doc has n−1 spaces and
+    * WOULD collide with genuine width-n windows.
+    */
+  def shingleWindowsExact(text: Column, k: Int, stride: Int = 1): Column =
+    GraftGlue.column(ShingleSet(GraftGlue.expression(text), k, stride,
+      distinct = false, exact = true))
+
   /** Static kernel shared by interpreted eval and generated code. Never
     * null for non-null input: even empty text yields one (empty)
     * shingle, matching `sequence(1, greatest(n-k+1, 1), stride)`.
@@ -64,9 +78,10 @@ object ShingleSet {
     * `array_distinct`; `false` emits every window.
     */
   def evalText(text: UTF8String, k: Int, stride: Int = 1,
-               distinct: Boolean = true): ArrayData = {
+               distinct: Boolean = true, exact: Boolean = false): ArrayData = {
     val words = text.toString.split(" ", -1)
     val n = words.length
+    if (exact && n < k) return new GenericArrayData(Array.empty[Any])
     val nShingles = math.max(n - k + 1, 1)
     val acc: java.util.Collection[String] =
       if (distinct) new java.util.LinkedHashSet[String](math.min(nShingles * 2, 1 << 16))

@@ -572,17 +572,40 @@ object Dedup extends QueryModule {
     // corpus windows at each short benchmark length (at most
     // chunkWords-1 distinct widths; the driver-side collect is bounded
     // by that constant, not by data).
-    val benchLens = benchmark
-      .select(least(size(split(col("text"), " ")), lit(chunkWords)).as("len"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val matches = benchLens.map { len =>
-      val benchSide = benchmark.filter(
-        least(size(split(col("text"), " ")), lit(chunkWords)) === len)
-      val benchChunks = chunkHashes(benchSide, len, stride)
-        .select("chunk_hash").distinct()
-      chunkHashes(corpus, len, stride).join(broadcast(benchChunks), "chunk_hash")
-    }
-    matches.reduce(_ unionByName _)
+    //
+    // All widths ride in ONE corpus pass: full width-w windows carry
+    // exactly w−1 separator spaces, so they are string-partitioned by
+    // width (see [[graft.functions.ShingleSet.shingleWindowsExact]])
+    // and a single explode over the unioned width set joins identically
+    // to per-width passes — truncated windows, which never space-count-
+    // match any same-width bench chunk, are dropped rather than
+    // re-scanned per width. 3 scans total (bounded width collect +
+    // bench + corpus) independent of how many widths the benchmark
+    // spans; at 100 TB the corpus pass is the only one that matters
+    // and it stays at exactly one.
+    val cappedLen = least(size(split(col("text"), " ")), lit(chunkWords))
+    val benchLens = benchmark.select(cappedLen.as("len"))
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+    if (benchLens.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_contaminated_chunks"))
+        .limit(0)
+    // per-width gate on the bench side (a long doc must NOT contribute
+    // short windows — only docs whose capped length IS that width do),
+    // all widths in one projection
+    val benchChunks = benchmark
+      .select(explode(flatten(array(benchLens.map(len =>
+        when(cappedLen === len,
+          graft.functions.ShingleSet.shingleWindowsExact(col("text"), len, stride))
+          .otherwise(typedLit(Seq.empty[String]))): _*))).as("chunk"))
+      .select(md5(col("chunk")).as("chunk_hash")).distinct()
+    val corpusChunks = corpus
+      .select(col("doc_id"),
+        explode(flatten(array(benchLens.map(len =>
+          graft.functions.ShingleSet.shingleWindowsExact(col("text"), len, stride)): _*)))
+          .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
+    corpusChunks.join(broadcast(benchChunks), "chunk_hash")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_chunks"))
       .orderBy("doc_id")
@@ -853,7 +876,7 @@ object Dedup extends QueryModule {
                 a.n_entities AS n_a, b.n_entities AS n_b
          FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 3
-         ORDER BY block, name_a, name_b""",
+         ORDER BY a.block, name_a, name_b""",
     "q141_split_leakage" ->
       """WITH tagged AS (SELECT source, md5(lower(trim(text))) AS fp,
                                 md5('split|' || doc_id) < '2' AS is_test

@@ -500,37 +500,43 @@ object SetOpsAndSessions extends QueryModule {
 
   /** q148: A/B experiment read-out — users hash-split into two arms
     * (md5, deterministic and engine-portable like the corpus samplers),
-    * conversion = "user emitted `convType` at least once", compared
-    * with a pooled two-proportion z-test. Counts are exact integers;
-    * the z statistic is ONE identical arithmetic expression on both
-    * engines (single sqrt, single division), rounded to 4.
+    * conversion = "`convType` makes up at least 1/4 of the user's
+    * events" (exact integer compare `4·c ≥ t`, so the definition is
+    * scale-invariant: on synthetic data where every user eventually
+    * emits every event type, mere presence converges to 100% as SF
+    * grows and the pooled z-test degenerates to 0/0 — a share
+    * threshold keeps real variation at every SF). Compared with a
+    * pooled two-proportion z-test; counts are exact integers; the z
+    * statistic is ONE identical arithmetic expression on both engines
+    * (single sqrt, single division), rounded to 4, with the p∈{0,1}
+    * degenerate denominator nulled rather than ANSI-faulted.
     *
-    * Scale shape: arm assignment is a narrow hash on the distinct-user
-    * frame; conversion is a left-semi-shaped join on the user key; the
-    * z-test runs on a 1-row frame.
+    * Scale shape: conversion and arm assignment ride ONE groupBy on
+    * the user key (no join at all — the flag is an aggregate over the
+    * user's own events); the z-test runs on a 1-row frame.
     */
   def abTestReport(events: DataFrame, convType: String = "purchase"): DataFrame = {
-    val users = events.select("user_id").distinct()
-      .withColumn("arm",
-        when(md5(concat(lit("ab|"), col("user_id"))) < "8", lit("A")).otherwise(lit("B")))
-    val conv = events.filter(col("event_type") === convType)
-      .select("user_id").distinct().withColumn("converted", lit(1L))
-    val byArm = users.join(conv, Seq("user_id"), "left")
-      .groupBy("arm").agg(count(lit(1)).as("n"),
-        sum(coalesce(col("converted"), lit(0L))).as("c"))
+    val users = events.groupBy("user_id").agg(
+        count(lit(1)).as("t"),
+        sum(when(col("event_type") === convType, 1L).otherwise(0L)).as("cv"))
+      .select(
+        when(md5(concat(lit("ab|"), col("user_id"))) < "8", lit("A")).otherwise(lit("B")).as("arm"),
+        when(col("cv") * 4 >= col("t"), 1L).otherwise(0L).as("converted"))
+    val byArm = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
     val one = byArm.agg(
       sum(when(col("arm") === "A", col("n"))).as("n_a"),
       sum(when(col("arm") === "A", col("c"))).as("conv_a"),
       sum(when(col("arm") === "B", col("n"))).as("n_b"),
       sum(when(col("arm") === "B", col("c"))).as("conv_b"))
+    val p = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    val den = sqrt(p * (lit(1) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
     one.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
       round(col("conv_a") / col("n_a"), 4).as("rate_a"),
       round(col("conv_b") / col("n_b"), 4).as("rate_b"),
       round(
         (col("conv_a") / col("n_a") - col("conv_b") / col("n_b")) /
-        sqrt(((col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
-          * (lit(1) - (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
-          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
+          when(den === 0, lit(null)).otherwise(den), 4).as("z"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -582,13 +588,14 @@ object SetOpsAndSessions extends QueryModule {
          FROM dense e JOIN tot USING (event_type)
          GROUP BY e.event_type, total ORDER BY event_type""",
     "q148_ab_test" ->
-      """WITH users AS (SELECT DISTINCT user_id FROM events),
-              arms AS (SELECT user_id, CASE WHEN md5('ab|' || user_id) < '8' THEN 'A' ELSE 'B' END AS arm
-                       FROM users),
-              conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
-              by_arm AS (SELECT arm, count(*)::BIGINT AS n,
-                                coalesce(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 END), 0)::BIGINT AS c
-                         FROM arms a LEFT JOIN conv c USING (user_id) GROUP BY arm),
+      """WITH per_user AS (SELECT user_id, count(*)::BIGINT AS t,
+                                  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)::BIGINT AS cv
+                           FROM events GROUP BY user_id),
+              users AS (SELECT CASE WHEN md5('ab|' || user_id) < '8' THEN 'A' ELSE 'B' END AS arm,
+                               CASE WHEN cv * 4 >= t THEN 1 ELSE 0 END::BIGINT AS converted
+                        FROM per_user),
+              by_arm AS (SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS c
+                         FROM users GROUP BY arm),
               one AS (SELECT CAST(sum(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
                              CAST(sum(CASE WHEN arm = 'A' THEN c END) AS BIGINT) AS conv_a,
                              CAST(sum(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
@@ -598,8 +605,8 @@ object SetOpsAndSessions extends QueryModule {
                 round(conv_a / n_a, 4) AS rate_a,
                 round(conv_b / n_b, 4) AS rate_b,
                 round((conv_a / n_a - conv_b / n_b) /
-                      sqrt(((conv_a + conv_b) / (n_a + n_b)) * (1 - (conv_a + conv_b) / (n_a + n_b))
-                           * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+                      nullif(sqrt(((conv_a + conv_b) / (n_a + n_b)) * (1 - (conv_a + conv_b) / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z
          FROM one""",
     // two explicit (vl+vu)/2 median passes; identical double flag expr
     "q137_mad_outliers" ->

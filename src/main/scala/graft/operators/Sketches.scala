@@ -50,7 +50,7 @@ object Sketches extends QueryModule {
   def hllDistinct(documents: DataFrame): DataFrame = {
     val t = toks(documents)
     val h = t.select(col("source"), hash60("hll", col("w")).as("v"))
-      .select(col("source"), (col("v") % 64).as("bucket"), (col("v") / 64).cast("long").as("rest"))
+      .select(col("source"), (col("v") % 64).as("bucket"), expr("v div 64").as("rest"))
     val rank = when(col("rest") === 0, lit(55))
       .otherwise(lit(55) - length(bin(col("rest")))).cast("int")
     val regs = h.select(col("source"), col("bucket"), rank.as("r"))

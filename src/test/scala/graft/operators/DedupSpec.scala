@@ -94,6 +94,44 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == Set(1L))
   }
 
+  test("shingleWindowsExact drops docs shorter than the window (no truncated fallback)") {
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.ShingleSet.shingleWindowsExact(col("text"), 3).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).isEmpty)              // 2 words < k=3 -> NO truncated window
+    assert(got(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("single-scan multi-width decontaminate equals the per-width reference loop") {
+    // randomized: the width-partition argument (full w-window = exactly w-1
+    // separator spaces) must make ONE union-of-widths corpus pass join
+    // identically to a per-width loop, including empty words / short docs
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "", "dd")
+    def text() = (0 until (1 + rnd.nextInt(9))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bench = (100L until 112L).map(i => (i, text())).toDF("doc_id", "text")
+    val corpus = (0L until 60L).map(i => (i, text())).toDF("doc_id", "text")
+    val chunkWords = 4
+    // reference: the pre-round-6 per-width implementation, verbatim
+    val cappedLen = least(size(split(col("text"), " ")), lit(chunkWords))
+    val lens = bench.select(cappedLen.as("len")).distinct().collect().map(_.getInt(0))
+    def chunks(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.select(col("doc_id"), explode(
+          graft.functions.ShingleSet.shingleWindows(col("text"), k)).as("c"))
+        .select(col("doc_id"), md5(col("c")).as("chunk_hash"))
+    val expected = lens.toIndexedSeq.map { len =>
+        val bc = chunks(bench.filter(cappedLen === len), len).select("chunk_hash").distinct()
+        chunks(corpus, len).join(bc, "chunk_hash")
+      }.reduce(_ unionByName _)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.decontaminate(corpus, bench, chunkWords)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.nonEmpty) // fixture actually exercises the join
+  }
+
   test("exactDedup groups case/whitespace-insensitive duplicates") {
     val docs = Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "other"))
       .toDF("doc_id", "text")

@@ -169,4 +169,41 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     // flat: MAD 0 -> the single deviating value flags
     assert(got("flat") == (("flat", 4L, 5.0, 0.0, 1L, 0.25)))
   }
+
+  test("abTestReport: share-threshold conversion, arm split, pooled z hand-checked") {
+    def arm(uid: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$uid".getBytes("UTF-8"))
+      if (d.map("%02x".format(_)).mkString < "8") "A" else "B"
+    }
+    // 8 users; conversion = purchases make up >= 1/4 of the user's events.
+    // converted users emit (purchase, view) [2*4 >= ... share 1/2]; the
+    // rest emit (purchase, view, view, view, view) [share 1/5 < 1/4].
+    val users = (1L to 8L)
+    val converted = users.filter(_ % 2 == 0).toSet
+    val rows = users.flatMap { u =>
+      if (converted(u)) Seq((u, "purchase"), (u, "view"))
+      else Seq((u, "purchase"), (u, "view"), (u, "view"), (u, "view"), (u, "view"))
+    }.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+    val r = SetOpsAndSessions.abTestReport(rows)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])].head()
+    val (nA, nB) = (users.count(arm(_) == "A").toLong, users.count(arm(_) == "B").toLong)
+    val (cA, cB) = (converted.count(arm(_) == "A").toLong, converted.count(arm(_) == "B").toLong)
+    assert((r._1, r._2, r._3, r._4) == ((nA, cA, nB, cB)))
+    assert(r._5 == math.round(cA.toDouble / nA * 1e4) / 1e4)
+    val p = (cA + cB).toDouble / (nA + nB)
+    val z = (cA.toDouble / nA - cB.toDouble / nB) /
+      math.sqrt(p * (1 - p) * (1.0 / nA + 1.0 / nB))
+    assert(r._7.isDefined && math.abs(r._7.get - z) < 1e-3)
+  }
+
+  test("abTestReport: degenerate 100%-conversion pool yields NULL z, not a fault") {
+    val rows = (1L to 6L).map(u => (u, u, "purchase"))
+      .toDF("event_id", "user_id", "event_type")
+    val r = SetOpsAndSessions.abTestReport(rows)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])].head()
+    assert(r._2 == r._1 && r._4 == r._3) // everyone converts (share 1.0)
+    assert(r._7.isEmpty)                 // p=1 -> sqrt(0) denominator -> null z
+  }
 }

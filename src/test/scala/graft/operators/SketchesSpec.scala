@@ -28,7 +28,7 @@ class SketchesSpec extends SparkSpec {
       val t = df.select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
         .select(col("source"),
           conv(substring(md5(concat(lit("hll|"), col("w"))), 1, 15), 16, 10).cast("long").as("v"))
-        .select(col("source"), (col("v") % 64).as("bucket"), (col("v") / 64).cast("long").as("rest"))
+        .select(col("source"), (col("v") % 64).as("bucket"), expr("v div 64").as("rest"))
       t.select(col("source"), col("bucket"),
           when(col("rest") === 0, lit(55)).otherwise(lit(55) - length(bin(col("rest")))).cast("int").as("r"))
         .groupBy("source", "bucket").agg(max("r").as("r"))
