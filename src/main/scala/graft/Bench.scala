@@ -50,7 +50,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink full-plan execution; r1 used count(), which let Catalyst prune unaggregated projections"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink full-plan execution; r1 used count(), which let Catalyst prune unaggregated projections"}"""
+    println(json)
+    // the one-line stdout contract stands, but a 146-query map exceeds
+    // some log-tail captures — persist the same line to a file so
+    // per-query history survives stdout truncation
+    try {
+      val out = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING could not write target/bench_full.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

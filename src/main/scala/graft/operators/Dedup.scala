@@ -631,7 +631,8 @@ object Dedup extends QueryModule {
     * Output contract matches [[connectedComponents]]: (id, label) per
     * node appearing in an edge, label = component min.
     */
-  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25,
+                              checkpointDir: Option[String] = None): DataFrame = {
     // m(u) via groupBy + join-back rather than an unbounded window:
     // min() gets map-side partial aggregation (a 10^8-degree hub
     // combines locally instead of sorting its whole neighbor list in
@@ -668,8 +669,9 @@ object Dedup extends QueryModule {
       // an exponential tree that kills the planner long before data
       // does. Iterative graph algorithms checkpoint per round for
       // exactly this reason; the payload is only the shrinking edge
-      // list, not corpus-sized state.
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // list, not corpus-sized state. checkpointDir upgrades the cut to
+      // a fault-tolerant store for long cluster runs (Checkpoints.cut).
+      val next = graft.plans.Checkpoints.cut(smallStar(largeStar(edges)), checkpointDir)
       // stability check folded into one aggregation — a changed round
       // can't collide on BOTH count and xor-of-hashes (bit_xor, not sum:
       // summing full-range hashes overflows under ANSI)

@@ -46,10 +46,14 @@ object GraphOps extends QueryModule {
     * probe is a semi-join of wedge endpoints against the oriented edge
     * list — hashes of int pairs, never payloads.
     */
-  def triangleCensus(li: DataFrame): DataFrame = {
+  def triangleCensus(li: DataFrame,
+                     checkpointDir: Option[String] = None,
+                     broadcastEdgeLimit: Long = 20000000L): DataFrame = {
     // materialize edges once: degree pass + orientation + closure probe
-    // all read it, and recomputing means re-running the order self-join
-    val edges = copurchaseEdges(li).localCheckpoint(true)
+    // all read it, and recomputing means re-running the order self-join.
+    // checkpointDir switches the lineage cut from executor-local to a
+    // fault-tolerant store (see graft.plans.Checkpoints).
+    val edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = edges
@@ -60,23 +64,28 @@ object GraphOps extends QueryModule {
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
-      .localCheckpoint(true)
+    val orientedCut = graft.plans.Checkpoints.cut(oriented, checkpointDir)
     // wedge self-join with IDENTICAL subtrees on both sides, so the
     // HashPartitioning(src) exchange is planned once and reused — the
     // oriented edge list shuffles a single time, not twice
-    val wedges = oriented.alias("x").join(oriented.alias("y"),
+    val wedges = orientedCut.alias("x").join(orientedCut.alias("y"),
         col("x.src") === col("y.src") &&
         (col("x.dd") < col("y.dd") ||
          (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
       .select(col("x.dst").as("b"), col("y.dst").as("c"))
     // closure probe: broadcast the edge list (ints, ~m rows) so the
     // Σ outdeg² wedge stream is filtered map-side and NEVER shuffles —
-    // the count is all that leaves the stage. If the edge list outgrows
-    // broadcast (≫10^8 edges), drop the hint and this degrades to a
-    // shuffled semi-join of (int, int) keys, still payload-free.
-    val closed = wedges.join(
-      broadcast(oriented.select(col("src").as("b"), col("dst").as("c"))),
-      Seq("b", "c"), "left_semi")
+    // the count is all that leaves the stage. The switch is AUTOMATIC:
+    // edges are already materialized, so counting them is a cheap scan
+    // of checkpointed blocks, and past `broadcastEdgeLimit` (driver +
+    // executor memory is the real bound, ~16 B raw per edge before
+    // HashedRelation overhead) the probe degrades to a shuffled
+    // semi-join of (int, int) keys, still payload-free.
+    val probe = orientedCut.select(col("src").as("b"), col("dst").as("c"))
+    val closed =
+      if (edges.count() <= broadcastEdgeLimit)
+        wedges.join(broadcast(probe), Seq("b", "c"), "left_semi")
+      else wedges.join(probe, Seq("b", "c"), "left_semi")
     deg.agg(count(lit(1)).as("n_nodes"),
             sum(expr("d * (d - 1) div 2")).as("n_wedges"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
@@ -94,29 +103,30 @@ object GraphOps extends QueryModule {
     * shuffle carries (int, long) pairs. Rank mass rounds DOWN at each
     * div, which is exactly reproducible (and what the oracle unrolls).
     */
-  def copurchaseRank(und: DataFrame, iters: Int = 3, topN: Int = 10): DataFrame = {
+  def copurchaseRank(und: DataFrame, iters: Int = 3, topN: Int = 10,
+                     checkpointDir: Option[String] = None): DataFrame = {
     // edges pre-partitioned on the source key and checkpointed ONCE:
     // every iteration's rank join is then co-partitioned (ranks come out
     // of the previous groupBy("node") already hash-partitioned), so the
     // only shuffle per iteration is the contribution aggregate itself
-    val edges = und.select(col("u").as("s"), col("v").as("dd"))
-      .unionAll(und.select(col("v").as("s"), col("u").as("dd")))
-      .repartition(col("s"))
-      .localCheckpoint(true)
+    val edges = graft.plans.Checkpoints.cut(
+      und.select(col("u").as("s"), col("v").as("dd"))
+        .unionAll(und.select(col("v").as("s"), col("u").as("dd")))
+        .repartition(col("s")), checkpointDir)
     val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("nn"))
     val meta = deg.crossJoin(broadcast(n))
       .select(col("s").as("node"), col("deg"),
         expr("150000000000 div nn").as("base"),
         expr("1000000000000 div nn").as("rank"))
-      .localCheckpoint(true)
-    var ranks = meta.select("node", "rank")
+    val metaCut = graft.plans.Checkpoints.cut(meta, checkpointDir)
+    var ranks = metaCut.select("node", "rank")
     for (_ <- 1 to iters) {
       val inc = edges
-        .join(meta.select("node", "deg").join(ranks, "node"), col("s") === col("node"))
+        .join(metaCut.select("node", "deg").join(ranks, "node"), col("s") === col("node"))
         .select(col("dd").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("inc"))
-      ranks = meta.select("node", "base")
+      ranks = metaCut.select("node", "base")
         .join(inc, Seq("node"), "left")
         .select(col("node"), (col("base") + expr("(85 * coalesce(inc, 0)) div 100")).as("rank"))
     }

@@ -55,4 +55,31 @@ class GraphOpsSpec extends SparkSpec {
     // the K4 members out-rank the pendant node
     assert(Seq(5L, 6L, 7L, 8L).map(got).min > got(4L))
   }
+
+  test("reliable checkpointDir path agrees with the localCheckpoint default") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val viaReliable = GraphOps.triangleCensus(li, checkpointDir = Some(dir))
+      .as[(Long, Long, Long, Long, Double)].head()
+    val viaLocal = GraphOps.triangleCensus(li)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(viaReliable == viaLocal)
+    val undirected = GraphOps.copurchaseEdges(li)
+    val rankReliable = GraphOps.copurchaseRank(undirected, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val rankLocal = GraphOps.copurchaseRank(undirected).as[(Long, Long)].collect().toMap
+    assert(rankReliable == rankLocal)
+    val ccEdges = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("l", "r")
+    val ccReliable = Dedup.connectedComponentsStar(ccEdges, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toSet
+    val ccLocal = Dedup.connectedComponentsStar(ccEdges).as[(Long, Long)].collect().toSet
+    assert(ccReliable == ccLocal)
+    // reliable mode actually wrote RDD checkpoints to the requested store
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0)
+  }
+
+  test("closure probe degrades to a shuffled semi-join past broadcastEdgeLimit") {
+    val got = GraphOps.triangleCensus(li, broadcastEdgeLimit = 0L)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((8L, 10L, 17L, 5L, 0.8824)))
+  }
 }
