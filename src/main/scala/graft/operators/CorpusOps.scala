@@ -345,7 +345,68 @@ object CorpusOps extends QueryModule {
       .orderBy("lang")
   }
 
+  /** q151: source concentration — HHI (Σ share², the antitrust metric
+    * repurposed for corpus mixing: 1/HHI is the "effective number of
+    * sources") and the Gini coefficient over per-source doc counts,
+    * plus the top-1 share. A mixture whose HHI drifts up is quietly
+    * becoming one source's corpus — the alarm wired to q82's weights.
+    *
+    * Determinism: counts are exact integers; Gini uses the discrete
+    * formula 2·Σ(i·cᵢ)/(n·N) − (n+1)/n over the ASCENDING (count,
+    * source)-sorted counts, ties broken by name. The window runs on the
+    * post-aggregation sources-sized frame (20 rows), not the corpus —
+    * the single-partition window is bounded by source cardinality.
+    */
+  def sourceConcentration(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("c"))
+    val ranked = counts.select(col("source"), col("c"),
+      row_number().over(Window.orderBy(col("c"), col("source"))).as("i"))
+    ranked.agg(
+        count(lit(1)).as("n_sources"), sum("c").as("n_docs"),
+        sum(expr("c * c")).as("s2"), sum(expr("i * c")).as("sic"),
+        max("c").as("cmax"))
+      .select(col("n_sources"), col("n_docs"),
+        round(col("s2").cast("double") / (col("n_docs") * col("n_docs")), 4).as("hhi"),
+        round(lit(2.0) * col("sic") / (col("n_sources") * col("n_docs"))
+          - (col("n_sources") + 1).cast("double") / col("n_sources"), 4).as("gini"),
+        round(col("cmax").cast("double") / col("n_docs"), 4).as("top1_share"))
+  }
+
+  /** q152: m-out-of-n bootstrap CI for the corpus mean length — `reps`
+    * deterministic half-samples (replicate r keeps a doc iff
+    * md5(r|doc_id) < '8', the q66 sampler shape salted by replicate),
+    * each yielding an exact-integer-sum mean; the CI is the 5th/95th
+    * percentile of the replicate means, selected by rank (no engine
+    * percentile function, no interpolation ambiguity).
+    *
+    * Scale shape: the explode is a R× map-side row multiplier that
+    * immediately collapses into R partial sums per partition (map-side
+    * combine) — the shuffle carries R rows per partition, not R× the
+    * corpus. R is the cost/precision knob. The rank selection runs on
+    * an R-row frame.
+    */
+  def bootstrapMeanCI(documents: DataFrame, reps: Int = 48): DataFrame = {
+    val means = documents
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .filter(md5(concat(col("rep").cast("string"), lit("|"), col("doc_id"))) < "8")
+      .groupBy("rep").agg(sum("n_chars").as("s"), count(lit(1)).as("m"))
+      .select(col("rep"), (col("s") / col("m")).as("mean"))
+    val ranked = means.select(col("mean"),
+      row_number().over(Window.orderBy(col("mean"), col("rep"))).as("i"))
+    val lo = math.max(1, math.ceil(0.05 * reps).toInt)
+    val hi = math.ceil(0.95 * reps).toInt
+    documents.agg(count(lit(1)).as("n_docs"),
+        (sum("n_chars") / count(lit(1))).as("point"))
+      .crossJoin(broadcast(ranked.filter(col("i") === lo).select(col("mean").as("ci_lo"))))
+      .crossJoin(broadcast(ranked.filter(col("i") === hi).select(col("mean").as("ci_hi"))))
+      .select(col("n_docs"), round(col("point"), 4).as("mean_nchars"),
+        round(col("ci_lo"), 4).as("ci_lo"), round(col("ci_hi"), 4).as("ci_hi"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_concentration" -> ((s, d) => sourceConcentration(Tables(s, d).documents)),
+    "q152_bootstrap_ci"  -> ((s, d) => bootstrapMeanCI(Tables(s, d).documents)),
     "q117_source_overlap" -> ((s, d) => sourceOverlapMatrix(Tables(s, d).documents)),
     "q119_quasi_id_audit" -> ((s, d) => quasiIdentifierAudit(Tables(s, d).documents)),
     "q89_source_cap"    -> ((s, d) => perSourceCap(Tables(s, d).documents)),
@@ -360,6 +421,32 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q151_concentration" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, source) AS i FROM c),
+        |m AS (SELECT count(*)::BIGINT AS n_sources, sum(c)::BIGINT AS n_docs,
+        |             sum(c * c)::BIGINT AS s2, sum(i * c)::BIGINT AS sic,
+        |             max(c)::BIGINT AS cmax
+        |      FROM r)
+        |SELECT n_sources, n_docs,
+        |       round(s2 / CAST(n_docs * n_docs AS DOUBLE), 4) AS hhi,
+        |       round((2.0 * sic) / (n_sources * n_docs)
+        |             - (n_sources + 1) / CAST(n_sources AS DOUBLE), 4) AS gini,
+        |       round(cmax / CAST(n_docs AS DOUBLE), 4) AS top1_share
+        |FROM m""".stripMargin,
+    "q152_bootstrap_ci" ->
+      """WITH reps AS (SELECT unnest(range(0, 48)) AS rep),
+        |sampled AS (SELECT rep, n_chars FROM documents, reps
+        |            WHERE md5(rep || '|' || doc_id) < '8'),
+        |means AS (SELECT rep, sum(n_chars) / count(*) AS mean
+        |          FROM sampled GROUP BY rep),
+        |ranked AS (SELECT mean, row_number() OVER (ORDER BY mean, rep) AS i FROM means),
+        |full_ AS (SELECT count(*)::BIGINT AS n_docs, sum(n_chars) / count(*) AS point
+        |          FROM documents)
+        |SELECT n_docs, round(point, 4) AS mean_nchars,
+        |       round((SELECT mean FROM ranked WHERE i = 3), 4) AS ci_lo,
+        |       round((SELECT mean FROM ranked WHERE i = 46), 4) AS ci_hi
+        |FROM full_""".stripMargin,
     // integer bucket keys (floor-div band), integer rollups
     "q119_quasi_id_audit" ->
       """WITH b AS (

@@ -611,6 +611,95 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** q155: train→test n-gram novelty — the inverse of [[decontaminate]]:
+    * per held-out doc, what fraction of its `k`-gram windows never
+    * occur anywhere in the training split. Low novelty = the test set
+    * is largely memorizable from train; the per-doc rate is the
+    * doc-level selection signal (keep the novel ones).
+    *
+    * Scale shape: the train gram set is CORPUS-sized, so no broadcast —
+    * test grams anti-join train grams on the 128-bit hash, ONE shuffle
+    * keyed by gram hash carrying (hash, doc_id) pairs only; the per-doc
+    * rollup rides the test side's own (tiny) key space.
+    */
+  def ngramNovelty(documents: DataFrame, k: Int = 4): DataFrame = {
+    val grams = chunkHashes(documents, k, 1)
+    val test = grams.filter(col("doc_id") % 11 === 0)
+    val train = grams.filter(col("doc_id") % 11 =!= 0).select("chunk_hash").distinct()
+    val novel = test.join(train, Seq("chunk_hash"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    test.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_rate", round(col("n_novel") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** q156: duplication SPAN coverage — not how many chunks repeat
+    * (q73/q121) but how much of each document's token span is covered
+    * by chunks that also occur in some other document: overlapping
+    * shared-window intervals [off, off+k) are merged per doc (the
+    * gaps-and-islands pattern) and the union length is reported as a
+    * coverage rate. This is the per-doc "how much of me is boilerplate/
+    * copy" metric that drives span-level (vs doc-level) dedup decisions.
+    *
+    * Scale shape: shared-chunk detection is one groupBy on the chunk
+    * hash (map-side combined); the interval merge is a per-doc window
+    * bounded by the doc's own window count, never corpus-wide. Exact
+    * integer arithmetic end to end.
+    */
+  def dedupSpanCoverage(documents: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        posexplode(graft.functions.ShingleSet.shingleWindows(col("text"), k)))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("off"),
+        md5(col("col")).as("ch"))
+    val shared = h.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1).select("ch")
+    val hits = h.join(shared, "ch")
+      .select(col("doc_id"), col("n_tokens"), col("off"),
+        least(col("off") + k, col("n_tokens")).as("end"))
+    val w = Window.partitionBy("doc_id").orderBy("off")
+    val prevEnd = max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("ni", when(prevEnd.isNull || col("off") > prevEnd, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy("doc_id", "n_tokens", "island")
+      .agg((max("end") - min("off")).as("covered"))
+    islands.groupBy("doc_id", "n_tokens")
+      .agg(sum("covered").as("covered_tokens"))
+      .withColumn("coverage", round(col("covered_tokens") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** q158: sorted-adjacent prefix duplicates — the lightweight cousin of
+    * suffix-array dedup (Lee et al. 2022 sort the corpus and compare
+    * neighbors; so does this, for prefixes): docs sharing their first
+    * `prefixLen` characters land adjacent under a lexicographic sort,
+    * so ONE window pass emits every consecutive pair. Because equal
+    * `prefixLen`-prefixes imply an equal `bucketLen`-prefix, the sort
+    * is partitioned by the short bucket key — no global sort, no
+    * recall loss, and a chain of m prefix-equal docs reports exactly
+    * m−1 pairs (pairs, not the quadratic clique).
+    */
+  def prefixNearDupPairs(documents: DataFrame, prefixLen: Int = 50,
+                         bucketLen: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = documents.select(col("doc_id"),
+      substring(col("text"), 1, bucketLen).as("bucket"),
+      substring(col("text"), 1, prefixLen).as("p"))
+    val w = Window.partitionBy("bucket").orderBy(col("p"), col("doc_id"))
+    s.select(col("doc_id"), col("p"),
+        lag(col("doc_id"), 1).over(w).as("prev_id"),
+        lag(col("p"), 1).over(w).as("prev_p"))
+      .filter(col("prev_p") === col("p") && length(col("p")) === prefixLen)
+      .select(col("prev_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("p").as("shared_prefix"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Connected components by the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — O(log n) rounds on ANY graph shape, vs min-label
@@ -706,6 +795,9 @@ object Dedup extends QueryModule {
     "q134_dup_rate"      -> ((s, d) => dupRateBySource(Tables(s, d).documents)),
     "q141_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
     "q144_fuzzy_linkage" -> ((s, d) => fuzzyNameLinkage(Tables(s, d).part)),
+    "q155_ngram_novelty" -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
+    "q156_span_coverage" -> ((s, d) => dedupSpanCoverage(Tables(s, d).documents)),
+    "q158_prefix_pairs"  -> ((s, d) => prefixNearDupPairs(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
@@ -977,6 +1069,45 @@ object Dedup extends QueryModule {
         |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_doc
         |FROM h GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
+    "q155_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, greatest(len(ws) - 4 + 1, 1), 1)) AS o, ws FROM w),
+        |h AS (SELECT doc_id, md5(array_to_string(ws[o+1:o+4], ' ')) AS ch FROM c),
+        |tr AS (SELECT DISTINCT ch FROM h WHERE doc_id % 11 <> 0),
+        |te AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM h WHERE doc_id % 11 = 0 GROUP BY 1),
+        |nv AS (SELECT doc_id, count(*)::BIGINT AS n_novel FROM h
+        |       WHERE doc_id % 11 = 0 AND ch NOT IN (SELECT ch FROM tr) GROUP BY 1)
+        |SELECT doc_id, n_grams, coalesce(n_novel, 0) AS n_novel,
+        |       round(coalesce(n_novel, 0) / n_grams::DOUBLE, 4) AS novelty_rate
+        |FROM te LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q156_span_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |             unnest(range(0, greatest(len(ws) - 4 + 1, 1), 1)) AS o, ws FROM w),
+        |h AS (SELECT doc_id, n_tokens, CAST(o AS BIGINT) AS o,
+        |             least(o + 4, n_tokens) AS e,
+        |             md5(array_to_string(ws[o+1:o+4], ' ')) AS ch FROM c),
+        |g AS (SELECT ch FROM h GROUP BY ch HAVING count(DISTINCT doc_id) > 1),
+        |hits AS (SELECT doc_id, n_tokens, o, e FROM h JOIN g USING (ch)),
+        |fl AS (SELECT doc_id, n_tokens, o, e,
+        |        CASE WHEN max(e) OVER pw IS NULL OR o > max(e) OVER pw THEN 1 ELSE 0 END AS ni
+        |       FROM hits
+        |       WINDOW pw AS (PARTITION BY doc_id ORDER BY o
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (SELECT doc_id, n_tokens, o, e,
+        |               sum(ni) OVER (PARTITION BY doc_id ORDER BY o) AS island FROM fl),
+        |per AS (SELECT doc_id, n_tokens, island, max(e) - min(o) AS covered
+        |        FROM isl GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens, CAST(sum(covered) AS BIGINT) AS covered_tokens,
+        |       round(sum(covered) / n_tokens::DOUBLE, 4) AS coverage
+        |FROM per GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "q158_prefix_pairs" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 50) AS p FROM documents),
+        |l AS (SELECT doc_id, p,
+        |             lag(doc_id) OVER pw AS prev_id, lag(p) OVER pw AS prev_p
+        |      FROM s WINDOW pw AS (PARTITION BY substring(p, 1, 16) ORDER BY p, doc_id))
+        |SELECT prev_id AS doc_a, doc_id AS doc_b, p AS shared_prefix
+        |FROM l WHERE prev_p = p AND length(p) = 50 ORDER BY doc_a, doc_b""".stripMargin,
     "q75_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |chunks AS (

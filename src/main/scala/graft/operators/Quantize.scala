@@ -103,12 +103,65 @@ object Quantize extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** q157: per-DIMENSION embedding health — the column-wise transpose
+    * of q96's per-vector view: for every coordinate, exact-integer
+    * mean/variance (values floor-scaled to micro-units first, so the
+    * moments are order-independent integer sums — the q122 convention
+    * applied to floats), min/max, and the dead-rate (exact-zero
+    * fraction). Dead or near-constant dimensions mean the encoder
+    * collapsed; variance drift between snapshots means the embedding
+    * space moved and ANN indexes (q59) need retraining.
+    *
+    * Scale shape: posexplode is a dim× row multiplier that collapses
+    * immediately into a dims-sized hash aggregate with map-side
+    * partials — the shuffle carries (dim, moments) rows, never the
+    * exploded stream. (int64 moment sums need decimal widening past
+    * ~10^6 vectors × |v|≈1 — the q122 note.)
+    */
+  def embeddingDimHealth(embeddings: DataFrame,
+                         vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings
+      .select(posexplode(col(vecCol)))
+      .select(col("pos").as("dim"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("u"))
+    e.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum("u").as("su"), sum(expr("u * u")).as("suu"),
+        min("u").as("minu"), max("u").as("maxu"),
+        sum(when(col("u") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n"),
+        round(col("su") / col("n") / lit(1000000.0), 6).as("mean"),
+        round((col("suu") / col("n") - (col("su") / col("n")) * (col("su") / col("n")))
+          / lit(1000000.0) / lit(1000000.0), 6).as("variance"),
+        round(col("minu") / lit(1000000.0), 6).as("vmin"),
+        round(col("maxu") / lit(1000000.0), 6).as("vmax"),
+        round(col("n_zero") / col("n").cast("double"), 4).as("dead_rate"))
+      .orderBy("dim")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_quantize_stats" -> ((s, d) => quantizeStats(Tables(s, d).embeddings)),
     "q96_standardize_stats" -> ((s, d) => standardizedStats(Tables(s, d).embeddings)),
+    "q157_dim_health" -> ((s, d) => embeddingDimHealth(Tables(s, d).embeddings)),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q157_dim_health" ->
+      """WITH e AS (SELECT unnest(range(len(embedding))) AS dim,
+        |                  unnest(embedding) AS v
+        |           FROM embeddings),
+        |u AS (SELECT dim, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS u FROM e),
+        |m AS (SELECT dim, count(*)::BIGINT AS n, sum(u)::BIGINT AS su,
+        |             sum(u * u)::BIGINT AS suu, min(u) AS minu, max(u) AS maxu,
+        |             sum(CASE WHEN u = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+        |      FROM u GROUP BY dim)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        |       round(su / n / 1000000.0, 6) AS mean,
+        |       round((suu / n - (su / n) * (su / n)) / 1000000.0 / 1000000.0, 6) AS variance,
+        |       round(minu / 1000000.0, 6) AS vmin,
+        |       round(maxu / 1000000.0, 6) AS vmax,
+        |       round(n_zero / CAST(n AS DOUBLE), 4) AS dead_rate
+        |FROM m ORDER BY dim""".stripMargin,
     "q55_quantize_stats" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -539,7 +539,58 @@ object SetOpsAndSessions extends QueryModule {
           when(den === 0, lit(null)).otherwise(den), 4).as("z"))
   }
 
+  /** q149: CUPED variance reduction on top of q148's arm split
+    * (Deng et al. 2013, "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data"): covariate x = the
+    * user's event count in the FIRST half of the observed span, metric
+    * y = the count in the second half. θ = cov(x,y)/var(x) is estimated
+    * POOLED (the standard form), and the arm effect is reported raw and
+    * CUPED-adjusted: Δ_cuped = Δ_y − θ·Δ_x.
+    *
+    * Determinism: x and y are integer counts; every Pearson moment is
+    * an exact integer sum (q122 convention), θ and the deltas are
+    * closed-form doubles over those sums, rounded once. Degenerate
+    * var(x) = 0 reports NULL θ/Δ_cuped rather than an ANSI fault.
+    *
+    * Scale shape: the span midpoint is a 1-row broadcast; per-user
+    * counts are ONE groupBy over the fact table; everything after runs
+    * on a users-sized frame and the final z is a 1-row reduce.
+    */
+  def cupedAbTest(events: DataFrame): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long")
+    val days = events.select(day.as("day"))
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("mid"))
+    val perUser = events.select(col("user_id"), day.as("day"))
+      .crossJoin(broadcast(days))
+      .groupBy("user_id").agg(
+        sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(md5(concat(lit("ab|"), col("user_id"))) < "8", lit("A")).otherwise(lit("B")))
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("x"))).as("sx_a"),
+      sum(when(col("arm") === "A", col("y"))).as("sy_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("x"))).as("sx_b"),
+      sum(when(col("arm") === "B", col("y"))).as("sy_b"))
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val covXY = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val theta = covXY / when(varX === 0d, lit(null)).otherwise(varX)
+    val dX = col("sx_b") / col("n_b") - col("sx_a") / col("n_a")
+    val dY = col("sy_b") / col("n_b") - col("sy_a") / col("n_a")
+    m.select(col("n_a"), col("n_b"),
+      round(theta, 4).as("theta"),
+      round(dY, 4).as("diff_raw"),
+      round(dY - theta * dX, 4).as("diff_cuped"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_cuped"         -> ((s, d) => cupedAbTest(Tables(s, d).events)),
     "q51_survey_report"  -> ((s, d) => surveyReport(Tables(s, d).orders)),
     "q39_segment_sets"   -> ((s, d) => { val t = Tables(s, d); segmentSets(t.customer, t.nation) }),
     "q40_session_durations" -> ((s, d) => sessionDurations(Tables(s, d).events)),
@@ -587,6 +638,30 @@ object SetOpsAndSessions extends QueryModule {
                 round(CAST(sum((7 * n - total) * (7 * n - total)) AS DOUBLE) / (7.0 * total), 4) AS chi2
          FROM dense e JOIN tot USING (event_type)
          GROUP BY e.event_type, total ORDER BY event_type""",
+    "q149_cuped" ->
+      """WITH d AS (SELECT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day FROM events),
+        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+        |pu AS (SELECT user_id,
+        |              sum(CASE WHEN day < mid THEN 1 ELSE 0 END)::BIGINT AS x,
+        |              sum(CASE WHEN day >= mid THEN 1 ELSE 0 END)::BIGINT AS y
+        |       FROM d, mid GROUP BY user_id),
+        |a AS (SELECT CASE WHEN md5('ab|' || user_id) < '8' THEN 'A' ELSE 'B' END AS arm, x, y FROM pu),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |             sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
+        |             sum(CASE WHEN arm='A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |             sum(CASE WHEN arm='A' THEN x END)::BIGINT AS sx_a,
+        |             sum(CASE WHEN arm='A' THEN y END)::BIGINT AS sy_a,
+        |             sum(CASE WHEN arm='B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |             sum(CASE WHEN arm='B' THEN x END)::BIGINT AS sx_b,
+        |             sum(CASE WHEN arm='B' THEN y END)::BIGINT AS sy_b
+        |      FROM a)
+        |SELECT n_a, n_b,
+        |       round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0)::DOUBLE, 4) AS theta,
+        |       round(sy_b/n_b::DOUBLE - sy_a/n_a::DOUBLE, 4) AS diff_raw,
+        |       round((sy_b/n_b::DOUBLE - sy_a/n_a::DOUBLE)
+        |             - ((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0)::DOUBLE)
+        |               * (sx_b/n_b::DOUBLE - sx_a/n_a::DOUBLE), 4) AS diff_cuped
+        |FROM m""".stripMargin,
     "q148_ab_test" ->
       """WITH per_user AS (SELECT user_id, count(*)::BIGINT AS t,
                                   coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)::BIGINT AS cv

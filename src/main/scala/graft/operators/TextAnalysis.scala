@@ -415,6 +415,94 @@ object TextAnalysis extends QueryModule {
       .orderBy("source")
   }
 
+  /** q153: calibration audit of a heuristic quality signal against a
+    * ground-truth-ish label (reliability-diagram bins, the input to ECE
+    * — Guo et al. 2017): confidence = the stopword-density score
+    * y = ⌊stops·10⁴/n_tokens⌋ (integer-scaled, q122 convention), label
+    * = "document is long" (n_chars ≥ 250). Per decile bin: count, mean
+    * confidence, empirical positive rate, and the |conf − acc| gap.
+    * A well-calibrated signal has gap ≈ 0 everywhere; the per-bin rows
+    * ARE the reliability diagram, and ECE is their n-weighted gap sum.
+    *
+    * One narrow pass + a 10-row rollup; every moment an exact integer.
+    */
+  def calibrationBins(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stops = size(filter(toks, w => w === "the" || w === "a")).cast("long")
+    val rows = documents.select(stops.as("stops"), nTok.as("nt"),
+        when(col("n_chars") >= 250, 1L).otherwise(0L).as("pos"))
+      .select(least(expr("(stops * 10000L) div nt"), lit(9999L)).as("y"), col("pos"))
+    rows.select(expr("y div 1000").as("bin"), col("y"), col("pos"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum("y").as("sy"), sum("pos").as("n_pos"))
+      .select(col("bin"), col("n_docs"),
+        round(col("sy") / col("n_docs") / lit(10000.0), 4).as("conf"),
+        round(col("n_pos") / col("n_docs").cast("double"), 4).as("acc"),
+        round(abs(col("sy") / col("n_docs") / lit(10000.0)
+          - col("n_pos") / col("n_docs").cast("double")), 4).as("gap"))
+      .orderBy("bin")
+  }
+
+  /** q154: label-agreement audit (Cohen's κ) between the STORED `lang`
+    * column and the re-derived q23 heuristic, both collapsed to the
+    * binary "is English" call — the annotator-agreement check a
+    * labeling pipeline runs before trusting either rater. κ corrects
+    * raw agreement for chance: κ = (p_o − p_e)/(1 − p_e) from the 2×2
+    * confusion counts, all exact integers from ONE narrow pass.
+    */
+  def labelAgreementKappa(documents: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, w => ws.map(s => w === s).reduce(_ || _))).cast("long")
+    val en = hits(Seq("the", "a", "and"))
+    val es = hits(Seq("el", "la", "los"))
+    val de = hits(Seq("der", "die", "und"))
+    val fr = hits(Seq("le", "les", "des"))
+    val predEn = en >= es && en >= de && en >= fr && en > 0
+    val m = documents.select(
+        (col("lang") === "en").as("ra"), predEn.as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+    val po = (col("n11") + col("n00")).cast("double") / col("n")
+    val pe = (((col("n11") + col("n10")) * (col("n11") + col("n01"))
+      + (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double")
+      / (col("n") * col("n")))
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 4).as("p_observed"),
+      round(pe, 4).as("p_expected"),
+      round((po - pe) / when(pe === 1d, lit(null)).otherwise(lit(1d) - pe), 4).as("kappa"))
+  }
+
+  /** q150: Hill tail-index estimator over document lengths (Hill 1975;
+    * the standard check that a corpus' length distribution is power-law
+    * and HOW heavy — α ≈ 1–2 means a few giant documents dominate token
+    * mass, which drives shard packing (q67) and length caps (q89)):
+    * αˆ = k / Σ_{i≤k} ln(x_(i)/x_(k)) over the top-k order statistics.
+    *
+    * Scale shape: the top-k is `orderBy(...).limit(k)` which Spark
+    * plans as TakeOrderedAndProject — per-partition heaps + driver
+    * merge of k rows, NO global sort shuffle. Ties at the boundary are
+    * broken by doc_id so the selected set (and thus the estimate) is
+    * deterministic on both engines. The log-sum is 100 doubles — drift
+    * is ~1e-14 against a 1e-4 rounding, the q105 precedent.
+    */
+  def hillTailIndex(documents: DataFrame, k: Int = 100): DataFrame = {
+    val top = documents.select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").desc).limit(k)
+    top.agg(count(lit(1)).as("k"), min("n_chars").as("x_k"),
+        sum(log(col("n_chars").cast("double"))).as("slog"))
+      .select(col("k"), col("x_k"),
+        round(col("k").cast("double") /
+          when(col("slog") - col("k") * log(col("x_k").cast("double")) === 0d, lit(null))
+            .otherwise(col("slog") - col("k") * log(col("x_k").cast("double"))), 4)
+          .as("alpha_hill"))
+  }
+
   /** q123: tokenizer fertility per source — subword-ish tokens (the q49
     * letter-run/digit-run BPE approximation) per whitespace word, plus
     * chars per subword. THE corpus-budgeting conversion factor: a
@@ -478,6 +566,9 @@ object TextAnalysis extends QueryModule {
     "q109_readability"  -> ((s, d) => readability(Tables(s, d).documents)),
     "q122_len_quality_corr" -> ((s, d) => lengthQualityCorrelation(Tables(s, d).documents)),
     "q123_fertility"    -> ((s, d) => tokenizerFertility(Tables(s, d).documents)),
+    "q150_hill_tail"    -> ((s, d) => hillTailIndex(Tables(s, d).documents)),
+    "q153_calibration"  -> ((s, d) => calibrationBins(Tables(s, d).documents)),
+    "q154_rater_kappa"  -> ((s, d) => labelAgreementKappa(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -693,6 +784,49 @@ object TextAnalysis extends QueryModule {
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                  CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS BIGINT) AS stops
                FROM documents) ORDER BY doc_id""",
+    "q153_calibration" ->
+      """WITH t AS (SELECT least((len(list_filter(string_split(text, ' '),
+        |                          w -> w = 'the' OR w = 'a')) * 10000)
+        |                        // len(string_split(text, ' ')), 9999) AS y,
+        |                  CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS pos
+        |           FROM documents),
+        |b AS (SELECT y // 1000 AS bin, count(*)::BIGINT AS n_docs,
+        |             sum(y)::BIGINT AS sy, sum(pos)::BIGINT AS n_pos
+        |      FROM t GROUP BY 1)
+        |SELECT bin, n_docs,
+        |       round(sy / n_docs / 10000.0, 4) AS conf,
+        |       round(n_pos / CAST(n_docs AS DOUBLE), 4) AS acc,
+        |       round(abs(sy / n_docs / 10000.0 - n_pos / CAST(n_docs AS DOUBLE)), 4) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
+    "q154_rater_kappa" ->
+      """WITH h AS (SELECT lang = 'en' AS ra,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) AS en,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los'))) AS es,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und'))) AS de,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des'))) AS fr
+        |           FROM documents),
+        |r AS (SELECT ra, (en >= es AND en >= de AND en >= fr AND en > 0) AS rb FROM h),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |             sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END)::BIGINT AS n11,
+        |             sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |             sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)::BIGINT AS n01,
+        |             sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)::BIGINT AS n00
+        |      FROM r)
+        |SELECT n, n11, n10, n01, n00,
+        |       round((n11 + n00) / CAST(n AS DOUBLE), 4) AS p_observed,
+        |       round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |             / CAST(n * n AS DOUBLE), 4) AS p_expected,
+        |       round(((n11 + n00) / CAST(n AS DOUBLE)
+        |               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / CAST(n * n AS DOUBLE))
+        |             / nullif(1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / CAST(n * n AS DOUBLE), 0), 4) AS kappa
+        |FROM m""".stripMargin,
+    "q150_hill_tail" ->
+      """WITH top AS (SELECT n_chars FROM documents
+        |             ORDER BY n_chars DESC, doc_id DESC LIMIT 100)
+        |SELECT count(*)::BIGINT AS k, min(n_chars) AS x_k,
+        |       round(count(*) / nullif(sum(ln(n_chars)) - count(*) * ln(min(n_chars)), 0), 4)
+        |         AS alpha_hill
+        |FROM top""".stripMargin,
     "q23_langid" ->
       """SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
            SELECT doc_id, lang,

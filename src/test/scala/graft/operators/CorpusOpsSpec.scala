@@ -145,4 +145,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.lengthDriftKs(mono)
       .select("ks_d").as[Double].collect().toSeq == Seq(0.0))
   }
+  test("sourceConcentration: hand-computed HHI/Gini on known counts") {
+    // counts a:1 b:3 -> N=4. HHI = (1+9)/16 = .625. Ascending (1,3):
+    // gini = 2*(1*1+2*3)/(2*4) - 3/2 = 14/8 - 1.5 = 0.25. top1 = .75
+    val docs = (Seq.fill(1)("a") ++ Seq.fill(3)("b")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val got = CorpusOps.sourceConcentration(docs)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((2L, 4L, 0.625, 0.25, 0.75)))
+  }
+
+  test("sourceConcentration: uniform sources -> gini 0, hhi 1/n") {
+    val docs = (0L until 40L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val got = CorpusOps.sourceConcentration(docs)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((4L, 40L, 0.25, 0.0, 0.25)))
+  }
+
+  test("bootstrapMeanCI: deterministic, ordered, and centered") {
+    val docs = (1L to 400L).map(i => (i, 100L + (i % 50))).toDF("doc_id", "n_chars")
+    val a = CorpusOps.bootstrapMeanCI(docs).as[(Long, Double, Double, Double)].head()
+    val b = CorpusOps.bootstrapMeanCI(docs).as[(Long, Double, Double, Double)].head()
+    assert(a == b)                       // hash replicates: no RNG anywhere
+    assert(a._1 == 400L)
+    assert(a._3 <= a._2 && a._2 <= a._4) // lo <= point <= hi on a benign fixture
+    assert(a._4 - a._3 < 10)             // half-samples of n=400: tight interval
+  }
+
 }

@@ -132,6 +132,61 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // fixture actually exercises the join
   }
 
+  test("ngramNovelty: held-out doc counts exactly its train-unseen 4-grams") {
+    // doc 11 (test: 11 % 11 == 0): "a b c d e" -> grams "a b c d","b c d e".
+    // train doc 1 contains "a b c d" -> 1 seen, 1 novel. doc 22 all-novel.
+    val docs = Seq(
+      (1L, "x y a b c d z w q r"),
+      (2L, "completely different train text here now ok"),
+      (11L, "a b c d e"),
+      (22L, "nothing shared at all here")).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs)
+      .as[(Long, Long, Long, Double)].collect().map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(got(11L) == ((2L, 1L, 0.5)))
+    assert(got(22L) == ((2L, 2L, 1.0)))
+  }
+
+  test("dedupSpanCoverage merges OVERLAPPING shared windows without double counting") {
+    // docs 1 and 2 share the 6-token run "a b c d e f": doc 1 offsets 0,1,2
+    // are shared windows ([0,4),[1,5),[2,6) -> union [0,6) = 6 tokens of 8),
+    // and its tail "x y" contributes nothing. doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f x y"),
+      (2L, "q a b c d e f r"),
+      (3L, "totally unrelated text with no shared span")).toDF("doc_id", "text")
+    val got = Dedup.dedupSpanCoverage(docs)
+      .as[(Long, Long, Long, Double)].collect().map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(got(1L) == ((8L, 6L, 0.75)))
+    assert(got(2L) == ((8L, 6L, 0.75)))
+    assert(!got.contains(3L))
+  }
+
+  test("dedupSpanCoverage: disjoint islands sum, gap stays uncovered") {
+    // "a b c d" shared at offset 0 ([0,4)) and offset 8 ([8,12)) with a
+    // 4-token gap -> covered 8 of 12
+    val docs = Seq(
+      (1L, "a b c d g1 g2 g3 g4 a b c d"),
+      (2L, "a b c d other stuff entirely here")).toDF("doc_id", "text")
+    val got = Dedup.dedupSpanCoverage(docs)
+      .as[(Long, Long, Long, Double)].collect().map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(got(1L) == ((12L, 8L, 0.6667)))
+  }
+
+  test("prefixNearDupPairs: a 3-chain shares its 50-char prefix -> exactly 2 pairs") {
+    val p50 = "0123456789" * 5 // exactly 50 chars
+    val docs = Seq(
+      (3L, p50 + " tail three"),
+      (1L, p50 + " tail one"),
+      (2L, p50 + " tail two"),
+      (4L, "short doc under fifty chars"),       // length(p) < 50 -> excluded
+      (5L, "x" * 60)).toDF("doc_id", "text")     // unique prefix -> no pair
+    val got = Dedup.prefixNearDupPairs(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    // equal prefixes order by doc_id: pairs (1,2) and (2,3), not the clique
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (2L, 3L)))
+    assert(got.forall(_._3 == p50))
+  }
+
   test("exactDedup groups case/whitespace-insensitive duplicates") {
     val docs = Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "other"))
       .toDF("doc_id", "text")

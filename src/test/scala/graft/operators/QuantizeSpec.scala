@@ -54,4 +54,19 @@ class QuantizeSpec extends SparkSpec {
     assert(Quantize.standardizedStats(const)
       .filter(col("vec_id") === 2).select("z_l2").as[Double].head() == 0.0)
   }
+  test("embeddingDimHealth: hand-computed per-dimension moments and dead rate") {
+    // dim0: values 1.0, 3.0 -> mean 2, var 1, never zero
+    // dim1: values 0.0, 0.0 -> dead
+    // dim2: values -0.5, 0.5 -> mean 0 (floor: -500000 + 500000), var 0.25
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, -0.5f)),
+      (2L, Seq(3.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Quantize.embeddingDimHealth(rows)
+      .as[(Int, Long, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 2.0, 1.0, 1.0, 3.0, 0.0),
+      (1, 2L, 0.0, 0.0, 0.0, 0.0, 1.0),
+      (2, 2L, 0.0, 0.25, -0.5, 0.5, 0.0)))
+  }
+
 }

@@ -206,4 +206,41 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     assert(r._2 == r._1 && r._4 == r._3) // everyone converts (share 1.0)
     assert(r._7.isEmpty)                 // p=1 -> sqrt(0) denominator -> null z
   }
+  test("cupedAbTest: theta and adjusted delta equal a driver-side exact reference") {
+    def arm(uid: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$uid".getBytes("UTF-8"))
+      if (d.map("%02x".format(_)).mkString < "8") "A" else "B"
+    }
+    val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00").getTime
+    val day = 86400000L
+    // 10 users, 20 observed days (mid = day index 10): user u gets
+    // u%3+1 events on each of days 0,2,4 (pre) and u%4 events on day 15 (post)
+    val rows = (1L to 10L).flatMap { u =>
+      val pre = Seq(0, 2, 4).flatMap(d => Seq.fill((u % 3).toInt + 1)(d))
+      val post = Seq.fill((u % 4).toInt)(15)
+      (pre ++ post).map(d => (u, new java.sql.Timestamp(base + d * day), "click"))
+    } ++ Seq((99L, new java.sql.Timestamp(base + 19 * day), "click")) // pins d1
+    val ev = rows.zipWithIndex
+      .map { case ((u, ts, t), i) => (i.toLong, u, ts, t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = SetOpsAndSessions.cupedAbTest(ev)
+      .as[(Long, Long, Option[Double], Double, Option[Double])].head()
+    // driver-side exact reference over the same integer counts
+    val users = (1L to 10L).map(u => (u, 3 * ((u % 3) + 1), u % 4)) :+ ((99L, 0L, 1L))
+    val n = users.size
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val sxy = users.map(t => t._2 * t._3).sum
+    val sxx = users.map(t => t._2 * t._2).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    val as = users.filter(t => arm(t._1) == "A"); val bs = users.filter(t => arm(t._1) == "B")
+    def mean(v: Seq[Long]) = v.sum.toDouble / v.size
+    val dY = mean(bs.map(_._3)) - mean(as.map(_._3))
+    val dX = mean(bs.map(_._2)) - mean(as.map(_._2))
+    assert(got._1 == as.size && got._2 == bs.size)
+    assert(got._3.isDefined && math.abs(got._3.get - theta) < 1e-3)
+    assert(math.abs(got._4 - dY) < 1e-3)
+    assert(got._5.isDefined && math.abs(got._5.get - (dY - theta * dX)) < 1e-3)
+  }
+
 }

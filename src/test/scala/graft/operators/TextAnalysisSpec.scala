@@ -183,4 +183,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("s1") == (("s1", 2L, 4L, 8L, 14L, 2.0, 1.75)))
     assert(got("s2") == (("s2", 1L, 3L, 3L, 16L, 1.0, 5.3333)))
   }
+  test("hillTailIndex: hand-computed alpha on a tiny exact fixture") {
+    // k=4 top lengths 16,8,4,2 (x_k=2): sum ln = ln16+ln8+ln4+ln2 = 10 ln2,
+    // denom = 10 ln2 - 4 ln2 = 6 ln2 -> alpha = 4 / (6 ln2)
+    val docs = Seq((1L, 16L), (2L, 8L), (3L, 4L), (4L, 2L), (5L, 1L))
+      .toDF("doc_id", "n_chars")
+    val got = TextAnalysis.hillTailIndex(docs, k = 4)
+      .as[(Long, Long, Double)].head()
+    val alpha = math.round(4.0 / (6 * math.log(2)) * 1e4) / 1e4
+    assert(got == ((4L, 2L, alpha)))
+  }
+
+  test("hillTailIndex: all-equal top-k reports NULL alpha, not a fault") {
+    val docs = (1L to 6L).map((_, 100L)).toDF("doc_id", "n_chars")
+    val got = TextAnalysis.hillTailIndex(docs, k = 4)
+      .as[(Long, Long, Option[Double])].head()
+    assert(got._1 == 4L && got._2 == 100L && got._3.isEmpty)
+  }
+
+  test("calibrationBins: hand-computed conf/acc/gap per decile bin") {
+    // doc A: stops 1 of 4 tokens -> y=2500 bin 2; long (pos).
+    // doc B: stops 1 of 4 -> bin 2; short. doc C: 0 stops -> bin 0; short.
+    val docs = Seq(
+      (1L, "the x y z", 300L),
+      (2L, "the p q r", 100L),
+      (3L, "m n o p", 100L)).toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.calibrationBins(docs)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 0.0, 0.0, 0.0),          // bin 0: conf 0, none long
+      (2L, 2L, 0.25, 0.5, 0.25)))       // bin 2: conf .25, half long
+  }
+
+  test("labelAgreementKappa: hand-computed 2x2 kappa") {
+    // ra = stored en; rb = heuristic. 4 docs:
+    //  d1 en/predicted-en (the the) -> n11; d2 en/pred-und -> n10
+    //  d3 de/pred-en -> n01; d4 de/pred-de (der und) -> n00
+    val docs = Seq(
+      (1L, "en", "the the x"),
+      (2L, "en", "zzz yyy"),
+      (3L, "de", "the and q"),
+      (4L, "de", "der und w")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.labelAgreementKappa(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    // po = 2/4 = .5; pe = (2*2 + 2*2)/16 = .5; kappa = 0
+    assert(got == ((4L, 1L, 1L, 1L, 1L, 0.5, 0.5, 0.0)))
+  }
+
 }
