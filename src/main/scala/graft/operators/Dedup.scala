@@ -644,10 +644,12 @@ object Dedup extends QueryModule {
     * coverage rate. This is the per-doc "how much of me is boilerplate/
     * copy" metric that drives span-level (vs doc-level) dedup decisions.
     *
-    * Scale shape: shared-chunk detection is one groupBy on the chunk
-    * hash (map-side combined); the interval merge is a per-doc window
-    * bounded by the doc's own window count, never corpus-wide. Exact
-    * integer arithmetic end to end.
+    * Scale shape: ONE corpus scan — "chunk occurs in more than one doc"
+    * is `min(doc_id) ≠ max(doc_id)` over a chunk-keyed window, so
+    * shared-chunk detection is a single shuffle on the chunk hash with
+    * no groupBy+join-back (which would explode the grams twice); the
+    * interval merge is a per-doc window bounded by the doc's own window
+    * count, never corpus-wide. Exact integer arithmetic end to end.
     */
   def dedupSpanCoverage(documents: DataFrame, k: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -656,9 +658,11 @@ object Dedup extends QueryModule {
         posexplode(graft.functions.ShingleSet.shingleWindows(col("text"), k)))
       .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("off"),
         md5(col("col")).as("ch"))
-    val shared = h.groupBy("ch")
-      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1).select("ch")
-    val hits = h.join(shared, "ch")
+    val byChunk = Window.partitionBy("ch")
+    val hits = h
+      .withColumn("d0", min("doc_id").over(byChunk))
+      .withColumn("d1", max("doc_id").over(byChunk))
+      .filter(col("d0") =!= col("d1"))
       .select(col("doc_id"), col("n_tokens"), col("off"),
         least(col("off") + k, col("n_tokens")).as("end"))
     val w = Window.partitionBy("doc_id").orderBy("off")

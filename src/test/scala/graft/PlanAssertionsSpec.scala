@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan contracts for the headline queries — the properties
   * that make them hold at 100 TB, asserted so a refactor that silently
@@ -197,6 +198,64 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val scans = "Scan parquet".r.findAllIn(p.split("== Initial Plan ==").head).size
     assert(scans == 1, s"expected a single input scan (got $scans):\n$p")
     assert(p.contains("Expand"), s"expected Expand-based multi-distinct:\n$p")
+  }
+
+  test("q75 multi-width decontamination scans the corpus exactly once") {
+    val corpus = t.documents.filter(col("doc_id") % 11 =!= 0)
+    val bench = t.documents.filter(col("doc_id") % 11 === 0)
+    val df = graft.operators.Dedup.decontaminate(corpus, bench, chunkWords = 4)
+    val p = planText(df)
+    // one corpus explode + one bench explode: a third Generate means a
+    // width re-introduced a per-width corpus pass (the round-5 regression)
+    val generates = "\\bGenerate (posexplode|explode)".r.findAllIn(
+      p.split("== Initial Plan ==").head).size
+    assert(generates <= 2, s"expected <=2 explodes, got $generates:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bench set:\n$p")
+  }
+
+  test("q155 novelty plans an anti join on the gram hash (no except/cartesian)") {
+    val p = planText(graft.operators.Dedup.ngramNovelty(t.documents))
+    // LeftAnti is the membership-test shape; AQE picks broadcast at
+    // fixture scale and shuffle at corpus scale from real sizes — the
+    // contract is the join TYPE, not the fixture-sized strategy
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q156 span coverage explodes the corpus grams exactly once") {
+    val p = planText(graft.operators.Dedup.dedupSpanCoverage(t.documents))
+    val generates = "\\bGenerate (posexplode|explode)".r.findAllIn(
+      p.split("== Initial Plan ==").head).size
+    // shared-chunk detection rides a min/max window over the chunk key,
+    // not a groupBy + join-back: a second Generate means the gram
+    // stream is being recomputed
+    assert(generates == 1, s"expected a single gram explode (got $generates):\n$p")
+  }
+
+  test("q150 hill tail-index plans as TakeOrderedAndProject, not a global sort") {
+    val p = planText(graft.operators.TextAnalysis.hillTailIndex(t.documents))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q152 bootstrap combines replicate sums map-side before the shuffle") {
+    val p = planText(graft.operators.CorpusOps.bootstrapMeanCI(t.documents))
+    assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
+    // the exploded 48x stream must NOT cross an exchange row-by-row:
+    // the only exchanges after the explode carry (rep, partial) rows
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast CI scalars:\n$p")
+  }
+
+  test("q157 dim health collapses the posexplode into a dims-sized aggregate") {
+    val p = planText(graft.operators.Quantize.embeddingDimHealth(t.embeddings))
+    assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("q149 CUPED broadcasts the 1-row midpoint onto the fact stream") {
+    val p = planText(graft.operators.SetOpsAndSessions.cupedAbTest(t.events))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast midpoint:\n$p")
+    assert(p.contains("partial_sum"), s"expected map-side partial counts:\n$p")
   }
 
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
