@@ -30,6 +30,7 @@ object SparkEntry {
     CorpusOps,
     Sketches,
     GraphOps,
+    Modeling,
     graft.streaming.StreamParity,
   )
 

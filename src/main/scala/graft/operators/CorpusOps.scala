@@ -404,7 +404,36 @@ object CorpusOps extends QueryModule {
         round(col("ci_lo"), 4).as("ci_lo"), round(col("ci_hi"), 4).as("ci_hi"))
   }
 
+  /** q164: l-diversity audit — the second privacy gate after q119's
+    * k-anonymity. k-anonymity only says a quasi-identifier bucket is
+    * big; if every event in the bucket belongs to the SAME user, the
+    * bucket still identifies them. Here events are bucketed by the QI
+    * tuple (event_type, value band, day-of-week) and each bucket
+    * reports its distinct-sensitive-value count (user_id); buckets
+    * with fewer than `l` distinct users fail. Bands are integer floor
+    * division and epoch-day mod — engine-stable keys, q119/q147
+    * conventions.
+    *
+    * Scale shape: one groupBy on the QI tuple with a distinct-count —
+    * at 100 TB that is a two-phase partial aggregate on (QI, user)
+    * then (QI); output is bounded by the QI cross-product, never the
+    * event count.
+    */
+  def lDiversityAudit(events: DataFrame, l: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{datediff => dd}
+    events
+      .select(col("event_type"),
+        expr("CAST(floor(value / 50.0) AS INT)").as("band"),
+        (dd(col("ts").cast("date"), lit("1970-01-01").cast("date")) % 7).as("dow"),
+        col("user_id"))
+      .groupBy("event_type", "band", "dow")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .withColumn("l_ok", col("n_users") >= l)
+      .orderBy("event_type", "band", "dow")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_l_diversity" -> ((s, d) => lDiversityAudit(Tables(s, d).events)),
     "q151_concentration" -> ((s, d) => sourceConcentration(Tables(s, d).documents)),
     "q152_bootstrap_ci"  -> ((s, d) => bootstrapMeanCI(Tables(s, d).documents)),
     "q117_source_overlap" -> ((s, d) => sourceOverlapMatrix(Tables(s, d).documents)),
@@ -603,5 +632,15 @@ object CorpusOps extends QueryModule {
         |  FROM documents)
         |SELECT lang, doc_id, rn::BIGINT AS rn
         |FROM ranked WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin,
+    "q164_l_diversity" ->
+      """SELECT event_type,
+        |       CAST(floor(value / 50.0) AS INT) AS band,
+        |       CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INT) AS dow,
+        |       count(*)::BIGINT AS n,
+        |       count(DISTINCT user_id)::BIGINT AS n_users,
+        |       (count(DISTINCT user_id) >= 3) AS l_ok
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, band, dow""".stripMargin,
   )
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed model-fitting operators: statistics LEARNED from the
+  * corpus in a single aggregate pass and applied/reported without any
+  * iterative driver loop. The pattern both operators share is the one
+  * that scales: reduce the corpus to a tiny sufficient-statistic frame
+  * (a moment matrix, a conditional count table), then do the "model"
+  * arithmetic on that bounded frame.
+  *
+  * Reference provenance: the reference pipeline scores and filters
+  * datasets with externally-trained heuristics (`ingest-pipeline`'s QA
+  * metrics, e.g. src/ingest-validation-tools usage of fixed
+  * thresholds); these operators close the loop by fitting the
+  * thresholds from the data itself, the way a training-data curation
+  * pipeline calibrates its quality gates.
+  */
+object Modeling extends QueryModule {
+
+  /** q159: closed-form OLS fit y = b0 + b1·x1 + b2·x2 learned in ONE
+    * distributed aggregate — the "train a model without a driver loop"
+    * pattern. Features are exact integers (token count, distinct-token
+    * count; target = n_chars), so the 3×3 normal-equation moment
+    * matrix is an order-independent integer sum and both engines see
+    * bit-identical sufficient statistics; the Cramer solve is a single
+    * pinned left-to-right double expression evaluated on that 1-row
+    * frame, identical on both engines.
+    *
+    * Scale shape: the corpus collapses to TEN int64 sums with map-side
+    * partials — the shuffle carries one row per partition. Nothing
+    * downstream of the aggregate depends on corpus size. (Past ~10^9
+    * docs the raw moments need decimal widening — same note as q122.)
+    */
+  def qualityOls(documents: DataFrame): DataFrame = {
+    val ts = split(lower(col("text")), " ")
+    val f = documents.select(
+      size(ts).cast("long").as("x1"),
+      size(array_distinct(ts)).cast("long").as("x2"),
+      col("n_chars").cast("long").as("y"))
+    val s = f.agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+      sum(expr("x1*x1")).as("s11"), sum(expr("x1*x2")).as("s12"),
+      sum(expr("x2*x2")).as("s22"), sum(expr("x1*y")).as("s1y"),
+      sum(expr("x2*y")).as("s2y"), sum(expr("y*y")).as("syy"))
+    // Cramer's rule on A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    // rhs = [sy,s1y,s2y]; all terms double-cast ONCE then combined in
+    // a fixed order mirrored verbatim in the DuckDB oracle.
+    val d = s.select(
+      col("n"),
+      col("n").cast("double").as("a"), col("s1").cast("double").as("b"),
+      col("s2").cast("double").as("c"), col("s1").cast("double").as("d"),
+      col("s11").cast("double").as("e"), col("s12").cast("double").as("f"),
+      col("s2").cast("double").as("g"), col("s12").cast("double").as("h"),
+      col("s22").cast("double").as("i"), col("sy").cast("double").as("r0"),
+      col("s1y").cast("double").as("r1"), col("s2y").cast("double").as("r2"),
+      col("syy").cast("double").as("syy"))
+    val solved = d
+      .withColumn("det",  expr("a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g)"))
+      .withColumn("det0", expr("r0*(e*i - f*h) - b*(r1*i - f*r2) + c*(r1*h - e*r2)"))
+      .withColumn("det1", expr("a*(r1*i - f*r2) - r0*(d*i - f*g) + c*(d*r2 - r1*g)"))
+      .withColumn("det2", expr("a*(e*r2 - r1*h) - b*(d*r2 - r1*g) + r0*(d*h - e*g)"))
+      .withColumn("b0", expr("det0/det"))
+      .withColumn("b1", expr("det1/det"))
+      .withColumn("b2", expr("det2/det"))
+      .withColumn("sse", expr("syy - b0*r0 - b1*r1 - b2*r2"))
+      .withColumn("sst", expr("syy - r0*r0/a"))
+    solved.select(
+      col("n"),
+      round(col("b0"), 6).as("b0"),
+      round(col("b1"), 6).as("b1"),
+      round(col("b2"), 6).as("b2"),
+      round(expr("1.0 - sse/sst"), 6).as("r2_fit"))
+  }
+
+  /** q160: per-source mean bigram surprisal under an add-one-smoothed
+    * bigram LM trained on the corpus itself — the CCNet/perplexity
+    * quality-filter shape without an external LM: sources whose text is
+    * "surprising" to the corpus's own statistics are the outlier slices
+    * a curation pass inspects first.
+    *
+    * p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), where c(w1·) counts bigram
+    * instances with first token w1 and V = |distinct second tokens|.
+    * Surprisal is floor-scaled to integer micro-nats per distinct
+    * (source,w1,w2) cell, then count-weighted — the q122 convention,
+    * so per-source sums are order-independent integers.
+    *
+    * Scale shape: the bigram explode collapses immediately into a
+    * groupBy on (source,w1,w2) — the only corpus-sized shuffle — and
+    * the global counts are WINDOW sums over that grouped
+    * (vocab²-bounded) frame, not a corpus re-scan; one exchange on w1
+    * serves both windows (subset-hash satisfies both clusterings).
+    * The 1-row vocab scalar (distinct w2) is a second aggregate over
+    * the same grouped stream; Catalyst prunes its count column, which
+    * blocks exchange reuse, so it costs one more tokenize+combine
+    * pass — a cluster run materializes the grouped frame once and
+    * pays a single scan. Never more than these two passes
+    * (plan-asserted).
+    */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val ts = split(lower(col("text")), " ")
+    val pairs = documents.select(col("source"), explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("source"), col("bg.w1"), col("bg.w2"))
+    val grouped = pairs.groupBy("source", "w1", "w2").agg(count(lit(1)).as("nb"))
+    val vocab = grouped.agg(countDistinct(col("w2")).as("v"))
+    val scored = grouped
+      .withColumn("c_xy", sum("nb").over(Window.partitionBy("w1", "w2")))
+      .withColumn("c_x", sum("nb").over(Window.partitionBy("w1")))
+      .crossJoin(broadcast(vocab))
+      .withColumn("u", expr(
+        "CAST(floor(-ln((CAST(c_xy AS DOUBLE) + 1.0) / (CAST(c_x AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000) AS BIGINT)"))
+    scored.groupBy("source").agg(
+        sum(col("nb")).as("n_bigrams"),
+        sum(col("nb") * col("u")).as("su"))
+      .select(col("source"), col("n_bigrams"),
+        round(col("su") / col("n_bigrams") / lit(1000000.0), 4).as("mean_surprisal"))
+      .withColumn("ppl", round(exp(col("mean_surprisal")), 2))
+      .orderBy("source")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
+    "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q159_quality_ols" ->
+      """WITH f AS (SELECT len(string_split(lower(text), ' '))::BIGINT AS x1,
+        |                  len(list_distinct(string_split(lower(text), ' ')))::BIGINT AS x2,
+        |                  n_chars::BIGINT AS y
+        |           FROM documents),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |             sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2, sum(y)::BIGINT AS sy,
+        |             sum(x1*x1)::BIGINT AS s11, sum(x1*x2)::BIGINT AS s12,
+        |             sum(x2*x2)::BIGINT AS s22, sum(x1*y)::BIGINT AS s1y,
+        |             sum(x2*y)::BIGINT AS s2y, sum(y*y)::BIGINT AS syy
+        |      FROM f),
+        |d AS (SELECT n,
+        |             CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b,
+        |             CAST(s2 AS DOUBLE) AS c, CAST(s1 AS DOUBLE) AS d,
+        |             CAST(s11 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f,
+        |             CAST(s2 AS DOUBLE) AS g, CAST(s12 AS DOUBLE) AS h,
+        |             CAST(s22 AS DOUBLE) AS i, CAST(sy AS DOUBLE) AS r0,
+        |             CAST(s1y AS DOUBLE) AS r1, CAST(s2y AS DOUBLE) AS r2,
+        |             CAST(syy AS DOUBLE) AS syy FROM s),
+        |m AS (SELECT n, r0, r1, r2, syy, a,
+        |             a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g) AS det,
+        |             r0*(e*i - f*h) - b*(r1*i - f*r2) + c*(r1*h - e*r2) AS det0,
+        |             a*(r1*i - f*r2) - r0*(d*i - f*g) + c*(d*r2 - r1*g) AS det1,
+        |             a*(e*r2 - r1*h) - b*(d*r2 - r1*g) + r0*(d*h - e*g) AS det2
+        |      FROM d),
+        |bb AS (SELECT n, r0, r1, r2, syy, a,
+        |              det0/det AS b0, det1/det AS b1, det2/det AS b2 FROM m)
+        |SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        |       round(1.0 - (syy - b0*r0 - b1*r1 - b2*r2) / (syy - r0*r0/a), 6) AS r2_fit
+        |FROM bb""".stripMargin,
+    "q160_bigram_surprisal" ->
+      """WITH doc AS (SELECT source, string_split(lower(text), ' ') AS ts FROM documents),
+        |pairs AS (SELECT source, ts[i] AS w1, ts[i + 1] AS w2
+        |          FROM (SELECT source, ts, unnest(range(1, len(ts))) AS i FROM doc)),
+        |g AS (SELECT source, w1, w2, count(*)::BIGINT AS nb FROM pairs GROUP BY 1, 2, 3),
+        |vv AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM g),
+        |s AS (SELECT source, nb,
+        |             sum(nb) OVER (PARTITION BY w1, w2)::BIGINT AS c_xy,
+        |             sum(nb) OVER (PARTITION BY w1)::BIGINT AS c_x
+        |      FROM g),
+        |u AS (SELECT source, nb,
+        |             CAST(floor(-ln((CAST(c_xy AS DOUBLE) + 1.0) / (CAST(c_x AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000) AS BIGINT) AS u
+        |      FROM s, vv),
+        |agg AS (SELECT source, sum(nb)::BIGINT AS n_bigrams,
+        |               round(sum(nb * u) / sum(nb) / 1000000.0, 4) AS mean_surprisal
+        |        FROM u GROUP BY source)
+        |SELECT source, n_bigrams, mean_surprisal,
+        |       round(exp(mean_surprisal), 2) AS ppl
+        |FROM agg ORDER BY source""".stripMargin,
+  )
+}

@@ -139,10 +139,84 @@ object Quantize extends QueryModule {
       .orderBy("dim")
   }
 
+  /** q161: embedding covariance matrix (upper triangle) in ONE scan
+    * with NO self-join — the input to PCA/whitening/eigen-health
+    * checks. The trick is a homogeneous coordinate: each vector is
+    * floor-scaled to integer ten-thousandths and AUGMENTED with a
+    * constant slot (the scaled 1.0), so a single per-row pair
+    * expansion i≤j yields, in the same aggregate, the second moments
+    * S_ij, the linear sums S_i (pairs against the constant slot), and
+    * n (the constant-constant cell) — cov then needs no extra pass.
+    *
+    * Scale shape: the pair expansion is row-local (transform/flatten,
+    * no join) and collapses into a dims²-bounded hash aggregate with
+    * map-side partials; the shuffle carries (i,j,moment) rows only.
+    * The tiny linear/count cells are broadcast back onto the dims²
+    * frame. Integer moments are order-independent → bit-identical
+    * cross-engine. (~10^9 rows × scale 10^8 products approach int64
+    * range — widen to decimal there, the q122 note.)
+    */
+  def embeddingCovariance(embeddings: DataFrame,
+                          vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddings
+      .select(expr(
+        s"""concat(transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+           |       array(CAST(10000 AS BIGINT)))""".stripMargin).as("ua"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ua) - 1), i ->
+          |  transform(sequence(i, size(ua) - 1), j ->
+          |    named_struct('di', i, 'dj', j, 'p', ua[i] * ua[j]))))""".stripMargin)).as("c"))
+      .select(col("c.di"), col("c.dj"), col("c.p"))
+    val g = pairs.groupBy("di", "dj").agg(sum("p").as("sp"))
+    val dMax = g.agg(max("dj").as("dd"))
+    val nRow = g.join(broadcast(dMax), col("di") === col("dd") && col("dj") === col("dd"))
+      .select(expr("sp div 100000000").as("n"))
+    val lin = g.join(broadcast(dMax), col("dj") === col("dd") && col("di") < col("dd"))
+      .select(col("di").as("d"), col("sp").as("sl"))
+    g.join(broadcast(dMax), col("dj") < col("dd"))
+      .join(broadcast(lin.select(col("d").as("di"), col("sl").as("sli"))), "di")
+      .join(broadcast(lin.select(col("d").as("dj"), col("sl").as("slj"))), "dj")
+      .crossJoin(broadcast(nRow))
+      .select(col("di"), col("dj"), col("n"),
+        (round(expr("CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)"), 6) + lit(0.0)).as("m2"),
+        (round(expr(
+          """CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
+            | - (CAST(sli AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0))
+            | * (CAST(slj AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0))""".stripMargin), 6) + lit(0.0)).as("cov"))
+      .orderBy("di", "dj")
+  }
+
+  /** Driver-side top eigenpair of the q161 covariance matrix by power
+    * iteration — the collect is bounded by dims² (a 64-dim space is
+    * ~2k rows regardless of corpus size), which is the legitimate
+    * collect shape: model-sized, never data-sized. Deterministic:
+    * fixed all-ones start, fixed iteration count. Returns
+    * (eigenvalue, explainedVarianceRatio, eigenvector).
+    */
+  def topEigenpair(cov: DataFrame, iters: Int = 50): (Double, Double, Array[Double]) = {
+    val rows = cov.select("di", "dj", "cov").collect()
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = v; m(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0) { v = w.map(_ / norm); lambda = norm }
+    }
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    (lambda, if (trace > 0) lambda / trace else 0.0, v)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_quantize_stats" -> ((s, d) => quantizeStats(Tables(s, d).embeddings)),
     "q96_standardize_stats" -> ((s, d) => standardizedStats(Tables(s, d).embeddings)),
     "q157_dim_health" -> ((s, d) => embeddingDimHealth(Tables(s, d).embeddings)),
+    "q161_embedding_cov" -> ((s, d) => embeddingCovariance(Tables(s, d).embeddings)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -199,5 +273,28 @@ object Quantize extends QueryModule {
         |       round(max(z), 4) AS max_z,
         |       round(min(z), 4) AS min_z
         |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // homogeneous-coordinate Gram: DuckDB lists are 1-based (ua[i+1]);
+    // the augmented constant slot carries the linear sums and n
+    "q161_embedding_cov" ->
+      """WITH base AS (
+        |  SELECT list_append(list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+        |         10000::BIGINT) AS ua
+        |  FROM embeddings),
+        |e1 AS (SELECT ua, unnest(range(len(ua))) AS i FROM base),
+        |e2 AS (SELECT ua, i, unnest(range(i, len(ua))) AS j FROM e1),
+        |p AS (SELECT i AS di, j AS dj, ua[i + 1] * ua[j + 1] AS p FROM e2),
+        |g AS (SELECT di, dj, sum(p)::BIGINT AS sp FROM p GROUP BY 1, 2),
+        |dm AS (SELECT max(dj) AS dd FROM g),
+        |nn AS (SELECT sp // 100000000 AS n FROM g, dm WHERE di = dd AND dj = dd),
+        |lin AS (SELECT di AS d, sp AS sl FROM g, dm WHERE dj = dd AND di < dd)
+        |SELECT CAST(g.di AS INT) AS di, CAST(g.dj AS INT) AS dj, n,
+        |       round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0), 6) + 0.0 AS m2,
+        |       round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
+        |             - (CAST(li.sl AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0))
+        |             * (CAST(lj.sl AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)), 6) + 0.0 AS cov
+        |FROM g, dm, nn, lin li, lin lj
+        |WHERE g.dj < dd AND g.di = li.d AND g.dj = lj.d
+        |ORDER BY di, dj""".stripMargin,
   )
 }

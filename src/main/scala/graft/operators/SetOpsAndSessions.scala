@@ -589,6 +589,90 @@ object SetOpsAndSessions extends QueryModule {
       round(dY - theta * dX, 4).as("diff_cuped"))
   }
 
+  /** q162: Benford first-digit audit over transaction amounts — the
+    * classic fraud / synthetic-data smell test. Amounts go through
+    * exact integer cents first (round-half-up on the raw double is
+    * deterministic given identical parquet bytes), and the leading
+    * digit is string arithmetic on that integer — no log10 near a
+    * power-of-ten boundary, where cross-engine ULP drift could flip
+    * the digit. The expected Benford mass ln(1+1/d)/ln(10) and the
+    * observed share are identical pinned expressions on both engines.
+    *
+    * Scale shape: one map-side-combined groupBy on a 9-value key; the
+    * digit spine is a literal sequence so zero-count digits still
+    * report (the q147 densify convention); the total is a broadcast
+    * 1-row frame.
+    */
+  def benfordAudit(events: DataFrame): DataFrame = {
+    val digits = events
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = events.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
+    val total = digits.agg(sum("n").as("total"))
+    spine.join(digits, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(expr("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)"), 4).as("share"),
+        round(expr("ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)"), 4).as("benford"),
+        round(expr(
+          "CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)"),
+          4).as("excess"))
+      .orderBy("digit")
+  }
+
+  /** q163: classical seasonal decomposition of the daily event series —
+    * count = trend (centered 7-day moving average) + day-of-week
+    * component + residual — with anomaly flags on days whose residual
+    * exceeds 20% of the overall mean. The additive decomposition is
+    * what rate-spike alerting (q125) graduates into once a series has
+    * weekly structure: a Sunday dip is SEASONAL, not an incident.
+    *
+    * All inputs are exact integer daily counts (densified over the
+    * min..max day spine so silent gap days surface as anomalies, not
+    * missing rows); trend/dow means are integer-sum ÷ count divisions
+    * pinned to the same shape on both engines; dow is epoch-day mod 7
+    * (q147 convention — no locale).
+    *
+    * Scale shape: ONE shuffle (groupBy day); everything after is
+    * days-sized — the moving-average window and dow rollup run on a
+    * frame with one row per day, never per event.
+    */
+  def seasonalDecomposition(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("dow", col("day") % 7)
+    val wMa = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = dense
+      .withColumn("trend_s", sum("n").over(wMa))
+      .withColumn("trend_c", count(lit(1)).over(wMa))
+    val dowMeans = dense.groupBy("dow").agg(
+      sum("n").as("dow_s"), count(lit(1)).as("dow_c"))
+    val overall = dense.agg(sum("n").as("all_s"), count(lit(1)).as("all_c"))
+    trended
+      .join(broadcast(dowMeans), Seq("dow"))
+      .crossJoin(broadcast(overall))
+      .withColumn("trend", expr("CAST(trend_s AS DOUBLE) / CAST(trend_c AS DOUBLE)"))
+      .withColumn("seasonal", expr(
+        "CAST(dow_s AS DOUBLE) / CAST(dow_c AS DOUBLE) - CAST(all_s AS DOUBLE) / CAST(all_c AS DOUBLE)"))
+      .withColumn("resid", expr("CAST(n AS DOUBLE) - trend - seasonal"))
+      .select(col("day"), col("dow"), col("n"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("resid"), 4).as("resid"),
+        (abs(col("resid")) > expr("0.2 * CAST(all_s AS DOUBLE) / CAST(all_c AS DOUBLE)"))
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_cuped"         -> ((s, d) => cupedAbTest(Tables(s, d).events)),
     "q51_survey_report"  -> ((s, d) => surveyReport(Tables(s, d).orders)),
@@ -609,6 +693,8 @@ object SetOpsAndSessions extends QueryModule {
     "q146_activity_islands"   -> ((s, d) => activityIslands(Tables(s, d).events)),
     "q147_dow_seasonality"    -> ((s, d) => dowSeasonality(Tables(s, d).events)),
     "q148_ab_test"            -> ((s, d) => abTestReport(Tables(s, d).events)),
+    "q162_benford"            -> ((s, d) => benfordAudit(Tables(s, d).events)),
+    "q163_seasonal_decomp"    -> ((s, d) => seasonalDecomposition(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -948,5 +1034,50 @@ object SetOpsAndSessions extends QueryModule {
            UNION ALL SELECT user_id, 'events' FROM events
            UNION ALL SELECT l_orderkey, 'lineitem' FROM lineitem)
          GROUP BY src ORDER BY src""",
+    // exact integer cents → leading digit via string arithmetic (no
+    // log10 boundary ULP risk); literal 1..9 spine densifies
+    "q162_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+        |           FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |           WHERE cents > 0),
+        |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM c)
+        |SELECT spine.digit, coalesce(c.n, 0)::BIGINT AS n,
+        |       round(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
+        |       round(ln(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)) / ln(10.0), 4) AS benford,
+        |       round(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(total AS DOUBLE)
+        |             - ln(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)) / ln(10.0), 4) AS excess
+        |FROM spine LEFT JOIN c ON spine.digit = c.digit, t
+        |ORDER BY spine.digit""".stripMargin,
+    // dense day spine; trend = centered 7-day average with shorter
+    // edge windows (ROWS BETWEEN mirrors Spark's rowsBetween exactly)
+    "q163_seasonal_decomp" ->
+      """WITH daily AS (SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+        |                      count(*)::BIGINT AS n
+        |               FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |dense AS (SELECT sp.day, coalesce(daily.n, 0)::BIGINT AS n, sp.day % 7 AS dow
+        |          FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM b) sp
+        |          LEFT JOIN daily ON sp.day = daily.day),
+        |tr AS (SELECT day, dow, n,
+        |              sum(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS trend_s,
+        |              count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS trend_c
+        |       FROM dense),
+        |dm AS (SELECT dow, sum(n)::BIGINT AS dow_s, count(*)::BIGINT AS dow_c
+        |       FROM dense GROUP BY 1),
+        |ov AS (SELECT sum(n)::BIGINT AS all_s, count(*)::BIGINT AS all_c FROM dense),
+        |x AS (SELECT day, tr.dow AS dow, n,
+        |             CAST(trend_s AS DOUBLE) / CAST(trend_c AS DOUBLE) AS trend,
+        |             CAST(dow_s AS DOUBLE) / CAST(dow_c AS DOUBLE)
+        |               - CAST(all_s AS DOUBLE) / CAST(all_c AS DOUBLE) AS seasonal,
+        |             0.2 * CAST(all_s AS DOUBLE) / CAST(all_c AS DOUBLE) AS thresh
+        |      FROM tr JOIN dm ON tr.dow = dm.dow, ov)
+        |SELECT CAST(day AS INT) AS day, CAST(dow AS INT) AS dow, n,
+        |       round(trend, 4) AS trend,
+        |       round(seasonal, 4) AS seasonal,
+        |       round(CAST(n AS DOUBLE) - trend - seasonal, 4) AS resid,
+        |       (abs(CAST(n AS DOUBLE) - trend - seasonal) > thresh) AS is_anomaly
+        |FROM x ORDER BY day""".stripMargin,
   )
 }

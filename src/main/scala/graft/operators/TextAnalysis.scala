@@ -548,7 +548,41 @@ object TextAnalysis extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** q165: mutual-information audit of the corpus metadata — is
+    * `source` informative about `lang`? Per (lang, source) cell:
+    * observed count, expected-under-independence count, pointwise MI
+    * (lift in nats) and the cell's contribution to total MI. Cells
+    * with |pmi| ≫ 0 are the slices where a "balanced" mixture is
+    * secretly language-skewed — q82's mixture weights assume the two
+    * dimensions factor, and this is the check.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the (lang, source)
+    * pair; margins are WINDOW sums over the |langs|×|sources| result
+    * frame — bounded by cardinality product, never the corpus. All
+    * counts exact integers; the log arithmetic is one pinned
+    * expression on both engines.
+    */
+  def langSourceMi(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = documents.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .withColumn("n_l", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("n_s", sum("n").over(Window.partitionBy("source")))
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+    cells.select(col("lang"), col("source"), col("n"),
+        round(expr("CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(total AS DOUBLE)"), 2)
+          .as("expected"),
+        round(expr(
+          "ln(CAST(n AS DOUBLE) * CAST(total AS DOUBLE) / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE)))"),
+          4).as("pmi"),
+        round(expr(
+          """CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+            | * ln(CAST(n AS DOUBLE) * CAST(total AS DOUBLE) / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE)))""".stripMargin),
+          6).as("mi_part"))
+      .orderBy("lang", "source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_lang_source_mi" -> ((s, d) => langSourceMi(Tables(s, d).documents)),
     "q74_pii_scrub"    -> ((s, d) => piiScrubReport(Tables(s, d).customer)),
     "q72_repetition"   -> ((s, d) => repetitionGates(Tables(s, d).documents)),
     "q62_heavy_tokens" -> ((s, d) => heavyHitterTokens(Tables(s, d).documents)),
@@ -572,6 +606,20 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q165_lang_source_mi" ->
+      """WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+        |           FROM documents GROUP BY 1, 2),
+        |m AS (SELECT lang, source, n,
+        |             sum(n) OVER (PARTITION BY lang)::BIGINT AS n_l,
+        |             sum(n) OVER (PARTITION BY source)::BIGINT AS n_s,
+        |             sum(n) OVER ()::BIGINT AS total
+        |      FROM c)
+        |SELECT lang, source, n,
+        |       round(CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(total AS DOUBLE), 2) AS expected,
+        |       round(ln(CAST(n AS DOUBLE) * CAST(total AS DOUBLE) / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE))), 4) AS pmi,
+        |       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |             * ln(CAST(n AS DOUBLE) * CAST(total AS DOUBLE) / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE))), 6) AS mi_part
+        |FROM m ORDER BY lang, source""".stripMargin,
     // raw is rebuilt codepoint-for-codepoint with chr(); nfc_normalize
     // is DuckDB's ICU-backed NFC — byte equality with the JDK kernel is
     // the whole check (lengths pin the two compositions per row)

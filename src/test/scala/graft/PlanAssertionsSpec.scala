@@ -258,6 +258,44 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_sum"), s"expected map-side partial counts:\n$p")
   }
 
+  test("q159 OLS reduces the corpus to one partial-aggregated moment row") {
+    val p = planText(graft.operators.Modeling.qualityOls(t.documents))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side moment partials:\n$p")
+    assert(!p.contains("Join"), s"closed-form solve must not join:\n$p")
+    assert(!p.contains("Generate"), s"feature extraction must not explode:\n$p")
+  }
+
+  test("q160 surprisal: conditional counts ride windows on the grouped frame") {
+    val p = planText(graft.operators.Modeling.bigramSurprisal(t.documents))
+    val generates = "\\bGenerate explode".r.findAllIn(
+      p.split("== Initial Plan ==").head).size
+    // pass 1 builds the (source,w1,w2) count table, pass 2 the vocab
+    // scalar (its pruned aggregate defeats exchange reuse — see the
+    // scaladoc); anything beyond 2 means the LM itself re-scans
+    assert(generates <= 2, s"expected at most two tokenize passes, got $generates:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast vocab scalar:\n$p")
+    // the c_xy / c_x windows must NOT shuffle twice: one exchange on
+    // the w1 subset serves both window clusterings
+    val winExchanges = "Exchange hashpartitioning\\(w1".r.findAllIn(p).size
+    assert(winExchanges <= 2, s"window exchanges exploded:\n$p")
+  }
+
+  test("q161 covariance expands pairs row-locally: no self-join on the data path") {
+    val p = planText(graft.operators.Quantize.embeddingCovariance(t.embeddings))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"pair expansion must be row-local + broadcast-only joins:\n$p")
+    assert(p.contains("partial_sum"), s"expected map-side moment partials:\n$p")
+  }
+
+  test("q164 l-diversity plans the two-phase partial distinct aggregate") {
+    val p = planText(graft.operators.CorpusOps.lDiversityAudit(t.events))
+    assert(p.contains("partial_count(distinct"),
+      s"expected partial distinct aggregation:\n$p")
+    assert(!p.contains("Join"), s"QI audit is one aggregate, no join:\n$p")
+  }
+
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
     // parquet-backed, exchange-free projections: LocalRelation fixtures
     // constant-fold custom expressions away, and AQE wraps any plan with

@@ -172,4 +172,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a._4 - a._3 < 10)             // half-samples of n=400: tight interval
   }
 
+  test("lDiversityAudit: single-user bucket fails l, diverse bucket passes") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    // bucket A (view, band 0, dow 0): 3 events, all user 1 -> n_users 1, fails l=3
+    // bucket B (click, band 1, dow 0): 3 events, users 1/2/3 -> passes
+    val ev = Seq(
+      (1L, 1L, 10.0, "view"), (2L, 1L, 11.0, "view"), (3L, 1L, 12.0, "view"),
+      (4L, 1L, 60.0, "click"), (5L, 2L, 61.0, "click"), (6L, 3L, 62.0, "click"))
+      .toDF("event_id", "user_id", "value", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(lit(0L)).as("ts"), col("value"), col("event_type"),
+        lit("{}").as("props"))
+    val r = CorpusOps.lDiversityAudit(ev)
+      .collect().map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getLong(3), x.getLong(4), x.getBoolean(5))).toMap
+    assert(r(("view", 0)) == ((3L, 1L, false)))
+    assert(r(("click", 1)) == ((3L, 3L, true)))
+  }
 }

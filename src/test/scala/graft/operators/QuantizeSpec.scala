@@ -69,4 +69,41 @@ class QuantizeSpec extends SparkSpec {
       (2, 2L, 0.0, 0.25, -0.5, 0.5, 0.0)))
   }
 
+  test("embeddingCovariance matches a hand-computed 2-dim case") {
+    // vectors (1,0) and (0,1): mean (.5,.5), var .25 each,
+    // cov(0,1) = E[xy] - mx*my = 0 - 0.25 = -0.25
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Quantize.embeddingCovariance(emb).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r((0, 0)) == ((2L, 0.5, 0.25)))
+    assert(r((1, 1)) == ((2L, 0.5, 0.25)))
+    assert(r((0, 1)) == ((2L, 0.0, -0.25)))
+    assert(r.size == 3)
+  }
+
+  test("topEigenpair power iteration finds the dominant eigenpair") {
+    // cov [[2,1],[1,2]] -> eigenvalues 3 and 1; top vector (1,1)/sqrt(2)
+    val cov = Seq((0, 0, 2.0), (0, 1, 1.0), (1, 1, 2.0)).toDF("di", "dj", "cov")
+    val (lambda, ratio, v) = Quantize.topEigenpair(cov)
+    assert(math.abs(lambda - 3.0) < 1e-9, s"lambda=$lambda")
+    assert(math.abs(ratio - 0.75) < 1e-9, s"ratio=$ratio") // 3 / trace(4)
+    assert(math.abs(math.abs(v(0)) - math.sqrt(0.5)) < 1e-9)
+    assert(math.abs(v(0) - v(1)) < 1e-9, "eigenvector should be symmetric")
+  }
+
+  test("embeddingCovariance diagonal agrees with q157 dim-health variance") {
+    val emb = graft.Tables(spark, sf("")).embeddings
+    val covDiag = Quantize.embeddingCovariance(emb)
+      .filter(col("di") === col("dj")).filter(col("di") < 3)
+      .collect().map(x => x.getInt(0) -> x.getDouble(4)).toMap
+    val health = Quantize.embeddingDimHealth(emb)
+      .filter(col("dim") < 3)
+      .collect().map(x => x.getInt(0) -> x.getDouble(3)).toMap
+    // different integer scalings (1e4 vs 1e6) -> compare loosely
+    covDiag.foreach { case (d, c) =>
+      assert(math.abs(c - health(d)) < 1e-3, s"dim $d: cov=$c health=${health(d)}")
+    }
+  }
 }

@@ -243,4 +243,40 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     assert(got._5.isDefined && math.abs(got._5.get - (dY - theta * dX)) < 1e-3)
   }
 
+  test("benfordAudit: exact digit counts, zero-cent rows excluded, digits densified") {
+    // values: 1.00 -> d1, 19.99 -> d1, 250.00 -> d2, 0.50 -> d5, 0.001 -> cents 0 (dropped)
+    val ev = Seq(
+      (1L, 1L, 0L, 1.00), (2L, 1L, 0L, 19.99), (3L, 1L, 0L, 250.00),
+      (4L, 1L, 0L, 0.50), (5L, 1L, 0L, 0.001))
+      .toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"), lit("view").as("event_type"), lit("{}").as("props"))
+    val r = SetOpsAndSessions.benfordAudit(ev).collect()
+    assert(r.length == 9, "all 9 digits must report")
+    val n = r.map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(n(1) == 2L && n(2) == 1L && n(5) == 1L && n(9) == 0L)
+    assert(n.values.sum == 4L, "the sub-cent row must be excluded")
+    // benford mass for digit 1 = log10(2) = 0.3010
+    val d1 = r.find(_.getInt(0) == 1).get
+    assert(d1.getDouble(3) == 0.301)
+  }
+
+  test("seasonalDecomposition: flat series has zero seasonal/resid; gap day flagged") {
+    // 14 days x 5 events/day, except day 7 missing entirely
+    val ev = (for {
+      day <- 0 until 14 if day != 7
+      k <- 0 until 5
+    } yield (day * 5L + k, 1L, day * 86400000000L + k * 1000000L, 1.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"), lit("view").as("event_type"), lit("{}").as("props"))
+    val r = SetOpsAndSessions.seasonalDecomposition(ev).collect()
+    assert(r.length == 14, "gap day must be densified into the spine")
+    val gap = r.find(_.getInt(0) == 7).get
+    assert(gap.getLong(2) == 0L)
+    assert(gap.getBoolean(6), "a fully missing day is an anomaly")
+    // a day far from the gap in both window and dow terms is clean
+    val clean = r.find(_.getInt(0) == 2).get
+    assert(clean.getLong(2) == 5L && !clean.getBoolean(6))
+  }
 }

@@ -230,4 +230,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((4L, 1L, 1L, 1L, 1L, 0.5, 0.5, 0.0)))
   }
 
+  test("langSourceMi: independent dimensions give zero pmi everywhere") {
+    import org.apache.spark.sql.functions.{col, length => slen}
+    // perfectly factored 2x2 grid: every cell n = marginals' product / N
+    val d = Seq(
+      (1L, "en", "s1"), (2L, "en", "s2"), (3L, "de", "s1"), (4L, "de", "s2"))
+      .toDF("doc_id", "lang", "source")
+      .withColumn("text", col("lang")).withColumn("n_chars", slen(col("text")))
+    val r = TextAnalysis.langSourceMi(d).collect()
+    assert(r.length == 4)
+    r.foreach { x =>
+      assert(x.getDouble(3) == 1.0, "expected = 2*2/4 = 1")
+      assert(x.getDouble(4) == 0.0 && x.getDouble(5) == 0.0, s"pmi must be 0: $x")
+    }
+  }
+
+  test("langSourceMi: perfectly dependent dimensions give ln(2) pmi") {
+    import org.apache.spark.sql.functions.{col, length => slen}
+    // lang determines source: en->s1, de->s2, two docs each
+    val d = Seq(
+      (1L, "en", "s1"), (2L, "en", "s1"), (3L, "de", "s2"), (4L, "de", "s2"))
+      .toDF("doc_id", "lang", "source")
+      .withColumn("text", col("lang")).withColumn("n_chars", slen(col("text")))
+    val r = TextAnalysis.langSourceMi(d).collect()
+    assert(r.length == 2, "only the diagonal cells exist")
+    r.foreach { x =>
+      assert(x.getDouble(4) == 0.6931, s"pmi must be ln(2): $x") // round(ln 2, 4)
+      assert(x.getDouble(5) == 0.346574, s"mi_part = 0.5*ln(2): $x")
+    }
+  }
 }
