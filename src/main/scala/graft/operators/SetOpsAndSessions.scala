@@ -673,7 +673,60 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("day")
   }
 
+  /** q167: stationary distribution of the event-type Markov chain —
+    * where user sessions spend their time in the long run, the
+    * steady-state view of q112's one-step transition matrix. Useful
+    * as a drift monitor: the stationary mass moving between releases
+    * means navigation structure changed even if raw event counts
+    * didn't.
+    *
+    * EXACT-INTEGER power iteration (the q143 fixed-point convention):
+    * mass starts at 10^12 div k and each step moves
+    * (v_i · c_ij) div c_i· per cell — integer arithmetic, summation-
+    * order-independent, so both engines (and any partitioning) agree
+    * bit-for-bit on the mass vector; the only doubles are the final
+    * normalized shares. Driver-side BigInt keeps the products exact
+    * past int64 at corpus scale.
+    *
+    * Scale shape: the corpus-sized work is the q112 anatomy — one
+    * user-window pass and one groupBy on (from,to). The iteration
+    * runs on the COLLECTED |event_types|² matrix, the legitimate
+    * model-sized collect (q129 precedent): k is schema-bounded, never
+    * data-bounded.
+    */
+  def markovStationary(events: DataFrame, iters: Int = 12): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+    val counts = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val states = counts.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val c = Array.ofDim[Long](k, k)
+    counts.foreach(r => c(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+    val rowSum = c.map(_.sum)
+    var v = Array.fill(k)(1000000000000L / k)
+    for (_ <- 1 to iters) {
+      val nv = Array.fill(k)(0L)
+      for (i <- 0 until k; j <- 0 until k if c(i)(j) != 0L && rowSum(i) != 0L)
+        nv(j) += (BigInt(v(i)) * c(i)(j) / rowSum(i)).toLong
+      v = nv
+    }
+    val sumV = v.sum
+    val rows = states.zipWithIndex.map { case (s, i) =>
+      (s, v(i), BigDecimal(v(i).toDouble / sumV.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("state", "mass", "p").orderBy("state")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_markov_stationary"  -> ((s, d) => markovStationary(Tables(s, d).events)),
     "q149_cuped"         -> ((s, d) => cupedAbTest(Tables(s, d).events)),
     "q51_survey_report"  -> ((s, d) => surveyReport(Tables(s, d).orders)),
     "q39_segment_sets"   -> ((s, d) => { val t = Tables(s, d); segmentSets(t.customer, t.nation) }),
@@ -697,7 +750,38 @@ object SetOpsAndSessions extends QueryModule {
     "q163_seasonal_decomp"    -> ((s, d) => seasonalDecomposition(Tables(s, d).events)),
   )
 
+  /** The q167 oracle unrolls the 12 integer power-iteration steps as
+    * chained CTEs (recursive CTEs disallow the per-step aggregate);
+    * the arithmetic is the same `(v·n) // n_from` integer expression
+    * the Scala side evaluates, so the mass vector matches exactly.
+    */
+  private val markovOracle: String = {
+    val iterCtes = (1 to 12).map { i =>
+      s"""i$i AS (SELECT t.to_type AS state, sum((i${i - 1}.v * t.n) // t.n_from)::BIGINT AS v
+         |       FROM i${i - 1} JOIN t ON i${i - 1}.state = t.from_type GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT from_type, to_type, n,
+       |         sum(n) OVER (PARTITION BY from_type)::BIGINT AS n_from
+       |  FROM (SELECT event_type AS from_type, next_type AS to_type, count(*)::BIGINT AS n
+       |        FROM (SELECT event_type,
+       |                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       |              FROM events)
+       |        WHERE next_type IS NOT NULL GROUP BY 1, 2)),
+       |states AS (SELECT DISTINCT from_type AS s FROM t
+       |           UNION SELECT DISTINCT to_type FROM t),
+       |kk AS (SELECT count(*)::BIGINT AS k FROM states),
+       |i0 AS (SELECT s AS state, 1000000000000 // k AS v FROM states, kk),
+       |$iterCtes,
+       |tot AS (SELECT sum(v)::BIGINT AS sv FROM i12)
+       |SELECT s AS state, coalesce(i12.v, 0)::BIGINT AS mass,
+       |       round(CAST(coalesce(i12.v, 0) AS DOUBLE) / CAST(sv AS DOUBLE), 6) AS p
+       |FROM states LEFT JOIN i12 ON states.s = i12.state, tot
+       |ORDER BY state""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q167_markov_stationary" -> markovOracle,
     "q146_activity_islands" ->
       """WITH days AS (SELECT DISTINCT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day FROM events),
               isl AS (SELECT user_id, day, day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM days),

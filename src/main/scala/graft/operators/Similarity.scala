@@ -408,7 +408,67 @@ object Similarity extends QueryModule {
       .orderBy("final_rank")
   }
 
+  /** q166: external clustering validation — Adjusted Rand Index and
+    * normalized mutual information between an unsupervised bucketing
+    * (sign-bit LSH over the first `signBits` embedding dims, the
+    * crudest hyperplane clustering) and the stored label column. This
+    * is the "did my clustering find the classes?" scorecard that
+    * gates whether an LSH/IVF partitioning (q59/q76) is usable as a
+    * semantic shard key.
+    *
+    * ARI is EXACT-integer combinatorics: every term is a sum of
+    * C(x,2) = x·(x−1) div 2 over contingency counts, so both engines
+    * agree bit-for-bit before the single final double expression.
+    * NMI's entropy terms are double sums over the contingency frame
+    * (cells ≤ buckets×labels), absorbed by round(6).
+    *
+    * Scale shape: ONE corpus shuffle (groupBy bucket,label); margins,
+    * entropies and the MI sum all ride the bounded contingency frame
+    * (broadcast joins, reused exchange). No driver collect.
+    */
+  def clusterLabelAgreement(embeddings: DataFrame, signBits: Int = 4): DataFrame = {
+    val bucketExpr = (0 until signBits)
+      .map(b => s"(CASE WHEN embedding[$b] >= 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    val cells = embeddings
+      .select(expr(bucketExpr).as("bucket"), col("label"))
+      .groupBy("bucket", "label").agg(count(lit(1)).as("nij"))
+    val tot = cells.agg(sum("nij").as("n"),
+      sum(expr("nij * (nij - 1) div 2")).as("sij"),
+      count(lit(1)).as("n_cells"))
+    val rowS = cells.groupBy("bucket").agg(sum("nij").as("ai"))
+    val colS = cells.groupBy("label").agg(sum("nij").as("bj"))
+    val aStats = rowS.crossJoin(broadcast(tot)).agg(
+      count(lit(1)).as("n_buckets"),
+      sum(expr("ai * (ai - 1) div 2")).as("sa"),
+      sum(expr(
+        "-(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE))"))
+        .as("ha"))
+    val bStats = colS.crossJoin(broadcast(tot)).agg(
+      count(lit(1)).as("n_labels"),
+      sum(expr("bj * (bj - 1) div 2")).as("sb"),
+      sum(expr(
+        "-(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE))"))
+        .as("hb"))
+    val mi = cells
+      .join(broadcast(rowS), "bucket").join(broadcast(colS), "label")
+      .crossJoin(broadcast(tot))
+      .agg(sum(expr(
+        """(CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+          | * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE)))""".stripMargin))
+        .as("mi"))
+    tot.crossJoin(broadcast(aStats)).crossJoin(broadcast(bStats)).crossJoin(broadcast(mi))
+      .withColumn("cn2", expr("n * (n - 1) div 2"))
+      .withColumn("expected", expr("CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(cn2 AS DOUBLE)"))
+      .select(col("n"), col("n_buckets"), col("n_labels"),
+        round(expr(
+          "(CAST(sij AS DOUBLE) - expected) / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 - expected)"),
+          6).as("ari"),
+        round(expr("mi / sqrt(ha * hb)"), 6).as("nmi"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_cluster_ari" -> ((s, d) => clusterLabelAgreement(Tables(s, d).embeddings)),
     "q102_hybrid_retrieval" -> ((s, d) =>
       hybridRetrieval(Tables(s, d).documents, Tables(s, d).embeddings)),
     "q28_cosine_topk"  -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
@@ -431,6 +491,38 @@ object Similarity extends QueryModule {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
   override def oracles: Map[String, String] = Map(
+    // DuckDB lists are 1-based: embedding[b+1] mirrors Spark's 0-based
+    // embedding[b]; ARI terms stay exact-integer until the last line
+    "q166_cluster_ari" ->
+      """WITH cells AS (
+        |  SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket,
+        |         label, count(*)::BIGINT AS nij
+        |  FROM embeddings GROUP BY 1, 2),
+        |tot AS (SELECT sum(nij)::BIGINT AS n, sum(nij * (nij - 1) // 2)::BIGINT AS sij,
+        |               count(*)::BIGINT AS n_cells FROM cells),
+        |rowS AS (SELECT bucket, sum(nij)::BIGINT AS ai FROM cells GROUP BY 1),
+        |colS AS (SELECT label, sum(nij)::BIGINT AS bj FROM cells GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_buckets, sum(ai * (ai - 1) // 2)::BIGINT AS sa,
+        |             sum(-(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE))) AS ha
+        |      FROM rowS, tot),
+        |b AS (SELECT count(*)::BIGINT AS n_labels, sum(bj * (bj - 1) // 2)::BIGINT AS sb,
+        |             sum(-(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE))) AS hb
+        |      FROM colS, tot),
+        |m AS (SELECT sum((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE)))) AS mi
+        |      FROM cells JOIN rowS USING (bucket) JOIN colS USING (label), tot),
+        |x AS (SELECT n, n_buckets, n_labels, sij, sa, sb, ha, hb, mi,
+        |             n * (n - 1) // 2 AS cn2 FROM tot, a, b, m),
+        |y AS (SELECT n, n_buckets, n_labels, sij, sa, sb, ha, hb, mi,
+        |             CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(cn2 AS DOUBLE) AS expected FROM x)
+        |SELECT n, n_buckets, n_labels,
+        |       round((CAST(sij AS DOUBLE) - expected)
+        |             / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0 - expected), 6) AS ari,
+        |       round(mi / sqrt(ha * hb), 6) AS nmi
+        |FROM y""".stripMargin,
     // q78's BM25 chain → rounded-score shortlist → cosine re-rank over
     // the (inner-joined) embedded subset; both ranks order by rounded
     // scores with doc_id tie-breaks (the q70/q77 determinism contract)

@@ -296,6 +296,14 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), s"QI audit is one aggregate, no join:\n$p")
   }
 
+  test("q166 ARI/NMI: one corpus aggregate; contingency math is broadcast-only") {
+    val p = planText(graft.operators.Similarity.clusterLabelAgreement(t.embeddings))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"margins/entropies must join the bounded frame by broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side contingency partials:\n$p")
+  }
+
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
     // parquet-backed, exchange-free projections: LocalRelation fixtures
     // constant-fold custom expressions away, and AQE wraps any plan with

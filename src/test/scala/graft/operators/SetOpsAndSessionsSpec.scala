@@ -243,6 +243,26 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     assert(got._5.isDefined && math.abs(got._5.get - (dY - theta * dX)) < 1e-3)
   }
 
+  test("markovStationary converges to the exact chain solution") {
+    // 2-state chain: A->A 3, A->B 1, B->A 2, B->B 2
+    // P = [[.75,.25],[.5,.5]] -> stationary (2/3, 1/3)
+    // encode counts directly via many 2-event users
+    val pairs =
+      Seq.fill(3)(("A", "A")) ++ Seq.fill(1)(("A", "B")) ++
+      Seq.fill(2)(("B", "A")) ++ Seq.fill(2)(("B", "B"))
+    val ev = pairs.zipWithIndex.flatMap { case ((a, b), u) =>
+      Seq((u * 2L, u.toLong, u * 1000000L, a), (u * 2L + 1, u.toLong, u * 1000000L + 1L, b))
+    }.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    val r = SetOpsAndSessions.markovStationary(ev)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(math.abs(r("A")._2 - 2.0 / 3.0) < 1e-3, s"got ${r("A")}")
+    assert(math.abs(r("B")._2 - 1.0 / 3.0) < 1e-3, s"got ${r("B")}")
+    assert(math.abs(r("A")._2 + r("B")._2 - 1.0) < 1e-5)
+    assert(r("A")._1 + r("B")._1 <= 1000000000000L, "integer mass never inflates")
+  }
+
   test("benfordAudit: exact digit counts, zero-cent rows excluded, digits densified") {
     // values: 1.00 -> d1, 19.99 -> d1, 250.00 -> d2, 0.50 -> d5, 0.001 -> cents 0 (dropped)
     val ev = Seq(

@@ -227,4 +227,26 @@ class SimilaritySpec extends SparkSpec {
     assert(m == ((2L, 1L, 1.0, 1.0, 1.0, 0.0, 0.0)))
     assert(1.0 / m._6 > 0, "entropy folded to -0.0")
   }
+
+  test("clusterLabelAgreement: perfect sign-separated clustering scores ari=nmi=1") {
+    val emb = (0 until 8).map { i =>
+      val lbl = i % 2
+      (i.toLong, Seq(if (lbl == 0) -1f else 1f, 0.5f, -0.5f, 0.1f), lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterLabelAgreement(emb, signBits = 1).collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0, s"ari=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"nmi=${r.getDouble(4)}")
+  }
+
+  test("clusterLabelAgreement: label-blind buckets score far below perfect") {
+    // bucket (sign of dim 0) independent of label: each (bucket,label)
+    // cell gets exactly 2 of the 8 vectors
+    val emb = (0 until 8).map { i =>
+      (i.toLong, Seq(if (i < 4) -1f else 1f, 0f, 0f, 0f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterLabelAgreement(emb, signBits = 1).collect().head
+    assert(r.getDouble(3) < 0.5, s"ari should be near zero: ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.0, s"nmi of independent split is 0: ${r.getDouble(4)}")
+  }
 }
