@@ -124,9 +124,101 @@ object Modeling extends QueryModule {
       .orderBy("source")
   }
 
+  /** q168: BPE merge learning — the first `rounds` byte-pair-encoding
+    * merge operations learned from the corpus, the distributed version
+    * of the classic Sennrich et al. tokenizer-training loop (and the
+    * training-side complement of q49's BPE-ish tokenizer).
+    *
+    * Words are symbol arrays; applying a merge is a LEFT FOLD that
+    * rebuilds the sequence, collapsing `(l,r)` whenever the previous
+    * output token is `l` — which reproduces classic greedy
+    * left-to-right non-overlapping BPE exactly, including runs of
+    * identical symbols (`a a a a` + merge `(a,a)` → `aa aa`, and the
+    * freshly merged token never re-pairs within the same round). The
+    * fold is a builtin `aggregate` higher-order function here and a
+    * `list_reduce` over a delimited-string accumulator in the DuckDB
+    * oracle, which unrolls the same rounds as CTEs. Pair counts are
+    * freq-weighted integer sums (overlapping pairs counted, as in
+    * classic `get_stats`); the argmax tie-break is (count desc, pair
+    * asc), pinned on both engines.
+    *
+    * Scale shape: the corpus collapses ONCE into the (word, freq)
+    * vocabulary — the only corpus-sized shuffle. Every merge round
+    * then scans the VOCAB-sized frame (pair explode → map-side
+    * combined sum → `limit(1)` argmax, a 1-row model-sized collect,
+    * q129 convention). At 100 TB the vocabulary is still ~10⁷ rows;
+    * rounds cost is independent of corpus size.
+    */
+  def bpeMerges(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var words = documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("t"), col("freq"))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (round <- 1 to rounds) {
+      val best = words
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> struct(a AS l, b AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val m = l + r
+        out += ((round, l, r, m, cnt))
+        words = words
+          .withColumn("lt", lit(l)).withColumn("rt", lit(r)).withColumn("mt", lit(m))
+          .withColumn("t", expr(
+            """aggregate(t, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+              |  IF(size(acc) > 0 AND element_at(acc, -1) = lt AND x = rt,
+              |     concat(slice(acc, 1, size(acc) - 1), array(mt)),
+              |     concat(acc, array(x))))""".stripMargin))
+          .drop("lt", "rt", "mt")
+      }
+    }
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "cnt").orderBy("merge_rank")
+  }
+
+  /** The q168 oracle replays the same greedy rounds as unrolled CTEs:
+    * per round, pair counts from the delimited symbol strings, the
+    * (cnt desc, pair asc) argmax, and the classic left-fold merge as a
+    * `list_reduce` over a '|'-joined accumulator (tokens are letters,
+    * so the delimiter is safe).
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val ctes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT t[i] AS l, t[i + 1] AS r, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT freq, string_split(trim(s, '|'), '|') AS t,
+         |               unnest(range(1, len(string_split(trim(s, '|'), '|')))) AS i
+         |        FROM w${r - 1})
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, l || r AS m, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$r AS (SELECT list_reduce(string_split(trim(s, '|'), '|'), (acc, x) -> CASE
+         |          WHEN (acc = l OR acc LIKE '%|' || l) AND x = r
+         |          THEN substr(acc, 1, len(acc) - len(l)) || m
+         |          ELSE acc || '|' || x END) AS s, freq
+         |        FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, m AS merged, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |w0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS s, freq FROM wf),
+       |$ctes
+       |$union
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
+    "q168_bpe_merges" -> ((s, d) => bpeMerges(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -179,5 +271,6 @@ object Modeling extends QueryModule {
         |SELECT source, n_bigrams, mean_surprisal,
         |       round(exp(mean_surprisal), 2) AS ppl
         |FROM agg ORDER BY source""".stripMargin,
+    "q168_bpe_merges" -> bpeOracle(8),
   )
 }

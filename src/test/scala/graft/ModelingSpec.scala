@@ -46,6 +46,33 @@ class ModelingSpec extends SparkSpec {
     assert(bySrc("s2") == ((1L, 0.9163)), s"got ${bySrc("s2")}")
   }
 
+  test("bpeMerges replays the classic hand-worked BPE example") {
+    // Sennrich-style fixture: low x5, lower x2, newest x6, widest x3.
+    // Pair counts round 1: (e,s)=9, (s,t)=9, (w,e)=8 ... argmax tie
+    // (e,s) vs (s,t) breaks lexicographically -> (e,s) merged first,
+    // then (es,t)=9, then (est's precursors)...
+    val freqs = Seq(("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+    val d = docs(freqs.zipWithIndex.flatMap { case ((w, f), wi) =>
+      (1 to f).map(k => ((wi * 10 + k).toLong, "s", w))
+    }: _*)
+    val merges = operators.Modeling.bpeMerges(d, rounds = 3)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(4)))
+    assert(merges(0) == ((1, "e", "s", 9L)), s"got ${merges(0)}")
+    assert(merges(1) == ((2, "es", "t", 9L)), s"got ${merges(1)}")
+    // round 3: (l,o) appears in low+lower = 7; (w,est)=6? no: newest has
+    // (w,est) 6 + widest (d,est) 3; (l,o)=7 wins
+    assert(merges(2) == ((3, "l", "o", 7L)), s"got ${merges(2)}")
+  }
+
+  test("bpeMerges: merged tokens keep merging greedily (aaaa learns aa then aaaa)") {
+    val d = docs((1L, "s", Seq.fill(10)("aaaa").mkString(" ")))
+    val merges = operators.Modeling.bpeMerges(d, rounds = 2)
+      .collect().map(x => (x.getString(1), x.getString(2), x.getString(3)))
+    assert(merges(0) == (("a", "a", "aa")))
+    assert(merges(1) == (("aa", "aa", "aaaa")),
+      s"greedy left-to-right pairing after merge: ${merges.toSeq}")
+  }
+
   test("bigramSurprisal: repeated corpus is less surprising than novel text") {
     val boiler = (1L to 20L).map(i => (i, "common", "the quick brown fox jumps"))
     val novel = Seq((21L, "rare", "zebra quantum flux harmonics glows"))
