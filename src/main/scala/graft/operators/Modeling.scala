@@ -147,15 +147,22 @@ object Modeling extends QueryModule {
     * then scans the VOCAB-sized frame (pair explode → map-side
     * combined sum → `limit(1)` argmax, a 1-row model-sized collect,
     * q129 convention). At 100 TB the vocabulary is still ~10⁷ rows;
-    * rounds cost is independent of corpus size.
+    * rounds cost is independent of corpus size. Each round's fold is
+    * materialized through [[graft.plans.Checkpoints.cut]] so round k
+    * scans round k-1's blocks instead of replaying all k-1 folds from
+    * the corpus (lineage would otherwise grow linearly in rounds, and
+    * the per-round argmax collect would recompute the whole chain);
+    * `checkpointDir = Some(path)` switches to reliable checkpoints for
+    * long multi-hundred-round training runs on a real cluster.
     */
-  def bpeMerges(documents: DataFrame, rounds: Int = 8): DataFrame = {
+  def bpeMerges(documents: DataFrame, rounds: Int = 8,
+                checkpointDir: Option[String] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    var words = documents
+    var words = graft.plans.Checkpoints.cut(documents
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(split(col("word"), "").as("t"), col("freq"))
+      .select(split(col("word"), "").as("t"), col("freq")), checkpointDir)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     for (round <- 1 to rounds) {
       val best = words
@@ -169,17 +176,102 @@ object Modeling extends QueryModule {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         val m = l + r
         out += ((round, l, r, m, cnt))
-        words = words
+        words = graft.plans.Checkpoints.cut(words
           .withColumn("lt", lit(l)).withColumn("rt", lit(r)).withColumn("mt", lit(m))
           .withColumn("t", expr(
             """aggregate(t, CAST(array() AS ARRAY<STRING>), (acc, x) ->
               |  IF(size(acc) > 0 AND element_at(acc, -1) = lt AND x = rt,
               |     concat(slice(acc, 1, size(acc) - 1), array(mt)),
               |     concat(acc, array(x))))""".stripMargin))
-          .drop("lt", "rt", "mt")
+          .drop("lt", "rt", "mt"), checkpointDir)
       }
     }
     out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "cnt").orderBy("merge_rank")
+  }
+
+  /** q169: ROC-AUC of a quality-classifier score, per source — the
+    * standard eval for "does this scorer separate the target class",
+    * computed exactly via the Mann-Whitney rank-sum identity (AUC =
+    * P(score⁺ > score⁻) + ½P(tie)). Here the scorer is `n_chars` and
+    * the target class is `lang = 'en'`, the same proxy pair the
+    * calibration (q153) and OLS (q159) queries use.
+    *
+    * Everything is integer until the final division: the corpus
+    * collapses to the per-(source, score) contingency first (ONE
+    * corpus-sized shuffle, map-side combined), so the rank window runs
+    * over the score-DISTINCT frame — bounded by |sources|×|distinct
+    * lengths|, not by corpus rows, which is what makes the classic
+    * "rank every row" formulation scale (no per-source corpus sort).
+    * Tie-corrected doubled rank-sum: a tie group at inclusive running
+    * count `cum` with `cnt` members has doubled average rank
+    * 2·cum − cnt + 1; summing that over positives gives 2R⁺, and
+    * AUC = (2R⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻). Sums ride in DECIMAL(38,0)
+    * (HUGEINT on the oracle side) so the identity stays exact at
+    * 100 TB per-source counts where n⁺·n⁻ overflows a long.
+    */
+  def rocAuc(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy("source").orderBy("n_chars")
+    documents
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+      .withColumn("cum", sum("cnt").over(byScore))
+      .groupBy("source")
+      .agg(sum("pos").as("n_pos"),
+           (sum("cnt") - sum("pos")).as("n_neg"),
+           sum(col("pos").cast("decimal(38,0)")
+             * (lit(2L) * col("cum") - col("cnt") + lit(1L))).as("r2"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(
+            (col("r2") - (col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1)))
+              .cast("double") /
+            (lit(2L).cast("decimal(38,0)") * col("n_pos") * col("n_neg")).cast("double"),
+            4)).as("auc"))
+      .orderBy("source")
+  }
+
+  /** q172: leakage-free (out-of-fold) target encoding of `source`
+    * against the numeric target `n_chars` — the feature-engineering
+    * step that replaces a high-cardinality category with the target
+    * mean, computed so no row's own target leaks into its own feature.
+    * Folds are deterministic md5 buckets (the q66/q152 convention — the
+    * SAME fold assignment on any cluster, any retry, any engine), and
+    * each (category, fold) cell's encoding is the mean over the OTHER
+    * folds only, smoothed toward the matching out-of-fold GLOBAL mean
+    * with pseudo-count m=20 (the standard empirical-Bayes shrinkage for
+    * rare categories).
+    *
+    * Scale shape: ONE corpus scan collapses to the (source, fold) cell
+    * frame (integer sums, map-side combined); category totals, fold
+    * totals, and the grand total are windows over that bounded frame —
+    * all leave-one-fold-out arithmetic is subtraction of exact
+    * integers, with the two divisions (and round 4) at the very end.
+    */
+  def targetEncoding(documents: DataFrame, k: Int = 5, m: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fold = (conv(substring(md5(concat(lit("fold|"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long") % k).cast("int")
+    val cells = documents
+      .select(col("source"), fold.as("fold"), col("n_chars"))
+      .groupBy("source", "fold")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+    val bySrc = Window.partitionBy("source")
+    val byFold = Window.partitionBy("fold")
+    cells
+      .withColumn("src_n", sum("n").over(bySrc)).withColumn("src_s", sum("s").over(bySrc))
+      .withColumn("f_n", sum("n").over(byFold)).withColumn("f_s", sum("s").over(byFold))
+      .withColumn("g_n", sum("n").over(Window.partitionBy()))
+      .withColumn("g_s", sum("s").over(Window.partitionBy()))
+      .select(col("source"), col("fold"), col("n"),
+        (col("src_n") - col("n")).as("oof_n"),
+        round((col("src_s") - col("s")).cast("double") / (col("src_n") - col("n")), 4)
+          .as("oof_mean"),
+        round(((col("src_s") - col("s")).cast("double")
+               + lit(m) * ((col("g_s") - col("f_s")).cast("double") / (col("g_n") - col("f_n"))))
+              / ((col("src_n") - col("n")) + lit(m)), 4).as("enc_smooth"))
+      .orderBy("source", "fold")
   }
 
   /** The q168 oracle replays the same greedy rounds as unrolled CTEs:
@@ -219,6 +311,8 @@ object Modeling extends QueryModule {
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
     "q168_bpe_merges" -> ((s, d) => bpeMerges(Tables(s, d).documents)),
+    "q169_roc_auc" -> ((s, d) => rocAuc(Tables(s, d).documents)),
+    "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -272,5 +366,50 @@ object Modeling extends QueryModule {
         |       round(exp(mean_surprisal), 2) AS ppl
         |FROM agg ORDER BY source""".stripMargin,
     "q168_bpe_merges" -> bpeOracle(8),
+    // tie-corrected Mann-Whitney over the score-distinct frame; HUGEINT
+    // mirrors the Spark side's DECIMAL(38,0) exactness contract
+    "q169_roc_auc" ->
+      """WITH g AS (
+        |  SELECT source, n_chars, count(*)::BIGINT AS cnt,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, cnt, pos,
+        |         sum(cnt) OVER (PARTITION BY source ORDER BY n_chars)::BIGINT AS cum
+        |  FROM g),
+        |a AS (
+        |  SELECT source, sum(pos)::BIGINT AS n_pos, (sum(cnt) - sum(pos))::BIGINT AS n_neg,
+        |         sum(pos::HUGEINT * (2 * cum - cnt + 1)) AS r2
+        |  FROM w GROUP BY source)
+        |SELECT source, n_pos, n_neg,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |         round((r2 - n_pos::HUGEINT * (n_pos + 1))::DOUBLE /
+        |               (2::HUGEINT * n_pos * n_neg)::DOUBLE, 4) END AS auc
+        |FROM a ORDER BY source""".stripMargin,
+    // md5-bucket folds (q66/q152 convention); leave-one-fold-out means
+    // from exact integer sums, double division + round only at the end
+    "q172_target_encoding" ->
+      """WITH f AS (
+        |  SELECT source,
+        |         (list_reduce(list_transform(range(1, 16),
+        |            i -> strpos('0123456789abcdef', substr(md5('fold|' || doc_id), i, 1)) - 1),
+        |            (a, b) -> a * 16 + b)::UBIGINT % 5)::INT AS fold,
+        |         n_chars
+        |  FROM documents),
+        |cells AS (SELECT source, fold, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
+        |          FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, fold, n, s,
+        |         sum(n) OVER (PARTITION BY source)::BIGINT AS src_n,
+        |         sum(s) OVER (PARTITION BY source)::BIGINT AS src_s,
+        |         sum(n) OVER (PARTITION BY fold)::BIGINT AS f_n,
+        |         sum(s) OVER (PARTITION BY fold)::BIGINT AS f_s,
+        |         sum(n) OVER ()::BIGINT AS g_n, sum(s) OVER ()::BIGINT AS g_s
+        |  FROM cells)
+        |SELECT source, fold, n, (src_n - n)::BIGINT AS oof_n,
+        |       round((src_s - s)::DOUBLE / (src_n - n), 4) AS oof_mean,
+        |       round(((src_s - s)::DOUBLE + 20 * ((g_s - f_s)::DOUBLE / (g_n - f_n)))
+        |             / ((src_n - n) + 20), 4) AS enc_smooth
+        |FROM w ORDER BY source, fold""".stripMargin,
   )
 }

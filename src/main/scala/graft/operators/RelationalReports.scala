@@ -213,7 +213,52 @@ object RelationalReports extends QueryModule {
       .withColumn("n_total", col("n_f") + col("n_o") + col("n_p"))
       .orderBy("o_orderpriority")
 
+  /** q170: slowly-changing-dimension (type 2) history build — the
+    * warehouse operator that turns an event stream into versioned
+    * validity intervals: one row per run of a user's attribute value
+    * (here `event_type`), with `valid_from`/`valid_to` microsecond
+    * bounds, half-open [from, to), `valid_to` NULL on the current
+    * version. Consecutive duplicates collapse into one version
+    * (SCD2 only versions CHANGES, not repeats).
+    *
+    * Classic gaps-and-islands: lag() flags changes, a running sum of
+    * flags numbers the versions, and each run collapses WITHOUT a
+    * second shuffle — the run's first row (chg = 1) already carries
+    * everything: its `us` is valid_from, the NEXT run-start's `us`
+    * (lead over the filtered frame) closes the interval, and n_events
+    * is the row_number gap to that next start. Every window partitions
+    * by the natural key, so the whole build is ONE corpus shuffle on
+    * user_id (a groupBy(user_id, version) formulation would re-shuffle
+    * the corpus on the composite key — plan-contract-pinned out).
+    * Rows for one user sort locally; there is NO global sort and no
+    * driver state. Tie-break inside a user is (ts, event_id), pinned
+    * on both engines.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val byStart = Window.partitionBy("user_id").orderBy("rn")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(byTs).isNull ||
+             lag("event_type", 1).over(byTs) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(byTs))
+      .withColumn("n_all", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("version", sum("chg").over(byTs))
+      .filter(col("chg") === 1L)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("us").as("valid_from_us"),
+        coalesce(lead("rn", 1).over(byStart) - col("rn"), col("n_all") - col("rn") + 1L)
+          .as("n_events"),
+        lead("us", 1).over(byStart).as("valid_to_us"),
+        lead("us", 1).over(byStart).isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_scd2_history"     -> ((s, d) => scd2History(Tables(s, d).events)),
     "q50_qc_metrics"        -> ((s, d) => qcMetrics(Tables(s, d).lineitem)),
     "q139_margin_rollup"    -> ((s, d) => marginRollup(Tables(s, d).lineitem)),
     "q140_status_pivot"     -> ((s, d) => statusPivot(Tables(s, d).orders)),
@@ -232,6 +277,33 @@ object RelationalReports extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // ns -> us truncation mirrors Tables.events (epoch_ns // 1000);
+    // (ts, event_id) tie-break and run numbering identical to the Spark plan
+    "q170_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (
+        |  SELECT user_id, event_type, us,
+        |         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS version
+        |  FROM c),
+        |runs AS (
+        |  SELECT user_id, version, min(event_type) AS event_type,
+        |         min(us)::BIGINT AS valid_from_us, count(*)::BIGINT AS n_events
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from_us, n_events,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)::BIGINT
+        |         AS valid_to_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |         AS is_current
+        |FROM runs ORDER BY user_id, version""".stripMargin,
     "q139_margin_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
                 coalesce(l_linestatus, 'ALL') AS line_status,

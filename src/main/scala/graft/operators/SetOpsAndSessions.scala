@@ -725,7 +725,60 @@ object SetOpsAndSessions extends QueryModule {
     rows.toSeq.toDF("state", "mass", "p").orderBy("state")
   }
 
+  /** q171: Kaplan-Meier time-to-conversion curve — survival S(t) over
+    * "days from a user's first event to their first `purchase`",
+    * right-censoring users who never purchase at their full observed
+    * span (their conversion time is a lower bound, not a failure to
+    * convert). The product-limit estimator S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)
+    * runs in SCALED-INTEGER arithmetic (units of 1e-9, the q143/q167
+    * integer-iteration convention): sᵢ = sᵢ₋₁·(nᵢ−dᵢ) // nᵢ, a defined
+    * deterministic quantity with no float-summation order to pin
+    * across engines — the floor loses < 1e-9 per step, invisible at
+    * the 6-decimal output rounding.
+    *
+    * Scale shape: ONE corpus-sized groupBy collapses events to per-user
+    * (first event, first purchase) pairs; those collapse again to the
+    * per-duration (n_at, deaths) frame, whose cardinality is bounded by
+    * the horizon in DAYS — independent of corpus size — so the risk-set
+    * window and the driver-side product recurrence (BigInt, exact) are
+    * model-sized (q129/q167 collect convention). The oracle replays the
+    * identical recurrence as a recursive CTE in HUGEINT.
+    */
+  def kaplanMeier(events: DataFrame, convertType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mx = events.agg(max(unix_micros(col("ts"))).as("max_us"))
+    val perDur = events
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+           min(when(col("event_type") === convertType, unix_micros(col("ts"))))
+             .as("conv_us"))
+      .crossJoin(broadcast(mx))
+      .select(
+        when(col("conv_us").isNotNull,
+          expr("(conv_us - first_us) div 86400000000"))
+          .otherwise(expr("(max_us - first_us) div 86400000000")).as("dur_days"),
+        when(col("conv_us").isNotNull, 0L).otherwise(1L).as("censored"))
+      .groupBy("dur_days")
+      .agg(count(lit(1)).as("n_at"), sum(lit(1L) - col("censored")).as("d"))
+    val pts = perDur
+      .withColumn("n_risk", sum("n_at").over(Window.orderBy(col("dur_days").desc)))
+      .select("dur_days", "n_risk", "d")
+      .orderBy("dur_days")
+      .collect()
+    var s = BigInt(1000000000L)
+    val rows = pts.toSeq.map { r =>
+      val (t, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      s = s * BigInt(n - d) / BigInt(n) // d = 0 divides exactly: s unchanged
+      (t, n, d, s.toLong)
+    }.filter(_._3 > 0)
+    rows.toDF("dur_days", "n_risk", "n_events", "surv_scaled")
+      .withColumn("survival", round(col("surv_scaled") / 1000000000.0, 6))
+      .orderBy("dur_days")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_kaplan_meier"       -> ((s, d) => kaplanMeier(Tables(s, d).events)),
     "q167_markov_stationary"  -> ((s, d) => markovStationary(Tables(s, d).events)),
     "q149_cuped"         -> ((s, d) => cupedAbTest(Tables(s, d).events)),
     "q51_survey_report"  -> ((s, d) => surveyReport(Tables(s, d).orders)),
@@ -781,6 +834,38 @@ object SetOpsAndSessions extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // identical scaled-integer recurrence as a recursive CTE (HUGEINT
+    // product, floor division); µs truncation + day floor-div mirror
+    // Tables.events and the Spark plan
+    "q171_kaplan_meier" ->
+      """WITH RECURSIVE mx AS (SELECT max(epoch_ns(ts) // 1000) AS max_us FROM events),
+        |u AS (SELECT user_id, min(epoch_ns(ts) // 1000) AS first_us,
+        |             min(CASE WHEN event_type = 'purchase'
+        |                      THEN epoch_ns(ts) // 1000 END) AS conv_us
+        |      FROM events GROUP BY user_id),
+        |dd AS (SELECT CASE WHEN conv_us IS NOT NULL
+        |                   THEN (conv_us - first_us) // 86400000000
+        |                   ELSE ((SELECT max_us FROM mx) - first_us) // 86400000000
+        |              END AS dur_days,
+        |              CASE WHEN conv_us IS NOT NULL THEN 0 ELSE 1 END AS censored
+        |       FROM u),
+        |g AS (SELECT dur_days, count(*)::BIGINT AS n_at,
+        |             sum(1 - censored)::BIGINT AS d
+        |      FROM dd GROUP BY 1),
+        |r AS (SELECT dur_days, n_at, d,
+        |             sum(n_at) OVER (ORDER BY dur_days DESC
+        |                             ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk,
+        |             row_number() OVER (ORDER BY dur_days) AS i
+        |      FROM g),
+        |s(i, surv) AS (
+        |  SELECT 0::BIGINT, 1000000000::BIGINT
+        |  UNION ALL
+        |  SELECT r.i, ((s.surv::HUGEINT * (r.n_risk - r.d)) // r.n_risk)::BIGINT
+        |  FROM s JOIN r ON r.i = s.i + 1)
+        |SELECT r.dur_days, r.n_risk, r.d AS n_events, s.surv AS surv_scaled,
+        |       round(s.surv / 1000000000.0, 6) AS survival
+        |FROM s JOIN r ON r.i = s.i
+        |WHERE r.d > 0 ORDER BY r.dur_days""".stripMargin,
     "q167_markov_stationary" -> markovOracle,
     "q146_activity_islands" ->
       """WITH days AS (SELECT DISTINCT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day FROM events),

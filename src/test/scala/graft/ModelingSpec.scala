@@ -64,6 +64,71 @@ class ModelingSpec extends SparkSpec {
     assert(merges(2) == ((3, "l", "o", 7L)), s"got ${merges(2)}")
   }
 
+  test("rocAuc matches the hand-computed tie-corrected Mann-Whitney value") {
+    // source s: positives (en) score 3 and 2, negatives score 1 and 2.
+    // Pairwise: (3>1)+(3>2)+(2>1)+half-credit tie (2,2) = 3.5 of 4 -> 0.875.
+    // source t: perfect separation -> 1.0; source u: all positive -> null.
+    val d = Seq(
+      (1L, "en", "s", 3L), (2L, "en", "s", 2L), (3L, "de", "s", 1L), (4L, "de", "s", 2L),
+      (5L, "en", "t", 9L), (6L, "de", "t", 1L),
+      (7L, "en", "u", 5L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = operators.Modeling.rocAuc(d).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got == Map("s" -> 0.875, "t" -> 1.0, "u" -> null), s"got $got")
+  }
+
+  test("targetEncoding: a fold's own targets never leak into its own encoding") {
+    val base = (1L to 40L).map(i => (i, "en", if (i <= 20) "a" else "b", 100L + i))
+    val enc = operators.Modeling.targetEncoding(base.toDF("doc_id", "lang", "source", "n_chars"))
+    // bump ONLY the rows whose fold = 0 by a huge constant; fold-0
+    // encodings are out-of-fold means, so they must not move
+    val fold0 = operators.Modeling
+      .targetEncoding(base.toDF("doc_id", "lang", "source", "n_chars")
+        .withColumn("n_chars", when(
+          conv(substring(md5(concat(lit("fold|"), col("doc_id"))), 1, 15), 16, 10)
+            .cast("long") % 5 === 0, col("n_chars") + 1000000L)
+          .otherwise(col("n_chars"))))
+    val before = enc.filter(col("fold") === 0)
+      .select("source", "oof_mean").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val after = fold0.filter(col("fold") === 0)
+      .select("source", "oof_mean").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(before == after, s"fold-0 oof means moved: $before vs $after")
+    // and the OTHER folds' encodings DO move (the bump is visible out-of-fold)
+    val movedBefore = enc.filter(col("fold") =!= 0).select("oof_mean").collect().map(_.getDouble(0)).toSeq
+    val movedAfter = fold0.filter(col("fold") =!= 0).select("oof_mean").collect().map(_.getDouble(0)).toSeq
+    assert(movedBefore != movedAfter)
+  }
+
+  test("targetEncoding oof means match a plain-Scala recomputation") {
+    val base = (1L to 60L).map(i => (i, "en", s"s${i % 3}", 10L * i))
+    val df = base.toDF("doc_id", "lang", "source", "n_chars")
+    val folds = df.select(col("doc_id"),
+      (conv(substring(md5(concat(lit("fold|"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long") % 5).cast("int").as("fold"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = base.map { case (id, _, src, t) => (src, folds(id), t) }
+    val expect = rows.groupBy(r => (r._1, r._2)).map { case ((src, f), cell) =>
+      val oof = rows.filter(r => r._1 == src && r._2 != f)
+      ((src, f),
+        BigDecimal(oof.map(_._3).sum.toDouble / oof.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = operators.Modeling.targetEncoding(df)
+      .select("source", "fold", "oof_mean").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("bpeMerges: reliable-checkpoint path agrees with localCheckpoint default") {
+    val d = docs((1L, "s", "low lower lowest"), (2L, "t", "low slow glow"))
+    val dir = java.nio.file.Files.createTempDirectory("bpeck").toString
+    val a = operators.Modeling.bpeMerges(d, rounds = 4).collect().toSeq
+    val b = operators.Modeling.bpeMerges(d, rounds = 4, checkpointDir = Some(dir))
+      .collect().toSeq
+    assert(a == b, s"default=$a reliable=$b")
+  }
+
   test("bpeMerges: merged tokens keep merging greedily (aaaa learns aa then aaaa)") {
     val d = docs((1L, "s", Seq.fill(10)("aaaa").mkString(" ")))
     val merges = operators.Modeling.bpeMerges(d, rounds = 2)

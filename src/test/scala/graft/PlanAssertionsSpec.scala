@@ -304,6 +304,30 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected map-side contingency partials:\n$p")
   }
 
+  test("q169 AUC: map-side contingency partials, windows on the score-distinct frame, no join") {
+    val p = planText(graft.operators.Modeling.rocAuc(t.documents))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected map-side contingency collapse:\n$p")
+    assert(!p.contains("Join"), s"rank-sum AUC is aggregation-only:\n$p")
+  }
+
+  test("q170 SCD2: ONE corpus shuffle on the natural key (no composite-key re-shuffle)") {
+    // scope to the AQE final plan — the toString repeats the pre-AQE
+    // "Initial Plan" section, which would double-count exchanges
+    val p = planText(graft.operators.RelationalReports.scd2History(t.events))
+      .split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected exactly one hash exchange, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"SCD2 build is window-only:\n$p")
+  }
+
+  test("q172 target encoding: cells collapse map-side; no shuffled join on the data path") {
+    val p = planText(graft.operators.Modeling.targetEncoding(t.documents))
+    assert(p.contains("partial_sum"), s"expected map-side cell partials:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fold windows run over the bounded cell frame:\n$p")
+  }
+
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
     // parquet-backed, exchange-free projections: LocalRelation fixtures
     // constant-fold custom expressions away, and AQE wraps any plan with

@@ -6,6 +6,29 @@ import org.apache.spark.sql.functions._
 class RelationalReportsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("scd2History: versions collapse runs, chain half-open intervals, flag current") {
+    val day = 86400000000L
+    val base = 1700000000000000L
+    // user 1: A A B A -> 3 versions (run of two As first); user 2: one
+    // version. Events 3/4 share a timestamp -> event_id breaks the tie
+    // (B@id3 sorts before A@id4).
+    val ev = Seq(
+      (1L, 1L, base, "A"), (2L, 1L, base + day, "A"),
+      (3L, 1L, base + 2 * day, "B"), (4L, 1L, base + 2 * day, "A"),
+      (5L, 2L, base, "X"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = RelationalReports.scd2History(ev).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", base, 2L, base + 2 * day, false),
+      (1L, 2L, "B", base + 2 * day, 1L, base + 2 * day, false),
+      (1L, 3L, "A", base + 2 * day, 1L, -1L, true),
+      (2L, 1L, "X", base, 1L, -1L, true)), s"got ${got.toSeq}")
+  }
+
   test("statusCounts counts per status") {
     val df = Seq(("O", 1), ("F", 2), ("O", 3)).toDF("o_orderstatus", "x")
     val got = RelationalReports.statusCounts(df).collect().map(r => (r.getString(0), r.getLong(1)))

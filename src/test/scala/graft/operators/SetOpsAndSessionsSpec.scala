@@ -6,6 +6,37 @@ import org.apache.spark.sql.functions._
 class SetOpsAndSessionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kaplanMeier: hand-worked curve with a right-censored non-converter") {
+    val day = 86400000000L
+    val base = 1700000000000000L
+    // u1, u2 purchase on day 0; u3 purchases on day 1; u4 never
+    // purchases across a 3-day span (censored at 3). Risk sets:
+    // t=0: n=4, d=2 -> S=0.5; t=1: n=2, d=1 -> S=0.25. The censored
+    // user leaves the risk set only after day 3 (no output row: d=0).
+    val ev = Seq(
+      (1L, 1L, base, "view"), (2L, 1L, base + day / 2, "purchase"),
+      (3L, 2L, base, "purchase"),
+      (4L, 3L, base, "view"), (5L, 3L, base + day, "purchase"),
+      (6L, 4L, base, "view"), (7L, 4L, base + 3 * day, "view"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = SetOpsAndSessions.kaplanMeier(ev).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 4L, 2L, 0.5), (1L, 2L, 1L, 0.25)), s"got ${got.toSeq}")
+  }
+
+  test("kaplanMeier survival never increases and respects scaled-integer floor") {
+    val ev = graft.Tables(spark, sf("")).events
+    val got = SetOpsAndSessions.kaplanMeier(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.sliding(2).foreach {
+      case Array((_, a), (t, b)) => assert(b <= a, s"survival rose at t=$t")
+      case _ =>
+    }
+  }
+
   test("decayedEngagement halves each event's value per elapsed day, hand-checked") {
     val day = 86400000000L // µs
     val base = 1700000000000000L
