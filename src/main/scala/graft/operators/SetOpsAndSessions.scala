@@ -777,7 +777,48 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("dur_days")
   }
 
+  /** q173: population-stability-index drift report — the model-ops
+    * metric for "has this feature's distribution shifted", here
+    * `value` banded (the q164 bands) and compared between the first
+    * and second half of the observation window. Per-band contribution
+    * psiᵢ = (pᵢ − qᵢ)·ln(pᵢ/qᵢ) with add-one smoothing so empty bands
+    * stay finite (the standard PSI epsilon, made exact and
+    * engine-portable). Emitted PER BAND (the q165 `mi_part`
+    * convention) — the total is the reader's trivial sum, and the
+    * output carries the exact integer counts it derives from.
+    *
+    * Scale shape: the window midpoint is one broadcast scalar; then ONE
+    * corpus scan with conditional integer sums per band (map-side
+    * combined); the band-count window runs over the bounded band frame.
+    * All doubles are per-row expressions from exact integers — no
+    * float summation anywhere.
+    */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val b = events.agg(min(unix_micros(col("ts"))).as("min_us"),
+                       max(unix_micros(col("ts"))).as("max_us"))
+    val cells = events
+      .crossJoin(broadcast(b))
+      .withColumn("cur", (unix_micros(col("ts")) >=
+        expr("min_us + (max_us - min_us) div 2")).cast("long"))
+      .groupBy(expr("CAST(floor(value / 50.0) AS INT)").as("band"))
+      .agg(sum(lit(1L) - col("cur")).as("n_ref"), sum("cur").as("n_cur"))
+    val w = Window.partitionBy(lit(1))
+    cells
+      .withColumn("tot_ref", sum("n_ref").over(w))
+      .withColumn("tot_cur", sum("n_cur").over(w))
+      .withColumn("n_bands", count(lit(1)).over(w))
+      .select(col("band"), col("n_ref"), col("n_cur"),
+        round(expr(
+          """((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bands))
+            |  - (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bands)))
+            | * ln((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bands))
+            |     / (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bands)))""".stripMargin), 6)
+          .as("psi_part"))
+      .orderBy("band")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_psi_drift"          -> ((s, d) => psiDrift(Tables(s, d).events)),
     "q171_kaplan_meier"       -> ((s, d) => kaplanMeier(Tables(s, d).events)),
     "q167_markov_stationary"  -> ((s, d) => markovStationary(Tables(s, d).events)),
     "q149_cuped"         -> ((s, d) => cupedAbTest(Tables(s, d).events)),
@@ -834,6 +875,32 @@ object SetOpsAndSessions extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // same one-pass conditional band counts; identical smoothed
+    // per-band expression (integers in, one rounded double out per row)
+    "q173_psi_drift" ->
+      """WITH b AS (SELECT min(epoch_ns(ts) // 1000) AS min_us,
+        |                  max(epoch_ns(ts) // 1000) AS max_us FROM events),
+        |cells AS (
+        |  SELECT CAST(floor(value / 50.0) AS INT) AS band,
+        |         sum(CASE WHEN epoch_ns(ts) // 1000 >=
+        |                       min_us + (max_us - min_us) // 2
+        |                  THEN 0 ELSE 1 END)::BIGINT AS n_ref,
+        |         sum(CASE WHEN epoch_ns(ts) // 1000 >=
+        |                       min_us + (max_us - min_us) // 2
+        |                  THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |  FROM events, b GROUP BY 1),
+        |m AS (SELECT band, n_ref, n_cur,
+        |             sum(n_ref) OVER ()::BIGINT AS tot_ref,
+        |             sum(n_cur) OVER ()::BIGINT AS tot_cur,
+        |             count(*) OVER ()::BIGINT AS n_bands
+        |      FROM cells)
+        |SELECT band, n_ref, n_cur,
+        |       round(((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bands))
+        |               - (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bands)))
+        |             * ln((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bands))
+        |                  / (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bands))), 6)
+        |         AS psi_part
+        |FROM m ORDER BY band""".stripMargin,
     // identical scaled-integer recurrence as a recursive CTE (HUGEINT
     // product, floor division); µs truncation + day floor-div mirror
     // Tables.events and the Spark plan

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the large-scale training-data pipeline
@@ -581,7 +582,92 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "source")
   }
 
+  /** q174: Good-Turing frequency-of-frequencies table — the smoothing
+    * statistic behind vocabulary-coverage estimates: Nᵣ = how many
+    * distinct trigram types occur exactly r times, the adjusted count
+    * r* = (r+1)·Nᵣ₊₁/Nᵣ, and the unseen-mass estimate p₀ = N₁/N on
+    * every row. r* is NULL where Nᵣ₊₁ = 0 (the standard undefined
+    * tail). The unit is word TRIGRAMS (the q117/q91 shingle shape) —
+    * the open-vocabulary regime GT is made for; the fused
+    * [[graft.functions.ShingleSet]] kernel emits every full window in
+    * one codegen'd pass. All counts are exact integers; the two
+    * ratios round at the end.
+    *
+    * Scale shape: corpus → trigram counts (ONE corpus shuffle,
+    * map-side combined) → freq-of-freqs (a second, VOCAB-sized
+    * shuffle) → the r+1 lookup is a broadcast self-join on the tiny
+    * materialized Nᵣ frame (cardinality ≤ max r). Reported for
+    * r ≤ 20, where GT smoothing is actually used.
+    */
+  def goodTuring(documents: DataFrame, maxR: Int = 20): DataFrame = {
+    // materialize the tiny N_r frame so the r+1 self-join reads it from
+    // storage instead of scanning the corpus once per join side
+    val nr = graft.plans.Checkpoints.cut(documents
+      .select(explode(
+        graft.functions.ShingleSet.shingleWindowsExact(lower(col("text")), 3))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r")), None)
+    val w = Window.partitionBy(lit(1))
+    nr.join(broadcast(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))),
+        Seq("r"), "left")
+      .withColumn("n_tokens", sum(col("r") * col("n_r")).over(w))
+      .withColumn("n1", sum(when(col("r") === 1, col("n_r"))).over(w))
+      .filter(col("r") <= maxR)
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1).cast("double") * col("n_r1") / col("n_r"), 4).as("r_star"),
+        round(col("n1").cast("double") / col("n_tokens"), 6).as("p0"))
+      .orderBy("r")
+  }
+
+  /** q175: Monroe et al.'s "Fightin' Words" log-odds-ratio with a
+    * Dirichlet prior — the statistically-grounded way to ask "which
+    * tokens distinguish English documents from the rest of the
+    * corpus". For token w with counts y_aw/y_bw in the two halves,
+    * δ_w = ln[(y_aw+α_w)/(n_a+α₀−y_aw−α_w)] − ln[(y_bw+α_w)/(n_b+α₀−y_bw−α_w)],
+    * Var ≈ 1/(y_aw+α_w) + 1/(y_bw+α_w), z = δ/√Var, with the
+    * informative prior α_w = α₀·(y_aw+y_bw)/N (corpus-proportional,
+    * α₀ = 1000 pseudo-tokens). Reported for tokens with total count
+    * ≥ 50, ordered by token — row-deterministic math from exact
+    * integer counts (no float ordering, no float sums).
+    *
+    * Scale shape: ONE corpus scan → per-(token) conditional integer
+    * sums (map-side combined); totals ride a window over the bounded
+    * filtered vocab frame.
+    */
+  def logOddsTokens(documents: DataFrame, minTotal: Long = 50L,
+                    alpha0: Double = 1000.0): DataFrame = {
+    val counts = documents
+      .select((col("lang") === "en").cast("long").as("is_a"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("token")
+      .agg(sum("is_a").as("y_a"), sum(lit(1L) - col("is_a")).as("y_b"))
+    val w = Window.partitionBy(lit(1))
+    counts
+      .withColumn("n_a", sum("y_a").over(w))
+      .withColumn("n_b", sum("y_b").over(w))
+      .filter(col("y_a") + col("y_b") >= minTotal)
+      .select(col("token"), col("y_a"), col("y_b"),
+        round(expr(
+          s"""ln((y_a + $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+             |   / (n_a + $alpha0 - y_a - $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE)))
+             | - ln((y_b + $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+             |      / (n_b + $alpha0 - y_b - $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE)))""".stripMargin), 4)
+          .as("delta"),
+        round(expr(
+          s"""(ln((y_a + $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+             |    / (n_a + $alpha0 - y_a - $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE)))
+             |  - ln((y_b + $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+             |       / (n_b + $alpha0 - y_b - $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))))
+             | / sqrt(1.0 / (y_a + $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+             |        + 1.0 / (y_b + $alpha0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE)))""".stripMargin), 4)
+          .as("z"))
+      .orderBy("token")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_good_turing"  -> ((s, d) => goodTuring(Tables(s, d).documents)),
+    "q175_log_odds"     -> ((s, d) => logOddsTokens(Tables(s, d).documents)),
     "q165_lang_source_mi" -> ((s, d) => langSourceMi(Tables(s, d).documents)),
     "q74_pii_scrub"    -> ((s, d) => piiScrubReport(Tables(s, d).customer)),
     "q72_repetition"   -> ((s, d) => repetitionGates(Tables(s, d).documents)),
@@ -606,6 +692,48 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // freq-of-freqs with an r+1 self-join; integer counts, ratios
+    // rounded at the end (r_star NULL where N_{r+1}=0)
+    "q174_good_turing" ->
+      """WITH d AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+        |tc AS (SELECT array_to_string(ts[i:i+2], ' ') AS token
+        |       FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM d)),
+        |freq AS (SELECT token, count(*)::BIGINT AS r FROM tc GROUP BY token),
+        |nr AS (SELECT r, count(*)::BIGINT AS n_r FROM freq GROUP BY r),
+        |tot AS (SELECT sum(r * n_r)::BIGINT AS n_tokens,
+        |               sum(CASE WHEN r = 1 THEN n_r END)::BIGINT AS n1
+        |        FROM nr)
+        |SELECT a.r, a.n_r,
+        |       round((a.r + 1) * b.n_r::DOUBLE / a.n_r, 4) AS r_star,
+        |       round(n1::DOUBLE / n_tokens, 6) AS p0
+        |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1, tot
+        |WHERE a.r <= 20 ORDER BY a.r""".stripMargin,
+    // identical per-token double expression from exact conditional
+    // counts; alpha_w = alpha0*(y_a+y_b)/N corpus-proportional prior
+    "q175_log_odds" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a,
+        |         unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, sum(is_a)::BIGINT AS y_a,
+        |             sum(1 - is_a)::BIGINT AS y_b
+        |      FROM t GROUP BY token),
+        |m AS (SELECT token, y_a, y_b,
+        |             sum(y_a) OVER ()::BIGINT AS n_a,
+        |             sum(y_b) OVER ()::BIGINT AS n_b
+        |      FROM c)
+        |SELECT token, y_a, y_b,
+        |       round(ln((y_a + 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+        |                / (n_a + 1000.0 - y_a - 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE)))
+        |             - ln((y_b + 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+        |                  / (n_b + 1000.0 - y_b - 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))), 4) AS delta,
+        |       round((ln((y_a + 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+        |                 / (n_a + 1000.0 - y_a - 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE)))
+        |              - ln((y_b + 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+        |                   / (n_b + 1000.0 - y_b - 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))))
+        |             / sqrt(1.0 / (y_a + 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))
+        |                    + 1.0 / (y_b + 1000.0 * (y_a + y_b) / CAST(n_a + n_b AS DOUBLE))), 4) AS z
+        |FROM m WHERE y_a + y_b >= 50 ORDER BY token""".stripMargin,
     "q165_lang_source_mi" ->
       """WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
         |           FROM documents GROUP BY 1, 2),

@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 class SetOpsAndSessionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("psiDrift: hand-worked smoothed PSI over a two-band shift") {
+    val day = 86400000000L
+    val base = 1700000000000000L
+    // window [base, base+2d], midpoint base+1d. Ref half: 3x band0
+    // (value 10) + 1x band1 (value 60); cur half mirrored. Smoothed
+    // p_band0 = (3+1)/(4+2) = 2/3 vs (1+1)/6 = 1/3 ->
+    // psi = (1/3)*ln(2) = 0.231049 for both bands.
+    val ev = Seq(
+      (1L, base, 10.0), (2L, base + day / 4, 10.0), (3L, base + day / 2, 10.0),
+      (4L, base + day / 3, 60.0),
+      (5L, base + day, 10.0),
+      (6L, base + day + day / 4, 60.0), (7L, base + day / 2 + day, 60.0),
+      (8L, base + 2 * day, 60.0))
+      .toDF("event_id", "us", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("value"),
+        lit(1L).as("user_id"), lit("t").as("event_type"))
+    val got = SetOpsAndSessions.psiDrift(ev).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0, 3L, 1L, 0.231049), (1, 1L, 3L, 0.231049)),
+      s"got ${got.toSeq}")
+  }
+
   test("kaplanMeier: hand-worked curve with a right-censored non-converter") {
     val day = 86400000000L
     val base = 1700000000000000L

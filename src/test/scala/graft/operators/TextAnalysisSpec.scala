@@ -5,6 +5,39 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("goodTuring computes the hand-worked freq-of-freqs and adjusted counts") {
+    import org.apache.spark.sql.functions._
+    // trigrams: "a b c" twice (from both docs), "b c d" and "b c e"
+    // once each -> N1=2, N2=1, total mass 4, p0 = 2/4 = 0.5.
+    // r*=1: 2*N2/N1 = 1.0; r*=2: needs N3 -> NULL.
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val got = TextAnalysis.goodTuring(d).collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0, 0.5), (2L, 1L, null, 0.5)), s"got ${got.toSeq}")
+  }
+
+  test("logOddsTokens: symmetric usage scores zero; one-sided usage scores positive") {
+    import org.apache.spark.sql.functions._
+    def mk(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    // fully symmetric corpora -> identical operands on both sides of
+    // the difference -> exactly 0.0
+    val sym = TextAnalysis.logOddsTokens(mk(Seq(
+      (1L, "en", "alpha beta alpha beta"), (2L, "de", "alpha beta alpha beta"))),
+      minTotal = 1L).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(sym("alpha") == ((0.0, 0.0)), s"symmetric token must be 0: ${sym("alpha")}")
+    assert(sym("beta") == ((0.0, 0.0)))
+    val dir = TextAnalysis.logOddsTokens(mk(Seq(
+      (1L, "en", "alpha beta alpha beta"), (2L, "de", "alpha beta alpha beta"),
+      (3L, "en", "onlyen onlyen onlyen"))), minTotal = 1L).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(dir("onlyen")._1 > 0 && dir("onlyen")._2 > 0, s"one-sided: ${dir("onlyen")}")
+  }
+
   test("redactPii scrubs every email/phone occurrence and counts pre-redaction") {
     val rows = Seq(
       (1L, "write a@b.io and c.d+x@e.org or call +1-555-0100 and +44-555-0199 now"),
