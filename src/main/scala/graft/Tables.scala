@@ -19,12 +19,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; we then rebuild a
-    * microsecond TimestampType column. `div` (integer division) keeps
-    * full int64 precision — `/` would round-trip through double and lose
-    * the low bits of an epoch-nanos value.
+  /** events.parquet's `ts` physical type has varied across data
+    * generations: TIMESTAMP(NANOS) (read as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), and micro-precision
+    * timestamps without the isAdjustedToUTC flag (read as TIMESTAMP_NTZ
+    * since Spark infers NTZ for unadjusted parquet timestamps). Every
+    * operator expects a plain session-zone TimestampType — sessions run
+    * UTC, and DuckDB treats the same naive values as UTC instants, so
+    * both normalizations are value-preserving. `div` (integer division)
+    * keeps full int64 precision on the nanos path — `/` would round-trip
+    * through double and lose the low bits of an epoch-nanos value.
     */
   def events: DataFrame = {
     val raw = t("events")
@@ -32,6 +36,9 @@ final case class Tables(spark: SparkSession, dir: String) {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
