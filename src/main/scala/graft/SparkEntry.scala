@@ -31,6 +31,7 @@ object SparkEntry {
     Sketches,
     GraphOps,
     Modeling,
+    Clustering,
     graft.streaming.StreamParity,
   )
 

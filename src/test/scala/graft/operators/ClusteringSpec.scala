@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tiny 1-d corpus with hand-checkable geometry: two obvious balls
+    * around 0.0 and 0.1, seeded with k=2 from vec_ids 0 and 1.
+    */
+  private def toy = Seq(
+    (0L, Array(0.00f), 0),  // seed c0
+    (1L, Array(0.10f), 1),  // seed c1
+    (2L, Array(0.01f), 0),
+    (3L, Array(0.09f), 1),
+    (4L, Array(0.02f), 1),  // geometric c0, label says 1 → impure
+    (5L, Array(0.11f), 1),
+  ).toDF("vec_id", "embedding", "label")
+
+  test("quantized is a non-negative fixed-point embedding") {
+    val u = Clustering.quantized(toy).orderBy("vec_id")
+      .select("u").as[Seq[Long]].collect()
+    assert(u(0) == Seq(1000000L))            // floor(0.0·1e6)+1e6
+    assert(u(1) == Seq(1100000L) || u(1) == Seq(1099999L)) // float32 0.1 is ~0.1±ulp
+    assert(u.flatten.forall(_ >= 0L))
+  }
+
+  test("kmeansAssign separates the two balls and tie-breaks by centroid id") {
+    val a = Clustering.kmeansAssign(toy, k = 2, iters = 2)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(Set(a(0L), a(2L), a(4L)) == Set(0L))
+    assert(Set(a(1L), a(3L), a(5L)) == Set(1L))
+  }
+
+  test("kmeansReport: sizes, integer inertia, majority label with asc tie-break") {
+    val r = Clustering.kmeansReport(toy, k = 2).collect()
+    val byCluster = r.map(row => row.getLong(0) -> row).toMap
+    assert(byCluster(0L).getLong(1) == 3)               // n_points
+    // cluster 0 labels: {0,0,1} → majority 0, purity 2/3
+    assert(byCluster(0L).getInt(3) == 0)
+    assert(byCluster(0L).getDouble(4) == 0.6667)
+    // cluster 1 labels: {1,1,1} → purity 1
+    assert(byCluster(1L).getInt(3) == 1)
+    assert(byCluster(1L).getDouble(4) == 1.0)
+    // inertia is exact: recompute from the assignment
+    val a = Clustering.kmeansAssign(toy, 2, 2)
+    val inertia = a.groupBy("cid").agg(sum("dist")).as[(Long, Long)].collect().toMap
+    assert(byCluster(0L).getLong(2) == inertia(0L))
+  }
+
+  test("semDedupReport drops the higher id of every in-threshold pair") {
+    // distances in quantized units²: (0,2): 10000² = 1e8 ≤ threshold →
+    // vec 2 dropped; every cross-ball pair is assigned apart. Within
+    // cluster 0, (0,4) is 20000²=4e8 ≤ 1.35e12 → 4 dropped too; within
+    // cluster 1 all pairwise ≤ 20000² → 3 and 5 dropped (1 kept).
+    val r = Clustering.semDedupReport(toy, k = 2).collect()
+      .map(row => row.getLong(0) -> (row.getLong(2), row.getLong(3))).toMap
+    assert(r(0L) == (2L, 1L)) // dropped 2 and 4, kept seed 0
+    assert(r(1L) == (2L, 1L)) // dropped 3 and 5, kept seed 1
+  }
+
+  test("plan contract: assignment broadcasts the centroids, not the corpus") {
+    val emb = spark.read.parquet(sf("") + "/embeddings.parquet")
+    val plan = Clustering.kmeansReport(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast assignment join in:\n$plan")
+  }
+
+  test("empty clusters vanish consistently (k larger than distinct balls)") {
+    // k=4 seeds from ids 0..3; after one update, assignment still only
+    // lands on surviving centroids — no nulls, no phantom clusters
+    val a = Clustering.kmeansAssign(toy, k = 4, iters = 2)
+    assert(a.count() == 6)
+    assert(a.select("cid").distinct().count() <= 4)
+  }
+}
