@@ -32,6 +32,7 @@ object SparkEntry {
     GraphOps,
     Modeling,
     Clustering,
+    RobustStats,
     graft.streaming.StreamParity,
   )
 

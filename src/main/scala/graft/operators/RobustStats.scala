@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust / distributional statistics for release auditing: t-closeness
+  * (the privacy ladder rung above q119's k-anonymity and q164's
+  * l-diversity), Theil–Sen robust trend (median-of-slopes — a 29%
+  * breakdown point where OLS q159 has none), and CUSUM changepoint
+  * detection on daily rates.
+  *
+  * Determinism: every comparison that decides output content happens in
+  * exact integer arithmetic. t-closeness EMD keeps the cumulative
+  * histogram difference as |cumA·G − cumG·nA| (integers; one final
+  * division), CUSUM maximizes |n·cumX − i·total| (integers; argmax
+  * tie-broken by day), and Theil–Sen's median runs over exact rational
+  * slopes evaluated in a fixed sorted order.
+  *
+  * Scale: all three aggregate the fact table down to a bounded surface
+  * first (groups × bands, days) — the pairwise slope join and the
+  * cumulative windows run on the aggregated table, whose size is set by
+  * the calendar and the schema, not the corpus. The band×group matrix is
+  * densified with a broadcast cross-join of two tiny dimensions.
+  *
+  * Reference provenance: generalizes the reference's per-dataset QC
+  * rollups (src/ingest-pipeline/airflow/dags/validation_utils.py) to
+  * release-gate distribution checks.
+  */
+object RobustStats extends QueryModule {
+
+  /** q178: t-closeness audit over (lang, source) quasi-identifier groups
+    * with the banded doc length as the ordered sensitive attribute.
+    * EMD for an ordered attribute (Li et al. 2007) is the mean absolute
+    * cumulative-histogram gap: Σᵢ|Pcum−Qcum| / (m−1).
+    */
+  def tClosenessAudit(documents: DataFrame, bandWidth: Int = 100,
+                      tMax: Double = 0.25): DataFrame = {
+    val banded = documents.select(col("lang"), col("source"),
+      expr(s"n_chars div $bandWidth").as("band"))
+    val global = banded.groupBy("band").agg(count(lit(1)).as("gcnt"))
+    val groups = banded.groupBy("lang", "source").agg(count(lit(1)).as("na"))
+    val cells = banded.groupBy("lang", "source", "band").agg(count(lit(1)).as("cnt"))
+    // densify: every group × every occupied band (both dims tiny)
+    val dense = groups.crossJoin(broadcast(global))
+      .join(cells, Seq("lang", "source", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy("lang", "source").orderBy("band")
+    val totals = global.agg(sum("gcnt").as("gtot"), count(lit(1)).as("m"))
+    dense.crossJoin(broadcast(totals))
+      .withColumn("cumA", sum("cnt").over(w))
+      .withColumn("cumG", sum("gcnt").over(w))
+      .withColumn("gap", abs(col("cumA") * col("gtot") - col("cumG") * col("na")))
+      .groupBy("lang", "source")
+      .agg(first("na").as("n"),
+        round(sum("gap") / (first("na") * first("gtot") * (first("m") - lit(1))).cast("double"), 6)
+          .as("emd"))
+      .withColumn("t_ok", col("emd") <= tMax)
+      .select(col("lang"), col("source"), col("n"), col("emd"), col("t_ok"))
+      .orderBy("lang", "source")
+  }
+
+  /** q179: Theil–Sen robust trend of daily event volume: the median of
+    * all C(n,2) pairwise slopes, plus the Siegel-style intercept
+    * median(xᵢ − slope·dayᵢ). Day indices are exact epoch days, so
+    * every slope is the same rational on any engine; the median's
+    * sorted-order interpolation is the only float step.
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val slopes = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .select(((col("b.x") - col("a.x")).cast("double") /
+               (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val slope = slopes.agg(expr("percentile(slope, 0.5)").as("slope"))
+    daily.crossJoin(broadcast(slope))
+      .select(col("day"), col("x"), col("slope"),
+        (col("x").cast("double") - col("slope") * col("day")).as("resid"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("count(1) * (count(1) - 1) div 2").as("n_pairs"),
+        round(first("slope"), 6).as("slope"),
+        round(expr("percentile(resid, 0.5)"), 4).as("intercept"))
+  }
+
+  /** q180: CUSUM changepoint on the daily error-event count. The scan
+    * statistic max|Sᵢ| with Sᵢ = Σᵢ(xⱼ − x̄) is kept integer as
+    * |n·cumXᵢ − i·total| (scaled by n); the argmax day is the estimated
+    * changepoint, ties to the earliest day. Before/after means are the
+    * only rounded outputs.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "error")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day")
+    val t = daily.crossJoin(broadcast(
+        daily.agg(sum("x").as("total"), count(lit(1)).as("n"))))
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum("x").over(w))
+      .withColumn("s", abs(col("n") * col("cum") - col("i") * col("total")))
+    val best = t.agg(max(struct(col("s"), (-col("day")).as("nd"), col("day"),
+      col("i"), col("cum"))).as("b"))
+      .select(col("b.s").as("cusum_scaled"), col("b.day").as("cp_day"),
+        col("b.i").as("cp_i"), col("b.cum").as("cp_cum"))
+    best.crossJoin(broadcast(daily.agg(sum("x").as("total"), count(lit(1)).as("n"))))
+      .select(col("n").as("n_days"), col("total").as("total_errors"),
+        col("cp_day"), col("cusum_scaled"),
+        round(col("cp_cum").cast("double") / col("cp_i"), 4).as("mean_before"),
+        when(col("n") === col("cp_i"), lit(null).cast("double"))
+          .otherwise(round((col("total") - col("cp_cum")).cast("double") /
+                           (col("n") - col("cp_i")), 4)).as("mean_after"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_t_closeness" -> ((s, d) => tClosenessAudit(Tables(s, d).documents)),
+    "q179_theil_sen"   -> ((s, d) => theilSenTrend(Tables(s, d).events)),
+    "q180_cusum"       -> ((s, d) => cusumChangepoint(Tables(s, d).events)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q178_t_closeness" ->
+      """WITH banded AS (SELECT lang, source, n_chars // 100 AS band FROM documents),
+        |global AS (SELECT band, count(*)::BIGINT AS gcnt FROM banded GROUP BY band),
+        |tot AS (SELECT sum(gcnt)::BIGINT AS gtot, count(*)::BIGINT AS m FROM global),
+        |grp AS (SELECT lang, source, count(*)::BIGINT AS na FROM banded GROUP BY lang, source),
+        |cell AS (SELECT lang, source, band, count(*)::BIGINT AS cnt
+        |         FROM banded GROUP BY lang, source, band),
+        |dense AS (SELECT g.lang, g.source, g.na, gl.band, gl.gcnt,
+        |                 coalesce(c.cnt, 0)::BIGINT AS cnt
+        |          FROM grp g CROSS JOIN global gl
+        |          LEFT JOIN cell c ON c.lang = g.lang AND c.source = g.source
+        |                           AND c.band = gl.band),
+        |cum AS (SELECT lang, source, na, gcnt,
+        |               sum(cnt)  OVER (PARTITION BY lang, source ORDER BY band) AS cumA,
+        |               sum(gcnt) OVER (PARTITION BY lang, source ORDER BY band) AS cumG
+        |        FROM dense)
+        |SELECT c.lang, c.source, any_value(c.na) AS n,
+        |       round(sum(abs(c.cumA * t.gtot - c.cumG * c.na))
+        |             / CAST(any_value(c.na) * t.gtot * (t.m - 1) AS DOUBLE), 6) AS emd,
+        |       (round(sum(abs(c.cumA * t.gtot - c.cumG * c.na))
+        |             / CAST(any_value(c.na) * t.gtot * (t.m - 1) AS DOUBLE), 6) <= 0.25) AS t_ok
+        |FROM cum c CROSS JOIN tot t
+        |GROUP BY c.lang, c.source, t.gtot, t.m
+        |ORDER BY lang, source""".stripMargin,
+    "q179_theil_sen" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+        |               FROM events GROUP BY 1),
+        |slopes AS (SELECT (b.x - a.x) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |           FROM daily a JOIN daily b ON a.day < b.day),
+        |s AS (SELECT quantile_cont(slope, 0.5) AS slope FROM slopes)
+        |SELECT count(*)::BIGINT AS n_days,
+        |       (count(*) * (count(*) - 1) // 2)::BIGINT AS n_pairs,
+        |       round(any_value(s.slope), 6) AS slope,
+        |       round(quantile_cont(d.x - s.slope * d.day, 0.5), 4) AS intercept
+        |FROM daily d CROSS JOIN s GROUP BY s.slope""".stripMargin,
+    "q180_cusum" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+        |               FROM events WHERE event_type = 'error' GROUP BY 1),
+        |tot AS (SELECT sum(x)::BIGINT AS total, count(*)::BIGINT AS n FROM daily),
+        |t AS (SELECT day, x,
+        |             row_number() OVER (ORDER BY day) AS i,
+        |             CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS cum
+        |      FROM daily),
+        |scored AS (SELECT t.day, t.i, t.cum,
+        |                  CAST(abs(tt.n * t.cum - t.i * tt.total) AS BIGINT) AS s
+        |           FROM t CROSS JOIN tot tt),
+        |best AS (SELECT day, i, cum, s,
+        |                row_number() OVER (ORDER BY s DESC, day) AS rn
+        |         FROM scored)
+        |SELECT tt.n AS n_days, tt.total AS total_errors,
+        |       b.day AS cp_day, b.s AS cusum_scaled,
+        |       round(b.cum / CAST(b.i AS DOUBLE), 4) AS mean_before,
+        |       CASE WHEN tt.n = b.i THEN NULL
+        |            ELSE round((tt.total - b.cum) / CAST(tt.n - b.i AS DOUBLE), 4)
+        |       END AS mean_after
+        |FROM best b CROSS JOIN tot tt WHERE b.rn = 1""".stripMargin,
+  )
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tClosenessAudit: hand-computed EMD on a 2-band, 2-group corpus") {
+    // bands (width 100): group (en,a): lengths 50,150 → bands {0:1, 1:1}
+    //                    group (de,b): lengths 50,60  → bands {0:2, 1:0}
+    // global: band0=3, band1=1, gtot=4, m=2
+    // (en,a): cum gaps |1·4−3·2| = 2 → emd = 2/(2·4·1) = 0.25
+    // (de,b): |2·4−3·2| = 2        → emd = 2/(2·4·1) = 0.25
+    val docs = Seq(
+      (1L, "x", "en", "a", 50L), (2L, "x", "en", "a", 150L),
+      (3L, "x", "de", "b", 50L), (4L, "x", "de", "b", 60L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = RobustStats.tClosenessAudit(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(("en", "a")) == (0.25, true))
+    assert(r(("de", "b")) == (0.25, true))
+  }
+
+  private def ev(id: Long, day: Int, typ: String) =
+    (id, Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00"), 1L, typ, 0.0, "{}")
+
+  test("theilSenTrend: median slope of a clean linear ramp is the ramp slope") {
+    // days 1..5 with counts 2,4,6,8,10 → every pairwise slope is exactly 2
+    val rows = (1 to 5).flatMap(d => (1 to 2 * d).map(i => ev(d * 100L + i, d, "view")))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.theilSenTrend(df).collect()(0)
+    assert(r.getAs[Long]("n_days") == 5)
+    assert(r.getAs[Long]("n_pairs") == 10)
+    assert(r.getAs[Double]("slope") == 2.0)
+    // intercept: median of x_i − 2·day_i, identical for all i
+    val day1 = df.selectExpr("min(unix_micros(ts) div 86400000000)").as[Long].head()
+    assert(r.getAs[Double]("intercept") == 2.0 - 2.0 * day1)
+  }
+
+  test("theilSenTrend resists an outlier day that would wreck OLS") {
+    // ramp of slope 1 plus one huge spike day: median slope stays ~1
+    val rows = (1 to 9).flatMap(d => (1 to d).map(i => ev(d * 100L + i, d, "view"))) ++
+      (1 to 500).map(i => ev(10000L + i, 10, "view"))
+    val r = RobustStats.theilSenTrend(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(r.getAs[Double]("slope") <= 1.5, s"slope ${r.getAs[Double]("slope")} not robust")
+  }
+
+  test("cusumChangepoint finds a level shift at the right day") {
+    // errors/day: 2,2,2,2,10,10,10,10 → |S| peaks at day 4 (end of low level)
+    val rows = (1 to 8).flatMap { d =>
+      val k = if (d <= 4) 2 else 10
+      (1 to k).map(i => ev(d * 1000L + i, d, "error"))
+    }
+    val r = RobustStats.cusumChangepoint(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    val day1 = 19723L // 2024-01-01 epoch day
+    assert(r.getAs[Long]("n_days") == 8)
+    assert(r.getAs[Long]("total_errors") == 48)
+    assert(r.getAs[Long]("cp_day") == day1 + 3) // 2024-01-04
+    assert(r.getAs[Double]("mean_before") == 2.0)
+    assert(r.getAs[Double]("mean_after") == 10.0)
+  }
+
+  test("cusumChangepoint on a flat series: stat 0, tie broken to first day") {
+    val rows = (1 to 4).flatMap(d => (1 to 3).map(i => ev(d * 1000L + i, d, "error")))
+    val r = RobustStats.cusumChangepoint(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(r.getAs[Long]("cusum_scaled") == 0L)
+    assert(r.getAs[Long]("cp_day") == 19723L)
+  }
+}
