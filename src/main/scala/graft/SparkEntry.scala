@@ -33,6 +33,7 @@ object SparkEntry {
     Modeling,
     Clustering,
     RobustStats,
+    DecisionSupport,
     graft.streaming.StreamParity,
   )
 

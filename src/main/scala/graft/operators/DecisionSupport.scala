@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic decision-support shapes over the star schema — the
+  * correlated-subquery / multi-way-join family (market share, correlated
+  * scalar filters, exists/not-exists, anti-join prospecting) that a
+  * warehouse engine must plan well. Spark-first notes:
+  *
+  *  - q182 and q186 are written as SQL with genuine correlated/scalar
+  *    subqueries and left to Catalyst's decorrelation
+  *    (RewriteCorrelatedScalarSubquery) — the planned join is the same
+  *    one we'd hand-write, and keeping the subquery form exercises the
+  *    optimizer path a SQL user hits.
+  *  - Exists/not-exists (q183, q184) are expressed as one aggregation
+  *    per order / one anti-join — a single shuffle keyed on the fact
+  *    key, never a per-row probe.
+  *  - Small dimensions (nation, region, part, supplier) are explicit
+  *    `broadcast`s; customer/orders joins stay shuffled (they scale with
+  *    the fact table) and AQE is free to pick better at runtime.
+  *  - Money is exact integer cents (floor(x·100+0.5)) until the final
+  *    display division, the module-wide determinism convention.
+  *
+  * Reference provenance: the reference's report queries are flat scans
+  * (src/ingest-pipeline/airflow/dags — the report DAG scripts); this
+  * module carries
+  * the standard warehouse idioms those reports grow into.
+  */
+object DecisionSupport extends QueryModule {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    sum(floor(c * 100 + 0.5).cast("long"))
+
+  /** q181: market share — fraction of each region's yearly PROMO revenue
+    * supplied by NATION_0 suppliers (TPC-H Q8 shape: 7-table join,
+    * conditional share aggregation).
+    */
+  def marketShare(li: DataFrame, part: DataFrame, supplier: DataFrame,
+                  orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                  region: DataFrame): DataFrame = {
+    val rev = li
+      .join(broadcast(part.filter(col("p_type") === "PROMO")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("c_regionkey"))), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region), col("c_regionkey") === col("r_regionkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"), col("r_name"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"),
+        (col("supp_nation") === "NATION_0").as("is_target"))
+    rev.groupBy("o_year", "r_name")
+      .agg(round(sum("cents") / 100.0, 2).as("revenue"),
+        round(sum(when(col("is_target"), col("cents")).otherwise(0L)) /
+          sum("cents").cast("double"), 4).as("target_share"))
+      .orderBy("o_year", "r_name")
+  }
+
+  /** q182: small-quantity revenue loss (TPC-H Q17 shape) — lineitems of
+    * one brand below 20% of their part's average quantity, as yearly
+    * revenue. The correlated scalar subquery is decorrelated by Catalyst
+    * into the per-part average join.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.createOrReplaceTempView("ds_lineitem")
+    t.part.createOrReplaceTempView("ds_part")
+    spark.sql(
+      """SELECT CAST(round(sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 / 7.0, 2)
+        |            AS DOUBLE) AS avg_yearly_loss,
+        |       count(1) AS n_lines
+        |FROM ds_lineitem JOIN ds_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM ds_lineitem l2
+        |                    WHERE l2.l_partkey = ds_lineitem.l_partkey)""".stripMargin)
+  }
+
+  /** q183: suppliers who close out orders (TPC-H Q21 shape, adapted to
+    * this schema's dates): in orders fed by ≥2 suppliers, the supplier
+    * holding the order's strictly-latest ship date. Exists ("some other
+    * supplier") and not-exists ("nobody ties the max") collapse into one
+    * per-order aggregation — a single shuffle on the order key.
+    */
+  def closingSuppliers(li: DataFrame, supplier: DataFrame, topN: Int = 10): DataFrame = {
+    val perOrder = li.groupBy("l_orderkey").agg(
+      countDistinct("l_suppkey").as("n_supps"),
+      max("l_shipdate").as("max_ship"))
+    val atMax = li.join(perOrder, Seq("l_orderkey"))
+      .filter(col("l_shipdate") === col("max_ship") && col("n_supps") >= 2)
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_at_max"),
+        max("l_suppkey").as("the_supp"))
+      .filter(col("n_at_max") === 1)
+    atMax.groupBy("the_supp").agg(count(lit(1)).as("n_closed"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("the_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("n_closed"))
+      .orderBy(col("n_closed").desc, col("s_name")).limit(topN)
+  }
+
+  /** q184: dormant high-balance customers (TPC-H Q22 shape): balance
+    * above the positive-balance average (scalar subquery) and no order
+    * since 1999 (anti-join), rolled up by market segment.
+    */
+  def dormantHighBalance(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgPos = customer.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("abar"))
+    val recent = orders.filter(col("o_orderdate") >= "1999-01-01")
+      .select(col("o_custkey")).distinct()
+    customer.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("abar"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        round(cents(col("c_acctbal")) / 100.0, 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q185: promo revenue share by month, 1997 (TPC-H Q14 shape) —
+    * conditional share with exact-cents numerator and denominator.
+    */
+  def promoShare(li: DataFrame, part: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"),
+        (col("p_type") === "PROMO").as("promo"))
+      .groupBy("ym")
+      .agg(round(sum("cents") / 100.0, 2).as("revenue"),
+        round(lit(100.0) * sum(when(col("promo"), col("cents")).otherwise(0L)) /
+          sum("cents").cast("double"), 4).as("promo_pct"))
+      .orderBy("ym")
+
+  /** q186: top supplier(s) of 1996Q1 (TPC-H Q15 shape) — the revenue
+    * view's max selected back by exact integer-cents equality, so ties
+    * surface instead of being argmax'd away.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.createOrReplaceTempView("ds_lineitem")
+    t.supplier.createOrReplaceTempView("ds_supplier")
+    spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS total_cents
+        |  FROM ds_lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |       CAST(round(total_cents / 100.0, 2) AS DOUBLE) AS total_revenue
+        |FROM ds_supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_market_share" -> ((s, d) => { val t = Tables(s, d)
+      marketShare(t.lineitem, t.part, t.supplier, t.orders, t.customer, t.nation, t.region) }),
+    "q182_small_qty_revenue" -> ((s, d) => smallQtyRevenue(s, d)),
+    "q183_closing_suppliers" -> ((s, d) => { val t = Tables(s, d)
+      closingSuppliers(t.lineitem, t.supplier) }),
+    "q184_dormant_balance" -> ((s, d) => { val t = Tables(s, d)
+      dormantHighBalance(t.customer, t.orders) }),
+    "q185_promo_share" -> ((s, d) => { val t = Tables(s, d)
+      promoShare(t.lineitem, t.part) }),
+    "q186_top_supplier" -> ((s, d) => topSupplier(s, d)),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q181_market_share" ->
+      """SELECT year(o_orderdate) AS o_year, r_name,
+        |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue,
+        |       round(sum(CASE WHEN n1.n_name = 'NATION_0'
+        |                      THEN floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |                      ELSE 0 END)
+        |             / CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS DOUBLE),
+        |             4) AS target_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q182_small_qty_revenue" ->
+      """SELECT round(sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 / 7.0, 2) AS avg_yearly_loss,
+        |       count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q183_closing_suppliers" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supps,
+        |         max(l_shipdate) AS max_ship
+        |  FROM lineitem GROUP BY l_orderkey),
+        |at_max AS (
+        |  SELECT l.l_orderkey, count(DISTINCT l.l_suppkey) AS n_at_max,
+        |         max(l.l_suppkey) AS the_supp
+        |  FROM lineitem l JOIN per_order p
+        |    ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.max_ship
+        |  WHERE p.n_supps >= 2
+        |  GROUP BY l.l_orderkey HAVING count(DISTINCT l.l_suppkey) = 1)
+        |SELECT s_name, count(*)::BIGINT AS n_closed
+        |FROM at_max JOIN supplier ON the_supp = s_suppkey
+        |GROUP BY s_name ORDER BY n_closed DESC, s_name LIMIT 10""".stripMargin,
+    "q184_dormant_balance" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
+        |       round(sum(floor(c_acctbal * 100 + 0.5)) / 100.0, 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '1999-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q185_promo_share" ->
+      """SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+        |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue,
+        |       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                              THEN floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |                              ELSE 0 END)
+        |             / CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS DOUBLE),
+        |             4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q186_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_cents / 100.0, 2) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+  )
+}
