@@ -34,6 +34,7 @@ object SparkEntry {
     Clustering,
     RobustStats,
     DecisionSupport,
+    NaiveBayes,
     graft.streaming.StreamParity,
   )
 
