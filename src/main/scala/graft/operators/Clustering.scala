@@ -98,8 +98,11 @@ object Clustering extends QueryModule {
     * SemDeDup-era sanity check that geometric clusters track semantic
     * classes before trusting within-cluster dedup.
     */
-  def kmeansReport(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val a = kmeansAssign(embeddings, k, iters)
+  def kmeansReport(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    // sizes and majority-label both read the assignment — cut once
+    val a = graft.plans.Checkpoints.cut(
+      kmeansAssign(embeddings, k, iters), checkpointDir)
     val sizes = a.groupBy("cid").agg(
       count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
     val maj = a.groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
@@ -118,8 +121,13 @@ object Clustering extends QueryModule {
     * squared-L2 (keep-first-by-id, the deterministic variant of "keep
     * one per duplicate ball"). Reports kept/dropped per cluster.
     */
-  def semDedupReport(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val a = kmeansAssign(embeddings, k, iters).select("vec_id", "cid", "u")
+  def semDedupReport(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    // cut the lineage once: the self-join below reads the assignment
+    // TWICE, and without the cut each side replays the full Lloyd
+    // iteration (two assignment passes + centroid update) from the scan
+    val a = graft.plans.Checkpoints.cut(
+      kmeansAssign(embeddings, k, iters).select("vec_id", "cid", "u"), checkpointDir)
     val dropped = a.as("a").join(a.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id") &&
         sqDist(col("a.u"), col("b.u")) <= DupThreshold)

@@ -62,8 +62,10 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("plan contract: assignment broadcasts the centroids, not the corpus") {
+    // assert on the assignment subplan — the report checkpoints it, so
+    // the report's own executed plan starts from the materialized RDD
     val emb = spark.read.parquet(sf("") + "/embeddings.parquet")
-    val plan = Clustering.kmeansReport(emb).queryExecution.executedPlan.toString
+    val plan = Clustering.kmeansAssign(emb).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast assignment join in:\n$plan")
   }
