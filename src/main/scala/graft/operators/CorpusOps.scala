@@ -107,6 +107,37 @@ object CorpusOps extends QueryModule {
       .orderBy(groupCol, "doc_id")
   }
 
+  /** q188: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): per row draw u from the md5-uniform convention (q66/q172)
+    * and keep the per-source top-k by key u^(1/w), w = n_chars — long
+    * documents are proportionally likelier, but every doc can win.
+    * The key is compared in log space quantized to integer nano-units
+    * (floor(ln(u)/w·10⁹), the module's fixed-point-before-compare
+    * convention) with doc_id tie-break, so selection is deterministic
+    * on any engine and any partitioning.
+    *
+    * Scale shape: like [[stratifiedSample]], the rank window sorts only
+    * narrow (source, key, id) triples — per-source top-k, never a
+    * global sort; payloads rejoin by id downstream.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 5,
+                     salt: String = "aes"): DataFrame = {
+    // h: 15 hex digits → 60-bit integer; u = (h + 0.5) / 2^60 ∈ (0,1)
+    val h = conv(substring(md5(concat(lit(salt + "|"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val narrow = documents.select(col("source"), col("doc_id"),
+      col("n_chars").as("w"), h.as("h"))
+      .withColumn("key_q",
+        floor(log((col("h").cast("double") + 0.5) / lit(math.pow(2, 60))) /
+          col("w") * 1e9).cast("long"))
+    val rankW = Window.partitionBy("source")
+      .orderBy(col("key_q").desc, col("doc_id"))
+    narrow.withColumn("rn", row_number().over(rankW).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("w"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   /** Temperature-scaled mixture weights per source (the GPT-3/PaLM
     * corpus-mix recipe: weight ∝ n_tokens^α with α < 1, upweighting
     * small high-quality sources): one map-side-combined aggregation to
@@ -441,6 +472,7 @@ object CorpusOps extends QueryModule {
     "q89_source_cap"    -> ((s, d) => perSourceCap(Tables(s, d).documents)),
     "q93_quality_quartiles" -> ((s, d) => qualityQuartiles(Tables(s, d).documents)),
     "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
+    "q188_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
     "q67_shard_packing" -> ((s, d) => shardPacking(Tables(s, d).documents)),
     "q71_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
     "q82_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
@@ -632,6 +664,23 @@ object CorpusOps extends QueryModule {
         |  FROM documents)
         |SELECT lang, doc_id, rn::BIGINT AS rn
         |FROM ranked WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin,
+    "q188_weighted_sample" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars AS w,
+        |         list_reduce(list_transform(range(1, 16),
+        |           i -> strpos('0123456789abcdef', substr(md5('aes|' || doc_id), i, 1)) - 1),
+        |           (a, b) -> a * 16 + b)::BIGINT AS h
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT source, doc_id, w,
+        |         CAST(floor(ln((h + 0.5) / 1152921504606846976.0) / w * 1e9) AS BIGINT) AS key_q
+        |  FROM f),
+        |ranked AS (
+        |  SELECT source, doc_id, w,
+        |         row_number() OVER (PARTITION BY source ORDER BY key_q DESC, doc_id) AS rn
+        |  FROM keyed)
+        |SELECT source, doc_id, w, rn::BIGINT AS rn
+        |FROM ranked WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     "q164_l_diversity" ->
       """SELECT event_type,
         |       CAST(floor(value / 50.0) AS INT) AS band,

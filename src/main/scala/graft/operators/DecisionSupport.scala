@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic decision-support shapes over the star schema — the
@@ -165,6 +166,55 @@ object DecisionSupport extends QueryModule {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** q189: ranked-window analytics pack — the top-3 orders per market
+    * segment annotated with their percent_rank / cume_dist / quartile
+    * over the WHOLE segment and the price gap to the next order down.
+    * Every window shares ONE (segment × price, key) sort: Spark plans a
+    * single exchange+sort for all five functions. Ordering includes the
+    * order key, so rank values are unique and engine-deterministic even
+    * on price ties.
+    */
+  def segmentWindowPack(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val o = orders.join(customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy("seg").orderBy(col("cents").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("gap_to_next",
+        (col("cents") - lead("cents", 1).over(w)).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("seg"), col("rn"), col("o_orderkey"),
+        round(col("cents") / 100.0, 2).as("totalprice"),
+        col("pr"), col("cd"), col("quartile"), col("gap_to_next"))
+      .orderBy("seg", "rn")
+  }
+
+  /** q190: GROUPING SETS revenue cube slice — (year × segment), each
+    * margin, and the grand total in ONE pass (Spark plans a single
+    * Expand + hash aggregate, not four scans), with explicit grouping
+    * flags so downstream consumers can tell a real NULL from a subtotal
+    * row.
+    */
+  def revenueGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("ds_orders")
+    t.customer.createOrReplaceTempView("ds_customer")
+    spark.sql(
+      """SELECT cast(year(o_orderdate) as bigint) AS o_year, c_mktsegment AS seg,
+        |       cast(grouping(year(o_orderdate)) as bigint) AS g_year,
+        |       cast(grouping(c_mktsegment) as bigint) AS g_seg,
+        |       count(1) AS n_orders,
+        |       cast(round(sum(floor(o_totalprice * 100 + 0.5)) / 100.0, 2) as double) AS revenue
+        |FROM ds_orders JOIN ds_customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((year(o_orderdate), c_mktsegment),
+        |                        (year(o_orderdate)), (c_mktsegment), ())
+        |ORDER BY g_year, g_seg, o_year, seg""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_market_share" -> ((s, d) => { val t = Tables(s, d)
       marketShare(t.lineitem, t.part, t.supplier, t.orders, t.customer, t.nation, t.region) }),
@@ -176,6 +226,9 @@ object DecisionSupport extends QueryModule {
     "q185_promo_share" -> ((s, d) => { val t = Tables(s, d)
       promoShare(t.lineitem, t.part) }),
     "q186_top_supplier" -> ((s, d) => topSupplier(s, d)),
+    "q189_window_pack" -> ((s, d) => { val t = Tables(s, d)
+      segmentWindowPack(t.orders, t.customer) }),
+    "q190_grouping_sets" -> ((s, d) => revenueGroupingSets(s, d)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -249,5 +302,32 @@ object DecisionSupport extends QueryModule {
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    "q189_window_pack" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |w AS (
+        |  SELECT seg, o_orderkey, cents,
+        |         row_number()   OVER win AS rn,
+        |         round(percent_rank() OVER win, 6) AS pr,
+        |         round(cume_dist()    OVER win, 6) AS cd,
+        |         ntile(4)       OVER win AS quartile,
+        |         cents - lead(cents, 1) OVER win AS gap_to_next
+        |  FROM o WINDOW win AS (PARTITION BY seg ORDER BY cents DESC, o_orderkey))
+        |SELECT seg, rn::BIGINT AS rn, o_orderkey,
+        |       round(cents / 100.0, 2) AS totalprice,
+        |       pr, cd, quartile::BIGINT AS quartile, gap_to_next::BIGINT AS gap_to_next
+        |FROM w WHERE rn <= 3 ORDER BY seg, rn""".stripMargin,
+    "q190_grouping_sets" ->
+      """SELECT year(o_orderdate) AS o_year, c_mktsegment AS seg,
+        |       CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_year,
+        |       CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        |       count(*)::BIGINT AS n_orders,
+        |       round(sum(floor(o_totalprice * 100 + 0.5)) / 100.0, 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((year(o_orderdate), c_mktsegment),
+        |                        (year(o_orderdate)), (c_mktsegment), ())
+        |ORDER BY g_year, g_seg, o_year, seg""".stripMargin,
   )
 }

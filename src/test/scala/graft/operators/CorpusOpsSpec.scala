@@ -189,4 +189,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(("view", 0)) == ((3L, 1L, false)))
     assert(r(("click", 1)) == ((3L, 3L, true)))
   }
+
+  test("weightedSample: exact per-source k, weight-tilted selection, partition-stable") {
+    import org.apache.spark.sql.functions.col
+    // one source, 200 docs: ids 0-99 weight 10, ids 100-199 weight 10000.
+    // A-ES with such a weight gap must pick (almost surely all) heavy ids.
+    val docs = (0L until 200L).map(i =>
+      (i, "t", "en", "s", if (i < 100) 10L else 10000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val picked = CorpusOps.weightedSample(docs, k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(picked.length == 5)
+    assert(picked.forall(_ >= 100L), s"light docs won against 1000x weights: $picked")
+    val again = CorpusOps.weightedSample(docs.repartition(7), k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(picked == again)
+  }
+
+  test("weightedSample: equal weights reduce to plain hash-order sampling per source") {
+    val docs = (0L until 50L).map(i => (i, "t", "en", if (i % 2 == 0) "a" else "b", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = CorpusOps.weightedSample(docs, k = 3).collect()
+    assert(r.count(_.getString(0) == "a") == 3)
+    assert(r.count(_.getString(0) == "b") == 3)
+    assert(r.map(_.getLong(3)).toSet == Set(1L, 2L, 3L)) // rn runs 1..k
+  }
 }

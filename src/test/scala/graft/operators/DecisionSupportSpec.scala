@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import java.sql.Timestamp
 
 class DecisionSupportSpec extends SparkSpec {
@@ -63,6 +64,35 @@ class DecisionSupportSpec extends SparkSpec {
     assert(r(0).getLong(0) == 199703L)
     assert(r(0).getDouble(1) == 40.0)
     assert(r(0).getDouble(2) == 25.0) // 10 of 40 is promo
+  }
+
+  test("q189 window pack: hand-computed ranks on one segment") {
+    val orders = Seq(
+      (1L, 10L, 40.00), (2L, 10L, 30.00), (3L, 10L, 20.00), (4L, 10L, 10.00),
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderdate", lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val cust = Seq((10L, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val r = DecisionSupport.segmentWindowPack(orders, cust).collect()
+    assert(r.length == 3)
+    val top = r(0)
+    assert(top.getAs[Long]("rn") == 1L && top.getAs[Double]("totalprice") == 40.0)
+    assert(top.getAs[Double]("pr") == 0.0)      // percent_rank of the top row
+    assert(top.getAs[Double]("cd") == 0.25)     // 1 of 4
+    assert(top.getAs[Long]("quartile") == 1L)
+    assert(top.getAs[Long]("gap_to_next") == 1000L) // 40.00 → 30.00 in cents
+  }
+
+  test("q190 grouping sets emits cell, both margins, and grand total in one pass") {
+    val df = DecisionSupport.revenueGroupingSets(spark, sf(""))
+    val rows = df.collect()
+    val byFlags = rows.groupBy(r => (r.getAs[Long]("g_year"), r.getAs[Long]("g_seg")))
+    assert(byFlags.keySet == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    assert(byFlags((1L, 1L)).length == 1) // single grand-total row
+    // grand total equals the sum of the year margin
+    val grand = byFlags((1L, 1L))(0).getAs[Long]("n_orders")
+    assert(byFlags((0L, 1L)).map(_.getAs[Long]("n_orders")).sum == grand)
+    // one Expand pass, not a union of four aggregates
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
   test("q186 surfaces revenue ties instead of dropping them") {
