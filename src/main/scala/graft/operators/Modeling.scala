@@ -155,14 +155,17 @@ object Modeling extends QueryModule {
     * `checkpointDir = Some(path)` switches to reliable checkpoints for
     * long multi-hundred-round training runs on a real cluster.
     */
-  def bpeMerges(documents: DataFrame, rounds: Int = 8,
-                checkpointDir: Option[String] = None): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
+  /** Shared BPE training loop: returns the final vocab-collapsed word
+    * state (word, t: token array, freq) AND the ordered merge list.
+    * The word column rides along untouched so the encode report can map
+    * corpus words to their tokenization without replaying the fold.
+    */
+  private[operators] def bpeTrain(documents: DataFrame, rounds: Int,
+      checkpointDir: Option[String]): (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     var words = graft.plans.Checkpoints.cut(documents
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(split(col("word"), "").as("t"), col("freq")), checkpointDir)
+      .select(col("word"), split(col("word"), "").as("t"), col("freq")), checkpointDir)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     for (round <- 1 to rounds) {
       val best = words
@@ -186,7 +189,43 @@ object Modeling extends QueryModule {
           .drop("lt", "rt", "mt"), checkpointDir)
       }
     }
-    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "cnt").orderBy("merge_rank")
+    (words, out.toSeq)
+  }
+
+  def bpeMerges(documents: DataFrame, rounds: Int = 8,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeTrain(documents, rounds, checkpointDir)._2
+      .toDF("merge_rank", "lhs", "rhs", "merged", "cnt").orderBy("merge_rank")
+  }
+
+  /** q191: apply the learned BPE merges back to the corpus (the encode
+    * half of the tokenizer: q168 trains, this tokenizes) and report
+    * per-language fertility — total words, total tokens, and
+    * tokens-per-word.
+    *
+    * Scale shape: encoding joins the corpus's exploded words against
+    * the trained vocab ON THE WORD KEY — the fold over merge rules ran
+    * once per vocab WORD during training, never per corpus token. The
+    * vocab is corpus-vocabulary sized (heavy-tailed, usually broadcast-
+    * able after AQE measures it; left unhinted so huge vocabs degrade
+    * to a shuffle join instead of an OOM).
+    */
+  def bpeEncodeReport(documents: DataFrame, rounds: Int = 8,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val (words, _) = bpeTrain(documents, rounds, checkpointDir)
+    val vocab = words.select(col("word"), size(col("t")).cast("long").as("n_tok"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .join(vocab, "word")
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("total_words"),
+        sum("n_tok").as("total_tokens"),
+        round(sum("n_tok") / count(lit(1)).cast("double"), 4).as("tokens_per_word"))
+      .orderBy("lang")
   }
 
   /** q169: ROC-AUC of a quality-classifier score, per source — the
@@ -280,7 +319,11 @@ object Modeling extends QueryModule {
     * `list_reduce` over a '|'-joined accumulator (tokens are letters,
     * so the delimiter is safe).
     */
-  private def bpeOracle(rounds: Int): String = {
+  /** Shared CTE chain for the BPE oracles: wf (word frequencies), w0
+    * (pipe-delimited character tokens, word carried through), then per
+    * round r: p$r pair counts → b$r best merge → w$r folded state.
+    */
+  private def bpeCtes(rounds: Int): String = {
     val ctes = (1 to rounds).map { r =>
       s"""p$r AS (SELECT t[i] AS l, t[i + 1] AS r, sum(freq)::BIGINT AS cnt
          |  FROM (SELECT freq, string_split(trim(s, '|'), '|') AS t,
@@ -288,29 +331,46 @@ object Modeling extends QueryModule {
          |        FROM w${r - 1})
          |  GROUP BY 1, 2),
          |b$r AS (SELECT l, r, l || r AS m, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$r AS (SELECT list_reduce(string_split(trim(s, '|'), '|'), (acc, x) -> CASE
+         |w$r AS (SELECT word, list_reduce(string_split(trim(s, '|'), '|'), (acc, x) -> CASE
          |          WHEN (acc = l OR acc LIKE '%|' || l) AND x = r
          |          THEN substr(acc, 1, len(acc) - len(l)) || m
          |          ELSE acc || '|' || x END) AS s, freq
          |        FROM w${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds)
-      .map(r => s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, m AS merged, cnt FROM b$r")
-      .mkString("\nUNION ALL ")
     s"""WITH wf AS (
        |  SELECT word, count(*)::BIGINT AS freq
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
        |  GROUP BY word),
-       |w0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS s, freq FROM wf),
-       |$ctes
+       |w0 AS (SELECT word, regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS s, freq FROM wf),
+       |$ctes""".stripMargin
+  }
+
+  private def bpeOracle(rounds: Int): String = {
+    val union = (1 to rounds)
+      .map(r => s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, m AS merged, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""${bpeCtes(rounds)}
        |$union
        |ORDER BY merge_rank""".stripMargin
   }
+
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""${bpeCtes(rounds)},
+       |vocab AS (SELECT word, len(string_split(trim(s, '|'), '|'))::BIGINT AS n_tok
+       |          FROM w$rounds),
+       |docw AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+       |         FROM documents),
+       |enc AS (SELECT d.doc_id, d.lang, v.n_tok FROM docw d JOIN vocab v USING (word))
+       |SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |       count(*)::BIGINT AS total_words, sum(n_tok)::BIGINT AS total_tokens,
+       |       round(sum(n_tok) / CAST(count(*) AS DOUBLE), 4) AS tokens_per_word
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
     "q168_bpe_merges" -> ((s, d) => bpeMerges(Tables(s, d).documents)),
+    "q191_bpe_encode" -> ((s, d) => bpeEncodeReport(Tables(s, d).documents)),
     "q169_roc_auc" -> ((s, d) => rocAuc(Tables(s, d).documents)),
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
   )
@@ -366,6 +426,7 @@ object Modeling extends QueryModule {
         |       round(exp(mean_surprisal), 2) AS ppl
         |FROM agg ORDER BY source""".stripMargin,
     "q168_bpe_merges" -> bpeOracle(8),
+    "q191_bpe_encode" -> bpeEncodeOracle(8),
     // tie-corrected Mann-Whitney over the score-distinct frame; HUGEINT
     // mirrors the Spark side's DECIMAL(38,0) exactness contract
     "q169_roc_auc" ->

@@ -147,4 +147,21 @@ class ModelingSpec extends SparkSpec {
     assert(bySrc("common") < bySrc("rare"),
       s"boilerplate should score lower surprisal: $bySrc")
   }
+
+  test("bpeEncodeReport: Sennrich fixture fertility after 3 merges") {
+    // After merges (e,s), (es,t), (l,o): low → [lo,w] 2 tokens,
+    // lower → [lo,w,e,r] 4, newest → [n,e,w,est] 4, widest → [w,i,d,est] 4.
+    // Corpus: low x5, lower x2, newest x6, widest x3 (one word per doc)
+    // → words 16, tokens 5·2 + 2·4 + 6·4 + 3·4 = 54.
+    val freqs = Seq(("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+    val d = docs(freqs.zipWithIndex.flatMap { case ((w, f), wi) =>
+      (1 to f).map(k => ((wi * 10 + k).toLong, "s", w))
+    }: _*)
+    val r = operators.Modeling.bpeEncodeReport(d, rounds = 3).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_docs") == 16L)
+    assert(r(0).getAs[Long]("total_words") == 16L)
+    assert(r(0).getAs[Long]("total_tokens") == 54L)
+    assert(r(0).getAs[Double]("tokens_per_word") == 3.375)
+  }
 }
