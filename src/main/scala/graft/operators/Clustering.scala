@@ -51,8 +51,14 @@ object Clustering extends QueryModule {
       transform(col("embedding"),
         x => floor(x.cast("double") * Scale).cast("long") + Scale).as("u"))
 
+  /** Integer squared-L2 via the codegen'd [[graft.functions.LongVecSqDist]]
+    * kernel — bit-identical to the HOF
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0L, +)` (spec-pinned)
+    * but stays inside WholeStageCodegen instead of interpreted lambda
+    * dispatch k·D times per vector in the assignment cross-join.
+    */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d)
+    graft.functions.LongVecSqDist.sqDist(a, b)
 
   /** One assignment pass: nearest centroid by integer squared-L2,
     * ties broken by smaller centroid id (struct-min ordering — (dist,

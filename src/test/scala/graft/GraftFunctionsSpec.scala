@@ -24,6 +24,24 @@ class GraftFunctionsSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(mismatches == 0)
   }
+  test("vec_sqdist matches the HOF formulation exactly on quantized embeddings") {
+    val emb = graft.operators.Clustering.quantized(
+      Tables(spark, "/root/testdata/sf0.001").embeddings.limit(50))
+    val pair = emb.as("a").crossJoin(emb.as("b").limit(5))
+    val hof = aggregate(
+      zip_with(col("a.u"), col("b.u"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val mismatches = pair.select(
+        graft.functions.LongVecSqDist.sqDist(col("a.u"), col("b.u")).as("x"), hof.as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(mismatches == 0)
+    // self-distance is zero; callable from SQL after registration
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_sqdist(array(1L, 5L), array(4L, 1L)) AS d").head()
+    assert(r.getLong(0) == 25L) // 3² + 4²
+  }
+
   test("winnow, minhash, and topk_sketch are callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -328,6 +328,16 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"fold windows run over the bounded cell frame:\n$p")
   }
 
+  test("vec_sqdist participates in generated code (no HOF fallback in assignment)") {
+    import org.apache.spark.sql.functions.col
+    val q = graft.operators.Clustering.quantized(t.embeddings)
+    val d = q.select(graft.functions.LongVecSqDist
+      .sqDist(col("u"), col("u")).as("d"))
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      d.queryExecution.executedPlan)
+    assert(code.contains("getLong"), "LongVecSqDist fell out of generated code")
+  }
+
   test("custom hash kernels participate in generated code (no CodegenFallback)") {
     // parquet-backed, exchange-free projections: LocalRelation fixtures
     // constant-fold custom expressions away, and AQE wraps any plan with
