@@ -215,6 +215,22 @@ object DecisionSupport extends QueryModule {
         |ORDER BY g_year, g_seg, o_year, seg""".stripMargin)
   }
 
+  /** q192: unpivot/melt — the q140-pivot inverse: the wide per-flag
+    * pricing aggregate melted to (flag, metric, value) long form via
+    * `Dataset.unpivot` (Spark's native Expand-based melt, one pass, no
+    * per-metric re-scan).
+    */
+  def pricingUnpivot(li: DataFrame): DataFrame = {
+    val wide = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(round(cents(col("l_quantity")) / 100.0, 2).as("sum_qty"),
+        round(cents(col("l_extendedprice")) / 100.0, 2).as("sum_price"),
+        count(lit(1)).cast("double").as("n_lines"))
+    wide.unpivot(Array(col("flag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_lines")),
+        "metric", "value")
+      .orderBy("flag", "metric")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_market_share" -> ((s, d) => { val t = Tables(s, d)
       marketShare(t.lineitem, t.part, t.supplier, t.orders, t.customer, t.nation, t.region) }),
@@ -229,6 +245,7 @@ object DecisionSupport extends QueryModule {
     "q189_window_pack" -> ((s, d) => { val t = Tables(s, d)
       segmentWindowPack(t.orders, t.customer) }),
     "q190_grouping_sets" -> ((s, d) => revenueGroupingSets(s, d)),
+    "q192_unpivot" -> ((s, d) => pricingUnpivot(Tables(s, d).lineitem)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -329,5 +346,15 @@ object DecisionSupport extends QueryModule {
         |GROUP BY GROUPING SETS ((year(o_orderdate), c_mktsegment),
         |                        (year(o_orderdate)), (c_mktsegment), ())
         |ORDER BY g_year, g_seg, o_year, seg""".stripMargin,
+    "q192_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(sum(floor(l_quantity * 100 + 0.5)) / 100.0, 2) AS DOUBLE) AS sum_qty,
+        |         CAST(round(sum(floor(l_extendedprice * 100 + 0.5)) / 100.0, 2) AS DOUBLE) AS sum_price,
+        |         CAST(count(*) AS DOUBLE) AS n_lines
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, metric, CAST(value AS DOUBLE) AS value
+        |FROM (UNPIVOT wide ON sum_qty, sum_price, n_lines INTO NAME metric VALUE value)
+        |ORDER BY flag, metric""".stripMargin,
   )
 }

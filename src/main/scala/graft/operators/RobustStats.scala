@@ -113,10 +113,42 @@ object RobustStats extends QueryModule {
                            (col("n") - col("cp_i")), 4)).as("mean_after"))
   }
 
+  /** q193: per-user time-weighted average of the event value (TWAP —
+    * the fair average of an irregularly sampled series, where q110's
+    * exponential decay is recency-weighted). Each reading is weighted
+    * by its holding time (µs until the user's next event; the final
+    * open-ended reading carries no weight and is excluded, standard
+    * last-interval convention).
+    *
+    * Determinism: values quantize to integer micro-units BEFORE the
+    * weight multiply, so the weighted sums are exact integers in
+    * DECIMAL(38,0)/HUGEINT (µs durations × 10⁶-scaled values overflow
+    * int64 at corpus scale) and division+round happens once.
+    *
+    * One shuffle: the lead window and the per-user aggregate share the
+    * user_id clustering.
+    */
+  def timeWeightedAverage(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("cast(floor(value * 1000000) as bigint)").as("vq"))
+      .withColumn("dur", lead("us", 1).over(w) - col("us"))
+      .filter(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dur").as("span_us"),
+        round(sum(col("vq").cast("decimal(38,0)") * col("dur")).cast("double") /
+          sum(col("dur")).cast("double") / 1e6, 4).as("twap"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_t_closeness" -> ((s, d) => tClosenessAudit(Tables(s, d).documents)),
     "q179_theil_sen"   -> ((s, d) => theilSenTrend(Tables(s, d).events)),
     "q180_cusum"       -> ((s, d) => cusumChangepoint(Tables(s, d).events)),
+    "q193_twap"        -> ((s, d) => timeWeightedAverage(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -176,5 +208,19 @@ object RobustStats extends QueryModule {
         |            ELSE round((tt.total - b.cum) / CAST(tt.n - b.i AS DOUBLE), 4)
         |       END AS mean_after
         |FROM best b CROSS JOIN tot tt WHERE b.rn = 1""".stripMargin,
+    "q193_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS vq
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, vq,
+        |         lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |       sum(dur)::BIGINT AS span_us,
+        |       round(sum(vq::HUGEINT * dur)::DOUBLE / sum(dur)::DOUBLE / 1e6, 4) AS twap
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

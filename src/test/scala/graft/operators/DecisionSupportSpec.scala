@@ -95,6 +95,19 @@ class DecisionSupportSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  test("q192 unpivot melts each flag row into one row per metric via one Expand") {
+    val df = DecisionSupport.pricingUnpivot(t.lineitem)
+    val rows = df.collect()
+    val flags = rows.map(_.getString(0)).distinct
+    assert(rows.length == flags.length * 3)
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("n_lines", "sum_price", "sum_qty"))
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
+    // melt preserves values: n_lines metric sums to the table row count
+    val n = rows.filter(_.getString(1) == "n_lines").map(_.getDouble(2)).sum
+    assert(n == t.lineitem.count().toDouble)
+  }
+
   test("q186 surfaces revenue ties instead of dropping them") {
     val r = DecisionSupport.topSupplier(spark, sf("")).collect()
     assert(r.nonEmpty)

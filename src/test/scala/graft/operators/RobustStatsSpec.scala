@@ -63,6 +63,27 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_after") == 10.0)
   }
 
+  test("timeWeightedAverage: hand-computed holding-time weights") {
+    // user 1: value 10 held for 3s, value 20 held for 1s, final reading
+    // open-ended (dropped) → twap = (10·3 + 20·1) / 4 = 12.5
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 10.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:03"), 1L, "view", 20.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:04"), 1L, "view", 999.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.timeWeightedAverage(rows).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_intervals") == 2L)
+    assert(r(0).getAs[Long]("span_us") == 4000000L)
+    assert(r(0).getAs[Double]("twap") == 12.5)
+  }
+
+  test("timeWeightedAverage: single-event users produce no row (no holding time)") {
+    val rows = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(RobustStats.timeWeightedAverage(rows).count() == 0)
+  }
+
   test("cusumChangepoint on a flat series: stat 0, tie broken to first day") {
     val rows = (1 to 4).flatMap(d => (1 to 3).map(i => ev(d * 1000L + i, d, "error")))
     val r = RobustStats.cusumChangepoint(
