@@ -66,11 +66,66 @@ object RangeJoin extends QueryModule {
       .orderBy("user_id", "session_id")
   }
 
+  /** q194: marketing-style touch attribution — for every purchase, the
+    * FIRST and LAST qualifying touch (non-purchase, non-error event of
+    * the same user) in the hour before it, reported as a
+    * (first_touch, last_touch) matrix.
+    *
+    * The lookback is the [[bucketedRangeJoin]] scale path (each touch
+    * lands in ONE bucket, purchases replicate into the ≤2 buckets their
+    * window spans), and first/last are one struct-min/max aggregation —
+    * (us, event_id) keys make both ends unique and deterministic.
+    */
+  def touchAttribution(events: DataFrame, lookbackSec: Long = 3600L): DataFrame = {
+    val touches = events
+      .filter(!col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        expr(s"timestampadd(SECOND, -$lookbackSec, ts)").as("w_start"),
+        // strict "before the purchase": inclusive end at p_ts − 1 µs
+        expr("timestampadd(MICROSECOND, -1, ts)").as("w_end"))
+    val joined = bucketedRangeJoin(touches, purchases, "user_id",
+        "ts", "w_start", "w_end", bucketUs = lookbackSec * 1000000L)
+      .select(col("p_id"),
+        struct(expr("unix_micros(ts)").as("us"), col("event_id"),
+          col("event_type")).as("touch"))
+    joined.groupBy("p_id")
+      .agg(min("touch").as("ft"), max("touch").as("lt"))
+      .groupBy(col("ft.event_type").as("first_touch"),
+        col("lt.event_type").as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("first_touch", "last_touch")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_session_errors" -> ((s, d) => errorsPerSession(Tables(s, d).events)),
+    "q194_attribution"   -> ((s, d) => touchAttribution(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q194_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type NOT IN ('purchase', 'error')),
+        |p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.p_id, t.us, t.event_id, t.event_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND t.us >= p.p_us - 3600000000 AND t.us < p.p_us),
+        |f AS (SELECT p_id, event_type AS ft FROM (
+        |        SELECT p_id, event_type,
+        |               row_number() OVER (PARTITION BY p_id ORDER BY us, event_id) AS rn
+        |        FROM j) WHERE rn = 1),
+        |l AS (SELECT p_id, event_type AS lt FROM (
+        |        SELECT p_id, event_type,
+        |               row_number() OVER (PARTITION BY p_id ORDER BY us DESC, event_id DESC) AS rn
+        |        FROM j) WHERE rn = 1)
+        |SELECT f.ft AS first_touch, l.lt AS last_touch, count(*)::BIGINT AS n_purchases
+        |FROM f JOIN l USING (p_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q61_session_errors" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

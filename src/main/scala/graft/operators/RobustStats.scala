@@ -144,11 +144,37 @@ object RobustStats extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q195: per-source BYTE-weighted median document length — the length
+    * L such that half the source's characters live in docs of length
+    * ≤ L (the storage-centric central doc size; the unweighted median
+    * over-represents tiny docs). Lower weighted median: first row in
+    * (n_chars, doc_id) order whose doubled cumulative weight reaches
+    * the total — all-integer, so the pick is exact on any engine.
+    * One shuffle: the cumulative window and per-source total share the
+    * source clustering.
+    */
+  def weightedMedianLength(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val tot = Window.partitionBy("source")
+    documents.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum("n_chars").over(w))
+      .withColumn("total", sum("n_chars").over(tot))
+      .withColumn("n_docs", count(lit(1)).over(tot))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("source")
+      .agg(first("n_docs").as("n_docs"), first("total").as("total_chars"),
+        min(struct(col("n_chars"), col("doc_id"))).as("m"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("m.n_chars").as("wmedian_chars"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_t_closeness" -> ((s, d) => tClosenessAudit(Tables(s, d).documents)),
     "q179_theil_sen"   -> ((s, d) => theilSenTrend(Tables(s, d).events)),
     "q180_cusum"       -> ((s, d) => cusumChangepoint(Tables(s, d).events)),
     "q193_twap"        -> ((s, d) => timeWeightedAverage(Tables(s, d).events)),
+    "q195_weighted_median" -> ((s, d) => weightedMedianLength(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -222,5 +248,17 @@ object RobustStats extends QueryModule {
         |       round(sum(vq::HUGEINT * dur)::DOUBLE / sum(dur)::DOUBLE / 1e6, 4) AS twap
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q195_weighted_median" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+        |         sum(n_chars) OVER (PARTITION BY source)::BIGINT AS total,
+        |         count(*) OVER (PARTITION BY source)::BIGINT AS n_docs
+        |  FROM documents)
+        |SELECT source, any_value(n_docs) AS n_docs, any_value(total) AS total_chars,
+        |       min(n_chars)::BIGINT AS wmedian_chars
+        |FROM c WHERE cum * 2 >= total
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -24,4 +24,33 @@ class RangeJoinSpec extends SparkSpec {
       .select("point_id").as[Long].collect().sorted.toSeq
     assert(got == Seq(101L, 102L, 103L))
   }
+
+  test("touchAttribution: first/last touch inside the hour, purchase instant excluded") {
+    def ev(id: Long, t: String, typ: String, user: Long = 1L) =
+      (id, ts(t), user, typ, 0.0, "{}")
+    val events = Seq(
+      ev(1L, "2024-01-01 09:10:00", "view"),   // first touch
+      ev(2L, "2024-01-01 09:40:00", "click"),  // last touch
+      ev(3L, "2024-01-01 09:50:00", "error"),  // never a touch
+      ev(4L, "2024-01-01 10:00:00", "purchase"),
+      ev(5L, "2024-01-01 08:59:59", "signup"), // outside the hour window
+      ev(6L, "2024-01-01 12:00:00", "purchase"), // no touches → no row
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RangeJoin.touchAttribution(events).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "view" && r(0).getString(1) == "click")
+    assert(r(0).getLong(2) == 1L)
+  }
+
+  test("touchAttribution: a touch AT the purchase timestamp is excluded (strictly before)") {
+    def ev(id: Long, t: String, typ: String) = (id, ts(t), 1L, typ, 0.0, "{}")
+    val events = Seq(
+      ev(1L, "2024-01-01 09:30:00", "view"),
+      ev(2L, "2024-01-01 10:00:00", "click"), // same instant as purchase
+      ev(3L, "2024-01-01 10:00:00", "purchase"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RangeJoin.touchAttribution(events).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "view" && r(0).getString(1) == "view")
+  }
 }

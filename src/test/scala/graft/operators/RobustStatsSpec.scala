@@ -84,6 +84,27 @@ class RobustStatsSpec extends SparkSpec {
     assert(RobustStats.timeWeightedAverage(rows).count() == 0)
   }
 
+  test("weightedMedianLength: hand-computed byte-weighted pick") {
+    // source s: lengths 1, 2, 7 → total 10, cumulative 1, 3, 10;
+    // first 2·cum ≥ 10 is the length-7 doc (unweighted median is 2)
+    val docs = Seq(
+      (1L, "x", "en", "s", 1L), (2L, "x", "en", "s", 2L), (3L, "x", "en", "s", 7L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = RobustStats.weightedMedianLength(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("total_chars") == 10L)
+    assert(r.getAs[Long]("wmedian_chars") == 7L)
+  }
+
+  test("weightedMedianLength: even split ties to the lower boundary row") {
+    // lengths 5, 5 → cum 5, 10; first 2·cum ≥ 10 is the FIRST doc (id order)
+    val docs = Seq(
+      (1L, "x", "en", "s", 5L), (2L, "x", "en", "s", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(RobustStats.weightedMedianLength(docs).collect()(0)
+      .getAs[Long]("wmedian_chars") == 5L)
+  }
+
   test("cusumChangepoint on a flat series: stat 0, tie broken to first day") {
     val rows = (1 to 4).flatMap(d => (1 to 3).map(i => ev(d * 1000L + i, d, "error")))
     val r = RobustStats.cusumChangepoint(
