@@ -169,12 +169,42 @@ object RobustStats extends QueryModule {
       .orderBy("source")
   }
 
+  /** q196: Mann–Kendall trend test on daily event volume — the
+    * nonparametric companion to q179's Theil–Sen slope (same pairwise
+    * frame; this one answers "is there a trend at all" with a z-score).
+    * S = Σ_{i<j} sign(xⱼ−xᵢ) stays an exact integer, and the
+    * tie-corrected variance is carried ×18
+    * (n(n−1)(2n+5) − Σt(t−1)(2t+5)) as an integer too; the z-score is
+    * the single float step (continuity-corrected, ±1.96 verdict).
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val s = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    val base = daily.agg(count(lit(1)).as("n_days"))
+    base.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5)") - coalesce(col("tie18"), lit(0L)))
+      .withColumn("z", when(col("var18") <= 0 || col("s_stat") === 0, lit(0.0))
+        .otherwise((col("s_stat") - signum(col("s_stat"))) /
+          sqrt(col("var18").cast("double") / 18.0)))
+      .select(col("n_days"), col("s_stat"), col("var18"),
+        round(col("z"), 4).as("z"),
+        when(col("z") > 1.96, "increasing").when(col("z") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_t_closeness" -> ((s, d) => tClosenessAudit(Tables(s, d).documents)),
     "q179_theil_sen"   -> ((s, d) => theilSenTrend(Tables(s, d).events)),
     "q180_cusum"       -> ((s, d) => cusumChangepoint(Tables(s, d).events)),
     "q193_twap"        -> ((s, d) => timeWeightedAverage(Tables(s, d).events)),
     "q195_weighted_median" -> ((s, d) => weightedMedianLength(Tables(s, d).documents)),
+    "q196_mann_kendall" -> ((s, d) => mannKendall(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -260,5 +290,26 @@ object RobustStats extends QueryModule {
         |       min(n_chars)::BIGINT AS wmedian_chars
         |FROM c WHERE cum * 2 >= total
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q196_mann_kendall" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+        |               FROM events GROUP BY 1),
+        |s AS (SELECT sum(sign(b.x - a.x))::BIGINT AS s_stat
+        |      FROM daily a JOIN daily b ON a.day < b.day),
+        |ties AS (SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+        |         FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY x)),
+        |base AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+        |m AS (SELECT n_days, s_stat,
+        |             (n_days * (n_days - 1) * (2 * n_days + 5)
+        |              - coalesce(tie18, 0))::BIGINT AS var18
+        |      FROM base CROSS JOIN s CROSS JOIN ties),
+        |zz AS (SELECT n_days, s_stat, var18,
+        |              CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0.0
+        |                   ELSE (s_stat - sign(s_stat)) / sqrt(var18 / 18.0) END AS zraw
+        |       FROM m)
+        |SELECT n_days, s_stat, var18, round(zraw, 4) AS z,
+        |       CASE WHEN zraw > 1.96 THEN 'increasing'
+        |            WHEN zraw < -1.96 THEN 'decreasing'
+        |            ELSE 'no_trend' END AS trend
+        |FROM zz""".stripMargin,
   )
 }

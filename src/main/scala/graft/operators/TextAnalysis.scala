@@ -446,6 +446,47 @@ object TextAnalysis extends QueryModule {
       .orderBy("bin")
   }
 
+  /** q197: isotonic (monotone) calibration of q153's reliability curve
+    * — pool-adjacent-violators WITHOUT iteration, via the minimax
+    * identity iso(i) = max_{j≤i} min_{k≥i} wmean(pos, j..k): exactly
+    * the PAV solution, expressed as joins over the BOUNDED bin frame
+    * (10 bins → ≤10³ range triples — model-sized at any corpus scale,
+    * since the corpus collapses to per-bin integer counts first).
+    * Range means divide exact integer cumulative sums, so both engines
+    * compare identical doubles; output is monotone by construction.
+    */
+  def isotonicCalibration(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stops = size(filter(toks, w => w === "the" || w === "a")).cast("long")
+    val bins = documents.select(stops.as("stops"), nTok.as("nt"),
+        when(col("n_chars") >= 250, 1L).otherwise(0L).as("pos"))
+      .select(expr("least((stops * 10000L) div nt, 9999L) div 1000").as("bin"), col("pos"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("p"))
+    val w = Window.orderBy("bin")
+    val cum = bins
+      .withColumn("cp", sum("p").over(w)).withColumn("cn", sum("n").over(w))
+    // range (j..k) weighted means from cumulative diffs; bounded frame
+    val ranges = cum.select(col("bin").as("j"), col("cp").as("jcp"),
+        col("cn").as("jcn"), col("p").as("jp"), col("n").as("jn"))
+      .join(cum.select(col("bin").as("k"), col("cp").as("kcp"), col("cn").as("kcn")),
+        col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("kcp") - col("jcp") + col("jp")).cast("double") /
+         (col("kcn") - col("jcn") + col("jn")).cast("double")).as("avg"))
+    val spine = bins.select(col("bin").as("i"))
+    val iso = spine
+      .join(ranges, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("avg").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso"))
+    bins.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n").as("n_docs"),
+        round(col("p") / col("n").cast("double"), 4).as("raw_acc"),
+        round(col("iso"), 4).as("iso_acc"))
+      .orderBy("bin")
+  }
+
   /** q154: label-agreement audit (Cohen's κ) between the STORED `lang`
     * column and the re-derived q23 heuristic, both collapsed to the
     * binary "is English" call — the annotator-agreement check a
@@ -688,6 +729,7 @@ object TextAnalysis extends QueryModule {
     "q123_fertility"    -> ((s, d) => tokenizerFertility(Tables(s, d).documents)),
     "q150_hill_tail"    -> ((s, d) => hillTailIndex(Tables(s, d).documents)),
     "q153_calibration"  -> ((s, d) => calibrationBins(Tables(s, d).documents)),
+    "q197_isotonic"     -> ((s, d) => isotonicCalibration(Tables(s, d).documents)),
     "q154_rater_kappa"  -> ((s, d) => labelAgreementKappa(Tables(s, d).documents)),
   )
 
@@ -974,6 +1016,30 @@ object TextAnalysis extends QueryModule {
         |       round(n_pos / CAST(n_docs AS DOUBLE), 4) AS acc,
         |       round(abs(sy / n_docs / 10000.0 - n_pos / CAST(n_docs AS DOUBLE)), 4) AS gap
         |FROM b ORDER BY bin""".stripMargin,
+    "q197_isotonic" ->
+      """WITH t AS (SELECT least((len(list_filter(string_split(text, ' '),
+        |                          w -> w = 'the' OR w = 'a')) * 10000)
+        |                        // len(string_split(text, ' ')), 9999) // 1000 AS bin,
+        |                  CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS pos
+        |           FROM documents),
+        |b AS (SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS p
+        |      FROM t GROUP BY 1),
+        |c AS (SELECT bin, n, p,
+        |             sum(p) OVER (ORDER BY bin)::BIGINT AS cp,
+        |             sum(n) OVER (ORDER BY bin)::BIGINT AS cn
+        |      FROM b),
+        |ranges AS (SELECT a.bin AS j, z.bin AS k,
+        |                  (z.cp - a.cp + a.p)::DOUBLE /
+        |                  (z.cn - a.cn + a.n)::DOUBLE AS avg
+        |           FROM c a JOIN c z ON a.bin <= z.bin),
+        |mn AS (SELECT i.bin AS i, r.j, min(r.avg) AS mn
+        |       FROM b i JOIN ranges r ON r.j <= i.bin AND r.k >= i.bin
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT i, max(mn) AS iso FROM mn GROUP BY i)
+        |SELECT b.bin, b.n AS n_docs,
+        |       round(b.p / CAST(b.n AS DOUBLE), 4) AS raw_acc,
+        |       round(iso.iso, 4) AS iso_acc
+        |FROM b JOIN iso ON b.bin = iso.i ORDER BY b.bin""".stripMargin,
     "q154_rater_kappa" ->
       """WITH h AS (SELECT lang = 'en' AS ra,
         |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) AS en,

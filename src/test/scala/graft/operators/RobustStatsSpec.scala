@@ -84,6 +84,28 @@ class RobustStatsSpec extends SparkSpec {
     assert(RobustStats.timeWeightedAverage(rows).count() == 0)
   }
 
+  test("mannKendall: clean ramp is increasing, hand-computed S") {
+    // counts 1..8 over 8 days: every pair concordant → S = 28, no ties
+    val rows = (1 to 8).flatMap(d => (1 to d).map(i => ev(d * 100L + i, d, "view")))
+    val r = RobustStats.mannKendall(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(r.getAs[Long]("n_days") == 8)
+    assert(r.getAs[Long]("s_stat") == 28L)
+    // var18 = 8·7·21 = 1176 (no ties); z = 27/sqrt(1176/18) ≈ 3.3410
+    assert(r.getAs[Long]("var18") == 1176L)
+    assert(r.getAs[Double]("z") == 3.3404)
+    assert(r.getAs[String]("trend") == "increasing")
+  }
+
+  test("mannKendall: flat series has S = 0, z = 0, no_trend") {
+    val rows = (1 to 6).flatMap(d => (1 to 3).map(i => ev(d * 100L + i, d, "view")))
+    val r = RobustStats.mannKendall(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(r.getAs[Long]("s_stat") == 0L)
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[String]("trend") == "no_trend")
+  }
+
   test("weightedMedianLength: hand-computed byte-weighted pick") {
     // source s: lengths 1, 2, 7 → total 10, cumulative 1, 3, 10;
     // first 2·cum ≥ 10 is the length-7 doc (unweighted median is 2)

@@ -292,4 +292,31 @@ class TextAnalysisSpec extends SparkSpec {
       assert(x.getDouble(5) == 0.346574, s"mi_part = 0.5*ln(2): $x")
     }
   }
+
+  test("isotonicCalibration: minimax PAV pools the violating bins") {
+    import org.apache.spark.sql.functions.lit
+    // bin 0 (no stopwords): acc 1.0; bin 5 (half 'the'): acc 0.0;
+    // bin 9 (all 'the'): acc 0.5. Equal weights → PAV pools 1.0,0.0 to
+    // 0.5, then 0.5 ≤ 0.5 holds → iso = [0.5, 0.5, 0.5].
+    val b0 = "b c d e f g h i j k"
+    val b5 = "the the the the the b c d e f"
+    val b9 = "the the the the the the the the the the"
+    val d = Seq(
+      (1L, b0, 260L), (2L, b0, 270L),
+      (3L, b5, 100L), (4L, b5, 120L),
+      (5L, b9, 300L), (6L, b9, 100L),
+    ).toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val r = TextAnalysis.isotonicCalibration(d).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 5L, 9L))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(1.0, 0.0, 0.5))  // raw
+    assert(r.map(_.getDouble(3)).toSeq == Seq(0.5, 0.5, 0.5))  // isotonic
+  }
+
+  test("isotonicCalibration is monotone non-decreasing on real data") {
+    val real = graft.Tables(spark, sf("")).documents
+    val iso = TextAnalysis.isotonicCalibration(real)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(iso == iso.sorted, s"not monotone: $iso")
+  }
 }
