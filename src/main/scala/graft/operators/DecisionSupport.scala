@@ -231,6 +231,31 @@ object DecisionSupport extends QueryModule {
       .orderBy("flag", "metric")
   }
 
+  /** q198: share-of-parent hierarchy report — nation revenue with its
+    * share of the region and of the grand total, window sums layered
+    * over ONE aggregated frame (nations-sized; the percent-of-parent
+    * OLAP idiom without re-scanning the fact table per level).
+    */
+  def shareOfParent(customer: DataFrame, orders: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame = {
+    val base = orders.join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(cents(col("o_totalprice")).as("c"), count(lit(1)).as("n_orders"))
+    val byRegion = Window.partitionBy("r_name")
+    val all = Window.partitionBy()
+    base
+      .withColumn("rc", sum("c").over(byRegion))
+      .withColumn("tc", sum("c").over(all))
+      .select(col("r_name"), col("n_name"), col("n_orders"),
+        round(col("c") / 100.0, 2).as("revenue"),
+        round(col("c") / col("rc").cast("double"), 4).as("pct_of_region"),
+        round(col("c") / col("tc").cast("double"), 4).as("pct_of_total"))
+      .orderBy("r_name", "n_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_market_share" -> ((s, d) => { val t = Tables(s, d)
       marketShare(t.lineitem, t.part, t.supplier, t.orders, t.customer, t.nation, t.region) }),
@@ -246,6 +271,8 @@ object DecisionSupport extends QueryModule {
       segmentWindowPack(t.orders, t.customer) }),
     "q190_grouping_sets" -> ((s, d) => revenueGroupingSets(s, d)),
     "q192_unpivot" -> ((s, d) => pricingUnpivot(Tables(s, d).lineitem)),
+    "q198_share_of_parent" -> ((s, d) => { val t = Tables(s, d)
+      shareOfParent(t.customer, t.orders, t.nation, t.region) }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -356,5 +383,24 @@ object DecisionSupport extends QueryModule {
         |SELECT flag, metric, CAST(value AS DOUBLE) AS value
         |FROM (UNPIVOT wide ON sum_qty, sum_price, n_lines INTO NAME metric VALUE value)
         |ORDER BY flag, metric""".stripMargin,
+    "q198_share_of_parent" ->
+      """WITH base AS (
+        |  SELECT r_name, n_name,
+        |         sum(floor(o_totalprice * 100 + 0.5))::BIGINT AS c,
+        |         count(*)::BIGINT AS n_orders
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT r_name, n_name, n_orders, c,
+        |             sum(c) OVER (PARTITION BY r_name)::BIGINT AS rc,
+        |             sum(c) OVER ()::BIGINT AS tc
+        |      FROM base)
+        |SELECT r_name, n_name, n_orders,
+        |       round(c / 100.0, 2) AS revenue,
+        |       round(c / CAST(rc AS DOUBLE), 4) AS pct_of_region,
+        |       round(c / CAST(tc AS DOUBLE), 4) AS pct_of_total
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
   )
 }

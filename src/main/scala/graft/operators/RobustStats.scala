@@ -198,6 +198,38 @@ object RobustStats extends QueryModule {
           .otherwise("no_trend").as("trend"))
   }
 
+  /** q199: lag-1 autocorrelation of the daily event volume — the
+    * time-series diagnostic that separates bursty traffic from
+    * independent arrivals (and the q163/q180 family's "is yesterday
+    * predictive" check). n-scaled centering keeps everything integer:
+    * with dᵗ = n·xᵗ − S (an exact integer), r₁ = Σdᵗdᵗ⁺¹ / Σdᵗ² — the
+    * n² scale cancels, so the only float step is the final division.
+    * Consecutive-day pairing is a lead window over the calendar-bounded
+    * daily frame; gap days break pairs (documented NA-gap convention).
+    */
+  def lag1Autocorrelation(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum("x").as("s"), count(lit(1)).as("n"))
+    val w = Window.orderBy("day")
+    val d = daily.crossJoin(broadcast(tot))
+      .withColumn("d", col("n") * col("x") - col("s"))
+      .withColumn("next_day", lead("day", 1).over(w))
+      .withColumn("next_d", lead("d", 1).over(w))
+    // d² products ride DECIMAL(38,0) (HUGEINT on the oracle side):
+    // n·x − S squares past int64 at realistic per-day volumes
+    d.agg(first("n").as("n_days"),
+        sum(expr("cast(d as decimal(38,0)) * d")).as("den"),
+        sum(when(col("next_day") === col("day") + 1,
+          expr("cast(d as decimal(38,0)) * next_d")).otherwise(lit(0L))).as("num"),
+        sum(when(col("next_day") === col("day") + 1, 1L).otherwise(0L)).as("n_pairs"))
+      .select(col("n_days"), col("n_pairs"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double"), 4))
+          .as("r1"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_t_closeness" -> ((s, d) => tClosenessAudit(Tables(s, d).documents)),
     "q179_theil_sen"   -> ((s, d) => theilSenTrend(Tables(s, d).events)),
@@ -205,6 +237,7 @@ object RobustStats extends QueryModule {
     "q193_twap"        -> ((s, d) => timeWeightedAverage(Tables(s, d).events)),
     "q195_weighted_median" -> ((s, d) => weightedMedianLength(Tables(s, d).documents)),
     "q196_mann_kendall" -> ((s, d) => mannKendall(Tables(s, d).events)),
+    "q199_autocorrelation" -> ((s, d) => lag1Autocorrelation(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -311,5 +344,23 @@ object RobustStats extends QueryModule {
         |            WHEN zraw < -1.96 THEN 'decreasing'
         |            ELSE 'no_trend' END AS trend
         |FROM zz""".stripMargin,
+    "q199_autocorrelation" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+        |               FROM events GROUP BY 1),
+        |tot AS (SELECT sum(x)::BIGINT AS s, count(*)::BIGINT AS n FROM daily),
+        |d AS (SELECT day, (t.n * x - t.s)::BIGINT AS d,
+        |             lead(day, 1) OVER (ORDER BY day) AS next_day,
+        |             lead((t.n * x - t.s)::BIGINT, 1) OVER (ORDER BY day) AS next_d
+        |      FROM daily CROSS JOIN tot t),
+        |a AS (SELECT any_value(t.n) AS n_days,
+        |             sum(d.d::HUGEINT * d.d) AS den,
+        |             sum(CASE WHEN next_day = day + 1
+        |                      THEN d.d::HUGEINT * next_d ELSE 0 END) AS num,
+        |             sum(CASE WHEN next_day = day + 1 THEN 1 ELSE 0 END)::BIGINT AS n_pairs
+        |      FROM d CROSS JOIN tot t)
+        |SELECT n_days, n_pairs,
+        |       CASE WHEN den = 0 THEN NULL
+        |            ELSE round(num::DOUBLE / den::DOUBLE, 4) END AS r1
+        |FROM a""".stripMargin,
   )
 }

@@ -108,6 +108,18 @@ class DecisionSupportSpec extends SparkSpec {
     assert(n == t.lineitem.count().toDouble)
   }
 
+  test("q198 share-of-parent: region shares sum to 1, totals to 1 overall") {
+    val r = DecisionSupport.shareOfParent(t.customer, t.orders, t.nation, t.region)
+      .collect()
+    val byRegion = r.groupBy(_.getString(0))
+    byRegion.values.foreach { rows =>
+      val s = rows.map(_.getAs[Double]("pct_of_region")).sum
+      assert(math.abs(s - 1.0) < 0.01, s"region shares sum to $s")
+    }
+    val tot = r.map(_.getAs[Double]("pct_of_total")).sum
+    assert(math.abs(tot - 1.0) < 0.01, s"total shares sum to $tot")
+  }
+
   test("q186 surfaces revenue ties instead of dropping them") {
     val r = DecisionSupport.topSupplier(spark, sf("")).collect()
     assert(r.nonEmpty)

@@ -106,6 +106,29 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getAs[String]("trend") == "no_trend")
   }
 
+  test("lag1Autocorrelation: alternating series is strongly negative, ramp positive") {
+    // alternating 1,9,1,9,... → r1 ≈ -1; ramp 1..8 → r1 > 0
+    val alt = (1 to 8).flatMap { d =>
+      val k = if (d % 2 == 0) 9 else 1
+      (1 to k).map(i => ev(d * 100L + i, d, "view"))
+    }
+    val rAlt = RobustStats.lag1Autocorrelation(
+      alt.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(rAlt.getAs[Long]("n_pairs") == 7L)
+    assert(rAlt.getAs[Double]("r1") < -0.8, s"got ${rAlt.getAs[Double]("r1")}")
+    val ramp = (1 to 8).flatMap(d => (1 to d).map(i => ev(d * 100L + i, d, "view")))
+    val rRamp = RobustStats.lag1Autocorrelation(
+      ramp.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(rRamp.getAs[Double]("r1") > 0.5, s"got ${rRamp.getAs[Double]("r1")}")
+  }
+
+  test("lag1Autocorrelation: constant series has zero denominator → NULL r1") {
+    val rows = (1 to 4).flatMap(d => (1 to 3).map(i => ev(d * 100L + i, d, "view")))
+    val r = RobustStats.lag1Autocorrelation(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("r1")))
+  }
+
   test("weightedMedianLength: hand-computed byte-weighted pick") {
     // source s: lengths 1, 2, 7 → total 10, cumulative 1, 3, 10;
     // first 2·cum ≥ 10 is the length-7 doc (unweighted median is 2)
