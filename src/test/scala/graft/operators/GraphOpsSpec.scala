@@ -82,4 +82,13 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].head()
     assert(got == ((8L, 10L, 17L, 5L, 0.8824)))
   }
+
+  test("forward (edge-iterator) and wedge-join counting paths agree on real data") {
+    val real = graft.Tables(spark, sf("")).lineitem
+    val fwd = GraphOps.triangleCensus(real).as[(Long, Long, Long, Long, Double)].head()
+    val wedge = GraphOps.triangleCensus(real, broadcastEdgeLimit = 0L)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(fwd == wedge)
+    assert(fwd._4 > 0L, "expected triangles in the co-purchase graph")
+  }
 }
