@@ -124,7 +124,12 @@ object GraphOps extends QueryModule {
     // edges pre-partitioned on the source key and checkpointed ONCE:
     // every iteration's rank join is then co-partitioned (ranks come out
     // of the previous groupBy("node") already hash-partitioned), so the
-    // only shuffle per iteration is the contribution aggregate itself
+    // only shuffle per iteration is the contribution aggregate itself.
+    // (A persist() variant that preserves outputPartitioning across
+    // iterations was measured: it wins only when the SAME call is
+    // re-executed (cache hit on the edge build) and loses ~25% on the
+    // one-shot run from columnar encode/decode of the 2m-row edge list
+    // — eager checkpoint blocks stay the default.)
     val edges = graft.plans.Checkpoints.cut(
       und.select(col("u").as("s"), col("v").as("dd"))
         .unionAll(und.select(col("v").as("s"), col("u").as("dd")))
