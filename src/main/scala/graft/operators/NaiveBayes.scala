@@ -52,10 +52,13 @@ object NaiveBayes extends QueryModule {
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val test  = docs.filter(col("doc_id") % 5 === 0)
 
-    val trBg = bigrams(train)
-    val cnt = trBg.groupBy("lang", "bg").agg(count(lit(1)).as("c"))
-    val perLang = trBg.groupBy("lang").agg(count(lit(1)).as("tl"))
-    val vocab = trBg.agg(countDistinct("bg").as("v"))
+    // ONE corpus-sized pass: the exploded bigram stream collapses into
+    // the (lang, bg) count frame, and every other training statistic
+    // derives from that bounded frame (token totals = Σc per lang,
+    // vocab = distinct bg) instead of re-exploding the corpus
+    val cnt = bigrams(train).groupBy("lang", "bg").agg(count(lit(1)).as("c"))
+    val perLang = cnt.groupBy("lang").agg(sum("c").as("tl"))
+    val vocab = cnt.agg(countDistinct("bg").as("v"))
     val nTrain = train.agg(count(lit(1)).as("n_train"))
     val priors = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(nTrain))
