@@ -18,6 +18,11 @@ class DeterminismSpec extends SparkSpec {
     "q62_heavy_tokens",     // sketch-driven two-pass
     "q66_hash_sample",      // hash-threshold sampling membership
     "q67_shard_packing",    // two-phase global running sum
+    "q176_kmeans",          // integer-distance argmin iteration
+    "q178_t_closeness",     // integer-EMD cumulative windows
+    "q187_nb_langid",       // micro-nat integer argmin scoring
+    "q193_twap",            // decimal weighted sums
+    "q197_isotonic",        // minimax over range means
   )
 
   test("results are identical under different shuffle partitionings") {

@@ -328,6 +328,28 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"fold windows run over the bounded cell frame:\n$p")
   }
 
+  test("q178 t-closeness broadcasts both densification dims; fact agg is map-side partial") {
+    val p = planText(graft.operators.RobustStats.tClosenessAudit(t.documents))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast densification:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partials:\n$p")
+  }
+
+  test("q193 TWAP: every hash exchange is on user_id (window + agg share the clustering)") {
+    // AQE's plan text can repeat a stage, so count KEYS, not occurrences:
+    // the contract is that nothing shuffles on any other key
+    val p = planText(graft.operators.RobustStats.timeWeightedAverage(t.events))
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("user_id")), s"unexpected shuffle keys $keys:\n$p")
+  }
+
+  test("q188 weighted sample sorts only narrow triples (no text column in the window)") {
+    val p = planText(graft.operators.CorpusOps.weightedSample(t.documents))
+    assert(!p.contains("text#"), s"payload column leaked into the rank window:\n$p")
+  }
+
   test("vec_sqdist participates in generated code (no HOF fallback in assignment)") {
     import org.apache.spark.sql.functions.col
     val q = graft.operators.Clustering.quantized(t.embeddings)
