@@ -366,12 +366,42 @@ object Modeling extends QueryModule {
        |       round(sum(n_tok) / CAST(count(*) AS DOUBLE), 4) AS tokens_per_word
        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q201: average precision (area under the precision-recall curve) of
+    * the q169 proxy scorer (n_chars ranking `lang = 'en'`), per source —
+    * the PR-side eval that matters when positives are rare and ROC-AUC
+    * flatters. Ranking is (score desc, doc_id) so every rank is unique;
+    * each positive's precision@k term is quantized to integer
+    * nano-units ((cum_pos·10⁹) div k — exact integer division) BEFORE
+    * the sum, so AP is an order-independent integer sum with one final
+    * division. One shuffle: rank window and per-source rollup share the
+    * source clustering.
+    */
+  def averagePrecision(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_pos", sum("pos").over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+        sum(when(col("pos") === 1L,
+          expr("(cum_pos * 1000000000) div k")).otherwise(0L)).as("ap9"))
+      .select(col("source"), col("n_docs"), col("n_pos"),
+        when(col("n_pos") === 0, lit(null).cast("double"))
+          .otherwise(round(col("ap9").cast("double") / 1e9 / col("n_pos"), 4))
+          .as("avg_precision"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
     "q168_bpe_merges" -> ((s, d) => bpeMerges(Tables(s, d).documents)),
     "q191_bpe_encode" -> ((s, d) => bpeEncodeReport(Tables(s, d).documents)),
     "q169_roc_auc" -> ((s, d) => rocAuc(Tables(s, d).documents)),
+    "q201_avg_precision" -> ((s, d) => averagePrecision(Tables(s, d).documents)),
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
   )
 
@@ -427,6 +457,23 @@ object Modeling extends QueryModule {
         |FROM agg ORDER BY source""".stripMargin,
     "q168_bpe_merges" -> bpeOracle(8),
     "q191_bpe_encode" -> bpeEncodeOracle(8),
+    "q201_avg_precision" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |         row_number() OVER w AS k,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER
+        |           (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum_pos
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos,
+        |       CASE WHEN sum(pos) = 0 THEN NULL
+        |            ELSE round(sum(CASE WHEN pos = 1
+        |                                THEN (cum_pos * 1000000000) // k
+        |                                ELSE 0 END)::DOUBLE / 1e9 / sum(pos), 4)
+        |       END AS avg_precision
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // tie-corrected Mann-Whitney over the score-distinct frame; HUGEINT
     // mirrors the Spark side's DECIMAL(38,0) exactness contract
     "q169_roc_auc" ->

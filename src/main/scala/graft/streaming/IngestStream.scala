@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object IngestStream {
 
+  /** q200: gap-based session aggregation with Spark's NATIVE
+    * `session_window` (the builtin merging-window state operator — the
+    * declarative counterpart of StatefulSessions' custom
+    * flatMapGroupsWithState path): per (user, session) event count and
+    * value sum, where a session closes after `gap` of inactivity and
+    * the window end is last-event + gap. Identical code runs as a batch
+    * backfill (the oracle surface) and as a watermarked append stream
+    * (spec-proven parity).
+    */
+  def sessionWindowUsage(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("total_value"))
+
   /** Ingest-request stream: dedup by run_id within the watermark window.
     * Input schema: (run_id, dataset_id, process, request_time).
     */
@@ -167,9 +186,35 @@ object StreamParity extends graft.QueryModule {
         .orderBy("window_start", "lang")),
     "q132_error_attribution" -> ((s, d) =>
       IngestStream.errorAttribution(graft.Tables(s, d).events)),
+    "q200_session_window" -> ((s, d) =>
+      IngestStream.sessionWindowUsage(graft.Tables(s, d).events)
+        .select(col("session_start"), col("session_end"), col("user_id"),
+                col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("session_start", "user_id")),
   )
 
   override def oracles: Map[String, String] = Map(
+    // gap sessionization replay: a session breaks only when the
+    // inter-event gap EXCEEDS the 30-minute window — Spark's
+    // session_window merges an event landing exactly at last+gap
+    // (spec-pinned); window end = last event + gap
+    "q200_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |f AS (SELECT user_id, us, value,
+        |             CASE WHEN lag(us) OVER w IS NULL
+        |                    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us, value,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f),
+        |s AS (SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |             count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+        |      FROM g GROUP BY user_id, sid)
+        |SELECT make_timestamp(start_us) AS session_start,
+        |       make_timestamp(end_us + 1800000000) AS session_end,
+        |       user_id, n_events, total_value
+        |FROM s ORDER BY session_start, user_id""".stripMargin,
     // interval bounds compared in µs (epoch_ns // 1000 mirrors
     // Tables.events's ns→µs truncation); integer counts only
     "q132_error_attribution" ->

@@ -148,6 +148,25 @@ class ModelingSpec extends SparkSpec {
       s"boilerplate should score lower surprisal: $bySrc")
   }
 
+  test("averagePrecision: hand-computed AP; perfect ranking yields 1.0") {
+    import org.apache.spark.sql.functions.{col, length}
+    // source s: lengths 40,30,20,10; en at lengths 40 and 20 (ranks 1, 3)
+    // AP = (1/1 + 2/3) / 2 = 0.8333
+    val d = Seq(
+      (1L, "en", "s", 40L), (2L, "de", "s", 30L),
+      (3L, "en", "s", 20L), (4L, "de", "s", 10L),
+      // source p: both en docs outrank the others → AP = 1.0
+      (5L, "en", "p", 90L), (6L, "en", "p", 80L), (7L, "de", "p", 10L),
+      // source z: no positives → NULL
+      (8L, "de", "z", 50L),
+    ).toDF("doc_id", "lang", "source", "n_chars").withColumn("text", col("lang"))
+    val r = operators.Modeling.averagePrecision(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("s").getAs[Double]("avg_precision") == 0.8333)
+    assert(r("p").getAs[Double]("avg_precision") == 1.0)
+    assert(r("z").isNullAt(r("z").fieldIndex("avg_precision")))
+  }
+
   test("bpeEncodeReport: Sennrich fixture fertility after 3 merges") {
     // After merges (e,s), (es,t), (l,o): low → [lo,w] 2 tokens,
     // lower → [lo,w,e,r] 4, newest → [n,e,w,est] 4, widest → [w,i,d,est] 4.

@@ -114,6 +114,48 @@ class IngestStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionWindowUsage: gap merge semantics — exactly last+gap still merges") {
+    // user 1: 00:00 and 00:20 merge; 00:50 lands EXACTLY at the window
+    // end (00:20 + 30m) and session_window merges it (end-inclusive
+    // extension, pinned here because the oracle replays it with a
+    // strict > gap break); 01:21 is past 00:50+30m → new session
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (ts("2024-01-01 00:20:00"), 1L, 2.0),
+      (ts("2024-01-01 00:50:00"), 1L, 4.0),
+      (ts("2024-01-01 01:21:00"), 1L, 8.0))
+    val r = IngestStream.sessionWindowUsage(rows.toDF("ts", "user_id", "value"))
+      .orderBy("session_start").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[java.sql.Timestamp]("session_start") == ts("2024-01-01 00:00:00"))
+    assert(r(0).getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 01:20:00"))
+    assert(r(0).getAs[Long]("n_events") == 3L)
+    assert(r(1).getAs[Long]("n_events") == 1L)
+    assert(r(1).getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 01:51:00"))
+  }
+
+  test("sessionWindowUsage: streaming append output equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (ts("2024-01-01 00:10:00"), 1L, 2.0),
+      (ts("2024-01-01 01:00:00"), 1L, 3.0),
+      (ts("2024-01-01 00:05:00"), 2L, 5.0))
+    val batch = IngestStream.sessionWindowUsage(
+        rows.toDF("ts", "user_id", "value"))
+      .collect().map(_.toString).toSet
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = IngestStream.sessionWindowUsage(
+        input.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("sw_stream").outputMode("append").start()
+    input.addData(rows: _*)
+    input.addData((ts("2024-01-01 12:00:00"), 99L, 0.0)) // flush watermark
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sw_stream").collect().map(_.toString).toSet
+    assert(streamed == batch)
+  }
+
   test("priorActionJoin: streaming interval join equals the batch run; boundaries closed-open") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
