@@ -256,6 +256,68 @@ object DecisionSupport extends QueryModule {
       .orderBy("r_name", "n_name")
   }
 
+  /** q202: order-priority check (TPC-H Q4 shape, adapted to this
+    * schema's dates): orders in 1996H1 with AT LEAST ONE late shipment
+    * (a lineitem shipped >90 days after the order date), counted per
+    * priority — the EXISTS collapses to a left-semi join on the order
+    * key, never a per-row probe.
+    */
+  def priorityLateOrders(orders: DataFrame, li: DataFrame): DataFrame = {
+    val window = orders
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+    val late = li.select(col("l_orderkey"), col("l_shipdate"))
+    window.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > expr("timestampadd(DAY, 90, o_orderdate)"),
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q203: shipping-priority revenue (TPC-H Q3 shape): top-10 unshipped
+    * orders of one segment by in-flight revenue — the classic 3-way
+    * fact join cut by TakeOrderedAndProject, never a global sort.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       li: DataFrame, topN: Int = 10): DataFrame =
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .join(orders.filter(col("o_orderdate") < "1996-03-15")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey"))
+      .join(li.filter(col("l_shipdate") > "1996-03-15")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long").as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum("cents") / 100.0, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(topN)
+
+  /** q204: returned-item losses (TPC-H Q10 shape): top-20 customers by
+    * revenue on RETURNED lineitems in 1996Q1-dated orders, with their
+    * nation — return-flag revenue attribution for churn triage.
+    */
+  def returnedItemLosses(customer: DataFrame, orders: DataFrame,
+                         li: DataFrame, nation: DataFrame, topN: Int = 20): DataFrame =
+    orders.filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      .select("o_orderkey", "o_custkey")
+      .join(li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long").as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum("cents") / 100.0, 2).as("revenue"),
+        round(first("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topN)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_market_share" -> ((s, d) => { val t = Tables(s, d)
       marketShare(t.lineitem, t.part, t.supplier, t.orders, t.customer, t.nation, t.region) }),
@@ -273,6 +335,12 @@ object DecisionSupport extends QueryModule {
     "q192_unpivot" -> ((s, d) => pricingUnpivot(Tables(s, d).lineitem)),
     "q198_share_of_parent" -> ((s, d) => { val t = Tables(s, d)
       shareOfParent(t.customer, t.orders, t.nation, t.region) }),
+    "q202_priority_late" -> ((s, d) => { val t = Tables(s, d)
+      priorityLateOrders(t.orders, t.lineitem) }),
+    "q203_shipping_priority" -> ((s, d) => { val t = Tables(s, d)
+      shippingPriority(t.customer, t.orders, t.lineitem) }),
+    "q204_returned_losses" -> ((s, d) => { val t = Tables(s, d)
+      returnedItemLosses(t.customer, t.orders, t.lineitem, t.nation) }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -402,5 +470,34 @@ object DecisionSupport extends QueryModule {
         |       round(c / CAST(rc AS DOUBLE), 4) AS pct_of_region,
         |       round(c / CAST(tc AS DOUBLE), 4) AS pct_of_total
         |FROM w ORDER BY r_name, n_name""".stripMargin,
+    "q202_priority_late" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q203_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1996-03-15' AND l_shipdate > DATE '1996-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q204_returned_losses" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue,
+        |       round(any_value(c_acctbal), 2) AS acctbal
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
   )
 }

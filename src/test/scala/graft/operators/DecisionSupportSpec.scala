@@ -120,6 +120,30 @@ class DecisionSupportSpec extends SparkSpec {
     assert(math.abs(tot - 1.0) < 0.01, s"total shares sum to $tot")
   }
 
+  test("q202 plans the EXISTS as a semi-join; q203 top-k as TakeOrderedAndProject") {
+    val p202 = planText(DecisionSupport.priorityLateOrders(t.orders, t.lineitem))
+    assert(p202.contains("LeftSemi"), s"expected semi-join:\n$p202")
+    val p203 = planText(DecisionSupport.shippingPriority(t.customer, t.orders, t.lineitem))
+    assert(p203.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p203")
+  }
+
+  test("q202 late-order semantics: only >90-day shipments count, one hit is enough") {
+    val orders = Seq(
+      (1L, Timestamp.valueOf("1996-02-01 00:00:00"), "1-URGENT"),
+      (2L, Timestamp.valueOf("1996-02-01 00:00:00"), "1-URGENT"),
+      (3L, Timestamp.valueOf("1995-01-01 00:00:00"), "1-URGENT"), // outside window
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, Timestamp.valueOf("1996-06-01 00:00:00")), // 121 days late
+      (1L, Timestamp.valueOf("1996-07-01 00:00:00")), // second late line, same order
+      (2L, Timestamp.valueOf("1996-03-01 00:00:00")), // on time
+      (3L, Timestamp.valueOf("1996-06-01 00:00:00")),
+    ).toDF("l_orderkey", "l_shipdate")
+    val r = DecisionSupport.priorityLateOrders(orders, li).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "1-URGENT" && r(0).getLong(1) == 1L)
+  }
+
   test("q186 surfaces revenue ties instead of dropping them") {
     val r = DecisionSupport.topSupplier(spark, sf("")).collect()
     assert(r.nonEmpty)
