@@ -44,6 +44,9 @@ object Verify {
           System.err.println(s"[verify] $name: WARNING stale-output cleanup failed: ${c.getMessage}")
         }
       }
+      // drain graft-pinned storage (localCheckpoint cuts, pinned caches)
+      // so 202 queries in one process don't accumulate pinned blocks
+      graft.plans.Checkpoints.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -19,25 +19,28 @@ object EntityGraph extends QueryModule {
     * so total work is O(paths), not O(iterations × closure).
     */
   def transitiveClosure(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val e = edges.select(col("child"), col("parent")).distinct().cache()
+    import graft.plans.Checkpoints
+    val e = Checkpoints.pin(edges.select(col("child"), col("parent")).distinct())
     // Cache each BFS level once and keep the cumulative closure as a
     // plain union VIEW over the cached levels: union scans its cached
     // children, so re-caching the whole closure every iteration (an extra
     // full materialization pass + a second in-memory copy per level) is
     // pure overhead. One action per iteration (count materializes the new
-    // level AND answers the emptiness check).
-    val first = e.select(col("child"), col("parent").as("ancestor")).cache()
+    // level AND answers the emptiness check). The levels are consumed
+    // lazily by the RETURNED union plan, so there is no in-scope point to
+    // unpersist them — they are pin()-registered and drained by
+    // Checkpoints.release once the caller's terminal consumer has run.
+    val first = Checkpoints.pin(e.select(col("child"), col("parent").as("ancestor")))
     var closure = first
     var frontier = first
     var i = 0
     var done = false
     while (!done && i < maxIters) {
       // no explicit distinct: EXCEPT has set semantics and dedups anyway
-      val next = frontier.as("f")
+      val next = Checkpoints.pin(frontier.as("f")
         .join(e.as("g"), col("f.ancestor") === col("g.child"))
         .select(col("f.child"), col("g.parent").as("ancestor"))
-        .except(closure)
-        .cache()
+        .except(closure))
       if (next.count() == 0L) done = true
       else {
         closure = closure.union(next)

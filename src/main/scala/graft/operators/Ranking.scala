@@ -224,9 +224,12 @@ object Ranking extends QueryModule {
   def sourceKlDrift(documents: DataFrame, topK: Int = 50): DataFrame = {
     val toks = documents.select(col("source"), termsOf("text").as("w"))
     // cache: K rows, but each recompute is a full-vocab aggregation
-    // over the token stream — and `top` feeds three consumers
-    val top = toks.groupBy("w").agg(count(lit(1)).as("c_c"))
-      .orderBy(col("c_c").desc, col("w")).limit(topK).cache()
+    // over the token stream — and `top` feeds three consumers inside the
+    // RETURNED plan (no in-scope unpersist point → pin-registered, drained
+    // by Checkpoints.release after the caller consumes the result)
+    val top = graft.plans.Checkpoints.pin(
+      toks.groupBy("w").agg(count(lit(1)).as("c_c"))
+        .orderBy(col("c_c").desc, col("w")).limit(topK))
     val tot = top.agg(sum(col("c_c")).cast("double").as("n_c"),
       count(lit(1)).cast("double").as("v"))
     val sc = toks.join(broadcast(top.select("w")), "w")
