@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, +)`: a
   * sequential primitive fold, bit-identical to the HOF formulation and
   * to the oracle's list_sum/list_transform arithmetic (integer sums are
-  * order-independent anyway). Spark's higher-order functions are
+  * order-independent anyway). That includes the length-mismatch case:
+  * zip_with pads the shorter array with nulls, so the HOF form yields
+  * NULL on unequal lengths — and so does this expression (the function
+  * is SQL-registered, so arbitrary user inputs can reach it).
+  * Spark's higher-order functions are
   * CodegenFallback — per-row interpreted lambda dispatch — so the k×n
   * assignment cross-join pays boxed evaluation k·D times per vector;
   * this expression keeps the whole assignment projection inside one
@@ -33,10 +37,15 @@ case class LongVecSqDist(left: Expression, right: Expression)
         s"vec_sqdist requires (array<bigint>, array<bigint>), got (${l.catalogString}, ${r.catalogString})")
     }
 
+  // Null on length mismatch (see doc comment), so the result can be null
+  // even when both inputs are non-null.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toLongArray()
     val y = b.asInstanceOf[ArrayData].toLongArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
+    val n = x.length
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -54,13 +63,17 @@ case class LongVecSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -112,9 +112,17 @@ object CorpusOps extends QueryModule {
     * and keep the per-source top-k by key u^(1/w), w = n_chars — long
     * documents are proportionally likelier, but every doc can win.
     * The key is compared in log space quantized to integer nano-units
-    * (floor(ln(u)/w·10⁹), the module's fixed-point-before-compare
-    * convention) with doc_id tie-break, so selection is deterministic
-    * on any engine and any partitioning.
+    * (floor(ln(u)/w·10⁹)) with doc_id tie-break, so selection is
+    * deterministic on any partitioning. Caveat vs the module's usual
+    * integer-before-compare convention: the quantization happens AFTER
+    * a transcendental, so cross-ENGINE determinism additionally relies
+    * on both libms rounding ln() the same way at every floor boundary —
+    * ln is not correctly-rounded by IEEE, so a row whose key lands
+    * within 1 ulp of an integer nano-unit boundary could in principle
+    * rank differently on another engine. JVM StrictMath (fdlibm) and
+    * DuckDB's libm agree on every fixture row across 3 SFs; a strictly
+    * engine-proof variant would compare w-scaled logs by rational
+    * cross-multiplication on the integer h directly.
     *
     * Scale shape: like [[stratifiedSample]], the rank window sorts only
     * narrow (source, key, id) triples — per-source top-k, never a

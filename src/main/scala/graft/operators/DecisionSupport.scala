@@ -34,6 +34,15 @@ object DecisionSupport extends QueryModule {
   private def cents(c: org.apache.spark.sql.Column) =
     sum(floor(c * 100 + 0.5).cast("long"))
 
+  /** spark.sql analyzes eagerly, so the returned plan no longer resolves
+    * views by name — dropping them right away keeps the query functions
+    * side-effect-free on session catalog state.
+    */
+  private def withViewsDropped(spark: SparkSession, views: String*)(df: DataFrame): DataFrame = {
+    views.foreach(spark.catalog.dropTempView)
+    df
+  }
+
   /** q181: market share — fraction of each region's yearly PROMO revenue
     * supplied by NATION_0 suppliers (TPC-H Q8 shape: 7-table join,
     * conditional share aggregation).
@@ -75,7 +84,7 @@ object DecisionSupport extends QueryModule {
     val t = Tables(spark, dir)
     t.lineitem.createOrReplaceTempView("ds_lineitem")
     t.part.createOrReplaceTempView("ds_part")
-    spark.sql(
+    withViewsDropped(spark, "ds_lineitem", "ds_part")(spark.sql(
       """SELECT CAST(round(sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 / 7.0, 2)
         |            AS DOUBLE) AS avg_yearly_loss,
         |       count(1) AS n_lines
@@ -83,7 +92,7 @@ object DecisionSupport extends QueryModule {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
         |                    FROM ds_lineitem l2
-        |                    WHERE l2.l_partkey = ds_lineitem.l_partkey)""".stripMargin)
+        |                    WHERE l2.l_partkey = ds_lineitem.l_partkey)""".stripMargin))
   }
 
   /** q183: suppliers who close out orders (TPC-H Q21 shape, adapted to
@@ -152,7 +161,7 @@ object DecisionSupport extends QueryModule {
     val t = Tables(spark, dir)
     t.lineitem.createOrReplaceTempView("ds_lineitem")
     t.supplier.createOrReplaceTempView("ds_supplier")
-    spark.sql(
+    withViewsDropped(spark, "ds_lineitem", "ds_supplier")(spark.sql(
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
         |         sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS total_cents
@@ -163,7 +172,7 @@ object DecisionSupport extends QueryModule {
         |       CAST(round(total_cents / 100.0, 2) AS DOUBLE) AS total_revenue
         |FROM ds_supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
-        |ORDER BY s_suppkey""".stripMargin)
+        |ORDER BY s_suppkey""".stripMargin))
   }
 
   /** q189: ranked-window analytics pack — the top-3 orders per market
@@ -203,7 +212,7 @@ object DecisionSupport extends QueryModule {
     val t = Tables(spark, dir)
     t.orders.createOrReplaceTempView("ds_orders")
     t.customer.createOrReplaceTempView("ds_customer")
-    spark.sql(
+    withViewsDropped(spark, "ds_orders", "ds_customer")(spark.sql(
       """SELECT cast(year(o_orderdate) as bigint) AS o_year, c_mktsegment AS seg,
         |       cast(grouping(year(o_orderdate)) as bigint) AS g_year,
         |       cast(grouping(c_mktsegment) as bigint) AS g_seg,
@@ -212,7 +221,7 @@ object DecisionSupport extends QueryModule {
         |FROM ds_orders JOIN ds_customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((year(o_orderdate), c_mktsegment),
         |                        (year(o_orderdate)), (c_mktsegment), ())
-        |ORDER BY g_year, g_seg, o_year, seg""".stripMargin)
+        |ORDER BY g_year, g_seg, o_year, seg""".stripMargin))
   }
 
   /** q192: unpivot/melt — the q140-pivot inverse: the wide per-flag

@@ -49,8 +49,12 @@ object NaiveBayes extends QueryModule {
     * perfectly.
     */
   def nbLangidConfusion(docs: DataFrame): DataFrame = {
-    val train = docs.filter(col("doc_id") % 5 =!= 0)
-    val test  = docs.filter(col("doc_id") % 5 === 0)
+    // Docs too short to yield a bigram are excluded from BOTH splits so the
+    // priors / n_train denominators count exactly the docs the model can see
+    // (the oracle's train/test CTEs apply the same length >= 2 filter).
+    val eligible = docs.filter(length(col("text")) >= 2)
+    val train = eligible.filter(col("doc_id") % 5 =!= 0)
+    val test  = eligible.filter(col("doc_id") % 5 === 0)
 
     // ONE corpus-sized pass: the exploded bigram stream collapses into
     // the (lang, bg) count frame, and every other training statistic

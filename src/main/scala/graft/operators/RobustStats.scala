@@ -51,10 +51,16 @@ object RobustStats extends QueryModule {
     dense.crossJoin(broadcast(totals))
       .withColumn("cumA", sum("cnt").over(w))
       .withColumn("cumG", sum("gcnt").over(w))
-      .withColumn("gap", abs(col("cumA") * col("gtot") - col("cumG") * col("na")))
+      // cumA·gtot / cumG·na multiply two corpus-count-scale longs — at
+      // ~3e9 docs that product overflows int64 (Spark would wrap silently
+      // where DuckDB BIGINT raises), so the gap rides DECIMAL(38,0) here
+      // and HUGEINT in the oracle, the q193/q199 convention
+      .withColumn("gap", abs(col("cumA").cast("decimal(38,0)") * col("gtot") -
+        col("cumG").cast("decimal(38,0)") * col("na")))
       .groupBy("lang", "source")
       .agg(first("na").as("n"),
-        round(sum("gap") / (first("na") * first("gtot") * (first("m") - lit(1))).cast("double"), 6)
+        round(sum("gap").cast("double") /
+          (first("na").cast("decimal(38,0)") * first("gtot") * (first("m") - lit(1))).cast("double"), 6)
           .as("emd"))
       .withColumn("t_ok", col("emd") <= tMax)
       .select(col("lang"), col("source"), col("n"), col("emd"), col("t_ok"))
@@ -258,10 +264,10 @@ object RobustStats extends QueryModule {
         |               sum(gcnt) OVER (PARTITION BY lang, source ORDER BY band) AS cumG
         |        FROM dense)
         |SELECT c.lang, c.source, any_value(c.na) AS n,
-        |       round(sum(abs(c.cumA * t.gtot - c.cumG * c.na))
-        |             / CAST(any_value(c.na) * t.gtot * (t.m - 1) AS DOUBLE), 6) AS emd,
-        |       (round(sum(abs(c.cumA * t.gtot - c.cumG * c.na))
-        |             / CAST(any_value(c.na) * t.gtot * (t.m - 1) AS DOUBLE), 6) <= 0.25) AS t_ok
+        |       round(sum(abs(c.cumA::HUGEINT * t.gtot - c.cumG::HUGEINT * c.na))
+        |             / CAST(any_value(c.na)::HUGEINT * t.gtot * (t.m - 1) AS DOUBLE), 6) AS emd,
+        |       (round(sum(abs(c.cumA::HUGEINT * t.gtot - c.cumG::HUGEINT * c.na))
+        |             / CAST(any_value(c.na)::HUGEINT * t.gtot * (t.m - 1) AS DOUBLE), 6) <= 0.25) AS t_ok
         |FROM cum c CROSS JOIN tot t
         |GROUP BY c.lang, c.source, t.gtot, t.m
         |ORDER BY lang, source""".stripMargin,

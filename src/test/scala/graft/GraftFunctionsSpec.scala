@@ -40,6 +40,14 @@ class GraftFunctionsSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT vec_sqdist(array(1L, 5L), array(4L, 1L)) AS d").head()
     assert(r.getLong(0) == 25L) // 3² + 4²
+    // length mismatch yields NULL, matching aggregate(zip_with(...)) which
+    // pads the shorter array with nulls — both interpreted and codegen paths
+    val m = spark.sql(
+      "SELECT vec_sqdist(array(1L, 2L, 3L), array(1L, 2L)) AS d").head()
+    assert(m.isNullAt(0))
+    val mCodegen = spark.range(1)
+      .selectExpr("vec_sqdist(array(id, id, id), array(id, id)) AS d").head()
+    assert(mCodegen.isNullAt(0))
   }
 
   test("winnow, minhash, and topk_sketch are callable from SQL") {

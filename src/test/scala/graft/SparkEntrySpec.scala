@@ -9,11 +9,11 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql keys ⊆ queries keys; all 46 queries declared") {
+  test("oracleSql keys ⊆ queries keys; at least the round-7 floor of 202 queries declared") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    assert(q.size >= 46)
+    assert(q.size >= 202)
   }
 
   test("every query executes at sf0.001 (schema resolves, no runtime error)") {
