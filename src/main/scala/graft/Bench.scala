@@ -60,7 +60,13 @@ object Bench {
       graft.plans.Checkpoints.release(spark)
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: query-name filter for fast local iteration (the
+    // driver passes none → full set; bench_full.json is only written on
+    // full runs so a scoped run can't clobber the noise-guard history)
+    val only = args.toSet
+    val firstPass = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeOne(name, fn))
     }
     // Noise guard: a one-process bench on a shared driver host sees
@@ -84,7 +90,7 @@ object Bench {
     // the one-line stdout contract stands, but a 146-query map exceeds
     // some log-tail captures — persist the same line to a file so
     // per-query history survives stdout truncation
-    try {
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))

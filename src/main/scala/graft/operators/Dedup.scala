@@ -129,14 +129,22 @@ object Dedup extends QueryModule {
     * md5(salt_j || shingle). Pure narrow compute — signatures for 100 TB
     * of docs cost one scan.
     */
-  def minhashSignatures(documents: DataFrame, nHashes: Int = 4): DataFrame = {
+  def minhashSignatures(documents: DataFrame, nHashes: Int = 4,
+                        sorted: Boolean = true): DataFrame = {
     // fused tokenize→shingle→min-md5 native expression: equivalent to
     // array_min(transform(shingles(text), s -> md5(salt||s))) but one
     // pass with no intermediate arrays (see functions.TextMinHashMd5)
     val sigCols = (0 until nHashes).map { j =>
       graft.functions.MinHashMd5.textMinhashMd5(col("text"), s"salt$j|").as(s"mh$j")
     }
-    documents.select((col("doc_id") +: sigCols): _*).orderBy("doc_id")
+    val sigs = documents.select((col("doc_id") +: sigCols): _*)
+    // sorted=true is the q33 presentation surface only. Internal
+    // consumers MUST pass sorted=false: a global sort here costs a
+    // range-exchange whose partitioner SAMPLING re-executes the whole
+    // md5 scan before the real pass does — measured 3.6 s → 0.6 s on
+    // the q94 candidate chain at sf0.1 — and every downstream
+    // groupBy/join immediately destroys the ordering anyway.
+    if (sorted) sigs.orderBy("doc_id") else sigs
   }
 
   /** In-bucket pair expansion over a sorted array column: every ordered
@@ -154,7 +162,7 @@ object Dedup extends QueryModule {
     * (here band 0 = mh0). The self-join shuffles on the band key only —
     * this is the scale path that replaces the O(n²) similarity matrix.
     */
-  def lshCandidatePairs(documents: DataFrame): DataFrame = {
+  def lshCandidatePairs(documents: DataFrame, sorted: Boolean = true): DataFrame = {
     // Single-pass bucidating: group ids per band key and expand in-bucket
     // pairs with higher-order functions — ONE scan + ONE shuffle, versus
     // a self-join that computes the (md5-heavy) signatures twice and
@@ -162,14 +170,18 @@ object Dedup extends QueryModule {
     // the point of banding), so the per-bucket pair expansion is cheap.
     // Null signatures (null text) are NOT candidates: a null band key
     // never equals anything, matching the oracle's equi-join semantics.
-    val sigs = minhashSignatures(documents, nHashes = 1).select(col("doc_id"), col("mh0"))
-    sigs.filter(col("mh0").isNotNull)
+    val sigs = minhashSignatures(documents, nHashes = 1, sorted = false)
+      .select(col("doc_id"), col("mh0"))
+    val pairs = sigs.filter(col("mh0").isNotNull)
       .groupBy(col("mh0").as("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("band_key"), explode(expr(PairExpansionExpr)).as("pair"))
       .select(col("pair.l").as("left_id"), col("pair.r").as("right_id"), col("band_key"))
-      .orderBy("left_id", "right_id")
+    // q35 presentation sort only — internal consumers (q58/q94) regroup
+    // or rejoin immediately, so they pass sorted=false and skip the
+    // range-exchange + its chain-re-executing sampling pass
+    if (sorted) pairs.orderBy("left_id", "right_id") else pairs
   }
 
   /** Multi-band LSH: the production recall shape — b independent hash
@@ -181,7 +193,7 @@ object Dedup extends QueryModule {
     * S-curve; [[lshCandidatePairs]] is the b=1 special case.
     */
   def multiBandCandidatePairs(documents: DataFrame, bands: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(documents, nHashes = bands)
+    val sigs = minhashSignatures(documents, nHashes = bands, sorted = false)
     val stacked = sigs.select(col("doc_id"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band_idx"), col(s"mh$j").as("band_key"))): _*)).as("b"))
@@ -259,7 +271,7 @@ object Dedup extends QueryModule {
     */
   def minhashAccuracy(documents: DataFrame, nHashes: Int = 8,
                       scopeToCandidates: Boolean = false): DataFrame = {
-    val cands = lshCandidatePairs(documents).select("left_id", "right_id")
+    val cands = lshCandidatePairs(documents, sorted = false).select("left_id", "right_id")
     val featSrc =
       if (scopeToCandidates) {
         // the id scope re-derives the candidate chain instead of caching
@@ -268,22 +280,32 @@ object Dedup extends QueryModule {
         // internal CC loop), and leaking session-lifetime executor
         // storage costs more than one extra narrow md5 pass + small-key
         // shuffle
-        val ids = lshCandidatePairs(documents)
+        val ids = lshCandidatePairs(documents, sorted = false)
           .select(explode(array(col("left_id"), col("right_id"))).as("doc_id"))
           .distinct()
         documents.join(broadcast(ids), Seq("doc_id"), "left_semi")
       } else documents
-    // per-salt fused text→minhash kernels, NOT minhash over a shared
+    // ONE multi-salt fused text→minhash kernel for the whole estimator
+    // signature (bit-identical to array(text_minhash_md5(t,"acc0|"), …)
+    // but tokenize + shingle-byte construction — the dominant cost —
+    // run once, not once per salt), NOT minhash over a shared
     // shingle-array column: CollapseProject would inline the array
-    // into every consumer (9 shingle expansions), and the fused kernel
-    // re-tokenizing per salt measures faster than array reuse anyway
-    // (same finding as nearDupLabels' in-code note)
+    // into every consumer (9 shingle expansions)
     val feats = featSrc.select(
       col("doc_id"),
       graft.functions.ShingleSet.shingleSet(col("text")).as("sh"),
-      array((0 until nHashes).map(j =>
-        graft.functions.MinHashMd5.textMinhashMd5(col("text"), s"acc$j|")): _*).as("sig"))
-    cands
+      graft.functions.MinHashMd5.textMinhashMd5Multi(col("text"),
+        (0 until nHashes).map(j => s"acc$j|")).as("sig"))
+    // Two per-side joins = two feature scans, kept DELIBERATELY: the
+    // single-scan alternative (explode pairs to (pair, side, id) rows,
+    // broadcast onto ONE feature scan, regroup by pair) was built and
+    // measured ~40% SLOWER at sf0.1 (≈4.0 vs ≈2.7 s, 3 interleaved
+    // trials) — the regroup shuffles every matched doc's shingle set +
+    // signature (heavy arrays) where the per-side joins broadcast the
+    // tiny pair table onto embarrassingly-parallel scans and shuffle
+    // nothing. At 100 TB the same logic holds so long as candidates fit
+    // a broadcast; past that, flip to the scoped-feature path above.
+    val report = cands
       .join(feats.select(col("doc_id").as("left_id"),
         col("sh").as("lsh"), col("sig").as("lsig")), "left_id")
       .join(feats.select(col("doc_id").as("right_id"),
@@ -298,7 +320,14 @@ object Dedup extends QueryModule {
         round(col("est"), 4).as("est_jaccard"),
         round(col("exact"), 4).as("exact_jaccard"),
         round(abs(col("est") - col("exact")), 4).as("abs_err"))
-      .orderBy("left_id", "right_id")
+    // cut before the presentation sort: a global orderBy's range
+    // partitioner SAMPLES its child, which would re-execute the whole
+    // md5-heavy banding+join chain a second time. The report is
+    // candidate-pair-sized (tiny vs the corpus), so materializing it
+    // once and sorting the materialized rows halves the query
+    // (measured ~3.7 → ~2.1 s at sf0.1); the cut is drained by
+    // Checkpoints.release like every other pinned block
+    graft.plans.Checkpoints.cut(report, None).orderBy("left_id", "right_id")
   }
 
   /** q99: INCREMENTAL dedup — the production ingest shape: a new batch
@@ -402,7 +431,8 @@ object Dedup extends QueryModule {
     // arrays via interpreted transform+md5 is ~20% SLOWER cold than the
     // fused native TextMinHashMd5 re-tokenizing — interpreted HOF md5
     // costs more than the second tokenize pass.)
-    val cands0 = lshCandidatePairs(documents).select(col("left_id"), col("right_id"))
+    val cands0 = lshCandidatePairs(documents, sorted = false)
+      .select(col("left_id"), col("right_id"))
     // cache only when the scoped path will read candidates twice
     // (candIds + verify join); otherwise they flow straight into the
     // verify join and an extra cache layer is pure overhead

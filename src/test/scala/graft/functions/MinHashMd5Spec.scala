@@ -33,6 +33,17 @@ class MinHashMd5Spec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("multi-salt variant ≡ per-salt fused elementwise on real documents + edge cases") {
+    val real = graft.Tables(spark, sf("")).documents.limit(100).select("text")
+    val edge = Seq("word", "x ", "a b c d", "two words").toDF("text")
+    val salts = (0 until 8).map(j => s"acc$j|")
+    val multi = MinHashMd5.textMinhashMd5Multi(col("text"), salts)
+    val single = array(salts.map(s => textMinhashMd5(col("text"), s)): _*)
+    val mismatches = real.union(edge).select(multi.as("m"), single.as("s"))
+      .filter(col("m") =!= col("s")).count()
+    assert(mismatches == 0)
+  }
+
   test("array-input variant agrees with fused") {
     val docs = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val words = split(col("text"), " ")
