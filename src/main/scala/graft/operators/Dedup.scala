@@ -346,10 +346,16 @@ object Dedup extends QueryModule {
     * corpus-membership check is a left join on the same key so it
     * shares that shuffle's partitioning. No text column ever moves.
     */
-  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
-    val corpusFp = corpus
-      .select(fingerprint(col("text")).as("fingerprint")).distinct()
-      .withColumn("in_corpus", lit(true))
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame =
+    dedupAgainstIndex(batch,
+      corpus.select(fingerprint(col("text")).as("fingerprint")).distinct())
+
+  /** Shared tail of the incremental-dedup family: classify `batch`
+    * against an already-reduced corpus fingerprint set (one
+    * `fingerprint` column, distinct).
+    */
+  private def dedupAgainstIndex(batch: DataFrame, corpusFps: DataFrame): DataFrame = {
+    val corpusFp = corpusFps.withColumn("in_corpus", lit(true))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("fingerprint").orderBy("doc_id")
     batch.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
@@ -364,6 +370,31 @@ object Dedup extends QueryModule {
         when(col("in_corpus").isNull && col("rk") > 1, col("keeper_id")).as("keeper_id"))
       .orderBy("doc_id")
   }
+
+  /** Persist the corpus's dedup index as a parquet table BUCKETED by
+    * fingerprint — the durable artifact a 100 TB incremental-ingest
+    * pipeline maintains instead of re-fingerprinting the corpus on every
+    * batch (the posture [[incrementalDedup]]'s scaladoc describes).
+    * `distinct()` hash-partitions on the fingerprint already; with a
+    * matching bucket count each writer task holds exactly one bucket's
+    * rows, so the table lands one-file-per-bucket with no extra shuffle.
+    */
+  def writeDedupIndex(corpus: DataFrame, table: String, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      corpus.select(fingerprint(col("text")).as("fingerprint")).distinct(),
+      table, "fingerprint", buckets)
+
+  /** [[incrementalDedup]] against a [[writeDedupIndex]]-persisted table:
+    * result-identical, but the corpus side is the 16 B/doc index read
+    * back bucketed on the join key, so the membership join plans with
+    * ZERO Exchange on the corpus side (plan-asserted in spec + q205's
+    * plan contract) — only the incoming batch (≪ corpus by definition)
+    * shuffles, once, on the fingerprint, and the within-batch window
+    * reuses that same clustering.
+    */
+  def incrementalDedupIndexed(spark: SparkSession, batch: DataFrame,
+                              indexTable: String): DataFrame =
+    dedupAgainstIndex(batch, spark.table(indexTable))
 
   /** A7 (launch_checksums.py:130-179): per-record checksum manifest —
     * md5 + sha256 over the payload bytes, computed in one scan with
@@ -851,6 +882,23 @@ object Dedup extends QueryModule {
       incrementalDedup(batch = fresh.unionByName(resub).unionByName(copies),
         corpus = docs.filter(col("doc_id") % 5 =!= 0))
     }),
+    // q99 through the PERSISTED index: write the corpus fingerprint set
+    // once as a fingerprint-bucketed table, then classify the same
+    // batch against it — result-identical to q99 (shared oracle shape),
+    // but the corpus side reads back co-located on the join key with
+    // zero Exchange (the incremental-ingest posture at 100 TB: the
+    // index is maintained, the corpus is never re-fingerprinted)
+    "q205_indexed_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val resub = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val copies = fresh.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      writeDedupIndex(docs.filter(col("doc_id") % 5 =!= 0), "graft_dedup_index")
+      incrementalDedupIndexed(s, fresh.unionByName(resub).unionByName(copies),
+        "graft_dedup_index")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -886,6 +934,34 @@ object Dedup extends QueryModule {
     // same 5-way split as the Spark wiring; fingerprint parity with
     // q20's oracle (md5 over lower/trim UTF-8 bytes)
     "q99_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT md5(lower(trim(text))) AS fingerprint
+        |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 30 = 0),
+        |b AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM batch),
+        |j AS (
+        |  SELECT b.doc_id, b.fingerprint,
+        |         corpus.fingerprint IS NOT NULL AS in_corpus,
+        |         min(b.doc_id) OVER (PARTITION BY b.fingerprint) AS keeper,
+        |         row_number() OVER (PARTITION BY b.fingerprint ORDER BY b.doc_id) AS rk
+        |  FROM b LEFT JOIN corpus USING (fingerprint))
+        |SELECT doc_id, fingerprint,
+        |       CASE WHEN in_corpus THEN 'dup_of_corpus'
+        |            WHEN rk > 1 THEN 'dup_in_batch'
+        |            ELSE 'new' END AS verdict,
+        |       CASE WHEN NOT in_corpus AND rk > 1 THEN keeper END AS keeper_id
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // identical classification semantics to q99 — the index persistence
+    // is a Spark-side physical concern the oracle can't see
+    "q205_indexed_dedup" ->
       """WITH corpus AS (
         |  SELECT md5(lower(trim(text))) AS fingerprint
         |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),

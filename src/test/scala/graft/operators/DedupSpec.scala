@@ -298,6 +298,43 @@ class DedupSpec extends SparkSpec {
     assert(got(24L) == (("new", None)))
   }
 
+  test("indexed dedup ≡ incrementalDedup; corpus side reads bucketed with zero Exchange") {
+    val docs = graft.Tables(spark, sf("")).documents.select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+      .unionByName(corpus.filter($"doc_id" % 7 === 1)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    Dedup.writeDedupIndex(corpus, "dedup_index_spec")
+    try {
+      val direct = Dedup.incrementalDedup(batch, corpus).collect().toSeq
+      // pin the co-located SMJ shape (at spec scale AQE would broadcast
+      // the tiny index; at 100 TB the index is corpus-sized and this is
+      // the plan that runs)
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val indexed = Dedup.incrementalDedupIndexed(spark, batch, "dedup_index_spec")
+        assert(indexed.collect().toSeq == direct)
+        // AdaptiveSparkPlan.toString prints Final AND Initial plans —
+        // count exchanges in the final section only
+        val plan = indexed.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(plan.contains("Bucketed: true"),
+          s"corpus side not read as a bucketed scan:\n$plan")
+        val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(nHash == 1,
+          s"expected exactly ONE hash exchange (batch side only), got $nHash:\n$plan")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS dedup_index_spec")
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("chunkDupHistogram: planted duplication lands in the size-2 bin; mass conserved") {
     val shared = "one two three four five six" // exactly one 6-word chunk
     val docs = Seq(
