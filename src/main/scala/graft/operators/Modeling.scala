@@ -395,6 +395,106 @@ object Modeling extends QueryModule {
       .orderBy("source")
   }
 
+  /** Per-document logistic features: binary lexical-shape predictors and
+    * the lang=='en' target. Binary integer features keep every z = b·x
+    * bounded (no exp overflow, no standardization pass) and make the
+    * Hessian sums exact int64 arithmetic.
+    */
+  private def logisticFeatures(documents: DataFrame): DataFrame = {
+    val ts = split(lower(col("text")), " ")
+    documents.select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      when(size(array_distinct(ts)) * 2 > size(ts), 1L).otherwise(0L).as("x1"),
+      when(array_max(transform(ts, w => length(w))) >= 8, 1L).otherwise(0L).as("x2"))
+  }
+
+  /** One IRLS (Newton) round entirely as a DataFrame: broadcast the
+    * 1-row micro-unit coefficient frame onto the feature scan, quantize
+    * each row's sigmoid to integer micro-units (pq = floor(10⁶·p) — the
+    * NB/q122 fixed-point-before-sum convention, so the gradient and
+    * Hessian sums are order-independent int64), then solve the 3×3
+    * Newton system by Cramer with the q159 pinned-order double
+    * arithmetic. Units: H is 10¹²-scaled and g 10⁶-scaled, so the
+    * micro-unit coefficient step is floor(10¹²·detⱼ/det).
+    */
+  private def irlsStep(feats: DataFrame, coef: DataFrame,
+                       checkpointDir: Option[String]): DataFrame = {
+    val step = feats.crossJoin(broadcast(coef))
+      .withColumn("pq",
+        expr("cast(floor(1e6 / (1.0 + exp(-((b0q + b1q*x1 + b2q*x2) / 1e6)))) as bigint)"))
+      .withColumn("wq", expr("pq * (1000000 - pq)"))
+      .withColumn("r", expr("y * 1000000 - pq"))
+      .agg(
+        first("b0q").as("b0q"), first("b1q").as("b1q"), first("b2q").as("b2q"),
+        sum("r").as("g0"), sum(expr("x1*r")).as("g1"), sum(expr("x2*r")).as("g2"),
+        sum("wq").as("h00"), sum(expr("x1*wq")).as("h01"), sum(expr("x2*wq")).as("h02"),
+        sum(expr("x1*x1*wq")).as("h11"), sum(expr("x1*x2*wq")).as("h12"),
+        sum(expr("x2*x2*wq")).as("h22"))
+      .select(col("*"),
+        expr("cast(g0 as double) as dg0"), expr("cast(g1 as double) as dg1"),
+        expr("cast(g2 as double) as dg2"),
+        expr("cast(h00 + 1000000000 as double) as a"), expr("cast(h01 as double) as b"),
+        expr("cast(h02 as double) as c"), expr("cast(h11 + 1000000000 as double) as e"),
+        expr("cast(h12 as double) as f"), expr("cast(h22 + 1000000000 as double) as i"))
+      .withColumn("det",  expr("a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c)"))
+      .withColumn("det0", expr("dg0*(e*i - f*f) - b*(dg1*i - f*dg2) + c*(dg1*f - e*dg2)"))
+      .withColumn("det1", expr("a*(dg1*i - f*dg2) - dg0*(b*i - f*c) + c*(b*dg2 - dg1*c)"))
+      .withColumn("det2", expr("a*(e*dg2 - dg1*f) - b*(b*dg2 - dg1*c) + dg0*(b*f - e*c)"))
+      .select(
+        expr("b0q + cast(floor(det0 / det * 1e12) as bigint)").as("b0q"),
+        expr("b1q + cast(floor(det1 / det * 1e12) as bigint)").as("b1q"),
+        expr("b2q + cast(floor(det2 / det * 1e12) as bigint)").as("b2q"))
+    // cut the 1-row coefficient frame: without it, iteration k's plan
+    // embeds iterations 1..k-1 as subplans of its broadcast AND the
+    // final scoring pass, re-running the corpus aggregate exponentially
+    // (the q177 lineage-cut argument); with it, exactly one feature
+    // scan per round
+    graft.plans.Checkpoints.cut(step, checkpointDir)
+  }
+
+  /** q206: trained logistic-regression quality classifier — y = (lang
+    * = 'en') on binary lexical-shape features, fit by `iters` rounds of
+    * EXACT-arithmetic IRLS (no driver loop, no ml library): each round
+    * is one feature-scan aggregate producing the 10-term
+    * gradient+Hessian frame, and the Newton solve runs on that 1-row
+    * frame. Completes the model-training ladder q159 (closed-form OLS)
+    * → q187 (NB counting) → q206 (iterative fit). A ridge term
+    * (λ = 0.001 — 10⁹ in the 10¹²-scaled Hessian units) keeps the
+    * Newton system nonsingular on degenerate feature slices and bounds
+    * the step on separable data.
+    *
+    * Determinism: sigmoids are quantized to integer micro-units BEFORE
+    * any sum (order-independent int64 partials; same accepted residual
+    * as q187 — exp's last-ulp at a floor boundary), the Newton solve is
+    * pinned-order IEEE double arithmetic mirrored verbatim in the
+    * oracle, and coefficients re-enter the next round as integers.
+    * b=0 start makes round 1's sigmoid exactly ½ on every engine.
+    *
+    * Scale shape: per round, the corpus collapses to ten int64 sums
+    * with map-side partials (the q159 argument); rounds are data-
+    * independent scans, so wall-clock is iters × one narrow pass. Past
+    * ~10⁷ docs the 10¹²-scaled Hessian sums need decimal widening —
+    * the q159/q122 note, wired the same way.
+    */
+  def qualityLogistic(documents: DataFrame, iters: Int = 2,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val feats = logisticFeatures(documents)
+    var coef = documents.sparkSession.range(1).select(
+      lit(0L).as("b0q"), lit(0L).as("b1q"), lit(0L).as("b2q"))
+    for (_ <- 1 to iters) coef = irlsStep(feats, coef, checkpointDir)
+    feats.crossJoin(broadcast(coef))
+      .withColumn("pq",
+        expr("cast(floor(1e6 / (1.0 + exp(-((b0q + b1q*x1 + b2q*x2) / 1e6)))) as bigint)"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        first("b0q").as("b0q"), first("b1q").as("b1q"), first("b2q").as("b2q"),
+        sum(expr("case when (pq >= 500000) = (y = 1) then 1 else 0 end")).as("n_correct"))
+      .select(col("n"), col("n_pos"),
+        round(expr("b0q / 1e6"), 6).as("b0"),
+        round(expr("b1q / 1e6"), 6).as("b1"),
+        round(expr("b2q / 1e6"), 6).as("b2"),
+        round(expr("n_correct / cast(n as double)"), 4).as("accuracy"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
@@ -403,6 +503,7 @@ object Modeling extends QueryModule {
     "q169_roc_auc" -> ((s, d) => rocAuc(Tables(s, d).documents)),
     "q201_avg_precision" -> ((s, d) => averagePrecision(Tables(s, d).documents)),
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
+    "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -519,5 +620,73 @@ object Modeling extends QueryModule {
         |       round(((src_s - s)::DOUBLE + 20 * ((g_s - f_s)::DOUBLE / (g_n - f_n)))
         |             / ((src_n - n) + 20), 4) AS enc_smooth
         |FROM w ORDER BY source, fold""".stripMargin,
+    // two IRLS rounds unrolled (the q143/q176 oracle convention); the
+    // Newton-solve double arithmetic mirrors the Spark expressions
+    // operation-for-operation so both engines run the same IEEE tree
+    "q206_quality_logistic" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+        |         CASE WHEN 2 * len(list_distinct(string_split(lower(text), ' ')))
+        |                   > len(string_split(lower(text), ' ')) THEN 1 ELSE 0 END::BIGINT AS x1,
+        |         CASE WHEN list_max(list_transform(string_split(lower(text), ' '),
+        |                                           w -> length(w))) >= 8
+        |              THEN 1 ELSE 0 END::BIGINT AS x2
+        |  FROM documents),
+        |c0 AS (SELECT 0::BIGINT AS b0q, 0::BIGINT AS b1q, 0::BIGINT AS b2q),
+        |q1 AS (SELECT *, pq * (1000000 - pq) AS wq, y * 1000000 - pq AS r FROM (
+        |         SELECT f.y, f.x1, f.x2, c.b0q, c.b1q, c.b2q,
+        |                CAST(floor(1e6 / (1.0 + exp(-((c.b0q + c.b1q*f.x1 + c.b2q*f.x2) / 1e6)))) AS BIGINT) AS pq
+        |         FROM f CROSS JOIN c0 c)),
+        |s1 AS (SELECT any_value(b0q) AS b0q, any_value(b1q) AS b1q, any_value(b2q) AS b2q,
+        |              sum(r)::BIGINT AS g0, sum(x1*r)::BIGINT AS g1, sum(x2*r)::BIGINT AS g2,
+        |              sum(wq)::BIGINT AS h00, sum(x1*wq)::BIGINT AS h01, sum(x2*wq)::BIGINT AS h02,
+        |              sum(x1*x1*wq)::BIGINT AS h11, sum(x1*x2*wq)::BIGINT AS h12,
+        |              sum(x2*x2*wq)::BIGINT AS h22
+        |       FROM q1),
+        |c1 AS (SELECT b0q + CAST(floor(det0 / det * 1e12) AS BIGINT) AS b0q,
+        |              b1q + CAST(floor(det1 / det * 1e12) AS BIGINT) AS b1q,
+        |              b2q + CAST(floor(det2 / det * 1e12) AS BIGINT) AS b2q
+        |       FROM (SELECT *,
+        |               ha*(he*hi - hf*hf) - hb*(hb*hi - hf*hc) + hc*(hb*hf - he*hc) AS det,
+        |               dg0*(he*hi - hf*hf) - hb*(dg1*hi - hf*dg2) + hc*(dg1*hf - he*dg2) AS det0,
+        |               ha*(dg1*hi - hf*dg2) - dg0*(hb*hi - hf*hc) + hc*(hb*dg2 - dg1*hc) AS det1,
+        |               ha*(he*dg2 - dg1*hf) - hb*(hb*dg2 - dg1*hc) + dg0*(hb*hf - he*hc) AS det2
+        |             FROM (SELECT *, g0::DOUBLE AS dg0, g1::DOUBLE AS dg1, g2::DOUBLE AS dg2,
+        |                          (h00 + 1000000000)::DOUBLE AS ha, h01::DOUBLE AS hb, h02::DOUBLE AS hc,
+        |                          (h11 + 1000000000)::DOUBLE AS he, h12::DOUBLE AS hf,
+        |                          (h22 + 1000000000)::DOUBLE AS hi
+        |                   FROM s1))),
+        |q2 AS (SELECT *, pq * (1000000 - pq) AS wq, y * 1000000 - pq AS r FROM (
+        |         SELECT f.y, f.x1, f.x2, c.b0q, c.b1q, c.b2q,
+        |                CAST(floor(1e6 / (1.0 + exp(-((c.b0q + c.b1q*f.x1 + c.b2q*f.x2) / 1e6)))) AS BIGINT) AS pq
+        |         FROM f CROSS JOIN c1 c)),
+        |s2 AS (SELECT any_value(b0q) AS b0q, any_value(b1q) AS b1q, any_value(b2q) AS b2q,
+        |              sum(r)::BIGINT AS g0, sum(x1*r)::BIGINT AS g1, sum(x2*r)::BIGINT AS g2,
+        |              sum(wq)::BIGINT AS h00, sum(x1*wq)::BIGINT AS h01, sum(x2*wq)::BIGINT AS h02,
+        |              sum(x1*x1*wq)::BIGINT AS h11, sum(x1*x2*wq)::BIGINT AS h12,
+        |              sum(x2*x2*wq)::BIGINT AS h22
+        |       FROM q2),
+        |c2 AS (SELECT b0q + CAST(floor(det0 / det * 1e12) AS BIGINT) AS b0q,
+        |              b1q + CAST(floor(det1 / det * 1e12) AS BIGINT) AS b1q,
+        |              b2q + CAST(floor(det2 / det * 1e12) AS BIGINT) AS b2q
+        |       FROM (SELECT *,
+        |               ha*(he*hi - hf*hf) - hb*(hb*hi - hf*hc) + hc*(hb*hf - he*hc) AS det,
+        |               dg0*(he*hi - hf*hf) - hb*(dg1*hi - hf*dg2) + hc*(dg1*hf - he*dg2) AS det0,
+        |               ha*(dg1*hi - hf*dg2) - dg0*(hb*hi - hf*hc) + hc*(hb*dg2 - dg1*hc) AS det1,
+        |               ha*(he*dg2 - dg1*hf) - hb*(hb*dg2 - dg1*hc) + dg0*(hb*hf - he*hc) AS det2
+        |             FROM (SELECT *, g0::DOUBLE AS dg0, g1::DOUBLE AS dg1, g2::DOUBLE AS dg2,
+        |                          (h00 + 1000000000)::DOUBLE AS ha, h01::DOUBLE AS hb, h02::DOUBLE AS hc,
+        |                          (h11 + 1000000000)::DOUBLE AS he, h12::DOUBLE AS hf,
+        |                          (h22 + 1000000000)::DOUBLE AS hi
+        |                   FROM s2)))
+        |SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |       round(any_value(c.b0q) / 1e6, 6) AS b0,
+        |       round(any_value(c.b1q) / 1e6, 6) AS b1,
+        |       round(any_value(c.b2q) / 1e6, 6) AS b2,
+        |       round(sum(CASE WHEN (pq >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE), 4) AS accuracy
+        |FROM (SELECT f.y, f.x1, f.x2, c.b0q, c.b1q, c.b2q,
+        |             CAST(floor(1e6 / (1.0 + exp(-((c.b0q + c.b1q*f.x1 + c.b2q*f.x2) / 1e6)))) AS BIGINT) AS pq
+        |      FROM f CROSS JOIN c2 c) c""".stripMargin,
   )
 }

@@ -183,4 +183,37 @@ class ModelingSpec extends SparkSpec {
     assert(r(0).getAs[Long]("total_tokens") == 54L)
     assert(r(0).getAs[Double]("tokens_per_word") == 3.375)
   }
+
+  // Separable fixture for the logistic classifier: x1 (diversity flag)
+  // perfectly predicts lang='en'. "a b c" → x1=1; "a a a" → x1=0.
+  private def lrDocs(n: Int) = (1 to n).map { i =>
+    if (i % 2 == 0) (i.toLong, "s", "alpha beta gamma", "en")
+    else (i.toLong, "s", "word word word word", "fr")
+  }.toDF("doc_id", "source", "text", "lang")
+    .withColumn("n_chars", length(col("text")))
+
+  test("qualityLogistic: separable feature reaches perfect training accuracy in 2 IRLS rounds") {
+    val r = operators.Modeling.qualityLogistic(lrDocs(40)).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n") == 40L)
+    assert(r(0).getAs[Long]("n_pos") == 20L)
+    assert(r(0).getAs[Double]("accuracy") == 1.0)
+    // the separating feature carries a strongly positive weight
+    assert(r(0).getAs[Double]("b1") > 1.0)
+  }
+
+  test("qualityLogistic is partition-invariant (fixed-point sums before any float fold)") {
+    val d = lrDocs(60)
+    val a = operators.Modeling.qualityLogistic(d.repartition(1)).collect().toSeq
+    val b = operators.Modeling.qualityLogistic(d.repartition(17)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("qualityLogistic: reliable-checkpoint path agrees with localCheckpoint default") {
+    val d = lrDocs(30)
+    val dir = java.nio.file.Files.createTempDirectory("lr_ck").toString
+    val a = operators.Modeling.qualityLogistic(d).collect().toSeq
+    val b = operators.Modeling.qualityLogistic(d, checkpointDir = Some(dir)).collect().toSeq
+    assert(a == b)
+  }
 }
