@@ -417,19 +417,35 @@ object Modeling extends QueryModule {
     * arithmetic. Units: H is 10¹²-scaled and g 10⁶-scaled, so the
     * micro-unit coefficient step is floor(10¹²·detⱼ/det).
     */
-  private def irlsStep(feats: DataFrame, coef: DataFrame,
+  /** Micro-unit sigmoid under the current coefficient columns — the
+    * quantization that makes every downstream sum order-independent.
+    */
+  private val SigmoidQ =
+    "cast(floor(1e6 / (1.0 + exp(-((b0q + b1q*x1 + b2q*x2) / 1e6)))) as bigint)"
+
+  /** One IRLS round for a FAMILY of models keyed by `keys` (empty keys =
+    * the single global model): join rows to their model's coefficient
+    * row (broadcast — the coefficient frame is model-count-sized), sum
+    * the gradient+Hessian per key, Newton-solve per key row.
+    */
+  private def irlsStep(rows: DataFrame, coef: DataFrame, keys: Seq[String],
                        checkpointDir: Option[String]): DataFrame = {
-    val step = feats.crossJoin(broadcast(coef))
-      .withColumn("pq",
-        expr("cast(floor(1e6 / (1.0 + exp(-((b0q + b1q*x1 + b2q*x2) / 1e6)))) as bigint)"))
+    val joined =
+      if (keys.isEmpty) rows.crossJoin(broadcast(coef))
+      else rows.join(broadcast(coef), keys)
+    val sums = joined
+      .withColumn("pq", expr(SigmoidQ))
       .withColumn("wq", expr("pq * (1000000 - pq)"))
       .withColumn("r", expr("y * 1000000 - pq"))
+    val grouped =
+      (if (keys.isEmpty) sums.groupBy() else sums.groupBy(keys.map(col): _*))
       .agg(
         first("b0q").as("b0q"), first("b1q").as("b1q"), first("b2q").as("b2q"),
         sum("r").as("g0"), sum(expr("x1*r")).as("g1"), sum(expr("x2*r")).as("g2"),
         sum("wq").as("h00"), sum(expr("x1*wq")).as("h01"), sum(expr("x2*wq")).as("h02"),
         sum(expr("x1*x1*wq")).as("h11"), sum(expr("x1*x2*wq")).as("h12"),
         sum(expr("x2*x2*wq")).as("h22"))
+    val step = grouped
       .select(col("*"),
         expr("cast(g0 as double) as dg0"), expr("cast(g1 as double) as dg1"),
         expr("cast(g2 as double) as dg2"),
@@ -440,15 +456,15 @@ object Modeling extends QueryModule {
       .withColumn("det0", expr("dg0*(e*i - f*f) - b*(dg1*i - f*dg2) + c*(dg1*f - e*dg2)"))
       .withColumn("det1", expr("a*(dg1*i - f*dg2) - dg0*(b*i - f*c) + c*(b*dg2 - dg1*c)"))
       .withColumn("det2", expr("a*(e*dg2 - dg1*f) - b*(b*dg2 - dg1*c) + dg0*(b*f - e*c)"))
-      .select(
+      .select(keys.map(col) ++ Seq(
         expr("b0q + cast(floor(det0 / det * 1e12) as bigint)").as("b0q"),
         expr("b1q + cast(floor(det1 / det * 1e12) as bigint)").as("b1q"),
-        expr("b2q + cast(floor(det2 / det * 1e12) as bigint)").as("b2q"))
-    // cut the 1-row coefficient frame: without it, iteration k's plan
-    // embeds iterations 1..k-1 as subplans of its broadcast AND the
-    // final scoring pass, re-running the corpus aggregate exponentially
-    // (the q177 lineage-cut argument); with it, exactly one feature
-    // scan per round
+        expr("b2q + cast(floor(det2 / det * 1e12) as bigint)").as("b2q")): _*)
+    // cut the model-count-sized coefficient frame: without it, iteration
+    // k's plan embeds iterations 1..k-1 as subplans of its broadcast AND
+    // the final scoring pass, re-running the corpus aggregate
+    // exponentially (the q177 lineage-cut argument); with it, exactly
+    // one feature scan per round
     graft.plans.Checkpoints.cut(step, checkpointDir)
   }
 
@@ -481,7 +497,7 @@ object Modeling extends QueryModule {
     val feats = logisticFeatures(documents)
     var coef = documents.sparkSession.range(1).select(
       lit(0L).as("b0q"), lit(0L).as("b1q"), lit(0L).as("b2q"))
-    for (_ <- 1 to iters) coef = irlsStep(feats, coef, checkpointDir)
+    for (_ <- 1 to iters) coef = irlsStep(feats, coef, Nil, checkpointDir)
     feats.crossJoin(broadcast(coef))
       .withColumn("pq",
         expr("cast(floor(1e6 / (1.0 + exp(-((b0q + b1q*x1 + b2q*x2) / 1e6)))) as bigint)"))
@@ -495,6 +511,54 @@ object Modeling extends QueryModule {
         round(expr("n_correct / cast(n as double)"), 4).as("accuracy"))
   }
 
+  /** q207: k-fold cross-validated q206 — ALL k fold-models trained
+    * simultaneously in the same grouped aggregate, no per-fold loop:
+    * each row fans out to the k−1 models it trains (explode of the
+    * model-fold list), every IRLS round is ONE groupBy("mf") pass over
+    * that stream producing the k-row gradient+Hessian frame, and the
+    * Newton solve runs per key row. Held-out scoring joins each row to
+    * exactly its own fold's model. This is the shape CV takes at 100 TB:
+    * k× the map work of one fit (inherent to CV), but still one shuffle
+    * per round and a model-count-sized coefficient frame — never k
+    * separate jobs.
+    *
+    * Folds come from the q172 md5-uniform convention, so membership is
+    * engine-reproducible; all determinism arguments of [[qualityLogistic]]
+    * carry over per fold.
+    */
+  def cvLogistic(documents: DataFrame, folds: Int = 3, iters: Int = 2,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val foldCol = (conv(substring(md5(concat(lit("cv|"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long") % folds).as("fold")
+    val ts = split(lower(col("text")), " ")
+    val feats = documents.select(
+      foldCol,
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      when(size(array_distinct(ts)) * 2 > size(ts), 1L).otherwise(0L).as("x1"),
+      when(array_max(transform(ts, w => length(w))) >= 8, 1L).otherwise(0L).as("x2"))
+    val train = feats.select(
+      explode(expr(s"filter(sequence(0L, ${folds - 1}L), m -> m != fold)")).as("mf"),
+      col("y"), col("x1"), col("x2"))
+    var coef = documents.sparkSession.range(folds).select(
+      col("id").as("mf"), lit(0L).as("b0q"), lit(0L).as("b1q"), lit(0L).as("b2q"))
+    for (_ <- 1 to iters) coef = irlsStep(train, coef, Seq("mf"), checkpointDir)
+    feats.join(broadcast(coef), col("fold") === col("mf"))
+      .withColumn("pq", expr(SigmoidQ))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        first("b0q").as("b0q"), first("b1q").as("b1q"), first("b2q").as("b2q"),
+        sum(expr("case when (pq >= 500000) = (y = 1) then 1 else 0 end")).as("n_correct"))
+      .select(col("fold"),
+        (sum("n_test").over(org.apache.spark.sql.expressions.Window.partitionBy())
+          - col("n_test")).as("n_train"),
+        col("n_test"),
+        round(expr("b0q / 1e6"), 6).as("b0"),
+        round(expr("b1q / 1e6"), 6).as("b1"),
+        round(expr("b2q / 1e6"), 6).as("b2"),
+        round(expr("n_correct / cast(n_test as double)"), 4).as("test_accuracy"))
+      .orderBy("fold")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
@@ -504,6 +568,7 @@ object Modeling extends QueryModule {
     "q201_avg_precision" -> ((s, d) => averagePrecision(Tables(s, d).documents)),
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
     "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents)),
+    "q207_cv_logistic" -> ((s, d) => cvLogistic(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -688,5 +753,82 @@ object Modeling extends QueryModule {
         |FROM (SELECT f.y, f.x1, f.x2, c.b0q, c.b1q, c.b2q,
         |             CAST(floor(1e6 / (1.0 + exp(-((c.b0q + c.b1q*f.x1 + c.b2q*f.x2) / 1e6)))) AS BIGINT) AS pq
         |      FROM f CROSS JOIN c2 c) c""".stripMargin,
+    // q206's oracle with the per-model grouping: the two IRLS rounds are
+    // unrolled, but folds are a GROUP BY — not unrolled — exactly like
+    // the Spark plan
+    "q207_cv_logistic" ->
+      """WITH f AS (
+        |  SELECT (list_reduce(list_transform(range(1, 16),
+        |            i -> strpos('0123456789abcdef', substr(md5('cv|' || doc_id), i, 1)) - 1),
+        |            (a, b) -> a * 16 + b)::UBIGINT % 3)::BIGINT AS fold,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+        |         CASE WHEN 2 * len(list_distinct(string_split(lower(text), ' ')))
+        |                   > len(string_split(lower(text), ' ')) THEN 1 ELSE 0 END::BIGINT AS x1,
+        |         CASE WHEN list_max(list_transform(string_split(lower(text), ' '),
+        |                                           w -> length(w))) >= 8
+        |              THEN 1 ELSE 0 END::BIGINT AS x2
+        |  FROM documents),
+        |tr AS (SELECT unnest(list_filter(range(0, 3), m -> m != fold))::BIGINT AS mf,
+        |              y, x1, x2 FROM f),
+        |c0 AS (SELECT unnest(range(0, 3))::BIGINT AS mf,
+        |              0::BIGINT AS b0q, 0::BIGINT AS b1q, 0::BIGINT AS b2q),
+        |q1 AS (SELECT *, pq * (1000000 - pq) AS wq, y * 1000000 - pq AS r FROM (
+        |         SELECT t.mf, t.y, t.x1, t.x2, c.b0q, c.b1q, c.b2q,
+        |                CAST(floor(1e6 / (1.0 + exp(-((c.b0q + c.b1q*t.x1 + c.b2q*t.x2) / 1e6)))) AS BIGINT) AS pq
+        |         FROM tr t JOIN c0 c ON c.mf = t.mf)),
+        |s1 AS (SELECT mf, any_value(b0q) AS b0q, any_value(b1q) AS b1q, any_value(b2q) AS b2q,
+        |              sum(r)::BIGINT AS g0, sum(x1*r)::BIGINT AS g1, sum(x2*r)::BIGINT AS g2,
+        |              sum(wq)::BIGINT AS h00, sum(x1*wq)::BIGINT AS h01, sum(x2*wq)::BIGINT AS h02,
+        |              sum(x1*x1*wq)::BIGINT AS h11, sum(x1*x2*wq)::BIGINT AS h12,
+        |              sum(x2*x2*wq)::BIGINT AS h22
+        |       FROM q1 GROUP BY mf),
+        |c1 AS (SELECT mf, b0q + CAST(floor(det0 / det * 1e12) AS BIGINT) AS b0q,
+        |              b1q + CAST(floor(det1 / det * 1e12) AS BIGINT) AS b1q,
+        |              b2q + CAST(floor(det2 / det * 1e12) AS BIGINT) AS b2q
+        |       FROM (SELECT *,
+        |               ha*(he*hi - hf*hf) - hb*(hb*hi - hf*hc) + hc*(hb*hf - he*hc) AS det,
+        |               dg0*(he*hi - hf*hf) - hb*(dg1*hi - hf*dg2) + hc*(dg1*hf - he*dg2) AS det0,
+        |               ha*(dg1*hi - hf*dg2) - dg0*(hb*hi - hf*hc) + hc*(hb*dg2 - dg1*hc) AS det1,
+        |               ha*(he*dg2 - dg1*hf) - hb*(hb*dg2 - dg1*hc) + dg0*(hb*hf - he*hc) AS det2
+        |             FROM (SELECT *, g0::DOUBLE AS dg0, g1::DOUBLE AS dg1, g2::DOUBLE AS dg2,
+        |                          (h00 + 1000000000)::DOUBLE AS ha, h01::DOUBLE AS hb, h02::DOUBLE AS hc,
+        |                          (h11 + 1000000000)::DOUBLE AS he, h12::DOUBLE AS hf,
+        |                          (h22 + 1000000000)::DOUBLE AS hi
+        |                   FROM s1))),
+        |q2 AS (SELECT *, pq * (1000000 - pq) AS wq, y * 1000000 - pq AS r FROM (
+        |         SELECT t.mf, t.y, t.x1, t.x2, c.b0q, c.b1q, c.b2q,
+        |                CAST(floor(1e6 / (1.0 + exp(-((c.b0q + c.b1q*t.x1 + c.b2q*t.x2) / 1e6)))) AS BIGINT) AS pq
+        |         FROM tr t JOIN c1 c ON c.mf = t.mf)),
+        |s2 AS (SELECT mf, any_value(b0q) AS b0q, any_value(b1q) AS b1q, any_value(b2q) AS b2q,
+        |              sum(r)::BIGINT AS g0, sum(x1*r)::BIGINT AS g1, sum(x2*r)::BIGINT AS g2,
+        |              sum(wq)::BIGINT AS h00, sum(x1*wq)::BIGINT AS h01, sum(x2*wq)::BIGINT AS h02,
+        |              sum(x1*x1*wq)::BIGINT AS h11, sum(x1*x2*wq)::BIGINT AS h12,
+        |              sum(x2*x2*wq)::BIGINT AS h22
+        |       FROM q2 GROUP BY mf),
+        |c2 AS (SELECT mf, b0q + CAST(floor(det0 / det * 1e12) AS BIGINT) AS b0q,
+        |              b1q + CAST(floor(det1 / det * 1e12) AS BIGINT) AS b1q,
+        |              b2q + CAST(floor(det2 / det * 1e12) AS BIGINT) AS b2q
+        |       FROM (SELECT *,
+        |               ha*(he*hi - hf*hf) - hb*(hb*hi - hf*hc) + hc*(hb*hf - he*hc) AS det,
+        |               dg0*(he*hi - hf*hf) - hb*(dg1*hi - hf*dg2) + hc*(dg1*hf - he*dg2) AS det0,
+        |               ha*(dg1*hi - hf*dg2) - dg0*(hb*hi - hf*hc) + hc*(hb*dg2 - dg1*hc) AS det1,
+        |               ha*(he*dg2 - dg1*hf) - hb*(hb*dg2 - dg1*hc) + dg0*(hb*hf - he*hc) AS det2
+        |             FROM (SELECT *, g0::DOUBLE AS dg0, g1::DOUBLE AS dg1, g2::DOUBLE AS dg2,
+        |                          (h00 + 1000000000)::DOUBLE AS ha, h01::DOUBLE AS hb, h02::DOUBLE AS hc,
+        |                          (h11 + 1000000000)::DOUBLE AS he, h12::DOUBLE AS hf,
+        |                          (h22 + 1000000000)::DOUBLE AS hi
+        |                   FROM s2))),
+        |per AS (SELECT fold, count(*)::BIGINT AS n_test,
+        |               any_value(b0q) AS b0q, any_value(b1q) AS b1q, any_value(b2q) AS b2q,
+        |               sum(CASE WHEN (pq >= 500000) = (y = 1) THEN 1 ELSE 0 END)::BIGINT AS n_correct
+        |        FROM (SELECT f.fold, f.y, c.b0q, c.b1q, c.b2q,
+        |                     CAST(floor(1e6 / (1.0 + exp(-((c.b0q + c.b1q*f.x1 + c.b2q*f.x2) / 1e6)))) AS BIGINT) AS pq
+        |              FROM f JOIN c2 c ON c.mf = f.fold)
+        |        GROUP BY fold)
+        |SELECT fold, (sum(n_test) OVER () - n_test)::BIGINT AS n_train, n_test,
+        |       round(b0q / 1e6, 6) AS b0, round(b1q / 1e6, 6) AS b1,
+        |       round(b2q / 1e6, 6) AS b2,
+        |       round(n_correct / CAST(n_test AS DOUBLE), 4) AS test_accuracy
+        |FROM per ORDER BY fold""".stripMargin,
   )
 }

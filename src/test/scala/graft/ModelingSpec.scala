@@ -209,6 +209,18 @@ class ModelingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cvLogistic: every fold-model learns the separable rule; fold sizes partition the corpus") {
+    val n = 90
+    val r = operators.Modeling.cvLogistic(lrDocs(n), folds = 3).collect()
+    assert(r.map(_.getAs[Long]("fold")).toSeq == Seq(0L, 1L, 2L))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_train") + row.getAs[Long]("n_test") == n.toLong)
+      assert(row.getAs[Double]("test_accuracy") == 1.0)
+      assert(row.getAs[Double]("b1") > 1.0)
+    }
+    assert(r.map(_.getAs[Long]("n_test")).sum == n.toLong)
+  }
+
   test("qualityLogistic: reliable-checkpoint path agrees with localCheckpoint default") {
     val d = lrDocs(30)
     val dir = java.nio.file.Files.createTempDirectory("lr_ck").toString
