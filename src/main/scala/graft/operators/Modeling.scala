@@ -559,6 +559,52 @@ object Modeling extends QueryModule {
       .orderBy("fold")
   }
 
+  /** q208: mutual-information feature ranking — the feature-selection
+    * gate in front of the classifier rungs (q206/q207): plug-in
+    * MI(F;Y) = (1/n)·Σ n_fy·ln(n·n_fy / (n_f·n_y)) between each binary
+    * lexical-shape feature and the lang='en' target, ranked.
+    *
+    * One corpus scan: the per-doc feature vector unpivots via `stack`
+    * into (feature, f, y) rows that collapse immediately into the
+    * 5×2×2-bounded cell-count frame; every marginal is a WINDOW sum
+    * over those cells (never a corpus re-scan), and empty cells
+    * contribute exactly their x·ln x → 0 limit by being absent. Each
+    * cell's log term is floor-quantized to integer nano-nats BEFORE the
+    * count-weighted sum (the q122/q160 convention), so per-feature
+    * totals are order-independent integers and the rank is an integer
+    * sort (ties broken by feature name).
+    */
+  def miFeatureRanking(documents: DataFrame): DataFrame = {
+    val ts = split(lower(col("text")), " ")
+    val base = documents.select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      when(size(array_distinct(ts)) * 2 > size(ts), 1L).otherwise(0L).as("diverse"),
+      when(array_max(transform(ts, w => length(w))) >= 8, 1L).otherwise(0L).as("long_word"),
+      when(col("n_chars") >= 200, 1L).otherwise(0L).as("long_doc"),
+      when(col("text").rlike("[0-9]"), 1L).otherwise(0L).as("has_digit"),
+      when(size(ts) >= 40, 1L).otherwise(0L).as("many_words"))
+    val cells = base.selectExpr("y",
+        """stack(5, 'diverse', diverse, 'long_word', long_word, 'long_doc', long_doc,
+          |'has_digit', has_digit, 'many_words', many_words) as (feature, f)""".stripMargin)
+      .groupBy("feature", "f", "y").agg(count(lit(1)).as("c"))
+    val byFeat = Window.partitionBy("feature")
+    val scored = cells
+      .withColumn("n",  sum("c").over(byFeat))
+      .withColumn("nf", sum("c").over(Window.partitionBy("feature", "f")))
+      .withColumn("ny", sum("c").over(Window.partitionBy("feature", "y")))
+      .withColumn("u", expr(
+        "cast(floor(ln((cast(n as double) * cast(c as double)) / (cast(nf as double) * cast(ny as double))) * 1e9) as bigint)"))
+    scored.groupBy("feature")
+      .agg(first("n").as("n"),
+        sum(when(col("f") === 1L, col("c")).otherwise(0L)).as("n_f1"),
+        sum(expr("c * u")).as("mi_nano"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("mi_nano").desc, col("feature"))).cast("long"))
+      .select(col("rank"), col("feature"), col("n_f1"),
+        round(expr("mi_nano / cast(n as double) / 1e9"), 6).as("mi_nats"))
+      .orderBy("rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
@@ -569,6 +615,7 @@ object Modeling extends QueryModule {
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
     "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents)),
     "q207_cv_logistic" -> ((s, d) => cvLogistic(Tables(s, d).documents)),
+    "q208_mi_ranking" -> ((s, d) => miFeatureRanking(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -830,5 +877,38 @@ object Modeling extends QueryModule {
         |       round(b2q / 1e6, 6) AS b2,
         |       round(n_correct / CAST(n_test AS DOUBLE), 4) AS test_accuracy
         |FROM per ORDER BY fold""".stripMargin,
+    "q208_mi_ranking" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+        |         CASE WHEN 2 * len(list_distinct(string_split(lower(text), ' ')))
+        |                   > len(string_split(lower(text), ' ')) THEN 1 ELSE 0 END::BIGINT AS diverse,
+        |         CASE WHEN list_max(list_transform(string_split(lower(text), ' '),
+        |                                           w -> length(w))) >= 8
+        |              THEN 1 ELSE 0 END::BIGINT AS long_word,
+        |         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END::BIGINT AS long_doc,
+        |         CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END::BIGINT AS has_digit,
+        |         CASE WHEN len(string_split(lower(text), ' ')) >= 40 THEN 1 ELSE 0 END::BIGINT AS many_words
+        |  FROM documents),
+        |long_f AS (
+        |  SELECT y, 'diverse' AS feature, diverse AS f FROM base
+        |  UNION ALL SELECT y, 'long_word', long_word FROM base
+        |  UNION ALL SELECT y, 'long_doc', long_doc FROM base
+        |  UNION ALL SELECT y, 'has_digit', has_digit FROM base
+        |  UNION ALL SELECT y, 'many_words', many_words FROM base),
+        |cells AS (SELECT feature, f, y, count(*)::BIGINT AS c FROM long_f GROUP BY 1, 2, 3),
+        |m AS (SELECT *, sum(c) OVER (PARTITION BY feature)::BIGINT AS n,
+        |             sum(c) OVER (PARTITION BY feature, f)::BIGINT AS nf,
+        |             sum(c) OVER (PARTITION BY feature, y)::BIGINT AS ny
+        |      FROM cells),
+        |u AS (SELECT *, CAST(floor(ln((n::DOUBLE * c::DOUBLE) / (nf::DOUBLE * ny::DOUBLE)) * 1e9) AS BIGINT) AS u
+        |      FROM m),
+        |per AS (SELECT feature, any_value(n) AS n,
+        |               sum(CASE WHEN f = 1 THEN c ELSE 0 END)::BIGINT AS n_f1,
+        |               sum(c * u)::BIGINT AS mi_nano
+        |        FROM u GROUP BY feature)
+        |SELECT row_number() OVER (ORDER BY mi_nano DESC, feature)::BIGINT AS rank,
+        |       feature, n_f1,
+        |       round(mi_nano / CAST(n AS DOUBLE) / 1e9, 6) AS mi_nats
+        |FROM per ORDER BY rank""".stripMargin,
   )
 }

@@ -221,6 +221,24 @@ class ModelingSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_test")).sum == n.toLong)
   }
 
+  test("miFeatureRanking: perfectly-predictive feature scores ln 2; constant feature scores 0") {
+    // has_digit tracks lang exactly (balanced 2+2) -> MI = ln 2;
+    // long_doc is constantly 0 (all short) -> MI = 0
+    val d = Seq(
+      (1L, "s", "alpha beta 1", "en"),
+      (2L, "s", "gamma delta 2", "en"),
+      (3L, "s", "plain word here", "fr"),
+      (4L, "s", "more plain text", "fr"))
+      .toDF("doc_id", "source", "text", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val r = operators.Modeling.miFeatureRanking(d).collect()
+      .map(x => x.getAs[String]("feature") -> x).toMap
+    assert(r("has_digit").getAs[Double]("mi_nats") == 0.693147) // floor(1e9·ln2)/1e9
+    assert(r("has_digit").getAs[Long]("n_f1") == 2L)
+    assert(r("has_digit").getAs[Long]("rank") == 1L)
+    assert(r("long_doc").getAs[Double]("mi_nats") == 0.0)
+  }
+
   test("qualityLogistic: reliable-checkpoint path agrees with localCheckpoint default") {
     val d = lrDocs(30)
     val dir = java.nio.file.Files.createTempDirectory("lr_ck").toString
