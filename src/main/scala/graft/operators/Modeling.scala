@@ -605,6 +605,44 @@ object Modeling extends QueryModule {
       .orderBy("rank")
   }
 
+  /** q210: operating-point selection — the threshold sweep that turns a
+    * scored classifier into a deployed filter: for every candidate
+    * threshold t (each distinct score value), predict positive at
+    * score ≥ t and report the top-`topN` thresholds by F1.
+    *
+    * The q169/q201 anatomy: ONE corpus scan collapses to the distinct-
+    * score cell frame (integer counts, map-side combined); TP/predicted-
+    * positive are cumulative window sums over that bounded frame —
+    * the unpartitioned window runs over |distinct scores| rows, never
+    * documents. Ranking compares F1 as floor((2·TP·10⁹)/(2TP+FP+FN)) —
+    * an integer division of integers, so the (f1 desc, t asc) order is
+    * engine-exact; the displayed precision/recall/f1 are one closing
+    * division each.
+    */
+  def bestF1Thresholds(documents: DataFrame, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = documents.groupBy(col("n_chars").as("t"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+    val tot = cells.agg(sum("pos").as("np"))
+    val byScoreDesc = Window.orderBy(col("t").desc)
+    cells
+      .withColumn("tp", sum("pos").over(byScoreDesc))
+      .withColumn("pp", sum("cnt").over(byScoreDesc))
+      .crossJoin(broadcast(tot))
+      .withColumn("fp", col("pp") - col("tp"))
+      .withColumn("fn", col("np") - col("tp"))
+      .withColumn("f1_nano", expr("(2 * tp * 1000000000) div (2*tp + fp + fn)"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("f1_nano").desc, col("t"))).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("t").as("threshold"), col("tp"), col("fp"), col("fn"),
+        round(expr("tp / cast(pp as double)"), 4).as("precision"),
+        round(expr("tp / cast(np as double)"), 4).as("recall"),
+        round(expr("f1_nano / 1e9"), 4).as("f1"))
+      .orderBy("rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
@@ -616,6 +654,7 @@ object Modeling extends QueryModule {
     "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents)),
     "q207_cv_logistic" -> ((s, d) => cvLogistic(Tables(s, d).documents)),
     "q208_mi_ranking" -> ((s, d) => miFeatureRanking(Tables(s, d).documents)),
+    "q210_best_f1" -> ((s, d) => bestF1Thresholds(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -910,5 +949,22 @@ object Modeling extends QueryModule {
         |       feature, n_f1,
         |       round(mi_nano / CAST(n AS DOUBLE) / 1e9, 6) AS mi_nats
         |FROM per ORDER BY rank""".stripMargin,
+    "q210_best_f1" ->
+      """WITH cells AS (SELECT n_chars AS t, count(*)::BIGINT AS cnt,
+        |                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+        |               FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(pos)::BIGINT AS np FROM cells),
+        |cum AS (SELECT *, sum(pos) OVER (ORDER BY t DESC)::BIGINT AS tp,
+        |               sum(cnt) OVER (ORDER BY t DESC)::BIGINT AS pp
+        |        FROM cells),
+        |sc AS (SELECT t, tp, pp, np, pp - tp AS fp, np - tp AS fn
+        |       FROM cum CROSS JOIN tot),
+        |r AS (SELECT *, (2 * tp * 1000000000) // (2*tp + fp + fn) AS f1_nano FROM sc),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY f1_nano DESC, t)::BIGINT AS rank FROM r)
+        |SELECT rank, t AS threshold, tp, fp, fn,
+        |       round(tp / CAST(pp AS DOUBLE), 4) AS precision,
+        |       round(tp / CAST(np AS DOUBLE), 4) AS recall,
+        |       round(f1_nano / 1e9, 4) AS f1
+        |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
   )
 }

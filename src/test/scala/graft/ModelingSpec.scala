@@ -239,6 +239,24 @@ class ModelingSpec extends SparkSpec {
     assert(r("long_doc").getAs[Double]("mi_nats") == 0.0)
   }
 
+  test("bestF1Thresholds: hand-computed sweep picks the hand-computed best operating point") {
+    // pos scores {50,40,20}, neg {30,10}:
+    // t=20 -> tp=3 fp=1 fn=0, F1=6/7≈0.8571 (best); t=40 -> F1=0.8 (second)
+    val d = Seq(
+      (1L, 50L, "en"), (2L, 40L, "en"), (3L, 30L, "fr"),
+      (4L, 20L, "en"), (5L, 10L, "fr"))
+      .toDF("doc_id", "n_chars", "lang")
+      .withColumn("source", lit("s")).withColumn("text", lit("x"))
+    val r = operators.Modeling.bestF1Thresholds(d).collect()
+    assert(r(0).getAs[Long]("threshold") == 20L)
+    assert(r(0).getAs[Long]("tp") == 3L && r(0).getAs[Long]("fp") == 1L &&
+      r(0).getAs[Long]("fn") == 0L)
+    assert(r(0).getAs[Double]("f1") == 0.8571)
+    assert(r(1).getAs[Long]("threshold") == 40L)
+    assert(r(1).getAs[Double]("f1") == 0.8)
+    assert(r.length == 5)
+  }
+
   test("qualityLogistic: reliable-checkpoint path agrees with localCheckpoint default") {
     val d = lrDocs(30)
     val dir = java.nio.file.Files.createTempDirectory("lr_ck").toString
