@@ -643,6 +643,56 @@ object Modeling extends QueryModule {
       .orderBy("rank")
   }
 
+  /** q209: information-gain decision stump on the n_chars score — the
+    * one-split tree that turns q208's "which feature" into "which
+    * CUTPOINT": every distinct score is a candidate threshold
+    * (left = score < t), the winner minimizes the weighted leaf entropy,
+    * and the leaves predict their majority class.
+    *
+    * Same bounded anatomy as q210: one corpus scan → distinct-score
+    * cells; left-leaf class counts are EXCLUSIVE cumulative window sums
+    * (rows ... 1 preceding) over that frame; every candidate's weighted
+    * entropy Σ_leaf Σ_class c·ln(m/c) is computed per cell row from six
+    * integers with each log term floor-quantized to nano-nats BEFORE
+    * the c-weighted products — the argmin is an integer sort
+    * (wq asc, t asc), engine-exact. (Past ~10⁸ docs the c·u products
+    * need decimal widening — the q159 note.)
+    */
+  def decisionStump(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def term(c: String, m: String) =
+      s"case when ($c) > 0 then ($c) * cast(floor(ln(cast(($m) as double) / cast(($c) as double)) * 1e9) as bigint) else 0 end"
+    val cells = documents.groupBy(col("n_chars").as("t"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+    val tot = cells.agg(sum("cnt").as("n"), sum("pos").as("np"))
+    val wAsc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cand = cells
+      .withColumn("nL", coalesce(sum("cnt").over(wAsc), lit(0L)))
+      .withColumn("posL", coalesce(sum("pos").over(wAsc), lit(0L)))
+      .filter(col("nL") > 0) // t_min has an empty left leaf — not a split
+      .crossJoin(broadcast(tot))
+      .withColumn("negL", expr("nL - posL"))
+      .withColumn("nR", expr("n - nL"))
+      .withColumn("posR", expr("np - posL"))
+      .withColumn("negR", expr("nR - posR"))
+      .withColumn("wq", expr(
+        s"${term("posL", "nL")} + ${term("negL", "nL")} + ${term("posR", "nR")} + ${term("negR", "nR")}"))
+      .withColumn("rootq", expr(s"${term("np", "n")} + ${term("n - np", "n")}"))
+    cand
+      .withColumn("rk", row_number().over(Window.orderBy(col("wq"), col("t"))))
+      .filter(col("rk") === 1)
+      .select(col("t").as("threshold"), col("nL").as("n_left"), col("nR").as("n_right"),
+        when(col("posL") * 2 > col("nL"), lit("en")).otherwise(lit("other")).as("pred_left"),
+        when(col("posR") * 2 > col("nR"), lit("en")).otherwise(lit("other")).as("pred_right"),
+        round(expr("(rootq - wq) / cast(n as double) / 1e9"), 6).as("info_gain_nats"),
+        round(expr(
+          """(case when posL * 2 > nL then posL else nL - posL end
+            | + case when posR * 2 > nR then posR else nR - posR end) / cast(n as double)""".stripMargin),
+          4).as("train_accuracy"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
@@ -655,6 +705,7 @@ object Modeling extends QueryModule {
     "q207_cv_logistic" -> ((s, d) => cvLogistic(Tables(s, d).documents)),
     "q208_mi_ranking" -> ((s, d) => miFeatureRanking(Tables(s, d).documents)),
     "q210_best_f1" -> ((s, d) => bestF1Thresholds(Tables(s, d).documents)),
+    "q209_decision_stump" -> ((s, d) => decisionStump(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -966,5 +1017,34 @@ object Modeling extends QueryModule {
         |       round(tp / CAST(np AS DOUBLE), 4) AS recall,
         |       round(f1_nano / 1e9, 4) AS f1
         |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q209_decision_stump" -> {
+      def term(c: String, m: String) =
+        s"CASE WHEN ($c) > 0 THEN ($c) * CAST(floor(ln(CAST(($m) AS DOUBLE) / CAST(($c) AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END"
+      s"""WITH cells AS (SELECT n_chars AS t, count(*)::BIGINT AS cnt,
+         |                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+         |               FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS np FROM cells),
+         |cum AS (SELECT *,
+         |          coalesce(sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS nL,
+         |          coalesce(sum(pos) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS posL
+         |        FROM cells),
+         |cand AS (SELECT c.t, c.nL, c.posL, c.nL - c.posL AS negL,
+         |                t2.n - c.nL AS nR, t2.np - c.posL AS posR,
+         |                (t2.n - c.nL) - (t2.np - c.posL) AS negR, t2.n, t2.np
+         |         FROM cum c CROSS JOIN tot t2 WHERE c.nL > 0),
+         |w AS (SELECT *,
+         |        ${term("posL", "nL")} + ${term("negL", "nL")}
+         |        + ${term("posR", "nR")} + ${term("negR", "nR")} AS wq,
+         |        ${term("np", "n")} + ${term("n - np", "n")} AS rootq
+         |      FROM cand),
+         |pick AS (SELECT *, row_number() OVER (ORDER BY wq, t) AS rk FROM w)
+         |SELECT t AS threshold, nL AS n_left, nR AS n_right,
+         |       CASE WHEN posL * 2 > nL THEN 'en' ELSE 'other' END AS pred_left,
+         |       CASE WHEN posR * 2 > nR THEN 'en' ELSE 'other' END AS pred_right,
+         |       round((rootq - wq) / CAST(n AS DOUBLE) / 1e9, 6) AS info_gain_nats,
+         |       round((CASE WHEN posL * 2 > nL THEN posL ELSE nL - posL END
+         |            + CASE WHEN posR * 2 > nR THEN posR ELSE nR - posR END) / CAST(n AS DOUBLE), 4) AS train_accuracy
+         |FROM pick WHERE rk = 1""".stripMargin
+    },
   )
 }

@@ -257,6 +257,23 @@ class ModelingSpec extends SparkSpec {
     assert(r.length == 5)
   }
 
+  test("decisionStump: clean split recovered; info gain equals the root entropy") {
+    // en at {80,90,100}, fr at {10,20}: t=80 separates perfectly ->
+    // wq=0, IG = H(Y) = 3/5·ln(5/3) + 2/5·ln(5/2) ≈ 0.673012
+    val d = Seq((1L, 100L, "en"), (2L, 90L, "en"), (3L, 80L, "en"),
+        (4L, 20L, "fr"), (5L, 10L, "fr"))
+      .toDF("doc_id", "n_chars", "lang")
+      .withColumn("source", lit("s")).withColumn("text", lit("x"))
+    val r = operators.Modeling.decisionStump(d).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("threshold") == 80L)
+    assert(r(0).getAs[Long]("n_left") == 2L && r(0).getAs[Long]("n_right") == 3L)
+    assert(r(0).getAs[String]("pred_left") == "other")
+    assert(r(0).getAs[String]("pred_right") == "en")
+    assert(r(0).getAs[Double]("info_gain_nats") == 0.673012)
+    assert(r(0).getAs[Double]("train_accuracy") == 1.0)
+  }
+
   test("qualityLogistic: reliable-checkpoint path agrees with localCheckpoint default") {
     val d = lrDocs(30)
     val dir = java.nio.file.Files.createTempDirectory("lr_ck").toString
