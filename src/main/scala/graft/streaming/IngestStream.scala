@@ -132,6 +132,26 @@ object IngestStream {
                      key: String = "dataset_id"): DataFrame =
     requests.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming novel-document filter against the PERSISTED dedup index
+    * (Dedup.writeDedupIndex's bucketed table — the q205 posture made
+    * continuous): an arriving doc passes only if (a) its fingerprint is
+    * the first occurrence within the watermark window
+    * (`dropDuplicatesWithinWatermark` — bounded state, evicted past the
+    * watermark) and (b) it is absent from the corpus index (stream-
+    * static LEFT ANTI join, re-read per micro-batch so an index refresh
+    * is picked up without restarting the query). This is the ingest
+    * gate a 100 TB training pipeline runs continuously: only novel text
+    * reaches the corpus, and the corpus ships only 16 B fingerprints.
+    * Input schema: (ts, doc_id, text).
+    */
+  def novelDocs(docs: DataFrame, index: DataFrame,
+                watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.operators.Dedup.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .join(index, Seq("fingerprint"), "left_anti")
+
   /** Route a deduped request micro-batch through the workflow rule table
     * and append status events — the foreachBatch body (batch-mode
     * DataFrame in, side-effect-free DataFrames out; sinks are adapters).

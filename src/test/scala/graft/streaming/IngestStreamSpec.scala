@@ -54,6 +54,35 @@ class IngestStreamSpec extends SparkSpec {
       ("r1", "Group A"), ("r2", "Group B"), ("r3", null)))
   }
 
+  test("novelDocs passes only first-seen fingerprints absent from the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((10L, "alpha beta"), (11L, "gamma delta")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeDedupIndex(corpus, "novel_docs_index_spec", buckets = 4)
+    try {
+      val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val docs = input.toDF().toDF("ts", "doc_id", "text")
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = IngestStream.novelDocs(docs, spark.table("novel_docs_index_spec"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= batch.select("doc_id").as[Long].collect()
+          ()
+        }.start()
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 20L, "alpha beta"),    // corpus dup -> dropped
+        (ts("2024-01-01 00:01:00"), 21L, "fresh one"),     // novel
+        (ts("2024-01-01 00:02:00"), 22L, "fresh two"))     // novel
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 00:03:00"), 23L, "fresh two"),     // stream dup -> dropped
+        (ts("2024-01-01 00:04:00"), 24L, "GAMMA   DELTA"), // inner spaces differ -> novel
+        (ts("2024-01-01 00:05:00"), 25L, "fresh three"))   // novel
+      q.processAllAvailable()
+      q.stop()
+      assert(seen.sorted.toList == List(21L, 22L, 24L, 25L))
+    } finally spark.sql("DROP TABLE IF EXISTS novel_docs_index_spec")
+  }
+
   test("windowedUsage aggregates tumbling event-time windows in batch mode") {
     val events = Seq(
       (ts("2024-01-01 00:01:00"), "purchase", 10.0),
