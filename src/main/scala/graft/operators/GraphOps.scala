@@ -155,9 +155,44 @@ object GraphOps extends QueryModule {
       .orderBy(col("rank").desc, col("part")).limit(topN)
   }
 
+  /** Distinct directed fulfilment edges supplier → customer (an edge
+    * when the supplier ships at least one lineitem of one of the
+    * customer's orders). One co-partitioned fact-fact join on the order
+    * key, then a distinct on the (s, c) pair — both single shuffles.
+    */
+  def fulfilmentEdges(li: DataFrame, orders: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+      .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("c")), "ok")
+      .select("s", "c").distinct()
+
+  /** q212: HITS hubs & authorities on the directed supplier→customer
+    * fulfilment graph, two mutual-reinforcement rounds in EXACT integer
+    * arithmetic: h₀ = 1 per supplier, a₁(c) = Σ_in h₀ (indegree),
+    * h₁(s) = Σ_out a₁, a₂(c) = Σ_in h₁. No per-round normalization —
+    * at a fixed iteration count the rank order is identical and skipping
+    * the float division keeps every score an order-independent integer
+    * sum (the q143 fixed-point doctrine). Top customers by final
+    * authority, key tie-break.
+    *
+    * Scale shape: score frames are node-sized; each half-round is one
+    * edge-list join against the previous node frame plus one hash
+    * aggregate on the opposite endpoint — the shuffle carries (int,
+    * long) pairs, never payloads, and no driver collect exists.
+    */
+  def hitsAuthorities(li: DataFrame, orders: DataFrame, topN: Int = 15): DataFrame = {
+    val edges = fulfilmentEdges(li, orders)
+    val a1 = edges.groupBy("c").agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(a1, "c").groupBy("s").agg(sum("a1").as("h1"))
+    val a2 = edges.join(h1, "s").groupBy("c").agg(sum("h1").as("authority"))
+    a1.join(a2, "c")
+      .select(col("c").as("custkey"), col("a1").as("n_suppliers"), col("authority"))
+      .orderBy(col("authority").desc, col("custkey")).limit(topN)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
     "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
+    "q212_hits"      -> ((s, d) => { val t = Tables(s, d); hitsAuthorities(t.lineitem, t.orders) }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -195,5 +230,14 @@ object GraphOps extends QueryModule {
                        FROM e JOIN i2 r2 ON e.s = r2.node JOIN meta m2 ON e.s = m2.node GROUP BY e.dd) x USING (node))
          SELECT node AS part, r AS rank FROM i3
          ORDER BY rank DESC, part LIMIT 10""",
+    "q212_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              a1 AS (SELECT c, count(*)::BIGINT AS a1 FROM e GROUP BY c),
+              h1 AS (SELECT s, sum(a1)::BIGINT AS h1 FROM e JOIN a1 USING (c) GROUP BY s),
+              a2 AS (SELECT c, sum(h1)::BIGINT AS authority FROM e JOIN h1 USING (s) GROUP BY c)
+         SELECT c AS custkey, a1 AS n_suppliers, authority
+         FROM a1 JOIN a2 USING (c)
+         ORDER BY authority DESC, custkey LIMIT 15""",
   )
 }

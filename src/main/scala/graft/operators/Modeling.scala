@@ -693,7 +693,107 @@ object Modeling extends QueryModule {
           4).as("train_accuracy"))
   }
 
+  /** Shared split-search for [[boostedStumps]]: given per-threshold
+    * cells (t, cnt, sy: long, syy: decimal(38,0)) pick the threshold
+    * minimizing the two-leaf SSE with MICRO-QUANTIZED leaf means.
+    *
+    * The quantization is what makes the argmin engine-exact: each
+    * leaf's prediction is floored to an integer first
+    * (pl = (syl·scale) div nl — positive operands, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree), and the SSE
+    * against THAT integer prediction expands to pure integer moments
+    * Σy²·s² − 2·s·pl·Σy + n·pl², carried in decimal(38,0)/HUGEINT
+    * (round-2 targets are micro-shifted, so the squared sums reach
+    * ~10³⁰ — far past int64, comfortably inside 38 digits). The
+    * candidate ranking is then an integer sort (sse asc, t asc) with
+    * no float anywhere.
+    */
+  private def stumpSearch(cells: DataFrame, scale: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = cells.agg(sum("cnt").as("n"), sum("sy").as("syt"),
+      sum("syy").cast("decimal(38,0)").as("syyt"))
+    cells
+      .withColumn("nl", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("syl", coalesce(sum("sy").over(w), lit(0L)))
+      .withColumn("syyl",
+        coalesce(sum("syy").over(w), lit(0).cast("decimal(38,0)")).cast("decimal(38,0)"))
+      .filter(col("nl") > 0) // t_min: empty left leaf — not a split
+      .crossJoin(broadcast(tot))
+      .withColumn("nr", expr("n - nl"))
+      .withColumn("syr", expr("syt - syl"))
+      .withColumn("syyr", expr("cast(syyt - syyl as decimal(38,0))"))
+      .withColumn("pl", expr(s"(syl * $scale) div nl"))
+      .withColumn("pr", expr(s"(syr * $scale) div nr"))
+      .withColumn("sse", expr(
+        s"""cast(syyl * $scale * $scale
+           | - cast(pl as decimal(38,0)) * syl * ${2 * scale}
+           | + cast(pl as decimal(38,0)) * pl * nl
+           | + syyr * $scale * $scale
+           | - cast(pr as decimal(38,0)) * syr * ${2 * scale}
+           | + cast(pr as decimal(38,0)) * pr * nr as decimal(38,0))""".stripMargin))
+      .withColumn("rk", row_number().over(Window.orderBy(col("sse"), col("t"))))
+      .filter(col("rk") === 1)
+      .select("t", "nl", "nr", "pl", "pr", "sse", "n")
+  }
+
+  /** q211: two-round gradient-boosted regression stumps on n_chars —
+    * the boosting capstone of the q159 (OLS) → q209 (single stump)
+    * ladder: round 1 fits a stump on the token count, round 2 fits a
+    * second stump ON THE ROUND-1 RESIDUALS using the distinct-token
+    * count, exactly the additive-stage recursion GBDT runs at depth 1.
+    *
+    * Exactness: residuals live in integer MICRO-units
+    * (y·10⁶ − leaf_pred_micro), shifted by +10¹² so every round-2
+    * target is positive and the truncating/flooring integer divisions
+    * agree between engines; the final RMSE per round falls out of the
+    * winning candidate's own SSE (the quantized leaf means make
+    * SSE(winner) ≡ Σ residual² exactly), so NO third corpus pass is
+    * needed — the whole fit is two scans, each collapsing to a
+    * distinct-feature-value cell frame.
+    *
+    * Scale shape: per round, one map-side-combined groupBy on the
+    * feature value, a single-partition window over the bounded cell
+    * frame (cells = distinct feature values, thousands not billions),
+    * and a 1-row broadcast of the winner into the next round's scan.
+    * Corpus-sized data never sorts and never sees a window.
+    */
+  def boostedStumps(documents: DataFrame): DataFrame = {
+    val OFF = 1000000000000L
+    val toks = split(lower(col("text")), " ")
+    val base = documents.select(
+      size(toks).cast("long").as("x1"),
+      size(array_distinct(toks)).cast("long").as("x2"),
+      col("n_chars").cast("long").as("y"))
+    val cells1 = base.groupBy(col("x1").as("t")).agg(
+      count(lit(1)).as("cnt"), sum("y").as("sy"),
+      sum(expr("cast(y as decimal(38,0)) * y")).cast("decimal(38,0)").as("syy"))
+    val win1 = stumpSearch(cells1, 1000000L)
+    val resid = base.crossJoin(broadcast(
+        win1.select(col("t").as("t1"), col("pl").as("pl1"), col("pr").as("pr1"))))
+      .select(col("x2"),
+        (col("y") * lit(1000000L)
+          - when(col("x1") < col("t1"), col("pl1")).otherwise(col("pr1"))
+          + lit(OFF)).as("y2"))
+    val cells2 = resid.groupBy(col("x2").as("t")).agg(
+      count(lit(1)).as("cnt"), sum("y2").as("sy"),
+      sum(expr("cast(y2 as decimal(38,0)) * y2")).cast("decimal(38,0)").as("syy"))
+    val win2 = stumpSearch(cells2, 1L)
+    val row1 = win1.select(lit(1L).as("iter"), lit("n_tokens").as("feature"),
+      col("t").as("threshold"), col("nl").as("n_left"), col("nr").as("n_right"),
+      round(expr("cast(pl as double) / 1000000.0"), 6).as("pred_left"),
+      round(expr("cast(pr as double) / 1000000.0"), 6).as("pred_right"),
+      round(expr("sqrt(cast(sse as double) / cast(n as double)) / 1000000.0"), 6).as("rmse"))
+    val row2 = win2.select(lit(2L).as("iter"), lit("n_distinct_tokens").as("feature"),
+      col("t").as("threshold"), col("nl").as("n_left"), col("nr").as("n_right"),
+      round(expr(s"cast(pl - $OFF as double) / 1000000.0"), 6).as("pred_left"),
+      round(expr(s"cast(pr - $OFF as double) / 1000000.0"), 6).as("pred_right"),
+      round(expr("sqrt(cast(sse as double) / cast(n as double)) / 1000000.0"), 6).as("rmse"))
+    row1.unionByName(row2).orderBy("iter")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_boosted_stumps" -> ((s, d) => boostedStumps(Tables(s, d).documents)),
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
     "q168_bpe_merges" -> ((s, d) => bpeMerges(Tables(s, d).documents)),
@@ -708,7 +808,61 @@ object Modeling extends QueryModule {
     "q209_decision_stump" -> ((s, d) => decisionStump(Tables(s, d).documents)),
   )
 
+  /** DuckDB mirror of [[stumpSearch]]: CTE chain over `cells$i`
+    * (t, cnt, sy BIGINT, syy HUGEINT) → `win$i` = the 1-row winner.
+    * `//` on positive HUGEINTs floors exactly like Spark's `div`.
+    */
+  private def stumpSql(i: Int, scale: Long): String = {
+    val s = scale.toString
+    s"""cum$i AS (SELECT t, cnt, sy, syy,
+       |    coalesce(sum(cnt) OVER w, 0)::BIGINT AS nl,
+       |    coalesce(sum(sy) OVER w, 0)::BIGINT AS syl,
+       |    coalesce(sum(syy) OVER w, 0::HUGEINT)::HUGEINT AS syyl
+       |  FROM cells$i WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |tot$i AS (SELECT sum(cnt)::BIGINT AS n, sum(sy)::BIGINT AS syt, sum(syy)::HUGEINT AS syyt FROM cells$i),
+       |cand$i AS (SELECT t, nl, syl, syyl, n, n - nl AS nr, syt - syl AS syr,
+       |                  (syyt - syyl)::HUGEINT AS syyr
+       |           FROM cum$i, tot$i WHERE nl > 0),
+       |sse$i AS (SELECT t, nl, nr, n,
+       |    (syl::HUGEINT * $s) // nl AS pl,
+       |    (syr::HUGEINT * $s) // nr AS pr,
+       |    (syyl * $s * $s - ((syl::HUGEINT * $s) // nl) * syl * ${2 * scale}
+       |       + ((syl::HUGEINT * $s) // nl) * ((syl::HUGEINT * $s) // nl) * nl
+       |     + syyr * $s * $s - ((syr::HUGEINT * $s) // nr) * syr * ${2 * scale}
+       |       + ((syr::HUGEINT * $s) // nr) * ((syr::HUGEINT * $s) // nr) * nr)::HUGEINT AS sse
+       |  FROM cand$i),
+       |win$i AS (SELECT * FROM sse$i ORDER BY sse, t LIMIT 1)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q211_boosted_stumps" ->
+      s"""WITH base AS (SELECT len(string_split(lower(text), ' '))::BIGINT AS x1,
+        |                     len(list_distinct(string_split(lower(text), ' ')))::BIGINT AS x2,
+        |                     n_chars::BIGINT AS y
+        |              FROM documents),
+        |cells1 AS (SELECT x1 AS t, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS sy,
+        |                  sum(y::HUGEINT * y)::HUGEINT AS syy FROM base GROUP BY 1),
+        |${stumpSql(1, 1000000L)},
+        |resid AS (SELECT x2,
+        |                 (y * 1000000 - (CASE WHEN x1 < w.t THEN w.pl ELSE w.pr END)
+        |                  + 1000000000000)::HUGEINT AS y2
+        |          FROM base, win1 w),
+        |cells2 AS (SELECT x2 AS t, count(*)::BIGINT AS cnt, sum(y2)::BIGINT AS sy,
+        |                  sum(y2 * y2)::HUGEINT AS syy FROM resid GROUP BY 1),
+        |${stumpSql(2, 1L)}
+        |SELECT 1::BIGINT AS iter, 'n_tokens' AS feature, t AS threshold,
+        |       nl AS n_left, nr AS n_right,
+        |       round(pl::DOUBLE / 1000000.0, 6) AS pred_left,
+        |       round(pr::DOUBLE / 1000000.0, 6) AS pred_right,
+        |       round(sqrt(sse::DOUBLE / n::DOUBLE) / 1000000.0, 6) AS rmse
+        |FROM win1
+        |UNION ALL
+        |SELECT 2::BIGINT, 'n_distinct_tokens', t, nl, nr,
+        |       round((pl - 1000000000000)::DOUBLE / 1000000.0, 6),
+        |       round((pr - 1000000000000)::DOUBLE / 1000000.0, 6),
+        |       round(sqrt(sse::DOUBLE / n::DOUBLE) / 1000000.0, 6)
+        |FROM win2
+        |ORDER BY iter""".stripMargin,
     "q159_quality_ols" ->
       """WITH f AS (SELECT len(string_split(lower(text), ' '))::BIGINT AS x1,
         |                  len(list_distinct(string_split(lower(text), ' ')))::BIGINT AS x2,

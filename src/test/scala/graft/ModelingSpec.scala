@@ -274,6 +274,67 @@ class ModelingSpec extends SparkSpec {
     assert(r(0).getAs[Double]("train_accuracy") == 1.0)
   }
 
+  test("boostedStumps matches an exact BigInt driver reference on a mixed corpus") {
+    // 12 docs with correlated-but-distinct x1 (tokens) and x2 (distinct
+    // tokens) so round 2 has real residual structure to fit.
+    val texts = Seq(
+      "a", "a b", "a a", "a b c", "a a b", "a b c d", "a a b b",
+      "a b c d e", "a a a b b", "a b c d e f", "a b a b a b", "q w e r t y u")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")) * (lit(1) + col("doc_id") % 3))
+    val rows = d.select(
+        size(split(lower(col("text")), " ")).cast("long"),
+        size(array_distinct(split(lower(col("text")), " "))).cast("long"),
+        col("n_chars").cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // independent reference: same quantized-mean SSE search, BigInt-exact
+    def search(cells: Seq[(Long, Long, Long, BigInt)], scale: Long) = {
+      val n = cells.map(_._2).sum; val syt = cells.map(_._3).sum
+      val syyt = cells.map(_._4).sum
+      var best: (BigInt, Long, Long, Long, Long, Long) = null
+      var (nl, syl, syyl) = (0L, 0L, BigInt(0))
+      for ((t, cnt, sy, syy) <- cells.sortBy(_._1)) {
+        if (nl > 0) {
+          val (nr, syr, syyr) = (n - nl, syt - syl, syyt - syyl)
+          val pl = syl * scale / nl; val pr = syr * scale / nr
+          val sse = syyl * scale * scale - BigInt(pl) * syl * (2 * scale) +
+            BigInt(pl) * pl * nl + syyr * scale * scale -
+            BigInt(pr) * syr * (2 * scale) + BigInt(pr) * pr * nr
+          if (best == null || sse < best._1) best = (sse, t, nl, nr, pl, pr)
+        }
+        nl += cnt; syl += sy; syyl += syy
+      }
+      best
+    }
+    def cellsOf(kv: Seq[(Long, Long)]) = kv.groupBy(_._1).toSeq.map { case (t, rs) =>
+      (t, rs.size.toLong, rs.map(_._2).sum, rs.map(r => BigInt(r._2) * r._2).sum) }
+    val w1 = search(cellsOf(rows.map(r => (r._1, r._3))), 1000000L)
+    val OFF = 1000000000000L
+    val resid = rows.map { r =>
+      val p = if (r._1 < w1._2) w1._5 else w1._6
+      (r._2, r._3 * 1000000L - p + OFF)
+    }
+    val w2 = search(cellsOf(resid), 1L)
+
+    val got = operators.Modeling.boostedStumps(d).collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("threshold") == w1._2 &&
+      got(0).getAs[Long]("n_left") == w1._3 && got(0).getAs[Long]("n_right") == w1._4)
+    assert(math.abs(got(0).getAs[Double]("pred_left") - w1._5 / 1e6) < 1e-6)
+    assert(got(1).getAs[Long]("threshold") == w2._2 &&
+      got(1).getAs[Long]("n_left") == w2._3 && got(1).getAs[Long]("n_right") == w2._4)
+    assert(math.abs(got(1).getAs[Double]("pred_left") - (w2._5 - OFF) / 1e6) < 1e-6)
+    assert(math.abs(got(1).getAs[Double]("pred_right") - (w2._6 - OFF) / 1e6) < 1e-6)
+    // boosting must not increase training error: rmse is non-increasing
+    assert(got(1).getAs[Double]("rmse") <= got(0).getAs[Double]("rmse"))
+    // round-1 rmse equals the winner's own SSE (no third pass needed)
+    val rmse1 = math.sqrt(BigDecimal(w1._1).toDouble / rows.size) / 1e6
+    assert(math.abs(got(0).getAs[Double]("rmse") - rmse1) < 1e-5)
+  }
+
   test("qualityLogistic: reliable-checkpoint path agrees with localCheckpoint default") {
     val d = lrDocs(30)
     val dir = java.nio.file.Files.createTempDirectory("lr_ck").toString

@@ -91,4 +91,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(fwd == wedge)
     assert(fwd._4 > 0L, "expected triangles in the co-purchase graph")
   }
+
+  test("hitsAuthorities: two exact integer rounds on a hand-built bipartite graph") {
+    // edges after dedup (s2→c1 appears via orders 1 AND 2):
+    //   s1→c1, s2→c1, s1→c2, s3→c3
+    // a1: c1=2 c2=1 c3=1;  h1: s1=a1(c1)+a1(c2)=3, s2=2, s3=1
+    // a2: c1=h1(s1)+h1(s2)=5, c2=3, c3=1
+    val liH = Seq((1L, 101L), (1L, 102L), (2L, 102L), (3L, 101L), (4L, 103L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ords = Seq((1L, 11L), (2L, 11L), (3L, 12L), (4L, 13L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = GraphOps.hitsAuthorities(liH, ords).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((11L, 2L, 5L), (12L, 1L, 3L), (13L, 1L, 1L)))
+  }
 }
