@@ -180,7 +180,92 @@ object Validation extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** Table-version diff over pre-hashed snapshots: inputs are (k, h)
+    * frames — one row hash per key — and the output classifies every
+    * key as added / removed / changed with a per-class rollup.
+    *
+    * Scale shape: the projection to (key, 16 B md5) happens BEFORE the
+    * full-outer join, so the wide rows never shuffle — the join carries
+    * key + digest only. At 100 TB both snapshots live bucketed on the
+    * key (graft.sources.Bucketing) and the diff plans exchange-free;
+    * the rollup is three rows. This is the delta-detection primitive an
+    * incremental pipeline runs between corpus versions before deciding
+    * what to re-process.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select(col("k"), col("h").as("h1"))
+      .join(v2.select(col("k"), col("h").as("h2")), Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed").as("change_type"))
+      .filter(col("change_type").isNotNull)
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"), min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("change_type")
+
+  /** q213 wrapper: two deterministic synthetic "versions" of orders —
+    * v1 lacks the %101 keys (later additions), v2 lacks the %97 keys
+    * (deletions) and bumps the %89 keys' price (modifications). The row
+    * hash covers every column, money as exact cents (round() leaves an
+    * integral double, which BOTH engines then cast exactly — a raw
+    * double→int cast would truncate on Spark and round on DuckDB).
+    */
+  def orderSnapshotDiff(orders: DataFrame): DataFrame = {
+    def hashed(price: org.apache.spark.sql.Column) = (df: DataFrame) => df.select(
+      col("o_orderkey").as("k"),
+      md5(concat_ws("|",
+        col("o_custkey"), col("o_orderstatus"),
+        round(price * 100).cast("long"),
+        col("o_orderdate").cast("date").cast("string"),
+        col("o_orderpriority"))).as("h"))
+    val v1 = hashed(col("o_totalprice"))(orders.filter(col("o_orderkey") % 101 =!= 0))
+    val v2 = hashed(when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 10.0)
+        .otherwise(col("o_totalprice")))(orders.filter(col("o_orderkey") % 97 =!= 0))
+    snapshotDiff(v1, v2)
+  }
+
+  /** q214: Benford first-digit audit of o_totalprice — the classic
+    * fabricated-data screen. The first digit comes from exact integer
+    * cents (leading digit is invariant under the ×100 shift), observed
+    * counts join a 1..9 spine so absent digits still contribute their
+    * full expected mass, and the chi-square statistic sums MICRO-
+    * QUANTIZED per-digit contributions (floor(c·10⁶) as int64) — an
+    * order-independent integer sum, so the statistic is identical on
+    * any partitioning and any engine. The nine Benford probabilities
+    * are embedded as decimal literals (both engines parse them to the
+    * same doubles) — no libm log10 in the data path at all.
+    *
+    * Scale shape: one scan → 9-cell hash aggregate; everything after
+    * is constant-size.
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val benford = "array(0.3010299956639812D, 0.17609125905568124D, 0.12493873660829993D," +
+      " 0.09691001300805642D, 0.07918124604762482D, 0.06694678963061322D," +
+      " 0.05799194697768673D, 0.05115252244738129D, 0.04575749056067514D)"
+    val obs = orders
+      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = orders.sparkSession.range(1, 10).toDF("digit")
+    val tot = obs.agg(sum("n_obs").as("n"))
+    spine.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", expr(s"element_at($benford, cast(digit as int))"))
+      .withColumn("contrib_q", expr(
+        "cast(floor((n_obs - n * p) * (n_obs - n * p) / (n * p) * 1000000) as bigint)"))
+      .select(col("digit"), col("n_obs"),
+        round(expr("n * p"), 2).as("expected"),
+        round(expr("cast(contrib_q as double) / 1000000.0"), 6).as("contrib"),
+        round(expr("cast(sum(contrib_q) over () as double) / 1000000.0"), 6).as("chi2"))
+      .orderBy("digit")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_snapshot_diff" -> ((s, d) => orderSnapshotDiff(Tables(s, d).orders)),
+    "q214_benford_audit" -> ((s, d) => benfordAudit(Tables(s, d).orders)),
     "q145_reconciliation" -> ((s, d) => { val t = Tables(s, d); orderReconciliation(t.orders, t.lineitem) }),
     "q46_error_diagnostics" -> ((s, d) => errorDiagnostics(Tables(s, d).events)),
     "q49_bpe_tokens"        -> ((s, d) => bpeTokenStats(Tables(s, d).documents)),
@@ -203,6 +288,46 @@ object Validation extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q213_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k,
+        |  md5(concat_ws('|', o_custkey, o_orderstatus, round(o_totalprice * 100)::BIGINT,
+        |                cast(o_orderdate AS DATE), o_orderpriority)) AS h
+        |  FROM orders WHERE o_orderkey % 101 <> 0),
+        |v2 AS (SELECT o_orderkey AS k,
+        |  md5(concat_ws('|', o_custkey, o_orderstatus,
+        |                round((CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10.0
+        |                            ELSE o_totalprice END) * 100)::BIGINT,
+        |                cast(o_orderdate AS DATE), o_orderpriority)) AS h
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |d AS (SELECT coalesce(v1.k, v2.k) AS k,
+        |        CASE WHEN v1.k IS NULL THEN 'added'
+        |             WHEN v2.k IS NULL THEN 'removed'
+        |             WHEN v1.h <> v2.h THEN 'changed' END AS change_type
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT change_type, count(*)::BIGINT AS n_rows,
+        |       min(k) AS min_key, max(k) AS max_key
+        |FROM d WHERE change_type IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q214_benford_audit" ->
+      """WITH p AS (SELECT unnest(range(1, 10))::BIGINT AS digit,
+        |                  unnest([0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+        |                          0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+        |                          0.05799194697768673, 0.05115252244738129, 0.04575749056067514])::DOUBLE AS p),
+        |o AS (SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)::BIGINT AS digit,
+        |             count(*)::BIGINT AS n_obs
+        |      FROM orders
+        |      WHERE substr((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)::BIGINT >= 1
+        |      GROUP BY 1),
+        |tot AS (SELECT sum(n_obs)::BIGINT AS n FROM o),
+        |c AS (SELECT p.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs, p.p, tot.n,
+        |             CAST(floor((coalesce(o.n_obs, 0) - tot.n * p.p)
+        |                        * (coalesce(o.n_obs, 0) - tot.n * p.p)
+        |                        / (tot.n * p.p) * 1000000) AS BIGINT) AS contrib_q
+        |      FROM p LEFT JOIN o ON p.digit = o.digit, tot)
+        |SELECT digit, n_obs, round(n * p, 2) AS expected,
+        |       round(contrib_q::DOUBLE / 1000000.0, 6) AS contrib,
+        |       round(sum(contrib_q) OVER ()::DOUBLE / 1000000.0, 6) AS chi2
+        |FROM c ORDER BY digit""".stripMargin,
     "q145_reconciliation" ->
       """WITH charges AS (
            SELECT l_orderkey,

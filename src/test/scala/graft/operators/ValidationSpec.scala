@@ -48,4 +48,38 @@ class ValidationSpec extends SparkSpec {
     assert(got("name") == (("name", 3L, 1L, 1L, false)))
     assert(got("grp") == (("grp", 3L, 0L, 2L, false)))
   }
+
+  test("snapshotDiff classifies added / removed / changed and drops unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "h")
+    val v2 = Seq((2L, "b"), (3L, "X"), (4L, "d")).toDF("k", "h")
+    val got = Validation.snapshotDiff(v1, v2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("added", 1L, 4L, 4L), ("changed", 1L, 3L, 3L),
+      ("removed", 1L, 1L, 1L)))
+  }
+
+  test("benfordAudit: hand-counted digits, spine fills absent digits, chi2 = Σ quantized contribs") {
+    // cents: 100, 200, 150, 3000, 999 → digits 1,2,1,3,9; n=5
+    val o = Seq((1L, 1.00), (2L, 2.00), (3L, 1.50), (4L, 30.00), (5L, 9.99))
+      .toDF("o_orderkey", "o_totalprice")
+    val got = Validation.benfordAudit(o).collect()
+    assert(got.length == 9)
+    val byDigit = got.map(r => r.getAs[Long]("digit") ->
+      (r.getAs[Long]("n_obs"), r.getAs[Double]("contrib"), r.getAs[Double]("chi2"))).toMap
+    assert(byDigit(1)._1 == 2L && byDigit(2)._1 == 1L && byDigit(3)._1 == 1L &&
+      byDigit(9)._1 == 1L && byDigit(4)._1 == 0L)
+    // independent double-path reference with the same embedded constants
+    val p = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val nObs = Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 9 -> 1L).withDefaultValue(0L)
+    val contribQ = (1 to 9).map { d =>
+      val e = 5 * p(d - 1); math.floor((nObs(d) - e) * (nObs(d) - e) / e * 1e6).toLong
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 9).foreach { d =>
+      assert(byDigit(d)._2 == r6(contribQ(d - 1) / 1e6), s"digit $d")
+    }
+    assert(got.forall(_.getAs[Double]("chi2") == r6(contribQ.sum / 1e6)))
+  }
 }
