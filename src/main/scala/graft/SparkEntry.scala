@@ -33,6 +33,7 @@ object SparkEntry {
     Modeling,
     Clustering,
     RobustStats,
+    Layout,
     DecisionSupport,
     NaiveBayes,
     graft.streaming.StreamParity,

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization: Z-ORDER (Morton-curve) clustering of a
+  * fact table on two dimensions, plus the per-file min/max report that
+  * quantifies how prunable the resulting layout is.
+  *
+  * Why this is a first-class operator at 100 TB: columnar scans skip
+  * files by min/max statistics, and a table sorted on ONE key has
+  * useless statistics for every OTHER key. Interleaving the bits of two
+  * range-bucketed keys gives files that are simultaneously narrow in
+  * BOTH dimensions (each 1024-value z-range is an aligned 32×32 grid
+  * block, so each file spans ~1/8 of each dimension instead of 1/1) —
+  * the layout Delta/Iceberg `OPTIMIZE ZORDER BY` produces. The report
+  * below IS the file-skipping model: per-file spans ≈ the fraction of
+  * files a point/range predicate on either dimension must read.
+  *
+  * Everything is exact integer arithmetic: 8-bit range buckets via
+  * integer div on the actual min/max (broadcast 1-row frame), bit
+  * interleave as shift/mask/add — engine-identical, partition-
+  * invariant, and fully inside whole-stage codegen (builtin bit
+  * functions, no UDF).
+  *
+  * Reference provenance: the reference pipeline reorganizes datasets
+  * on disk for downstream access (reorganize_upload's directory
+  * restructure); this is that concern re-expressed for columnar
+  * analytics — layout chosen for the READ pattern, not the write.
+  */
+object Layout extends QueryModule {
+
+  /** Morton interleave of two `bits`-bit non-negative ints: x occupies
+    * even bit positions, y odd. Built from builtin shift/mask so the
+    * whole expression stays codegen'd.
+    */
+  private[operators] def mortonExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(shiftright($x, $i) & 1) * ${1L << (2 * i)} + (shiftright($y, $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+
+  /** q215: z-order lineitem on (l_partkey, l_suppkey) into `files`
+    * equal z-range files and report each file's row count and min/max
+    * span in BOTH dimensions (span = fraction of the key range a
+    * predicate pushdown would have to read from that file).
+    */
+  def zorderLayoutReport(li: DataFrame, files: Int = 64): DataFrame = {
+    val mm = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    val zcells = 65536L // 2 × 8-bit dims
+    val bucketed = li.select("l_partkey", "l_suppkey")
+      .crossJoin(broadcast(mm))
+      .withColumn("bx", expr("cast(((l_partkey - pmin) * 256) div (pmax - pmin + 1) as int)"))
+      .withColumn("by", expr("cast(((l_suppkey - smin) * 256) div (smax - smin + 1) as int)"))
+      .withColumn("z", expr(mortonExpr("bx", "by", 8)))
+      .withColumn("file_id", expr(s"z div ${zcells / files}"))
+    bucketed.groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .crossJoin(broadcast(mm))
+      .select(col("file_id"), col("n_rows"),
+        col("min_part"), col("max_part"), col("min_supp"), col("max_supp"),
+        round(expr("(max_part - min_part + 1) / cast(pmax - pmin + 1 as double)"), 4)
+          .as("part_span"),
+        round(expr("(max_supp - min_supp + 1) / cast(smax - smin + 1 as double)"), 4)
+          .as("supp_span"))
+      .orderBy("file_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_zorder_layout" -> ((s, d) => zorderLayoutReport(Tables(s, d).lineitem)),
+  )
+
+  /** DuckDB mirror: same bucket arithmetic (`//` floors like Spark's
+    * `div` on the non-negative operands) and the same shift/mask
+    * interleave spelled with native bit operators.
+    */
+  override def oracles: Map[String, String] = {
+    val morton = (0 until 8).map(i =>
+      s"((bx >> $i) & 1) * ${1L << (2 * i)} + ((by >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    Map(
+      "q215_zorder_layout" ->
+        s"""WITH mm AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+          |                   min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+          |b AS (SELECT l_partkey, l_suppkey,
+          |             (((l_partkey - pmin) * 256) // (pmax - pmin + 1))::INTEGER AS bx,
+          |             (((l_suppkey - smin) * 256) // (smax - smin + 1))::INTEGER AS by
+          |      FROM lineitem, mm),
+          |z AS (SELECT l_partkey, l_suppkey, ($morton) AS z FROM b),
+          |f AS (SELECT l_partkey, l_suppkey, z // 1024 AS file_id FROM z),
+          |g AS (SELECT file_id, count(*)::BIGINT AS n_rows,
+          |             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+          |             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+          |      FROM f GROUP BY 1)
+          |SELECT file_id::BIGINT AS file_id, n_rows, min_part, max_part, min_supp, max_supp,
+          |       round((max_part - min_part + 1) / CAST(pmax - pmin + 1 AS DOUBLE), 4) AS part_span,
+          |       round((max_supp - min_supp + 1) / CAST(smax - smin + 1 AS DOUBLE), 4) AS supp_span
+          |FROM g, mm ORDER BY file_id""".stripMargin,
+    )
+  }
+}
