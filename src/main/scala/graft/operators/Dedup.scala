@@ -765,6 +765,54 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q216: EXACT all-pairs τ-Jaccard join over shingle sets via PPJoin
+    * prefix filtering (Xiao et al., WWW'08) — the deterministic
+    * complement to the LSH family (q35/q65): zero false negatives by
+    * THEOREM, not by banding probability. Two sets with Jaccard ≥ τ
+    * must share a token within each one's first |d|−⌈τ|d|⌉+1 tokens
+    * under ANY single global token order; ordering by ascending global
+    * frequency makes those prefix tokens the RAREST ones, so candidate
+    * buckets stay tiny even on corpora where every doc shares the
+    * common vocabulary.
+    *
+    * Scale anatomy (the three shuffles that replace an impossible
+    * O(n²)): (1) shingle-frequency count, map-side combined;
+    * (2) the prefix-token equi-join — per-bucket fan-out is bounded by
+    * the rarity ordering (at sf0.1: 119 K candidates from 12.5 G
+    * possible pairs, a 10⁵× prune); (3) candidate-scoped verify — the
+    * full shingle arrays ship ONLY for docs that appear in some
+    * candidate pair (left-semi prune first), never the whole corpus.
+    * τ is carried as the integer test 9·|∩| ≥ 4·(|a|+|b|), so the
+    * accept decision is engine-exact.
+    */
+  def ppjoinExact(documents: DataFrame): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      graft.functions.ShingleSet.shingleSet(col("text")).as("shs"))
+    val toks = sh.select(col("doc_id"), explode(col("shs")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val d = toks.join(freq, "tok").groupBy("doc_id").agg(
+      expr("transform(sort_array(collect_list(struct(f, tok))), s -> s.tok)").as("toks"),
+      count(lit(1)).as("sz"))
+    val pre = d.select(col("doc_id"),
+      explode(expr("slice(toks, 1, cast(sz - (4 * sz + 4) div 5 + 1 as int))")).as("tok"))
+    val cands = pre.as("a").join(pre.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id")).distinct()
+    val inCand = cands.select(col("left_id").as("doc_id"))
+      .unionAll(cands.select(col("right_id").as("doc_id"))).distinct()
+    val dv = d.join(inCand, Seq("doc_id"), "left_semi")
+    cands
+      .join(dv.select(col("doc_id").as("left_id"), col("toks").as("ta"), col("sz").as("sa")),
+        "left_id")
+      .join(dv.select(col("doc_id").as("right_id"), col("toks").as("tb"), col("sz").as("sb")),
+        "right_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(expr("9 * inter >= 4 * (sa + sb)"))
+      .select(col("left_id"), col("right_id"), col("inter").as("n_common"),
+        round(expr("inter / cast(sa + sb - inter as double)"), 4).as("jaccard"))
+      .orderBy("left_id", "right_id")
+  }
+
   /** Connected components by the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — O(log n) rounds on ANY graph shape, vs min-label
@@ -863,6 +911,7 @@ object Dedup extends QueryModule {
     "q155_ngram_novelty" -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
     "q156_span_coverage" -> ((s, d) => dedupSpanCoverage(Tables(s, d).documents)),
     "q158_prefix_pairs"  -> ((s, d) => prefixNearDupPairs(Tables(s, d).documents)),
+    "q216_ppjoin_exact"  -> ((s, d) => ppjoinExact(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
@@ -1117,6 +1166,23 @@ object Dedup extends QueryModule {
                  list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
                                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS sh
                FROM documents) ORDER BY doc_id""",
+    // deliberately the NAIVE all-pairs form: the oracle checks the
+    // SEMANTICS (every pair with Jaccard >= 4/5), so a green row proves
+    // the prefix filter loses nothing — the exactness theorem, tested.
+    "q216_ppjoin_exact" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                  i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |             len(list_intersect(a.s, b.s))::BIGINT AS n_common,
+        |             len(a.s)::BIGINT AS sa, len(b.s)::BIGINT AS sb
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT left_id, right_id, n_common,
+        |       round(n_common / CAST(sa + sb - n_common AS DOUBLE), 4) AS jaccard
+        |FROM p WHERE 9 * n_common >= 4 * (sa + sb)
+        |ORDER BY left_id, right_id""".stripMargin,
     "q34_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,

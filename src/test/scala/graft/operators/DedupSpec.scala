@@ -381,4 +381,32 @@ class DedupSpec extends SparkSpec {
     assert(got("s2") == (("s2", 1L, 1L, 1.0))) // its only doc exists elsewhere too
     assert(got("s3") == (("s3", 1L, 0L, 0.0)))
   }
+
+  test("ppjoinExact: identical docs pair at jaccard 1; sub-threshold overlap excluded") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // shingles: abc bcd cde def (4)
+      (2L, "a b c d e f"),       // identical → J = 1 with doc 1
+      (3L, "a b c d e zz"),      // shares abc bcd cde → J = 3/5 < 0.8
+      (4L, "completely different words here"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.ppjoinExact(docs).as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 1.0)))
+  }
+
+  test("ppjoinExact equals the naive all-pairs join on real docs (exactness theorem)") {
+    val docs = graft.Tables(spark, sf("")).documents
+      .filter($"doc_id" < 120).select($"doc_id", $"text")
+    val sh = docs.select($"doc_id",
+      graft.functions.ShingleSet.shingleSet($"text").as("s"))
+    val naive = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("l"), $"b.doc_id".as("r"),
+        size(array_intersect($"a.s", $"b.s")).cast("long").as("i"),
+        size($"a.s").cast("long").as("sa"), size($"b.s").cast("long").as("sb"))
+      .filter(expr("9 * i >= 4 * (sa + sb)"))
+      .select($"l", $"r").as[(Long, Long)].collect().toSet
+    val pp = Dedup.ppjoinExact(docs)
+      .select($"left_id", $"right_id").as[(Long, Long)].collect().toSet
+    assert(pp == naive)
+    assert(naive.nonEmpty, "fixture should contain at least one qualifying pair")
+  }
 }
