@@ -152,6 +152,40 @@ object IngestStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .join(index, Seq("fingerprint"), "left_anti")
 
+  /** Cross-batch per-source admission cap on Spark 4's
+    * `transformWithState` (the arbitrary-state v2 API, RocksDB-backed):
+    * state is ONE int64 per source — documents admitted so far — and a
+    * source's docs are admitted in doc_id order until the cap fills,
+    * ACROSS micro-batches. No stateless operator expresses this: q89's
+    * batch domain cap resets per run, and dropDuplicates variants track
+    * membership, not a counter. This is the crawl-frontier posture —
+    * "at most N docs per domain for the whole run" as a durable
+    * property of the stream.
+    *
+    * Determinism: within a key group the rows are sorted by doc_id
+    * before admission, so a replayed micro-batch admits the same set.
+    * Scale shape: state is #sources × 8 B — bounded by the keyspace,
+    * never the stream; the only shuffle is the groupByKey hash
+    * partition on source.
+    *
+    * Works unchanged in BATCH mode (Spark runs the processor over a
+    * single all-data batch), which is what the q217 oracle certifies:
+    * batch-mode admission ≡ the per-source doc_id row_number ≤ cap.
+    */
+  def cappedBySource(docs: org.apache.spark.sql.Dataset[(String, Long)],
+                     cap: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // batch mode runs the stateful operator outside any StreamExecution,
+    // so the coordinator endpoint must be ensured explicitly
+    org.apache.spark.sql.GraftGlue.ensureStateStoreCoordinator(spark)
+    docs.groupByKey(_._1)
+      .transformWithState(new SourceCapProcessor(cap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("source", "doc_id", "n_admitted")
+  }
+
   /** Route a deduped request micro-batch through the workflow rule table
     * and append status events — the foreachBatch body (batch-mode
     * DataFrame in, side-effect-free DataFrames out; sinks are adapters).
@@ -176,6 +210,33 @@ object IngestStream {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) => onBatch(routeBatch(batch, rules)) }
       .start()
+}
+
+/** The [[IngestStream.cappedBySource]] processor: one ValueState[Long]
+  * per source key. Kept top-level (not anonymous) so the class is
+  * serialization-stable across query restarts.
+  */
+class SourceCapProcessor(cap: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), (String, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  @transient private var admitted: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    admitted = getHandle.getValueState[Long]("admitted",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                               timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+    var c = if (admitted.exists()) admitted.get() else 0L
+    // pin within-batch admission order, and materialize the output
+    // BEFORE the state update so the counter write is batch-atomic
+    val out = rows.toVector.sortBy(_._2).flatMap { case (src, id) =>
+      if (c < cap) { c += 1; Some((src, id, c)) } else None
+    }
+    admitted.update(c)
+    out.iterator
+  }
 }
 
 /** Batch-parity oracle surface for the streaming layer: the SAME
@@ -211,9 +272,27 @@ object StreamParity extends graft.QueryModule {
         .select(col("session_start"), col("session_end"), col("user_id"),
                 col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy("session_start", "user_id")),
+    // transformWithState in BATCH mode: the processor runs over one
+    // all-data batch, so admission ≡ per-source doc_id rank ≤ cap —
+    // which is exactly what the oracle checks. The streaming spec
+    // (IngestStreamSpec) proves the cross-batch counter the oracle
+    // can't see.
+    "q217_source_cap_stream" -> ((s, d) => {
+      import s.implicits._
+      IngestStream.cappedBySource(
+        graft.Tables(s, d).documents.select(col("source"), col("doc_id"))
+          .as[(String, Long)], cap = 15L)
+        .orderBy("source", "doc_id")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q217_source_cap_stream" ->
+      """WITH r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |           FROM documents)
+        |SELECT source, doc_id, rn::BIGINT AS n_admitted
+        |FROM r WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin,
     // gap sessionization replay: a session breaks only when the
     // inter-event gap EXCEEDS the 30-minute window — Spark's
     // session_window merges an event landing exactly at last+gap

@@ -213,4 +213,46 @@ class IngestStreamSpec extends SparkSpec {
     val streamed = spark.table("paj_stream").as[(Long, String)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("cappedBySource: admission counter persists ACROSS micro-batches (transformWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    // transformWithState requires the RocksDB-backed store
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val q = IngestStream.cappedBySource(input.toDS(), cap = 2)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out ++= b.as[(String, Long, Long)].collect(); ()
+        }.start()
+      // batch 1: source a admits ids 1,2 (doc_id order, NOT arrival
+      // order), rejects 3; source b admits 10
+      input.addData(("a", 3L), ("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      // batch 2: a is already full FROM BATCH 1 → 4 rejected;
+      // b's counter resumes at 1 → admits 11, rejects 12 and 13
+      input.addData(("a", 4L), ("b", 11L), ("b", 12L), ("b", 13L))
+      q.processAllAvailable()
+      q.stop()
+      assert(out.toSet == Set(
+        ("a", 1L, 1L), ("a", 2L, 2L), ("b", 10L, 1L), ("b", 11L, 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  test("cappedBySource batch mode equals the per-source rank-<=-cap semantics") {
+    val docs = Seq(("a", 5L), ("a", 3L), ("a", 9L), ("b", 1L), ("b", 2L))
+      .toDS().map(identity) // Dataset[(String, Long)]
+    val got = IngestStream.cappedBySource(docs, cap = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 1L), ("a", 5L, 2L), ("b", 1L, 1L), ("b", 2L, 2L)))
+  }
 }
