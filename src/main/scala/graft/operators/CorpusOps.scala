@@ -471,7 +471,57 @@ object CorpusOps extends QueryModule {
       .orderBy("event_type", "band", "dow")
   }
 
+  /** q218: WATER-FILLING token-budget allocation — the fair-share
+    * answer to "we can afford B training tokens; how many from each
+    * source?": find the unique cap C with Σ_s min(tokens_s, C) ≤ B
+    * (maximal), so small sources keep everything and the budget not
+    * consumed by them is split evenly among the big ones. This is the
+    * allocation DoReMi-style mixing starts from before reweighting.
+    *
+    * Exact integer derivation: sources sorted ascending by (scaled)
+    * token mass; for each boundary k, the candidate cap is
+    * (B − prefix_{k−1}) div (S−k+1), valid iff it lands in
+    * [t_{k−1}, t_k) — a window + filter on the SOURCE-sized frame, all
+    * floor divisions on non-negative operands (negative candidates are
+    * filtered by the validity test before engine div semantics could
+    * diverge). The corpus collapses to one (source, Σtokens) row per
+    * source in a single map-side-combined pass; everything downstream
+    * is bounded by #sources.
+    *
+    * The synthetic sources are near-uniform, so the water level is made
+    * real by scaling each source's mass by (1 + its numeric suffix) —
+    * in-plan corpus synthesis, the q76 precedent.
+    */
+  def tokenBudgetAllocation(documents: DataFrame, num: Long = 3, den: Long = 5): DataFrame = {
+    val cells = documents
+      .select(col("source"), size(split(lower(col("text")), " ")).cast("long").as("tok"))
+      .groupBy("source").agg(sum("tok").as("raw"))
+      .withColumn("t",
+        expr("raw * (1 + cast(regexp_extract(source, '([0-9]+)$', 1) as bigint))"))
+      .select("source", "t")
+    val w = Window.orderBy(col("t"), col("source"))
+    val ordered = cells
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pexc",
+        coalesce(sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tprev", lag(col("t"), 1).over(w))
+    val tot = cells.agg(count(lit(1)).as("s_cnt"), sum("t").as("t_total"))
+      .withColumn("budget", expr(s"(t_total * $num) div $den"))
+    val cap = ordered.crossJoin(broadcast(tot))
+      .withColumn("c", expr("(budget - pexc) div (s_cnt - k + 1)"))
+      .filter(col("c") < col("t") && (col("tprev").isNull || col("tprev") <= col("c")))
+      .orderBy("k").limit(1)
+      .select(col("c").as("cap"))
+    cells.crossJoin(broadcast(cap))
+      .select(col("source"), col("t").as("tokens_available"),
+        least(col("t"), col("cap")).as("tokens_allocated"),
+        (col("t") <= col("cap")).as("fully_funded"),
+        col("cap"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_token_budget" -> ((s, d) => tokenBudgetAllocation(Tables(s, d).documents)),
     "q164_l_diversity" -> ((s, d) => lDiversityAudit(Tables(s, d).events)),
     "q151_concentration" -> ((s, d) => sourceConcentration(Tables(s, d).documents)),
     "q152_bootstrap_ci"  -> ((s, d) => bootstrapMeanCI(Tables(s, d).documents)),
@@ -490,6 +540,29 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q218_token_budget" ->
+      """WITH cells AS (
+        |  SELECT source,
+        |         sum(len(string_split(lower(text), ' ')))::BIGINT
+        |           * (1 + regexp_extract(source, '([0-9]+)$', 1)::BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |ordered AS (
+        |  SELECT source, t, row_number() OVER w AS k,
+        |         coalesce(sum(t) OVER (ORDER BY t, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pexc,
+        |         lag(t) OVER w AS tprev
+        |  FROM cells WINDOW w AS (ORDER BY t, source)),
+        |tot AS (SELECT count(*)::BIGINT AS s_cnt, (sum(t) * 3) // 5 AS budget FROM cells),
+        |capk AS (
+        |  SELECT (budget - pexc) // (s_cnt - k + 1) AS cap
+        |  FROM ordered, tot
+        |  WHERE (budget - pexc) // (s_cnt - k + 1) < t
+        |    AND (tprev IS NULL OR tprev <= (budget - pexc) // (s_cnt - k + 1))
+        |  ORDER BY k LIMIT 1)
+        |SELECT source, t AS tokens_available,
+        |       least(t, cap)::BIGINT AS tokens_allocated,
+        |       t <= cap AS fully_funded, cap::BIGINT AS cap
+        |FROM cells, capk ORDER BY source""".stripMargin,
     "q151_concentration" ->
       """WITH c AS (SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source),
         |r AS (SELECT c, row_number() OVER (ORDER BY c, source) AS i FROM c),

@@ -214,4 +214,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.count(_.getString(0) == "b") == 3)
     assert(r.map(_.getLong(3)).toSet == Set(1L, 2L, 3L)) // rn runs 1..k
   }
+
+  test("tokenBudgetAllocation: hand-solved water level; budget exactly consumed") {
+    // 10-token docs; suffix scaling → t = 20, 30, 40, 100 (T=190, B=114)
+    // k=1: c=114/4=28, not <20 → invalid. k=2: c=94/3=31, not <30 → invalid.
+    // k=3: pexc=50, c=64/2=32 <40, tprev 30≤32 → cap=32.
+    // alloc = 20+30+32+32 = 114 = B exactly.
+    def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))
+    val docs = Seq(doc(1, "s1", 10), doc(2, "s2", 10), doc(3, "s3", 10), doc(4, "s9", 10))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.tokenBudgetAllocation(docs)
+      .as[(String, Long, Long, Boolean, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 20L, 20L, true, 32L), ("s2", 30L, 30L, true, 32L),
+      ("s3", 40L, 32L, false, 32L), ("s9", 100L, 32L, false, 32L)))
+    // maximality: cap+1 would overshoot the budget
+    val t = Seq(20L, 30L, 40L, 100L)
+    assert(t.map(math.min(_, 32L)).sum <= 114L && t.map(math.min(_, 33L)).sum > 114L)
+  }
 }
