@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 /** Entity-graph ancestry (SURVEY.md §1.1 entity graph, §2.4 J8): the
   * reference walks Donor→Sample→Dataset parent links with per-node HTTP
   * lookups (survey.py:226-303); here the graph is an `edges` DataFrame
-  * and ancestry is an iterative self-join to fixpoint (BFS). Catalyst
-  * has no recursion, so the driver loops; each iteration is one
-  * distributed hash join + except, and the loop terminates on the first
-  * empty frontier (cycle-safe because visited pairs are excluded).
+  * and ancestry is an iterative self-join to fixpoint (BFS); each
+  * iteration is one distributed hash join + except, and the loop
+  * terminates on the first empty frontier (cycle-safe because visited
+  * pairs are excluded). Spark 4 also has NATIVE recursion
+  * (`WITH RECURSIVE` → UnionLoop) — [[hierarchyRollup]] (q219) is the
+  * declarative counterpart; the driver-side BFS remains for shapes that
+  * need per-level control (frontier dedup against visited, level caps).
   */
 object EntityGraph extends QueryModule {
 
@@ -71,11 +74,57 @@ object EntityGraph extends QueryModule {
     transitiveClosure(starEdges(customer, nation))
       .orderBy("child", "ancestor")
 
+  /** q219: hierarchy rollup via Spark 4's NATIVE recursive CTE
+    * (`WITH RECURSIVE` → UnionLoop) — the declarative counterpart of
+    * [[transitiveClosure]]'s driver-side BFS loop, now that Catalyst
+    * DOES have recursion. The hierarchy is the deterministic quaternary
+    * tree parent = key div 4 over part keys (≈log₄ n levels); each
+    * part's ancestor chain is enumerated by the recursion and the
+    * rollup reports, per ancestor, its subtree size and total retail
+    * cents — the BOM-explosion shape.
+    *
+    * Scale shape: UnionLoop materializes one FRONTIER level per step
+    * (exactly what the hand-rolled BFS does), each level a narrow
+    * (node, anc) pair frame, then one hash aggregate on the ancestor
+    * key. Depth is log₄(keyspace), so the loop count is 8 at 10⁵ parts
+    * and 19 at 10¹¹ — recursion depth scales with the TREE, not the
+    * data volume.
+    */
+  def hierarchyRollup(part: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    val view = "eg_part_hier"
+    part.select(col("p_partkey"), col("p_retailprice")).createOrReplaceTempView(view)
+    try spark.sql(
+      s"""WITH RECURSIVE anc AS (
+         |  SELECT p_partkey AS node, p_partkey AS anc FROM $view
+         |  UNION ALL
+         |  SELECT node, anc div 4 AS anc FROM anc WHERE anc > 0
+         |)
+         |SELECT a.anc AS ancestor, count(*) AS n_members,
+         |       sum(cast(round(p.p_retailprice * 100) as bigint)) AS subtree_cents
+         |FROM anc a JOIN $view p ON p.p_partkey = a.node
+         |GROUP BY a.anc
+         |ORDER BY n_members DESC, ancestor LIMIT 15""".stripMargin)
+    finally spark.catalog.dropTempView(view) // plan is analyzed eagerly; safe
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_hierarchy_rollup" -> ((s, d) => hierarchyRollup(Tables(s, d).part)),
     "q31_ancestry" -> ((s, d) => { val t = Tables(s, d); ancestry(t.customer, t.nation) }),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q219_hierarchy_rollup" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS node, p_partkey AS anc FROM part
+        |  UNION ALL
+        |  SELECT node, anc // 4 AS anc FROM anc WHERE anc > 0
+        |)
+        |SELECT a.anc AS ancestor, count(*)::BIGINT AS n_members,
+        |       sum(round(p.p_retailprice * 100)::BIGINT)::BIGINT AS subtree_cents
+        |FROM anc a JOIN part p ON p.p_partkey = a.node
+        |GROUP BY a.anc
+        |ORDER BY n_members DESC, ancestor LIMIT 15""".stripMargin,
     "q31_ancestry" ->
       """WITH RECURSIVE edges AS (
            SELECT 'C' || c_custkey AS child, 'N' || c_nationkey AS parent FROM customer
