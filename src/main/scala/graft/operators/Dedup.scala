@@ -813,6 +813,51 @@ object Dedup extends QueryModule {
       .orderBy("left_id", "right_id")
   }
 
+  /** q220: CONTENT-DEFINED chunking (the rsync/LBFS boundary trick) +
+    * per-source chunk-dedup stats — the edit-robust complement to
+    * [[chunkDedup]]'s fixed windows: a chunk boundary falls wherever
+    * the rolling 3-word window's hash lands in 2 of 16 hex cells
+    * (expected chunk ≈ 8 words), so INSERTING a word reshuffles only
+    * the chunks around the edit while fixed-stride chunking shifts
+    * every downstream window and loses all alignment. The boundary
+    * test is a raw hex-digit membership (last md5 nibble ∈ {0,8}) —
+    * no numeric conversion, engine-identical by string compare.
+    *
+    * Scale shape: one scan → per-DOC windows (lag + running boundary
+    * sum, partitioned by doc_id — bounded by document length, never a
+    * global sort), one shuffle to assemble chunks, map-side-combined
+    * stats. The corpus-wide state is the (source, counters) frame.
+    */
+  def cdcChunkStats(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents.select(col("doc_id"), col("source"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val wnd = Window.partitionBy("doc_id").orderBy("pos")
+    val withBnd = words
+      .withColumn("w1", lag("word", 1).over(wnd))
+      .withColumn("w2", lag("word", 2).over(wnd))
+      .withColumn("bnd", when(col("pos") === 0, 1L)
+        .when(col("w2").isNotNull &&
+          substring(md5(concat_ws(" ", col("w2"), col("w1"), col("word"))), 32, 1)
+            .isin("0", "8"), 1L)
+        .otherwise(0L))
+      .withColumn("chunk", sum("bnd").over(wnd))
+    val chunks = withBnd.groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(md5(expr(
+          "array_join(transform(sort_array(collect_list(struct(pos, word))), s -> s.word), ' ')"))
+        .as("h"),
+        count(lit(1)).as("n_words"))
+    chunks.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum("n_words").as("nw"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        (col("n_chunks") - col("n_distinct")).as("n_dup_chunks"),
+        round(expr("cast(n_chunks - n_distinct as double) / n_chunks"), 4).as("dup_ratio"),
+        round(expr("cast(nw as double) / n_chunks"), 2).as("avg_chunk_words"))
+      .orderBy("source")
+  }
+
   /** Connected components by the alternating large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — O(log n) rounds on ANY graph shape, vs min-label
@@ -912,6 +957,7 @@ object Dedup extends QueryModule {
     "q156_span_coverage" -> ((s, d) => dedupSpanCoverage(Tables(s, d).documents)),
     "q158_prefix_pairs"  -> ((s, d) => prefixNearDupPairs(Tables(s, d).documents)),
     "q216_ppjoin_exact"  -> ((s, d) => ppjoinExact(Tables(s, d).documents)),
+    "q220_cdc_chunks"    -> ((s, d) => cdcChunkStats(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
@@ -1166,6 +1212,27 @@ object Dedup extends QueryModule {
                  list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
                                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS sh
                FROM documents) ORDER BY doc_id""",
+    "q220_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, source, i - 1 AS pos, ws[i] AS word,
+        |        CASE WHEN i = 1 THEN 1
+        |             WHEN i >= 3 AND substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 32, 1)
+        |                             IN ('0', '8') THEN 1
+        |             ELSE 0 END AS bnd
+        |      FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)),
+        |c AS (SELECT doc_id, source, pos, word,
+        |        sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk
+        |      FROM t),
+        |ch AS (SELECT doc_id, source, chunk,
+        |         md5(string_agg(word, ' ' ORDER BY pos)) AS h, count(*)::BIGINT AS n_words
+        |       FROM c GROUP BY 1, 2, 3),
+        |agg AS (SELECT source, count(*)::BIGINT AS n_chunks,
+        |          count(DISTINCT h)::BIGINT AS n_distinct, sum(n_words)::BIGINT AS nw
+        |        FROM ch GROUP BY 1)
+        |SELECT source, n_chunks, n_distinct, n_chunks - n_distinct AS n_dup_chunks,
+        |       round((n_chunks - n_distinct)::DOUBLE / n_chunks, 4) AS dup_ratio,
+        |       round(nw::DOUBLE / n_chunks, 2) AS avg_chunk_words
+        |FROM agg ORDER BY source""".stripMargin,
     // deliberately the NAIVE all-pairs form: the oracle checks the
     // SEMANTICS (every pair with Jaccard >= 4/5), so a green row proves
     // the prefix filter loses nothing — the exactness theorem, tested.

@@ -382,6 +382,46 @@ class DedupSpec extends SparkSpec {
     assert(got("s3") == (("s3", 1L, 0L, 0.0)))
   }
 
+  test("cdcChunkStats: chunks partition the words; an insertion only disturbs local chunks") {
+    // deterministic pseudo-random words so boundaries are data-driven
+    def wordAt(i: Int) = s"w${(i * 2654435761L) % 97}"
+    val original = (0 until 400).map(wordAt).mkString(" ")
+    val edited = ((0 until 200).map(wordAt) ++ Seq("INSERTED") ++
+      (200 until 400).map(wordAt)).mkString(" ")
+    val docs = Seq((1L, "a", original)).toDF("doc_id", "source", "text")
+    val stats = Dedup.cdcChunkStats(docs).collect()
+    assert(stats.length == 1)
+    // chunks partition the 400 words exactly
+    val r = stats(0)
+    assert(r.getAs[Long]("n_chunks") * r.getAs[Double]("avg_chunk_words") == 400.0 ||
+      math.abs(r.getAs[Long]("n_chunks") * r.getAs[Double]("avg_chunk_words") - 400.0) < 0.5)
+
+    // edit-robustness: re-chunk the edited doc and compare chunk HASHES
+    def chunkHashes(text: String): Seq[String] = {
+      val words = text.split(" ")
+      val bnds = words.indices.map { i =>
+        i == 0 || (i >= 2 && {
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${words(i - 2)} ${words(i - 1)} ${words(i)}".getBytes("UTF-8"))
+          val nib = h(15) & 0x0f; nib == 0 || nib == 8
+        })
+      }
+      val ids = bnds.scanLeft(0)((acc, b) => acc + (if (b) 1 else 0)).drop(1)
+      words.zip(ids).groupBy(_._2).values.map(_.map(_._1).mkString(" ")).toSeq
+    }
+    val a = chunkHashes(original); val b = chunkHashes(edited)
+    // MULTISET intersection (the periodic fixture repeats chunk contents)
+    val ca = a.groupBy(identity).view.mapValues(_.size)
+    val cb = b.groupBy(identity).view.mapValues(_.size).toMap
+    val common = ca.map { case (k, n) => math.min(n, cb.getOrElse(k, 0)) }.sum
+    assert(common >= a.size - 3,
+      s"insertion disturbed ${a.size - common} of ${a.size} chunks (expected <= 3)")
+    // and the driver-side reference agrees with the Spark chunk count
+    assert(a.size.toLong == r.getAs[Long]("n_distinct") ||
+      a.size.toLong >= r.getAs[Long]("n_distinct")) // dup chunks collapse in n_distinct
+    assert(r.getAs[Long]("n_chunks") == a.size.toLong)
+  }
+
   test("ppjoinExact: identical docs pair at jaccard 1; sub-threshold overlap excluded") {
     val docs = Seq(
       (1L, "a b c d e f"),       // shingles: abc bcd cde def (4)
