@@ -327,7 +327,48 @@ object DecisionSupport extends QueryModule {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(topN)
 
+  /** q221: 2-D Pareto SKYLINE — parts minimizing (price, size) jointly:
+    * p survives iff no q has q ≤ p on both dimensions and q < p on one.
+    * The classic preference query Catalyst has no native operator for,
+    * composed from builtins in the shape that scales:
+    *
+    *  1. PER-PRICE COLLAPSE (hash aggregate): only a price level's
+    *     min-size rows can survive, so the corpus reduces to one row
+    *     per distinct price before any sort — the 100 TB prune, since
+    *     price levels ≪ rows (and a coarser bucket-min broadcast prune
+    *     composes in front of it the same way for continuous keys).
+    *  2. The running strict-prefix min over the COLLAPSED frame: a
+    *     price level survives iff its min size is strictly below every
+    *     cheaper level's (RANGE frame ending at -1 excludes price
+    *     ties). This is the only sorted step and it runs on distinct
+    *     prices, not parts.
+    *  3. Rejoin to emit every tied part on surviving (price, size)
+    *     cells — equal points don't dominate each other (dominance
+    *     requires strict inequality somewhere), so all co-located
+    *     optima are kept.
+    *
+    * Money compares as exact integer cents (the q213 round-then-cast
+    * contract); the oracle is the naive NOT EXISTS dominance test, so a
+    * green row proves the collapse+window plan loses nothing.
+    */
+  def skylineParts(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = part.select(col("p_partkey"),
+      floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("cents"),
+      col("p_size").cast("long").as("size"))
+    val perPrice = pts.groupBy("cents").agg(min("size").as("min_size"))
+    val wStrict = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    val surviving = perPrice
+      .withColumn("cheaper_min", min("min_size").over(wStrict))
+      .filter(col("cheaper_min").isNull || col("min_size") < col("cheaper_min"))
+      .select(col("cents"), col("min_size").as("size"))
+    pts.join(surviving, Seq("cents", "size"))
+      .select(col("p_partkey"), col("cents"), col("size"))
+      .orderBy("cents", "size", "p_partkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_skyline" -> ((s, d) => skylineParts(Tables(s, d).part)),
     "q181_market_share" -> ((s, d) => { val t = Tables(s, d)
       marketShare(t.lineitem, t.part, t.supplier, t.orders, t.customer, t.nation, t.region) }),
     "q182_small_qty_revenue" -> ((s, d) => smallQtyRevenue(s, d)),
@@ -353,6 +394,18 @@ object DecisionSupport extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // naive quadratic dominance test on purpose: certifies the
+    // collapse+window plan loses no skyline point
+    "q221_skyline" ->
+      """WITH pts AS (SELECT p_partkey, floor(p_retailprice * 100 + 0.5)::BIGINT AS cents,
+        |                    p_size::BIGINT AS size FROM part)
+        |SELECT p.p_partkey, p.cents, p.size
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.cents <= p.cents AND q.size <= p.size
+        |    AND (q.cents < p.cents OR q.size < p.size))
+        |ORDER BY p.cents, p.size, p.p_partkey""".stripMargin,
     "q181_market_share" ->
       """SELECT year(o_orderdate) AS o_year, r_name,
         |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue,

@@ -150,4 +150,28 @@ class DecisionSupportSpec extends SparkSpec {
     val revs = r.map(_.getDouble(2)).toSet
     assert(revs.size == 1, "all returned suppliers must share the max revenue")
   }
+
+  test("skylineParts: hand-built frontier with ties and duplicate points") {
+    // (price, size): (1.00,5) on frontier; (1.00,7) same-price dominated;
+    // (2.00,3) frontier; (2.00,3) duplicate BOTH kept; (3.00,3) dominated
+    // by (2.00,3); (4.00,1) frontier; (5.00,2) dominated by (4.00,1).
+    val part = Seq(
+      (1L, 1.00, 5), (2L, 1.00, 7), (3L, 2.00, 3), (4L, 2.00, 3),
+      (5L, 3.00, 3), (6L, 4.00, 1), (7L, 5.00, 2))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val got = DecisionSupport.skylineParts(part).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 100L, 5L), (3L, 200L, 3L), (4L, 200L, 3L), (6L, 400L, 1L)))
+  }
+
+  test("skylineParts equals the naive dominance filter on real parts") {
+    val part = graft.Tables(spark, sf("")).part
+    val got = DecisionSupport.skylineParts(part).as[(Long, Long, Long)].collect().toSet
+    val pts = part.select($"p_partkey",
+        org.apache.spark.sql.functions.floor($"p_retailprice" * 100 + 0.5).cast("long"),
+        $"p_size".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val naive = pts.filter { p => !pts.exists(q =>
+      q._2 <= p._2 && q._3 <= p._3 && (q._2 < p._2 || q._3 < p._3)) }.toSet
+    assert(got == naive && naive.nonEmpty)
+  }
 }
