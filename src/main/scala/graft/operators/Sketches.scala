@@ -216,6 +216,7 @@ object Sketches extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_hll_distinct" -> ((s, d) => hllDistinct(Tables(s, d).documents)),
+    "q222_theta_overlap" -> ((s, d) => thetaOverlap(Tables(s, d).documents)),
     "q107_cms_freq"     -> ((s, d) => cmsFrequencies(Tables(s, d).documents)),
     "q113_bloom_calibration" -> ((s, d) => bloomCalibration(Tables(s, d).documents)),
     "q127_quantile_sketch" -> ((s, d) => quantileSketchCalibration(Tables(s, d).documents)),
@@ -224,10 +225,104 @@ object Sketches extends QueryModule {
   /** 15-hex-char md5 prefix → 60-bit integer, as a DuckDB fold — the
     * oracle mirror of [[hash60]].
     */
+  /** q222: KMV (theta-sketch) SET OPERATIONS — pairwise source-overlap
+    * estimated from k-minimum-value document sketches. This is the
+    * operation the HLL family can't express: HLL registers union by
+    * pointwise max but never intersect; a KMV sample IS a uniform
+    * sample of the hashed universe below θ, so A∩B and A∪B estimates
+    * fall out of plain array intersection on the two samples cut to
+    * the pair's common θ = min(θ_A, θ_B). The ratio estimator
+    * |A'∩B'|/|A'∪B'| needs no scaling at all — Jaccard is
+    * scale-invariant.
+    *
+    * Calibration report (the q94/q106/q113 doctrine): the estimate
+    * rides next to the exact pairwise Jaccard, so the accuracy claim is
+    * itself oracle-checked. Everything before the final two divisions
+    * is exact integer arithmetic on 60-bit md5 hashes.
+    *
+    * Scale shape: the corpus collapses to ≤ k 8-byte hashes per source
+    * (row_number ≤ k compiles to WindowGroupLimit — each map task keeps
+    * k rows per source before the shuffle); the pairwise frame is
+    * #sources², never corpus-sized; sketches persist and MERGE (union
+    * two samples, keep the k smallest), so cross-day overlap at 100 TB
+    * reads yesterday's 512 B sketch, not yesterday's corpus. The exact
+    * column is the affordable-at-oracle-scale reference only.
+    */
+  def thetaOverlap(documents: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val U = 1152921504606846976L // 16^15: hash60's universe size
+    val fps = documents.select(col("source"), hash60("theta", col("text")).as("h")).distinct()
+    val exact = fps.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy("source").orderBy("h")
+    val sk = fps.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy("source").agg(
+        sort_array(collect_list("h")).as("sample"),
+        count(lit(1)).as("cnt"), max("h").as("kth"))
+      .withColumn("theta", when(col("cnt") < k, lit(U)).otherwise(col("kth")))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.sample").as("sa"), col("b.sample").as("sb"),
+        least(col("a.theta"), col("b.theta")).as("th"))
+      .withColumn("fa", expr("filter(sa, x -> x < th)"))
+      .withColumn("fb", expr("filter(sb, x -> x < th)"))
+      .withColumn("ni", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+      .withColumn("nu", size(array_union(col("fa"), col("fb"))).cast("long"))
+    val inter = fps.as("x").join(fps.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(exact.select(col("source").as("source_a"), col("n_exact").as("na")), "source_a")
+      .join(exact.select(col("source").as("source_b"), col("n_exact").as("nb")), "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("est_jaccard",
+        round(expr("case when nu = 0 then 0.0 else cast(ni as double) / nu end"), 4))
+      .withColumn("exact_jaccard",
+        round(expr("cast(n_inter as double) / (na + nb - n_inter)"), 4))
+      .select(col("source_a"), col("source_b"), col("ni").as("sample_common"),
+        col("est_jaccard"), col("exact_jaccard"),
+        round(expr("abs(est_jaccard - exact_jaccard)"), 4).as("abs_err"))
+      .orderBy("source_a", "source_b")
+  }
+
   private def hx(saltedArg: String): String =
     s"list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5($saltedArg), i, 1)) - 1), (a, b) -> a * 16 + b)::UBIGINT"
 
   override def oracles: Map[String, String] = Map(
+    "q222_theta_overlap" ->
+      s"""WITH fps AS (SELECT DISTINCT source, ${hx("'theta|' || text")}::BIGINT AS h FROM documents),
+        |ex AS (SELECT source, count(*)::BIGINT AS n_exact FROM fps GROUP BY 1),
+        |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM fps),
+        |sk AS (SELECT source, array_agg(h ORDER BY h) AS sample, count(*)::BIGINT AS cnt,
+        |              max(h) AS kth
+        |       FROM rk WHERE rk <= 64 GROUP BY 1),
+        |sk2 AS (SELECT source, sample,
+        |               CASE WHEN cnt < 64 THEN 1152921504606846976 ELSE kth END AS theta
+        |        FROM sk),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             list_filter(a.sample, x -> x < least(a.theta, b.theta)) AS fa,
+        |             list_filter(b.sample, x -> x < least(a.theta, b.theta)) AS fb
+        |      FROM sk2 a JOIN sk2 b ON a.source < b.source),
+        |c AS (SELECT source_a, source_b,
+        |             len(list_intersect(fa, fb))::BIGINT AS ni,
+        |             len(list_distinct(list_concat(fa, fb)))::BIGINT AS nu
+        |      FROM p),
+        |iex AS (SELECT x.source AS source_a, y.source AS source_b, count(*)::BIGINT AS n_inter
+        |        FROM fps x JOIN fps y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2),
+        |j AS (SELECT c.source_a, c.source_b, ni, nu,
+        |             coalesce(iex.n_inter, 0)::BIGINT AS n_inter, ea.n_exact AS na, eb.n_exact AS nb
+        |      FROM c
+        |      JOIN ex ea ON ea.source = c.source_a
+        |      JOIN ex eb ON eb.source = c.source_b
+        |      LEFT JOIN iex ON iex.source_a = c.source_a AND iex.source_b = c.source_b),
+        |r AS (SELECT source_a, source_b, ni AS sample_common,
+        |             round(CASE WHEN nu = 0 THEN 0.0 ELSE ni::DOUBLE / nu END, 4) AS est_jaccard,
+        |             round(n_inter::DOUBLE / (na + nb - n_inter), 4) AS exact_jaccard
+        |      FROM j)
+        |SELECT source_a, source_b, sample_common, est_jaccard, exact_jaccard,
+        |       round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+        |FROM r ORDER BY source_a, source_b""".stripMargin,
     // integer bins + cumulative counts; both estimates are closed-form
     // doubles over the integer moments
     "q127_quantile_sketch" ->

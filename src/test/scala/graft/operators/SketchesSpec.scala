@@ -119,4 +119,21 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Double, Long, Double, Double, Double)].collect().toSet
     assert(whole == viaUnion)
   }
+
+  test("thetaOverlap: identical sources estimate 1, disjoint estimate 0, partial in between") {
+    val docs = ((0 until 200).flatMap(i =>
+        Seq((i.toLong, "A", s"text $i"), (1000L + i, "B", s"text $i"))) ++   // A ≡ B
+      (0 until 200).map(i => (2000L + i, "C", s"other $i")) ++                // C disjoint
+      (0 until 200).map(i =>                                                  // D: half of A
+        (3000L + i, "D", if (i < 100) s"text $i" else s"dtext $i")))
+      .toDF("doc_id", "source", "text")
+    val r = Sketches.thetaOverlap(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Double]("est_jaccard"), x.getAs[Double]("exact_jaccard"))).toMap
+    assert(r(("A", "B")) == ((1.0, 1.0)))   // same hash sets → identical sketches
+    assert(r(("A", "C")) == ((0.0, 0.0)))
+    val (estAD, exactAD) = r(("A", "D")) // |∩|=100, |∪|=300 → 1/3
+    assert(exactAD == 0.3333)
+    assert(math.abs(estAD - exactAD) < 0.25, s"KMV estimate too far off: $estAD")
+  }
 }
