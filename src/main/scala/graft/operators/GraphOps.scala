@@ -189,13 +189,83 @@ object GraphOps extends QueryModule {
       .orderBy(col("authority").desc, col("custkey")).limit(topN)
   }
 
+  /** q223: k-CORE of the co-purchase graph by iterative peeling —
+    * `rounds` fixed rounds of "drop every node with degree < k and the
+    * edges that referenced it". The k-core is the standard dense-
+    * substructure extraction (community seeds, spam rings, hub
+    * backbone) the triangle/PageRank pair doesn't give.
+    *
+    * FIXED iteration count keeps the oracle expressible (the q143
+    * unrolling doctrine) without weakening the result: the output
+    * carries a `converged` flag — min surviving degree ≥ k — and when
+    * it is true the result IS the exact k-core regardless of rounds
+    * (peeling is monotone; a fixpoint reached early never changes).
+    * The spec asserts convergence on the real graph.
+    *
+    * Scale shape per round: one map-side-combined degree count + two
+    * semi-joins of the edge list against the surviving-node set — hash
+    * joins on int keys, nothing wider than (int, int) ever shuffles,
+    * no driver collect. Edge frames are lineage-cut per round
+    * ([[graft.plans.Checkpoints]]) so round r doesn't replan rounds
+    * 1..r−1.
+    */
+  def kCorePeel(li: DataFrame, k: Int = 3, rounds: Int = 4,
+                checkpointDir: Option[String] = None): DataFrame = {
+    var edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    for (_ <- 1 to rounds) {
+      val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      edges = graft.plans.Checkpoints.cut(
+        edges.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+             .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"),
+        checkpointDir)
+    }
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+        coalesce(min("d"), lit(0L)).as("min_degree"),
+        coalesce(max("d"), lit(0L)).as("max_degree"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_nodes"), col("n_edges"), col("min_degree"), col("max_degree"),
+        (col("n_nodes") === 0 || col("min_degree") >= k).as("converged"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
     "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
     "q212_hits"      -> ((s, d) => { val t = Tables(s, d); hitsAuthorities(t.lineitem, t.orders) }),
+    "q223_kcore"     -> ((s, d) => kCorePeel(Tables(s, d).lineitem, k = 3, rounds = 4)),
   )
 
+  /** q223 oracle: the 4 peel rounds unrolled (the q143 doctrine). Every
+    * e$r is referenced 3× downstream (two degree arms + the next
+    * restriction), so each CTE is pinned MATERIALIZED — without it
+    * DuckDB may inline the chain and re-evaluate the co-purchase
+    * self-join ~3^rounds times.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map(r =>
+      s"""d$r AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e${r - 1}
+         |        UNION ALL SELECT v AS n FROM e${r - 1}) GROUP BY n),
+         |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+         |        WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r))""".stripMargin)
+      .mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |$peels,
+       |fd AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e$rounds
+       |       UNION ALL SELECT v AS n FROM e$rounds) GROUP BY n)
+       |SELECT (SELECT count(*) FROM fd)::BIGINT AS n_nodes,
+       |       (SELECT count(*) FROM e$rounds)::BIGINT AS n_edges,
+       |       coalesce((SELECT min(d) FROM fd), 0)::BIGINT AS min_degree,
+       |       coalesce((SELECT max(d) FROM fd), 0)::BIGINT AS max_degree,
+       |       ((SELECT count(*) FROM fd) = 0 OR coalesce((SELECT min(d) FROM fd), 0) >= $k) AS converged""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q223_kcore" -> kCoreSql(3, 4),
     "q142_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),

@@ -92,6 +92,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(fwd._4 > 0L, "expected triangles in the co-purchase graph")
   }
 
+  test("kCorePeel: chain strips round by round, the clique survives; flag reports fixpoint") {
+    // K4 on {5,6,7,8} + path 1-2-3-4 hanging free. 2-core: the path has
+    // no cycle, so it peels end-in one node per round; K4 (degree 3) stays.
+    val liK = Seq(
+      (13L, 5L), (13L, 6L), (13L, 7L), (13L, 8L),       // K4
+      (21L, 1L), (21L, 2L), (22L, 2L), (22L, 3L), (23L, 3L), (23L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val done = GraphOps.kCorePeel(liK, k = 2, rounds = 4)
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(done == ((4L, 6L, 3L, 3L, true)))
+    // one round is NOT enough: ends 1 and 4 peel, 2-3 survives at degree 1
+    val partial = GraphOps.kCorePeel(liK, k = 2, rounds = 1)
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(!partial._5 && partial._1 == 6L)
+    // k above the max degree empties the graph and still reports converged
+    val empty = GraphOps.kCorePeel(liK, k = 10, rounds = 2)
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(empty == ((0L, 0L, 0L, 0L, true)))
+  }
+
   test("hitsAuthorities: two exact integer rounds on a hand-built bipartite graph") {
     // edges after dedup (s2→c1 appears via orders 1 AND 2):
     //   s1→c1, s2→c1, s1→c2, s3→c3
