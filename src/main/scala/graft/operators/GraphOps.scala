@@ -231,11 +231,47 @@ object GraphOps extends QueryModule {
         (col("n_nodes") === 0 || col("min_degree") >= k).as("converged"))
   }
 
+  /** q224: hop-bounded CHEAPEST paths (Bellman-Ford, `hops` relaxation
+    * rounds) from the smallest part key over the weighted co-purchase
+    * graph — edge cost 10⁶ div co_count, so frequently co-bought pairs
+    * are cheap and the result ranks parts by "affinity distance" from
+    * the source: the path-finding rung (PageRank ranks globally,
+    * k-core extracts structure; this answers point-to-everything
+    * reachability under a cost).
+    *
+    * A relaxation round is one edge⋈dist join + one min-aggregate —
+    * integer costs, so min() is engine-exact and order-free. Hop-
+    * bounded by design (the oracle unrolls the rounds; at 100 TB you
+    * bound hops anyway — the frontier saturates the graph's effective
+    * diameter in a few rounds).
+    */
+  def cheapestPaths(li: DataFrame, hops: Int = 3, topN: Int = 20,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val co = items.as("a").join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", expr("1000000 div cnt"))
+    val sym = graft.plans.Checkpoints.cut(
+      co.select(col("u").as("s"), col("v").as("t"), col("w"))
+        .unionAll(co.select(col("v").as("s"), col("u").as("t"), col("w"))), checkpointDir)
+    var dist = items.agg(min("p").as("node")).withColumn("dist", lit(0L))
+      .select("node", "dist")
+    for (_ <- 1 to hops) {
+      val relaxed = sym.join(dist, col("s") === col("node"))
+        .select(col("t").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = graft.plans.Checkpoints.cut(
+        dist.select("node", "dist").unionAll(relaxed)
+          .groupBy("node").agg(min("dist").as("dist")), checkpointDir)
+    }
+    dist.orderBy(col("dist"), col("node")).limit(topN)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
     "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
     "q212_hits"      -> ((s, d) => { val t = Tables(s, d); hitsAuthorities(t.lineitem, t.orders) }),
     "q223_kcore"     -> ((s, d) => kCorePeel(Tables(s, d).lineitem, k = 3, rounds = 4)),
+    "q224_cheapest_paths" -> ((s, d) => cheapestPaths(Tables(s, d).lineitem)),
   )
 
   /** q223 oracle: the 4 peel rounds unrolled (the q143 doctrine). Every
@@ -264,7 +300,28 @@ object GraphOps extends QueryModule {
        |       ((SELECT count(*) FROM fd) = 0 OR coalesce((SELECT min(d) FROM fd), 0) >= $k) AS converged""".stripMargin
   }
 
+  /** q224 oracle: `hops` relaxation rounds unrolled, MATERIALIZED for
+    * the same reason as [[kCoreSql]].
+    */
+  private def cheapestSql(hops: Int, topN: Int): String = {
+    val rounds = (1 to hops).map(r =>
+      s"""r$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM r${r - 1}
+         |  UNION ALL
+         |  SELECT e.t AS node, p.dist + e.w AS dist FROM e JOIN r${r - 1} p ON e.s = p.node
+         |) GROUP BY node)""".stripMargin).mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |co AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS cnt
+       |      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT u AS s, v AS t, 1000000 // cnt AS w FROM co
+       |     UNION ALL SELECT v AS s, u AS t, 1000000 // cnt AS w FROM co),
+       |r0 AS (SELECT (SELECT min(p) FROM items) AS node, 0::BIGINT AS dist),
+       |$rounds
+       |SELECT node, dist FROM r$hops ORDER BY dist, node LIMIT $topN""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q224_cheapest_paths" -> cheapestSql(3, 20),
     "q223_kcore" -> kCoreSql(3, 4),
     "q142_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

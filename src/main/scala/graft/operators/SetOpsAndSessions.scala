@@ -817,7 +817,44 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("band")
   }
 
+  /** q225: SEQUENCE-PATTERN matching over per-user event histories —
+    * the MATCH_RECOGNIZE capability Spark lacks, composed from
+    * builtins: each user's history collapses to a compact symbol
+    * string (one initial per event — the five event types have
+    * distinct initials — ordered by (ts, event_id)), and behavioral
+    * patterns become plain regexes evaluated by the codegen'd
+    * `regexp_count`. Reported per pattern: users with ≥1 match and
+    * total non-overlapping matches.
+    *
+    * Patterns: view→clicks→purchase runs (`vc*p`), error bursts
+    * (`e{2,}`), signup bounce straight to an error (`se`).
+    *
+    * Scale shape: ONE shuffle to assemble per-user strings (map-side
+    * struct collect; a user's history is bounded, the corpus isn't),
+    * then a 3-row broadcast of patterns and a map-side-combined
+    * aggregate. The symbol string is the whole point: 90 events become
+    * 90 bytes, so a billion users' histories are regex-scanned as a
+    * few GB of strings, not re-joined event rows.
+    */
+  def sequenceMatch(events: DataFrame,
+                    patterns: Seq[String] = Seq("vc*p", "e{2,}", "se")): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val seqs = events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), substring(col("event_type"), 1, 1).as("i")).as("s"))
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(s)), x -> x.i), '')").as("seq"))
+    seqs.crossJoin(broadcast(patterns.toDF("pattern")))
+      .select(col("pattern"), expr("regexp_count(seq, pattern)").cast("long").as("n"))
+      .groupBy("pattern")
+      .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_users"),
+        sum("n").as("n_matches"))
+      .orderBy("pattern")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_sequence_match"     -> ((s, d) => sequenceMatch(Tables(s, d).events)),
     "q173_psi_drift"          -> ((s, d) => psiDrift(Tables(s, d).events)),
     "q171_kaplan_meier"       -> ((s, d) => kaplanMeier(Tables(s, d).events)),
     "q167_markov_stationary"  -> ((s, d) => markovStationary(Tables(s, d).events)),
@@ -875,6 +912,19 @@ object SetOpsAndSessions extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // regexp_extract_all length == Spark's regexp_count for these
+    // patterns (leftmost non-overlapping, greedy — identical in Java
+    // regex and DuckDB's RE2 for alternation-free patterns)
+    "q225_sequence_match" ->
+      """WITH s AS (SELECT user_id,
+        |             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |           FROM events GROUP BY user_id),
+        |p AS (SELECT unnest(['vc*p', 'e{2,}', 'se']) AS pattern),
+        |m AS (SELECT pattern, len(regexp_extract_all(seq, pattern))::BIGINT AS n FROM s, p)
+        |SELECT pattern,
+        |       sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_users,
+        |       sum(n)::BIGINT AS n_matches
+        |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin,
     // same one-pass conditional band counts; identical smoothed
     // per-band expression (integers in, one rounded double out per row)
     "q173_psi_drift" ->

@@ -112,6 +112,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(empty == ((0L, 0L, 0L, 0L, true)))
   }
 
+  test("cheapestPaths: hand graph — frequent co-purchase is the cheap road") {
+    // co-counts: (1,2)x2 → w=500000; (2,3)x1 → w=1000000; (1,4)x1 → w=1000000
+    val liP = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 1L), (4L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.cheapestPaths(liP).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 500000L), (4L, 1000000L), (3L, 1500000L)))
+  }
+
   test("hitsAuthorities: two exact integer rounds on a hand-built bipartite graph") {
     // edges after dedup (s2→c1 appears via orders 1 AND 2):
     //   s1→c1, s2→c1, s1→c2, s3→c3

@@ -352,4 +352,20 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     val clean = r.find(_.getInt(0) == 2).get
     assert(clean.getLong(2) == 5L && !clean.getBoolean(6))
   }
+
+  test("sequenceMatch: hand-built histories with counted non-overlapping matches") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: s v c p   → vc*p: 1.  u2: s e e → se: 1, e{2,}: 1 ('ee').
+    // u3: v p v c p → vc*p: 2 ('vp' with zero clicks, then 'vcp').
+    val rows = Seq(
+      (1L, 1L, "signup", 0), (2L, 1L, "view", 1), (3L, 1L, "click", 2), (4L, 1L, "purchase", 3),
+      (5L, 2L, "signup", 0), (6L, 2L, "error", 1), (7L, 2L, "error", 2),
+      (8L, 3L, "view", 0), (9L, 3L, "purchase", 1), (10L, 3L, "view", 2),
+      (11L, 3L, "click", 3), (12L, 3L, "purchase", 4))
+      .map { case (e, u, t, m) => (e, u, t, ts(m)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = SetOpsAndSessions.sequenceMatch(rows)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("e{2,}", 1L, 1L), ("se", 1L, 1L), ("vc*p", 2L, 3L)))
+  }
 }
