@@ -706,7 +706,60 @@ object TextAnalysis extends QueryModule {
       .orderBy("token")
   }
 
+  /** q226: RAKE keyphrase extraction (Rose et al. 2010) — corpus-level
+    * keyphrases without a model: candidate phrases are the maximal
+    * stopword-free word runs, each word scores deg/freq (deg = Σ length
+    * of phrases containing it — long-phrase words score up), and a
+    * phrase scores the sum of its word scores.
+    *
+    * Exactness: the word score is MICRO-QUANTIZED ((deg·10⁶) div freq,
+    * positive integer division) BEFORE the phrase sum, so phrase scores
+    * are order-independent integer sums and the top-N cut sorts on the
+    * exact integer (phrase asc tie-break) — the q209 nano-nat doctrine
+    * applied to a ranking.
+    *
+    * Scale shape: segmentation is the CDC trick (running stopword
+    * count per doc — windows partition by doc_id, bounded by document
+    * length); word scores are one map-side-combined aggregate over
+    * phrase words; the phrase table joins the word-score map on the
+    * word key. No global sort until the final top-N, which is
+    * TakeOrderedAndProject.
+    */
+  def rakeKeyphrases(documents: DataFrame, topN: Int = 15,
+                     stopWords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopList = stopWords.map(s => s"'$s'").mkString("(", ", ", ")")
+    val words = documents
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .withColumn("is_stop", expr(s"w in $stopList") || col("w") === "")
+    val wnd = Window.partitionBy("doc_id").orderBy("pos")
+    val seg = words
+      .withColumn("seg", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wnd))
+      .filter(!col("is_stop"))
+    val wl = seg.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy("doc_id", "seg")))
+    val wordScores = wl.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("w"), expr("(deg * 1000000) div freq").as("ws_q"))
+    val phrases = wl.groupBy("doc_id", "seg")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, w))), x -> x.w), ' ')")
+        .as("phrase"))
+    val scored = wl.join(wordScores, "w")
+      .groupBy("doc_id", "seg")
+      .agg(sum("ws_q").as("pq"), count(lit(1)).as("n_words"))
+      .join(phrases, Seq("doc_id", "seg"))
+      // identical phrase text ⇒ identical word multiset ⇒ identical pq
+      .groupBy("phrase")
+      .agg(max("n_words").as("n_words"), count(lit(1)).as("n_occurrences"),
+        max("pq").as("pq"))
+    scored
+      .orderBy(col("pq").desc, col("phrase")).limit(topN)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(expr("cast(pq as double) / 1000000.0"), 4).as("score"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_rake_keyphrases" -> ((s, d) => rakeKeyphrases(Tables(s, d).documents)),
     "q174_good_turing"  -> ((s, d) => goodTuring(Tables(s, d).documents)),
     "q175_log_odds"     -> ((s, d) => logOddsTokens(Tables(s, d).documents)),
     "q165_lang_source_mi" -> ((s, d) => langSourceMi(Tables(s, d).documents)),
@@ -734,6 +787,34 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q226_rake_keyphrases" ->
+      """WITH wd AS (
+        |  SELECT doc_id, i - 1 AS pos, ws[i] AS w,
+        |         CASE WHEN ws[i] IN ('the', 'a', 'and', 'of', 'to') OR ws[i] = '' THEN 1
+        |              ELSE 0 END AS is_stop
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws,
+        |               unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS i
+        |        FROM documents)),
+        |sg AS (SELECT doc_id, pos, w, is_stop,
+        |         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+        |                            ROWS UNBOUNDED PRECEDING) AS seg
+        |       FROM wd),
+        |seg AS (SELECT doc_id, pos, w, seg FROM sg WHERE is_stop = 0),
+        |wl AS (SELECT doc_id, seg, pos, w,
+        |         count(*) OVER (PARTITION BY doc_id, seg) AS plen FROM seg),
+        |wsq AS (SELECT w, (sum(plen)::BIGINT * 1000000) // count(*)::BIGINT AS ws_q
+        |        FROM wl GROUP BY 1),
+        |ph AS (SELECT doc_id, seg, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |              count(*)::BIGINT AS n_words
+        |       FROM wl GROUP BY 1, 2),
+        |pq AS (SELECT wl.doc_id, wl.seg, sum(ws_q)::BIGINT AS pq
+        |       FROM wl JOIN wsq USING (w) GROUP BY 1, 2),
+        |agg AS (SELECT phrase, max(n_words)::BIGINT AS n_words,
+        |               count(*)::BIGINT AS n_occurrences, max(pq)::BIGINT AS pq
+        |        FROM ph JOIN pq USING (doc_id, seg) GROUP BY 1)
+        |SELECT phrase, n_words, n_occurrences,
+        |       round(pq::DOUBLE / 1000000.0, 4) AS score
+        |FROM agg ORDER BY pq DESC, phrase LIMIT 15""".stripMargin,
     // freq-of-freqs with an r+1 self-join; integer counts, ratios
     // rounded at the end (r_star NULL where N_{r+1}=0)
     "q174_good_turing" ->

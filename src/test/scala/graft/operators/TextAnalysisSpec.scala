@@ -319,4 +319,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getDouble(3)).toSeq
     assert(iso == iso.sorted, s"not monotone: $iso")
   }
+
+  test("rakeKeyphrases: hand-computed deg/freq scores with quantized phrase sums") {
+    // "deep learning of deep and the rate":
+    //   phrases = [deep learning], [deep], [rate]
+    //   freq: deep 2, learning 1, rate 1; deg: deep 3, learning 2, rate 1
+    //   ws_q: deep 1_500_000, learning 2_000_000, rate 1_000_000
+    //   scores: "deep learning" 3.5, "deep" 1.5, "rate" 1.0
+    val docs = Seq((1L, "deep learning of deep and the rate")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(docs).as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("deep learning", 2L, 1L, 3.5), ("deep", 1L, 1L, 1.5), ("rate", 1L, 1L, 1.0)))
+  }
+
+  test("rakeKeyphrases: repeated phrases count occurrences once in the row, n times in freq") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(docs).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("phrase") == "alpha beta" &&
+      got(0).getAs[Long]("n_occurrences") == 2L)
+    // deg = 2+2 = 4 per word, freq = 2 → ws = 2.0 each → phrase score 4.0
+    assert(got(0).getAs[Double]("score") == 4.0)
+  }
 }
