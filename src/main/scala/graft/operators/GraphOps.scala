@@ -212,7 +212,15 @@ object GraphOps extends QueryModule {
   def kCorePeel(li: DataFrame, k: Int = 3, rounds: Int = 4,
                 checkpointDir: Option[String] = None): DataFrame = {
     var edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
-    for (_ <- 1 to rounds) {
+    // Early exit at the fixpoint: a round that removes no edge makes
+    // every later round a no-op (peeling is monotone), so re-running
+    // them would just re-materialize identical frames. Result-identical
+    // to the oracle's full unroll; the count is a cheap scan of the
+    // just-checkpointed blocks.
+    var prevEdges = edges.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("n")
@@ -220,6 +228,10 @@ object GraphOps extends QueryModule {
         edges.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
              .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"),
         checkpointDir)
+      val c = edges.count()
+      stable = c == prevEdges
+      prevEdges = c
+      r += 1
     }
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
