@@ -497,6 +497,43 @@ object Dedup extends QueryModule {
     labels
   }
 
+  /** q227: RIGHT-TO-BE-FORGOTTEN propagation — the governance finisher
+    * on top of the near-dup machinery: a deletion request must also
+    * remove the requested documents' near-duplicates (a copy that stays
+    * IS the data staying), so the forget list propagates through the
+    * q58 cluster labels: delete = seeds ∪ every member of a cluster
+    * containing a seed. Reported per source: direct deletions,
+    * COLLATERAL deletions (near-dups of a seed the requester never
+    * named), and survivors — the audit trail a takedown pipeline logs.
+    *
+    * Scale shape: labels cover only docs in some verified edge
+    * (≪ corpus); the propagation is two semi-joins on (cluster, id)
+    * int pairs; the rollup is one map-side-combined aggregate over the
+    * corpus with the seed/delete flags attached by left joins on
+    * doc_id. Nothing cluster-shaped ever shuffles wide rows.
+    */
+  def forgetPropagation(documents: DataFrame, seedMod: Int = 23,
+                        threshold: Double = 0.2): DataFrame = {
+    val seeds = documents.select(col("doc_id")).filter(col("doc_id") % seedMod === 0)
+    val labels = nearDupLabels(documents, threshold)
+      .select(col("id").as("doc_id"), col("label"))
+    val seedClusters = labels.join(seeds, Seq("doc_id"), "left_semi")
+      .select("label").distinct()
+    val clusterDeletes = labels.join(seedClusters, Seq("label"), "left_semi")
+      .select("doc_id")
+    val deletes = seeds.unionByName(clusterDeletes).distinct()
+    documents.select(col("doc_id"), col("source"))
+      .join(seeds.withColumn("is_seed", lit(1L)), Seq("doc_id"), "left")
+      .join(deletes.withColumn("del", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_seed"), lit(0L))).as("n_seeds"),
+        sum(when(col("del") === 1 && col("is_seed").isNull, 1L).otherwise(0L))
+          .as("n_collateral"),
+        sum(when(col("del").isNull, 1L).otherwise(0L)).as("n_surviving"))
+      .orderBy("source")
+  }
+
   /** q92: the dedup FINISHER — near-dup clusters from [[nearDupLabels]]
     * reduced to one surviving document each: the canonical is the
     * longest member (n_chars DESC, doc_id tie-break — "keep the most
@@ -958,6 +995,7 @@ object Dedup extends QueryModule {
     "q158_prefix_pairs"  -> ((s, d) => prefixNearDupPairs(Tables(s, d).documents)),
     "q216_ppjoin_exact"  -> ((s, d) => ppjoinExact(Tables(s, d).documents)),
     "q220_cdc_chunks"    -> ((s, d) => cdcChunkStats(Tables(s, d).documents)),
+    "q227_forget_propagation" -> ((s, d) => forgetPropagation(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
       val docs = Tables(s, d).documents
       decontaminate(corpus = docs.filter(col("doc_id") % 11 =!= 0),
@@ -1212,6 +1250,44 @@ object Dedup extends QueryModule {
                  list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
                                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS sh
                FROM documents) ORDER BY doc_id""",
+    // q58's cluster chain + the seed set, rolled up per source
+    "q227_forget_propagation" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id, list_aggregate(list_transform(
+        |      list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                     i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')),
+        |      s -> md5('salt0|' || s)), 'min') AS mh0
+        |  FROM documents),
+        |cand AS (SELECT a.doc_id AS l, b.doc_id AS r
+        |         FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT l, r FROM cand
+        |  JOIN sh a ON a.doc_id = l JOIN sh b ON b.doc_id = r
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.2),
+        |edges AS (SELECT l AS src, r AS dst FROM ver UNION SELECT r, l FROM ver),
+        |reach(src, node) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT rc.src, e.dst FROM reach rc JOIN edges e ON rc.node = e.src
+        |),
+        |comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
+        |seedc AS (SELECT DISTINCT cluster_id FROM comp WHERE doc_id % 23 = 0),
+        |cdel AS (SELECT doc_id FROM comp WHERE cluster_id IN (SELECT cluster_id FROM seedc)),
+        |del AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0
+        |        UNION SELECT doc_id FROM cdel)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_seeds,
+        |       sum(CASE WHEN doc_id IN (SELECT doc_id FROM del) AND doc_id % 23 <> 0
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_collateral,
+        |       sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM del)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_surviving
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q220_cdc_chunks" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |t AS (SELECT doc_id, source, i - 1 AS pos, ws[i] AS word,

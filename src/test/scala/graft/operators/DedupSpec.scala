@@ -422,6 +422,18 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_chunks") == a.size.toLong)
   }
 
+  test("forgetPropagation: a seed's near-duplicates are deleted as collateral") {
+    val docs = Seq(
+      (1L, "s1", "aaa bbb ccc ddd"),   // near-dup of the seed 23 → collateral
+      (23L, "s1", "aaa bbb ccc ddd"),  // seed (23 % 23 = 0)
+      (2L, "s1", "other text entirely here"),
+      (46L, "s2", "unique seed doc words")) // seed with no cluster → only itself
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.forgetPropagation(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 3L, 1L, 1L, 1L), ("s2", 1L, 1L, 0L, 0L)))
+  }
+
   test("ppjoinExact: identical docs pair at jaccard 1; sub-threshold overlap excluded") {
     val docs = Seq(
       (1L, "a b c d e f"),       // shingles: abc bcd cde def (4)
