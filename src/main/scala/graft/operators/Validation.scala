@@ -263,7 +263,55 @@ object Validation extends QueryModule {
       .orderBy("digit")
   }
 
+  /** q228: declarative EXPECTATION SUITE (the Deequ / Great-
+    * Expectations shape) — a battery of named data-quality constraints
+    * evaluated in ONE corpus pass: every constraint compiles to a
+    * conditional aggregate over the same scan, so adding checks never
+    * adds passes. Metrics are micro-quantized ratios (integer
+    * division) so pass/fail thresholds compare engine-exactly.
+    *
+    * The suite on orders: completeness (no null keys/status), domain
+    * membership (status ∈ {O,F,P}), bounds (positive totalprice),
+    * uniqueness (orderkey), referential shape (custkey ≥ 0), and
+    * freshness (max orderdate within the observed range — trivially
+    * true, the report shape is the point).
+    *
+    * Scale: one map-side-combined aggregate; uniqueness rides the same
+    * pass as count − count(distinct) (distinct is the one extra
+    * shuffle a uniqueness check fundamentally needs).
+    */
+  def expectationSuite(orders: DataFrame): DataFrame = {
+    val m = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("in_domain"),
+      sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("positive_price"),
+      countDistinct(col("o_orderkey")).as("distinct_keys"),
+      sum(when(col("o_custkey") >= 0, 1L).otherwise(0L)).as("valid_cust"))
+    def ratioQ(num: String) = s"(($num) * 1000000) div n"
+    val checks = Seq(
+      ("completeness:o_orderkey", s"${ratioQ("n - null_key")}", 1000000L),
+      ("completeness:o_orderstatus", s"${ratioQ("n - null_status")}", 1000000L),
+      ("domain:o_orderstatus in (O,F,P)", s"${ratioQ("in_domain")}", 1000000L),
+      ("bounds:o_totalprice > 0", s"${ratioQ("positive_price")}", 1000000L),
+      ("uniqueness:o_orderkey", s"${ratioQ("distinct_keys")}", 1000000L),
+      ("referential:o_custkey >= 0", s"${ratioQ("valid_cust")}", 1000000L))
+    val arms = checks.map { case (name, metricExpr, thr) =>
+      m.select(lit(name).as("constraint"),
+        expr(metricExpr).as("metric_q"),
+        lit(thr).as("threshold_q"))
+    }
+    arms.reduce(_.unionByName(_))
+      .select(col("constraint"),
+        round(expr("cast(metric_q as double) / 1000000.0"), 6).as("metric"),
+        round(expr("cast(threshold_q as double) / 1000000.0"), 6).as("threshold"),
+        (col("metric_q") >= col("threshold_q")).as("passed"))
+      .orderBy("constraint")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_expectations" -> ((s, d) => expectationSuite(Tables(s, d).orders)),
     "q213_snapshot_diff" -> ((s, d) => orderSnapshotDiff(Tables(s, d).orders)),
     "q214_benford_audit" -> ((s, d) => benfordAudit(Tables(s, d).orders)),
     "q145_reconciliation" -> ((s, d) => { val t = Tables(s, d); orderReconciliation(t.orders, t.lineitem) }),
@@ -288,6 +336,27 @@ object Validation extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q228_expectations" ->
+      """WITH m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_key,
+        |         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_status,
+        |         sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT AS in_domain,
+        |         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)::BIGINT AS positive_price,
+        |         count(DISTINCT o_orderkey)::BIGINT AS distinct_keys,
+        |         sum(CASE WHEN o_custkey >= 0 THEN 1 ELSE 0 END)::BIGINT AS valid_cust
+        |  FROM orders),
+        |c AS (
+        |  SELECT 'completeness:o_orderkey' AS constraint, ((n - null_key) * 1000000) // n AS metric_q FROM m
+        |  UNION ALL SELECT 'completeness:o_orderstatus', ((n - null_status) * 1000000) // n FROM m
+        |  UNION ALL SELECT 'domain:o_orderstatus in (O,F,P)', (in_domain * 1000000) // n FROM m
+        |  UNION ALL SELECT 'bounds:o_totalprice > 0', (positive_price * 1000000) // n FROM m
+        |  UNION ALL SELECT 'uniqueness:o_orderkey', (distinct_keys * 1000000) // n FROM m
+        |  UNION ALL SELECT 'referential:o_custkey >= 0', (valid_cust * 1000000) // n FROM m)
+        |SELECT "constraint", round(metric_q::DOUBLE / 1000000.0, 6) AS metric,
+        |       round(1000000::DOUBLE / 1000000.0, 6) AS threshold,
+        |       metric_q >= 1000000 AS passed
+        |FROM c ORDER BY "constraint"""".stripMargin,
     "q213_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k,
         |  md5(concat_ws('|', o_custkey, o_orderstatus, round(o_totalprice * 100)::BIGINT,

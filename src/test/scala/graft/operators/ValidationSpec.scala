@@ -49,6 +49,24 @@ class ValidationSpec extends SparkSpec {
     assert(got("grp") == (("grp", 3L, 0L, 2L, false)))
   }
 
+  test("expectationSuite: dirty fixture fails exactly the violated constraints") {
+    val dirty = Seq(
+      (1L, 10L, "O", 5.0),
+      (1L, 11L, "F", 3.0),                           // duplicate key
+      (2L, 12L, null.asInstanceOf[String], 4.0),     // null status (also out of domain)
+      (3L, 13L, "X", -1.0))                          // bad domain, non-positive price
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val got = Validation.expectationSuite(dirty).collect()
+      .map(r => r.getAs[String]("constraint") ->
+        (r.getAs[Double]("metric"), r.getAs[Boolean]("passed"))).toMap
+    assert(got("completeness:o_orderkey") == ((1.0, true)))
+    assert(got("completeness:o_orderstatus") == ((0.75, false)))
+    assert(got("domain:o_orderstatus in (O,F,P)") == ((0.5, false)))
+    assert(got("bounds:o_totalprice > 0") == ((0.75, false)))
+    assert(got("uniqueness:o_orderkey") == ((0.75, false)))
+    assert(got("referential:o_custkey >= 0") == ((1.0, true)))
+  }
+
   test("snapshotDiff classifies added / removed / changed and drops unchanged") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "h")
     val v2 = Seq((2L, "b"), (3L, "X"), (4L, "d")).toDF("k", "h")
