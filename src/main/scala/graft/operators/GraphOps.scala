@@ -278,7 +278,47 @@ object GraphOps extends QueryModule {
     dist.orderBy(col("dist"), col("node")).limit(topN)
   }
 
+  /** q229: PERSONALIZED PageRank (random walk with restart) from the
+    * smallest part key — "customers who bought X also buy…" scoring,
+    * the recommendation rung of the graph family (global rank q143,
+    * HITS q212, k-core q223, cheapest paths q224). Fixed-point integer
+    * mass like q143: rank(v) ← (85·Σ_u rank(u) div deg(u)) div 100,
+    * plus the 15% restart mass credited ONLY to the seed. `iters`
+    * fixed rounds; top parts by affinity excluding the seed itself.
+    *
+    * Scale note: unlike the global rank, the rank frame here starts as
+    * ONE row and grows with the walk frontier — iteration r touches
+    * only nodes within r hops of the seed, so a 3-round PPR on a
+    * 100 TB graph is frontier-sized work, not graph-sized.
+    */
+  def personalizedRank(li: DataFrame, iters: Int = 3, topN: Int = 10,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val und = copurchaseEdges(li)
+    val edges = graft.plans.Checkpoints.cut(
+      und.select(col("u").as("s"), col("v").as("dd"))
+        .unionAll(und.select(col("v").as("s"), col("u").as("dd")))
+        .repartition(col("s")), checkpointDir)
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    val seed = edges.agg(min("s").as("node")).withColumn("rank", lit(1000000000000L))
+    var ranks = seed.select("node", "rank")
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(deg.withColumnRenamed("s", "node").join(ranks, "node"),
+          col("s") === col("node"))
+        .select(col("dd").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(expr("(85 * sum(c)) div 100").as("rank"))
+      // restart mass re-injected at the seed every round, present or not
+      ranks = contrib
+        .unionByName(seed.select(col("node"), lit(150000000000L).as("rank")))
+        .groupBy("node").agg(sum("rank").as("rank"))
+    }
+    ranks.join(seed.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node").as("part"), col("rank"))
+      .orderBy(col("rank").desc, col("part")).limit(topN)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_personalized_rank" -> ((s, d) => personalizedRank(Tables(s, d).lineitem)),
     "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
     "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
     "q212_hits"      -> ((s, d) => { val t = Tables(s, d); hitsAuthorities(t.lineitem, t.orders) }),
@@ -332,7 +372,30 @@ object GraphOps extends QueryModule {
        |SELECT node, dist FROM r$hops ORDER BY dist, node LIMIT $topN""".stripMargin
   }
 
+  /** q229 oracle: 3 unrolled walk rounds, MATERIALIZED like q223/q224. */
+  private def pprSql(iters: Int, topN: Int): String = {
+    val rounds = (1 to iters).map(r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT node, sum(rank)::BIGINT AS rank FROM (
+         |    SELECT e.dd AS node, (85 * sum(p.rank // d.deg)) // 100 AS rank
+         |    FROM e JOIN p${r - 1} p ON e.s = p.node JOIN deg d ON e.s = d.s
+         |    GROUP BY e.dd
+         |    UNION ALL
+         |    SELECT node, 150000000000 FROM seed) GROUP BY node)""".stripMargin).mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |e AS MATERIALIZED (SELECT u AS s, v AS dd FROM und UNION ALL SELECT v AS s, u AS dd FROM und),
+       |deg AS MATERIALIZED (SELECT s, count(*)::BIGINT AS deg FROM e GROUP BY s),
+       |seed AS (SELECT min(s) AS node FROM e),
+       |p0 AS (SELECT node, 1000000000000::BIGINT AS rank FROM seed),
+       |$rounds
+       |SELECT node AS part, rank::BIGINT AS rank FROM p$iters
+       |WHERE node <> (SELECT node FROM seed)
+       |ORDER BY rank DESC, part LIMIT $topN""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q229_personalized_rank" -> pprSql(3, 10),
     "q224_cheapest_paths" -> cheapestSql(3, 20),
     "q223_kcore" -> kCoreSql(3, 4),
     "q142_triangles" ->

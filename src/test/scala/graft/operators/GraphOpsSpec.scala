@@ -112,6 +112,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(empty == ((0L, 0L, 0L, 0L, true)))
   }
 
+  test("personalizedRank: exact driver-side walk reference; neighbors outrank distant nodes") {
+    val got = GraphOps.personalizedRank(li, iters = 3, topN = 100)
+      .as[(Long, Long)].collect().toMap
+    // driver reference on the collected graph
+    val pairs = GraphOps.copurchaseEdges(li).as[(Long, Long)].collect().toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seedN = adj.keys.min
+    var r = Map(seedN -> 1000000000000L)
+    for (_ <- 1 to 3) {
+      val inc = r.toSeq.flatMap { case (u, m) => adj(u).map(_ -> m / adj(u).size) }
+        .groupBy(_._1).view.mapValues(v => 85L * v.map(_._2).sum / 100L).toMap
+      r = (inc.keySet + seedN).map(n =>
+        n -> (inc.getOrElse(n, 0L) + (if (n == seedN) 150000000000L else 0L))).toMap
+    }
+    assert(got == (r - seedN))
+    // direct neighbors of the seed carry more mass than the K4 (unreachable: 0 rows)
+    assert(!got.contains(seedN))
+  }
+
   test("cheapestPaths: hand graph — frequent co-purchase is the cheap road") {
     // co-counts: (1,2)x2 → w=500000; (2,3)x1 → w=1000000; (1,4)x1 → w=1000000
     val liP = Seq(
