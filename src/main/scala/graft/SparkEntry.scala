@@ -36,6 +36,8 @@ object SparkEntry {
     Layout,
     DecisionSupport,
     NaiveBayes,
+    LanguageModel,
+    SeqPack,
     graft.streaming.StreamParity,
   )
 

@@ -367,7 +367,152 @@ object DecisionSupport extends QueryModule {
       .orderBy("cents", "size", "p_partkey")
   }
 
+  /** q234: local-supplier volume (TPC-H Q5 shape): revenue per nation
+    * from 1996-dated orders where the CUSTOMER and the LINE's SUPPLIER
+    * sit in the same ASIA nation. The nation equality is enforced by
+    * joining both sides to the SAME broadcast nation dim — the fact path
+    * is two shuffles (orders⋈customer, ⋈lineitem), dims all broadcast.
+    */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame, li: DataFrame,
+                          supplier: DataFrame, nation: DataFrame,
+                          region: DataFrame): DataFrame = {
+    val asiaNations = nation.join(
+      broadcast(region.filter(col("r_name") === "ASIA").select("r_regionkey")),
+      col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    orders.filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      .select("o_orderkey", "o_custkey")
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long").as("cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name").agg(round(sum("cents") / 100.0, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q235: volume shipping between two nations (TPC-H Q7 shape):
+    * supplier-nation → customer-nation revenue per ship year for the
+    * NATION_0..3 cohort, all ordered pairs.
+    */
+  def nationVolumeShipping(customer: DataFrame, orders: DataFrame, li: DataFrame,
+                           supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val pair = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+    val dim = nation.filter(col("n_name").isin(pair: _*))
+      .select("n_nationkey", "n_name")
+    li.filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(dim.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dim.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(round(sum("cents") / 100.0, 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** q236: priority line counts (TPC-H Q12 shape): per return flag, how
+    * many 1996-shipped lines belong to HIGH-priority vs other orders —
+    * the conditional CASE-sum pair over one join.
+    */
+  def priorityLineCounts(orders: DataFrame, li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .select("l_orderkey", "l_returnflag")
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  /** q237: customer order-count distribution (TPC-H Q13 shape): LEFT
+    * join customers to their non-5-LOW orders, count per customer
+    * (customers with none count 0), histogram the counts. The classic
+    * two-level aggregation — each level shuffles on a key that shrinks.
+    */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** q238: large-volume customers (TPC-H Q18 shape): orders whose total
+    * quantity exceeds `minQty`, with their customer. The HAVING frame
+    * aggregates on l_orderkey and joins back to orders — one shuffle on
+    * the order key, no correlated per-row probe.
+    */
+  def largeVolumeCustomers(customer: DataFrame, orders: DataFrame,
+                           li: DataFrame, minQty: Long = 150L, topN: Int = 20): DataFrame = {
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(topN)
+  }
+
+  /** q239: bracketed disjunctive revenue (TPC-H Q19 shape): three
+    * brand/size/quantity brackets OR-ed into one predicate — the
+    * disjunction evaluates inside the broadcast-joined scan, and the
+    * quantity bound common to all brackets pushes down to the lineitem
+    * parquet scan.
+    */
+  def bracketRevenue(li: DataFrame, part: DataFrame): DataFrame =
+    li.select(col("l_partkey"), col("l_quantity"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(5, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(1, 40) &&
+          col("l_quantity").between(10, 30)))
+      .agg(round(sum("cents") / 100.0, 2).as("revenue"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_local_supplier_volume" -> ((s, d) => { val t = Tables(s, d)
+      localSupplierVolume(t.customer, t.orders, t.lineitem, t.supplier, t.nation, t.region) }),
+    "q235_nation_volume" -> ((s, d) => { val t = Tables(s, d)
+      nationVolumeShipping(t.customer, t.orders, t.lineitem, t.supplier, t.nation) }),
+    "q236_priority_lines" -> ((s, d) => { val t = Tables(s, d)
+      priorityLineCounts(t.orders, t.lineitem) }),
+    "q237_order_distribution" -> ((s, d) => { val t = Tables(s, d)
+      customerOrderDistribution(t.customer, t.orders) }),
+    "q238_large_volume" -> ((s, d) => { val t = Tables(s, d)
+      largeVolumeCustomers(t.customer, t.orders, t.lineitem) }),
+    "q239_bracket_revenue" -> ((s, d) => { val t = Tables(s, d)
+      bracketRevenue(t.lineitem, t.part) }),
     "q221_skyline" -> ((s, d) => skylineParts(Tables(s, d).part)),
     "q181_market_share" -> ((s, d) => { val t = Tables(s, d)
       marketShare(t.lineitem, t.part, t.supplier, t.orders, t.customer, t.nation, t.region) }),
@@ -540,6 +685,60 @@ object DecisionSupport extends QueryModule {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q234_local_supplier_volume" ->
+      """SELECT n_name,
+        |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q235_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       year(l_shipdate)::INT AS ship_year,
+        |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey AND sn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey AND cn.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY sn.n_name, cn.n_name, ship_year
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q236_priority_lines" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q237_order_distribution" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q238_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(floor(l_quantity + 0.5)::BIGINT)::BIGINT AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |       round(o_totalprice, 2) AS totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q239_bracket_revenue" ->
+      """SELECT round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 10 AND 30)""".stripMargin,
     "q203_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
         |       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 2) AS revenue

@@ -317,8 +317,51 @@ object GraphOps extends QueryModule {
       .orderBy(col("rank").desc, col("part")).limit(topN)
   }
 
+  /** q232: LABEL-PROPAGATION community detection on the co-purchase
+    * graph — the community rung of the graph family (rank q143/q229,
+    * link analysis q212, density q223, paths q224, closure q142). Each
+    * node starts labeled with its own id; each synchronous round every
+    * node adopts the label MOST FREQUENT among its neighbors, ties
+    * breaking on the smallest label — both choices integer-exact, so
+    * `rounds` fixed rounds are engine- and partitioning-independent
+    * (the q143 fixed-iteration doctrine; true LPA iterates to
+    * convergence, and a fixed round count is what keeps the oracle
+    * expressible). Output is the community-size histogram, a bounded
+    * frame.
+    *
+    * Scale: each round is one edges⋈labels join (edges pre-partitioned
+    * on the source key, labels shuffling on the same key) + one
+    * (node, lbl) count and one per-node argmax — all key-local after
+    * the first exchange; the label frame is node-sized, never
+    * edge-sized, and the argmax is `min(struct(-c, lbl))`, a map-side
+    * partial agg, not a window sort.
+    */
+  def labelPropagation(li: DataFrame, rounds: Int = 2,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val und = copurchaseEdges(li)
+    val edges = graft.plans.Checkpoints.cut(
+      und.select(col("u").as("s"), col("v").as("dd"))
+        .unionAll(und.select(col("v").as("s"), col("u").as("dd")))
+        .repartition(col("s")), checkpointDir)
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val freq = edges.join(labels, edges("s") === labels("node"))
+        .select(col("dd").as("node"), col("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      labels = graft.plans.Checkpoints.cut(
+        freq.groupBy("node")
+          .agg(min(struct(col("c") * -1, col("lbl"))).as("m"))
+          .select(col("node"), col("m.lbl").as("lbl")), checkpointDir)
+    }
+    labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q229_personalized_rank" -> ((s, d) => personalizedRank(Tables(s, d).lineitem)),
+    "q232_label_propagation" -> ((s, d) => labelPropagation(Tables(s, d).lineitem)),
     "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
     "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
     "q212_hits"      -> ((s, d) => { val t = Tables(s, d); hitsAuthorities(t.lineitem, t.orders) }),
@@ -394,7 +437,31 @@ object GraphOps extends QueryModule {
        |ORDER BY rank DESC, part LIMIT $topN""".stripMargin
   }
 
+  /** q232 oracle: `rounds` synchronous LPA rounds unrolled; every l$r is
+    * referenced by the next round's join, MATERIALIZED per the q223
+    * doctrine. row_number (c DESC, lbl) mirrors Spark's
+    * min(struct(-c, lbl)) argmax exactly.
+    */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map(r =>
+      s"""f$r AS MATERIALIZED (SELECT e.dd AS node, l.lbl, count(*) AS c
+         |       FROM e JOIN l${r - 1} l ON e.s = l.node GROUP BY e.dd, l.lbl),
+         |l$r AS MATERIALIZED (SELECT node, lbl FROM (
+         |       SELECT node, lbl, row_number() OVER (
+         |         PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM f$r) WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |p2 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |e AS MATERIALIZED (SELECT u AS s, v AS dd FROM p2 UNION ALL SELECT v AS s, u AS dd FROM p2),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e),
+       |$steps,
+       |sz AS (SELECT lbl, count(*)::BIGINT AS community_size FROM l$rounds GROUP BY lbl)
+       |SELECT community_size, count(*)::BIGINT AS n_communities
+       |FROM sz GROUP BY community_size ORDER BY community_size""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q232_label_propagation" -> lpaSql(2),
     "q229_personalized_rank" -> pprSql(3, 10),
     "q224_cheapest_paths" -> cheapestSql(3, 20),
     "q223_kcore" -> kCoreSql(3, 4),

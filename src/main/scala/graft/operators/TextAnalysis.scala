@@ -758,7 +758,42 @@ object TextAnalysis extends QueryModule {
         round(expr("cast(pq as double) / 1000000.0"), 4).as("score"))
   }
 
+  /** q233: BLOCKLIST multi-pattern scan — the banned-phrase gate a
+    * curation pipeline runs before training: one pass over the corpus
+    * finds every non-overlapping occurrence of any blocklist pattern
+    * (leftmost scan, resuming after each match — both engines' regex
+    * alternation semantics agree because no two patterns can match at
+    * the same position) and reports per pattern how many documents and
+    * total occurrences it hits, INCLUDING zero-hit patterns (the report
+    * is the blocklist dim left-joined to the hit aggregate).
+    *
+    * Scale: the corpus side is ONE codegen'd `regexp_extract_all`
+    * projection + a hits-sized explode (hits ≪ corpus); the pattern dim
+    * is broadcast. A blocklist large enough to make the compiled
+    * alternation slow graduates to an Aho-Corasick automaton as a
+    * custom Expression — same plan shape, the scan kernel changes; for
+    * single-token patterns the no-regex alternative is the exploded
+    * token equi-join against the broadcast dim.
+    */
+  def blocklistScan(documents: DataFrame,
+                    patterns: Seq[String] =
+                      Seq("batch batch", "window window", "slow", "dup")): DataFrame = {
+    val ss = documents.sparkSession
+    import ss.implicits._
+    val rx = patterns.mkString("(", "|", ")")
+    val hits = documents.select(col("doc_id"),
+      explode(expr(s"regexp_extract_all(lower(text), '$rx', 1)")).as("pat"))
+    val agg = hits.groupBy("pat")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_hits"))
+    patterns.toDF("pat").join(agg, Seq("pat"), "left")
+      .select(col("pat"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("pat")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_blocklist_scan" -> ((s, d) => blocklistScan(Tables(s, d).documents)),
     "q226_rake_keyphrases" -> ((s, d) => rakeKeyphrases(Tables(s, d).documents)),
     "q174_good_turing"  -> ((s, d) => goodTuring(Tables(s, d).documents)),
     "q175_log_odds"     -> ((s, d) => logOddsTokens(Tables(s, d).documents)),
@@ -787,6 +822,20 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q233_blocklist_scan" ->
+      """WITH hits AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text),
+        |           '(batch batch|window window|slow|dup)', 1)) AS pat
+        |  FROM documents),
+        |agg AS (SELECT pat, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |               count(*)::BIGINT AS n_hits
+        |        FROM hits GROUP BY pat)
+        |SELECT p.pat, coalesce(a.n_docs, 0)::BIGINT AS n_docs,
+        |       coalesce(a.n_hits, 0)::BIGINT AS n_hits
+        |FROM (VALUES ('batch batch'), ('window window'), ('slow'), ('dup')) p(pat)
+        |LEFT JOIN agg a ON a.pat = p.pat
+        |ORDER BY p.pat""".stripMargin,
     "q226_rake_keyphrases" ->
       """WITH wd AS (
         |  SELECT doc_id, i - 1 AS pos, ws[i] AS w,
