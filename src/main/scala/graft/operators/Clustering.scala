@@ -146,9 +146,77 @@ object Clustering extends QueryModule {
       .orderBy("cluster")
   }
 
+  /** q240: PRODUCT QUANTIZATION + asymmetric-distance top-k (Jégou et
+    * al. 2011) — the memory-scale rung of the ANN family (brute q28 →
+    * IVF q59 → PQ): split each vector into `m` subspaces, train a tiny
+    * per-subspace codebook (Lloyd's, same fixed-point doctrine as
+    * q176), encode every vector as m small codes, and answer a query by
+    * summing m LOOKUP-TABLE entries instead of touching the vector —
+    * then re-rank the surviving top-k exactly.
+    *
+    * All m codebooks train in ONE chain by tagging rows with the
+    * subspace id `j`: seeding, assignment, and the centroid update all
+    * key on (j, cid), so the per-subspace k-means runs are a single
+    * shuffle each, not m separate jobs.
+    *
+    * Scale: the corpus is scored via a broadcast (j, cid) → distance
+    * table (m·k rows) joined on the CODES — the full vectors are read
+    * exactly twice (training assignment passes) and never again; exact
+    * distances are computed only for the `topN` candidates (the ADC
+    * re-rank posture). At 100 TB the codes table is ~m bytes/vector —
+    * the point of PQ — and everything else is model-sized.
+    */
+  def pqTopK(embeddings: DataFrame, m: Int = 4, k: Int = 4, topN: Int = 10,
+             checkpointDir: Option[String] = None): DataFrame = {
+    val vecs = quantized(embeddings).select("vec_id", "u")
+    // (vec_id, j, su): subspace slices; reused by seeding + 2 assignment
+    // passes + the query row — cut once
+    val sub = graft.plans.Checkpoints.cut(
+      vecs.select(col("vec_id"), explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("u"))
+        .select(col("vec_id"), col("j"),
+          expr(s"slice(u, j * (size(u) div $m) + 1, size(u) div $m)").as("su")),
+      checkpointDir)
+
+    def assignSub(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "j")
+        .select(col("vec_id"), col("j"), struct(
+          sqDist(col("su"), col("cu")).as("dist"), col("cid"), col("su")).as("cand"))
+        .groupBy("vec_id", "j").agg(min(col("cand")).as("mn"))
+        .select(col("vec_id"), col("j"), col("mn.cid").as("cid"),
+          col("mn.su").as("su"))
+
+    var codebook = sub.filter(col("vec_id") < k)
+      .select(col("j"), col("vec_id").as("cid"), col("su").as("cu"))
+    val a1 = assignSub(codebook)
+    codebook = a1.select(col("j"), col("cid"), posexplode(col("su")).as(Seq("dim", "v")))
+      .groupBy("j", "cid", "dim").agg(expr("sum(v) div count(*)").as("cm"))
+      .groupBy("j", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
+        s => s.getField("cm")).as("cu"))
+    val codes = assignSub(codebook).select("vec_id", "j", "cid")
+
+    val qid = vecs.agg(min("vec_id").as("qid"))
+    val qsub = sub.join(broadcast(qid), col("vec_id") === col("qid"))
+      .select(col("j"), col("su").as("qsu"), col("qid"))
+    // ADC lookup table: m·k rows, broadcast into the codes join
+    val table = codebook.join(broadcast(qsub), "j")
+      .select(col("j"), col("cid"), sqDist(col("cu"), col("qsu")).as("td"), col("qid"))
+    val approx = codes.join(broadcast(table), Seq("j", "cid"))
+      .groupBy("vec_id").agg(sum("td").as("approx_dist"), max("qid").as("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+    val top = approx.orderBy(col("approx_dist"), col("vec_id")).limit(topN)
+    val qvec = vecs.join(broadcast(qid), col("vec_id") === col("qid"))
+      .select(col("u").as("qu"))
+    top.join(vecs, "vec_id").crossJoin(broadcast(qvec))
+      .select(col("vec_id"), col("approx_dist"),
+        sqDist(col("u"), col("qu")).as("exact_dist"))
+      .orderBy("approx_dist", "vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_kmeans"   -> ((s, d) => kmeansReport(Tables(s, d).embeddings)),
     "q177_semdedup" -> ((s, d) => semDedupReport(Tables(s, d).embeddings)),
+    "q240_pq_topk"  -> ((s, d) => pqTopK(Tables(s, d).embeddings)),
   )
 
   /** Shared oracle prelude: quantize, seed centroids, one Lloyd update,
@@ -205,5 +273,52 @@ object Clustering extends QueryModule {
         |       sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
         |GROUP BY a2.cid ORDER BY cluster""".stripMargin),
+    // pqTopK(m=4, k=4, topN=10) unrolled: per-subspace Lloyd chain keyed
+    // by j, ADC lookup-table scoring, exact re-rank on the top-10 only
+    "q240_pq_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |                 list_transform(embedding,
+        |                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS u
+        |          FROM embeddings),
+        |wl AS (SELECT min(len(u)) // 4 AS w FROM e),
+        |sub AS MATERIALIZED (
+        |  SELECT vec_id, j, list_slice(u, j * w + 1, j * w + w) AS su
+        |  FROM e CROSS JOIN wl CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+        |c0 AS (SELECT j, vec_id AS cid, su AS cu FROM sub WHERE vec_id < 4),
+        |d1 AS (SELECT s.vec_id, s.j, c.cid, s.su,
+        |              list_sum(list_transform(range(len(s.su)),
+        |                k -> (s.su[k+1] - c.cu[k+1]) * (s.su[k+1] - c.cu[k+1]))) AS dist
+        |       FROM sub s JOIN c0 c ON s.j = c.j),
+        |a1 AS MATERIALIZED (SELECT vec_id, j, cid, su FROM (
+        |       SELECT vec_id, j, cid, su, row_number() OVER (
+        |         PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS MATERIALIZED (SELECT j, cid, list(cm ORDER BY dim) AS cu FROM (
+        |       SELECT j, cid, dim, sum(v) // count(*) AS cm FROM (
+        |         SELECT j, cid, unnest(range(len(su))) AS dim, unnest(su) AS v FROM a1)
+        |       GROUP BY j, cid, dim) GROUP BY j, cid),
+        |d2 AS (SELECT s.vec_id, s.j, c.cid,
+        |              list_sum(list_transform(range(len(s.su)),
+        |                k -> (s.su[k+1] - c.cu[k+1]) * (s.su[k+1] - c.cu[k+1]))) AS dist
+        |       FROM sub s JOIN c1 c ON s.j = c.j),
+        |a2 AS MATERIALIZED (SELECT vec_id, j, cid FROM (
+        |       SELECT vec_id, j, cid, row_number() OVER (
+        |         PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1),
+        |qm AS (SELECT min(vec_id) AS qid FROM e),
+        |q AS (SELECT s.j, s.su AS qsu FROM sub s, qm WHERE s.vec_id = qm.qid),
+        |tbl AS (SELECT c.j, c.cid,
+        |               list_sum(list_transform(range(len(c.cu)),
+        |                 k -> (c.cu[k+1] - q.qsu[k+1]) * (c.cu[k+1] - q.qsu[k+1]))) AS td
+        |        FROM c1 c JOIN q ON c.j = q.j),
+        |approx AS (SELECT a.vec_id, sum(t.td) AS approx_dist
+        |           FROM a2 a JOIN tbl t ON a.j = t.j AND a.cid = t.cid, qm
+        |           WHERE a.vec_id <> qm.qid GROUP BY a.vec_id),
+        |top AS (SELECT vec_id, approx_dist FROM approx
+        |        ORDER BY approx_dist, vec_id LIMIT 10),
+        |qv AS (SELECT u AS qu FROM e, qm WHERE vec_id = qm.qid)
+        |SELECT t.vec_id, t.approx_dist::BIGINT AS approx_dist,
+        |       list_sum(list_transform(range(len(e.u)),
+        |         k -> (e.u[k+1] - qv.qu[k+1]) * (e.u[k+1] - qv.qu[k+1])))::BIGINT AS exact_dist
+        |FROM top t JOIN e ON e.vec_id = t.vec_id CROSS JOIN qv
+        |ORDER BY approx_dist, t.vec_id""".stripMargin,
   )
 }

@@ -77,4 +77,29 @@ class ClusteringSpec extends SparkSpec {
     assert(a.count() == 6)
     assert(a.select("cid").distinct().count() <= 4)
   }
+
+  /** q240: exact duplicates of the query encode to the query's own
+    * nearest codeword in every subspace, so their ADC score is the
+    * GLOBAL minimum Σⱼ minᵢ td(j,i) — they must lead the ranking (tied,
+    * vec_id ascending) with exact_dist 0.
+    */
+  test("pqTopK ranks exact duplicates of the query first with exact_dist 0") {
+    val dim = 8
+    def v(base: Float) = Array.tabulate(dim)(i => base + i * 0.01f)
+    val emb = Seq(
+      (0L, v(0.0f), 0),  // query (min vec_id)
+      (1L, v(0.0f), 0),  // duplicate of query
+      (2L, v(0.0f), 0),  // duplicate of query
+      (3L, v(0.5f), 1),
+      (4L, v(0.52f), 1),
+      (5L, v(0.9f), 2),
+      (6L, v(0.88f), 2),
+      (7L, v(0.3f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val res = Clustering.pqTopK(emb, m = 4, k = 4, topN = 7).collect()
+    assert(res.length == 7 && !res.map(_.getLong(0)).contains(0L))
+    assert(res(0).getLong(0) == 1L && res(1).getLong(0) == 2L, res.mkString(","))
+    assert(res(0).getLong(2) == 0L && res(1).getLong(2) == 0L)
+    assert(res(0).getLong(1) == res(1).getLong(1)) // tied ADC scores
+  }
 }
