@@ -520,7 +520,35 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
+  /** q241: THREE-WAY SPLIT MANIFEST — the deterministic train/val/test
+    * assignment a release pipeline publishes alongside the data: each
+    * doc hashes to test (first md5 hex digit 0, 1/16), val (digit 1,
+    * 1/16) or train (rest), independent of partitioning, row order, and
+    * engine; the manifest reports per-source counts and the realized
+    * test share in ppm so ratio drift in any source is visible at a
+    * glance. Complements q141/q242 (what LEAKS across the boundary) —
+    * this is the boundary itself.
+    *
+    * Scale: one projection + one groupBy(source); the split column is a
+    * pure hash of the id, so any later stage (or engine) re-derives
+    * membership without a manifest join.
+    */
+  def splitManifest(documents: DataFrame): DataFrame =
+    documents.select(col("source"),
+        md5(concat(lit("3way|"), col("doc_id"))).as("h"))
+      .select(col("source"),
+        when(col("h") < "1", "test").when(col("h") < "2", "val")
+          .otherwise("train").as("split"))
+      .groupBy("source").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("test_share_ppm", expr("n_test * 1000000 div n_docs"))
+      .orderBy("source")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_split_manifest" -> ((s, d) => splitManifest(Tables(s, d).documents)),
     "q218_token_budget" -> ((s, d) => tokenBudgetAllocation(Tables(s, d).documents)),
     "q164_l_diversity" -> ((s, d) => lDiversityAudit(Tables(s, d).events)),
     "q151_concentration" -> ((s, d) => sourceConcentration(Tables(s, d).documents)),
@@ -540,6 +568,21 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q241_split_manifest" ->
+      """WITH tagged AS (
+        |  SELECT source,
+        |         CASE WHEN md5('3way|' || doc_id) < '1' THEN 'test'
+        |              WHEN md5('3way|' || doc_id) < '2' THEN 'val'
+        |              ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT source,
+        |       sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+        |       sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+        |       sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test,
+        |       count(*)::BIGINT AS n_docs,
+        |       (sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) * 1000000
+        |          // count(*))::BIGINT AS test_share_ppm
+        |FROM tagged GROUP BY source ORDER BY source""".stripMargin,
     "q218_token_budget" ->
       """WITH cells AS (
         |  SELECT source,

@@ -87,6 +87,34 @@ object Dedup extends QueryModule {
       .orderBy("source")
   }
 
+  /** q242: NEAR-DUP split-leakage audit — q141 catches exact copies
+    * crossing the train/test boundary; this catches the near-duplicates
+    * exact fingerprints miss (the reason dedup-aware splitting exists:
+    * a test doc whose near-twin sits in train inflates eval). Candidate
+    * pairs come from the q65 multi-band LSH surface; each pair is
+    * classified by which side of the deterministic hash split its ends
+    * landed on. `cross` is the leakage count a release gate would act
+    * on.
+    *
+    * Scale: inherits the banding economics (one scan + one shuffle for
+    * candidates); the split flag is derived per doc and joined onto the
+    * pair ends by id — two id-keyed joins against a (doc_id, flag)
+    * frame, never the texts.
+    */
+  def nearDupSplitAudit(documents: DataFrame, bands: Int = 4): DataFrame = {
+    val pairs = multiBandCandidatePairs(documents, bands)
+    val split = documents.select(col("doc_id"),
+      (md5(concat(lit("split|"), col("doc_id"))) < "2").as("is_test"))
+    pairs
+      .join(split.select(col("doc_id").as("left_id"), col("is_test").as("lt")), "left_id")
+      .join(split.select(col("doc_id").as("right_id"), col("is_test").as("rt")), "right_id")
+      .select(when(col("lt") && col("rt"), "test-test")
+        .when(!col("lt") && !col("rt"), "train-train")
+        .otherwise("cross").as("pair_type"))
+      .groupBy("pair_type").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("pair_type")
+  }
+
   /** q144: blocked fuzzy record linkage over the part-name dictionary.
     *
     * The scale shape of record linkage: (1) reduce entities to the
@@ -989,6 +1017,7 @@ object Dedup extends QueryModule {
     "q121_chunk_histogram" -> ((s, d) => chunkDupHistogram(Tables(s, d).documents)),
     "q134_dup_rate"      -> ((s, d) => dupRateBySource(Tables(s, d).documents)),
     "q141_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
+    "q242_neardup_split_audit" -> ((s, d) => nearDupSplitAudit(Tables(s, d).documents)),
     "q144_fuzzy_linkage" -> ((s, d) => fuzzyNameLinkage(Tables(s, d).part)),
     "q155_ngram_novelty" -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
     "q156_span_coverage" -> ((s, d) => dedupSpanCoverage(Tables(s, d).documents)),
@@ -1214,6 +1243,33 @@ object Dedup extends QueryModule {
          FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 3
          ORDER BY a.block, name_a, name_b""",
+    "q242_neardup_split_audit" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS s
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(s, x -> md5('salt0|' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(s, x -> md5('salt1|' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(s, x -> md5('salt2|' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(s, x -> md5('salt3|' || x)), 'min') AS mh3
+        |  FROM sh),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        |  FROM sigs a JOIN sigs b
+        |    ON a.doc_id < b.doc_id
+        |   AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)),
+        |split AS (SELECT doc_id, md5('split|' || doc_id) < '2' AS is_test FROM documents),
+        |typed AS (
+        |  SELECT CASE WHEN l.is_test AND r.is_test THEN 'test-test'
+        |              WHEN NOT l.is_test AND NOT r.is_test THEN 'train-train'
+        |              ELSE 'cross' END AS pair_type
+        |  FROM pairs p JOIN split l ON p.left_id = l.doc_id
+        |               JOIN split r ON p.right_id = r.doc_id)
+        |SELECT pair_type, count(*)::BIGINT AS n_pairs
+        |FROM typed GROUP BY pair_type ORDER BY pair_type""".stripMargin,
     "q141_split_leakage" ->
       """WITH tagged AS (SELECT source, md5(lower(trim(text))) AS fp,
                                 md5('split|' || doc_id) < '2' AS is_test

@@ -792,7 +792,46 @@ object TextAnalysis extends QueryModule {
       .orderBy("pat")
   }
 
+  /** q243: VOCABULARY COVERAGE CURVE — for candidate vocab sizes, what
+    * fraction of all token occurrences the top-k types cover (the
+    * tokenizer-budget question: how big must the vocab be before OOV
+    * rate is acceptable). Types rank by (count desc, token asc) — a
+    * total order, so the cumulative sum is engine-exact — and coverage
+    * is integer ppm.
+    *
+    * Scale: the corpus collapses to the (type → count) frame in one
+    * pass with map-side combine; the ranking window sorts only the
+    * VOCAB-sized frame (≪ corpus; hash-prune the long tail first if
+    * type counts ever rival corpus size). Cut points replicate that
+    * frame ×|cuts| via a broadcast cross join, still vocab-bounded.
+    */
+  def vocabCoverage(documents: DataFrame,
+                    cuts: Seq[Int] = Seq(16, 64, 256, 1024)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = documents.sparkSession
+    import ss.implicits._
+    val counts = documents
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("c").desc, col("w"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum", sum("c").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = counts.agg(sum("c").as("tot"))
+    ranked.crossJoin(broadcast(cuts.toDF("vocab_size")))
+      .filter(col("rk") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(max(col("rk").cast("long")).as("n_types"), max("cum").as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_types"),
+        expr("covered * 1000000 div tot").as("coverage_ppm"))
+      .orderBy("vocab_size")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
     "q233_blocklist_scan" -> ((s, d) => blocklistScan(Tables(s, d).documents)),
     "q226_rake_keyphrases" -> ((s, d) => rakeKeyphrases(Tables(s, d).documents)),
     "q174_good_turing"  -> ((s, d) => goodTuring(Tables(s, d).documents)),
@@ -822,6 +861,23 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q243_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |ranked AS (
+        |  SELECT w, c,
+        |         row_number() OVER (ORDER BY c DESC, w) AS rk,
+        |         sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM counts),
+        |total AS (SELECT sum(c)::BIGINT AS tot FROM counts)
+        |SELECT v.vocab_size, max(r.rk)::BIGINT AS n_types,
+        |       (max(r.cum) * 1000000 // max(t.tot))::BIGINT AS coverage_ppm
+        |FROM ranked r CROSS JOIN (VALUES (16), (64), (256), (1024)) v(vocab_size)
+        |CROSS JOIN total t
+        |WHERE r.rk <= v.vocab_size
+        |GROUP BY v.vocab_size ORDER BY v.vocab_size""".stripMargin,
     "q233_blocklist_scan" ->
       """WITH hits AS (
         |  SELECT doc_id,
