@@ -830,7 +830,38 @@ object TextAnalysis extends QueryModule {
       .orderBy("vocab_size")
   }
 
+  /** q244: blocklist counting via the NATIVE Aho-Corasick automaton
+    * ([[graft.functions.MultiPatternCounts]]) — the compiled-DFA scale
+    * path q233's doc promises for large pattern lists: every input byte
+    * is visited once no matter how many patterns are loaded, vs the
+    * regex alternation's per-position re-scan. Counts are TOTAL
+    * occurrences (overlapping included — the patterns here overlap on
+    * purpose: 'atch' fires inside 'batch batch', 'w w' at every
+    * "window window" boundary), which is what a per-pattern exposure
+    * report wants; q233 keeps the non-overlapping resume semantics for
+    * redaction-style gating.
+    *
+    * Scale: ONE codegen'd automaton pass per doc emits the full count
+    * vector; the per-(source, pattern) rollup shuffles |sources|×
+    * |patterns| partial sums, nothing text-sized.
+    */
+  def blocklistAcCounts(documents: DataFrame,
+                        patterns: Seq[String] =
+                          Seq("batch batch", "atch", "row", "window", "w w")): DataFrame = {
+    val ss = documents.sparkSession
+    import ss.implicits._
+    val counted = documents.select(col("source"),
+      posexplode(graft.functions.MultiPatternCounts.counts(lower(col("text")), patterns))
+        .as(Seq("idx", "cnt")))
+    val dim = patterns.zipWithIndex.map { case (p, i) => (i, p) }.toDF("idx", "pat")
+    counted.groupBy("source", "idx").agg(sum("cnt").as("n_hits"))
+      .join(broadcast(dim), "idx")
+      .select("source", "pat", "n_hits")
+      .orderBy("source", "pat")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_blocklist_ac" -> ((s, d) => blocklistAcCounts(Tables(s, d).documents)),
     "q243_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
     "q233_blocklist_scan" -> ((s, d) => blocklistScan(Tables(s, d).documents)),
     "q226_rake_keyphrases" -> ((s, d) => rakeKeyphrases(Tables(s, d).documents)),
@@ -861,6 +892,19 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // overlapping-count oracle: a pattern occurrence at EVERY position
+    // (list_filter over the position range), not non-overlapping resume
+    "q244_blocklist_ac" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('batch batch'), ('atch'), ('row'),
+        |                                    ('window'), ('w w')) p(pat)),
+        |d AS (SELECT source, lower(text) AS t FROM documents),
+        |hits AS (
+        |  SELECT d.source, p.pat,
+        |         len(list_filter(range(1, len(t) - len(pat) + 2),
+        |               i -> substr(t, CAST(i AS INT), len(pat)) = pat))::BIGINT AS cnt
+        |  FROM d CROSS JOIN pats p)
+        |SELECT source, pat, sum(cnt)::BIGINT AS n_hits
+        |FROM hits GROUP BY source, pat ORDER BY source, pat""".stripMargin,
     "q243_vocab_coverage" ->
       """WITH counts AS (
         |  SELECT w, count(*)::BIGINT AS c FROM (
