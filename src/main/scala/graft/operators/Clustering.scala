@@ -213,10 +213,55 @@ object Clustering extends QueryModule {
       .orderBy("approx_dist", "vec_id")
   }
 
+  /** q245: CLASS-SEPARABILITY report (Fisher-criterion shape) — for
+    * every label pair, the squared distance between class centroids
+    * against each class's mean within-class scatter, plus the per-mille
+    * ratio. The embedding-quality gate a labeling pipeline runs before
+    * trusting classifier training: pairs whose centroids sit closer
+    * than their scatter (sep_permille small) are the confusable ones.
+    *
+    * Same fixed-point doctrine as the rest of the module — centroids
+    * are floor-means, scatter is an integer mean of integer distances,
+    * and the ratio is per-mille (×1000 keeps the product inside int64:
+    * distances reach ~2.5e14 at 64 dims, ×10⁶ would overflow).
+    *
+    * Scale: two corpus passes (centroid update, scatter), both
+    * collapsing map-side to label-keyed frames; the pair matrix is
+    * |labels|² over broadcast centroids — model-sized, never data-sized.
+    * Residual int64 headroom: the per-label scatter SUM overflows past
+    * ~3.6e4 members/label at 64 dims — widen `d` to decimal(38,0) (the
+    * q199 convention) before summing when classes grow that large.
+    */
+  def classSeparability(embeddings: DataFrame): DataFrame = {
+    val vecs = quantized(embeddings)
+    val cents = vecs.select(col("label"), posexplode(col("u")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(expr("sum(v) div count(*)").as("cm"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
+        s => s.getField("cm")).as("cu"))
+    val within = vecs.join(broadcast(cents), "label")
+      .select(col("label"), sqDist(col("u"), col("cu")).as("d"))
+      .groupBy("label").agg(expr("sum(d) div count(*)").as("within"))
+    val pairs = cents.alias("a").join(broadcast(cents.alias("b")),
+        col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        sqDist(col("a.cu"), col("b.cu")).as("between_dist"))
+    pairs
+      .join(broadcast(within.select(col("label").as("label_a"),
+        col("within").as("within_a"))), "label_a")
+      .join(broadcast(within.select(col("label").as("label_b"),
+        col("within").as("within_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("between_dist"),
+        col("within_a"), col("within_b"),
+        expr("between_dist * 1000 div (within_a + within_b + 1)").as("sep_permille"))
+      .orderBy("label_a", "label_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_kmeans"   -> ((s, d) => kmeansReport(Tables(s, d).embeddings)),
     "q177_semdedup" -> ((s, d) => semDedupReport(Tables(s, d).embeddings)),
     "q240_pq_topk"  -> ((s, d) => pqTopK(Tables(s, d).embeddings)),
+    "q245_class_separability" -> ((s, d) => classSeparability(Tables(s, d).embeddings)),
   )
 
   /** Shared oracle prelude: quantize, seed centroids, one Lloyd update,
@@ -320,5 +365,30 @@ object Clustering extends QueryModule {
         |         k -> (e.u[k+1] - qv.qu[k+1]) * (e.u[k+1] - qv.qu[k+1])))::BIGINT AS exact_dist
         |FROM top t JOIN e ON e.vec_id = t.vec_id CROSS JOIN qv
         |ORDER BY approx_dist, t.vec_id""".stripMargin,
+    "q245_class_separability" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                 list_transform(embedding,
+        |                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS u
+        |          FROM embeddings),
+        |cents AS (SELECT label, list(cm ORDER BY dim) AS cu FROM (
+        |            SELECT label, dim, sum(v) // count(*) AS cm FROM (
+        |              SELECT label, unnest(range(len(u))) AS dim, unnest(u) AS v FROM e)
+        |            GROUP BY label, dim) GROUP BY label),
+        |within AS (SELECT e.label,
+        |                  CAST(sum(list_sum(list_transform(range(len(e.u)),
+        |                         k -> (e.u[k+1] - c.cu[k+1]) * (e.u[k+1] - c.cu[k+1]))))
+        |                       // count(*) AS BIGINT) AS within
+        |           FROM e JOIN cents c ON e.label = c.label GROUP BY e.label),
+        |pairs AS (SELECT a.label AS label_a, b.label AS label_b,
+        |                 CAST(list_sum(list_transform(range(len(a.cu)),
+        |                        k -> (a.cu[k+1] - b.cu[k+1]) * (a.cu[k+1] - b.cu[k+1]))) AS BIGINT)
+        |                   AS between_dist
+        |          FROM cents a JOIN cents b ON a.label < b.label)
+        |SELECT p.label_a, p.label_b, p.between_dist,
+        |       wa.within AS within_a, wb.within AS within_b,
+        |       (p.between_dist * 1000 // (wa.within + wb.within + 1))::BIGINT AS sep_permille
+        |FROM pairs p JOIN within wa ON wa.label = p.label_a
+        |             JOIN within wb ON wb.label = p.label_b
+        |ORDER BY p.label_a, p.label_b""".stripMargin,
   )
 }

@@ -424,4 +424,44 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     try Seq(mh, fp, sh, ss, nc, rs, sb, ce, un).foreach(_.collect())
     finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
+
+  test("q239 pushes the quantity bounds into the scan and broadcasts the part dim") {
+    val p = planText(graft.operators.DecisionSupport.bracketRevenue(t.lineitem, t.part))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1"),
+      s"expected quantity pushdown:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast part dim:\n$p")
+  }
+
+  test("q238 large-volume top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planText(graft.operators.DecisionSupport.largeVolumeCustomers(
+      t.customer, t.orders, t.lineitem))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q234 joins every dimension by broadcast (nation, region, supplier)") {
+    val p = planText(graft.operators.DecisionSupport.localSupplierVolume(
+      t.customer, t.orders, t.lineitem, t.supplier, t.nation, t.region))
+    // the only shuffled joins are the two fact-path ones
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q240 PQ scores via a broadcast lookup table; no cartesian anywhere") {
+    val p = planText(graft.operators.Clustering.pqTopK(t.embeddings))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast ADC table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k cut:\n$p")
+  }
+
+  test("multi_pattern_counts stays inside generated code (no codegen fallback)") {
+    val df = t.documents.select(graft.functions.MultiPatternCounts.counts(
+      col("text"), Seq("the", "batch batch")).as("c"))
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(code.contains("MultiPatternCounts.evalWith"),
+      "MultiPatternCounts fell out of generated code")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try df.collect()
+    finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }
