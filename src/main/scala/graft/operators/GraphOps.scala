@@ -32,12 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps extends QueryModule {
 
-  /** Distinct undirected co-purchase edges (u < v by part id). */
-  def copurchaseEdges(li: DataFrame): DataFrame = {
-    val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    items.as("a").join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-  }
+  /** Distinct undirected co-purchase edges (u < v by part id).
+    *
+    * Built with the Dedup bucket trick (sorted per-order item set →
+    * in-order pair expansion) instead of an order-keyed self-join: one
+    * shuffle to group items per order (map-side partial collect_set) +
+    * one distinct on the pairs, versus the join's two exchange legs plus
+    * the same distinct. Per-row expansion is quadratic in ORDER size —
+    * bounded by items-per-order (single digits here; a marketplace
+    * graph with mega-orders would cap or sample the per-order set, the
+    * standard co-occurrence guard).
+    */
+  def copurchaseEdges(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(Dedup.pairExpansionExpr("ids"))).as("pair"))
+      .select(col("pair.l").as("u"), col("pair.r").as("v")).distinct()
 
   /** q142: triangle census + global clustering coefficient.
     *
