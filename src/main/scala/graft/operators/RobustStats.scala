@@ -236,7 +236,43 @@ object RobustStats extends QueryModule {
           .as("r1"))
   }
 
+  /** q249: HOUR-OF-DAY seasonal baseline anomaly — per event type, the
+    * 24-hour mean-value profile vs the type's overall mean: hours whose
+    * relative deviation exceeds 20% are flagged, and the worst hour is
+    * reported (the on-call question "is 3am traffic weird for this
+    * event type"). Milli-quantized integer means and a ppm deviation
+    * ratio — value ≥ 0 on this stream, so truncating and flooring
+    * integer division agree; sums stay far inside int64 (≤ 5.6e10 at
+    * sf0.1).
+    *
+    * Scale: the event stream collapses to (type, hour) partial sums
+    * map-side in one pass; everything after runs on the 24·|types|
+    * frame. The worst-hour argmax is a struct max, not a window sort.
+    */
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), hour(col("ts")).as("hr"),
+      expr("cast(floor(value * 1000) as bigint)").as("v"))
+    val byHour = base.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n_h"), sum("v").as("s_h"))
+    val byType = byHour.groupBy("event_type")
+      .agg(sum("n_h").as("n_t"), sum("s_h").as("s_t"), count(lit(1)).as("n_hours"))
+    byHour.join(byType, "event_type")
+      .withColumn("mean_h", expr("s_h div n_h"))
+      .withColumn("mean_t", expr("s_t div n_t"))
+      .withColumn("dev_ppm",
+        expr("abs(mean_h - mean_t) * 1000000 div greatest(abs(mean_t), 1)"))
+      .groupBy("event_type")
+      .agg(max("n_hours").as("n_hours"), max("mean_t").as("mean_milli"),
+        sum(when(col("dev_ppm") > 200000, 1L).otherwise(0L)).as("n_flagged"),
+        max(struct(col("dev_ppm"), (-col("hr")).as("nh"), col("hr"))).as("m"))
+      .select(col("event_type"), col("n_hours"), col("mean_milli"),
+        col("n_flagged"), col("m.hr").as("worst_hour"),
+        col("m.dev_ppm").as("worst_dev_ppm"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_hourly_anomaly" -> ((s, d) => hourlyAnomaly(Tables(s, d).events)),
     "q178_t_closeness" -> ((s, d) => tClosenessAudit(Tables(s, d).documents)),
     "q179_theil_sen"   -> ((s, d) => theilSenTrend(Tables(s, d).events)),
     "q180_cusum"       -> ((s, d) => cusumChangepoint(Tables(s, d).events)),
@@ -247,6 +283,29 @@ object RobustStats extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q249_hourly_anomaly" ->
+      """WITH base AS (SELECT event_type, hour(ts)::INT AS hr,
+        |                     CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |bh AS (SELECT event_type, hr, count(*)::BIGINT AS n_h, sum(v)::BIGINT AS s_h
+        |       FROM base GROUP BY event_type, hr),
+        |bt AS (SELECT event_type, sum(n_h)::BIGINT AS n_t, sum(s_h)::BIGINT AS s_t,
+        |              count(*)::BIGINT AS n_hours FROM bh GROUP BY event_type),
+        |j AS (SELECT bh.event_type, hr, n_hours,
+        |             (s_h // n_h) AS mean_h, (s_t // n_t) AS mean_t,
+        |             (abs((s_h // n_h) - (s_t // n_t)) * 1000000
+        |                // greatest(abs(s_t // n_t), 1)) AS dev_ppm
+        |      FROM bh JOIN bt USING (event_type)),
+        |worst AS (SELECT event_type, hr AS worst_hour, dev_ppm AS worst_dev_ppm FROM (
+        |            SELECT event_type, hr, dev_ppm, row_number() OVER (
+        |              PARTITION BY event_type ORDER BY dev_ppm DESC, hr) AS rn FROM j)
+        |          WHERE rn = 1)
+        |SELECT j.event_type, max(j.n_hours)::BIGINT AS n_hours,
+        |       max(j.mean_t)::BIGINT AS mean_milli,
+        |       sum(CASE WHEN j.dev_ppm > 200000 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        |       max(w.worst_hour)::INT AS worst_hour,
+        |       max(w.worst_dev_ppm)::BIGINT AS worst_dev_ppm
+        |FROM j JOIN worst w ON w.event_type = j.event_type
+        |GROUP BY j.event_type ORDER BY j.event_type""".stripMargin,
     "q178_t_closeness" ->
       """WITH banded AS (SELECT lang, source, n_chars // 100 AS band FROM documents),
         |global AS (SELECT band, count(*)::BIGINT AS gcnt FROM banded GROUP BY band),

@@ -860,7 +860,49 @@ object TextAnalysis extends QueryModule {
       .orderBy("source", "pat")
   }
 
+  /** q246: QUALITY-GATE FUNNEL — the yield report a curation pipeline
+    * publishes per source: how many docs survive each gate applied IN
+    * SEQUENCE (non-empty → length band → mean-word-length band →
+    * stopword evidence → not an exact duplicate), so the step that
+    * kills a source's yield is visible directly instead of inferred
+    * from independent per-gate rates.
+    *
+    * Scale: gates 1-4 are pure column predicates in ONE scan; the dup
+    * gate joins the doc's fingerprint against the (fp → count) frame —
+    * one extra shuffle keyed on the 16-byte fingerprint, the q20
+    * economics. Cumulative-AND sums collapse per source map-side.
+    */
+  def qualityFunnel(documents: DataFrame): DataFrame = {
+    val fpCounts = documents
+      .select(graft.operators.Dedup.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    val gated = documents
+      .select(col("source"), col("text"), col("n_chars"),
+        graft.operators.Dedup.fingerprint(col("text")).as("fp"))
+      .join(fpCounts, "fp")
+      .select(col("source"),
+        (col("n_chars") > 0).as("g1"),
+        (col("n_chars") >= 50 && col("n_chars") <= 5000).as("g2"),
+        (col("text") =!= "" &&
+          (col("n_chars") + 1) >= (size(split(col("text"), " ")) * 4) &&
+          (col("n_chars") + 1) <= (size(split(col("text"), " ")) * 13)).as("g3"),
+        (col("text").contains("the ") || col("text").contains(" the")).as("g4"),
+        (col("n_copies") === 1).as("g5"))
+    gated.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("pass_nonempty"),
+        sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("pass_length"),
+        sum(when(col("g1") && col("g2") && col("g3"), 1L).otherwise(0L)).as("pass_wordlen"),
+        sum(when(col("g1") && col("g2") && col("g3") && col("g4"), 1L).otherwise(0L))
+          .as("pass_stopword"),
+        sum(when(col("g1") && col("g2") && col("g3") && col("g4") && col("g5"), 1L)
+          .otherwise(0L)).as("pass_unique"))
+      .withColumn("yield_ppm", expr("pass_unique * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_quality_funnel" -> ((s, d) => qualityFunnel(Tables(s, d).documents)),
     "q244_blocklist_ac" -> ((s, d) => blocklistAcCounts(Tables(s, d).documents)),
     "q243_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
     "q233_blocklist_scan" -> ((s, d) => blocklistScan(Tables(s, d).documents)),
@@ -892,6 +934,26 @@ object TextAnalysis extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q246_quality_funnel" ->
+      """WITH fp AS (SELECT md5(lower(trim(text))) AS f, count(*)::BIGINT AS n_copies
+        |            FROM documents GROUP BY 1),
+        |g AS (SELECT source,
+        |        n_chars > 0 AS g1,
+        |        n_chars BETWEEN 50 AND 5000 AS g2,
+        |        text <> '' AND (n_chars + 1) >= len(string_split(text, ' ')) * 4
+        |                   AND (n_chars + 1) <= len(string_split(text, ' ')) * 13 AS g3,
+        |        (text LIKE '%the %' OR text LIKE '% the%') AS g4,
+        |        n_copies = 1 AS g5
+        |      FROM documents d JOIN fp ON fp.f = md5(lower(trim(d.text))))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS pass_nonempty,
+        |       sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)::BIGINT AS pass_length,
+        |       sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)::BIGINT AS pass_wordlen,
+        |       sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)::BIGINT AS pass_stopword,
+        |       sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END)::BIGINT AS pass_unique,
+        |       (sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END) * 1000000
+        |          // count(*))::BIGINT AS yield_ppm
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     // overlapping-count oracle: a pattern occurrence at EVERY position
     // (list_filter over the position range), not non-overlapping resume
     "q244_blocklist_ac" ->

@@ -310,7 +310,78 @@ object Validation extends QueryModule {
       .orderBy("constraint")
   }
 
+  /** q247: REFERENTIAL-INTEGRITY audit across the whole star schema —
+    * every FK edge, one row: child count, orphan count (children whose
+    * key has no parent), and the orphan rate in ppm. The structural
+    * complement to q228's single-table expectations and q145's
+    * amount-level reconciliation: this is the first report to run on a
+    * fresh snapshot, because every join downstream silently drops
+    * orphans.
+    *
+    * Scale: each edge is ONE left-anti-join count keyed on the FK —
+    * dimension parents (nation, region, part, supplier) broadcast;
+    * fact-fact edges (lineitem→orders, orders→customer) shuffle on the
+    * key like the joins they guard. Arms union to a 7-row frame.
+    */
+  def referentialAudit(t: Tables): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame = {
+      val keys = child.select(col(childKey).as("k"))
+      val orphans = keys.join(parent.select(col(parentKey).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      keys.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+          expr("n_orphans * 1000000 div n_rows").as("orphan_ppm"))
+    }
+    Seq(
+      edge("lineitem.l_orderkey -> orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+      edge("lineitem.l_partkey -> part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+      edge("lineitem.l_suppkey -> supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+      edge("orders.o_custkey -> customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+      edge("customer.c_nationkey -> nation", t.customer, "c_nationkey", t.nation, "n_nationkey"),
+      edge("supplier.s_nationkey -> nation", t.supplier, "s_nationkey", t.nation, "n_nationkey"),
+      edge("nation.n_regionkey -> region", t.nation, "n_regionkey", t.region, "r_regionkey"),
+    ).reduce(_.unionByName(_)).orderBy("fk_edge")
+  }
+
+  /** q248: DATA-SUBJECT ACCESS manifest (the export side of q227's
+    * right-to-be-forgotten): for the smallest customer key, every
+    * table's related-row count plus an order-insensitive content
+    * checksum (sum of per-row hashes — mergeable, so the manifest is
+    * reproducible shard-by-shard). What a governance pipeline returns
+    * for "give me everything you hold on subject X".
+    *
+    * Scale: the subject's orders frame is tiny — it broadcasts into the
+    * lineitem probe; every arm is one filtered scan + scalar agg.
+    */
+  def subjectAccessManifest(t: Tables): DataFrame = {
+    val subject = t.customer.agg(min("c_custkey").as("ck"))
+    // per-row hash = first 8 hex digits of md5 as an integer — exact and
+    // engine-portable (DuckDB parses the same prefix with shifts)
+    def arm(name: String, rows: DataFrame, hashCols: Seq[String]): DataFrame = {
+      val catCols = hashCols.map(c => s"cast($c as string)").mkString(", ")
+      rows.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(expr(
+            s"cast(conv(substring(md5(concat_ws('|', $catCols)), 1, 8), 16, 10) as bigint)")),
+            lit(0L)).as("content_checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("content_checksum"))
+    }
+    val cust = t.customer.join(broadcast(subject), col("c_custkey") === col("ck"))
+    val ords = t.orders.join(broadcast(subject), col("o_custkey") === col("ck"))
+    val lis = t.lineitem.join(
+      broadcast(ords.select(col("o_orderkey").as("sk"))),
+      col("l_orderkey") === col("sk"))
+    Seq(
+      arm("customer", cust, Seq("c_custkey", "c_name", "c_mktsegment")),
+      arm("orders", ords, Seq("o_orderkey", "o_orderstatus", "o_orderpriority")),
+      arm("lineitem", lis, Seq("l_orderkey", "l_linenumber", "l_returnflag")),
+    ).reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_referential_audit" -> ((s, d) => referentialAudit(Tables(s, d))),
+    "q248_subject_access" -> ((s, d) => subjectAccessManifest(Tables(s, d))),
     "q228_expectations" -> ((s, d) => expectationSuite(Tables(s, d).orders)),
     "q213_snapshot_diff" -> ((s, d) => orderSnapshotDiff(Tables(s, d).orders)),
     "q214_benford_audit" -> ((s, d) => benfordAudit(Tables(s, d).orders)),
@@ -336,6 +407,56 @@ object Validation extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q247_referential_audit" -> {
+      val edges = Seq(
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey", "region", "r_regionkey"))
+      val arms = edges.map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS fk_edge,
+           |  (SELECT count(*) FROM $child)::BIGINT AS n_rows,
+           |  (SELECT count(*) FROM $child c WHERE NOT EXISTS (
+           |     SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))::BIGINT AS n_orphans""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT fk_edge, n_rows, n_orphans,
+         |       (n_orphans * 1000000 // n_rows)::BIGINT AS orphan_ppm
+         |FROM ($arms) ORDER BY fk_edge""".stripMargin
+    },
+    "q248_subject_access" ->
+      """WITH s AS (SELECT min(c_custkey) AS ck FROM customer),
+        |hexv AS (SELECT '0123456789abcdef' AS hx),
+        |cu AS (SELECT md5(concat_ws('|', c_custkey::VARCHAR, c_name::VARCHAR,
+        |                            c_mktsegment::VARCHAR)) AS h
+        |       FROM customer, s WHERE c_custkey = ck),
+        |o AS (SELECT o_orderkey,
+        |             md5(concat_ws('|', o_orderkey::VARCHAR, o_orderstatus::VARCHAR,
+        |                           o_orderpriority::VARCHAR)) AS h
+        |      FROM orders, s WHERE o_custkey = ck),
+        |l AS (SELECT md5(concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR,
+        |                           l_returnflag::VARCHAR)) AS h
+        |      FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+        |hx8 AS (
+        |  SELECT 'customer' AS table_name, h FROM cu
+        |  UNION ALL SELECT 'orders', h FROM o
+        |  UNION ALL SELECT 'lineitem', h FROM l),
+        |parsed AS (
+        |  SELECT table_name,
+        |         list_sum(list_transform(range(8),
+        |           i -> (strpos(hx, substr(h, CAST(i + 1 AS INT), 1)) - 1)
+        |                  * (1::BIGINT << CAST(4 * (7 - i) AS INT)))) AS v
+        |  FROM hx8 CROSS JOIN hexv),
+        |agg AS (SELECT table_name, count(*)::BIGINT AS n_rows,
+        |               coalesce(sum(v), 0)::BIGINT AS content_checksum
+        |        FROM parsed GROUP BY table_name)
+        |SELECT t.table_name, coalesce(a.n_rows, 0)::BIGINT AS n_rows,
+        |       coalesce(a.content_checksum, 0)::BIGINT AS content_checksum
+        |FROM (VALUES ('customer'), ('orders'), ('lineitem')) t(table_name)
+        |LEFT JOIN agg a ON a.table_name = t.table_name
+        |ORDER BY t.table_name""".stripMargin,
     "q228_expectations" ->
       """WITH m AS (
         |  SELECT count(*)::BIGINT AS n,
