@@ -547,7 +547,52 @@ object CorpusOps extends QueryModule {
       .withColumn("test_share_ppm", expr("n_test * 1000000 div n_docs"))
       .orderBy("source")
 
+  /** q251: DATASET CARD — the one-page datasheet a published corpus
+    * ships with (Gebru et al.'s datasheets, reduced to the numeric
+    * rows): corpus size, source/language breadth, token totals and
+    * type count, exact-duplicate volume, and the length distribution's
+    * median (exact order statistic via the value histogram — no corpus
+    * sort) and max. One (stat, value) row each, every value an exact
+    * integer.
+    *
+    * Scale: three corpus passes (scalar aggregate; token explode for
+    * type count; fingerprint groupBy for dup volume) + the n_chars
+    * histogram window, which runs over distinct lengths, not docs.
+    */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val base = documents.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("lang").as("n_langs"),
+      sum("n_chars").as("total_chars"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+      max("n_chars").as("max_chars"))
+    val types = documents.select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").agg(countDistinct("w").as("v"))
+    val dups = documents.select(Dedup.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum("n"), lit(0L)).as("n_dup_docs"))
+    val med = documents.groupBy("n_chars").agg(count(lit(1)).as("nc"))
+      .withColumn("cum", sum("nc").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(documents.agg(count(lit(1)).as("tot"))))
+      .filter(col("cum") >= expr("(tot + 1) div 2"))
+      .agg(min("n_chars").as("median_chars"))
+    val arms = Seq(
+      base.select(lit("n_docs").as("stat"), col("n_docs").as("value")),
+      base.select(lit("n_sources").as("stat"), col("n_sources").as("value")),
+      base.select(lit("n_langs").as("stat"), col("n_langs").as("value")),
+      base.select(lit("total_chars").as("stat"), col("total_chars").as("value")),
+      base.select(lit("total_tokens").as("stat"), col("total_tokens").as("value")),
+      base.select(lit("max_chars").as("stat"), col("max_chars").as("value")),
+      types.select(lit("distinct_tokens").as("stat"), col("v").as("value")),
+      dups.select(lit("n_exact_dup_docs").as("stat"), col("n_dup_docs").as("value")),
+      med.select(lit("median_chars").as("stat"), col("median_chars").as("value")))
+    arms.reduce(_.unionByName(_)).orderBy("stat")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_dataset_card" -> ((s, d) => datasetCard(Tables(s, d).documents)),
     "q241_split_manifest" -> ((s, d) => splitManifest(Tables(s, d).documents)),
     "q218_token_budget" -> ((s, d) => tokenBudgetAllocation(Tables(s, d).documents)),
     "q164_l_diversity" -> ((s, d) => lDiversityAudit(Tables(s, d).events)),
@@ -568,6 +613,38 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q251_dataset_card" ->
+      """WITH base AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |         count(DISTINCT source)::BIGINT AS n_sources,
+        |         count(DISTINCT lang)::BIGINT AS n_langs,
+        |         sum(n_chars)::BIGINT AS total_chars,
+        |         sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+        |         max(n_chars)::BIGINT AS max_chars
+        |  FROM documents),
+        |types AS (SELECT count(DISTINCT w)::BIGINT AS v FROM (
+        |            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |          WHERE w <> ''),
+        |dups AS (SELECT coalesce(sum(n), 0)::BIGINT AS n_dup_docs FROM (
+        |           SELECT md5(lower(trim(text))) AS fp, count(*)::BIGINT AS n
+        |           FROM documents GROUP BY 1) WHERE n > 1),
+        |med AS (SELECT min(n_chars)::BIGINT AS median_chars FROM (
+        |          SELECT n_chars,
+        |                 sum(count(*)) OVER (ORDER BY n_chars) AS cum,
+        |                 (SELECT count(*) FROM documents) AS tot
+        |          FROM documents GROUP BY n_chars)
+        |        WHERE cum >= (tot + 1) // 2)
+        |SELECT stat, value FROM (
+        |  SELECT 'n_docs' AS stat, n_docs AS value FROM base
+        |  UNION ALL SELECT 'n_sources', n_sources FROM base
+        |  UNION ALL SELECT 'n_langs', n_langs FROM base
+        |  UNION ALL SELECT 'total_chars', total_chars FROM base
+        |  UNION ALL SELECT 'total_tokens', total_tokens FROM base
+        |  UNION ALL SELECT 'max_chars', max_chars FROM base
+        |  UNION ALL SELECT 'distinct_tokens', v FROM types
+        |  UNION ALL SELECT 'n_exact_dup_docs', n_dup_docs FROM dups
+        |  UNION ALL SELECT 'median_chars', median_chars FROM med)
+        |ORDER BY stat""".stripMargin,
     "q241_split_manifest" ->
       """WITH tagged AS (
         |  SELECT source,

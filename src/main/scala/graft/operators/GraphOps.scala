@@ -370,8 +370,69 @@ object GraphOps extends QueryModule {
       .orderBy("community_size")
   }
 
+  /** q250: CO-OCCURRENCE RECOMMENDER BACKTEST — the evaluation rung the
+    * graph family's recsys scoring (q229) needs: train an item-to-item
+    * "also bought" model on orders BEFORE the split date (top-1
+    * co-occurrence neighbor per item, count-desc / id-asc argmax),
+    * recommend each customer the neighbors of their past items minus
+    * what they already bought, and measure the hit rate against what
+    * they actually bought AFTER the split, rolled up by market segment.
+    * Time-split backtesting — never evaluate on the training window.
+    *
+    * Scale: co-occurrence reuses the per-order pair expansion (one
+    * shuffle); the model is item-keyed top-1 via struct argmax (no
+    * window sort); recommendation and hit checks are id-keyed
+    * joins/semi-joins on (customer, item) frames — nothing wider than
+    * the purchase history ever shuffles.
+    */
+  def recommenderBacktest(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                          splitDate: String = "1999-01-01"): DataFrame = {
+    val past = orders.filter(col("o_orderdate") < splitDate)
+      .select("o_orderkey", "o_custkey")
+    val future = orders.filter(col("o_orderdate") >= splitDate)
+      .select("o_orderkey", "o_custkey")
+    val items = li.select(col("l_orderkey"), col("l_partkey"))
+    def custItems(o: DataFrame) = o.join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item")).distinct()
+    val pastItems = custItems(past)
+    val futureItems = custItems(future)
+
+    // item-to-item model from PAST orders only: co-ORDER counts, so the
+    // per-order pair expansion runs WITHOUT the edge-level distinct
+    // (multiplicity is the model weight)
+    val pastPairs = items.join(past, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(Dedup.pairExpansionExpr("ids"))).as("pair"))
+      .select(col("pair.l").as("a"), col("pair.r").as("b"))
+    val cooc = pastPairs
+      .unionAll(pastPairs.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val top1 = cooc.groupBy("a")
+      .agg(min(struct((col("c") * -1).as("nc"), col("b"))).as("m"))
+      .select(col("a").as("item"), col("m.b").as("rec"))
+
+    val recs = pastItems.join(top1, "item")
+      .select(col("cust"), col("rec").as("item")).distinct()
+      .join(pastItems, Seq("cust", "item"), "left_anti")
+    val eval = pastItems.select("cust").distinct()
+      .join(futureItems.select("cust").distinct(), Seq("cust"), "left_semi")
+    val hits = recs.join(futureItems, Seq("cust", "item"), "left_semi")
+      .select("cust").distinct()
+    eval.join(hits.withColumn("hit", lit(1L)), Seq("cust"), "left")
+      .join(customer.select(col("c_custkey").as("cust"), col("c_mktsegment")), "cust")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("hit_ppm", expr("n_hit * 1000000 div n_eval"))
+      .orderBy("c_mktsegment")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q229_personalized_rank" -> ((s, d) => personalizedRank(Tables(s, d).lineitem)),
+    "q250_rec_backtest" -> ((s, d) => { val t = Tables(s, d)
+      recommenderBacktest(t.lineitem, t.orders, t.customer) }),
     "q232_label_propagation" -> ((s, d) => labelPropagation(Tables(s, d).lineitem)),
     "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
     "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
@@ -472,6 +533,39 @@ object GraphOps extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q250_rec_backtest" ->
+      """WITH past AS (SELECT o_orderkey, o_custkey FROM orders
+        |              WHERE o_orderdate < DATE '1999-01-01'),
+        |future AS (SELECT o_orderkey, o_custkey FROM orders
+        |           WHERE o_orderdate >= DATE '1999-01-01'),
+        |past_items AS (SELECT DISTINCT p.o_custkey AS cust, l.l_partkey AS item
+        |               FROM past p JOIN lineitem l ON p.o_orderkey = l.l_orderkey),
+        |future_items AS (SELECT DISTINCT f.o_custkey AS cust, l.l_partkey AS item
+        |                 FROM future f JOIN lineitem l ON f.o_orderkey = l.l_orderkey),
+        |order_items AS (SELECT DISTINCT p.o_orderkey AS o, l.l_partkey AS it
+        |                FROM past p JOIN lineitem l ON p.o_orderkey = l.l_orderkey),
+        |pairs AS (SELECT a.it AS a, b.it AS b FROM order_items a
+        |          JOIN order_items b ON a.o = b.o AND a.it <> b.it),
+        |cooc AS (SELECT a, b, count(*)::BIGINT AS c FROM pairs GROUP BY a, b),
+        |top1 AS (SELECT a AS item, b AS rec FROM (
+        |           SELECT a, b, row_number() OVER (
+        |             PARTITION BY a ORDER BY c DESC, b) AS rn FROM cooc) WHERE rn = 1),
+        |recs AS (SELECT DISTINCT pi.cust, t.rec AS item
+        |         FROM past_items pi JOIN top1 t ON pi.item = t.item
+        |         WHERE NOT EXISTS (SELECT 1 FROM past_items x
+        |                           WHERE x.cust = pi.cust AND x.item = t.rec)),
+        |eval AS (SELECT DISTINCT cust FROM past_items
+        |         WHERE cust IN (SELECT cust FROM future_items)),
+        |hits AS (SELECT DISTINCT r.cust FROM recs r
+        |         WHERE EXISTS (SELECT 1 FROM future_items f
+        |                       WHERE f.cust = r.cust AND f.item = r.item))
+        |SELECT c.c_mktsegment, count(*)::BIGINT AS n_eval,
+        |       sum(CASE WHEN h.cust IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hit,
+        |       (sum(CASE WHEN h.cust IS NULL THEN 0 ELSE 1 END) * 1000000
+        |          // count(*))::BIGINT AS hit_ppm
+        |FROM eval e LEFT JOIN hits h ON h.cust = e.cust
+        |JOIN customer c ON c.c_custkey = e.cust
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q232_label_propagation" -> lpaSql(2),
     "q229_personalized_rank" -> pprSql(3, 10),
     "q224_cheapest_paths" -> cheapestSql(3, 20),
