@@ -792,7 +792,52 @@ object Modeling extends QueryModule {
     row1.unionByName(row2).orderBy("iter")
   }
 
+  /** q252: SPLIT-CONFORMAL coverage — distribution-free prediction
+    * intervals for a one-parameter regressor (tokens ≈ slope·chars,
+    * slope fit on the calibration split), validated the conformal way:
+    * q̂ = the ⌈(n+1)·0.9⌉-th smallest calibration nonconformity, and
+    * the test-side coverage of {r ≤ q̂} must land near 90% regardless
+    * of the score distribution (Vovk; Angelopoulos & Bates 2022).
+    * The eval-family rung above q153's calibration bins: bins assess a
+    * probability model, conformal GUARANTEES marginal coverage.
+    *
+    * Exactness: the nonconformity is the cross-multiplied integer
+    * |tok·Σchars − chars·Σtok| (no slope division ever happens), and q̂
+    * is an exact order statistic from the (r → count) histogram — the
+    * q230 idiom, window over distinct scores only. Split by md5 parity
+    * of doc_id, engine-independent.
+    */
+  def conformalCoverage(documents: DataFrame, alphaPct: Int = 10): DataFrame = {
+    val base = documents.select(col("doc_id"), col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("toks"),
+      (md5(concat(lit("conf|"), col("doc_id"))) < "8").as("is_calib"))
+    val calib = base.filter(col("is_calib"))
+    val test = base.filter(!col("is_calib"))
+    val slope = calib.agg(sum("toks").as("st"), sum("n_chars").as("sc"),
+      count(lit(1)).as("n_calib"))
+    def scored(df: DataFrame) = df.crossJoin(broadcast(slope))
+      .select(col("doc_id"),
+        abs(col("toks") * col("sc") - col("n_chars") * col("st")).as("r"),
+        col("n_calib"))
+    val calibHist = scored(calib).groupBy("r", "n_calib")
+      .agg(count(lit(1)).as("nc"))
+      .withColumn("cum", sum("nc").over(
+        org.apache.spark.sql.expressions.Window.orderBy("r")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    // k = ceil((n+1)·(1-α)) — integer form: (n+1)·(100-α) divided up
+    val qhat = calibHist
+      .filter(col("cum") * 100 >= (col("n_calib") + 1) * (100 - alphaPct))
+      .agg(min("r").as("qhat"))
+    scored(test).crossJoin(broadcast(qhat))
+      .agg(max("n_calib").as("n_calib"), count(lit(1)).as("n_test"),
+        max("qhat").as("qhat"),
+        sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_ppm", expr("n_covered * 1000000 div n_test"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_conformal" -> ((s, d) => conformalCoverage(Tables(s, d).documents)),
     "q211_boosted_stumps" -> ((s, d) => boostedStumps(Tables(s, d).documents)),
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
     "q160_bigram_surprisal" -> ((s, d) => bigramSurprisal(Tables(s, d).documents)),
@@ -835,6 +880,24 @@ object Modeling extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q252_conformal" ->
+      """WITH base AS (SELECT doc_id, n_chars,
+        |                     len(string_split(text, ' '))::BIGINT AS toks,
+        |                     md5('conf|' || doc_id) < '8' AS is_calib
+        |              FROM documents),
+        |sl AS (SELECT sum(toks)::BIGINT AS st, sum(n_chars)::BIGINT AS sc,
+        |              count(*)::BIGINT AS n_calib FROM base WHERE is_calib),
+        |cal AS (SELECT abs(toks * sc - n_chars * st) AS r FROM base, sl WHERE is_calib),
+        |hist AS (SELECT r, count(*)::BIGINT AS nc FROM cal GROUP BY r),
+        |cumh AS (SELECT r, sum(nc) OVER (ORDER BY r) AS cum FROM hist),
+        |q AS (SELECT min(r)::BIGINT AS qhat FROM cumh, sl
+        |      WHERE cum * 100 >= (n_calib + 1) * 90),
+        |te AS (SELECT abs(toks * sc - n_chars * st) AS r FROM base, sl WHERE NOT is_calib)
+        |SELECT sl.n_calib, count(*)::BIGINT AS n_test, max(q.qhat)::BIGINT AS qhat,
+        |       sum(CASE WHEN te.r <= q.qhat THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+        |       (sum(CASE WHEN te.r <= q.qhat THEN 1 ELSE 0 END) * 1000000
+        |          // count(*))::BIGINT AS coverage_ppm
+        |FROM te, q, sl GROUP BY sl.n_calib""".stripMargin,
     "q211_boosted_stumps" ->
       s"""WITH base AS (SELECT len(string_split(lower(text), ' '))::BIGINT AS x1,
         |                     len(list_distinct(string_split(lower(text), ' ')))::BIGINT AS x2,

@@ -853,7 +853,41 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("pattern")
   }
 
+  /** q254: INTER-EVENT REGULARITY bands (bot screening) — per user, the
+    * coefficient of variation of gaps between consecutive events, as
+    * the exact identity cv² = (n·Σg² − (Σg)²)/(Σg)²: machine-like
+    * accounts fire on a clock (cv ≈ 0), humans are bursty. Users with
+    * ≥ 2 gaps band into regular (cv < 0.1) / normal (< 0.5) / bursty,
+    * compared entirely by integer cross-multiplication — gaps are
+    * exact epoch-µs, squares ride decimal(38,0) (HUGEINT in the
+    * oracle, the q199 convention), no sqrt or float division anywhere.
+    *
+    * Scale: one lag window per user (the A4 sessionization shuffle),
+    * collapsing immediately to 3 per-user integers; the band histogram
+    * is map-side.
+    */
+  def regularityBands(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events.select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("g").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("ng"), sum("g").as("sg"),
+        sum(expr("cast(g as decimal(38,0)) * g")).as("sg2"))
+      .filter(col("ng") >= 2)
+      .select(
+        when(expr("sg = 0"), "regular")
+          .when(expr("(cast(ng as decimal(38,0)) * sg2 - cast(sg as decimal(38,0)) * sg) * 100 " +
+            "< cast(sg as decimal(38,0)) * sg"), "regular")
+          .when(expr("(cast(ng as decimal(38,0)) * sg2 - cast(sg as decimal(38,0)) * sg) * 4 " +
+            "< cast(sg as decimal(38,0)) * sg"), "normal")
+          .otherwise("bursty").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_users"))
+      .orderBy("band")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_regularity_bands"   -> ((s, d) => regularityBands(Tables(s, d).events)),
     "q225_sequence_match"     -> ((s, d) => sequenceMatch(Tables(s, d).events)),
     "q173_psi_drift"          -> ((s, d) => psiDrift(Tables(s, d).events)),
     "q171_kaplan_meier"       -> ((s, d) => kaplanMeier(Tables(s, d).events)),
@@ -912,6 +946,25 @@ object SetOpsAndSessions extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q254_regularity_bands" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS g
+        |  FROM events),
+        |s AS (SELECT user_id, count(*)::BIGINT AS ng, sum(g)::BIGINT AS sg,
+        |             sum(g::HUGEINT * g) AS sg2
+        |      FROM g WHERE g IS NOT NULL GROUP BY user_id HAVING count(*) >= 2),
+        |b AS (SELECT CASE
+        |        WHEN sg = 0 THEN 'regular'
+        |        WHEN (ng::HUGEINT * sg2 - sg::HUGEINT * sg) * 100 < sg::HUGEINT * sg
+        |          THEN 'regular'
+        |        WHEN (ng::HUGEINT * sg2 - sg::HUGEINT * sg) * 4 < sg::HUGEINT * sg
+        |          THEN 'normal'
+        |        ELSE 'bursty' END AS band
+        |      FROM s)
+        |SELECT band, count(*)::BIGINT AS n_users FROM b
+        |GROUP BY band ORDER BY band""".stripMargin,
     // regexp_extract_all length == Spark's regexp_count for these
     // patterns (leftmost non-overlapping, greedy — identical in Java
     // regex and DuckDB's RE2 for alternation-free patterns)

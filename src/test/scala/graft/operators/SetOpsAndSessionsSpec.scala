@@ -368,4 +368,27 @@ class SetOpsAndSessionsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("e{2,}", 1L, 1L), ("se", 1L, 1L), ("vc*p", 2L, 3L)))
   }
+
+  test("regularityBands: clockwork user is regular, erratic user bursty, 2-event user excluded") {
+    val m = 1000000L
+    def ev(id: Long, uid: Long, usec: Long) = (id, uid, usec)
+    val rows =
+      // user 1: exact 60s clock x6 → cv = 0 → regular
+      (1L to 6L).map(i => ev(i, 1L, i * 60L * m)) ++
+      // user 2: gaps 1s, 1s, 100s, 1s, 200s → wildly varying → bursty
+      Seq(0L, 1L, 2L, 102L, 103L, 303L).zipWithIndex.map {
+        case (s, i) => ev(10L + i, 2L, s * m) } ++
+      // user 3: only two events (one gap) → excluded from banding
+      Seq(ev(20L, 3L, 0L), ev(21L, 3L, 5L * m)) ++
+      // user 4: gaps 60s, 61s, 59s, 60s → cv ≈ 0.012 → regular
+      Seq(0L, 60L, 121L, 180L, 240L).zipWithIndex.map {
+        case (s, i) => ev(30L + i, 4L, s * m) }
+    val df = rows.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"),
+        lit(1.0).as("value"), lit("t").as("event_type"))
+    val got = SetOpsAndSessions.regularityBands(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("bursty", 1L), ("regular", 2L)), s"got $got")
+  }
 }
