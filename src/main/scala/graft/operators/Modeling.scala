@@ -836,7 +836,47 @@ object Modeling extends QueryModule {
       .withColumn("coverage_ppm", expr("n_covered * 1000000 div n_test"))
   }
 
+  /** q253: DECILE LIFT TABLE — the marketing-standard model diagnostic
+    * that completes the classifier eval suite (ROC q169, AP q201, F1
+    * sweep q210, calibration q197/q153, conformal q252): rank docs by a
+    * score, split into ten equal-count bands, and report each band's
+    * response rate and lift over the base rate. Score here is integer
+    * token density (tokens·10⁶ div chars), label is the q206 target.
+    *
+    * The scale point is the DECILE MACHINERY: boundaries are exact
+    * order statistics from the (score → count) histogram (the q230
+    * idiom — a window over distinct scores, never a corpus sort), then
+    * every doc assigns itself by comparing to the 9 broadcast
+    * cutpoints with a HOF filter. Ties share a band, so bands can be
+    * uneven — the honest behavior for a discrete score.
+    */
+  def decileLift(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents.select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      expr("size(split(text, ' ')) * cast(1000000 as bigint) div greatest(n_chars, 1)")
+        .as("s"))
+    val tot = scored.agg(count(lit(1)).as("n_total"), sum("y").as("npos_total"))
+    val cuts = scored.groupBy("s").agg(count(lit(1)).as("nc"))
+      .withColumn("cum", sum("nc").over(Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(documents.sparkSession.range(1, 10).select(col("id").as("k"))))
+      .filter(col("cum") * 10 >= col("k") * col("n_total"))
+      .groupBy("k").agg(min("s").as("cut"))
+      .agg(array_sort(collect_list(col("cut"))).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile", lit(1) + expr("size(filter(cuts, c -> s > c))"))
+      .groupBy("decile").agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("response_ppm"),
+        expr("n_pos * n_total * 1000000 div (n * npos_total)").as("lift_ppm"))
+      .orderBy("decile")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_decile_lift" -> ((s, d) => decileLift(Tables(s, d).documents)),
     "q252_conformal" -> ((s, d) => conformalCoverage(Tables(s, d).documents)),
     "q211_boosted_stumps" -> ((s, d) => boostedStumps(Tables(s, d).documents)),
     "q159_quality_ols" -> ((s, d) => qualityOls(Tables(s, d).documents)),
@@ -880,6 +920,26 @@ object Modeling extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q253_decile_lift" ->
+      """WITH scored AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+        |         (len(string_split(text, ' '))::BIGINT * 1000000
+        |            // greatest(n_chars, 1))::BIGINT AS s
+        |  FROM documents),
+        |tot AS (SELECT count(*)::BIGINT AS n_total, sum(y)::BIGINT AS npos_total FROM scored),
+        |hist AS (SELECT s, count(*)::BIGINT AS nc FROM scored GROUP BY s),
+        |cum AS (SELECT s, sum(nc) OVER (ORDER BY s) AS cum FROM hist),
+        |cuts AS (SELECT k, min(s) AS cut
+        |         FROM cum CROSS JOIN tot CROSS JOIN (SELECT unnest(range(1, 10)) AS k) ks
+        |         WHERE cum * 10 >= k * n_total GROUP BY k),
+        |cl AS (SELECT list(cut ORDER BY cut) AS cuts FROM cuts),
+        |dec AS (SELECT 1 + len(list_filter(cuts, c -> s > c)) AS decile, y
+        |        FROM scored CROSS JOIN cl)
+        |SELECT decile::INT AS decile, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |       (sum(y) * 1000000 // count(*))::BIGINT AS response_ppm,
+        |       (sum(y) * n_total * 1000000 // (count(*) * npos_total))::BIGINT AS lift_ppm
+        |FROM dec CROSS JOIN tot
+        |GROUP BY decile, n_total, npos_total ORDER BY decile""".stripMargin,
     "q252_conformal" ->
       """WITH base AS (SELECT doc_id, n_chars,
         |                     len(string_split(text, ' '))::BIGINT AS toks,

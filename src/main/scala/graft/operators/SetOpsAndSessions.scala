@@ -886,7 +886,77 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("band")
   }
 
+  /** q255: FREQUENT 3-EVENT SEQUENCES (PrefixSpan-lite) — consecutive
+    * event-type triples per user history, ranked by user support then
+    * total occurrences: the length-3 extension of q112's transition
+    * matrix, i.e. the smallest sequential pattern a funnel designer
+    * can't read off pairwise counts.
+    *
+    * Scale: one per-user window pass (two leads ride the same sort),
+    * then a (e1,e2,e3)-keyed aggregate — support via countDistinct is
+    * the one extra shuffle; top-k cuts with TakeOrdered, no global
+    * sort.
+    */
+  def tripleSequences(events: DataFrame, topN: Int = 15): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_users").desc, col("n_occurrences").desc,
+        col("e1"), col("e2"), col("e3"))
+      .limit(topN)
+  }
+
+  /** q256: PEAK CONCURRENCY — the capacity-planning sweep: sessionize
+    * each user's events (30-min inactivity gap), split every session
+    * interval at UTC day boundaries, and sweep each day's +1/−1
+    * endpoints in time order to find the maximum number of sessions
+    * open at once. Ends sort before starts at the same microsecond
+    * (back-to-back sessions don't double-count).
+    *
+    * Scale: the day split is exactly what makes the sweep
+    * partitionable — each day's running sum is an independent window
+    * partition (no global ordering), and a session crossing midnight
+    * contributes correctly to BOTH days. Output is the global peak and
+    * the first day/instant it occurs.
+    */
+  def peakConcurrency(events: DataFrame, gapUs: Long = 1800L * 1000000): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sess = events.select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("new_sess",
+        when(col("us") - lag("us", 1).over(w) > gapUs || lag("us", 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("us").as("s"), max("us").as("e"))
+    val segs = sess
+      .select(col("s"), col("e"),
+        explode(expr(s"sequence(s div $dayUs, e div $dayUs)")).as("day"))
+      .select(col("day"),
+        greatest(col("s"), col("day") * dayUs).as("seg_s"),
+        least(col("e"), (col("day") + 1) * dayUs - 1).as("seg_e"))
+    val bounds = segs.select(col("day"), col("seg_s").as("us"), lit(1L).as("delta"))
+      .unionAll(segs.select(col("day"), (col("seg_e") + 1).as("us"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy("day").orderBy(col("us"), col("delta"))
+    val perDay = bounds
+      .withColumn("open", sum("delta").over(
+        sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("day").agg(max("open").as("day_peak"))
+    perDay.agg(max(struct(col("day_peak"), (-col("day")).as("nd"), col("day"))).as("m"))
+      .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+      .select(col("n_sessions"), col("m.day_peak").as("peak_concurrent"),
+        to_date(timestamp_micros(col("m.day") * dayUs)).as("peak_day"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_triple_sequences"   -> ((s, d) => tripleSequences(Tables(s, d).events)),
+    "q256_peak_concurrency"   -> ((s, d) => peakConcurrency(Tables(s, d).events)),
     "q254_regularity_bands"   -> ((s, d) => regularityBands(Tables(s, d).events)),
     "q225_sequence_match"     -> ((s, d) => sequenceMatch(Tables(s, d).events)),
     "q173_psi_drift"          -> ((s, d) => psiDrift(Tables(s, d).events)),
@@ -946,6 +1016,46 @@ object SetOpsAndSessions extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q255_triple_sequences" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |seq AS (SELECT user_id, event_type AS e1,
+        |               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e2,
+        |               lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e3
+        |        FROM e)
+        |SELECT e1, e2, e3, count(DISTINCT user_id)::BIGINT AS n_users,
+        |       count(*)::BIGINT AS n_occurrences
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n_users DESC, n_occurrences DESC, e1, e2, e3 LIMIT 15""".stripMargin,
+    "q256_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |s1 AS (SELECT user_id, us, event_id,
+        |              CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |                     OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                        > 1800000000
+        |                   THEN 1 ELSE 0 END AS new_sess
+        |       FROM e),
+        |s2 AS (SELECT user_id, us,
+        |              sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_id
+        |       FROM s1),
+        |sess AS (SELECT user_id, sess_id, min(us) AS s, max(us) AS e
+        |         FROM s2 GROUP BY user_id, sess_id),
+        |segs AS (SELECT day, greatest(s, day * 86400000000) AS seg_s,
+        |                least(e, (day + 1) * 86400000000 - 1) AS seg_e
+        |         FROM (SELECT s, e, unnest(range(s // 86400000000, e // 86400000000 + 1)) AS day
+        |               FROM sess)),
+        |bounds AS (SELECT day, seg_s AS us, 1::BIGINT AS delta FROM segs
+        |           UNION ALL SELECT day, seg_e + 1, (-1)::BIGINT FROM segs),
+        |sweep AS (SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY us, delta) AS open
+        |          FROM bounds),
+        |pd AS (SELECT day, max(open)::BIGINT AS day_peak FROM sweep GROUP BY day),
+        |best AS (SELECT day, day_peak FROM (
+        |           SELECT day, day_peak, row_number() OVER (
+        |             ORDER BY day_peak DESC, day) AS rn FROM pd) WHERE rn = 1)
+        |SELECT (SELECT count(*) FROM sess)::BIGINT AS n_sessions,
+        |       b.day_peak AS peak_concurrent,
+        |       epoch_ms(b.day * 86400000)::DATE AS peak_day
+        |FROM best b""".stripMargin,
     "q254_regularity_bands" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -391,4 +391,25 @@ class SetOpsAndSessionsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("bursty", 1L), ("regular", 2L)), s"got $got")
   }
+
+  test("peakConcurrency: midnight-crossing session counts on both days; ends don't double-count") {
+    val m = 1000000L
+    val day = 86400L * m
+    // user 1: one session 23:50 day0 → 00:10 day1 (crosses midnight)
+    // users 2,3: sessions on day1 00:00-00:05 → with user1 still open,
+    // day1 peak = 3. user 4: session starting the µs AFTER user2 ends —
+    // no overlap with it.
+    val rows = Seq(
+      (1L, 1L, day - 10L * 60 * m), (2L, 1L, day + 10L * 60 * m),
+      (3L, 2L, day), (4L, 2L, day + 5L * 60 * m),
+      (5L, 3L, day + 60 * m), (6L, 3L, day + 4L * 60 * m),
+      (7L, 4L, day + 5L * 60 * m + 1L), (8L, 4L, day + 6L * 60 * m))
+    val df = rows.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"),
+        lit(1.0).as("value"), lit("t").as("event_type"))
+    val got = SetOpsAndSessions.peakConcurrency(df).collect().head
+    assert(got.getLong(0) == 4L, s"n_sessions: $got")           // 4 sessions
+    assert(got.getLong(1) == 3L, s"peak: $got")                 // user1+2+3 on day1
+    assert(got.getDate(2).toString == "1970-01-02", s"day: $got")
+  }
 }
