@@ -214,7 +214,59 @@ object Sketches extends QueryModule {
       .orderBy("source", "q")
   }
 
+  /** q257: ROLLING 7-DAY DISTINCT USERS via daily HLL register merge —
+    * the sliding-window face of the q106 mergeability contract: build
+    * 64 HLL registers PER DAY (one scan of the stream), then the 7-day
+    * estimate for every day is a pure REGISTER-LEVEL max over the
+    * window — expressed relationally as a bucket-partitioned,
+    * day-ordered RANGE window over the (day × bucket) grid, so no raw
+    * event is ever touched twice. The exact rolling distinct (a day ×
+    * day-users range join that re-scans every user id 7 times) rides
+    * along as the calibration reference, q106/q113 doctrine — at scale
+    * it is precisely the thing the register merge replaces.
+    */
+  def rollingHllUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = events.select(expr("unix_micros(ts) div 86400000000").as("day"),
+        hash60("rhll", col("user_id").cast("string")).as("v"))
+      .select(col("day"), (col("v") % 64).as("bucket"), expr("v div 64").as("rest"))
+    val rank = when(col("rest") === 0, lit(55))
+      .otherwise(lit(55) - length(bin(col("rest")))).cast("int")
+    val daily = h.select(col("day"), col("bucket"), rank.as("r"))
+      .groupBy("day", "bucket").agg(max("r").as("r"))
+    // day × bucket grid so a bucket seen 3 days ago still reaches
+    // today's merge; grid is days·64 rows, model-sized
+    val days = daily.select("day").distinct()
+    val grid = days.crossJoin(daily.select("bucket").distinct())
+      .join(daily, Seq("day", "bucket"), "left")
+    val wWin = Window.partitionBy("bucket").orderBy("day")
+      .rangeBetween(-(windowDays - 1), 0)
+    val merged = grid.withColumn("rw", max("r").over(wWin))
+      .filter(col("rw").isNotNull)
+    val agg = merged.groupBy("day").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(1L, cast(55 - rw as int))")).as("s"))
+      .withColumn("m0", lit(64L) - col("n_buckets"))
+      .withColumn("sum_pow",
+        (col("s") + col("m0") * expr("shiftleft(1L, 55)")).cast("double") / lit(math.pow(2, 55)))
+    val raw = lit(0.709 * 64 * 64) / col("sum_pow")
+    val est = when(raw <= 160.0 && col("m0") > 0, lit(64.0) * log(lit(64.0) / col("m0")))
+      .otherwise(raw)
+    val du = events.select(expr("unix_micros(ts) div 86400000000").as("uday"),
+      col("user_id")).distinct()
+    val exact = days.join(du,
+        col("uday").between(col("day") - (windowDays - 1), col("day")))
+      .groupBy("day").agg(countDistinct("user_id").as("exact_users"))
+    agg.join(exact, "day")
+      .select(to_date(timestamp_micros(col("day") * 86400000000L)).as("window_end"),
+        col("exact_users"), col("n_buckets"), col("m0"),
+        round(est, 4).as("hll_est"),
+        round((est - col("exact_users")) / col("exact_users"), 4).as("rel_err"))
+      .orderBy("window_end")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_rolling_hll" -> ((s, d) => rollingHllUsers(Tables(s, d).events)),
     "q106_hll_distinct" -> ((s, d) => hllDistinct(Tables(s, d).documents)),
     "q222_theta_overlap" -> ((s, d) => thetaOverlap(Tables(s, d).documents)),
     "q107_cms_freq"     -> ((s, d) => cmsFrequencies(Tables(s, d).documents)),
@@ -290,6 +342,45 @@ object Sketches extends QueryModule {
     s"list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5($saltedArg), i, 1)) - 1), (a, b) -> a * 16 + b)::UBIGINT"
 
   override def oracles: Map[String, String] = Map(
+    "q257_rolling_hll" ->
+      s"""WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |                  ${hx("'rhll|' || user_id::VARCHAR")} AS v
+        |           FROM events),
+        |daily AS (
+        |  SELECT day, v % 64 AS bucket,
+        |         max(CASE WHEN v // 64 = 0 THEN 55
+        |                  ELSE 55 - length(bin(v // 64)) END)::INTEGER AS r
+        |  FROM h GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |grid AS (SELECT d.day, b.bucket, daily.r
+        |         FROM days d CROSS JOIN (SELECT DISTINCT bucket FROM daily) b
+        |         LEFT JOIN daily ON daily.day = d.day AND daily.bucket = b.bucket),
+        |merged AS (
+        |  SELECT day, bucket,
+        |         max(r) OVER (PARTITION BY bucket ORDER BY day
+        |                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rw
+        |  FROM grid),
+        |agg AS (
+        |  SELECT day, count(*)::BIGINT AS n_buckets, (64 - count(*))::BIGINT AS m0,
+        |         (sum((1::UBIGINT << (55 - rw))::HUGEINT)
+        |          + (64 - count(*))::HUGEINT * (1::UBIGINT << 55)::HUGEINT)::DOUBLE
+        |           / 36028797018963968.0 AS sum_pow
+        |  FROM merged WHERE rw IS NOT NULL GROUP BY 1),
+        |est AS (
+        |  SELECT day, n_buckets, m0,
+        |         CASE WHEN (0.709 * 64 * 64) / sum_pow <= 160.0 AND m0 > 0
+        |              THEN 64.0 * ln(64.0 / m0)
+        |              ELSE (0.709 * 64 * 64) / sum_pow END AS e
+        |  FROM agg),
+        |du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS uday, user_id FROM events),
+        |ex AS (SELECT d.day, count(DISTINCT du.user_id)::BIGINT AS exact_users
+        |       FROM days d JOIN du ON du.uday BETWEEN d.day - 6 AND d.day
+        |       GROUP BY d.day)
+        |SELECT epoch_ms(est.day * 86400000)::DATE AS window_end,
+        |       ex.exact_users, est.n_buckets, est.m0,
+        |       round(est.e, 4) AS hll_est,
+        |       round((est.e - ex.exact_users) / ex.exact_users, 4) AS rel_err
+        |FROM est JOIN ex ON est.day = ex.day ORDER BY window_end""".stripMargin,
     "q222_theta_overlap" ->
       s"""WITH fps AS (SELECT DISTINCT source, ${hx("'theta|' || text")}::BIGINT AS h FROM documents),
         |ex AS (SELECT source, count(*)::BIGINT AS n_exact FROM fps GROUP BY 1),
