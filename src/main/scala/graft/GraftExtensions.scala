@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, LongVecSqDist, MinHashMd5, ShingleSet, SimHash64, TextMinHashMd5, TopKSketchAgg, UnicodeNormalize, WinnowFingerprints}
+import graft.functions.{FloatVecDot, LongVecSqDist, MinHashMd5, MultiPatternCounts, ShingleSet, SimHash64, TextMinHashMd5, TopKSketchAgg, UnicodeNormalize, WinnowFingerprints}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.unsafe.types.UTF8String
@@ -10,7 +10,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `vec_sqdist(array<bigint>, array<bigint>)`,
   * `winnow_fingerprints(string[, k, w])`,
   * `text_minhash_md5(string, salt[, k])`, `shingle_set(string[, k])`,
-  * `minhash_md5(array<string>, salt)` and the
+  * `minhash_md5(array<string>, salt)`,
+  * `multi_pattern_counts(string, 'p1,p2,…')` and the
   * `topk_sketch(string, capacity)` aggregate in the function registry,
   * so `spark.sql` queries and downstream tools can call them. Install
   * either via `SparkSession.builder().withExtensions(new
@@ -58,6 +59,17 @@ object GraftFunctions {
       require(children.length == 2,
         s"minhash_md5(shingles, salt) takes exactly 2 arguments, got ${children.length}")
       MinHashMd5(children.head, salt = stringArg(children(1), "minhash salt"))
+    }),
+    // multi_pattern_counts(text, 'p1,p2,…'): SQL surface takes the
+    // blocklist as ONE comma-separated literal (SQL has no list
+    // literals in function args); commas therefore can't appear inside
+    // a pattern via SQL — the Column API takes a real Seq and has no
+    // such restriction
+    "multi_pattern_counts" -> (children => {
+      require(children.length == 2,
+        s"multi_pattern_counts(text, patterns) takes exactly 2 arguments, got ${children.length}")
+      MultiPatternCounts(children.head,
+        stringArg(children(1), "pattern list").split(',').toSeq)
     }),
     // NearestCell is deliberately NOT SQL-registered: its centroid matrix
     // is a referenced object (the whole point of its O(1) plan size), and

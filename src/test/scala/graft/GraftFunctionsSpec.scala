@@ -12,6 +12,10 @@ class GraftFunctionsSpec extends SparkSpec {
       .head()
     assert(r.getLong(0) != 0L)
     assert(r.getDouble(1) == 11.0)
+    val mp = spark.sql(
+      "SELECT multi_pattern_counts('she sells seashells', 'she,sells') AS c")
+      .head().getSeq[Long](0)
+    assert(mp == Seq(2L, 1L)) // 'she' leads + hides inside 'seashells'
   }
 
   test("vec_dot matches the HOF formulation bitwise on real embeddings") {
