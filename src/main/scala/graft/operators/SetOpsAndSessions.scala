@@ -954,7 +954,56 @@ object SetOpsAndSessions extends QueryModule {
         to_date(timestamp_micros(col("m.day") * dayUs)).as("peak_day"))
   }
 
+  /** q258: SAMPLE-RATIO-MISMATCH guardrail — the pre-flight check every
+    * A/B readout (q148/q149) must pass: under the 50/50 hash
+    * assignment, χ² = (n_a − n_b)²/(n_a + n_b); an excess over the 95%
+    * critical value means the assignment itself is broken and the
+    * experiment unreadable. Flagged by integer cross-multiplication
+    * (100·(n_a−n_b)² > 384·n) — no float χ² anywhere.
+    */
+  def sampleRatioCheck(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .select(when(md5(concat(lit("ab|"), col("user_id"))) < "8", 1L).otherwise(0L).as("a"))
+      .agg(count(lit(1)).as("n_users"), sum("a").as("n_a"))
+      .withColumn("n_b", col("n_users") - col("n_a"))
+      .withColumn("chi2_micro",
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div n_users"))
+      .withColumn("srm_flag",
+        expr("100 * (n_a - n_b) * (n_a - n_b) > 384 * n_users"))
+
+  /** q259: MONTHLY SEASONAL INDEX per market segment — revenue against
+    * its centered 12-month moving average (ratio-to-moving-average
+    * decomposition, the classic X-11 first step): index_ppm > 10⁶ means
+    * the month runs hot for that segment. Exact cents; the ratio
+    * cross-multiplies through the 12-month window SUM (never an
+    * average), and months lacking a full ±6 window are excluded rather
+    * than padded.
+    *
+    * Scale: the fact table collapses to (segment, month) cents
+    * map-side; the moving window runs over that bounded frame.
+    */
+  def seasonalIndex(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val monthly = orders
+      .join(customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("ym").rowsBetween(-6, 5)
+    monthly
+      .withColumn("ma_sum", sum("cents").over(w))
+      .withColumn("ma_n", count(lit(1)).over(w))
+      .filter(col("ma_n") === 12)
+      .select(col("c_mktsegment"), col("ym"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        expr("cents * 12 * 1000000 div ma_sum").as("index_ppm"))
+      .orderBy("c_mktsegment", "ym")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_srm_check"          -> ((s, d) => sampleRatioCheck(Tables(s, d).events)),
+    "q259_seasonal_index"     -> ((s, d) => { val t = Tables(s, d)
+      seasonalIndex(t.orders, t.customer) }),
     "q255_triple_sequences"   -> ((s, d) => tripleSequences(Tables(s, d).events)),
     "q256_peak_concurrency"   -> ((s, d) => peakConcurrency(Tables(s, d).events)),
     "q254_regularity_bands"   -> ((s, d) => regularityBands(Tables(s, d).events)),
@@ -1016,6 +1065,34 @@ object SetOpsAndSessions extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q258_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT count(*)::BIGINT AS n_users,
+        |             sum(CASE WHEN md5('ab|' || user_id) < '8' THEN 1 ELSE 0 END)::BIGINT AS n_a
+        |      FROM u)
+        |SELECT n_users, n_a, (n_users - n_a)::BIGINT AS n_b,
+        |       ((n_a - (n_users - n_a)) * (n_a - (n_users - n_a)) * 1000000
+        |          // n_users)::BIGINT AS chi2_micro,
+        |       100 * (n_a - (n_users - n_a)) * (n_a - (n_users - n_a)) > 384 * n_users
+        |         AS srm_flag
+        |FROM t""".stripMargin,
+    "q259_seasonal_index" ->
+      """WITH monthly AS (
+        |  SELECT c_mktsegment, year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |         sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |win AS (
+        |  SELECT c_mktsegment, ym, cents,
+        |         sum(cents) OVER (PARTITION BY c_mktsegment ORDER BY ym
+        |                          ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS ma_sum,
+        |         count(*) OVER (PARTITION BY c_mktsegment ORDER BY ym
+        |                        ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS ma_n
+        |  FROM monthly)
+        |SELECT c_mktsegment, ym::INT AS ym, round(cents / 100.0, 2) AS revenue,
+        |       (cents * 12 * 1000000 // ma_sum)::BIGINT AS index_ppm
+        |FROM win WHERE ma_n = 12
+        |ORDER BY c_mktsegment, ym""".stripMargin,
     "q255_triple_sequences" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
         |seq AS (SELECT user_id, event_type AS e1,
