@@ -500,7 +500,166 @@ object DecisionSupport extends QueryModule {
           col("l_quantity").between(10, 30)))
       .agg(round(sum("cents") / 100.0, 2).as("revenue"))
 
+  /** q260: minimum-cost supplier (TPC-H Q2 shape, adapted — this schema
+    * has no partsupp, so the offer book is derived from observed trade:
+    * a (part, supplier) pair's unit cost is the MINIMUM per-unit price
+    * across its lineitems). For LARGE-type parts, the EUROPE suppliers
+    * matching the part's minimum cost — selected back by exact
+    * integer-cents equality so ties surface (the q186 convention), with
+    * the oracle keeping Q2's correlated `= (SELECT min ...)` form to
+    * certify Catalyst's decorrelation of the same plan.
+    *
+    * Scale: offers aggregate shuffles on (part, supp) — the pair space,
+    * already far below the fact table; everything after runs on the
+    * offer frame. Dims (part, supplier⋈nation⋈region) broadcast.
+    */
+  def minCostSupplier(li: DataFrame, part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame = {
+    val offers = li
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5)
+        .cast("long")).as("unit_cents"))
+    val europeSupp = supplier
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val qualified = offers
+      .join(broadcast(part.filter(col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(europeSupp), col("l_suppkey") === col("s_suppkey"))
+    val best = qualified.groupBy(col("p_partkey").as("bp_key"))
+      .agg(min("unit_cents").as("best_cents"))
+    qualified.join(best, col("p_partkey") === col("bp_key") &&
+        col("unit_cents") === col("best_cents"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_name"),
+        round(col("unit_cents") / 100.0, 2).as("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
+  /** q261: important stock (TPC-H Q11 shape, adapted): per-part traded
+    * value via EUROPE suppliers, kept when the part exceeds 1/2000 of
+    * the cohort total. The global scalar is a one-row broadcast; the
+    * threshold compares by integer CROSS-MULTIPLICATION in decimal(38,0)
+    * (part·2000 > total·1) — no float fraction, and no int64 overflow at
+    * corpus scale (the q199 widening convention: Spark decimal(38,0) ↔
+    * DuckDB HUGEINT).
+    */
+  def importantStock(li: DataFrame, supplier: DataFrame, nation: DataFrame,
+                     region: DataFrame): DataFrame = {
+    val europeSuppKeys = supplier
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val value = li
+      .join(broadcast(europeSuppKeys), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("part_cents"))
+    val total = value.agg(sum("part_cents").as("total_cents"))
+    value.crossJoin(broadcast(total))
+      .filter(col("part_cents").cast("decimal(38,0)") * 2000 >
+        col("total_cents").cast("decimal(38,0)"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("part_cents") / 100.0, 2).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** q262: product-type profit (TPC-H Q9 shape, adapted): yearly profit
+    * per supplier nation on widget-named parts, where line profit =
+    * revenue − 60%-of-retail unit cost (the schema's stand-in for
+    * ps_supplycost). Cost quantizes to cents BEFORE the subtraction so
+    * both engines sum identical integers. Fact path: one shuffle
+    * (lineitem⋈orders on the order key); part/supplier/nation broadcast.
+    */
+  def nationProfit(li: DataFrame, part: DataFrame, supplier: DataFrame,
+                   nation: DataFrame, orders: DataFrame): DataFrame =
+    li.join(broadcast(part.filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"),
+        (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5) -
+          floor(col("p_retailprice") * col("l_quantity") * 60 + 0.5))
+          .cast("long").as("profit_cents"))
+      .groupBy("n_name", "o_year")
+      .agg(round(sum("profit_cents") / 100.0, 2).as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+
+  /** q263: parts/supplier relationship count (TPC-H Q16 shape, adapted):
+    * distinct supplier count per (brand, type, size) over observed
+    * (part, supplier) trade pairs, for a size cohort excluding one brand
+    * and one type — and excluding negative-balance suppliers via NOT IN,
+    * which Catalyst must plan as a null-aware anti join (here a
+    * broadcast one: the exclusion list is supplier-sized).
+    */
+  def partSupplierCounts(li: DataFrame, part: DataFrame,
+                         supplier: DataFrame): DataFrame = {
+    val pairs = li.select("l_partkey", "l_suppkey").distinct()
+    val badSupp = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val dims = part.filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    pairs
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** q264: dominant part suppliers (TPC-H Q20 shape, adapted): EUROPE
+    * suppliers that shipped MORE THAN HALF of some bolt-named part's
+    * total 1996 volume, with how many parts each dominates. Q20's
+    * correlated `> 0.5 * (SELECT sum ...)` is the per-part total joined
+    * back to the (part, supplier) aggregate; the half threshold compares
+    * as 2·supp > total in integers. The oracle keeps the correlated
+    * form. Quantities quantize via floor(q + 0.5) — the q238 convention.
+    */
+  def dominantSuppliers(li: DataFrame, part: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, region: DataFrame): DataFrame = {
+    val f = li.filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .join(broadcast(part.filter(col("p_name").contains("bolt")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_suppkey"),
+        floor(col("l_quantity") + 0.5).cast("long").as("qty"))
+    val perSupp = f.groupBy("p_partkey", "l_suppkey").agg(sum("qty").as("supp_qty"))
+    val perPart = f.groupBy(col("p_partkey").as("tp_key")).agg(sum("qty").as("part_qty"))
+    val dominant = perSupp.join(perPart, col("p_partkey") === col("tp_key"))
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts_dominated"))
+    dominant
+      .join(broadcast(supplier
+        .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region.filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_name"), col("n_parts_dominated"))
+      .orderBy("s_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_min_cost_supplier" -> ((s, d) => { val t = Tables(s, d)
+      minCostSupplier(t.lineitem, t.part, t.supplier, t.nation, t.region) }),
+    "q261_important_stock" -> ((s, d) => { val t = Tables(s, d)
+      importantStock(t.lineitem, t.supplier, t.nation, t.region) }),
+    "q262_nation_profit" -> ((s, d) => { val t = Tables(s, d)
+      nationProfit(t.lineitem, t.part, t.supplier, t.nation, t.orders) }),
+    "q263_part_supplier_counts" -> ((s, d) => { val t = Tables(s, d)
+      partSupplierCounts(t.lineitem, t.part, t.supplier) }),
+    "q264_dominant_suppliers" -> ((s, d) => { val t = Tables(s, d)
+      dominantSuppliers(t.lineitem, t.part, t.supplier, t.nation, t.region) }),
     "q234_local_supplier_volume" -> ((s, d) => { val t = Tables(s, d)
       localSupplierVolume(t.customer, t.orders, t.lineitem, t.supplier, t.nation, t.region) }),
     "q235_nation_volume" -> ((s, d) => { val t = Tables(s, d)
@@ -539,6 +698,85 @@ object DecisionSupport extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // keeps Q2's correlated `= (SELECT min ...)` form on purpose: a green
+    // row certifies Catalyst's decorrelation plans the same answer
+    "q260_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS unit_cents
+        |  FROM lineitem WHERE l_quantity > 0
+        |  GROUP BY l_partkey, l_suppkey),
+        |es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey
+        |       WHERE r_name = 'EUROPE'),
+        |q AS (SELECT o.unit_cents, p.p_partkey, p.p_name, es.s_name, es.s_acctbal, es.n_name
+        |      FROM offers o JOIN part p ON o.l_partkey = p.p_partkey
+        |      JOIN es ON o.l_suppkey = es.s_suppkey
+        |      WHERE p.p_type = 'LARGE')
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       CAST(round(unit_cents / 100.0, 2) AS DOUBLE) AS unit_cost
+        |FROM q
+        |WHERE unit_cents = (SELECT min(q2.unit_cents) FROM q q2
+        |                    WHERE q2.p_partkey = q.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    "q261_important_stock" ->
+      """WITH es AS (SELECT s_suppkey FROM supplier
+        |            JOIN nation ON s_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey
+        |            WHERE r_name = 'EUROPE'),
+        |v AS (SELECT l_partkey,
+        |             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS part_cents
+        |      FROM lineitem JOIN es ON l_suppkey = es.s_suppkey
+        |      GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey,
+        |       CAST(round(part_cents / 100.0, 2) AS DOUBLE) AS part_value
+        |FROM v
+        |WHERE part_cents::HUGEINT * 2000 > (SELECT sum(part_cents)::HUGEINT FROM v)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "q262_nation_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |                    - CAST(floor(p_retailprice * l_quantity * 60 + 0.5) AS BIGINT))
+        |                  / 100.0, 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q263_part_supplier_counts" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // keeps Q20's correlated `> half of (SELECT sum ...)` form on purpose
+    "q264_dominant_suppliers" ->
+      """WITH f AS (SELECT p_partkey, l_suppkey,
+        |                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey
+        |           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |             AND p_name LIKE '%bolt%'),
+        |ps AS (SELECT p_partkey, l_suppkey, sum(qty) AS supp_qty
+        |       FROM f GROUP BY p_partkey, l_suppkey),
+        |dom AS (SELECT l_suppkey, count(*) AS n_parts_dominated
+        |        FROM ps
+        |        WHERE supp_qty * 2 > (SELECT sum(f2.qty) FROM f f2
+        |                              WHERE f2.p_partkey = ps.p_partkey)
+        |        GROUP BY l_suppkey)
+        |SELECT s_name, n_name, n_parts_dominated
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |ORDER BY s_name""".stripMargin,
     // naive quadratic dominance test on purpose: certifies the
     // collapse+window plan loses no skyline point
     "q221_skyline" ->

@@ -453,6 +453,29 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k cut:\n$p")
   }
 
+  test("q260 min-cost supplier: dims broadcast, offers shuffle once, no cartesian") {
+    val p = planText(graft.operators.DecisionSupport.minCostSupplier(
+      t.lineitem, t.part, t.supplier, t.nation, t.region))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q261 important stock: global total is a one-row broadcast nested-loop, not a sort") {
+    val p = planText(graft.operators.DecisionSupport.importantStock(
+      t.lineitem, t.supplier, t.nation, t.region))
+    // the scalar total joins the per-part frame via BroadcastNestedLoopJoin
+    // (one row broadcast) — never a shuffled join or a global sort
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast scalar:\n$p")
+    assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("q264 dominant suppliers: correlated half-of-total is one pair-keyed shuffle, dims broadcast") {
+    val p = planText(graft.operators.DecisionSupport.dominantSuppliers(
+      t.lineitem, t.part, t.supplier, t.nation, t.region))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("multi_pattern_counts stays inside generated code (no codegen fallback)") {
     val df = t.documents.select(graft.functions.MultiPatternCounts.counts(
       col("text"), Seq("the", "batch batch")).as("c"))
