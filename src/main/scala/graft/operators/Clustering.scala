@@ -146,6 +146,98 @@ object Clustering extends QueryModule {
       .orderBy("cluster")
   }
 
+  /** q266: k-CENTER GREEDY CORESET (farthest-point traversal, Gonzalez
+    * 1985) — k maximally-diverse exemplars: seed at the smallest
+    * vec_id, then repeatedly pick the point FARTHEST from every chosen
+    * center (max of the running min-distance, ties to the smaller
+    * vec_id). Greedy is a 2-approximation of the optimal k-center
+    * cover, and the selection-distance sequence IS the coverage-radius
+    * curve — the diverse-exemplar data-selection rung (labeling/eval
+    * set seeding) beside SemDeDup's near-dup pruning (q177).
+    *
+    * Scale: the quantized frame is cut once; each of the k rounds is
+    * (a) ONE TakeOrdered(1) argmax — never a global sort — and (b) a
+    * NARROW min-distance update against the new center shipped as a
+    * broadcast literal, so the corpus never shuffles at all. Driver
+    * traffic is one row per round (the chosen center), k·D longs total.
+    * All distances are the exact-integer [[sqDist]] kernel — no float
+    * drift between rounds or engines.
+    */
+  def kCenterCoreset(embeddings: DataFrame, k: Int = 8,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val vecs = graft.plans.Checkpoints.cut(
+      quantized(embeddings).select("vec_id", "u"), checkpointDir)
+    val seed = vecs.orderBy("vec_id").limit(1).collect()(0)
+    var centers = Vector((1L, seed.getLong(0), 0L))
+    var cur = vecs.select(col("vec_id"), col("u"),
+      sqDist(col("u"), typedLit(seed.getSeq[Long](1))).as("mind"))
+    for (r <- 2 to k) {
+      val far = cur.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
+      centers :+= ((r.toLong, far.getLong(0), far.getLong(2)))
+      cur = cur.select(col("vec_id"), col("u"),
+        least(col("mind"), sqDist(col("u"), typedLit(far.getSeq[Long](1)))).as("mind"))
+    }
+    val radius = cur.agg(max("mind")).collect()(0).getLong(0)
+    import spark.implicits._
+    centers.toDF("rank", "vec_id", "sel_dist")
+      .withColumn("coverage_radius", lit(radius))
+      .orderBy("rank")
+  }
+
+  /** q267: IVF RECALL@k EVALUATION — the eval rung of the ANN ladder
+    * (brute q28 → IVF q59 → PQ q240): for each of the first `nQueries`
+    * vectors, compare the IVF answer (probe the `nprobe` nearest
+    * centroid cells of the integer-k-means index, exact distance inside
+    * them) against the exact brute-force top-k, and report recall@k per
+    * query. This is the measurement a 100 TB deployment tunes nprobe
+    * with: recall lost to cell boundaries is visible per query, not
+    * averaged away.
+    *
+    * Scale: the index (assignment + k centroids) comes from the same
+    * bounded-shuffle Lloyd's as q176; candidates join cell-keyed (IVF
+    * cost = probed-cell sizes, never corpus²); the brute side is
+    * corpus × nQueries with the query batch broadcast, and both top-k
+    * cuts are rank-pushed windows. All distances are the exact-integer
+    * codegen kernel, so recall is bit-deterministic.
+    */
+  def ivfRecall(embeddings: DataFrame, k: Int = 8, topK: Int = 10,
+                nprobe: Int = 2, nQueries: Int = 20,
+                checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = graft.plans.Checkpoints.cut(quantized(embeddings), checkpointDir)
+    val c0 = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val centroids = updateCentroids(assign(vecs, c0))
+    val cells = graft.plans.Checkpoints.cut(
+      assign(vecs, centroids).select("vec_id", "cid", "u"), checkpointDir)
+    val qs = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    val probed = qs.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(sqDist(col("qu"), col("cu")), col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "qu", "cid")
+    val ivfTop = cells.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(sqDist(col("qu"), col("u")), col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select("qid", "vec_id")
+    val bruteTop = vecs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(sqDist(col("qu"), col("u")), col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select("qid", "vec_id")
+    bruteTop.join(ivfTop.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid").as("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / topK, 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** q240: PRODUCT QUANTIZATION + asymmetric-distance top-k (Jégou et
     * al. 2011) — the memory-scale rung of the ANN family (brute q28 →
     * IVF q59 → PQ): split each vector into `m` subspaces, train a tiny
@@ -262,7 +354,43 @@ object Clustering extends QueryModule {
     "q177_semdedup" -> ((s, d) => semDedupReport(Tables(s, d).embeddings)),
     "q240_pq_topk"  -> ((s, d) => pqTopK(Tables(s, d).embeddings)),
     "q245_class_separability" -> ((s, d) => classSeparability(Tables(s, d).embeddings)),
+    "q266_kcenter_coreset" -> ((s, d) => kCenterCoreset(Tables(s, d).embeddings)),
+    "q267_ivf_recall" -> ((s, d) => ivfRecall(Tables(s, d).embeddings)),
   )
+
+  /** Unrolled SQL of the greedy k-center traversal (k=8): each round's
+    * min-distance frame is MATERIALIZED (the q223 lesson — a CTE level
+    * referenced twice otherwise re-evaluates multiplicatively per
+    * round), the argmax is an ORDER BY ... LIMIT 1, and round r's frame
+    * is least(previous, dist-to-new-center) — exactly the Spark loop.
+    */
+  private val kcenterOracle: String = {
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(len($a.u)), k -> ($a.u[k+1] - $b.u[k+1]) * ($a.u[k+1] - $b.u[k+1])))"
+    val rounds = (2 to 8).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT vec_id, u, mind FROM d${r - 1}
+         |        ORDER BY mind DESC, vec_id LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT d.vec_id, d.u,
+         |        least(d.mind, ${dist("d", "c")}) AS mind
+         |     FROM d${r - 1} d CROSS JOIN c$r c)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to 8).map { r =>
+      s"UNION ALL SELECT ${r}::BIGINT, vec_id, mind::BIGINT FROM c$r"
+    }.mkString("\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |          list_transform(embedding,
+       |            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS u
+       |        FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT vec_id, u FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT e.vec_id, e.u, ${dist("e", "c")} AS mind
+       |     FROM e CROSS JOIN c1 c),
+       |$rounds,
+       |sel AS (SELECT 1::BIGINT AS rank, vec_id, 0::BIGINT AS sel_dist FROM c1
+       |$sel)
+       |SELECT rank, vec_id, sel_dist,
+       |       (SELECT max(mind) FROM d8)::BIGINT AS coverage_radius
+       |FROM sel ORDER BY rank""".stripMargin
+  }
 
   /** Shared oracle prelude: quantize, seed centroids, one Lloyd update,
     * final assignment — the SQL unrolling of kmeansAssign(k=8, iters=2).
@@ -293,6 +421,40 @@ object Clustering extends QueryModule {
       |                      FROM d2) WHERE rn = 1)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q266_kcenter_coreset" -> kcenterOracle,
+    // reuses the q176 index unrolling: a2 = final cell assignment,
+    // c1 = final centroids — the IVF answer probes 2 cells, the brute
+    // side is the exact top-10, recall joins the two rank lists
+    "q267_ivf_recall" -> (assignSql +
+      """,
+        |q AS (SELECT vec_id AS qid, u AS qu FROM e WHERE vec_id < 20),
+        |pc AS (SELECT qid, qu, cid FROM (
+        |         SELECT q.qid, q.qu, c.cid,
+        |                row_number() OVER (PARTITION BY q.qid ORDER BY
+        |                  list_sum(list_transform(range(len(q.qu)),
+        |                    k -> (q.qu[k+1] - c.cu[k+1]) * (q.qu[k+1] - c.cu[k+1]))),
+        |                  c.cid) AS rn
+        |         FROM q CROSS JOIN c1 c) WHERE rn <= 2),
+        |ivf AS (SELECT qid, vec_id FROM (
+        |          SELECT p.qid, a.vec_id,
+        |                 row_number() OVER (PARTITION BY p.qid ORDER BY
+        |                   list_sum(list_transform(range(len(p.qu)),
+        |                     k -> (p.qu[k+1] - a.u[k+1]) * (p.qu[k+1] - a.u[k+1]))),
+        |                   a.vec_id) AS rn
+        |          FROM pc p JOIN a2 a ON a.cid = p.cid AND a.vec_id <> p.qid)
+        |        WHERE rn <= 10),
+        |brute AS (SELECT qid, vec_id FROM (
+        |            SELECT q.qid, e.vec_id,
+        |                   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |                     list_sum(list_transform(range(len(q.qu)),
+        |                       k -> (q.qu[k+1] - e.u[k+1]) * (q.qu[k+1] - e.u[k+1]))),
+        |                     e.vec_id) AS rn
+        |            FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
+        |          WHERE rn <= 10)
+        |SELECT b.qid AS query_id, count(i.vec_id)::BIGINT AS n_hits,
+        |       round(count(i.vec_id)::DOUBLE / 10.0, 4) AS recall
+        |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+        |GROUP BY b.qid ORDER BY query_id""".stripMargin),
     "q176_kmeans" -> (assignSql +
       """,
         |lab AS (SELECT cid, label, count(*) AS cnt FROM a2 GROUP BY cid, label),

@@ -1000,7 +1000,42 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("c_mktsegment", "ym")
   }
 
+  /** q265: EWMA (exponentially weighted moving average) of each user's
+    * event values, α = 1/2 over the LAST 30 events — the standard
+    * recency-weighted activity score. α = 1/2 makes every weight an
+    * exact power of two, so the whole average is INTEGER arithmetic:
+    * value → micro-units, weight for the i-th most recent event =
+    * 2^(30−i), and ewma = Σ µv·w / Σ w with one final double division.
+    * No pow()/exp() anywhere — the cross-engine float-determinism trap
+    * the recursive EWMA formulation would hit (and the reason the
+    * window is capped: 30 binary weight levels keep the numerator
+    * < 2^30·µv_max·2, far inside int64).
+    *
+    * Scale: one window shuffle on user_id; the following aggregate
+    * reuses the same partitioning (no second exchange). State per user
+    * is the 30-row tail, never the full history.
+    */
+  def userEwma(events: DataFrame, lastN: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("uv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lastN)
+      .select(col("user_id"), col("uv"),
+        expr(s"shiftleft(1L, $lastN - rn)").as("wt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("uv") * col("wt")).as("num"),
+        sum(col("wt")).as("den"))
+      .select(col("user_id"), col("n_used"),
+        round(col("num").cast("double") / col("den") / 1000000.0, 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_user_ewma"          -> ((s, d) => userEwma(Tables(s, d).events)),
     "q258_srm_check"          -> ((s, d) => sampleRatioCheck(Tables(s, d).events)),
     "q259_seasonal_index"     -> ((s, d) => { val t = Tables(s, d)
       seasonalIndex(t.orders, t.customer) }),
@@ -1065,6 +1100,19 @@ object SetOpsAndSessions extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q265_user_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS uv
+        |           FROM events),
+        |r AS (SELECT user_id, uv,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY us DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_used,
+        |       round(sum(uv * (1::BIGINT << (30 - rn)))::DOUBLE
+        |             / sum(1::BIGINT << (30 - rn)) / 1000000.0, 6) AS ewma
+        |FROM r WHERE rn <= 30
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q258_srm_check" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |t AS (SELECT count(*)::BIGINT AS n_users,
