@@ -107,6 +107,38 @@ object CorpusOps extends QueryModule {
       .orderBy(groupCol, "doc_id")
   }
 
+  /** q273: FILL-IN-THE-MIDDLE transform plan (the FIM pretraining prep:
+    * Bavarian et al. 2022 split each doc into prefix/middle/suffix and
+    * train on [pre; suf; mid]). The split points are a pure function of
+    * doc_id through the md5-uniform convention (two independent salts):
+    * i = h₁ mod (n+1), j = i + h₂ mod (n−i+1) over n whitespace tokens,
+    * so the plan is reproducible on any engine and any partitioning —
+    * the property that lets a 100 TB transform resume mid-job and lets
+    * train/eval teams agree on the exact split without shipping data.
+    * Per-source report: token mass in each of the three spans, empty-
+    * middle count, and the middle fraction in ppm — integers end-to-end.
+    */
+  def fimSplitPlan(documents: DataFrame): DataFrame = {
+    def h(salt: String) =
+      conv(substring(md5(concat(lit(salt + "|"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long")
+    documents.select(col("source"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n"),
+        h("fimA").as("h1"), h("fimB").as("h2"))
+      .withColumn("i", expr("h1 % (n + 1)"))
+      .withColumn("j", expr("i + (h2 % (n - i + 1))"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        sum("i").as("prefix_tokens"),
+        sum(expr("j - i")).as("middle_tokens"),
+        sum(expr("n - j")).as("suffix_tokens"),
+        sum(when(expr("j = i"), 1L).otherwise(0L)).as("n_empty_middle"))
+      .withColumn("middle_ppm",
+        expr("middle_tokens * 1000000 div greatest(total_tokens, 1)"))
+      .orderBy("source")
+  }
+
   /** q188: weighted sampling without replacement (Efraimidis–Spirakis
     * A-ES): per row draw u from the md5-uniform convention (q66/q172)
     * and keep the per-source top-k by key u^(1/w), w = n_chars — long
@@ -604,6 +636,7 @@ object CorpusOps extends QueryModule {
     "q93_quality_quartiles" -> ((s, d) => qualityQuartiles(Tables(s, d).documents)),
     "q66_hash_sample"   -> ((s, d) => sampleReport(Tables(s, d).documents)),
     "q188_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
+    "q273_fim_plan" -> ((s, d) => fimSplitPlan(Tables(s, d).documents)),
     "q67_shard_packing" -> ((s, d) => shardPacking(Tables(s, d).documents)),
     "q71_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d).documents)),
     "q82_mixture_weights" -> ((s, d) => mixtureWeights(Tables(s, d).documents)),
@@ -865,6 +898,29 @@ object CorpusOps extends QueryModule {
         |  FROM documents)
         |SELECT lang, doc_id, rn::BIGINT AS rn
         |FROM ranked WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin,
+    // the two 60-bit md5 integers mirror the q188 list_reduce conversion
+    "q273_fim_plan" ->
+      """WITH f AS (
+        |  SELECT source,
+        |         len(string_split(text, ' '))::BIGINT AS n,
+        |         list_reduce(list_transform(range(1, 16),
+        |           i -> strpos('0123456789abcdef', substr(md5('fimA|' || doc_id), i, 1)) - 1),
+        |           (a, b) -> a * 16 + b)::BIGINT AS h1,
+        |         list_reduce(list_transform(range(1, 16),
+        |           i -> strpos('0123456789abcdef', substr(md5('fimB|' || doc_id), i, 1)) - 1),
+        |           (a, b) -> a * 16 + b)::BIGINT AS h2
+        |  FROM documents),
+        |s AS (SELECT source, n, (h1 % (n + 1)) AS i,
+        |             (h1 % (n + 1)) + (h2 % (n - (h1 % (n + 1)) + 1)) AS j
+        |      FROM f)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(n)::BIGINT AS total_tokens,
+        |       sum(i)::BIGINT AS prefix_tokens,
+        |       sum(j - i)::BIGINT AS middle_tokens,
+        |       sum(n - j)::BIGINT AS suffix_tokens,
+        |       sum(CASE WHEN j = i THEN 1 ELSE 0 END)::BIGINT AS n_empty_middle,
+        |       sum(j - i)::BIGINT * 1000000 // greatest(sum(n)::BIGINT, 1) AS middle_ppm
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "q188_weighted_sample" ->
       """WITH f AS (
         |  SELECT source, doc_id, n_chars AS w,

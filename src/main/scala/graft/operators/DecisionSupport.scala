@@ -649,7 +649,30 @@ object DecisionSupport extends QueryModule {
       .orderBy("s_name")
   }
 
+  /** q268: forecasting revenue change (TPC-H Q6 shape — the last of the
+    * 22 classic shapes, completing the set): revenue that would have been
+    * gained by eliminating small discounts on moderate-quantity lines in
+    * one shipping year. The one-scalar answer is the canonical
+    * scan-dominated query: a single filtered map-side aggregate, zero
+    * joins, zero shuffles past the final 1-row reduce — at 100 TB its
+    * cost IS the scan, so the plan asserts pushed filters keep the scan
+    * minimal. Discounts quantize to integer percent BEFORE the range
+    * test (float 0.07 literals never touch the comparison), and revenue
+    * sums as exact integer l_extendedprice·pct cents.
+    */
+  def forecastRevenueChange(li: DataFrame): DataFrame =
+    li.select(col("l_shipdate"), col("l_quantity"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc_pct"),
+        col("l_extendedprice"))
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+        col("disc_pct").between(5, 7) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * col("disc_pct") * 100 + 0.5).cast("long")).as("rev_c"))
+      .select(col("n_lines"),
+        round(col("rev_c") / 10000.0, 2).as("revenue"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_forecast_revenue" -> ((s, d) => forecastRevenueChange(Tables(s, d).lineitem)),
     "q260_min_cost_supplier" -> ((s, d) => { val t = Tables(s, d)
       minCostSupplier(t.lineitem, t.part, t.supplier, t.nation, t.region) }),
     "q261_important_stock" -> ((s, d) => { val t = Tables(s, d)
@@ -698,6 +721,15 @@ object DecisionSupport extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q268_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(round(sum(CAST(floor(l_extendedprice
+        |                  * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |                  * 100 + 0.5) AS BIGINT)) / 10000.0, 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
     // keeps Q2's correlated `= (SELECT min ...)` form on purpose: a green
     // row certifies Catalyst's decorrelation plans the same answer
     "q260_min_cost_supplier" ->

@@ -70,8 +70,55 @@ object Layout extends QueryModule {
       .orderBy("file_id")
   }
 
+  /** q271: SMALL-FILE COMPACTION PLANNER — the OPTIMIZE/bin-pack step
+    * every long-lived table needs: files under `smallMax` are packed
+    * (in stable id order, per partition) into target-size bins; larger
+    * files pass through untouched. Documents stand in for the file
+    * catalog (doc_id = file, n_chars = bytes, source = partition).
+    * Bin assignment is the deterministic virtual-concatenation rule —
+    * exclusive running size div target — so the plan is a pure function
+    * of the catalog, engine-identical, and needs ONE window pass per
+    * partition (no driver loop, no greedy mutable state). The report
+    * per partition: file counts before/after, packed bytes, and mean
+    * bin fill in ppm of target — integer division end-to-end.
+    *
+    * Scale: the planner runs on the file CATALOG, not the data — at
+    * 100 TB that's ~10⁶ rows of (path, size), window-sorted within
+    * each partition; the rewrite itself would read only `small_chars`
+    * bytes, which the report quantifies up front.
+    */
+  def compactionPlan(documents: DataFrame, smallMax: Long = 400L,
+                     target: Long = 1200L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val small = documents.filter(col("n_chars") < smallMax)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("bin",
+        expr(s"(sum(n_chars) over (partition by source order by doc_id " +
+          s"rows between unbounded preceding and current row) - n_chars) div $target"))
+    val packed = small.groupBy("source")
+      .agg(count(lit(1)).as("n_small"),
+        sum("n_chars").as("small_chars"),
+        countDistinct("bin").as("n_bins"))
+    val large = documents.filter(col("n_chars") >= smallMax)
+      .groupBy("source").agg(count(lit(1)).as("n_large"))
+    packed.join(large, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_small"), lit(0L)).as("n_small"),
+        coalesce(col("n_large"), lit(0L)).as("n_large"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
+        coalesce(col("small_chars"), lit(0L)).as("small_chars"))
+      .withColumn("files_before", col("n_small") + col("n_large"))
+      .withColumn("files_after", col("n_bins") + col("n_large"))
+      .withColumn("fill_ppm",
+        when(col("n_bins") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"small_chars * 1000000 div (n_bins * $target)")))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_zorder_layout" -> ((s, d) => zorderLayoutReport(Tables(s, d).lineitem)),
+    "q271_compaction_plan" -> ((s, d) => compactionPlan(Tables(s, d).documents)),
   )
 
   /** DuckDB mirror: same bucket arithmetic (`//` floors like Spark's
@@ -100,6 +147,29 @@ object Layout extends QueryModule {
           |       round((max_part - min_part + 1) / CAST(pmax - pmin + 1 AS DOUBLE), 4) AS part_span,
           |       round((max_supp - min_supp + 1) / CAST(smax - smin + 1 AS DOUBLE), 4) AS supp_span
           |FROM g, mm ORDER BY file_id""".stripMargin,
+      "q271_compaction_plan" ->
+        """WITH small AS (
+          |  SELECT source, doc_id, n_chars,
+          |         (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |            ROWS UNBOUNDED PRECEDING) - n_chars) // 1200 AS bin
+          |  FROM documents WHERE n_chars < 400),
+          |p AS (SELECT source, count(*)::BIGINT AS n_small,
+          |             sum(n_chars)::BIGINT AS small_chars,
+          |             count(DISTINCT bin)::BIGINT AS n_bins
+          |      FROM small GROUP BY source),
+          |l AS (SELECT source, count(*)::BIGINT AS n_large
+          |      FROM documents WHERE n_chars >= 400 GROUP BY source)
+          |SELECT coalesce(p.source, l.source) AS source,
+          |       coalesce(n_small, 0) AS n_small,
+          |       coalesce(n_large, 0) AS n_large,
+          |       coalesce(n_bins, 0) AS n_bins,
+          |       coalesce(small_chars, 0) AS small_chars,
+          |       coalesce(n_small, 0) + coalesce(n_large, 0) AS files_before,
+          |       coalesce(n_bins, 0) + coalesce(n_large, 0) AS files_after,
+          |       CASE WHEN coalesce(n_bins, 0) = 0 THEN NULL
+          |            ELSE small_chars * 1000000 // (n_bins * 1200) END AS fill_ppm
+          |FROM p FULL OUTER JOIN l ON p.source = l.source
+          |ORDER BY source""".stripMargin,
     )
   }
 }

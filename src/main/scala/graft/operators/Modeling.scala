@@ -395,6 +395,41 @@ object Modeling extends QueryModule {
       .orderBy("source")
   }
 
+  /** q270: MATTHEWS CORRELATION COEFFICIENT + balanced accuracy of the
+    * token-density rule-classifier against the lang=='en' target — the
+    * chance-corrected single-number eval that stays honest under class
+    * imbalance, completing the confusion-matrix eval suite (ROC q169,
+    * AP q201, F1 sweep q210, lift q253, κ q154: MCC is the Pearson φ of
+    * the 2×2 table). The corpus collapses map-side to FOUR integers
+    * (tp/fp/tn/fn); MCC's numerator tp·tn − fp·fn rides decimal(38,0) ↔
+    * HUGEINT (n²-scale, past int64 at corpus counts) and the four
+    * marginal factors take √ SEPARATELY in double, so the n⁴-scale
+    * denominator product never materializes. Balanced accuracy is ppm
+    * integer division end-to-end.
+    */
+  def mccReport(documents: DataFrame, thresholdPpm: Long = 180000L): DataFrame =
+    documents
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        when(expr("size(split(text, ' ')) * cast(1000000 as bigint) div greatest(n_chars, 1)")
+          >= thresholdPpm, 1L).otherwise(0L).as("yh"))
+      .agg(
+        sum(when(col("y") === 1L && col("yh") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0L && col("yh") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 0L && col("yh") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") === 1L && col("yh") === 0L, 1L).otherwise(0L)).as("fn"))
+      .withColumn("num", expr("cast(tp as decimal(38,0)) * tn - cast(fp as decimal(38,0)) * fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        when(col("tp") + col("fp") === 0 || col("tp") + col("fn") === 0 ||
+             col("tn") + col("fp") === 0 || col("tn") + col("fn") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            (sqrt((col("tp") + col("fp")).cast("double")) *
+             sqrt((col("tp") + col("fn")).cast("double")) *
+             sqrt((col("tn") + col("fp")).cast("double")) *
+             sqrt((col("tn") + col("fn")).cast("double"))), 4)).as("mcc"),
+        expr("((tp * 1000000 div greatest(tp + fn, 1)) + " +
+             "(tn * 1000000 div greatest(tn + fp, 1))) div 2").as("bal_acc_ppm"))
+
   /** Per-document logistic features: binary lexical-shape predictors and
     * the lang=='en' target. Binary integer features keep every z = b·x
     * bounded (no exp overflow, no standardization pass) and make the
@@ -876,6 +911,7 @@ object Modeling extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_mcc" -> ((s, d) => mccReport(Tables(s, d).documents)),
     "q253_decile_lift" -> ((s, d) => decileLift(Tables(s, d).documents)),
     "q252_conformal" -> ((s, d) => conformalCoverage(Tables(s, d).documents)),
     "q211_boosted_stumps" -> ((s, d) => boostedStumps(Tables(s, d).documents)),
@@ -920,6 +956,31 @@ object Modeling extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // tp·tn − fp·fn in HUGEINT mirrors Spark's decimal(38,0); the four
+    // marginals √ separately so the n⁴-scale product never forms
+    "q270_mcc" ->
+      """WITH t AS (
+        |  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y,
+        |         (CASE WHEN len(string_split(text, ' ')) * 1000000
+        |                    // greatest(n_chars, 1) >= 180000
+        |               THEN 1 ELSE 0 END)::BIGINT AS yh
+        |  FROM documents),
+        |c AS (
+        |  SELECT sum(CASE WHEN y = 1 AND yh = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |         sum(CASE WHEN y = 0 AND yh = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |         sum(CASE WHEN y = 0 AND yh = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+        |         sum(CASE WHEN y = 1 AND yh = 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+        |  FROM t)
+        |SELECT tp, fp, tn, fn,
+        |       CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0
+        |            THEN NULL
+        |            ELSE round((tp::HUGEINT * tn - fp::HUGEINT * fn)::DOUBLE /
+        |                 (sqrt((tp + fp)::DOUBLE) * sqrt((tp + fn)::DOUBLE)
+        |                  * sqrt((tn + fp)::DOUBLE) * sqrt((tn + fn)::DOUBLE)), 4)
+        |       END AS mcc,
+        |       ((tp * 1000000 // greatest(tp + fn, 1))
+        |        + (tn * 1000000 // greatest(tn + fp, 1))) // 2 AS bal_acc_ppm
+        |FROM c""".stripMargin,
     "q253_decile_lift" ->
       """WITH scored AS (
         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,

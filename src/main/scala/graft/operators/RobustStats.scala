@@ -271,7 +271,106 @@ object RobustStats extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q269: SPEARMAN RANK CORRELATION per brand between line quantity and
+    * extended price — the monotone-association complement to Pearson
+    * (q160's covariance machinery): rank-transform both axes, then
+    * Pearson on the ranks. Ties take the AVERAGE rank; to keep every
+    * comparison integer the DOUBLED average rank is used
+    * (r₂ = 2·|{<v}| + |{=v}| + 1 — an exact integer for any tie run),
+    * and doubling cancels in the correlation ratio. Products ride
+    * decimal(38,0) ↔ HUGEINT (the q199 convention): with n rows per
+    * brand the Σr₂² terms reach n³-scale, past int64 at corpus scale.
+    * The two √ factors are taken separately in double so the
+    * denominator never materializes the ~n⁸-scale product.
+    *
+    * Scale: ranks come from per-brand window sorts over the fact —
+    * the same O(n log n) any rank transform needs; both axes rank in
+    * ONE pass over one partitioning (no second shuffle: the price
+    * window re-sorts within the already-co-located brand partition).
+    * Degenerate brands (an all-tied axis) yield null rho, not a crash.
+    */
+  def spearmanCorrelation(li: DataFrame, part: DataFrame): DataFrame = {
+    val base = li
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        floor(col("l_quantity") + 0.5).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"))
+    val wq  = Window.partitionBy("p_brand").orderBy("q")
+    val wqt = Window.partitionBy("p_brand", "q")
+    val wp  = Window.partitionBy("p_brand").orderBy("pc")
+    val wpt = Window.partitionBy("p_brand", "pc")
+    base
+      .withColumn("rq", (rank().over(wq).cast("long") - 1L) * 2L +
+        count(lit(1)).over(wqt) + 1L)
+      .withColumn("rp", (rank().over(wp).cast("long") - 1L) * 2L +
+        count(lit(1)).over(wpt) + 1L)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(rq as decimal(38,0))")).as("sx"),
+        sum(expr("cast(rp as decimal(38,0))")).as("sy"),
+        sum(expr("cast(rq as decimal(38,0)) * rp")).as("sxy"),
+        sum(expr("cast(rq as decimal(38,0)) * rq")).as("sxx"),
+        sum(expr("cast(rp as decimal(38,0)) * rp")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("p_brand"), col("n"),
+        when(col("dx") === 0 || col("dy") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))), 4))
+          .as("rho"))
+      .orderBy("p_brand")
+  }
+
+  /** q272: CROSS-CORRELATION LAG SCAN between the daily `view` and
+    * `click` volumes — the "does A lead B, and by how many days" probe
+    * behind funnel latency and cache-warming questions. For each lag
+    * L ∈ [−7, +7], days where both x(d) and y(d+L) exist pair up and
+    * Pearson r over the pairs is computed with the q199 integer
+    * anatomy: per-lag sums are exact integers in decimal(38,0) ↔
+    * HUGEINT, one closing division (two √ factors taken separately).
+    *
+    * Scale: the event stream collapses map-side to one row per day per
+    * series; the 15-lag scan is a broadcast cross-join of the lag spine
+    * against the day-keyed join of two calendar-bounded frames —
+    * work after the first aggregation is O(days·lags), corpus-free.
+    */
+  def crossCorrelationScan(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val x = daily.filter(col("event_type") === "view")
+      .select(col("day").as("xd"), col("c").as("x"))
+    val y = daily.filter(col("event_type") === "click")
+      .select(col("day").as("yd"), col("c").as("y"))
+    val lags = events.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag_d"))
+    x.crossJoin(broadcast(lags))
+      .join(y, col("yd") === col("xd") + col("lag_d"))
+      .groupBy("lag_d")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .withColumn("num", col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .select(col("lag_d"), col("n_pairs"),
+        when(col("dx") <= 0 || col("dy") <= 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))), 4))
+          .as("r"))
+      .orderBy("lag_d")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_spearman" -> ((s, d) => { val t = Tables(s, d)
+      spearmanCorrelation(t.lineitem, t.part) }),
+    "q272_cross_correlation" -> ((s, d) => crossCorrelationScan(Tables(s, d).events)),
     "q249_hourly_anomaly" -> ((s, d) => hourlyAnomaly(Tables(s, d).events)),
     "q178_t_closeness" -> ((s, d) => tClosenessAudit(Tables(s, d).documents)),
     "q179_theil_sen"   -> ((s, d) => theilSenTrend(Tables(s, d).events)),
@@ -283,6 +382,58 @@ object RobustStats extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // doubled average ranks keep tie handling integer; HUGEINT mirrors
+    // the Spark side's decimal(38,0) sums (q199 convention)
+    "q269_spearman" ->
+      """WITH base AS (
+        |  SELECT p_brand,
+        |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |r AS (
+        |  SELECT p_brand,
+        |         (rank() OVER (PARTITION BY p_brand ORDER BY q) - 1) * 2
+        |           + count(*) OVER (PARTITION BY p_brand, q) + 1 AS rq,
+        |         (rank() OVER (PARTITION BY p_brand ORDER BY pc) - 1) * 2
+        |           + count(*) OVER (PARTITION BY p_brand, pc) + 1 AS rp
+        |  FROM base),
+        |a AS (
+        |  SELECT p_brand, count(*)::HUGEINT AS n,
+        |         sum(rq::HUGEINT) AS sx, sum(rp::HUGEINT) AS sy,
+        |         sum(rq::HUGEINT * rp) AS sxy,
+        |         sum(rq::HUGEINT * rq) AS sxx,
+        |         sum(rp::HUGEINT * rp) AS syy
+        |  FROM r GROUP BY p_brand)
+        |SELECT p_brand, n::BIGINT AS n,
+        |       CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+        |            ELSE round((n*sxy - sx*sy)::DOUBLE /
+        |                 (sqrt((n*sxx - sx*sx)::DOUBLE)
+        |                  * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
+        |       END AS rho
+        |FROM a ORDER BY p_brand""".stripMargin,
+    "q272_cross_correlation" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*)::BIGINT AS c
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+        |x AS (SELECT day AS xd, c AS x FROM daily WHERE event_type = 'view'),
+        |y AS (SELECT day AS yd, c AS y FROM daily WHERE event_type = 'click'),
+        |lags AS (SELECT generate_series AS lag_d FROM generate_series(-7, 7)),
+        |a AS (
+        |  SELECT lag_d, count(*)::HUGEINT AS n,
+        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |         sum(x::HUGEINT * y) AS sxy,
+        |         sum(x::HUGEINT * x) AS sxx,
+        |         sum(y::HUGEINT * y) AS syy
+        |  FROM x CROSS JOIN lags JOIN y ON yd = xd + lag_d
+        |  GROUP BY lag_d)
+        |SELECT lag_d, n::BIGINT AS n_pairs,
+        |       CASE WHEN (n*sxx - sx*sx) <= 0 OR (n*syy - sy*sy) <= 0 THEN NULL
+        |            ELSE round((n*sxy - sx*sy)::DOUBLE /
+        |                 (sqrt((n*sxx - sx*sx)::DOUBLE)
+        |                  * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
+        |       END AS r
+        |FROM a ORDER BY lag_d""".stripMargin,
     "q249_hourly_anomaly" ->
       """WITH base AS (SELECT event_type, hour(ts)::INT AS hr,
         |                     CAST(floor(value * 1000) AS BIGINT) AS v FROM events),

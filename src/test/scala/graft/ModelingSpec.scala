@@ -342,4 +342,32 @@ class ModelingSpec extends SparkSpec {
     val b = operators.Modeling.qualityLogistic(d, checkpointDir = Some(dir)).collect().toSeq
     assert(a == b)
   }
+
+  test("mccReport: hand-computed confusion matrix, MCC and balanced accuracy") {
+    import spark.implicits._
+    // text "a b" = 2 tokens; score = 2e6 div n_chars:
+    //   n_chars 10 → 200000 ≥ 180000 → predicted positive
+    //   n_chars 20 → 100000 < 180000 → predicted negative
+    val docs =
+      (1 to 4).map(i => (i.toLong, "a b", "en", "s", 10L)) ++       // tp ×4
+      (5 to 5).map(i => (i.toLong, "a b", "de", "s", 10L)) ++       // fp ×1
+      (6 to 8).map(i => (i.toLong, "a b", "de", "s", 20L)) ++       // tn ×3
+      (9 to 10).map(i => (i.toLong, "a b", "en", "s", 20L))         // fn ×2
+    val r = operators.Modeling.mccReport(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()(0)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+            r.getAs[Long]("tn"), r.getAs[Long]("fn")) == ((4L, 1L, 3L, 2L)))
+    // num = 4·3 − 1·2 = 10; den = √5·√6·√4·√5 = √600
+    assert(r.getAs[Double]("mcc") == math.rint(10.0 / math.sqrt(600.0) * 1e4) / 1e4)
+    // tpr = 4e6 div 6 = 666666; tnr = 3e6 div 4 = 750000 → (sum) div 2
+    assert(r.getAs[Long]("bal_acc_ppm") == (666666L + 750000L) / 2)
+  }
+
+  test("mccReport: a degenerate all-positive-prediction corpus yields null MCC") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b", "en", "s", 10L), (2L, "a b", "de", "s", 10L))
+    val r = operators.Modeling.mccReport(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("mcc")))
+  }
 }

@@ -232,4 +232,39 @@ class CorpusOpsSpec extends SparkSpec {
     val t = Seq(20L, 30L, 40L, 100L)
     assert(t.map(math.min(_, 32L)).sum <= 114L && t.map(math.min(_, 33L)).sum > 114L)
   }
+
+  test("fimSplitPlan: spans partition every doc and match an independent md5 derivation") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon", "en", "s1", 30L),
+      (8L, "one two three", "en", "s1", 13L),
+      (9L, "solo", "en", "s2", 4L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // independent JVM-side derivation of the same md5-mod split
+    def h60(salt: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def split(id: Long, n: Long): (Long, Long, Long) = {
+      val i = h60("fimA", id) % (n + 1)
+      val j = i + h60("fimB", id) % (n - i + 1)
+      (i, j - i, n - j)
+    }
+    val exp = Map(
+      "s1" -> Seq(split(7L, 5), split(8L, 3)),
+      "s2" -> Seq(split(9L, 1)))
+    val r = CorpusOps.fimSplitPlan(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    exp.foreach { case (src, splits) =>
+      val row = r(src)
+      assert(row.getAs[Long]("prefix_tokens") == splits.map(_._1).sum, src)
+      assert(row.getAs[Long]("middle_tokens") == splits.map(_._2).sum, src)
+      assert(row.getAs[Long]("suffix_tokens") == splits.map(_._3).sum, src)
+      // spans partition the token count exactly
+      assert(row.getAs[Long]("prefix_tokens") + row.getAs[Long]("middle_tokens") +
+        row.getAs[Long]("suffix_tokens") == row.getAs[Long]("total_tokens"), src)
+    }
+  }
 }

@@ -174,4 +174,24 @@ class DecisionSupportSpec extends SparkSpec {
       q._2 <= p._2 && q._3 <= p._3 && (q._2 < p._2 || q._3 < p._3)) }.toSet
     assert(got == naive && naive.nonEmpty)
   }
+
+  test("forecastRevenueChange (Q6): only in-window moderate lines count, exact cents") {
+    import spark.implicits._
+    val li = Seq(
+      // kept: 1996 shipdate, 6% discount, qty < 24 → 100.00·0.06 = 6.00
+      ("1996-06-01", 10.0, 0.06, 100.0),
+      // kept: boundary discounts 5% and 7%
+      ("1996-01-01", 23.0, 0.05, 200.0),  // 10.00
+      ("1996-12-31", 1.0, 0.07, 50.0),    // 3.50
+      // excluded: discount out of band / qty too big / wrong year
+      ("1996-06-01", 10.0, 0.04, 100.0),
+      ("1996-06-01", 24.0, 0.06, 100.0),
+      ("1997-01-01", 10.0, 0.06, 100.0),
+    ).toDF("d", "l_quantity", "l_discount", "l_extendedprice")
+      .selectExpr("cast(d as timestamp) as l_shipdate",
+        "l_quantity", "l_discount", "l_extendedprice")
+    val r = DecisionSupport.forecastRevenueChange(li).collect()(0)
+    assert(r.getAs[Long]("n_lines") == 3)
+    assert(r.getAs[Double]("revenue") == 19.50)
+  }
 }

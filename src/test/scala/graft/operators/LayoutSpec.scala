@@ -36,4 +36,25 @@ class LayoutSpec extends SparkSpec {
       assert(r.getAs[Double]("supp_span") <= 0.125 + 1e-9, r.toString)
     }
   }
+
+  test("compactionPlan: hand-computed bins, pass-through larges, fill ppm") {
+    import spark.implicits._
+    // source a: smalls 100,200,399 → exclusive cums 0,100,300 → one bin;
+    //           larges 400,1000 pass through
+    // source b: five smalls of 399 → cums 0,399,798,1197,1596 → bins {0,1}
+    val docs = (Seq((1L, 100L), (2L, 200L), (3L, 399L), (4L, 400L), (5L, 1000L))
+        .map { case (id, n) => (id, "t", "en", "a", n) } ++
+      (10 to 14).map(i => (i.toLong, "t", "en", "b", 399L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Layout.compactionPlan(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getAs[Long]("n_small") == 3 && a.getAs[Long]("n_large") == 2)
+    assert(a.getAs[Long]("n_bins") == 1)
+    assert(a.getAs[Long]("files_before") == 5 && a.getAs[Long]("files_after") == 3)
+    assert(a.getAs[Long]("fill_ppm") == 699L * 1000000 / 1200)
+    val b = r("b")
+    assert(b.getAs[Long]("n_bins") == 2 && b.getAs[Long]("n_large") == 0)
+    assert(b.getAs[Long]("files_after") == 2)
+  }
 }

@@ -157,4 +157,45 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("cusum_scaled") == 0L)
     assert(r.getAs[Long]("cp_day") == 19723L)
   }
+
+  test("spearmanCorrelation: monotone ±1, tied-axis null, hand-computed ties") {
+    val part = Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      // A: perfectly increasing → rho 1
+      (1L, 1.0, 10.0), (1L, 2.0, 20.0), (1L, 3.0, 30.0),
+      // B: perfectly decreasing → rho −1
+      (2L, 1.0, 30.0), (2L, 2.0, 20.0), (2L, 3.0, 10.0),
+      // C: all-tied quantity axis → null
+      (3L, 1.0, 5.0), (3L, 1.0, 7.0),
+      // D: tie on q axis: ranks₂ q=(3,3,6), p=(2,4,6) → rho = 18/√(18·24)
+      (4L, 1.0, 10.0), (4L, 1.0, 20.0), (4L, 2.0, 30.0),
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val r = RobustStats.spearmanCorrelation(li, part).collect()
+      .map(x => x.getString(0) -> Option(x.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(r("A").contains(1.0))
+    assert(r("B").contains(-1.0))
+    assert(r("C").isEmpty)
+    assert(r("D").contains(math.rint(18.0 / math.sqrt(18.0 * 24.0) * 1e4) / 1e4))
+  }
+
+  test("crossCorrelationScan: a 2-day lead between view and click peaks at lag 2") {
+    // a non-monotone daily profile (a linear ramp would correlate
+    // perfectly at EVERY lag); click repeats it shifted 2 days later —
+    // at lag_d=+2 the aligned pairs are y=x exactly → r=1
+    val profile = Seq(1, 5, 2, 4, 3, 6)
+    val rows =
+      profile.zipWithIndex.flatMap { case (c, d0) =>
+        (1 to c).map(i => ev((d0 + 1) * 100L + i, d0 + 1, "view")) } ++
+      profile.zipWithIndex.flatMap { case (c, d0) =>
+        (1 to c).map(i => ev(9000L + (d0 + 1) * 100L + i, d0 + 3, "click")) }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RobustStats.crossCorrelationScan(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(r(2L)._2.contains(1.0))
+    assert(r(2L)._1 == 6L)
+    // at the wrong alignment the correlation is strictly below 1
+    assert(r(0L)._2.forall(_ < 1.0))
+  }
 }
