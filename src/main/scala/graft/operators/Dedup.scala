@@ -830,6 +830,50 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q274: TRUNCATION-DUPLICATE pairs — documents whose ENTIRE text is
+    * a strict prefix of a longer document (the cut-off re-crawl /
+    * partial-write dup that exact-hash dedup misses because the hashes
+    * differ and MinHash may miss because the length gap dilutes
+    * Jaccard). Exact by construction: candidates block on the first
+    * `bucketLen` chars — any strict-prefix pair whose short side has
+    * ≥ bucketLen chars MUST share that key (a theorem, not a
+    * heuristic) — then verify with a codegen'd startsWith. Docs
+    * shorter than the block key can't use it (their key is their whole
+    * text, the long side's key is longer); they take a broadcast
+    * fallback against the corpus — bounded, because sub-16-char docs
+    * are vanishingly rare in any length-filtered corpus (and the main
+    * path never pays for them).
+    *
+    * Scale: one equi-shuffle on the 16-char head; per-bucket fan-out is
+    * the head-collision count, and verification cost is one prefix
+    * compare per candidate. The naive oracle (no block) certifies the
+    * blocking theorem the same way q216 certifies PPJoin.
+    */
+  def truncationDupPairs(documents: DataFrame, bucketLen: Int = 16): DataFrame = {
+    val n = documents.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len"))
+    val long = n.filter(col("len") >= bucketLen)
+      .withColumn("bucket", substring(col("text"), 1, bucketLen))
+    val blocked = long
+      .select(col("doc_id").as("trunc_id"), col("text").as("ta"),
+        col("len").as("trunc_len"), col("bucket"))
+      .join(long.select(col("doc_id").as("full_id"), col("text").as("tb"),
+        col("len").as("full_len"), col("bucket")), Seq("bucket"))
+      .filter(col("trunc_len") < col("full_len") && col("tb").startsWith(col("ta")))
+    val short = n.filter(col("len") < bucketLen)
+      .select(col("doc_id").as("trunc_id"), col("text").as("ta"),
+        col("len").as("trunc_len"))
+    val shortPairs = n
+      .select(col("doc_id").as("full_id"), col("text").as("tb"),
+        col("len").as("full_len"))
+      .join(broadcast(short),
+        col("trunc_len") < col("full_len") && col("tb").startsWith(col("ta")))
+    blocked.select("trunc_id", "full_id", "trunc_len", "full_len")
+      .unionByName(shortPairs.select("trunc_id", "full_id", "trunc_len", "full_len"))
+      .withColumn("kept_ppm", expr("trunc_len * 1000000 div full_len"))
+      .orderBy("trunc_id", "full_id")
+  }
+
   /** q216: EXACT all-pairs τ-Jaccard join over shingle sets via PPJoin
     * prefix filtering (Xiao et al., WWW'08) — the deterministic
     * complement to the LSH family (q35/q65): zero false negatives by
@@ -1023,6 +1067,7 @@ object Dedup extends QueryModule {
     "q156_span_coverage" -> ((s, d) => dedupSpanCoverage(Tables(s, d).documents)),
     "q158_prefix_pairs"  -> ((s, d) => prefixNearDupPairs(Tables(s, d).documents)),
     "q216_ppjoin_exact"  -> ((s, d) => ppjoinExact(Tables(s, d).documents)),
+    "q274_truncation_dups" -> ((s, d) => truncationDupPairs(Tables(s, d).documents)),
     "q220_cdc_chunks"    -> ((s, d) => cdcChunkStats(Tables(s, d).documents)),
     "q227_forget_propagation" -> ((s, d) => forgetPropagation(Tables(s, d).documents)),
     "q75_decontaminate"  -> ((s, d) => {
@@ -1064,6 +1109,15 @@ object Dedup extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // deliberately UNBLOCKED all-pairs form: a green row certifies the
+    // 16-char head-block used by the Spark side loses no pair
+    "q274_truncation_dups" ->
+      """WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents)
+        |SELECT a.doc_id AS trunc_id, b.doc_id AS full_id,
+        |       a.len AS trunc_len, b.len AS full_len,
+        |       a.len * 1000000 // b.len AS kept_ppm
+        |FROM d a JOIN d b ON a.len < b.len AND starts_with(b.text, a.text)
+        |ORDER BY trunc_id, full_id""".stripMargin,
     "q58_neardup_clusters" ->
       """WITH RECURSIVE
         |sh AS (

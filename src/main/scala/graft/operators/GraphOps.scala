@@ -121,6 +121,58 @@ object GraphOps extends QueryModule {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("clustering"))
   }
 
+  /** q276: per-node (LOCAL) clustering coefficient — q142's global
+    * census resolved to each node: c(v) = 2·tri(v) / (d(v)·(d(v)−1)),
+    * the "are my neighbors each other's neighbors" score that separates
+    * community cores from broker/hub nodes. Reuses the q142 forward
+    * edge-iterator anatomy (degree-ordered orientation, broadcast
+    * sorted adjacency, per-edge sorted-list intersection); the one
+    * addition is CREDIT ROUTING — each oriented edge (a→b) with
+    * intersection C credits a and b with |C| and every c ∈ C with 1
+    * (explode), so all three corners of every triangle are counted
+    * exactly once without a second join. The coefficient is integer
+    * ppm (2·tri·10⁶ div d(d−1)); top-N exits via TakeOrderedAndProject.
+    * Graphs past the broadcast limit would swap in q142's wedge-join
+    * form — the credit union is identical from the (a, b, c) stream.
+    */
+  def clusteringCoefficients(li: DataFrame, topN: Int = 20,
+                             checkpointDir: Option[String] = None): DataFrame = {
+    val edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.plans.Checkpoints.cut(withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst")), checkpointDir)
+    val adj = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    val emptyNb = expr("cast(array() as array<bigint>)")
+    val tri = oriented
+      .join(broadcast(adj.select(col("src").as("a_key"), col("nb").as("na"))),
+        col("src") === col("a_key"), "left")
+      .join(broadcast(adj.select(col("src").as("b_key"), col("nb").as("nb_"))),
+        col("dst") === col("b_key"), "left")
+      .select(col("src"), col("dst"),
+        array_intersect(coalesce(col("na"), emptyNb),
+          coalesce(col("nb_"), emptyNb)).as("cs"))
+    val credits = tri.select(col("src").as("node"), size(col("cs")).cast("long").as("t"))
+      .unionAll(tri.select(col("dst").as("node"), size(col("cs")).cast("long").as("t")))
+      .unionAll(tri.select(explode(col("cs")).as("node"), lit(1L).as("t")))
+    val perNode = credits.groupBy("node").agg(sum("t").as("tri"))
+    deg.select(col("n").as("node"), col("d"))
+      .join(perNode, Seq("node"), "left")
+      .filter(col("d") >= 2)
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("coef_ppm", expr("tri * 2 * 1000000 div (d * (d - 1))"))
+      .orderBy(col("coef_ppm").desc, col("node"))
+      .limit(topN)
+      .select(col("node").as("part"), col("d").as("degree"),
+        col("tri").as("n_triangles"), col("coef_ppm"))
+  }
+
   /** q143: PageRank centrality, `iters` fixed-point integer iterations
     * (damping 85/100, total mass 10^12, per-node base mass folded in as
     * (0.15·T) div n). Top `topN` parts by final rank, id tie-break.
@@ -435,6 +487,7 @@ object GraphOps extends QueryModule {
       recommenderBacktest(t.lineitem, t.orders, t.customer) }),
     "q232_label_propagation" -> ((s, d) => labelPropagation(Tables(s, d).lineitem)),
     "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
+    "q276_clustering_coef" -> ((s, d) => clusteringCoefficients(Tables(s, d).lineitem)),
     "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
     "q212_hits"      -> ((s, d) => { val t = Tables(s, d); hitsAuthorities(t.lineitem, t.orders) }),
     "q223_kcore"     -> ((s, d) => kCorePeel(Tables(s, d).lineitem, k = 3, rounds = 4)),
@@ -570,6 +623,28 @@ object GraphOps extends QueryModule {
     "q229_personalized_rank" -> pprSql(3, 10),
     "q224_cheapest_paths" -> cheapestSql(3, 20),
     "q223_kcore" -> kCoreSql(3, 4),
+    // naive id-ordered triple enumeration (orientation-invariant), each
+    // triangle crediting all three corners — certifies the credit-routing
+    // form the Spark side uses
+    "q276_clustering_coef" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+        |          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+        |tris AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM e e1
+        |        JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |credits AS (SELECT x AS node FROM tris
+        |            UNION ALL SELECT y FROM tris
+        |            UNION ALL SELECT z FROM tris),
+        |pn AS (SELECT node, count(*)::BIGINT AS tri FROM credits GROUP BY node)
+        |SELECT deg.n AS part, deg.d AS degree,
+        |       coalesce(pn.tri, 0)::BIGINT AS n_triangles,
+        |       coalesce(pn.tri, 0) * 2 * 1000000 // (deg.d * (deg.d - 1)) AS coef_ppm
+        |FROM deg LEFT JOIN pn ON deg.n = pn.node
+        |WHERE deg.d >= 2
+        |ORDER BY coef_ppm DESC, part LIMIT 20""".stripMargin,
     "q142_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
               e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),

@@ -425,7 +425,39 @@ object Ranking extends QueryModule {
       round((col("sy") - slope * col("sx")) / n, 4).as("intercept"))
   }
 
+  /** q275: RECIPROCAL RANK FUSION of two retrieval rankings (Cormack et
+    * al. 2009 — the standard zero-training way to merge rankers, used
+    * everywhere hybrid BM25+vector search exists): each part is ranked
+    * by total traded quantity and, independently, by total revenue;
+    * RRF(d) = Σ_lists 1/(K + rank_d). Scores are exact integers in
+    * nano-units (10⁹ div (K+rank) — integer division, identical on any
+    * engine), so the fused order needs no float comparison anywhere.
+    * Ties break by part key.
+    *
+    * Scale: both rankings come from ONE map-side-combined aggregate of
+    * the fact table (two measures, one shuffle); ranks are windows over
+    * the part-sized frame, and the fusion is a part-keyed self-join of
+    * two narrow rank columns. Top-k exits via TakeOrderedAndProject.
+    */
+  def rrfFusion(li: DataFrame, k: Int = 60, topN: Int = 20): DataFrame = {
+    val agg = li.groupBy("l_partkey")
+      .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("qty"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_cents"))
+    val byQty = Window.orderBy(col("qty").desc, col("l_partkey"))
+    val byRev = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+    agg
+      .withColumn("rank_qty", row_number().over(byQty).cast("long"))
+      .withColumn("rank_rev", row_number().over(byRev).cast("long"))
+      .withColumn("rrf_nano",
+        expr(s"(1000000000 div ($k + rank_qty)) + (1000000000 div ($k + rank_rev))"))
+      .orderBy(col("rrf_nano").desc, col("l_partkey"))
+      .limit(topN)
+      .select(col("l_partkey").as("p_partkey"), col("rank_qty"),
+        col("rank_rev"), col("rrf_nano"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_rrf_fusion"    -> ((s, d) => rrfFusion(Tables(s, d).lineitem)),
     "q90_dsir_weights"   -> ((s, d) => dsirWeights(Tables(s, d).documents)),
     "q105_zipf_fit"      -> ((s, d) => zipfFit(Tables(s, d).documents)),
     "q95_source_kl"      -> ((s, d) => sourceKlDrift(Tables(s, d).documents)),
@@ -479,6 +511,23 @@ object Ranking extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q275_rrf_fusion" ->
+      """WITH agg AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |r AS (
+        |  SELECT l_partkey,
+        |         row_number() OVER (ORDER BY qty DESC, l_partkey) AS rank_qty,
+        |         row_number() OVER (ORDER BY rev_cents DESC, l_partkey) AS rank_rev
+        |  FROM agg)
+        |SELECT l_partkey AS p_partkey, rank_qty, rank_rev,
+        |       (1000000000 // (60 + rank_qty))
+        |       + (1000000000 // (60 + rank_rev)) AS rrf_nano
+        |FROM r
+        |ORDER BY rrf_nano DESC, l_partkey
+        |LIMIT 20""".stripMargin,
     // regression sums fold over the rank-sorted bounded point list on
     // both engines (q87 order-pinning, n=1 group); the fit arithmetic
     // is identical double expressions over those sums

@@ -461,4 +461,25 @@ class DedupSpec extends SparkSpec {
     assert(pp == naive)
     assert(naive.nonEmpty, "fixture should contain at least one qualifying pair")
   }
+
+  test("truncationDupPairs: blocked path, short-doc fallback, no false pairs") {
+    val docs = Seq(
+      // 1 is a strict prefix of 2 (both ≥ 16 chars → blocked path)
+      (1L, "the quick brown fox", "en", "a", 19L),
+      (2L, "the quick brown fox jumps over", "en", "a", 30L),
+      // 3 shares 2's first 16 chars but is NOT a prefix (differs later)
+      (3L, "the quick brown cat", "en", "a", 19L),
+      // 4 is sub-16-chars and a prefix of 1 and 2 (fallback path)
+      (4L, "the quick", "en", "b", 9L),
+      // 5: equal text to nothing, unrelated
+      (5L, "zzz unrelated document text", "en", "b", 27L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.truncationDupPairs(docs)
+      .select($"trunc_id", $"full_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 1L), (4L, 3L), (4L, 2L)))
+    // kept_ppm is exact integer division of the char lengths
+    val ppm = Dedup.truncationDupPairs(docs)
+      .filter($"trunc_id" === 1L).select($"kept_ppm").as[Long].head()
+    assert(ppm == 19L * 1000000 / 30)
+  }
 }

@@ -154,4 +154,18 @@ class GraphOpsSpec extends SparkSpec {
     val got = GraphOps.hitsAuthorities(liH, ords).as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((11L, 2L, 5L), (12L, 1L, 3L), (13L, 1L, 1L)))
   }
+
+  test("clusteringCoefficients: triangle corners score 1, broker scores 1/3, pendants drop") {
+    // order 1 buys parts {1,2,3} → triangle; order 2 buys {1,4} → pendant 4
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.clusteringCoefficients(li)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // node 1: d=3, tri=1 → 2·10⁶/6 = 333333; nodes 2,3: d=2, tri=1 → 10⁶;
+    // node 4: d=1 filtered out
+    assert(got == Seq(
+      (2L, 2L, 1L, 1000000L),
+      (3L, 2L, 1L, 1000000L),
+      (1L, 3L, 1L, 333333L)))
+  }
 }

@@ -166,4 +166,18 @@ class RankingSpec extends SparkSpec {
     // x (|ln 2/3| = 0.4055) is the smallest mover and falls off the top-2
     assert(!got.contains("x"))
   }
+
+  test("rrfFusion: hand-computed reciprocal-rank fusion of two rankings") {
+    // part 1: qty-rank 1, rev-rank 3; part 2: qty 2, rev 1; part 3: qty 3, rev 2
+    val li = Seq(
+      (1L, 10.0, 0.01), (2L, 5.0, 0.03), (3L, 1.0, 0.02),
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val got = Ranking.rrfFusion(li).as[(Long, Long, Long, Long)].collect().toSeq
+    def rrf(a: Long, b: Long) = 1000000000L / (60 + a) + 1000000000L / (60 + b)
+    // fused order: part 2 (1+2) > part 1 (1+3) > part 3 (3+2)
+    assert(got == Seq(
+      (2L, 2L, 1L, rrf(2, 1)),
+      (1L, 1L, 3L, rrf(1, 3)),
+      (3L, 3L, 2L, rrf(3, 2))))
+  }
 }
