@@ -116,9 +116,54 @@ object Layout extends QueryModule {
       .orderBy("source")
   }
 
+  /** q278: RANGE-PARTITION PLANNER — deterministic boundary selection
+    * for `repartitionByRange`/sorted-table writes, replacing Spark's
+    * nondeterministic reservoir-sampled RangePartitioner with exact
+    * order statistics when a reproducible layout matters (the same
+    * reason q188/q253 pin their sampling): boundary k is the least key
+    * whose cumulative count covers k/P of the rows (integer
+    * cross-multiplied — no float quantile), every key then assigns
+    * itself against the P−1 broadcast cuts, and the report shows each
+    * partition's row/key counts, key range, and deviation from the
+    * ideal share in ppm. A heavy key collapses cuts (pid gaps) rather
+    * than splitting the key — the honest range-partition behavior.
+    *
+    * Scale: the histogram is a map-side-combined distinct-key frame;
+    * the cumulative window runs over KEYS (not rows), assignment is a
+    * broadcast HOF compare on the same key frame, and row weights
+    * rejoin by summation — the fact table is scanned once and never
+    * re-shuffled.
+    */
+  def rangePartitionPlan(li: DataFrame, parts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = li.select(col("l_orderkey").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum("c").as("n_total"))
+    val spine = li.sparkSession.range(1, parts).select(col("id").as("kq"))
+    val cuts = hist
+      .withColumn("cum", sum("c").over(Window.orderBy("k")))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(spine))
+      .filter(col("cum") * parts >= col("kq") * col("n_total"))
+      .groupBy("kq").agg(min("k").as("cut"))
+      .agg(array_sort(collect_list("cut")).as("cuts"))
+    hist.crossJoin(broadcast(cuts))
+      .withColumn("pid", (lit(1) + expr("size(filter(cuts, c -> k > c))")).cast("long"))
+      .groupBy("pid")
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      .crossJoin(broadcast(tot))
+      .select(col("pid"), col("n_rows"), col("n_keys"),
+        col("min_key"), col("max_key"),
+        expr("n_rows * 1000000 div n_total").as("share_ppm"),
+        expr(s"abs(n_rows * $parts - n_total) * 1000000 div n_total").as("dev_ppm"))
+      .orderBy("pid")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_zorder_layout" -> ((s, d) => zorderLayoutReport(Tables(s, d).lineitem)),
     "q271_compaction_plan" -> ((s, d) => compactionPlan(Tables(s, d).documents)),
+    "q278_range_partition_plan" -> ((s, d) => rangePartitionPlan(Tables(s, d).lineitem)),
   )
 
   /** DuckDB mirror: same bucket arithmetic (`//` floors like Spark's
@@ -170,6 +215,24 @@ object Layout extends QueryModule {
           |            ELSE small_chars * 1000000 // (n_bins * 1200) END AS fill_ppm
           |FROM p FULL OUTER JOIN l ON p.source = l.source
           |ORDER BY source""".stripMargin,
+      "q278_range_partition_plan" ->
+        """WITH hist AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c
+          |              FROM lineitem GROUP BY 1),
+          |tot AS (SELECT sum(c)::BIGINT AS n_total FROM hist),
+          |cum AS (SELECT k, c, sum(c) OVER (ORDER BY k)::BIGINT AS cum FROM hist),
+          |cuts AS (SELECT kq, min(k) AS cut
+          |         FROM cum, tot, generate_series(1, 7) g(kq)
+          |         WHERE cum * 8 >= kq * n_total GROUP BY kq),
+          |pidk AS (SELECT h.k, h.c, 1 + count(c2.cut)::BIGINT AS pid
+          |         FROM hist h LEFT JOIN cuts c2 ON h.k > c2.cut
+          |         GROUP BY h.k, h.c),
+          |g AS (SELECT pid, sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+          |             min(k) AS min_key, max(k) AS max_key
+          |      FROM pidk GROUP BY pid)
+          |SELECT pid, n_rows, n_keys, min_key, max_key,
+          |       n_rows * 1000000 // n_total AS share_ppm,
+          |       abs(n_rows * 8 - n_total) * 1000000 // n_total AS dev_ppm
+          |FROM g, tot ORDER BY pid""".stripMargin,
     )
   }
 }

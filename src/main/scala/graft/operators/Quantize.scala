@@ -214,7 +214,66 @@ object Quantize extends QueryModule {
     (lambda, if (trace > 0) lambda / trace else 0.0, v)
   }
 
+  /** The ±1 Johnson–Lindenstrauss sign matrix as a pure function of
+    * (dim, proj) through the md5-uniform convention: sign = +1 iff the
+    * first hex digit of md5("jl|d|p") < '8'. Derived independently on
+    * the JVM here and in SQL by the oracle — no shipped state.
+    */
+  private[operators] def jlSign(d: Int, p: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h0 = md.digest(s"jl|$d|$p".getBytes("UTF-8"))(0) & 0xff
+    if (h0 < 0x80) 1L else -1L
+  }
+
+  /** q279: JOHNSON–LINDENSTRAUSS projection distortion audit — project
+    * the 64-dim embeddings onto `dProj` ±1 random hyperplanes (the
+    * Achlioptas 2001 database-friendly JL construction, signs from the
+    * md5 convention so any engine regenerates the same matrix) and
+    * report how well consecutive-pair distances survive:
+    * ratio = ‖R(x−y)‖² / (dProj·‖x−y‖²), ≈ 1 in expectation. This is
+    * the go/no-go gate before swapping full vectors for projections in
+    * the ANN candidate stage (16/64 dims = 4× less shuffle weight).
+    *
+    * Exactness: vectors micro-quantize BEFORE any arithmetic, so
+    * projections, squared norms and the per-pair ppm ratio are integers
+    * end-to-end (numerator rides decimal(38,0) ↔ HUGEINT); the pair
+    * sample is id-consecutive (a LINEAR join, never quadratic), and
+    * mean/min/max over integer ppm are order-independent.
+    */
+  def jlDistortion(embeddings: DataFrame, dims: Int = 64,
+                   dProj: Int = 16): DataFrame = {
+    val signs = org.apache.spark.sql.functions.typedLit(
+      Seq.tabulate(dProj)(p => Seq.tabulate(dims)(d => jlSign(d, p))))
+    val q = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+        .as("xq"))
+    val pairs = q.alias("a")
+      .join(q.alias("b"), expr("b.vec_id = a.vec_id + 1"))
+      .select(col("a.vec_id").as("id_a"),
+        expr("zip_with(a.xq, b.xq, (x, y) -> x - y)").as("dv"))
+      .withColumn("signs", signs)
+    val ratios = pairs
+      .withColumn("proj_sq", expr(
+        """aggregate(
+          |  transform(signs, srow ->
+          |    aggregate(zip_with(srow, dv, (s, x) -> s * x), 0L, (a, v) -> a + v)),
+          |  cast(0 as decimal(38,0)),
+          |  (a, pv) -> cast(a + cast(pv as decimal(38,0)) * pv as decimal(38,0)))
+          |""".stripMargin))
+      .withColumn("orig_sq", expr("aggregate(dv, 0L, (a, x) -> a + x * x)"))
+      .filter(col("orig_sq") > 0)
+      .withColumn("ratio_ppm",
+        expr(s"cast(proj_sq * 1000000 div ($dProj * orig_sq) as bigint)"))
+    ratios.agg(count(lit(1)).as("n_pairs"),
+      min("ratio_ppm").as("min_ratio_ppm"),
+      max("ratio_ppm").as("max_ratio_ppm"),
+      expr("sum(ratio_ppm) div count(1)").as("mean_ratio_ppm"),
+      sum(when(col("ratio_ppm").between(700000, 1300000), 1L).otherwise(0L))
+        .as("n_within_30pct"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_jl_distortion" -> ((s, d) => jlDistortion(Tables(s, d).embeddings)),
     "q55_quantize_stats" -> ((s, d) => quantizeStats(Tables(s, d).embeddings)),
     "q96_standardize_stats" -> ((s, d) => standardizedStats(Tables(s, d).embeddings)),
     "q157_dim_health" -> ((s, d) => embeddingDimHealth(Tables(s, d).embeddings)),
@@ -222,6 +281,35 @@ object Quantize extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // regenerates the same ±1 sign matrix from md5('jl|d|p') first hex
+    // digit; all arithmetic integer (HUGEINT mirror of decimal(38,0))
+    "q279_jl_distortion" ->
+      """WITH signs AS (
+        |  SELECT d.d, p.p,
+        |         CASE WHEN substr(md5('jl|' || d.d || '|' || p.p), 1, 1) < '8'
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(0, 63) d(d), generate_series(0, 15) p(p)),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |        x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS xq
+        |      FROM embeddings),
+        |pr AS (SELECT a.vec_id AS id_a,
+        |              list_transform(range(len(a.xq)), i -> a.xq[i+1] - b.xq[i+1]) AS dv
+        |       FROM q a JOIN q b ON b.vec_id = a.vec_id + 1),
+        |comp AS (SELECT id_a, t.d, dv[t.d + 1] AS x
+        |         FROM pr, generate_series(0, 63) t(d)),
+        |proj AS (SELECT id_a, p, sum(s * x)::BIGINT AS pv
+        |         FROM comp JOIN signs ON comp.d = signs.d GROUP BY id_a, p),
+        |ps AS (SELECT id_a, sum(pv::HUGEINT * pv) AS proj_sq FROM proj GROUP BY id_a),
+        |os AS (SELECT id_a, sum(x::HUGEINT * x) AS orig_sq FROM comp GROUP BY id_a),
+        |r AS (SELECT id_a, (proj_sq * 1000000 // (16 * orig_sq))::BIGINT AS ratio_ppm
+        |      FROM ps JOIN os USING (id_a) WHERE orig_sq > 0)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |       min(ratio_ppm) AS min_ratio_ppm,
+        |       max(ratio_ppm) AS max_ratio_ppm,
+        |       (sum(ratio_ppm) // count(*))::BIGINT AS mean_ratio_ppm,
+        |       sum(CASE WHEN ratio_ppm BETWEEN 700000 AND 1300000
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_within_30pct
+        |FROM r""".stripMargin,
     "q157_dim_health" ->
       """WITH e AS (SELECT unnest(range(len(embedding))) AS dim,
         |                  unnest(embedding) AS v

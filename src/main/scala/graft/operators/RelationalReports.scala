@@ -257,7 +257,40 @@ object RelationalReports extends QueryModule {
       .orderBy("user_id", "version")
   }
 
+  /** q277: INCREMENTAL VIEW MAINTENANCE merge — the "yesterday's cube +
+    * today's delta, never a full recompute" contract every 100 TB daily
+    * rollup depends on. The materialized state is the per-(type, day)
+    * partial-aggregate frame over history BEFORE the cutoff; the delta
+    * aggregates ONLY the cutoff day's events; the refreshed per-type
+    * rollup merges the two with the mergeable-statistic algebra
+    * (count/sum add, min/max combine — the same contracts the
+    * sketches module spec-pins). The oracle aggregates the WHOLE
+    * stream directly, so a green row certifies merge ≡ recompute.
+    *
+    * Scale: the daily refresh touches |delta| + |state| rows — the
+    * state frame is calendar×type-bounded, and the full history is
+    * never re-read. Values micro-quantize before summation (exact
+    * integer merge on any engine).
+    */
+  def ivmMergedRollup(events: DataFrame, cutoffDay: String = "2024-01-25"): DataFrame = {
+    def partials(src: DataFrame) = src
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+    val state = partials(events.filter(to_date(col("ts")) < lit(cutoffDay)))
+    val delta = partials(events.filter(to_date(col("ts")) >= lit(cutoffDay)))
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"), sum("s").as("sum_milli"),
+        min("mn").as("min_milli"), max("mx").as("max_milli"),
+        count(lit(1)).as("n_partials"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_ivm_merge"        -> ((s, d) => ivmMergedRollup(Tables(s, d).events)),
     "q170_scd2_history"     -> ((s, d) => scd2History(Tables(s, d).events)),
     "q50_qc_metrics"        -> ((s, d) => qcMetrics(Tables(s, d).lineitem)),
     "q139_margin_rollup"    -> ((s, d) => marginRollup(Tables(s, d).lineitem)),
@@ -277,6 +310,20 @@ object RelationalReports extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // direct whole-stream aggregate — a green row certifies the Spark
+    // side's state+delta merge equals a full recompute; n_partials is
+    // the distinct-day count because partial cells split exactly at the
+    // cutoff-day boundary
+    "q277_ivm_merge" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |       sum(v)::BIGINT AS sum_milli,
+        |       min(v) AS min_milli, max(v) AS max_milli,
+        |       count(DISTINCT day)::BIGINT AS n_partials
+        |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ns -> us truncation mirrors Tables.events (epoch_ns // 1000);
     // (ts, event_id) tie-break and run numbering identical to the Spark plan
     "q170_scd2_history" ->

@@ -57,4 +57,21 @@ class LayoutSpec extends SparkSpec {
     assert(b.getAs[Long]("n_bins") == 2 && b.getAs[Long]("n_large") == 0)
     assert(b.getAs[Long]("files_after") == 2)
   }
+
+  test("rangePartitionPlan: heavy key collapses cuts into a pid gap, exact shares") {
+    import spark.implicits._
+    // key 1 carries half the rows: quartile cuts land [1, 1, 3] → pid 2
+    // is empty (the honest range-partition behavior for a hot key)
+    val li = (Seq.fill(4)(1L) ++ Seq(2L, 3L, 4L, 5L)).map(Tuple1(_))
+      .toDF("l_orderkey")
+    val got = Layout.rangePartitionPlan(li, parts = 4).collect()
+      .map(r => r.getAs[Long]("pid") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+         r.getAs[Long]("min_key"), r.getAs[Long]("max_key"),
+         r.getAs[Long]("dev_ppm"))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L))
+    assert(got(1L) == ((4L, 1L, 1L, 1L, 1000000L))) // 4 rows vs ideal 2 → +100%
+    assert(got(3L) == ((2L, 2L, 2L, 3L, 0L)))
+    assert(got(4L) == ((2L, 2L, 4L, 5L, 0L)))
+  }
 }

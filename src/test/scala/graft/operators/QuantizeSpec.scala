@@ -106,4 +106,41 @@ class QuantizeSpec extends SparkSpec {
       assert(math.abs(c - health(d)) < 1e-3, s"dim $d: cov=$c health=${health(d)}")
     }
   }
+
+  test("jlDistortion matches an independent JVM derivation on crafted vectors") {
+    import spark.implicits._
+    // three consecutive vectors → two pairs; values exact in micro-units
+    val vecs = Seq(
+      (1L, Seq.tabulate(64)(d => (d % 7 - 3) * 0.01f), 0),
+      (2L, Seq.tabulate(64)(d => (d % 5 - 2) * 0.02f), 0),
+      (3L, Seq.tabulate(64)(d => (d % 3 - 1) * 0.03f), 0),
+    )
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    // JVM mirror of the operator's integer pipeline
+    def q(x: Float): Long = math.floor(x.toDouble * 1000000).toLong
+    val expected = vecs.sliding(2).map { case Seq((_, a, _), (_, b, _)) =>
+      val dv = a.zip(b).map { case (x, y) => q(x) - q(y) }
+      val projSq = BigInt(0) + (0 until 16).map { p =>
+        val pv = dv.indices.map(d => Quantize.jlSign(d, p) * dv(d)).sum
+        BigInt(pv) * pv
+      }.sum
+      val origSq = dv.map(x => x * x).sum
+      (projSq * 1000000 / (16 * BigInt(origSq))).toLong
+    }.toSeq
+    val r = Quantize.jlDistortion(df).collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 2)
+    assert(r.getAs[Long]("min_ratio_ppm") == expected.min)
+    assert(r.getAs[Long]("max_ratio_ppm") == expected.max)
+    assert(r.getAs[Long]("mean_ratio_ppm") == expected.sum / 2)
+  }
+
+  test("jlDistortion on the corpus: ratios concentrate around 1") {
+    val emb = spark.read.parquet(sf("") + "/embeddings.parquet")
+    val r = Quantize.jlDistortion(emb).collect()(0)
+    assert(r.getAs[Long]("n_pairs") > 100)
+    val mean = r.getAs[Long]("mean_ratio_ppm")
+    assert(mean > 600000 && mean < 1500000, s"mean ratio $mean ppm off the JL expectation")
+    assert(r.getAs[Long]("n_within_30pct") * 2 > r.getAs[Long]("n_pairs"),
+      "fewer than half the pairs within ±30%")
+  }
 }

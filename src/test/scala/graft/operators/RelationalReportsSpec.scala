@@ -102,4 +102,27 @@ class RelationalReportsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getDouble(4) <= r.getDouble(3))) // disc <= base
   }
+
+  test("ivmMergedRollup: state+delta merge equals a direct full recompute") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def e(id: Long, day: Int, typ: String, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), 1L, typ, v, "{}")
+    // 'click' straddles the 2024-01-25 cutoff; 'view' is state-only
+    val rows = Seq(
+      e(1, 20, "click", 1.5), e(2, 24, "click", -0.25),
+      e(3, 25, "click", 2.0), e(4, 26, "click", 0.5),
+      e(5, 21, "view", 3.0), e(6, 21, "view", 1.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalReports.ivmMergedRollup(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = got("click")
+    assert(c.getAs[Long]("n_events") == 4)
+    assert(c.getAs[Long]("sum_milli") == 1500 - 250 + 2000 + 500)
+    assert(c.getAs[Long]("min_milli") == -250 && c.getAs[Long]("max_milli") == 2000)
+    assert(c.getAs[Long]("n_partials") == 4) // 4 distinct (type, day) cells
+    val v = got("view")
+    assert(v.getAs[Long]("n_events") == 2 && v.getAs[Long]("n_partials") == 1)
+    assert(v.getAs[Long]("sum_milli") == 4000)
+  }
 }
