@@ -116,6 +116,82 @@ object Layout extends QueryModule {
       .orderBy("source")
   }
 
+  /** Append one Hilbert xy2d level (bit `s` of an `n`-cell curve) to
+    * `df`, reading columns (x$i, y$i, d$i) and writing (x${i+1}, …).
+    * The classic reflect+swap recursion (Hilbert 1891, unrolled): the
+    * quadrant index (3·rx)⊕ry advances d by s² cells, then the frame
+    * rotates so the NEXT bit is walked in the rotated orientation.
+    * Materializing each level as named projection columns keeps the
+    * expression tree LINEAR in levels (CollapseProject will not inline
+    * non-cheap aliases referenced twice — without this the nested
+    * when()s grow ~3^levels nodes).
+    */
+  private def hilbertLevel(df: DataFrame, i: Int, s: Int, n: Int): DataFrame =
+    df
+      .withColumn(s"rx$i", when(expr(s"x$i & $s") > 0, 1).otherwise(0))
+      .withColumn(s"ry$i", when(expr(s"y$i & $s") > 0, 1).otherwise(0))
+      .withColumn(s"d${i + 1}",
+        col(s"d$i") + lit(s.toLong * s) *
+          expr(s"cast((3 * rx$i) ^ ry$i as bigint)"))
+      .withColumn(s"fx$i",
+        when(col(s"ry$i") === 0 && col(s"rx$i") === 1, lit(n - 1) - col(s"x$i"))
+          .otherwise(col(s"x$i")))
+      .withColumn(s"fy$i",
+        when(col(s"ry$i") === 0 && col(s"rx$i") === 1, lit(n - 1) - col(s"y$i"))
+          .otherwise(col(s"y$i")))
+      .withColumn(s"x${i + 1}",
+        when(col(s"ry$i") === 0, col(s"fy$i")).otherwise(col(s"fx$i")))
+      .withColumn(s"y${i + 1}",
+        when(col(s"ry$i") === 0, col(s"fx$i")).otherwise(col(s"fy$i")))
+
+  /** Add a `hd` Hilbert-curve index column from integer bucket columns
+    * `bx`, `by` ∈ [0, n) — n a power of two. Exposed for the parity
+    * spec (JVM mirror) and reused by [[hilbertLayoutReport]].
+    */
+  private[operators] def withHilbertIndex(df: DataFrame, n: Int): DataFrame = {
+    val levels = Integer.numberOfTrailingZeros(n)
+    val start = df.withColumn("x0", col("bx")).withColumn("y0", col("by"))
+      .withColumn("d0", lit(0L))
+    val walked = (0 until levels).foldLeft(start) { (acc, i) =>
+      hilbertLevel(acc, i, n >> (i + 1), n)
+    }
+    walked.withColumn("hd", col(s"d$levels"))
+  }
+
+  /** q280: HILBERT-curve layout report — q215's z-order experiment with
+    * the curve that never makes the long diagonal jumps Morton does
+    * (every Hilbert step is to a 4-neighbor, so equal-size index ranges
+    * are tighter rectangles). Same 8-bit range bucketing, same
+    * per-file min/max span report, so the two layouts are directly
+    * comparable file-for-file; the spec asserts Hilbert's mean span is
+    * no worse than Morton's on the same data. All arithmetic is the
+    * unrolled integer reflect+swap walk — engine-exact, and each level
+    * is a named projection (see [[hilbertLevel]] for why that matters).
+    */
+  def hilbertLayoutReport(li: DataFrame, files: Int = 64): DataFrame = {
+    val mm = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    val bucketed = li.select("l_partkey", "l_suppkey")
+      .crossJoin(broadcast(mm))
+      .withColumn("bx", expr("cast(((l_partkey - pmin) * 256) div (pmax - pmin + 1) as int)"))
+      .withColumn("by", expr("cast(((l_suppkey - smin) * 256) div (smax - smin + 1) as int)"))
+    withHilbertIndex(bucketed, 256)
+      .withColumn("file_id", expr(s"hd div ${65536L / files}"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .crossJoin(broadcast(mm))
+      .select(col("file_id"), col("n_rows"),
+        col("min_part"), col("max_part"), col("min_supp"), col("max_supp"),
+        round(expr("(max_part - min_part + 1) / cast(pmax - pmin + 1 as double)"), 4)
+          .as("part_span"),
+        round(expr("(max_supp - min_supp + 1) / cast(smax - smin + 1 as double)"), 4)
+          .as("supp_span"))
+      .orderBy("file_id")
+  }
+
   /** q278: RANGE-PARTITION PLANNER — deterministic boundary selection
     * for `repartitionByRange`/sorted-table writes, replacing Spark's
     * nondeterministic reservoir-sampled RangePartitioner with exact
@@ -164,7 +240,46 @@ object Layout extends QueryModule {
     "q215_zorder_layout" -> ((s, d) => zorderLayoutReport(Tables(s, d).lineitem)),
     "q271_compaction_plan" -> ((s, d) => compactionPlan(Tables(s, d).documents)),
     "q278_range_partition_plan" -> ((s, d) => rangePartitionPlan(Tables(s, d).lineitem)),
+    "q280_hilbert_layout" -> ((s, d) => hilbertLayoutReport(Tables(s, d).lineitem)),
   )
+
+  /** DuckDB mirror of the unrolled Hilbert walk: one chained CTE per
+    * level; the quadrant term (3·rx)⊕ry is enumerated per (rx, ry)
+    * case and the reflect+swap collapses to a 3-way CASE (ry=1 → keep;
+    * rx=1 → reflect-swap; else → plain swap).
+    */
+  private def hilbertSql: String = {
+    val levels = (0 until 8).map { i =>
+      val s = 256 >> (i + 1)
+      s"""l${i + 1} AS (SELECT l_partkey, l_suppkey,
+         |  d$i + ${s.toLong * s} * (CASE WHEN (y$i & $s) > 0
+         |       THEN (CASE WHEN (x$i & $s) > 0 THEN 2 ELSE 1 END)
+         |       ELSE (CASE WHEN (x$i & $s) > 0 THEN 3 ELSE 0 END) END) AS d${i + 1},
+         |  CASE WHEN (y$i & $s) > 0 THEN x$i
+         |       WHEN (x$i & $s) > 0 THEN 255 - y$i
+         |       ELSE y$i END AS x${i + 1},
+         |  CASE WHEN (y$i & $s) > 0 THEN y$i
+         |       WHEN (x$i & $s) > 0 THEN 255 - x$i
+         |       ELSE x$i END AS y${i + 1}
+         |  FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mm AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |                  min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+       |l0 AS (SELECT l_partkey, l_suppkey,
+       |             (((l_partkey - pmin) * 256) // (pmax - pmin + 1))::INTEGER AS x0,
+       |             (((l_suppkey - smin) * 256) // (smax - smin + 1))::INTEGER AS y0,
+       |             0::BIGINT AS d0
+       |      FROM lineitem, mm),
+       |$levels,
+       |g AS (SELECT d8 // 1024 AS file_id, count(*)::BIGINT AS n_rows,
+       |             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |      FROM l8 GROUP BY 1)
+       |SELECT file_id::BIGINT AS file_id, n_rows, min_part, max_part, min_supp, max_supp,
+       |       round((max_part - min_part + 1) / CAST(pmax - pmin + 1 AS DOUBLE), 4) AS part_span,
+       |       round((max_supp - min_supp + 1) / CAST(smax - smin + 1 AS DOUBLE), 4) AS supp_span
+       |FROM g, mm ORDER BY file_id""".stripMargin
+  }
 
   /** DuckDB mirror: same bucket arithmetic (`//` floors like Spark's
     * `div` on the non-negative operands) and the same shift/mask
@@ -233,6 +348,7 @@ object Layout extends QueryModule {
           |       n_rows * 1000000 // n_total AS share_ppm,
           |       abs(n_rows * 8 - n_total) * 1000000 // n_total AS dev_ppm
           |FROM g, tot ORDER BY pid""".stripMargin,
+      "q280_hilbert_layout" -> hilbertSql,
     )
   }
 }

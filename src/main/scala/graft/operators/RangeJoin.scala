@@ -98,12 +98,86 @@ object RangeJoin extends QueryModule {
       .orderBy("first_touch", "last_touch")
   }
 
+  /** q281: POSITION-BASED (U-shaped) multi-touch attribution — the
+    * credit model between q194's first/last extremes: each purchase's
+    * hour-lookback journey gives 40% to the first touch, 40% to the
+    * last, and splits 20% across the middles (1 touch → 100%,
+    * 2 → 50/50 — the standard degenerate cases). Credits are integer
+    * ppm (the middle share is 200000 div (k−2), floor — documented,
+    * engine-identical), summed per touched event type, so the output is
+    * the channel-credit ledger marketers actually read.
+    *
+    * Scale: same bucketed lookback join as q194 (touches land in one
+    * bucket, purchases replicate into ≤2); position and journey size
+    * come from ONE window pass partitioned by purchase; the ledger is a
+    * types-sized aggregate.
+    */
+  def positionalAttribution(events: DataFrame, lookbackSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val touches = events
+      .filter(!col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        expr(s"timestampadd(SECOND, -$lookbackSec, ts)").as("w_start"),
+        expr("timestampadd(MICROSECOND, -1, ts)").as("w_end"))
+    val joined = bucketedRangeJoin(touches, purchases, "user_id",
+        "ts", "w_start", "w_end", bucketUs = lookbackSec * 1000000L)
+      .select(col("p_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+    val w = Window.partitionBy("p_id").orderBy(col("us"), col("event_id"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("p_id")))
+      .withColumn("credit_ppm", expr(
+        """CASE WHEN k = 1 THEN 1000000
+          |     WHEN k = 2 THEN 500000
+          |     WHEN rn = 1 OR rn = k THEN 400000
+          |     ELSE 200000 div (k - 2) END""".stripMargin))
+      .groupBy("event_type")
+      .agg(sum("credit_ppm").as("total_credit_ppm"),
+        sum(when(col("rn") === 1L, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rn") === col("k"), 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("rn") =!= 1L && col("rn") =!= col("k"), 1L).otherwise(0L))
+          .as("n_middle"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_positional_attribution" -> ((s, d) => positionalAttribution(Tables(s, d).events)),
     "q61_session_errors" -> ((s, d) => errorsPerSession(Tables(s, d).events)),
     "q194_attribution"   -> ((s, d) => touchAttribution(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q281_positional_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type NOT IN ('purchase', 'error')),
+        |p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.p_id, t.us, t.event_id, t.event_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND t.us >= p.p_us - 3600000000 AND t.us < p.p_us),
+        |r AS (
+        |  SELECT p_id, event_type,
+        |         row_number() OVER (PARTITION BY p_id ORDER BY us, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY p_id) AS k
+        |  FROM j),
+        |c AS (
+        |  SELECT event_type, rn, k,
+        |         CASE WHEN k = 1 THEN 1000000
+        |              WHEN k = 2 THEN 500000
+        |              WHEN rn = 1 OR rn = k THEN 400000
+        |              ELSE 200000 // (k - 2) END AS credit_ppm
+        |  FROM r)
+        |SELECT event_type, sum(credit_ppm)::BIGINT AS total_credit_ppm,
+        |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+        |       sum(CASE WHEN rn = k THEN 1 ELSE 0 END)::BIGINT AS n_last,
+        |       sum(CASE WHEN rn <> 1 AND rn <> k THEN 1 ELSE 0 END)::BIGINT AS n_middle
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q194_attribution" ->
       """WITH t AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us

@@ -74,4 +74,47 @@ class LayoutSpec extends SparkSpec {
     assert(got(3L) == ((2L, 2L, 2L, 3L, 0L)))
     assert(got(4L) == ((2L, 2L, 4L, 5L, 0L)))
   }
+
+  test("withHilbertIndex matches the classic xy2d recursion on a sampled grid") {
+    import spark.implicits._
+    // JVM reference: the textbook reflect+swap walk
+    def xy2d(n: Int, x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val pts = for (x <- 0 until 256 by 7; y <- 0 until 256 by 11) yield (x, y)
+    val df = pts.toDF("bx", "by")
+    val got = Layout.withHilbertIndex(df, 256)
+      .select($"bx", $"by", $"hd").as[(Int, Int, Long)].collect()
+    got.foreach { case (x, y, hd) =>
+      assert(hd == xy2d(256, x, y), s"($x,$y)")
+    }
+    // a space-filling curve visits each cell once: indices in a full
+    // 4x4 subgrid walk (n=4) are a permutation of 0..15
+    val small = (for (x <- 0 until 4; y <- 0 until 4) yield (x, y)).toDF("bx", "by")
+    val ds = Layout.withHilbertIndex(small, 4).select($"hd").as[Long].collect().sorted
+    assert(ds.toSeq == (0L until 16L))
+  }
+
+  test("hilbert layout has no worse mean span than morton on the same data") {
+    val li = spark.read.parquet(sf("") + "/lineitem.parquet")
+    def meanSpan(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.collect()
+      rows.map(r => r.getAs[Double]("part_span") + r.getAs[Double]("supp_span")).sum / rows.length
+    }
+    val h = meanSpan(Layout.hilbertLayoutReport(li))
+    val m = meanSpan(Layout.zorderLayoutReport(li))
+    assert(h <= m + 1e-9, s"hilbert $h vs morton $m")
+  }
 }

@@ -53,4 +53,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(r.length == 1)
     assert(r(0).getString(0) == "view" && r(0).getString(1) == "view")
   }
+
+  test("positionalAttribution: U-shaped credits for 1-, 2- and 4-touch journeys") {
+    def ev(id: Long, t: String, typ: String, user: Long) =
+      (id, ts(t), user, typ, 0.0, "{}")
+    val events = Seq(
+      // user 1: 4-touch journey → 40/20/20/40
+      ev(1L, "2024-01-01 09:10:00", "view", 1L),
+      ev(2L, "2024-01-01 09:20:00", "click", 1L),
+      ev(3L, "2024-01-01 09:30:00", "click", 1L),
+      ev(4L, "2024-01-01 09:40:00", "signup", 1L),
+      ev(5L, "2024-01-01 10:00:00", "purchase", 1L),
+      // user 2: single touch → 100%
+      ev(6L, "2024-01-01 09:30:00", "view", 2L),
+      ev(7L, "2024-01-01 10:00:00", "purchase", 2L),
+      // user 3: two touches → 50/50
+      ev(8L, "2024-01-01 09:30:00", "view", 3L),
+      ev(9L, "2024-01-01 09:40:00", "click", 3L),
+      ev(10L, "2024-01-01 10:00:00", "purchase", 3L),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RangeJoin.positionalAttribution(events).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // view: u1 first 400000 + u2 solo 1000000 + u3 first 500000
+    assert(r("view") == ((1900000L, 3L, 1L, 0L)))
+    // click: u1 middles 100000+100000 + u3 last 500000
+    assert(r("click") == ((700000L, 0L, 1L, 2L)))
+    // signup: u1 last 400000
+    assert(r("signup") == ((400000L, 0L, 1L, 0L)))
+  }
 }
