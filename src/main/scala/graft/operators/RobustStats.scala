@@ -367,7 +367,98 @@ object RobustStats extends QueryModule {
       .orderBy("lag_d")
   }
 
+  /** q282: resample the irregular per-user event stream onto a fixed
+    * 6-hour grid with last-observation-carried-forward — the series
+    * regularization every downstream window/forecast op assumes (q193's
+    * TWAP weights by holding time; this one MATERIALIZES the held value
+    * per grid cell instead). Per user: buckets span the user's own
+    * [first, last] event bucket, a bucket's observation is its LAST
+    * event by (ts, event_id), and empty buckets inherit the previous
+    * bucket's value (never null: the first bucket is observed by
+    * construction).
+    *
+    * Determinism: values quantize to integer micro-units before any
+    * arithmetic; the per-bucket "last" pick is an integer struct-max;
+    * the single output division happens once, rounded.
+    *
+    * Scale: the grid explode is bounded by time-range/step per user
+    * (calendar-sized, not corpus-sized — 120 cells for 30 days at 6 h),
+    * and every step — the bucket aggregate, the span, the grid join,
+    * the LOCF window, the final rollup — clusters by user_id, so AQE
+    * coalesces what is logically one user-keyed exchange.
+    */
+  def resampleLocf(events: DataFrame, bucketUs: Long = 21600000000L): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr("unix_micros(ts)").as("us"),
+      expr(s"unix_micros(ts) div $bucketUs").as("b"),
+      expr("cast(floor(value * 1000000) as bigint)").as("vq"),
+      col("event_id"))
+    val obs = ev.groupBy("user_id", "b")
+      .agg(max(struct(col("us"), col("event_id"), col("vq"))).as("m"))
+      .select(col("user_id"), col("b"), col("m.vq").as("last_vq"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("b").as("bmin"), max("b").as("bmax"))
+      .select(col("user_id"), explode(sequence(col("bmin"), col("bmax"))).as("b"))
+    val w = Window.partitionBy("user_id").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "b"), "left")
+      .withColumn("locf", last(col("last_vq"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        count(col("last_vq")).as("n_observed"),
+        (count(lit(1)) - count(col("last_vq"))).as("n_filled"),
+        expr("round(cast(sum(locf) as double) / cast(count(1) * 1000000 as double), 4)")
+          .as("locf_mean"))
+      .orderBy("user_id")
+  }
+
+  /** q283: Pettitt changepoint test on the daily event-value series —
+    * the RANK-based (distribution-free) complement to q180's CUSUM of
+    * counts: U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j), the day maximizing
+    * |U_t| is the candidate break, and significance follows the
+    * standard 2·exp(−6K²/(n³+n²)) ≤ α bound.
+    *
+    * Exact arithmetic end to end: with DOUBLED midranks
+    * dr = 2·|{<x}| + |{=x}| + 1 (an integer for any tie run, the q269
+    * device), U_t = Σ_{i≤t} dr_i − t(n+1) is an exact integer; the
+    * α = 0.05 decision is the integer cross-multiplication
+    * 6·K²·10⁶ ≥ (n³+n²)·3688879 (ln 40 pre-scaled to micro-nats —
+    * embedded constant, no runtime libm).
+    *
+    * Scale: the fact table reduces to one row per day before any
+    * window; the single-partition rank/cumsum windows run on that
+    * calendar-bounded frame (the q180/q196 posture).
+    */
+  def pettittChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 1000000) as bigint)").as("vq"))
+      .groupBy("day").agg(sum("vq").as("x"))
+    val wLt = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy("x")
+    val wDay = Window.orderBy("day")
+    val ranked = daily
+      .withColumn("dr", coalesce(count(lit(1)).over(wLt), lit(0L)) * 2 +
+        count(lit(1)).over(wEq) + 1)
+    val tot = ranked.agg(count(lit(1)).as("n")).select(col("n"))
+    val u = ranked
+      .withColumn("t", row_number().over(wDay))
+      .withColumn("s", sum("dr").over(wDay))
+      .crossJoin(broadcast(tot))
+      .filter(col("t") < col("n")) // U_n = 0 by construction — not a break
+      .withColumn("u", col("s") - col("t") * (col("n") + 1))
+    u.agg(max(struct(abs(col("u")).as("k"), (-col("day")).as("nd"),
+        col("day"), col("u"), col("n"))).as("b"))
+      .select(col("b.n").as("n_days"), col("b.day").as("cp_day"),
+        col("b.k").as("k_stat"), col("b.u").as("u_at_cp"),
+        (col("b.k") * col("b.k") * 6000000L >=
+          (col("b.n") * col("b.n") * col("b.n") + col("b.n") * col("b.n")) * 3688879L)
+          .as("significant"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_resample_locf" -> ((s, d) => resampleLocf(Tables(s, d).events)),
+    "q283_pettitt" -> ((s, d) => pettittChangepoint(Tables(s, d).events)),
     "q269_spearman" -> ((s, d) => { val t = Tables(s, d)
       spearmanCorrelation(t.lineitem, t.part) }),
     "q272_cross_correlation" -> ((s, d) => crossCorrelationScan(Tables(s, d).events)),
@@ -382,6 +473,61 @@ object RobustStats extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // grid = per-user bucket range (inclusive); LOCF via IGNORE NULLS
+    // last_value; the one division mirrors the Spark side exactly
+    "q282_resample_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, epoch_us(ts) // 21600000000 AS b,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS vq, event_id
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id, b, vq AS last_vq FROM (
+        |    SELECT user_id, b, vq,
+        |           row_number() OVER (PARTITION BY user_id, b
+        |                              ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(bmin, bmax + 1)) AS b
+        |  FROM (SELECT user_id, min(b) AS bmin, max(b) AS bmax FROM ev GROUP BY 1)),
+        |f AS (
+        |  SELECT g.user_id, g.b, o.last_vq,
+        |         last_value(o.last_vq IGNORE NULLS) OVER (
+        |           PARTITION BY g.user_id ORDER BY g.b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b)
+        |SELECT user_id, count(*)::BIGINT AS n_buckets,
+        |       count(last_vq)::BIGINT AS n_observed,
+        |       (count(*) - count(last_vq))::BIGINT AS n_filled,
+        |       round(sum(locf)::DOUBLE / (count(*) * 1000000)::DOUBLE, 4) AS locf_mean
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // doubled midranks keep U_t integer; the significance bound is the
+    // integer cross-multiplication 6K²·10⁶ ≥ (n³+n²)·⌊ln(40)·10⁶⌋
+    "q283_pettitt" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS x
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT day, x,
+        |         (rank() OVER (ORDER BY x) - 1) * 2
+        |           + count(*) OVER (PARTITION BY x) + 1 AS dr
+        |  FROM daily),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM daily),
+        |u AS (
+        |  SELECT day,
+        |         row_number() OVER (ORDER BY day) AS t,
+        |         sum(dr) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |         tot.n
+        |  FROM r CROSS JOIN tot),
+        |uu AS (SELECT day, n, (s - t * (n + 1))::BIGINT AS u FROM u WHERE t < n),
+        |best AS (
+        |  SELECT day, n, u, abs(u) AS k,
+        |         row_number() OVER (ORDER BY abs(u) DESC, day) AS rn
+        |  FROM uu)
+        |SELECT n AS n_days, day AS cp_day, k AS k_stat, u AS u_at_cp,
+        |       (k * k * 6000000 >= (n * n * n + n * n) * 3688879) AS significant
+        |FROM best WHERE rn = 1""".stripMargin,
     // doubled average ranks keep tie handling integer; HUGEINT mirrors
     // the Spark side's decimal(38,0) sums (q199 convention)
     "q269_spearman" ->

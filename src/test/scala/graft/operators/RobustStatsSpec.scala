@@ -198,4 +198,53 @@ class RobustStatsSpec extends SparkSpec {
     // at the wrong alignment the correlation is strictly below 1
     assert(r(0L)._2.forall(_ < 1.0))
   }
+
+  private def evv(id: Long, day: Int, hr: Int, user: Long, v: Double) =
+    (id, Timestamp.valueOf(f"2024-01-${day}%02d ${hr}%02d:30:00"), user, "view", v, "{}")
+
+  test("resampleLocf: gaps inherit the previous bucket's LAST value") {
+    // user 1, 6h buckets: day1 04:30 (b0, v=2), day1 05:30 (b0, v=4 — later,
+    // wins the bucket), day2 16:30 (b6, v=10) → 7 buckets, 2 observed,
+    // 5 filled with 4.0, mean = (4·6 + 10)/7
+    val rows = Seq(evv(1, 1, 4, 1, 2.0), evv(2, 1, 5, 1, 4.0), evv(3, 2, 16, 1, 10.0))
+    val r = RobustStats.resampleLocf(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(r.getAs[Long]("n_buckets") == 7)
+    assert(r.getAs[Long]("n_observed") == 2)
+    assert(r.getAs[Long]("n_filled") == 5)
+    assert(r.getAs[Double]("locf_mean") == math.rint((4.0 * 6 + 10.0) / 7 * 1e4) / 1e4)
+  }
+
+  test("resampleLocf: in-bucket last is picked by (ts, event_id), not input order") {
+    // same timestamp → higher event_id wins; single bucket, no fill
+    val rows = Seq(evv(9, 1, 4, 2, 5.0), evv(7, 1, 4, 2, 3.0))
+    val r = RobustStats.resampleLocf(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(r.getAs[Long]("n_buckets") == 1)
+    assert(r.getAs[Double]("locf_mean") == 5.0)
+  }
+
+  test("pettittChangepoint localizes a clean level shift and flags it") {
+    // daily value sums: 10 days at 1.0, 10 days at 9.0 (one event/day)
+    // → U_t peaks at t = 10 (last low day); shift is overwhelming → significant
+    val rows = (1 to 20).map(d => evv(d.toLong, d, 12, 1, if (d <= 10) 1.0 else 9.0))
+    val r = RobustStats.pettittChangepoint(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    assert(r.getAs[Long]("n_days") == 20)
+    assert(r.getAs[Long]("cp_day") == 19723L + 9) // day 10 of Jan 2024
+    // U_10 = Σ_{i≤10}Σ_{j>10} sgn(low − high) = −100
+    assert(r.getAs[Long]("u_at_cp") == -100L)
+    assert(r.getAs[Long]("k_stat") == 100L)
+    // 6·100²·10⁶ = 6e10 ≥ (8000+400)·3688879 ≈ 3.1e10 → significant
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("pettittChangepoint: an exchangeable (constant) series is not significant") {
+    val rows = (1 to 12).map(d => evv(d.toLong, d, 12, 1, 5.0))
+    val r = RobustStats.pettittChangepoint(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")).collect()(0)
+    // all values tie → every dr = n+1 → U_t = 0 for all t
+    assert(r.getAs[Long]("k_stat") == 0L)
+    assert(!r.getAs[Boolean]("significant"))
+  }
 }
