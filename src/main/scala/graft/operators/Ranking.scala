@@ -456,7 +456,44 @@ object Ranking extends QueryModule {
         col("rank_rev"), col("rrf_nano"))
   }
 
+  /** q284: rank sources by the WILSON LOWER BOUND of their quality pass
+    * rate (pass = n_chars ≥ 300) — the small-sample-honest ordering:
+    * a 3/3 source must NOT outrank a 96/100 source the way raw rates
+    * would. z = 1.96 enters as the embedded constants z² = 3.8416,
+    * z²/2 = 1.9208, z²/4 = 0.9604 (no runtime z lookup).
+    *
+    * Determinism without integers: every step here — literal parse,
+    * +, −, ×, ÷, √ — is correctly rounded under IEEE-754, so two
+    * engines evaluating the SAME expression tree over the same exact
+    * integer inputs produce bit-identical doubles. The Spark expr and
+    * the oracle SQL are therefore written with identical association
+    * and explicit DOUBLE literals (a bare 1.9208 parses as DECIMAL in
+    * both engines, which would change the arithmetic).
+    *
+    * Scale: one pass over the corpus → one row per source; the rank
+    * window runs on the source-count-bounded frame.
+    */
+  def wilsonSourceRanking(documents: DataFrame, minChars: Int = 300): DataFrame = {
+    val agg = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") >= minChars, 1L).otherwise(0L)).as("n_pass"))
+    val lb = "(phat + cast(1.9208 as double) / nd - cast(1.96 as double) * " +
+      "sqrt((phat * (cast(1.0 as double) - phat) + cast(0.9604 as double) / nd) / nd)) " +
+      "/ (cast(1.0 as double) + cast(3.8416 as double) / nd)"
+    agg
+      .withColumn("nd", col("n_docs").cast("double"))
+      .withColumn("phat", col("n_pass").cast("double") / col("nd"))
+      .withColumn("wilson_lb", round(expr(lb), 6))
+      .withColumn("pass_rate", round(col("phat"), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("wilson_lb").desc, col("source"))).cast("long"))
+      .select("source", "n_docs", "n_pass", "pass_rate", "wilson_lb", "rk")
+      .orderBy("rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_wilson_ranking" -> ((s, d) => wilsonSourceRanking(Tables(s, d).documents)),
     "q275_rrf_fusion"    -> ((s, d) => rrfFusion(Tables(s, d).lineitem)),
     "q90_dsir_weights"   -> ((s, d) => dsirWeights(Tables(s, d).documents)),
     "q105_zipf_fit"      -> ((s, d) => zipfFit(Tables(s, d).documents)),
@@ -511,6 +548,28 @@ object Ranking extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // identical expression tree to the Spark side: IEEE-correctly-rounded
+    // ops over identical doubles are engine-exact (see wilsonSourceRanking)
+    "q284_wilson_ranking" ->
+      """WITH agg AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS n_pass
+        |  FROM documents GROUP BY source),
+        |x AS (
+        |  SELECT source, n_docs, n_pass,
+        |         n_docs::DOUBLE AS nd,
+        |         n_pass::DOUBLE / (n_docs::DOUBLE) AS phat
+        |  FROM agg),
+        |y AS (
+        |  SELECT source, n_docs, n_pass,
+        |         round(phat, 6) AS pass_rate,
+        |         round((phat + CAST(1.9208 AS DOUBLE) / nd - CAST(1.96 AS DOUBLE) *
+        |                sqrt((phat * (CAST(1.0 AS DOUBLE) - phat) + CAST(0.9604 AS DOUBLE) / nd) / nd))
+        |               / (CAST(1.0 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / nd), 6) AS wilson_lb
+        |  FROM x)
+        |SELECT source, n_docs, n_pass, pass_rate, wilson_lb,
+        |       row_number() OVER (ORDER BY wilson_lb DESC, source) AS rk
+        |FROM y ORDER BY rk""".stripMargin,
     "q275_rrf_fusion" ->
       """WITH agg AS (
         |  SELECT l_partkey,

@@ -473,7 +473,74 @@ object Similarity extends QueryModule {
         round(expr("mi / sqrt(ha * hb)"), 6).as("nmi"))
   }
 
+  /** q285: MAXIMAL MARGINAL RELEVANCE rerank — the diversity-aware
+    * retrieval step between plain top-k (q28) and packing a context
+    * window: greedily pick k results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7, so the
+    * second-best near-duplicate of an already-picked hit loses to a
+    * fresh-direction candidate.
+    *
+    * The query vector is the label-0 centroid in ELEMENTWISE-QUANTIZED
+    * integer space (Σ per-dim micro-units — order-free, unlike a float
+    * sum; cosine is scale-invariant so the un-divided sum IS the
+    * centroid). Every similarity is floor(10⁶·cos) computed from exact
+    * integer dot/norms (identical doubles in any engine), and the
+    * greedy compare is the integer 7·rel − 3·maxsim with vec_id
+    * tie-break — engine-exact end to end.
+    *
+    * Scale: relevance + top-`poolK` shortlist are one distributed pass
+    * (TakeOrderedAndProject); the greedy runs on the collected
+    * shortlist — ≤ poolK vectors, the bounded ≤K² driver step every
+    * MMR implementation has (the q129 TextRank posture).
+    */
+  def mmrRerank(embeddings: DataFrame, poolK: Int = 20, picks: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val quant = "transform(embedding, x -> cast(floor(cast(x as double) * cast(1000000 as double)) as bigint))"
+    val qArr = embeddings.filter(col("label") === 0)
+      .select(posexplode(expr(quant)).as(Seq("i", "xq")))
+      .groupBy("i").agg(sum("xq").as("qq"))
+      .orderBy("i").select("qq").as[Long].collect()       // one row per dim
+    val nq = qArr.map(q => q * q).sum                      // exact int64
+    val qLit = typedlit(qArr.toSeq)
+    val cand = embeddings
+      .withColumn("vq", expr(quant))
+      .withColumn("nv", expr("aggregate(vq, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("dotq", aggregate(zip_with(col("vq"), qLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("relq", floor(col("dotq").cast("double") /
+        (sqrt(col("nv").cast("double")) * sqrt(lit(nq).cast("double"))) *
+        lit(1000000.0)).cast("long"))
+      .orderBy(col("relq").desc, col("vec_id"))
+      .limit(poolK)
+      .select(col("vec_id"), col("relq"), col("vq"), col("nv"))
+    val pool = cand.as[(Long, Long, Seq[Long], Long)].collect()
+      .sortBy { case (id, rel, _, _) => (-rel, id) }
+    def simq(a: (Long, Long, Seq[Long], Long), b: (Long, Long, Seq[Long], Long)): Long = {
+      var dot = 0L; var i = 0
+      while (i < a._3.length) { dot += a._3(i) * b._3(i); i += 1 }
+      math.floor(dot.toDouble / (math.sqrt(a._4.toDouble) * math.sqrt(b._4.toDouble)) * 1000000.0).toLong
+    }
+    var selected = Vector.empty[(Long, Long, Seq[Long], Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    for (k <- 1 to picks) {
+      val best = pool.filterNot(c => selected.exists(_._1 == c._1))
+        .map { c =>
+          val ms = if (selected.isEmpty) 0L else selected.map(s => simq(c, s)).max
+          (c, ms, 7L * c._2 - 3L * ms)
+        }
+        .minBy { case (c, _, score) => (-score, c._1) }
+      selected :+= best._1
+      out += ((k.toLong, best._1._1, best._1._2, best._2, best._3))
+    }
+    out.toSeq.toDF("pick", "vec_id", "rel_micro", "max_sim_micro", "mmr_score_micro")
+      .withColumn("mmr", round(col("mmr_score_micro").cast("double") /
+        lit(10000000.0), 6))
+      .orderBy("pick")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_mmr_rerank" -> ((s, d) => mmrRerank(Tables(s, d).embeddings)),
     "q166_cluster_ari" -> ((s, d) => clusterLabelAgreement(Tables(s, d).embeddings)),
     "q102_hybrid_retrieval" -> ((s, d) =>
       hybridRetrieval(Tables(s, d).documents, Tables(s, d).embeddings)),
@@ -490,6 +557,62 @@ object Similarity extends QueryModule {
     "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings)),
   )
 
+  /** q285 oracle: the greedy MMR selection unrolled into one CTE per
+    * pick (the q129 unrolled-iteration device); every similarity is the
+    * same integer-quantized floor(10⁶·cos) the Spark side computes.
+    */
+  private def mmrSql(poolK: Int, picks: Int): String = {
+    val steps = (2 to picks).map { k =>
+      s"""s$k AS (
+         |  SELECT $k::BIGINT AS pick, c.vec_id, c.relq, m.ms,
+         |         7 * c.relq - 3 * m.ms AS score
+         |  FROM cand c JOIN (
+         |    SELECT va AS vec_id, max(simq) AS ms FROM pairs
+         |    WHERE vb IN (SELECT vec_id FROM sel${k - 1}) GROUP BY 1) m
+         |    USING (vec_id)
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$k AS (SELECT vec_id FROM sel${k - 1} UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to picks).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT i, sum(vq[i])::BIGINT AS qq
+       |  FROM v, unnest(generate_series(1, len(vq))) AS t(i)
+       |  WHERE label = 0 GROUP BY i),
+       |ql AS (SELECT list(qq ORDER BY i) AS ql FROM qv),
+       |nq AS (SELECT list_sum(list_transform(ql, x -> x * x))::BIGINT AS nq FROM ql),
+       |rel AS (
+       |  SELECT vec_id, vq,
+       |         list_sum(list_transform(generate_series(1, len(vq)), i -> vq[i] * ql[i]))::BIGINT AS dotq,
+       |         list_sum(list_transform(vq, x -> x * x))::BIGINT AS nv
+       |  FROM v, ql),
+       |relq AS (
+       |  SELECT vec_id, vq, nv,
+       |         CAST(floor(dotq::DOUBLE / (sqrt(nv::DOUBLE) * sqrt(nq::DOUBLE))
+       |              * CAST(1000000 AS DOUBLE)) AS BIGINT) AS relq
+       |  FROM rel, nq),
+       |cand AS (SELECT vec_id, vq, nv, relq FROM relq ORDER BY relq DESC, vec_id LIMIT $poolK),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         CAST(floor(
+       |           list_sum(list_transform(generate_series(1, len(a.vq)), i -> a.vq[i] * b.vq[i]))::DOUBLE
+       |           / (sqrt(a.nv::DOUBLE) * sqrt(b.nv::DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS simq
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS (SELECT 1::BIGINT AS pick, vec_id, relq, 0::BIGINT AS ms, 7 * relq AS score
+       |       FROM cand ORDER BY relq DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT pick, vec_id, relq AS rel_micro, ms AS max_sim_micro,
+       |       score AS mmr_score_micro,
+       |       round(score::DOUBLE / CAST(10000000 AS DOUBLE), 6) AS mmr
+       |FROM ($unionAll) ORDER BY pick""".stripMargin
+  }
+
   private val dotSql =
     "list_sum(list_transform(generate_series(1, len(%1$s)), i -> CAST(%1$s[i] AS DOUBLE) * CAST(%2$s[i] AS DOUBLE)))"
   private def dot(a: String, b: String): String = dotSql.format(a, b)
@@ -497,6 +620,7 @@ object Similarity extends QueryModule {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
   override def oracles: Map[String, String] = Map(
+    "q285_mmr_rerank" -> mmrSql(20, 5),
     // DuckDB lists are 1-based: embedding[b+1] mirrors Spark's 0-based
     // embedding[b]; ARI terms stay exact-integer until the last line
     "q166_cluster_ari" ->

@@ -180,4 +180,17 @@ class RankingSpec extends SparkSpec {
       (1L, 1L, 3L, rrf(1, 3)),
       (3L, 3L, 2L, rrf(3, 2))))
   }
+
+  test("wilsonSourceRanking: a 96/100 source outranks a perfect 3/3 source") {
+    val docs = ((1 to 3).map(i => (i.toLong, "t", "en", "tiny", 400L)) ++
+      (1 to 100).map(i => (100L + i, "t", "en", "big",
+        if (i <= 96) 400L else 100L))).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Ranking.wilsonSourceRanking(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Double]("wilson_lb"), x.getAs[Long]("rk"))).toMap
+    // hand-computed: big → 0.901627, tiny → 0.438494 (z = 1.96)
+    assert(math.abs(r("big")._1 - 0.901627) < 1e-4, s"big lb=${r("big")._1}")
+    assert(math.abs(r("tiny")._1 - 0.438494) < 1e-4, s"tiny lb=${r("tiny")._1}")
+    assert(r("big")._2 == 1L && r("tiny")._2 == 2L)
+  }
 }

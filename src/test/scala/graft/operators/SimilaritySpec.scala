@@ -249,4 +249,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(3) < 0.5, s"ari should be near zero: ${r.getDouble(3)}")
     assert(r.getDouble(4) == 0.0, s"nmi of independent split is 0: ${r.getDouble(4)}")
   }
+
+  test("mmrRerank diversifies: pick 3 jumps clusters instead of taking a duplicate") {
+    // query dir [1,0,0,0]; cluster A = {1, 2} (identical), cluster B = {3};
+    // both clusters at cos 0.8 from the query, cross-cluster cos 0.28.
+    // Plain top-k order would be 0,1,2(dup),3 — MMR(λ=0.7) picks 0,1,3.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.8f, 0.6f, 0f, 0f), 1),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f), 1),
+      (3L, Seq(0.8f, -0.6f, 0f, 0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(emb, poolK = 4, picks = 3)
+      .select("pick", "vec_id", "rel_micro", "max_sim_micro", "mmr_score_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 1000000L, 0L, 7000000L),
+      (2L, 1L, 800000L, 800000L, 3200000L),  // near-tie with 3 broken by rel
+      // -0.6f widens to -0.60000002… → floor quantizes id 3 one micro-unit
+      // low (799999); the dup (id 2) scores 7·800000 − 3·10⁶ = 2600000
+      (3L, 3L, 799999L, 799999L, 3199996L)))
+  }
+
+  test("mmrRerank first pick is the pure-relevance argmax") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (5L, Seq(0.6f, 0.8f), 1),
+      (9L, Seq(0.9435f, 0.33f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(emb, poolK = 3, picks = 2)
+      .select("pick", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(got.head == (1L, 0L)) // the query-direction vector itself
+  }
 }
