@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, LongVecSqDist, MinHashMd5, MultiPatternCounts, ShingleSet, SimHash64, TextMinHashMd5, TopKSketchAgg, UnicodeNormalize, WinnowFingerprints}
+import graft.functions.{FloatVecDot, LongVecSqDist, MinHashMd5, MultiPatternCounts, ShingleSet, SigMatchCount, SimHash64, TextMinHashMd5, TopKSketchAgg, UnicodeNormalize, WinnowFingerprints}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.unsafe.types.UTF8String
@@ -8,6 +8,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** SQL surface for graft's custom Catalyst expressions: registers
   * `simhash64(array<string>)`, `vec_dot(array<float>, array<float>)`,
   * `vec_sqdist(array<bigint>, array<bigint>)`,
+  * `sig_match_count(array<string>, array<string>)`,
   * `winnow_fingerprints(string[, k, w])`,
   * `text_minhash_md5(string, salt[, k])`, `shingle_set(string[, k])`,
   * `minhash_md5(array<string>, salt)`,
@@ -42,6 +43,7 @@ object GraftFunctions {
     "simhash64" -> (children => SimHash64(children.head)),
     "vec_dot" -> (children => FloatVecDot(children(0), children(1))),
     "vec_sqdist" -> (children => LongVecSqDist(children(0), children(1))),
+    "sig_match_count" -> (children => SigMatchCount(children(0), children(1))),
     "winnow_fingerprints" -> (children => WinnowFingerprints(children.head,
       k = if (children.length > 1) intArg(children(1), "winnow k") else 5,
       w = if (children.length > 2) intArg(children(2), "winnow w") else 4)),

@@ -1046,7 +1046,71 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** q286: DATA-DRIVEN LSH band planner — pick the (bands, rows) split
+    * of a 64-hash signature that minimizes expected miss/false-candidate
+    * cost ON THIS CORPUS, instead of hardcoding (b, r) per folklore.
+    * The S-curve P(candidate | m matching hashes) = 1 − (1 − (m/64)^r)^b
+    * is evaluated once at plan-build time into parts-per-billion INTEGER
+    * constants embedded in both engines (the q162 Benford device — no
+    * runtime pow/libm, so no cross-engine float drift); the corpus
+    * enters through the match-count histogram of a systematic 1/8 pair
+    * sample. Cost = 10·Σ_dup w·(1−P) + Σ_nondup w·P with the duplicate
+    * threshold at m ≥ 45 (m/64 ≥ 0.7); all products are exact int64.
+    *
+    * Scale: the signature pass is ONE fused multi-salt text scan over
+    * the sample; the quadratic lives only inside the sampled subset
+    * (n·f² pairs — at 100 TB you shrink f, not the machinery), and the
+    * planner itself joins a 65-row histogram to a 455-row constant
+    * table. The chosen (b, r) then feeds multiBandCandidatePairs (q65).
+    */
+  def bandPlanner(documents: DataFrame, nHashes: Int = 64, sampleMod: Int = 8,
+                  tauBin: Int = 45, fnCostX: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val salts = (0 until nHashes).map(j => s"bp$j|")
+    // cut once: the signature frame feeds BOTH sides of the pair join —
+    // without the cut the 64-salt md5 pass runs twice (stream + broadcast)
+    val sel = graft.plans.Checkpoints.cut(documents
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashMd5.textMinhashMd5Multi(col("text"), salts).as("sig")),
+      None)
+    val pairs = sel.as("a").join(broadcast(sel.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(graft.functions.SigMatchCount
+        .sigMatchCount(col("a.sig"), col("b.sig")).as("m"))
+    val wt = pairs.groupBy("m").agg(count(lit(1)).as("w"))
+    val cdf = bandPlannerConstants(nHashes).toDF("m", "b", "r", "p_ppb")
+    wt.join(broadcast(cdf), "m")
+      .groupBy("b", "r")
+      .agg(
+        sum(when(col("m") >= tauBin,
+          col("w") * (lit(1000000000L) - col("p_ppb"))).otherwise(0L)).as("fn_w_ppb"),
+        sum(when(col("m") < tauBin,
+          col("w") * col("p_ppb")).otherwise(0L)).as("fp_w_ppb"))
+      .withColumn("cost10", lit(fnCostX.toLong) * col("fn_w_ppb") + col("fp_w_ppb"))
+      .withColumn("chosen", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cost10"), col("r").desc, col("b"))) === 1)
+      .select("b", "r", "fn_w_ppb", "fp_w_ppb", "cost10", "chosen")
+      .orderBy("b")
+  }
+
+  /** The S-curve constant table (m, b, r, ⌊P·10⁹⌉) shared verbatim by
+    * the Spark plan and the DuckDB oracle — computed ONCE here, so both
+    * engines aggregate identical integers. */
+  private[operators] def bandPlannerConstants(nHashes: Int): Seq[(Int, Int, Int, Long)] =
+    for {
+      r <- Seq(1, 2, 4, 8, 16, 32, 64) if nHashes % r == 0
+      b = nHashes / r
+      m <- 0 to nHashes
+    } yield {
+      val p = 1.0 - math.pow(1.0 - math.pow(m.toDouble / nHashes, r), b)
+      (m, b, r, math.floor(p * 1e9 + 0.5).toLong)
+    }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_band_plan" -> ((s, d) => bandPlanner(Tables(s, d).documents)),
     "q58_neardup_clusters" -> ((s, d) => nearDupClusters(Tables(s, d).documents)),
     "q92_neardup_canonical" -> ((s, d) => nearDupCanonical(Tables(s, d).documents)),
     "q47_checksum_blocks" -> ((s, d) => checksumBlocks(Tables(s, d).documents)),
@@ -1108,7 +1172,42 @@ object Dedup extends QueryModule {
     }),
   )
 
+  /** q286 oracle: the same sampled-pair histogram × the same embedded
+    * ppb constant table (generated from [[bandPlannerConstants]], so the
+    * integers are identical by construction). */
+  private def bandPlannerSql(nHashes: Int, sampleMod: Int, tauBin: Int,
+                             fnCostX: Int): String = {
+    val saltLines = (0 until nHashes).map(j =>
+      s"list_aggregate(list_transform(ws, s -> md5('bp$j|' || s)), 'min')")
+      .mkString(",\n          ")
+    val constValues = bandPlannerConstants(nHashes)
+      .map { case (m, b, r, p) => s"($m, $b, $r, ${p}::BIGINT)" }.mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+       |                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS ws
+       |  FROM documents WHERE doc_id % $sampleMod = 0),
+       |sigs AS (SELECT doc_id,
+       |         [$saltLines] AS sig
+       |         FROM w),
+       |pairs AS (
+       |  SELECT len(list_filter(range(1, ${nHashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS m
+       |  FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id),
+       |wt AS (SELECT m, count(*)::BIGINT AS w FROM pairs GROUP BY m),
+       |consts(m, b, r, p_ppb) AS (VALUES $constValues),
+       |agg AS (
+       |  SELECT b, r,
+       |         sum(CASE WHEN c.m >= $tauBin THEN wt.w * (1000000000 - c.p_ppb) ELSE 0 END)::BIGINT AS fn_w_ppb,
+       |         sum(CASE WHEN c.m < $tauBin THEN wt.w * c.p_ppb ELSE 0 END)::BIGINT AS fp_w_ppb
+       |  FROM wt JOIN consts c ON wt.m = c.m GROUP BY b, r),
+       |fin AS (SELECT b, r, fn_w_ppb, fp_w_ppb,
+       |               $fnCostX * fn_w_ppb + fp_w_ppb AS cost10 FROM agg)
+       |SELECT b, r, fn_w_ppb, fp_w_ppb, cost10,
+       |       (row_number() OVER (ORDER BY cost10, r DESC, b) = 1) AS chosen
+       |FROM fin ORDER BY b""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q286_band_plan" -> bandPlannerSql(64, 8, 45, 10),
     // deliberately UNBLOCKED all-pairs form: a green row certifies the
     // 16-char head-block used by the Spark side loses no pair
     "q274_truncation_dups" ->

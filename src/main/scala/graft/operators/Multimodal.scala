@@ -504,6 +504,31 @@ object MediaCodec {
     hsh
   }
 
+  /** 64-bit difference-hash (dHash): decode → nearest-resize to 9×8
+    * through the REAL codec round trip → bit y·8+x set iff
+    * gray(x+1, y) > gray(x, y). Gradient-based, so a uniform brightness
+    * shift doesn't flip bits the way [[aHash64]]'s global mean does;
+    * every comparison is exact integer arithmetic over the decoded
+    * raster, hence closed-form re-derivable for generated fixtures
+    * (q287, the q97 contract).
+    */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val img = readImage(resizeNearest(bytes, 9, 8))
+    var hsh = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val l = (img.getRGB(x, y) >>> 16) & 0xff
+        val r = (img.getRGB(x + 1, y) >>> 16) & 0xff
+        if (r > l) hsh |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hsh
+  }
+
   def resizeNearest(bytes: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
     val src = readImage(bytes)
     val sw = src.getWidth

@@ -53,6 +53,15 @@ object NonSqlOps extends QueryModule {
     */
   def simhashHammingPairs(documents: DataFrame, maxHamming: Int = 3,
                           nBlocks: Int = 4): DataFrame = {
+    val sigs = documents
+      .select(col("doc_id"), simhash64(split(lower(col("text")), " ")).as("sig"))
+    hammingPairsFromSigs(sigs, maxHamming, nBlocks)
+  }
+
+  /** Pigeonhole hamming-pair search over any (doc_id, sig: long) frame —
+    * shared by the text (q98) and image (q287) fingerprint families. */
+  private[operators] def hammingPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+                                              nBlocks: Int): DataFrame = {
     require(64 % nBlocks == 0, s"nBlocks must divide 64, got $nBlocks")
     require(maxHamming < nBlocks, "pigeonhole needs maxHamming < nBlocks")
     val w = 64 / nBlocks
@@ -66,8 +75,6 @@ object NonSqlOps extends QueryModule {
         }.reduce(_.bitwiseOR(_))
         struct(lit(ci).as("band_idx"), key.as("band_key"))
       }
-    val sigs = documents
-      .select(col("doc_id"), simhash64(split(lower(col("text")), " ")).as("sig"))
     sigs.select(col("doc_id"), col("sig"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band_idx"), col("b.band_key"))
       .groupBy("band_idx", "band_key")
@@ -261,7 +268,37 @@ object NonSqlOps extends QueryModule {
       .orderBy("ahash")
   }
 
+  /** q287: perceptual NEAR-duplicate image pairs — the hamming-radius
+    * complement to q97's exact-equality aHash groups: dHash (gradient
+    * sign) fingerprints through the REAL decode→resize codec chain,
+    * then the pigeonhole band join at radius ≤ 2 (6 two-block bands —
+    * zero false negatives by the q98 theorem, which the oracle proves
+    * by brute-forcing ALL pairs closed-form and matching).
+    *
+    * Scale shape: decode+hash is narrow per-row work behind the by-id
+    * repartition; the only shuffle is the 16-bit-block band join —
+    * exactly the q98 posture, reused via [[hammingPairsFromSigs]].
+    */
+  def imageDHashPairs(documents: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sigs = documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { d =>
+          val seed = d % 29
+          val w = (8 + seed % 13).toInt
+          val h = (8 + seed % 11).toInt
+          val png = MediaCodec.encodePng(w, h,
+            (x, y) => ((x * 31 + y * 17 + seed * 7) % 256).toInt)
+          (d, MediaCodec.dHash64(png))
+        }
+      }.toDF("doc_id", "sig")
+    hammingPairsFromSigs(sigs, maxHamming, nBlocks = 4)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_image_dhash" -> ((s, d) => imageDHashPairs(Tables(s, d).documents)),
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
     "q97_image_ahash"     -> ((s, d) => imageAHashGroups(Tables(s, d).documents)),
     "q98_simhash_pairs"   -> ((s, d) => simhashHammingPairs(Tables(s, d).documents)),
@@ -287,6 +324,40 @@ object NonSqlOps extends QueryModule {
     * hash-match.
     */
   override def oracles: Map[String, String] = Map(
+    // dHash re-derived closed-form over the 9×8 nearest-resize geometry
+    // (the q97 convention), then BRUTE-FORCE all-pairs hamming — the
+    // banded Spark path must recover exactly these pairs (pigeonhole
+    // zero-false-negative proof at radius ≤ 2)
+    "q287_image_dhash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 29 AS seed,
+        |         (8 + (doc_id % 29) % 13)::BIGINT AS sw,
+        |         (8 + (doc_id % 29) % 11)::BIGINT AS sh
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN (((((p % 8) + 1) * sw) // 9) * 31
+        |                    + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256
+        |                 > ((((p % 8) * sw) // 9) * 31
+        |                    + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM dims, unnest(range(64)) AS t(p)),
+        |h AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN bit = 1 THEN (1::UBIGINT << p::INTEGER)::HUGEINT
+        |                  ELSE 0::HUGEINT END) AS usig
+        |  FROM bits GROUP BY doc_id),
+        |signed AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN usig >= 9223372036854775808::HUGEINT
+        |               THEN usig - 18446744073709551616::HUGEINT
+        |               ELSE usig END)::BIGINT AS sig
+        |  FROM h)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        |FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        |ORDER BY left_id, right_id""".stripMargin,
     // frame features re-derived from the WAV generation formula
     // ((7i + d) mod 256 over n = 800 + d mod 800 samples, frames of
     // 160): all-integer, so the real decode must be sample-exact

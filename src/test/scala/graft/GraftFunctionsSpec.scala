@@ -28,6 +28,29 @@ class GraftFunctionsSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(mismatches == 0)
   }
+  test("sig_match_count matches the HOF formulation and survives codegen") {
+    val sigs = Tables(spark, "/root/testdata/sf0.001").documents.limit(40).select(
+      col("doc_id"),
+      graft.functions.MinHashMd5.textMinhashMd5Multi(
+        col("text"), (0 until 8).map(j => s"bp$j|")).as("sig"))
+    val pair = sigs.as("a").crossJoin(sigs.as("b").limit(6))
+    val hof = size(filter(zip_with(col("a.sig"), col("b.sig"),
+      (x, y) => x === y), b => b))
+    val mismatches = pair.select(
+        graft.functions.SigMatchCount.sigMatchCount(col("a.sig"), col("b.sig")).as("x"),
+        hof.as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(mismatches == 0)
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT sig_match_count(array('a','b','c'), array('a','x','c')) AS m").head()
+    assert(r.getInt(0) == 2)
+    // mismatched lengths count over the common prefix, like the padded HOF
+    val m = spark.sql(
+      "SELECT sig_match_count(array('a','b','c'), array('a','b')) AS m").head()
+    assert(m.getInt(0) == 2)
+  }
+
   test("vec_sqdist matches the HOF formulation exactly on quantized embeddings") {
     val emb = graft.operators.Clustering.quantized(
       Tables(spark, "/root/testdata/sf0.001").embeddings.limit(50))

@@ -482,4 +482,28 @@ class DedupSpec extends SparkSpec {
       .filter($"trunc_id" === 1L).select($"kept_ppm").as[Long].head()
     assert(ppm == 19L * 1000000 / 30)
   }
+
+  test("bandPlanner S-curve constants: endpoint-exact and monotone per (b, r)") {
+    val c = Dedup.bandPlannerConstants(64)
+    assert(c.size == 7 * 65)
+    c.groupBy(x => (x._2, x._3)).foreach { case (_, rows) =>
+      val byM = rows.sortBy(_._1).map(_._4)
+      assert(byM.head == 0L && byM.last == 1000000000L)
+      assert(byM.zip(byM.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("bandPlanner on an exact-duplicate corpus: zero cost, max-r split chosen") {
+    val docs = Seq(0L, 8L, 16L, 24L)
+      .map(id => (id, "alpha beta gamma delta epsilon zeta", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.bandPlanner(docs).collect()
+    assert(rows.length == 7)
+    // every sampled pair matches on all 64 hashes -> P = 1 exactly ->
+    // no expected misses; no sub-threshold pairs exist -> no FP term
+    assert(rows.forall(_.getAs[Long]("cost10") == 0L))
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1)
+    assert(chosen.head.getAs[Int]("b") == 1 && chosen.head.getAs[Int]("r") == 64)
+  }
 }

@@ -137,4 +137,17 @@ class MultimodalSpec extends SparkSpec {
     val checker = MediaCodec.encodePng(16, 12, (x, y) => ((x + y) % 2) * 255)
     assert(MediaCodec.aHash64(checker) != h)
   }
+
+  test("dHash64: monotone gradients give all-ones / all-zeros hashes") {
+    val inc = MediaCodec.encodePng(9, 8, (x, _) => x * 20)
+    val dec = MediaCodec.encodePng(9, 8, (x, _) => 160 - x * 20)
+    assert(MediaCodec.dHash64(inc) == -1L)
+    assert(MediaCodec.dHash64(dec) == 0L)
+  }
+
+  test("dHash64 is invariant to a uniform brightness shift") {
+    val a = MediaCodec.encodePng(12, 10, (x, y) => (x * 13 + y * 7) % 200)
+    val b = MediaCodec.encodePng(12, 10, (x, y) => (x * 13 + y * 7) % 200 + 40)
+    assert(MediaCodec.dHash64(a) == MediaCodec.dHash64(b))
+  }
 }
