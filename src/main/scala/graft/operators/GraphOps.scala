@@ -481,7 +481,65 @@ object GraphOps extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** q288: SEED-SCOPED ADAMIC–ADAR link prediction on the co-purchase
+    * graph — for each of the `seedN` highest-degree parts, score its
+    * non-adjacent distance-2 partners by Σ_w 1/ln(deg w) over common
+    * neighbors (rare shared neighbors count more than hubs) and keep
+    * the top `perSeed` — the classic "which parts will co-sell with
+    * THESE next" recsys primitive between q276 (how clustered is what
+    * exists) and q250 (backtest of what happened).
+    *
+    * Per-neighbor credit quantizes to ⌊10⁹/ln d⌋ BEFORE the pair sum
+    * (the q187/q209 micro-nat device — exact integer aggregation; the
+    * residual ln ulp risk sits at a floor boundary, documented there).
+    * d ≥ 2 always holds for a common neighbor, so ln never hits 0.
+    *
+    * Scale: all-pairs AA fans out Σ d(w)² wedges (measured ~300M at
+    * sf0.1 — a 59 s query); seed-scoping is the practical form AND the
+    * scale cut: wedges shrink to Σ d(w)·|N(w)∩seeds| (~0.5% here, the
+    * seed-fraction ratio) via a broadcast semi-join of the tiny seed
+    * set on one arm before the center join. Per-seed top-k compiles to
+    * WindowGroupLimit, not a global sort.
+    */
+  def adamicAdarLinks(li: DataFrame, seedN: Int = 100, perSeed: Int = 3,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    val sym = edges.select(col("u").as("w"), col("v").as("n"))
+      .unionAll(edges.select(col("v").as("w"), col("u").as("n")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("w")).limit(seedN)
+      .select(col("w").as("seed"))
+    val cr = deg.filter(col("d") >= 2)
+      .select(col("w"), floor(lit(1000000000.0) /
+        log(col("d").cast("double"))).cast("long").as("cr"))
+    val seedArm = sym.join(broadcast(seeds), sym("n") === seeds("seed"))
+      .select(col("w"), col("n").as("a"))
+    val wedges = seedArm
+      .join(sym.select(col("w"), col("n").as("b")), "w")
+      .filter(col("a") =!= col("b"))
+      .join(cr, "w")
+    val scored = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum("cr").as("aa_nano"))
+    // adjacency check as ONE equi anti-join on the (min, max)-normalized
+    // key (an OR-of-orientations condition would refuse hash join and
+    // nested-loop against the full edge list)
+    val nonAdj = scored
+      .withColumn("lo", least(col("a"), col("b")))
+      .withColumn("hi", greatest(col("a"), col("b")))
+      .join(edges.select(col("u").as("lo"), col("v").as("hi")),
+        Seq("lo", "hi"), "left_anti")
+    nonAdj
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a")
+          .orderBy(col("aa_nano").desc, col("b"))).cast("long"))
+      .filter(col("rk") <= perSeed)
+      .select(col("a").as("seed_part"), col("b").as("partner"),
+        col("n_common"), col("aa_nano"), col("rk"))
+      .orderBy("seed_part", "rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_adamic_adar" -> ((s, d) => adamicAdarLinks(Tables(s, d).lineitem)),
     "q229_personalized_rank" -> ((s, d) => personalizedRank(Tables(s, d).lineitem)),
     "q250_rec_backtest" -> ((s, d) => { val t = Tables(s, d)
       recommenderBacktest(t.lineitem, t.orders, t.customer) }),
@@ -586,6 +644,35 @@ object GraphOps extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // seed-scoped wedges; the adjacency anti-join runs on the
+    // (min, max)-normalized key, mirroring the Spark plan
+    "q288_adamic_adar" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS w, n FROM (SELECT u, v AS n FROM e
+        |        UNION ALL SELECT v, u FROM e) t(u, n)),
+        |deg AS (SELECT w, count(*)::BIGINT AS d FROM sym GROUP BY w),
+        |seeds AS (SELECT w AS seed FROM deg ORDER BY d DESC, w LIMIT 100),
+        |cr AS (SELECT w, CAST(floor(CAST(1000000000 AS DOUBLE) / ln(d::DOUBLE)) AS BIGINT) AS cr
+        |       FROM deg WHERE d >= 2),
+        |wedge AS (
+        |  SELECT a.n AS a, b.n AS b, cr.cr
+        |  FROM sym a JOIN seeds s ON a.n = s.seed
+        |  JOIN sym b ON b.w = a.w AND a.n <> b.n
+        |  JOIN cr ON cr.w = a.w),
+        |scored AS (SELECT a, b, count(*)::BIGINT AS n_common, sum(cr)::BIGINT AS aa_nano
+        |           FROM wedge GROUP BY a, b),
+        |nonadj AS (
+        |  SELECT s.* FROM scored s
+        |  LEFT JOIN e ON least(s.a, s.b) = e.u AND greatest(s.a, s.b) = e.v
+        |  WHERE e.u IS NULL),
+        |ranked AS (
+        |  SELECT a AS seed_part, b AS partner, n_common, aa_nano,
+        |         row_number() OVER (PARTITION BY a ORDER BY aa_nano DESC, b) AS rk
+        |  FROM nonadj)
+        |SELECT seed_part, partner, n_common, aa_nano, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY seed_part, rk""".stripMargin,
     "q250_rec_backtest" ->
       """WITH past AS (SELECT o_orderkey, o_custkey FROM orders
         |              WHERE o_orderdate < DATE '1999-01-01'),

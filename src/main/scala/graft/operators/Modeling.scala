@@ -910,7 +910,82 @@ object Modeling extends QueryModule {
       .orderBy("decile")
   }
 
+  /** q290: UNIGRAM-LM (SentencePiece-style) subword segmentation — the
+    * probabilistic counterpart to greedy BPE (q168 trains merges, q191
+    * applies them): score every candidate piece by its corpus unigram
+    * surprisal, then Viterbi-decode each word into the MINIMUM-COST
+    * piece sequence. Vocabulary = top-`vocabTop` substrings (length ≤ 4)
+    * by weighted frequency, plus every single character as the
+    * guaranteed fallback (so decoding never fails).
+    *
+    * Exactness: piece costs are micro-nat integers
+    * ⌊ln(total/freq)·10⁶⌋ (the q187 device — floor-boundary ln ulp risk
+    * documented there); the Viterbi objective packs (cost, n_pieces)
+    * into ONE integer key k = cost·100 + n_pieces, so the lexicographic
+    * (cost, fewer-pieces) argmin is a plain integer `min` and the DP is
+    * engine-exact — the oracle unrolls the same recurrence
+    * k_i = min_l (k_{i−l} + c(piece)·100 + 1) into one CTE per position.
+    *
+    * Scale: everything is VOCAB-COLLAPSED (the q191 posture): stats and
+    * decoding run over distinct words weighted by frequency, never over
+    * the corpus; the trained model (≤ vocabTop + alphabet entries)
+    * broadcasts to a mapPartitions decoder — the genuinely imperative
+    * DP inner loop, on a bounded word, with no shuffle.
+    */
+  def unigramSegmentReport(documents: DataFrame, vocabTop: Int = 50,
+                           maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                           topN: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val pieces = words.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, $maxPieceLen),
+           |  l -> if(length(word) >= l,
+           |         transform(sequence(1, length(word) - l + 1),
+           |                   i -> substring(word, i, l)),
+           |         cast(array() as array<string>))))""".stripMargin)).as("p"))
+      .groupBy("p").agg(sum("freq").as("pf"))
+    val totDf = pieces.agg(sum("pf").as("tot"))
+    val cost = pieces.crossJoin(broadcast(totDf))
+      .withColumn("c", floor(log(col("tot").cast("double") /
+        col("pf").cast("double")) * lit(1000000.0)).cast("long"))
+    val vocab = cost.orderBy(col("pf").desc, col("p")).limit(vocabTop)
+      .select("p", "c")
+      .unionByName(cost.filter(length(col("p")) === 1).select("p", "c"))
+      .distinct()
+    val vmap = vocab.as[(String, Long)].collect().toMap // ≤ vocabTop + alphabet
+    val bc = spark.sparkContext.broadcast(vmap)
+    val mpl = maxPieceLen
+    val seg = words.as[(String, Long)].mapPartitions { it =>
+      val v = bc.value
+      it.map { case (w, f) =>
+        val n = w.length
+        val k = Array.fill(n + 1)(Long.MaxValue)
+        k(0) = 0L
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          while (l <= mpl && l <= i) {
+            if (k(i - l) != Long.MaxValue) {
+              val c = v.getOrElse(w.substring(i - l, i), -1L)
+              if (c >= 0L && k(i - l) + c * 100L + 1L < k(i))
+                k(i) = k(i - l) + c * 100L + 1L
+            }
+            l += 1
+          }
+          i += 1
+        }
+        (w, f, k(n) / 100L, k(n) % 100L)
+      }
+    }.toDF("word", "freq", "cost_micro", "n_pieces")
+    seg.orderBy(col("freq").desc, col("word")).limit(topN)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_unigram_segment" -> ((s, d) => unigramSegmentReport(Tables(s, d).documents)),
     "q270_mcc" -> ((s, d) => mccReport(Tables(s, d).documents)),
     "q253_decile_lift" -> ((s, d) => decileLift(Tables(s, d).documents)),
     "q252_conformal" -> ((s, d) => conformalCoverage(Tables(s, d).documents)),
@@ -955,7 +1030,66 @@ object Modeling extends QueryModule {
        |win$i AS (SELECT * FROM sse$i ORDER BY sse, t LIMIT 1)""".stripMargin
   }
 
+  /** q290 oracle: the Viterbi recurrence unrolled into one CTE per
+    * character position (the q168/q143 doctrine); `least` skips NULL
+    * options (missing piece / not-yet-reachable prefix) in both engines.
+    */
+  private def unigramSegmentSql(vocabTop: Int, maxPieceLen: Int,
+                                maxWordLen: Int, topN: Int): String = {
+    val steps = (1 to maxWordLen).map { i =>
+      val optList = (1 to math.min(maxPieceLen, i)).map { l =>
+        val prev = if (i - l == 0) "0" else s"b${i - l}.k"
+        s"$prev + v${i}_$l.c * 100 + 1"
+      }
+      val opts = if (optList.size == 1) optList.head
+        else s"least(${optList.mkString(",\n         ")})"
+      val joins = (1 to math.min(maxPieceLen, i)).map { l =>
+        val pj = if (i - l == 0) ""
+          else s"  LEFT JOIN b${i - l} ON b${i - l}.word = w.word\n"
+        s"$pj  LEFT JOIN vocab v${i}_$l ON v${i}_$l.p = substr(w.word, ${i - l + 1}, $l)"
+      }.mkString("\n")
+      // the same b CTE may be referenced by several l options — emit each
+      // join once (dedup by text)
+      val joinLines = joins.split("\n").distinct.mkString("\n")
+      s"""b$i AS MATERIALIZED (
+         |  SELECT w.word,
+         |    $opts AS k
+         |  FROM words w
+         |$joinLines
+         |  WHERE length(w.word) >= $i)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to maxWordLen).map(i =>
+      s"SELECT w.word, w.freq, b$i.k FROM words w JOIN b$i ON b$i.word = w.word AND length(w.word) = $i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT word, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND $maxWordLen GROUP BY word),
+       |cand AS (
+       |  SELECT p, sum(freq)::BIGINT AS pf FROM (
+       |    SELECT w.freq, substr(w.word, t.i, l.l) AS p
+       |    FROM words w,
+       |         unnest(range(1, ${maxPieceLen + 1})) AS l(l),
+       |         unnest(range(1, ${maxWordLen + 1})) AS t(i)
+       |    WHERE t.i + l.l - 1 <= length(w.word))
+       |  GROUP BY p),
+       |tot AS (SELECT sum(pf)::BIGINT AS tot FROM cand),
+       |cost AS (SELECT p, pf,
+       |         CAST(floor(ln(tot::DOUBLE / pf::DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c
+       |         FROM cand, tot),
+       |vocab AS (
+       |  SELECT DISTINCT p, c FROM (
+       |    SELECT p, c FROM (SELECT p, c, pf FROM cost ORDER BY pf DESC, p LIMIT $vocabTop)
+       |    UNION ALL SELECT p, c FROM cost WHERE length(p) = 1)),
+       |$steps,
+       |fin AS (
+       |  $fin)
+       |SELECT word, freq, k // 100 AS cost_micro, k % 100 AS n_pieces
+       |FROM fin ORDER BY freq DESC, word LIMIT $topN""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q290_unigram_segment" -> unigramSegmentSql(50, 4, 16, 20),
     // tp·tn − fp·fn in HUGEINT mirrors Spark's decimal(38,0); the four
     // marginals √ separately so the n⁴-scale product never forms
     "q270_mcc" ->

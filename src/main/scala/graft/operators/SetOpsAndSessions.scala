@@ -1034,7 +1034,75 @@ object SetOpsAndSessions extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** q289: PROPENSITY-SCORE MATCHING — the observational-causal rung
+    * above q148 (randomized arms) and q149 (variance reduction):
+    * "treatment" is self-selected (purchase-heavy users, ≥20% purchase
+    * events), so the naive outcome gap is confounded by activity.
+    * Each treated user 1-NN-matches (with replacement) to the nearest
+    * control on the activity score, caliper 3; ATT is the mean matched
+    * outcome difference, reported next to the naive gap it corrects.
+    *
+    * Nearest-neighbor matching is SORT-MERGE, not O(n²): controls
+    * collapse to one deterministic representative per score (min id),
+    * both cohorts interleave into one (score, flag, id)-ordered stream,
+    * and each treated row reads its floor/ceiling control from two
+    * running windows — prev wins distance ties. All arithmetic is
+    * integer micro-units until the two final divisions.
+    *
+    * Scale: everything up to the windows clusters by user_id; the
+    * interleaved stream is ONE global sort over the user-level frame
+    * (cardinality = users, not events). Past single-sort scale, the
+    * same merge runs per score-bucket with the q60 bucketed-as-of
+    * machinery.
+    */
+  def propensityMatch(events: DataFrame, caliper: Long = 3L): DataFrame = {
+    val u = events.groupBy("user_id").agg(
+      count(lit(1)).as("score"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+      sum(expr("cast(floor(value * 1000000) as bigint)")).as("vq"))
+      .withColumn("treated", col("np") * 5 >= col("score"))
+    val ctrlRep = u.filter(!col("treated"))
+      .groupBy("score").agg(min(struct(col("user_id"), col("vq"))).as("r"))
+      .select(col("score"), col("r.user_id").as("id"), col("r.vq").as("cvq"))
+    val stream = ctrlRep.select(col("score"), lit(0).as("flag"), col("id"),
+        col("cvq").as("vq"))
+      .unionByName(u.filter(col("treated")).select(col("score"), lit(1).as("flag"),
+        col("user_id").as("id"), col("vq")))
+    val ord = Window.orderBy("score", "flag", "id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ctrlScore = when(col("flag") === 0, col("score"))
+    val ctrlVq = when(col("flag") === 0, col("vq"))
+    val matched = stream
+      .withColumn("ps", last(ctrlScore, ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(ctrlVq, ignoreNulls = true).over(wPrev))
+      .withColumn("ns", first(ctrlScore, ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(ctrlVq, ignoreNulls = true).over(wNext))
+      .filter(col("flag") === 1)
+      .withColumn("usePrev", col("ps").isNotNull &&
+        (col("ns").isNull || (col("score") - col("ps")) <= (col("ns") - col("score"))))
+      .withColumn("ms", when(col("usePrev"), col("ps")).otherwise(col("ns")))
+      .withColumn("mv", when(col("usePrev"), col("pv")).otherwise(col("nv")))
+      .withColumn("ok", col("ms").isNotNull && abs(col("score") - col("ms")) <= caliper)
+    val naive = u.agg(
+      sum(when(col("treated"), col("vq"))).as("tvq"),
+      sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("treated"), col("vq"))).as("cvq"),
+      sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"))
+    matched.agg(
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("ok"), col("vq") - col("mv")).otherwise(0L)).as("dsum"))
+      .crossJoin(broadcast(naive))
+      .select(col("nt").as("n_treated"), col("nc").as("n_control"),
+        col("n_matched"),
+        round((col("tvq").cast("double") / col("nt") -
+          col("cvq").cast("double") / col("nc")) / lit(1000000.0), 4).as("naive_gap"),
+        round(col("dsum").cast("double") / col("n_matched") / lit(1000000.0), 4)
+          .as("att"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_propensity_match" -> ((s, d) => propensityMatch(Tables(s, d).events)),
     "q265_user_ewma"          -> ((s, d) => userEwma(Tables(s, d).events)),
     "q258_srm_check"          -> ((s, d) => sampleRatioCheck(Tables(s, d).events)),
     "q259_seasonal_index"     -> ((s, d) => { val t = Tables(s, d)
@@ -1100,6 +1168,53 @@ object SetOpsAndSessions extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // same interleaved-stream windows, same tie rules (prev control wins
+    // equal distance; equal-score control sorts before the treated row)
+    "q289_propensity_match" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*)::BIGINT AS score,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS np,
+        |         sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS vq
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT *, (np * 5 >= score) AS treated FROM u),
+        |rep AS (SELECT score, min(user_id) AS id FROM t WHERE NOT treated GROUP BY score),
+        |repv AS (SELECT r.score, r.id, c.vq AS cvq FROM rep r JOIN t c ON c.user_id = r.id),
+        |stream AS (
+        |  SELECT score, 0 AS flag, id, cvq AS vq FROM repv
+        |  UNION ALL
+        |  SELECT score, 1, user_id, vq FROM t WHERE treated),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN flag = 0 THEN score END IGNORE NULLS) OVER
+        |      (ORDER BY score, flag, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+        |    last_value(CASE WHEN flag = 0 THEN vq END IGNORE NULLS) OVER
+        |      (ORDER BY score, flag, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN flag = 0 THEN score END IGNORE NULLS) OVER
+        |      (ORDER BY score, flag, id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns,
+        |    first_value(CASE WHEN flag = 0 THEN vq END IGNORE NULLS) OVER
+        |      (ORDER BY score, flag, id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM stream),
+        |m AS (
+        |  SELECT score, vq,
+        |         CASE WHEN ps IS NOT NULL AND (ns IS NULL OR (score - ps) <= (ns - score))
+        |              THEN ps ELSE ns END AS ms,
+        |         CASE WHEN ps IS NOT NULL AND (ns IS NULL OR (score - ps) <= (ns - score))
+        |              THEN pv ELSE nv END AS mv
+        |  FROM w WHERE flag = 1),
+        |mm AS (
+        |  SELECT sum(CASE WHEN ms IS NOT NULL AND abs(score - ms) <= 3 THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |         sum(CASE WHEN ms IS NOT NULL AND abs(score - ms) <= 3 THEN vq - mv ELSE 0 END)::BIGINT AS dsum
+        |  FROM m),
+        |nv2 AS (
+        |  SELECT sum(CASE WHEN treated THEN vq END)::BIGINT AS tvq,
+        |         sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |         sum(CASE WHEN NOT treated THEN vq END)::BIGINT AS cvq,
+        |         sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)::BIGINT AS nc
+        |  FROM t)
+        |SELECT nt AS n_treated, nc AS n_control, n_matched,
+        |       round((tvq::DOUBLE / nt - cvq::DOUBLE / nc) / CAST(1000000 AS DOUBLE), 4) AS naive_gap,
+        |       round(dsum::DOUBLE / n_matched / CAST(1000000 AS DOUBLE), 4) AS att
+        |FROM mm, nv2""".stripMargin,
     "q265_user_ewma" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
         |                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS uv

@@ -370,4 +370,24 @@ class ModelingSpec extends SparkSpec {
       docs.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()(0)
     assert(r.isNullAt(r.fieldIndex("mcc")))
   }
+
+  test("unigramSegment: a frequent bigram piece beats its two-char split") {
+    // words: "ab"×3, "b"×1 → pieces a:3, b:4, ab:3, tot=10
+    // c(a)=⌊ln(10/3)·10⁶⌋=1203972, c(b)=⌊ln(2.5)·10⁶⌋=916290, c(ab)=1203972
+    // "ab" as one piece (1203972) < a+b split (2120262) → n_pieces=1
+    val docs = Seq((1L, "ab ab ab b", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.Modeling.unigramSegmentReport(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L, 1203972L, 1L), ("b", 1L, 916290L, 1L)))
+  }
+
+  test("unigramSegment: an out-of-vocab long piece falls back to characters") {
+    // vocabTop=0 keeps ONLY single chars → every word decodes char-by-char
+    val docs = Seq((1L, "abcd abcd", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.Modeling.unigramSegmentReport(docs, vocabTop = 0)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.head._1 == "abcd" && got.head._4 == 4L)
+  }
 }

@@ -168,4 +168,23 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 2L, 1L, 1000000L),
       (1L, 3L, 1L, 333333L)))
   }
+
+  test("adamicAdarLinks on a 4-cycle: each seed predicts its diagonal") {
+    // baskets 1-2, 2-3, 3-4, 4-1 → cycle; every node is a seed (all deg 2);
+    // each seed's only distance-2 partner is its diagonal, via two
+    // degree-2 common neighbors → aa = 2·⌊10⁹/ln 2⌋ = 2885390080
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L),
+      (12L, 3L), (12L, 4L), (13L, 4L), (13L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.adamicAdarLinks(li)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2885390080L, 1L), (2L, 4L, 2L, 2885390080L, 1L),
+      (3L, 1L, 2L, 2885390080L, 1L), (4L, 2L, 2L, 2885390080L, 1L)))
+  }
+
+  test("adamicAdarLinks: a triangle has no distance-2 pairs to predict") {
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("l_orderkey", "l_partkey")
+    assert(GraphOps.adamicAdarLinks(li).count() == 0)
+  }
 }

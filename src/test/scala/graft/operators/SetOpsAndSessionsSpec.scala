@@ -412,4 +412,29 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     assert(got.getLong(1) == 3L, s"peak: $got")                 // user1+2+3 on day1
     assert(got.getDate(2).toString == "1970-01-02", s"day: $got")
   }
+
+  test("propensityMatch: nearest control by score, caliper drops the far match") {
+    // controls: u1 score 10 (outcome 100), u2 score 20 (outcome 200)
+    // treated: u3 score 12 (outcome 500) → matches u1 (distance 2 ≤ 3)
+    //          u4 score 16 → nearest is u2 at distance 4 > caliper → unmatched
+    // ATT = (500−100)/1 = 400; naive gap = (250 − 150) = 100
+    def user(id: Long, nEvents: Int, nPurchase: Int, totalValue: Double) =
+      (0 until nEvents).map { i =>
+        (id * 1000 + i, id, 1700000000000000L + i,
+          if (i < nPurchase) "purchase" else "view",
+          if (i == 0) totalValue else 0.0, "{}")
+      }
+    val ev = (user(1, 10, 1, 100.0) ++ user(2, 20, 2, 200.0) ++
+      user(3, 12, 3, 500.0) ++ user(4, 16, 4, 0.0))
+      .toDF("event_id", "user_id", "us", "event_type", "value", "props")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("value"), col("props"))
+    val r = SetOpsAndSessions.propensityMatch(ev).collect()(0)
+    assert(r.getAs[Long]("n_treated") == 2L)
+    assert(r.getAs[Long]("n_control") == 2L)
+    assert(r.getAs[Long]("n_matched") == 1L)
+    assert(r.getAs[Double]("naive_gap") == 100.0)
+    assert(r.getAs[Double]("att") == 400.0)
+  }
 }
