@@ -92,11 +92,93 @@ object LanguageModel extends QueryModule {
       .orderBy("lang")
   }
 
+  /** q292: KNESER–NEY smoothed word-bigram cross-entropy per language —
+    * the properly-smoothed rung above q160's raw conditional surprisal
+    * and q230's add-one char model: absolute discount D = 3/4 with the
+    * CONTINUATION-probability backoff (how many contexts a word
+    * completes, not how often it occurs — the Kneser–Ney insight).
+    *
+    * With D = 3/4 every probability is an exact rational:
+    * P = (max(4c−3,0)·T + 3·N1+(w1,·)·N1+(·,w2)) / (4·c(w1)·T), carried
+    * in decimal(38,0)/HUGEINT (type-count products pass int64 at corpus
+    * scale); only the per-TYPE surprisal quantizes through
+    * ⌊ln(den/num)·10⁶⌋ (the q187 micro-nat device), and token-weighted
+    * sums ride decimals again. Numerators are ≥ T > 0, so ln is total.
+    *
+    * Scale: four hash aggregates over the bigram frame, all clustering
+    * on (lang, w1|w2) — the model surface is type-bounded, never
+    * corpus-bounded; the per-lang totals broadcast.
+    */
+  def kneserNeyReport(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"), split(lower(col("text")), " ").as("ts"))
+    val bg = toks.select(col("lang"), explode(expr(
+        """zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("lang"), col("p.w1"), col("p.w2"))
+      .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c"))
+    val cw1 = bg.groupBy("lang", "w1").agg(sum("c").as("cw"), count(lit(1)).as("n1f"))
+    val n1b = bg.groupBy("lang", "w2").agg(count(lit(1)).as("n1b"))
+    val tt = bg.groupBy("lang").agg(count(lit(1)).as("tt"), sum("c").as("ntok"))
+    val j = bg.join(cw1, Seq("lang", "w1")).join(n1b, Seq("lang", "w2"))
+      .join(broadcast(tt), "lang")
+      .withColumn("num",
+        greatest(col("c") * 4 - 3, lit(0L)).cast("decimal(38,0)") * col("tt") +
+          lit(3L).cast("decimal(38,0)") * col("n1f") * col("n1b"))
+      .withColumn("den", lit(4L).cast("decimal(38,0)") * col("cw") * col("tt"))
+      .withColumn("s", floor(log(col("den").cast("double") /
+        col("num").cast("double")) * lit(1000000.0)).cast("long"))
+    j.groupBy("lang").agg(
+        max("ntok").as("n_bigrams"), max("tt").as("n_types"),
+        round(sum(col("c").cast("decimal(38,0)") * col("s")).cast("double") /
+          max("ntok") / lit(1000000.0), 4).as("xent_nats"),
+        max(struct(col("s"), col("w1"), col("w2"))).as("m"))
+      .select(col("lang"), col("n_bigrams"), col("n_types"), col("xent_nats"),
+        col("m.w1").as("top_surprise_w1"), col("m.w2").as("top_surprise_w2"),
+        col("m.s").as("top_surprise_micro"))
+      .orderBy("lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_lm_perplexity" -> ((s, d) => perplexityFilter(Tables(s, d).documents)),
+    "q292_kn_bigram" -> ((s, d) => kneserNeyReport(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
+    // exact-rational KN probabilities in HUGEINT; surprisal quantizes
+    // per type; argmax of (s, w1, w2) via DESC row_number (q180 device)
+    "q292_kn_bigram" ->
+      """WITH t AS (SELECT lang, string_split(lower(text), ' ') AS ts FROM documents),
+        |bgm AS (SELECT lang, ts[i] AS w1, ts[i + 1] AS w2
+        |        FROM (SELECT lang, ts, unnest(range(1, len(ts))) AS i FROM t)),
+        |bg AS (SELECT lang, w1, w2, count(*)::BIGINT AS c FROM bgm GROUP BY 1, 2, 3),
+        |cw1 AS (SELECT lang, w1, sum(c)::BIGINT AS cw, count(*)::BIGINT AS n1f
+        |        FROM bg GROUP BY 1, 2),
+        |n1b AS (SELECT lang, w2, count(*)::BIGINT AS n1b FROM bg GROUP BY 1, 2),
+        |tt AS (SELECT lang, count(*)::BIGINT AS tt, sum(c)::BIGINT AS ntok
+        |       FROM bg GROUP BY 1),
+        |j AS (SELECT bg.lang, bg.w1, bg.w2, bg.c, tt.ntok, tt.tt,
+        |        (greatest(bg.c * 4 - 3, 0)::HUGEINT * tt.tt
+        |         + 3::HUGEINT * cw1.n1f * n1b.n1b) AS num,
+        |        (4::HUGEINT * cw1.cw * tt.tt) AS den
+        |      FROM bg JOIN cw1 USING (lang, w1) JOIN n1b USING (lang, w2)
+        |              JOIN tt USING (lang)),
+        |s AS (SELECT lang, w1, w2, c, ntok, tt,
+        |        CAST(floor(ln(den::DOUBLE / num::DOUBLE)
+        |             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s
+        |      FROM j),
+        |top AS (SELECT lang, w1, w2, s,
+        |          row_number() OVER (PARTITION BY lang
+        |            ORDER BY s DESC, w1 DESC, w2 DESC) AS rn
+        |        FROM s),
+        |agg AS (SELECT lang, max(ntok) AS n_bigrams, max(tt) AS n_types,
+        |          round(sum(c::HUGEINT * s)::DOUBLE / max(ntok)
+        |                / CAST(1000000 AS DOUBLE), 4) AS xent_nats
+        |        FROM s GROUP BY lang)
+        |SELECT a.lang, a.n_bigrams, a.n_types, a.xent_nats,
+        |       t2.w1 AS top_surprise_w1, t2.w2 AS top_surprise_w2,
+        |       t2.s AS top_surprise_micro
+        |FROM agg a JOIN top t2 ON t2.lang = a.lang AND t2.rn = 1
+        |ORDER BY a.lang""".stripMargin,
     "q230_lm_perplexity" ->
       """WITH el AS (SELECT doc_id, lang, lower(text) AS t FROM documents
         |            WHERE length(lower(text)) >= 2),

@@ -984,7 +984,76 @@ object Modeling extends QueryModule {
     seg.orderBy(col("freq").desc, col("word")).limit(topN)
   }
 
+  /** The position-discount table ⌊10⁹/log₂(i+1)⌋ shared verbatim by the
+    * q291 Spark plan and its oracle (the q286 embedded-constant device —
+    * no runtime log₂, so no cross-engine libm drift in the weights). */
+  private[operators] def ndcgWeights(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(i =>
+      i -> math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** q291: nDCG@10 of a revenue-forecast ranking, per brand — the
+    * graded, position-discounted retrieval metric the binary-relevance
+    * evals (q169 AUC, q201 MAP, q250 hit-rate) can't express: a
+    * top-quartile part misplaced at rank 9 should cost more than a
+    * mediocre one at rank 10.
+    *
+    * Predicted ranking = past-period revenue (cents, exact); graded
+    * relevance = future-period revenue quartile among the brand's
+    * candidates (ntile(4) on the exact-cents order, grades 3..0).
+    * DCG/IDCG are exact integer dot products against the embedded
+    * nano-weight table; the ideal order re-ranks the same candidates by
+    * (grade, part) — one extra window on 10 rows per brand.
+    *
+    * Scale: two partial-aggregated passes over lineitem⋈orders (one per
+    * period) keyed (brand, part); everything after the top-10 cut is
+    * brand-count-bounded. The date split mirrors q250's backtest.
+    */
+  def ndcgReport(li: DataFrame, orders: DataFrame, part: DataFrame,
+                 k: Int = 10, splitDate: String = "1999-01-01"): DataFrame = {
+    val spark = li.sparkSession
+    import spark.implicits._
+    val base = li
+      .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        "l_partkey")
+      .select(col("p_brand"), col("l_partkey").as("part"),
+        (col("o_orderdate") < lit(splitDate).cast("date")).as("past"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+    val rev = base.groupBy("p_brand", "part").agg(
+      sum(when(col("past"), col("cents")).otherwise(0L)).as("past_c"),
+      sum(when(!col("past"), col("cents")).otherwise(0L)).as("fut_c"))
+    val wPred = Window.partitionBy("p_brand")
+      .orderBy(col("past_c").desc, col("part"))
+    val cand = rev.withColumn("pred_rank", row_number().over(wPred))
+      .filter(col("pred_rank") <= k)
+    val wFut = Window.partitionBy("p_brand")
+      .orderBy(col("fut_c").desc, col("part"))
+    val wIdeal = Window.partitionBy("p_brand")
+      .orderBy(col("grade").desc, col("part"))
+    val weights = ndcgWeights(k).toDF("rank", "wt")
+    val graded = cand
+      .withColumn("grade", lit(4L) - ntile(4).over(wFut))
+      .withColumn("ideal_rank", row_number().over(wIdeal))
+    val dcg = graded
+      .join(broadcast(weights.select(col("rank").as("pred_rank"),
+        col("wt").as("wp"))), "pred_rank")
+      .join(broadcast(weights.select(col("rank").as("ideal_rank"),
+        col("wt").as("wi"))), "ideal_rank")
+      .groupBy("p_brand").agg(
+        count(lit(1)).as("n_cand"),
+        sum(col("grade") * col("wp")).as("dcg_nano"),
+        sum(col("grade") * col("wi")).as("idcg_nano"))
+    dcg.select(col("p_brand"), col("n_cand"), col("dcg_nano"), col("idcg_nano"),
+        when(col("idcg_nano") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dcg_nano").cast("double") /
+            col("idcg_nano").cast("double"), 6)).as("ndcg"))
+      .orderBy("p_brand")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_ndcg" -> ((s, d) => { val t = Tables(s, d)
+      ndcgReport(t.lineitem, t.orders, t.part) }),
     "q290_unigram_segment" -> ((s, d) => unigramSegmentReport(Tables(s, d).documents)),
     "q270_mcc" -> ((s, d) => mccReport(Tables(s, d).documents)),
     "q253_decile_lift" -> ((s, d) => decileLift(Tables(s, d).documents)),
@@ -1088,7 +1157,51 @@ object Modeling extends QueryModule {
        |FROM fin ORDER BY freq DESC, word LIMIT $topN""".stripMargin
   }
 
+  /** q291 oracle: same candidate cut, same windows, same embedded
+    * nano-weight table (generated from [[ndcgWeights]]). */
+  private def ndcgSql(k: Int, splitDate: String): String = {
+    val wvals = ndcgWeights(k).map { case (i, w) => s"($i, ${w}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT p.p_brand, l.l_partkey AS part,
+       |         (o.o_orderdate < DATE '$splitDate') AS past,
+       |         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |       JOIN part p ON l.l_partkey = p.p_partkey),
+       |rev AS (SELECT p_brand, part,
+       |          sum(CASE WHEN past THEN cents ELSE 0 END)::BIGINT AS past_c,
+       |          sum(CASE WHEN NOT past THEN cents ELSE 0 END)::BIGINT AS fut_c
+       |        FROM base GROUP BY 1, 2),
+       |cand AS (SELECT * FROM (
+       |  SELECT p_brand, part, past_c, fut_c,
+       |         row_number() OVER (PARTITION BY p_brand
+       |           ORDER BY past_c DESC, part) AS pred_rank
+       |  FROM rev) WHERE pred_rank <= $k),
+       |graded AS (
+       |  SELECT p_brand, part, pred_rank,
+       |         (4 - ntile(4) OVER (PARTITION BY p_brand
+       |            ORDER BY fut_c DESC, part))::BIGINT AS grade
+       |  FROM cand),
+       |ideal AS (
+       |  SELECT *, row_number() OVER (PARTITION BY p_brand
+       |            ORDER BY grade DESC, part) AS ideal_rank
+       |  FROM graded),
+       |w(rank, wt) AS (VALUES $wvals),
+       |agg AS (
+       |  SELECT p_brand, count(*)::BIGINT AS n_cand,
+       |         sum(grade * wp.wt)::BIGINT AS dcg_nano,
+       |         sum(grade * wi.wt)::BIGINT AS idcg_nano
+       |  FROM ideal JOIN w wp ON wp.rank = ideal.pred_rank
+       |             JOIN w wi ON wi.rank = ideal.ideal_rank
+       |  GROUP BY p_brand)
+       |SELECT p_brand, n_cand, dcg_nano, idcg_nano,
+       |       CASE WHEN idcg_nano = 0 THEN NULL
+       |            ELSE round(dcg_nano::DOUBLE / idcg_nano::DOUBLE, 6) END AS ndcg
+       |FROM agg ORDER BY p_brand""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q291_ndcg" -> ndcgSql(10, "1999-01-01"),
     "q290_unigram_segment" -> unigramSegmentSql(50, 4, 16, 20),
     // tp·tn − fp·fn in HUGEINT mirrors Spark's decimal(38,0); the four
     // marginals √ separately so the n⁴-scale product never forms

@@ -371,6 +371,44 @@ class ModelingSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("mcc")))
   }
 
+  test("ndcgReport: aligned forecast scores 1.0, reversed forecast is discounted") {
+    val orders = Seq((1L, "1998-01-01"), (2L, "2000-01-01"))
+      .toDF("o_orderkey", "dt")
+      .select(col("o_orderkey"), col("dt").cast("date").as("o_orderdate"))
+    val part = (Seq(1L, 2L, 3L, 4L).map(p => (p, "B1")) ++
+      Seq(11L, 12L, 13L, 14L).map(p => (p, "B2"))).toDF("p_partkey", "p_brand")
+    def rows(ps: Seq[Long], pastRev: Seq[Double], futRev: Seq[Double]) =
+      ps.zip(pastRev).map { case (p, r) => (1L, p, r) } ++
+        ps.zip(futRev).map { case (p, r) => (2L, p, r) }
+    val li = (rows(Seq(1, 2, 3, 4), Seq(400, 300, 200, 100), Seq(400, 300, 200, 100)) ++
+      rows(Seq(11, 12, 13, 14), Seq(400, 300, 200, 100), Seq(100, 200, 300, 400)))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val got = operators.Modeling.ndcgReport(li, orders, part).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    // aligned: pred order == ideal order → ndcg 1.0
+    assert(got("B1")._3.contains(1.0))
+    // reversed grades 0,1,2,3 at ranks 1..4 vs ideal 3,2,1,0:
+    // dcg = 2922959427, idcg = 4761859506 → 0.613827
+    assert(got("B2") == (2922959427L, 4761859506L, Some(0.613827)))
+  }
+
+  test("kneserNeyReport: hand-computed discounted/continuation probabilities") {
+    // bigrams (a,b), (a,c), (b,c) each once; T=3 types, 3 tokens
+    // P(b|a)=9/24, P(c|a)=15/24, P(c|b)=9/12 → micro-nat surprisals
+    // 980829, 470003, 287682 → xent = 1738514/3/10⁶ → 0.5795
+    val docs = Seq((1L, "a b", "en", "s", 3L), (2L, "a c", "en", "s", 3L),
+      (3L, "b c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.LanguageModel.kneserNeyReport(docs).collect()(0)
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Long]("n_types") == 3L)
+    assert(r.getAs[Double]("xent_nats") == 0.5795)
+    assert(r.getAs[String]("top_surprise_w1") == "a")
+    assert(r.getAs[String]("top_surprise_w2") == "b")
+    assert(r.getAs[Long]("top_surprise_micro") == 980829L)
+  }
+
   test("unigramSegment: a frequent bigram piece beats its two-char split") {
     // words: "ab"×3, "b"×1 → pieces a:3, b:4, ab:3, tot=10
     // c(a)=⌊ln(10/3)·10⁶⌋=1203972, c(b)=⌊ln(2.5)·10⁶⌋=916290, c(ab)=1203972
