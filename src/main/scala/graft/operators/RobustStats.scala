@@ -456,7 +456,102 @@ object RobustStats extends QueryModule {
           .as("significant"))
   }
 
+  /** q293: MANN–WHITNEY U rank-sum test + CLIFF'S DELTA — does the
+    * English split's doc-length distribution stochastically dominate
+    * the rest? The nonparametric two-sample complement to q148's
+    * proportion z-test, with the assumption-free effect size attached.
+    *
+    * Everything is VALUE-CELLED, never row-ranked: distinct lengths
+    * aggregate to (x, n_total, n_en) cells, the DOUBLED midrank
+    * dr(x) = 2·|{<x}| + |{=x}| + 1 (the q269 tie device) comes from one
+    * cumulative window over that value-bounded frame, and
+    * U₂ = Σ n_en(x)·dr(x) − n₁(n₁+1) = 2·U₁ stays an exact integer, as
+    * does the tie-correction term T = Σ(t³−t). Only z and δ divide at
+    * the end (identically-associated doubles; √ is IEEE-exact).
+    *
+    * Scale: one corpus pass → distinct-value cells; the window runs on
+    * the cell frame whose size is the value domain, not the corpus.
+    */
+  def mannWhitney(documents: DataFrame): DataFrame = {
+    val cells = documents
+      .select(col("n_chars").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is1"))
+      .groupBy("x").agg(count(lit(1)).as("t"), sum("is1").as("t1"))
+    val wLt = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    val withRank = cells
+      .withColumn("below", coalesce(sum("t").over(wLt), lit(0L)))
+      .withColumn("dr", col("below") * 2 + col("t") + 1)
+    withRank.agg(
+        sum("t1").as("n1"), (sum("t") - sum("t1")).as("n2"), sum("t").as("n"),
+        // rank-sum and tie terms reach n²/n³ scale — decimal(38,0) ↔
+        // HUGEINT (the q199 convention)
+        sum(col("t1").cast("decimal(38,0)") * col("dr")).as("r1d"),
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t")).as("tie"))
+      .withColumn("u2", col("r1d") - col("n1").cast("decimal(38,0)") * (col("n1") + 1))
+      .withColumn("vard",
+        col("n1").cast("double") * col("n2").cast("double") *
+          ((col("n") + 1).cast("double") -
+            col("tie").cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))) /
+          lit(12.0))
+      .select(col("n1"), col("n2"), col("u2").cast("long").as("u2"),
+        when(col("vard") <= 0, lit(null).cast("double"))
+          .otherwise(round((col("u2") - col("n1") * col("n2")).cast("double") /
+            lit(2.0) / sqrt(col("vard")), 4)).as("z"),
+        when(col("n1") * col("n2") === 0, lit(null).cast("double"))
+          .otherwise(round((col("u2") - col("n1") * col("n2")).cast("double") /
+            (col("n1") * col("n2")).cast("double"), 4)).as("cliffs_delta"))
+  }
+
+  /** q294: CHI-SQUARED INDEPENDENCE of the lang × source contingency
+    * table, with Cramér's V — "is language assignment independent of
+    * source?", the categorical-association audit next to q165's mutual
+    * information (which measures the same thing in nats; χ² adds the
+    * classical test statistic and a [0,1] effect size).
+    *
+    * Per-cell terms are exact until one division:
+    * (o·n − r·c)² forms in decimal(38,0) (corpus-scale products pass
+    * int64), divides by n·r·c as identically-associated doubles, and
+    * quantizes to micro before the sum — engine-exact by the q214
+    * convention.
+    *
+    * Scale: one pass → R×C cells; margins are two tiny re-aggregations
+    * of the cell frame, broadcast back.
+    */
+  def chiSquaredIndependence(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cols_ = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+    // densified R×C grid: a structurally-empty cell still contributes
+    // (0−e)²/e = r·c/n to the statistic — the (o·n − r·c)² form covers
+    // it uniformly with o = 0
+    val terms = rows.crossJoin(broadcast(cols_))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", col("o").cast("decimal(38,0)") * col("n") -
+        col("r").cast("decimal(38,0)") * col("c"))
+      .withColumn("term_micro", floor((col("d") * col("d")).cast("double") /
+        (col("n").cast("decimal(38,0)") * col("r") * col("c")).cast("double") *
+        lit(1000000.0)).cast("long"))
+    terms.groupBy("n", "nl", "ns")
+      .agg(sum("term_micro").as("chi2_micro"), count(lit(1)).as("n_cells"))
+      .withColumn("df", (col("nl") - 1) * (col("ns") - 1))
+      .select(col("n"), col("nl").as("n_langs"), col("ns").as("n_sources"),
+        col("n_cells"), col("df"),
+        round(col("chi2_micro").cast("double") / lit(1000000.0), 4).as("chi2"),
+        when(col("df") === 0, lit(null).cast("double"))
+          .otherwise(round(sqrt(col("chi2_micro").cast("double") / lit(1000000.0) /
+            (col("n").cast("double") *
+              least(col("nl") - 1, col("ns") - 1).cast("double"))), 4))
+          .as("cramers_v"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_mann_whitney" -> ((s, d) => mannWhitney(Tables(s, d).documents)),
+    "q294_chi2_independence" -> ((s, d) => chiSquaredIndependence(Tables(s, d).documents)),
     "q282_resample_locf" -> ((s, d) => resampleLocf(Tables(s, d).events)),
     "q283_pettitt" -> ((s, d) => pettittChangepoint(Tables(s, d).events)),
     "q269_spearman" -> ((s, d) => { val t = Tables(s, d)
@@ -473,6 +568,72 @@ object RobustStats extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // value-celled doubled midranks (q269 device); HUGEINT mirrors the
+    // Spark side's decimal(38,0) rank/tie sums
+    "q293_mann_whitney" ->
+      """WITH cells AS (
+        |  SELECT n_chars AS x, count(*)::BIGINT AS t,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS t1
+        |  FROM documents GROUP BY n_chars),
+        |r AS (
+        |  SELECT x, t, t1,
+        |         coalesce(sum(t) OVER (ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |           + t + 1 AS dr
+        |  FROM cells),
+        |a AS (
+        |  SELECT sum(t1)::BIGINT AS n1, (sum(t) - sum(t1))::BIGINT AS n2,
+        |         sum(t)::BIGINT AS n,
+        |         sum(t1::HUGEINT * dr) AS r1d,
+        |         sum(t::HUGEINT * t * t - t) AS tie
+        |  FROM r),
+        |b AS (SELECT n1, n2, n, (r1d - n1::HUGEINT * (n1 + 1)) AS u2, tie FROM a),
+        |cc AS (SELECT n1, n2, u2,
+        |         n1::DOUBLE * n2::DOUBLE * ((n + 1)::DOUBLE
+        |           - tie::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE))
+        |           / CAST(12.0 AS DOUBLE) AS vard
+        |       FROM b)
+        |SELECT n1, n2, u2::BIGINT AS u2,
+        |       CASE WHEN vard <= 0 THEN NULL
+        |            ELSE round((u2 - n1::HUGEINT * n2)::DOUBLE
+        |                 / CAST(2.0 AS DOUBLE) / sqrt(vard), 4) END AS z,
+        |       CASE WHEN n1 * n2 = 0 THEN NULL
+        |            ELSE round((u2 - n1::HUGEINT * n2)::DOUBLE
+        |                 / (n1::HUGEINT * n2)::DOUBLE, 4) END AS cliffs_delta
+        |FROM cc""".stripMargin,
+    // exact (o·n − r·c)² in HUGEINT; one identically-associated double
+    // division per cell, micro-quantized before the sum (q214 device)
+    "q294_chi2_independence" ->
+      """WITH cells AS (SELECT lang, source, count(*)::BIGINT AS o
+        |               FROM documents GROUP BY 1, 2),
+        |rr AS (SELECT lang, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+        |cc AS (SELECT source, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT lang)::BIGINT AS nl,
+        |               count(DISTINCT source)::BIGINT AS ns FROM cells),
+        |grid AS (
+        |  SELECT rr.lang, cc.source, rr.r, cc.c,
+        |         coalesce(cells.o, 0)::BIGINT AS o
+        |  FROM rr CROSS JOIN cc
+        |  LEFT JOIN cells ON cells.lang = rr.lang AND cells.source = cc.source),
+        |terms AS (
+        |  SELECT tot.n, tot.nl, tot.ns,
+        |         CAST(floor(
+        |           ((grid.o::HUGEINT * tot.n - grid.r::HUGEINT * grid.c)
+        |            * (grid.o::HUGEINT * tot.n - grid.r::HUGEINT * grid.c))::DOUBLE
+        |           / (tot.n::HUGEINT * grid.r * grid.c)::DOUBLE
+        |           * CAST(1000000 AS DOUBLE)) AS BIGINT) AS term_micro
+        |  FROM grid, tot),
+        |agg AS (
+        |  SELECT n, nl, ns, sum(term_micro)::BIGINT AS chi2_micro,
+        |         count(*)::BIGINT AS n_cells
+        |  FROM terms GROUP BY n, nl, ns)
+        |SELECT n, nl AS n_langs, ns AS n_sources, n_cells,
+        |       (nl - 1) * (ns - 1) AS df,
+        |       round(chi2_micro::DOUBLE / CAST(1000000 AS DOUBLE), 4) AS chi2,
+        |       CASE WHEN (nl - 1) * (ns - 1) = 0 THEN NULL
+        |            ELSE round(sqrt(chi2_micro::DOUBLE / CAST(1000000 AS DOUBLE)
+        |                 / (n::DOUBLE * least(nl - 1, ns - 1)::DOUBLE)), 4) END AS cramers_v
+        |FROM agg""".stripMargin,
     // grid = per-user bucket range (inclusive); LOCF via IGNORE NULLS
     // last_value; the one division mirrors the Spark side exactly
     "q282_resample_locf" ->

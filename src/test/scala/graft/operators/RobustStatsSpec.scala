@@ -239,6 +239,50 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("significant"))
   }
 
+  private def doc(id: Long, lang: String, source: String, len: Long) =
+    (id, "t", lang, source, len)
+
+  test("mannWhitney: complete separation gives delta 1.0 and hand-computed z") {
+    // en lengths {3,4} dominate de lengths {1,2}: U₂ = 8, ties 0,
+    // var = 2·2·5/12 → z = 2/√(5/3) = 1.5492, δ = 1
+    val docs = Seq(doc(1, "en", "s", 3), doc(2, "en", "s", 4),
+      doc(3, "de", "s", 1), doc(4, "de", "s", 2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = RobustStats.mannWhitney(docs).collect()(0)
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("u2") == 8L)
+    assert(r.getAs[Double]("z") == 1.5492)
+    assert(r.getAs[Double]("cliffs_delta") == 1.0)
+  }
+
+  test("mannWhitney: identical distributions give U₂ = n1·n2 and z = 0") {
+    // both groups share the same two lengths → midranks cancel exactly
+    val docs = Seq(doc(1, "en", "s", 5), doc(2, "en", "s", 9),
+      doc(3, "de", "s", 5), doc(4, "de", "s", 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = RobustStats.mannWhitney(docs).collect()(0)
+    assert(r.getAs[Long]("u2") == 4L)      // 2·U₁ = n1·n2 → U₁ = mean
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[Double]("cliffs_delta") == 0.0)
+  }
+
+  test("chiSquaredIndependence: proportional table is 0, diagonal table is n·min(R,C)-scaled") {
+    val indep = Seq(doc(1, "en", "a", 1), doc(2, "en", "b", 1),
+      doc(3, "de", "a", 1), doc(4, "de", "b", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = RobustStats.chiSquaredIndependence(indep).collect()(0)
+    assert(r1.getAs[Double]("chi2") == 0.0 && r1.getAs[Double]("cramers_v") == 0.0)
+    // perfect diagonal association: chi2 = n = 4 (2 observed cells at 1.0
+    // each + 2 structural zeros at e = 1.0 each), V = 1
+    val dep = Seq(doc(1, "en", "a", 1), doc(2, "en", "a", 1),
+      doc(3, "de", "b", 1), doc(4, "de", "b", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r2 = RobustStats.chiSquaredIndependence(dep).collect()(0)
+    assert(r2.getAs[Long]("n_cells") == 4L)
+    assert(r2.getAs[Double]("chi2") == 4.0)
+    assert(r2.getAs[Double]("cramers_v") == 1.0)
+  }
+
   test("pettittChangepoint: an exchangeable (constant) series is not significant") {
     val rows = (1 to 12).map(d => evv(d.toLong, d, 12, 1, 5.0))
     val r = RobustStats.pettittChangepoint(
