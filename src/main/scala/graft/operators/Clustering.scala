@@ -349,7 +349,114 @@ object Clustering extends QueryModule {
       .orderBy("label_a", "label_b")
   }
 
+  /** q295: IVF-PQ search — the composed production ANN stack (Jégou et
+    * al. 2011, the FAISS IndexIVFPQ shape): coarse k-means cells (q176)
+    * route the query to `nprobe` cells, and WITHIN the probed cells
+    * candidates are scored by product-quantized RESIDUALS (vector −
+    * cell centroid — PQ codes the residual, which is what makes the
+    * codebook sharp near the cell), via an ADC lookup table per
+    * (query, cell). Recall@k against the exact brute-force answer is
+    * the output — the honest measure of what the compression costs.
+    *
+    * Same fixed-point doctrine as q176/q240: micro-unit integer
+    * vectors, floor-mean centroids, integer squared distances, every
+    * argmin tie-broken by id — engine-exact end to end.
+    *
+    * Scale: the full vectors are touched by the coarse pass and the
+    * residual slice pass; after that candidates live as m small codes
+    * and the query-side tables are (nQueries·nprobe·m·k) rows,
+    * broadcast. The cells-not-probed never join — IVF pruning and PQ
+    * compression compose multiplicatively, which is the 100 TB plan.
+    */
+  def ivfPqRecall(embeddings: DataFrame, kc: Int = 8, m: Int = 8, kpq: Int = 16,
+                  topK: Int = 10, nprobe: Int = 2, nQueries: Int = 20,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = graft.plans.Checkpoints.cut(quantized(embeddings), checkpointDir)
+    val c0 = vecs.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val centroids = updateCentroids(assign(vecs, c0))
+    val cells = graft.plans.Checkpoints.cut(
+      assign(vecs, centroids).select("vec_id", "cid", "u"), checkpointDir)
+    val resid = cells
+      .join(broadcast(centroids.select(col("cid"), col("cu").as("ccu"))), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(u, ccu, (a, b) -> a - b)").as("r"))
+    val sub = graft.plans.Checkpoints.cut(
+      resid.select(col("vec_id"), col("cid"),
+          explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("r"))
+        .select(col("vec_id"), col("cid"), col("j"),
+          expr(s"slice(r, j * (size(r) div $m) + 1, size(r) div $m)").as("su")),
+      checkpointDir)
+    def assignSub(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "j")
+        .select(col("vec_id"), col("cid"), col("j"), struct(
+          sqDist(col("su"), col("pcu")).as("dist"), col("code"), col("su")).as("cand"))
+        .groupBy("vec_id", "cid", "j").agg(min(col("cand")).as("mn"))
+        .select(col("vec_id"), col("cid"), col("j"), col("mn.code").as("code"),
+          col("mn.su").as("su"))
+    val p0 = sub.filter(col("vec_id") < kpq)
+      .select(col("j"), col("vec_id").as("code"), col("su").as("pcu"))
+    val p1 = assignSub(p0)
+      .select(col("j"), col("code"), posexplode(col("su")).as(Seq("dim", "v")))
+      .groupBy("j", "code", "dim").agg(expr("sum(v) div count(*)").as("cm"))
+      .groupBy("j", "code")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
+        s => s.getField("cm")).as("pcu"))
+    val codes = assignSub(p1).select("vec_id", "cid", "j", "code")
+    val qs = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    val probed = qs.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(sqDist(col("qu"), col("cu")), col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"),
+        expr("zip_with(qu, cu, (a, b) -> a - b)").as("qr"))
+    val qsub = probed.select(col("qid"), col("cid"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("qr"))
+      .select(col("qid"), col("cid"), col("j"),
+        expr(s"slice(qr, j * (size(qr) div $m) + 1, size(qr) div $m)").as("qsu"))
+    val table = qsub.join(broadcast(p1), "j")
+      .select(col("qid"), col("cid"), col("j"), col("code"),
+        sqDist(col("pcu"), col("qsu")).as("td"))
+    val approx = codes.join(broadcast(table), Seq("cid", "j", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("td").as("ad"))
+    val nCand = approx.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    // ADC shortlist (3·topK) → EXACT re-rank of the survivors — the
+    // standard refine stage: full vectors are read only for the
+    // shortlist, and most of the PQ ordering error washes out
+    val shortlist = approx
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("ad"), col("vec_id"))))
+      .filter(col("rn") <= 3 * topK)
+      .select("qid", "vec_id")
+    val pqTop = shortlist
+      .join(vecs, "vec_id")
+      .join(broadcast(qs), "qid")
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(sqDist(col("qu"), col("u")), col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select("qid", "vec_id")
+    val brute = vecs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(sqDist(col("qu"), col("u")), col("vec_id"))))
+      .filter(col("rn") <= topK)
+      .select("qid", "vec_id")
+    brute.join(pqTop.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid").as("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .join(nCand.select(col("qid").as("query_id"), col("n_cand")),
+        Seq("query_id"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      .select(col("query_id"), col("n_cand"), col("n_hits"),
+        round(col("n_hits").cast("double") / topK, 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_ivfpq_recall" -> ((s, d) => ivfPqRecall(Tables(s, d).embeddings)),
     "q176_kmeans"   -> ((s, d) => kmeansReport(Tables(s, d).embeddings)),
     "q177_semdedup" -> ((s, d) => semDedupReport(Tables(s, d).embeddings)),
     "q240_pq_topk"  -> ((s, d) => pqTopK(Tables(s, d).embeddings)),
@@ -420,7 +527,91 @@ object Clustering extends QueryModule {
       |                             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |                      FROM d2) WHERE rn = 1)""".stripMargin
 
+  /** q295 oracle: q176's coarse unrolling (e/c1/a2) + q240's PQ
+    * unrolling re-run on RESIDUALS, then the per-(query, cell) ADC
+    * tables and the recall join. */
+  private def ivfPqSql(m: Int, kpq: Int, topK: Int, nprobe: Int,
+                       nQueries: Int): String = assignSql +
+    s""",
+      |rc AS (SELECT a.vec_id, a.cid,
+      |              list_transform(range(len(a.u)), k -> a.u[k+1] - c.cu[k+1]) AS r
+      |       FROM a2 a JOIN c1 c ON a.cid = c.cid),
+      |wl AS (SELECT min(len(r)) // $m AS w FROM rc),
+      |js AS (SELECT unnest(range($m)) AS j),
+      |sub AS MATERIALIZED (
+      |  SELECT vec_id, cid, j, list_slice(r, j * w + 1, j * w + w) AS su
+      |  FROM rc CROSS JOIN wl CROSS JOIN js),
+      |p0 AS (SELECT j, vec_id AS code, su AS pcu FROM sub WHERE vec_id < $kpq),
+      |pd1 AS (SELECT s.vec_id, s.cid, s.j, c.code, s.su,
+      |               list_sum(list_transform(range(len(s.su)),
+      |                 k -> (s.su[k+1] - c.pcu[k+1]) * (s.su[k+1] - c.pcu[k+1]))) AS dist
+      |        FROM sub s JOIN p0 c ON s.j = c.j),
+      |pa1 AS MATERIALIZED (SELECT vec_id, cid, j, code, su FROM (
+      |        SELECT vec_id, cid, j, code, su, row_number() OVER (
+      |          PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM pd1) WHERE rn = 1),
+      |p1 AS MATERIALIZED (SELECT j, code, list(cm ORDER BY dim) AS pcu FROM (
+      |        SELECT j, code, dim, sum(v) // count(*) AS cm FROM (
+      |          SELECT j, code, unnest(range(len(su))) AS dim, unnest(su) AS v FROM pa1)
+      |        GROUP BY j, code, dim) GROUP BY j, code),
+      |pd2 AS (SELECT s.vec_id, s.cid, s.j, c.code,
+      |               list_sum(list_transform(range(len(s.su)),
+      |                 k -> (s.su[k+1] - c.pcu[k+1]) * (s.su[k+1] - c.pcu[k+1]))) AS dist
+      |        FROM sub s JOIN p1 c ON s.j = c.j),
+      |codes AS MATERIALIZED (SELECT vec_id, cid, j, code FROM (
+      |        SELECT vec_id, cid, j, code, row_number() OVER (
+      |          PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM pd2) WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, u AS qu FROM e WHERE vec_id < $nQueries),
+      |pc AS (SELECT qid, qu, cid, cu FROM (
+      |         SELECT q.qid, q.qu, c.cid, c.cu,
+      |                row_number() OVER (PARTITION BY q.qid ORDER BY
+      |                  list_sum(list_transform(range(len(q.qu)),
+      |                    k -> (q.qu[k+1] - c.cu[k+1]) * (q.qu[k+1] - c.cu[k+1]))),
+      |                  c.cid) AS rn
+      |         FROM q CROSS JOIN c1 c) WHERE rn <= $nprobe),
+      |qr AS (SELECT qid, cid,
+      |              list_transform(range(len(qu)), k -> qu[k+1] - cu[k+1]) AS qr
+      |       FROM pc),
+      |qsub AS (SELECT qid, cid, j, list_slice(qr, j * w + 1, j * w + w) AS qsu
+      |         FROM qr CROSS JOIN wl CROSS JOIN js),
+      |tbl AS (SELECT s.qid, s.cid, c.j, c.code,
+      |               list_sum(list_transform(range(len(c.pcu)),
+      |                 k -> (c.pcu[k+1] - s.qsu[k+1]) * (c.pcu[k+1] - s.qsu[k+1]))) AS td
+      |        FROM p1 c JOIN qsub s ON c.j = s.j),
+      |approx AS (SELECT t.qid, a.vec_id, sum(t.td) AS ad
+      |           FROM codes a JOIN tbl t ON a.cid = t.cid AND a.j = t.j AND a.code = t.code
+      |           WHERE a.vec_id <> t.qid GROUP BY t.qid, a.vec_id),
+      |ncand AS (SELECT qid, count(*)::BIGINT AS n_cand FROM approx GROUP BY qid),
+      |short AS (SELECT qid, vec_id FROM (
+      |            SELECT qid, vec_id, row_number() OVER (
+      |              PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM approx)
+      |          WHERE rn <= ${3 * topK}),
+      |pqtop AS (SELECT qid, vec_id FROM (
+      |            SELECT s.qid, s.vec_id, row_number() OVER (
+      |              PARTITION BY s.qid ORDER BY
+      |                list_sum(list_transform(range(len(q.qu)),
+      |                  k -> (q.qu[k+1] - e.u[k+1]) * (q.qu[k+1] - e.u[k+1]))),
+      |                s.vec_id) AS rn
+      |            FROM short s JOIN e ON e.vec_id = s.vec_id
+      |                         JOIN q ON q.qid = s.qid)
+      |          WHERE rn <= $topK),
+      |brute AS (SELECT qid, vec_id FROM (
+      |            SELECT q.qid, e.vec_id,
+      |                   row_number() OVER (PARTITION BY q.qid ORDER BY
+      |                     list_sum(list_transform(range(len(q.qu)),
+      |                       k -> (q.qu[k+1] - e.u[k+1]) * (q.qu[k+1] - e.u[k+1]))),
+      |                     e.vec_id) AS rn
+      |            FROM q CROSS JOIN e WHERE e.vec_id <> q.qid)
+      |          WHERE rn <= $topK)
+      |SELECT b.qid AS query_id, coalesce(n.n_cand, 0)::BIGINT AS n_cand,
+      |       count(i.vec_id)::BIGINT AS n_hits,
+      |       round(count(i.vec_id)::DOUBLE / $topK.0, 4) AS recall
+      |FROM brute b
+      |LEFT JOIN pqtop i ON b.qid = i.qid AND b.vec_id = i.vec_id
+      |LEFT JOIN ncand n ON n.qid = b.qid
+      |GROUP BY b.qid, n.n_cand ORDER BY query_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "q295_ivfpq_recall" -> ivfPqSql(8, 16, 10, 2, 20),
     "q266_kcenter_coreset" -> kcenterOracle,
     // reuses the q176 index unrolling: a2 = final cell assignment,
     // c1 = final centroids — the IVF answer probes 2 cells, the brute

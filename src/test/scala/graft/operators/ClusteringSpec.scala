@@ -102,4 +102,31 @@ class ClusteringSpec extends SparkSpec {
     assert(res(0).getLong(2) == 0L && res(1).getLong(2) == 0L)
     assert(res(0).getLong(1) == res(1).getLong(1)) // tied ADC scores
   }
+
+  // two well-separated groups in 4-D: even ids near the origin, odd ids
+  // near (10, 10+, …) — coarse seeds 0/1 land one per group
+  private def twoClusters = (0 until 8).map { i =>
+    val base = if (i % 2 == 0) 0.0f else 10.0f
+    (i.toLong, Array(base + i * 0.01f, base + i * 0.02f,
+      base - i * 0.01f, base + 0.03f * i), i % 2)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("ivfPqRecall is EXACT when codebook size = corpus (identity codes, residual cancels)") {
+    // kpq = n → every vector its own code, ADC distance = |r_v − r_q|²
+    // = |v − q|² inside a shared cell; nprobe = kc probes everything
+    val r = Clustering.ivfPqRecall(twoClusters, kc = 2, m = 2, kpq = 8,
+      topK = 3, nprobe = 2, nQueries = 3).collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Double]("recall") == 1.0), r.mkString(","))
+  }
+
+  test("ivfPqRecall with nprobe=1 prunes the other cell and still finds in-cell hits") {
+    val r = Clustering.ivfPqRecall(twoClusters, kc = 2, m = 2, kpq = 4,
+      topK = 3, nprobe = 1, nQueries = 2).collect()
+      .map(x => x.getAs[Long]("query_id") ->
+        (x.getAs[Long]("n_cand"), x.getAs[Double]("recall"))).toMap
+    // each query's cell holds its 3 groupmates — exactly the candidate set
+    // and exactly the brute top-3 (groups are far apart) → recall 1.0
+    assert(r(0L) == (3L, 1.0) && r(1L) == (3L, 1.0), r.toString)
+  }
 }
