@@ -455,8 +455,90 @@ object Clustering extends QueryModule {
       .orderBy("query_id")
   }
 
+  /** q296: density clustering — DBSCAN (Ester et al. 1996) over the
+    * first two embedding dimensions, made distributed by GRID-CELL
+    * bucketing: with cell width = eps, every eps-neighbor pair lives in
+    * the same or an adjacent cell, so the only join needed is an
+    * equi-join on cell id with the probe side expanded to its 3×3
+    * neighborhood — candidate generation is exact (no pair within eps
+    * can be missed, the grid theorem) and the naive all-pairs oracle
+    * green-checks exactly that.
+    *
+    * Classic DBSCAN semantics, deterministically tie-broken:
+    *  - core = |eps-neighborhood| ≥ minPts (self included);
+    *  - clusters = connected components of the core-core eps graph
+    *    (min-label, via [[Dedup.connectedComponents]]);
+    *  - border = non-core with ≥1 core neighbor, assigned to the
+    *    SMALLEST cluster label among its core neighbors (the textbook
+    *    "first core that reaches it" made order-independent);
+    *  - noise reported as the cluster_id = -1 row.
+    *
+    * Scale shape: the candidate join is keyed on cell id — ONE shuffle,
+    * each task sees one cell's 3×3 neighborhood, cost Σ |cell|·|nbhd|
+    * (density-bounded, never corpus²); dense cells are AQE-splittable.
+    * The CC loop runs on the CORE-pair graph only, which density
+    * clustering keeps far smaller than the corpus. All arithmetic is
+    * exact integer (quantized coords, integer d²) — no float drift in
+    * any membership decision.
+    */
+  def dbscanReport(embeddings: DataFrame, eps: Long = 9000L, minPts: Int = 4,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val pts = graft.plans.Checkpoints.cut(
+      quantized(embeddings).select(col("vec_id"),
+        col("u").getItem(0).as("x"), col("u").getItem(1).as("y")),
+      checkpointDir)
+    val home = pts.select(col("vec_id").as("b_id"), col("x").as("bx"),
+      col("y").as("by"), expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+    val probe = pts
+      .select(col("vec_id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        explode(expr(s"flatten(transform(sequence(-1, 1), dx -> " +
+          s"transform(sequence(-1, 1), dy -> " +
+          s"struct((x div $eps) + dx AS cx, (y div $eps) + dy AS cy))))")).as("c"))
+      .select(col("a_id"), col("ax"), col("ay"), col("c.cx"), col("c.cy"))
+    // each ordered eps-pair appears exactly once: b's home cell is unique
+    // and a probes it exactly once among its 9 neighbor keys
+    val pairs = graft.plans.Checkpoints.cut(
+      probe.join(home, Seq("cx", "cy"))
+        .filter(col("a_id") =!= col("b_id") &&
+          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= lit(eps * eps))
+        .select(col("a_id"), col("b_id")),
+      checkpointDir)
+    val core = pairs.groupBy(col("a_id").as("vec_id"))
+      .agg((count(lit(1)) + 1).as("n_nb"))
+      .filter(col("n_nb") >= minPts).select("vec_id")
+    val coreEdges = pairs
+      .join(core.select(col("vec_id").as("a_id")), "a_id")
+      .join(core.select(col("vec_id").as("b_id")), "b_id")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    // isolated core points (no core neighbor) are their own singleton
+    // cluster — connectedComponents only labels edge-touching nodes
+    val coreLabels = core
+      .join(Dedup.connectedComponents(coreEdges)
+        .select(col("id").as("vec_id"), col("label")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
+    val borderLabels = pairs
+      .join(coreLabels.select(col("vec_id").as("b_id"), col("cluster_id")), "b_id")
+      .join(core.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
+      .groupBy(col("a_id").as("vec_id")).agg(min(col("cluster_id")).as("cluster_id"))
+    val labeled = coreLabels.withColumn("is_core", lit(1))
+      .unionByName(borderLabels.withColumn("is_core", lit(0)))
+    val noise = pts.join(labeled.select("vec_id"), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_points"))
+      .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("n_points"))
+    labeled.groupBy("cluster_id")
+      .agg(sum(col("is_core")).cast("long").as("n_core"),
+        sum(lit(1) - col("is_core")).cast("long").as("n_border"),
+        count(lit(1)).as("n_points"))
+      .unionByName(noise)
+      .orderBy("cluster_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q295_ivfpq_recall" -> ((s, d) => ivfPqRecall(Tables(s, d).embeddings)),
+    "q296_dbscan" -> ((s, d) => dbscanReport(Tables(s, d).embeddings)),
     "q176_kmeans"   -> ((s, d) => kmeansReport(Tables(s, d).embeddings)),
     "q177_semdedup" -> ((s, d) => semDedupReport(Tables(s, d).embeddings)),
     "q240_pq_topk"  -> ((s, d) => pqTopK(Tables(s, d).embeddings)),
@@ -610,8 +692,46 @@ object Clustering extends QueryModule {
       |LEFT JOIN ncand n ON n.qid = b.qid
       |GROUP BY b.qid, n.n_cand ORDER BY query_id""".stripMargin
 
+  /** q296 oracle: NAIVE all-pairs eps test (no grid — green-checks the
+    * grid theorem that 3×3 bucketing misses no pair), recursive-CTE
+    * reachability over core-core edges for the components (the q58
+    * pattern), min-label border attachment, noise as the -1 row. */
+  private def dbscanSql(eps: Long, minPts: Int): String =
+    s"""WITH RECURSIVE
+      |p AS MATERIALIZED (SELECT vec_id,
+      |       CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x,
+      |       CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS y
+      |     FROM embeddings),
+      |pr AS MATERIALIZED (
+      |  SELECT a.vec_id AS l, b.vec_id AS r FROM p a JOIN p b
+      |  ON a.vec_id <> b.vec_id
+      |     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $eps * $eps),
+      |core AS MATERIALIZED (
+      |  SELECT l AS vec_id FROM pr GROUP BY l HAVING count(*) + 1 >= $minPts),
+      |ce AS MATERIALIZED (
+      |  SELECT l AS src, r AS dst FROM pr
+      |  WHERE l IN (SELECT vec_id FROM core) AND r IN (SELECT vec_id FROM core)),
+      |reach(src, node) AS (
+      |  SELECT vec_id, vec_id FROM core
+      |  UNION
+      |  SELECT rc.src, e.dst FROM reach rc JOIN ce e ON rc.node = e.src),
+      |cl AS MATERIALIZED (SELECT src AS vec_id, min(node) AS cluster_id
+      |                    FROM reach GROUP BY src),
+      |bl AS (SELECT pr.l AS vec_id, min(c.cluster_id) AS cluster_id
+      |       FROM pr JOIN cl c ON pr.r = c.vec_id
+      |       WHERE pr.l NOT IN (SELECT vec_id FROM core) GROUP BY pr.l),
+      |lab AS (SELECT vec_id, cluster_id, 1 AS is_core FROM cl
+      |        UNION ALL SELECT vec_id, cluster_id, 0 FROM bl)
+      |SELECT cluster_id, sum(is_core)::BIGINT AS n_core,
+      |       sum(1 - is_core)::BIGINT AS n_border, count(*)::BIGINT AS n_points
+      |FROM lab GROUP BY cluster_id
+      |UNION ALL
+      |SELECT -1, 0, 0, (SELECT count(*) FROM p) - (SELECT count(*) FROM lab)
+      |ORDER BY cluster_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q295_ivfpq_recall" -> ivfPqSql(8, 16, 10, 2, 20),
+    "q296_dbscan" -> dbscanSql(9000L, 4),
     "q266_kcenter_coreset" -> kcenterOracle,
     // reuses the q176 index unrolling: a2 = final cell assignment,
     // c1 = final centroids — the IVF answer probes 2 cells, the brute

@@ -120,6 +120,22 @@ class ClusteringSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("recall") == 1.0), r.mkString(","))
   }
 
+  test("dbscanReport: two blobs, one border, one noise — classic semantics") {
+    // blob A (ids 0-4) all-core; id 5 reaches exactly one A point → border;
+    // blob B (ids 6-10) all-core; id 11 isolated → noise. eps=9000 (0.009).
+    val pts = Seq(
+      (0L, Array(0.000f, 0.000f)), (1L, Array(0.002f, 0.000f)),
+      (2L, Array(0.000f, 0.002f)), (3L, Array(0.002f, 0.002f)),
+      (4L, Array(0.004f, 0.000f)), (5L, Array(0.012f, 0.000f)),
+      (6L, Array(0.500f, 0.500f)), (7L, Array(0.502f, 0.500f)),
+      (8L, Array(0.500f, 0.502f)), (9L, Array(0.502f, 0.502f)),
+      (10L, Array(0.504f, 0.500f)), (11L, Array(-0.500f, -0.500f)))
+      .map { case (i, e) => (i, e, 0) }.toDF("vec_id", "embedding", "label")
+    val r = Clustering.dbscanReport(pts).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((-1L, 0L, 0L, 1L), (0L, 5L, 1L, 6L), (6L, 5L, 0L, 5L)), r.mkString(","))
+  }
+
   test("ivfPqRecall with nprobe=1 prunes the other cell and still finds in-cell hits") {
     val r = Clustering.ivfPqRecall(twoClusters, kc = 2, m = 2, kpq = 4,
       topK = 3, nprobe = 1, nQueries = 2).collect()
