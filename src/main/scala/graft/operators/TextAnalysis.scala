@@ -520,6 +520,50 @@ object TextAnalysis extends QueryModule {
       round((po - pe) / when(pe === 1d, lit(null)).otherwise(lit(1d) - pe), 4).as("kappa"))
   }
 
+  /** q297: multi-rater agreement — Fleiss' κ (Fleiss 1971) over THREE
+    * independent "is English" raters: the stored `lang` column, the
+    * q23/q154 stopword-argmax heuristic, and an e-letter-frequency
+    * rater (English sits near the top of the letter-e band). Cohen's κ
+    * (q154) only handles rater PAIRS; Fleiss generalizes to R raters
+    * via per-item category counts — the label-quality gate a labeling
+    * pipeline runs before trusting a crowd of heuristic annotators.
+    *
+    * Exact-integer doctrine: per item n_j = votes for category j
+    * (Σ n_j = R), so P̄ = (Σᵢ Σⱼ n_ij² − N·R)/(N·R·(R−1)) and
+    * P̄_e = Σⱼ Tⱼ²/(N·R)² are ratios of exact integer sums — one
+    * narrow corpus pass, a single global aggregate, division only in
+    * the final projection. Order-independent under any partitioning.
+    */
+  def fleissKappa(documents: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, w => ws.map(s => w === s).reduce(_ || _))).cast("long")
+    val en = hits(Seq("the", "a", "and"))
+    val es = hits(Seq("el", "la", "los"))
+    val de = hits(Seq("der", "die", "und"))
+    val fr = hits(Seq("le", "les", "des"))
+    val ra = (col("lang") === "en").cast("long")
+    val rb = (en >= es && en >= de && en >= fr && en > 0).cast("long")
+    val eCnt = (length(lower(col("text"))) -
+      length(regexp_replace(lower(col("text")), "e", ""))).cast("long")
+    val rc = (eCnt * 1000L >= length(col("text")).cast("long") * 75L).cast("long")
+    val m = documents
+      .select((ra + rb + rc).as("n1"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n1") * col("n1") + (lit(3L) - col("n1")) * (lit(3L) - col("n1")))
+          .as("s_sq"),
+        sum(col("n1")).as("t_en"))
+      .withColumn("t_other", lit(3L) * col("n_items") - col("t_en"))
+    val pBar = (col("s_sq") - lit(3L) * col("n_items")).cast("double") /
+      (lit(6L) * col("n_items")).cast("double")
+    val pE = (col("t_en") * col("t_en") + col("t_other") * col("t_other")).cast("double") /
+      (lit(9L) * col("n_items") * col("n_items")).cast("double")
+    m.select(col("n_items"), col("t_en"), col("t_other"),
+      round(pBar, 4).as("p_bar"), round(pE, 4).as("p_expected"),
+      round((pBar - pE) / when(pE === 1d, lit(null)).otherwise(lit(1d) - pE), 4)
+        .as("fleiss_kappa"))
+  }
+
   /** q150: Hill tail-index estimator over document lengths (Hill 1975;
     * the standard check that a corpus' length distribution is power-law
     * and HOW heavy — α ≈ 1–2 means a few giant documents dominate token
@@ -931,6 +975,7 @@ object TextAnalysis extends QueryModule {
     "q153_calibration"  -> ((s, d) => calibrationBins(Tables(s, d).documents)),
     "q197_isotonic"     -> ((s, d) => isotonicCalibration(Tables(s, d).documents)),
     "q154_rater_kappa"  -> ((s, d) => labelAgreementKappa(Tables(s, d).documents)),
+    "q297_fleiss_kappa" -> ((s, d) => fleissKappa(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1353,6 +1398,32 @@ object TextAnalysis extends QueryModule {
         |       round(((n11 + n00) / CAST(n AS DOUBLE)
         |               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / CAST(n * n AS DOUBLE))
         |             / nullif(1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / CAST(n * n AS DOUBLE), 0), 4) AS kappa
+        |FROM m""".stripMargin,
+    "q297_fleiss_kappa" ->
+      """WITH h AS (SELECT lang = 'en' AS ra,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) AS en,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los'))) AS es,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und'))) AS de,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des'))) AS fr,
+        |                  (length(lower(text)) - length(replace(lower(text), 'e', ''))) * 1000
+        |                    >= length(text) * 75 AS rc
+        |           FROM documents),
+        |v AS (SELECT ra::BIGINT
+        |             + (en >= es AND en >= de AND en >= fr AND en > 0)::BIGINT
+        |             + rc::BIGINT AS n1 FROM h),
+        |m AS (SELECT count(*)::BIGINT AS n_items,
+        |             sum(n1 * n1 + (3 - n1) * (3 - n1))::BIGINT AS s_sq,
+        |             sum(n1)::BIGINT AS t_en
+        |      FROM v)
+        |SELECT n_items, t_en, 3 * n_items - t_en AS t_other,
+        |       round((s_sq - 3 * n_items) / CAST(6 * n_items AS DOUBLE), 4) AS p_bar,
+        |       round((t_en * t_en + (3 * n_items - t_en) * (3 * n_items - t_en))
+        |             / CAST(9 * n_items * n_items AS DOUBLE), 4) AS p_expected,
+        |       round(((s_sq - 3 * n_items) / CAST(6 * n_items AS DOUBLE)
+        |               - (t_en * t_en + (3 * n_items - t_en) * (3 * n_items - t_en))
+        |                 / CAST(9 * n_items * n_items AS DOUBLE))
+        |             / nullif(1 - (t_en * t_en + (3 * n_items - t_en) * (3 * n_items - t_en))
+        |                 / CAST(9 * n_items * n_items AS DOUBLE), 0), 4) AS fleiss_kappa
         |FROM m""".stripMargin,
     "q150_hill_tail" ->
       """WITH top AS (SELECT n_chars FROM documents
