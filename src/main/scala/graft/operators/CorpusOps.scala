@@ -249,6 +249,55 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
+  /** q299: per-source Wasserstein-1 (earth-mover) length drift — the
+    * L1 companion to q133's KS sup-norm: W1 = ∫|F_s − F_corpus| dx,
+    * i.e. the cumulative-gap integral WEIGHTED by the value gap, so a
+    * source whose lengths shifted uniformly by Δ scores ≈ Δ where KS
+    * saturates at the overlap mass. The pair (KS, W1) separates
+    * "shape changed" from "location moved" — the standard two-alarm
+    * drift panel before retraining a mixture.
+    *
+    * Exactness: on a 1-D merged grid the EMD is EXACT — no binning, no
+    * Sinkhorn. The integrand is the cross-multiplied integer
+    * |cum_s·N − cum_c·n_s| (the q133 numerator) times the integer gap
+    * to the next grid value; products ride decimal(38,0) ↔ HUGEINT
+    * (the q199 convention — corpus-scale counts times char-scale gaps
+    * overflow int64 at ~10⁹ docs), one closing division.
+    *
+    * Scale shape: identical to q133 — one map-side-combined
+    * (source, value) count, then every op runs on the
+    * |sources| × |distinct lengths| grid (bounded by the length domain,
+    * not the corpus); the corpus-side CDF and totals broadcast.
+    */
+  def lengthDriftW1(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val values = counts.select("v").distinct()
+    val sources = documents.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val corpusByV = documents.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cc"))
+    val nTotal = documents.agg(count(lit(1)).as("n_c"))
+    val grid = sources.crossJoin(values)
+      .join(counts, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(corpusByV), "v")
+    val w = Window.partitionBy("source").orderBy("v")
+    grid
+      .withColumn("cum_s", sum(col("c")).over(w))
+      .withColumn("cum_c", sum(col("cc")).over(w))
+      .withColumn("dx", coalesce(lead(col("v"), 1).over(w) - col("v"), lit(0L)))
+      .crossJoin(broadcast(nTotal))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_s"),
+        max(abs(col("cum_s") * col("n_c") - col("cum_c") * col("n_s"))).as("ks_num"),
+        sum(abs(col("cum_s") * col("n_c") - col("cum_c") * col("n_s"))
+          .cast("decimal(38,0)") * col("dx")).as("w1_num"),
+        max(col("n_c")).as("n_c"))
+      .select(col("source"), col("n_s"),
+        round(col("w1_num").cast("double") / (col("n_s") * col("n_c")).cast("double"), 4)
+          .as("w1_chars"),
+        round(col("ks_num") / (col("n_s") * col("n_c")).cast("double"), 4).as("ks_d"))
+      .orderBy("source")
+  }
+
   /** q128: training-mix epoch plan — turn the q82 temperature weights
     * plus a total token budget into per-source token assignments,
     * epoch counts (assigned / available), and an over-cap flag where
@@ -623,7 +672,63 @@ object CorpusOps extends QueryModule {
     arms.reduce(_.unionByName(_)).orderBy("stat")
   }
 
+  /** q298: local-DP frequency estimation by generalized randomized
+    * response (k-RR: Warner 1965; Kairouz et al. 2016) over the
+    * `source` attribute: each row reports its TRUE source with
+    * probability p = 3/4, otherwise one of the other k−1 sources
+    * uniformly — the per-row privatization a pipeline applies before
+    * sensitive attributes ever leave the collection site. The
+    * aggregate then INVERTS the noise: with q = (1−p)/(k−1) the
+    * unbiased estimate of a true count is (f − n·q)/(p − q), which at
+    * p = 3/4 reduces to the EXACT rational (4(k−1)·f − n)/(3k − 4) —
+    * integers until the single final division. The privacy budget is
+    * ε = ln(p/q) = ln(3(k−1)), reported alongside.
+    *
+    * Both coin flips ride the md5-uniform convention (q66/q172): keep
+    * = h mod 10⁶ < 750000, replacement = (h div 10⁶) mod (k−1) with
+    * the ≥-shift that skips the true index — reproducible on any
+    * engine/partitioning, so the SAME privatized table can be
+    * re-derived for audit (the n_true column here plays that role).
+    *
+    * Scale shape: the category dim (k rows) broadcasts; the corpus
+    * pass is one narrow projection + one count aggregate keyed by the
+    * k-valued reported index — no shuffle wider than k.
+    */
+  def rrFrequency(documents: DataFrame, salt: String = "rr"): DataFrame = {
+    val cats = documents.select("source").distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+    val kdf = cats.agg(count(lit(1)).cast("long").as("k"))
+    val h = conv(substring(md5(concat(lit(salt + "|"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val reported = documents.select(col("source"), h.as("h"))
+      .join(broadcast(cats), "source")
+      .crossJoin(broadcast(kdf))
+      .withColumn("rep_raw", expr("(h div 1000000) % (k - 1)"))
+      .withColumn("reported_idx",
+        when(expr("h % 1000000 < 750000"), col("idx"))
+          .otherwise(when(col("rep_raw") >= col("idx"), col("rep_raw") + 1L)
+            .otherwise(col("rep_raw"))))
+      .groupBy("reported_idx").agg(count(lit(1)).as("n_reported"))
+    val truth = documents.groupBy("source").agg(count(lit(1)).as("n_true"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    cats.join(truth, Seq("source"), "left")
+      .join(reported, cats("idx") === reported("reported_idx"), "left")
+      .crossJoin(broadcast(kdf))
+      .crossJoin(broadcast(n))
+      .select(col("source"), coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_reported"), lit(0L)).as("n_reported"),
+        col("k"), col("n"))
+      .select(col("source"), col("n_true"), col("n_reported"),
+        round(expr("cast(4 * (k - 1) * n_reported - n as double) / (3 * k - 4)"), 2)
+          .as("est_true"),
+        round(log(expr("cast(3 * (k - 1) as double)")), 4).as("epsilon"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_rr_frequency" -> ((s, d) => rrFrequency(Tables(s, d).documents)),
+    "q299_length_w1" -> ((s, d) => lengthDriftW1(Tables(s, d).documents)),
     "q251_dataset_card" -> ((s, d) => datasetCard(Tables(s, d).documents)),
     "q241_split_manifest" -> ((s, d) => splitManifest(Tables(s, d).documents)),
     "q218_token_budget" -> ((s, d) => tokenBudgetAllocation(Tables(s, d).documents)),
@@ -646,6 +751,34 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q298_rr_frequency" ->
+      """WITH cats AS (SELECT source,
+        |                     row_number() OVER (ORDER BY source) - 1 AS idx
+        |              FROM (SELECT DISTINCT source FROM documents)),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM cats),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |r AS (SELECT c.idx,
+        |             list_reduce(list_transform(range(1, 16),
+        |               i -> strpos('0123456789abcdef', substr(md5('rr|' || d.doc_id), i, 1)) - 1),
+        |               (a, b) -> a * 16 + b)::BIGINT AS h
+        |      FROM documents d JOIN cats c ON d.source = c.source),
+        |rep AS (SELECT CASE WHEN h % 1000000 < 750000 THEN idx
+        |                    WHEN (h // 1000000) % (k - 1) >= idx
+        |                      THEN (h // 1000000) % (k - 1) + 1
+        |                    ELSE (h // 1000000) % (k - 1) END AS reported_idx
+        |        FROM r CROSS JOIN kk),
+        |f AS (SELECT reported_idx, count(*)::BIGINT AS n_reported
+        |      FROM rep GROUP BY 1),
+        |t AS (SELECT source, count(*)::BIGINT AS n_true FROM documents GROUP BY 1)
+        |SELECT c.source, coalesce(t.n_true, 0)::BIGINT AS n_true,
+        |       coalesce(f.n_reported, 0)::BIGINT AS n_reported,
+        |       round(CAST(4 * (k - 1) * coalesce(f.n_reported, 0) - n AS DOUBLE)
+        |             / (3 * k - 4), 2) AS est_true,
+        |       round(ln(CAST(3 * (k - 1) AS DOUBLE)), 4) AS epsilon
+        |FROM cats c LEFT JOIN t ON c.source = t.source
+        |LEFT JOIN f ON c.idx = f.reported_idx
+        |CROSS JOIN kk CROSS JOIN nn
+        |ORDER BY c.source""".stripMargin,
     "q251_dataset_card" ->
       """WITH base AS (
         |  SELECT count(*)::BIGINT AS n_docs,
@@ -827,6 +960,30 @@ object CorpusOps extends QueryModule {
     // normalizer folds over the sorted weights — no float-order or
     // pow-ulp divergence anywhere in the query
     // cross-multiplied integer ECDF comparison; one closing division
+    "q299_length_w1" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars AS v, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |s AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+        |cv AS (SELECT n_chars AS v, count(*)::BIGINT AS cc FROM documents GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n_c FROM documents),
+        |grid AS (
+        |  SELECT s.source, s.n_s, vals.v, coalesce(c.c, 0)::BIGINT AS c, cv.cc
+        |  FROM s CROSS JOIN vals
+        |  LEFT JOIN counts c ON c.source = s.source AND c.v = vals.v
+        |  JOIN cv ON cv.v = vals.v),
+        |cums AS (
+        |  SELECT source, n_s, v,
+        |         sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum_s,
+        |         sum(cc) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum_c,
+        |         coalesce(lead(v) OVER (PARTITION BY source ORDER BY v) - v, 0)::BIGINT AS dx
+        |  FROM grid)
+        |SELECT source, max(n_s)::BIGINT AS n_s,
+        |       round(sum(abs(cum_s * n_c - cum_c * n_s)::HUGEINT * dx)::DOUBLE
+        |             / (max(n_s) * max(n_c))::DOUBLE, 4) AS w1_chars,
+        |       round(max(abs(cum_s * n_c - cum_c * n_s))
+        |             / (max(n_s) * max(n_c))::DOUBLE, 4) AS ks_d
+        |FROM cums, t GROUP BY source ORDER BY source""".stripMargin,
     "q133_length_drift" ->
       """WITH counts AS (
         |  SELECT source, n_chars AS v, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
