@@ -272,7 +272,89 @@ object Quantize extends QueryModule {
         .as("n_within_30pct"))
   }
 
+  /** q300: kernel MMD² drift between every label pair — the
+    * embedding-space companion to q133/q299's length drift: two
+    * populations can share every marginal histogram yet sit in
+    * different regions of embedding space, and maximum mean
+    * discrepancy (Gretton et al. 2012, JMLR) is the standard
+    * two-sample alarm there. Reported for two kernels: linear
+    * k(x,y)=x·y, where MMD² = ‖μ_a − μ_b‖², and quadratic
+    * k(x,y)=(x·y)², whose feature map is vec(xxᵀ), so
+    * MMD² = Σᵢⱼ(M_a − M_b)²ᵢⱼ over the D×D second-moment matrices —
+    * it sees covariance-shape drift the linear kernel is blind to.
+    *
+    * The 100 TB point is the FACTORIZATION: the naive estimator is a
+    * quadratic-in-rows pairwise kernel sum; routing it through the
+    * per-group mean vector (D values) and second-moment matrix
+    * (D(D+1)/2 values) makes it ONE corpus pass + arithmetic on a
+    * groups×D² table that never grows with the corpus. No pair is
+    * ever enumerated.
+    *
+    * Exactness: vectors micro-quantize (×10⁴) before any arithmetic
+    * (the q161 homogeneous-Gram pass is reused verbatim); the moment
+    * gaps cross-multiply by the opposite group count, square in
+    * decimal(38,0) ↔ HUGEINT, and divide once at the end — the biased
+    * V-statistic form, exact and order-independent under any
+    * partitioning.
+    */
+  def mmdDrift(embeddings: DataFrame): DataFrame = {
+    val pairs = embeddings
+      .select(col("label"), expr(
+        """concat(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+          |       array(CAST(10000 AS BIGINT)))""".stripMargin).as("ua"))
+      .select(col("label"), col("ua"), posexplode(col("ua")).as(Seq("di", "ui")))
+      .select(col("label"), col("di"), col("ui"),
+        posexplode(expr("slice(ua, di + 1, size(ua) - di)")).as(Seq("pj", "uj")))
+      .select(col("label"), col("di"), (col("di") + col("pj")).as("dj"),
+        (col("ui") * col("uj")).as("p"))
+    val g = pairs.groupBy("label", "di", "dj").agg(sum("p").as("sp"))
+    val dMax = g.agg(max("dj").as("dd"))
+    val nPer = g.join(broadcast(dMax), col("di") === col("dd") && col("dj") === col("dd"))
+      .select(col("label"), expr("sp div 100000000").as("n"))
+    val lab = nPer.alias("la")
+      .join(nPer.alias("lb"), col("la.label") < col("lb.label"))
+      .select(col("la.label").as("label_a"), col("lb.label").as("label_b"),
+        col("la.n").as("n_a"), col("lb.n").as("n_b"))
+    // linear sums in quantized units: sp = 10⁴·Σ xq_d (exact division)
+    val lin = g.join(broadcast(dMax), col("dj") === col("dd") && col("di") < col("dd"))
+      .select(col("label"), col("di").as("d"), expr("sp div 10000").as("s"))
+    val linNum = lin.alias("a")
+      .join(lin.alias("b"), col("a.d") === col("b.d") && col("a.label") < col("b.label"))
+      .join(broadcast(lab),
+        col("a.label") === col("label_a") && col("b.label") === col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(expr(
+        """(cast(a.s as decimal(38,0)) * n_b - cast(b.s as decimal(38,0)) * n_a)
+          | * (cast(a.s as decimal(38,0)) * n_b - cast(b.s as decimal(38,0)) * n_a)""".stripMargin))
+        .as("lin_num"))
+    val quad = g.join(broadcast(dMax), col("dj") < col("dd"))
+      .select(col("label"), col("di"), col("dj"), col("sp"),
+        when(col("di") === col("dj"), lit(1L)).otherwise(lit(2L)).as("w"))
+    val quadNum = quad.alias("a")
+      .join(quad.alias("b"),
+        col("a.di") === col("b.di") && col("a.dj") === col("b.dj")
+          && col("a.label") < col("b.label"))
+      .join(broadcast(lab),
+        col("a.label") === col("label_a") && col("b.label") === col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(expr(
+        """a.w * (cast(a.sp as decimal(38,0)) * n_b - cast(b.sp as decimal(38,0)) * n_a)
+          |    * (cast(a.sp as decimal(38,0)) * n_b - cast(b.sp as decimal(38,0)) * n_a)""".stripMargin))
+        .as("quad_num"))
+    lab.join(linNum, Seq("label_a", "label_b"))
+      .join(quadNum, Seq("label_a", "label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(expr(
+          "cast(lin_num as double) / (cast(n_a as double) * n_a * n_b * n_b) / 1e8"), 6)
+          .as("mmd2_linear"),
+        round(expr(
+          "cast(quad_num as double) / (cast(n_a as double) * n_a * n_b * n_b) / 1e16"), 6)
+          .as("mmd2_quadratic"))
+      .orderBy("label_a", "label_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_mmd_drift" -> ((s, d) => mmdDrift(Tables(s, d).embeddings)),
     "q279_jl_distortion" -> ((s, d) => jlDistortion(Tables(s, d).embeddings)),
     "q55_quantize_stats" -> ((s, d) => quantizeStats(Tables(s, d).embeddings)),
     "q96_standardize_stats" -> ((s, d) => standardizedStats(Tables(s, d).embeddings)),
@@ -363,6 +445,47 @@ object Quantize extends QueryModule {
         |       round(max(z), 4) AS max_z,
         |       round(min(z), 4) AS min_z
         |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // per-label homogeneous Gram (q161's pass grouped by label), then
+    // moment-gap cross-multiplication in HUGEINT (decimal(38,0) mirror)
+    "q300_mmd_drift" ->
+      """WITH base AS (
+        |  SELECT label, list_append(list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+        |         10000::BIGINT) AS ua
+        |  FROM embeddings),
+        |e1 AS (SELECT label, ua, unnest(range(len(ua))) AS i FROM base),
+        |e2 AS (SELECT label, ua, i, unnest(range(i, len(ua))) AS j FROM e1),
+        |g AS (SELECT label, i AS di, j AS dj,
+        |             sum(ua[i + 1] * ua[j + 1])::BIGINT AS sp
+        |      FROM e2 GROUP BY 1, 2, 3),
+        |dm AS (SELECT max(dj) AS dd FROM g),
+        |np AS (SELECT label, sp // 100000000 AS n FROM g, dm WHERE di = dd AND dj = dd),
+        |lab AS (SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b
+        |        FROM np a JOIN np b ON a.label < b.label),
+        |lin AS (SELECT label, di AS d, sp // 10000 AS s FROM g, dm WHERE dj = dd AND di < dd),
+        |ln2 AS (SELECT l.label_a, l.label_b,
+        |               sum((a.s::HUGEINT * l.n_b - b.s::HUGEINT * l.n_a)
+        |                   * (a.s::HUGEINT * l.n_b - b.s::HUGEINT * l.n_a)) AS lin_num
+        |        FROM lin a JOIN lin b ON a.d = b.d AND a.label < b.label
+        |        JOIN lab l ON a.label = l.label_a AND b.label = l.label_b
+        |        GROUP BY 1, 2),
+        |qd AS (SELECT label, di, dj, sp, CASE WHEN di = dj THEN 1 ELSE 2 END AS w
+        |       FROM g, dm WHERE dj < dd),
+        |qn AS (SELECT l.label_a, l.label_b,
+        |              sum(a.w * (a.sp::HUGEINT * l.n_b - b.sp::HUGEINT * l.n_a)
+        |                      * (a.sp::HUGEINT * l.n_b - b.sp::HUGEINT * l.n_a)) AS quad_num
+        |       FROM qd a JOIN qd b ON a.di = b.di AND a.dj = b.dj AND a.label < b.label
+        |       JOIN lab l ON a.label = l.label_a AND b.label = l.label_b
+        |       GROUP BY 1, 2)
+        |SELECT l.label_a, l.label_b, l.n_a, l.n_b,
+        |       round(lin_num::DOUBLE / (l.n_a::DOUBLE * l.n_a * l.n_b * l.n_b) / 1e8, 6)
+        |         AS mmd2_linear,
+        |       round(quad_num::DOUBLE / (l.n_a::DOUBLE * l.n_a * l.n_b * l.n_b) / 1e16, 6)
+        |         AS mmd2_quadratic
+        |FROM lab l
+        |JOIN ln2 ON ln2.label_a = l.label_a AND ln2.label_b = l.label_b
+        |JOIN qn ON qn.label_a = l.label_a AND qn.label_b = l.label_b
+        |ORDER BY l.label_a, l.label_b""".stripMargin,
     // homogeneous-coordinate Gram: DuckDB lists are 1-based (ua[i+1]);
     // the augmented constant slot carries the linear sums and n
     "q161_embedding_cov" ->
