@@ -1051,7 +1051,64 @@ object Modeling extends QueryModule {
       .orderBy("p_brand")
   }
 
+  /** q301: Bradley–Terry preference strengths (Bradley & Terry 1952)
+    * fitted by Hunter's MM algorithm (Hunter 2004, Annals of
+    * Statistics) — the batch preference model under every
+    * RLHF/reward-model data pipeline: pairwise "A beat B" judgments in,
+    * per-player latent strength out. Duels here are deterministic:
+    * id-consecutive document pairs from different sources (a LINEAR
+    * join, never quadratic), longer text wins (tie → the earlier doc).
+    *
+    * The MM update πᵢ ← Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ) runs THREE unrolled
+    * rounds entirely in integer micro-units: each denominator term is
+    * floor(nᵢⱼ·10¹²/(πᵢ+πⱼ)) (exact per-term, so the sum is
+    * order-independent), the quotient rides decimal(38,0) ↔ HUGEINT,
+    * and the round closes by renormalizing Σπ = k·10⁶ in the same
+    * integer arithmetic — no engine-dependent float ever decides a
+    * value.
+    *
+    * Scale shape: one corpus pass builds the duel stream; everything
+    * after runs on the |sources|² win matrix (bounded by the schema,
+    * not the corpus). The iteration state is k rows.
+    */
+  def bradleyTerry(documents: DataFrame, iters: Int = 3): DataFrame = {
+    val a = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val duels = a.alias("a").join(a.alias("b"), expr("b.doc_id = a.doc_id + 1"))
+      .filter(col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        when(col("a.n_chars") >= col("b.n_chars"), col("a.source"))
+          .otherwise(col("b.source")).as("w"))
+    val pairs = duels.select(col("sa").as("i"), col("sb").as("j"))
+      .unionAll(duels.select(col("sb").as("i"), col("sa").as("j")))
+      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    val teams = pairs.select("i").distinct()
+    val wins = teams
+      .join(duels.groupBy(col("w").as("i")).agg(count(lit(1)).as("wn")), Seq("i"), "left")
+      .na.fill(0L, Seq("wn"))
+    val kk = teams.agg(count(lit(1)).as("k"))
+    var pi = teams.select(col("i"), lit(1000000L).as("p"))
+    for (_ <- 1 to iters) {
+      val den = pairs.alias("g")
+        .join(broadcast(pi.alias("pi")), col("g.i") === col("pi.i"))
+        .join(broadcast(pi.alias("pj")), col("g.j") === col("pj.i"))
+        .groupBy(col("g.i").as("i"))
+        .agg(sum(expr("n * 1000000000000L div (pi.p + pj.p)")).as("den"))
+      val raw = wins.join(den, "i")
+        .select(col("i"),
+          expr("cast(wn as decimal(38,0)) * 1000000000000000000L div den").as("raw"))
+      val tot = raw.agg(sum("raw").as("tot"))
+      pi = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(kk))
+        .select(col("i"), expr("cast(raw as decimal(38,0)) * k * 1000000L div tot").as("p"))
+    }
+    val games = pairs.groupBy("i").agg(sum("n").as("n_games"))
+    wins.join(games, "i").join(pi, "i")
+      .select(col("i").as("source"), col("n_games"), col("wn").as("n_wins"),
+        round(col("p").cast("double") / 1e6, 6).as("bt_strength"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_bradley_terry" -> ((s, d) => bradleyTerry(Tables(s, d).documents)),
     "q291_ndcg" -> ((s, d) => { val t = Tables(s, d)
       ndcgReport(t.lineitem, t.orders, t.part) }),
     "q290_unigram_segment" -> ((s, d) => unigramSegmentReport(Tables(s, d).documents)),
@@ -1203,6 +1260,52 @@ object Modeling extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q291_ndcg" -> ndcgSql(10, "1999-01-01"),
     "q290_unigram_segment" -> unigramSegmentSql(50, 4, 16, 20),
+    // 3 unrolled MM rounds; every division is integer floor (// on
+    // HUGEINT ↔ Spark decimal div); MATERIALIZED pins the duel stream
+    // so DuckDB evaluates the corpus self-join once, not 2^rounds times
+    "q301_bradley_terry" ->
+      """WITH duels AS MATERIALIZED (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |         CASE WHEN a.n_chars >= b.n_chars THEN a.source ELSE b.source END AS w
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source <> b.source),
+        |pairs AS MATERIALIZED (
+        |  SELECT i, j, count(*)::BIGINT AS n FROM (
+        |    SELECT sa AS i, sb AS j FROM duels
+        |    UNION ALL SELECT sb AS i, sa AS j FROM duels)
+        |  GROUP BY 1, 2),
+        |teams AS MATERIALIZED (SELECT DISTINCT i FROM pairs),
+        |wins AS MATERIALIZED (
+        |  SELECT t.i, coalesce(w.wn, 0)::BIGINT AS wn
+        |  FROM teams t LEFT JOIN (SELECT w AS i, count(*)::BIGINT AS wn
+        |                          FROM duels GROUP BY 1) w ON w.i = t.i),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM teams),
+        |p0 AS MATERIALIZED (SELECT i, 1000000::BIGINT AS p FROM teams),
+        |d1 AS (SELECT g.i, sum(g.n * 1000000000000 // (pi.p + pj.p))::BIGINT AS den
+        |       FROM pairs g JOIN p0 pi ON pi.i = g.i JOIN p0 pj ON pj.i = g.j GROUP BY 1),
+        |r1 AS (SELECT w.i, (w.wn::HUGEINT * 1000000000000000000) // d.den AS raw
+        |       FROM wins w JOIN d1 d ON d.i = w.i),
+        |p1 AS MATERIALIZED (
+        |  SELECT i, ((raw * k * 1000000) // (SELECT sum(raw) FROM r1))::BIGINT AS p
+        |  FROM r1, kk),
+        |d2 AS (SELECT g.i, sum(g.n * 1000000000000 // (pi.p + pj.p))::BIGINT AS den
+        |       FROM pairs g JOIN p1 pi ON pi.i = g.i JOIN p1 pj ON pj.i = g.j GROUP BY 1),
+        |r2 AS (SELECT w.i, (w.wn::HUGEINT * 1000000000000000000) // d.den AS raw
+        |       FROM wins w JOIN d2 d ON d.i = w.i),
+        |p2 AS MATERIALIZED (
+        |  SELECT i, ((raw * k * 1000000) // (SELECT sum(raw) FROM r2))::BIGINT AS p
+        |  FROM r2, kk),
+        |d3 AS (SELECT g.i, sum(g.n * 1000000000000 // (pi.p + pj.p))::BIGINT AS den
+        |       FROM pairs g JOIN p2 pi ON pi.i = g.i JOIN p2 pj ON pj.i = g.j GROUP BY 1),
+        |r3 AS (SELECT w.i, (w.wn::HUGEINT * 1000000000000000000) // d.den AS raw
+        |       FROM wins w JOIN d3 d ON d.i = w.i),
+        |p3 AS (SELECT i, ((raw * k * 1000000) // (SELECT sum(raw) FROM r3))::BIGINT AS p
+        |       FROM r3, kk),
+        |games AS (SELECT i, sum(n)::BIGINT AS n_games FROM pairs GROUP BY 1)
+        |SELECT w.i AS source, g.n_games, w.wn AS n_wins,
+        |       round(p3.p::DOUBLE / 1e6, 6) AS bt_strength
+        |FROM wins w JOIN games g ON g.i = w.i JOIN p3 ON p3.i = w.i
+        |ORDER BY source""".stripMargin,
     // tp·tn − fp·fn in HUGEINT mirrors Spark's decimal(38,0); the four
     // marginals √ separately so the n⁴-scale product never forms
     "q270_mcc" ->
