@@ -1109,7 +1109,57 @@ object Dedup extends QueryModule {
       (m, b, r, math.floor(p * 1e9 + 0.5).toLong)
     }
 
+  /** q302: maximal shared-passage extraction — seed-and-extend exact
+    * substring dedup in the spirit of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): where q73/q156 score
+    * duplication through fixed or winnowed chunks, this recovers the
+    * MAXIMAL shared token runs themselves, with positions — the
+    * artifact a curation team actually inspects (and splices out)
+    * before retraining.
+    *
+    * Seeds are word 5-grams; two documents sharing a run of L tokens
+    * share L−4 consecutive 5-grams at a CONSTANT position offset, so
+    * matched seed positions grouped by (pair, offset) and run through
+    * the gaps-and-islands key pa − row_number() reassemble every
+    * maximal run exactly — no pairwise text comparison ever happens.
+    *
+    * Scale: the seed join is capped by the rare-gram filter (global
+    * frequency ≤ maxFreq, the same trick the paper uses to skip
+    * boilerplate) so fanout per gram is ≤ maxFreq²; everything after
+    * runs on matched-seed pairs, and the final top-N compiles to
+    * TakeOrderedAndProject — no global sort materializes.
+    */
+  def sharedPassages(documents: DataFrame, gram: Int = 5, maxFreq: Long = 8,
+                     minSpan: Int = 8, topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .filter(size(col("tk")) >= gram)
+    val grams = toks.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, size(tk) - $gram), s -> concat_ws(' ', slice(tk, s + 1, $gram)))"))
+        .as(Seq("p", "g")))
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") <= maxFreq).select("g")
+    val gr = grams.join(rare, "g")
+    val m = gr.alias("a").join(gr.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.p").as("pa"), col("b.p").as("pb"), (col("a.p") - col("b.p")).as("offn"))
+    val w = Window.partitionBy("ida", "idb", "offn").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("ida", "idb", "offn", "grp")
+      .agg(min(col("pa").cast("long")).as("start_a"),
+        min(col("pb").cast("long")).as("start_b"),
+        (count(lit(1)) + lit(gram - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select("ida", "idb", "start_a", "start_b", "span_tokens")
+      .orderBy(col("span_tokens").desc, col("ida"), col("idb"),
+        col("start_a"), col("start_b"))
+      .limit(topN)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_shared_passages" -> ((s, d) => sharedPassages(Tables(s, d).documents)),
     "q286_band_plan" -> ((s, d) => bandPlanner(Tables(s, d).documents)),
     "q58_neardup_clusters" -> ((s, d) => nearDupClusters(Tables(s, d).documents)),
     "q92_neardup_canonical" -> ((s, d) => nearDupCanonical(Tables(s, d).documents)),
@@ -1636,6 +1686,26 @@ object Dedup extends QueryModule {
         |      FROM s WINDOW pw AS (PARTITION BY substring(p, 1, 16) ORDER BY p, doc_id))
         |SELECT prev_id AS doc_a, doc_id AS doc_b, p AS shared_prefix
         |FROM l WHERE prev_p = p AND length(p) = 50 ORDER BY doc_a, doc_b""".stripMargin,
+    "q302_shared_passages" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+        |              WHERE len(string_split(lower(text), ' ')) >= 5),
+        |grams AS (SELECT doc_id, s AS p, array_to_string(tk[s+1 : s+5], ' ') AS g
+        |          FROM toks, unnest(range(len(tk) - 4)) t(s)),
+        |rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 8),
+        |m AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.p AS pa, b.p AS pb,
+        |             a.p - b.p AS offn
+        |      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      WHERE a.g IN (SELECT g FROM rare)),
+        |runs AS (SELECT ida, idb, offn,
+        |                pa - row_number() OVER (PARTITION BY ida, idb, offn ORDER BY pa) AS grp,
+        |                pa, pb
+        |         FROM m),
+        |agg AS (SELECT ida, idb, min(pa) AS start_a, min(pb) AS start_b,
+        |               (count(*) + 4)::BIGINT AS span_tokens
+        |        FROM runs GROUP BY ida, idb, offn, grp)
+        |SELECT ida, idb, start_a, start_b, span_tokens FROM agg
+        |WHERE span_tokens >= 8
+        |ORDER BY span_tokens DESC, ida, idb, start_a, start_b LIMIT 50""".stripMargin,
     "q75_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |chunks AS (
