@@ -119,6 +119,45 @@ object NonSqlOps extends QueryModule {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** q304: per-frame zero-crossing rate over the SAME real
+    * javax.sound decode path as q103 — ZCR is the classic
+    * silence/voicing/noisiness discriminator (high ZCR ≈ fricatives or
+    * noise, low ≈ voiced speech or tone) and, with q103's energy, the
+    * two-feature front end of every cheap audio-quality gate a
+    * multimodal curation pipeline runs before paying for a real model.
+    *
+    * A crossing is a sign change about the unsigned-8-bit midline
+    * between CONSECUTIVE samples within a frame (boundary pairs belong
+    * to no frame, so frames are independently recomputable); samples
+    * at exactly 128 count as non-negative. Integer counts only; the
+    * ppm rate is one closing integer division — same oracle contract
+    * as q103 (a broken decoder cannot reproduce the numbers).
+    *
+    * Scale shape: identical to q103 — CPU-bound decode behind the
+    * by-id repartition, frame fan-out as flatMap, no shuffle before
+    * the output sort.
+    */
+  def audioZeroCrossings(documents: DataFrame, frameLen: Int = 160): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        it.flatMap { d =>
+          val pcm = MediaCodec.decodePcm8(fixtureWav(d))
+          pcm.grouped(frameLen).zipWithIndex
+            .filter(_._1.length >= 2) // a 1-sample tail frame has no pairs
+            .map { case (frame, idx) =>
+              val nPairs = (frame.length - 1).toLong
+              val crossings = frame.iterator.sliding(2).withPartial(false)
+                .count { w => (w.head < 128) != (w(1) < 128) }.toLong
+              (d, idx.toLong, nPairs, crossings, crossings * 1000000L / nPairs)
+            }
+        }
+      }.toDF("media_id", "frame_idx", "n_pairs", "crossings", "zcr_ppm")
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Winnowing fingerprint stats per document. */
   def winnowStats(documents: DataFrame): DataFrame =
     documents.select(
@@ -303,6 +342,7 @@ object NonSqlOps extends QueryModule {
     "q97_image_ahash"     -> ((s, d) => imageAHashGroups(Tables(s, d).documents)),
     "q98_simhash_pairs"   -> ((s, d) => simhashHammingPairs(Tables(s, d).documents)),
     "q103_audio_frames"   -> ((s, d) => audioFrameFeatures(Tables(s, d).documents)),
+    "q304_audio_zcr"      -> ((s, d) => audioZeroCrossings(Tables(s, d).documents)),
     "q53_winnow_stats"    -> ((s, d) => winnowStats(Tables(s, d).documents)),
     "q54_media_meta"      -> ((s, d) => mediaMeta(Tables(s, d).documents)),
     "q68_media_resize"    -> ((s, d) => mediaResize(Tables(s, d).documents)),
@@ -370,6 +410,23 @@ object NonSqlOps extends QueryModule {
         |       sum(v)::BIGINT AS sum_amp,
         |       sum((v - 128) * (v - 128))::BIGINT AS energy
         |FROM apx GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
+    // q103's closed-form PCM mirror; in-frame consecutive pairs only
+    // (i % 160 != 159), midline-sign change, floor-ppm division
+    "q304_audio_zcr" ->
+      """WITH adims AS (SELECT doc_id, (800 + doc_id % 800)::BIGINT AS n FROM documents),
+        |apx AS (SELECT doc_id, i, (i * 7 + doc_id) % 256 AS v
+        |        FROM adims, unnest(range(n)) AS t(i)),
+        |p AS (SELECT doc_id, i, v,
+        |             lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS vn
+        |      FROM apx),
+        |c AS (SELECT doc_id, i // 160 AS frame_idx,
+        |             CASE WHEN (v < 128) <> (vn < 128) THEN 1 ELSE 0 END AS x
+        |      FROM p WHERE vn IS NOT NULL AND i % 160 <> 159)
+        |SELECT doc_id AS media_id, frame_idx,
+        |       count(*)::BIGINT AS n_pairs,
+        |       sum(x)::BIGINT AS crossings,
+        |       (sum(x) * 1000000 // count(*))::BIGINT AS zcr_ppm
+        |FROM c GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
     // q52's FNV-1a + bit-vote signature chain, then 16-bit block
     // bucketing and an in-bucket hamming verify (bit_count over the
     // signed xor — two's complement makes signed/unsigned equivalent)

@@ -492,7 +492,62 @@ object Ranking extends QueryModule {
       .orderBy("rk")
   }
 
+  /** Exact (9ᵈ, 10ᵈ) pairs for p = 0.9 rank-biased-overlap weights —
+    * computed once in Scala and embedded identically in the Spark plan
+    * and the oracle SQL (the q286 band-planner convention), so both
+    * engines aggregate identical integers and pᵈ never goes through
+    * engine libm. */
+  private[operators] def rboConstants: Seq[(Int, Long, Long)] =
+    (1 to 10).map(d => (d, BigInt(9).pow(d).toLong, BigInt(10).pow(d).toLong))
+
+  private[operators] def rboConstantsSql: String =
+    rboConstants.map { case (d, n9, n10) => s"($d, ${n9}, ${n10})" }.mkString(", ")
+
+  /** q303: rank-biased overlap (Webber, Moffat & Zobel 2010, TOIS)
+    * between two rankers of each source's documents — by raw length
+    * vs by token count. RBO is THE ranker-agreement metric for
+    * indefinite rankings: top-weighted (p = 0.9 ⇒ ~86% of the mass in
+    * the top 10) where Kendall/Spearman (q269) weight all positions
+    * equally — the regression gate run before swapping a retrieval
+    * scorer.
+    *
+    * Truncated-RBO form: (1−p)/p · Σ_{d=1..10} (|A∩B|@d / d)·pᵈ, with
+    * pᵈ as EXACT rational 9ᵈ/10ᵈ pairs (embedded constants, not libm
+    * pow) and each term floor-quantized to ppb BEFORE the sum —
+    * order-independent integers, one closing division by 9·10⁹.
+    *
+    * Scale: ranking windows partition by source; only ranks ≤ 10
+    * survive to the depth join (≤ 20 rows/source × 10 depths, bounded
+    * by the report shape, not the corpus).
+    */
+  def rboAgreement(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val cdf = broadcast(rboConstants.toDF("d", "p_num", "p_den"))
+    val base = documents.select(col("source"), col("doc_id"), col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val wa = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    val wb = Window.partitionBy("source").orderBy(col("n_tok").desc, col("doc_id"))
+    val ranked = base
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("ra") <= 10 || col("rb") <= 10)
+    val xd = ranked.join(cdf, col("ra") <= col("d") && col("rb") <= col("d"))
+      .groupBy("source", "d", "p_num", "p_den").agg(count(lit(1)).as("x"))
+    val terms = xd.withColumn("term",
+      expr("cast(x as decimal(38,0)) * p_num * 1000000000L div (d * p_den)"))
+    val agg = terms.groupBy("source")
+      .agg(sum("term").as("rbo_num"),
+        max(when(col("d") === 10, col("x"))).as("x10"))
+    documents.select("source").distinct()
+      .join(agg, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("x10"), lit(0L)).as("overlap_at_10"),
+        round(coalesce(col("rbo_num"), lit(0L)).cast("double") / 9e9, 6).as("rbo"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_rbo_agreement" -> ((s, d) => rboAgreement(Tables(s, d).documents)),
     "q284_wilson_ranking" -> ((s, d) => wilsonSourceRanking(Tables(s, d).documents)),
     "q275_rrf_fusion"    -> ((s, d) => rrfFusion(Tables(s, d).lineitem)),
     "q90_dsir_weights"   -> ((s, d) => dsirWeights(Tables(s, d).documents)),
@@ -548,6 +603,30 @@ object Ranking extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q303_rbo_agreement" ->
+      s"""WITH base AS (
+         |  SELECT source, doc_id, n_chars,
+         |         len(string_split(text, ' '))::BIGINT AS n_tok
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT source,
+         |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS ra,
+         |         row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) AS rb
+         |  FROM base),
+         |consts(d, p_num, p_den) AS (VALUES ${rboConstantsSql}),
+         |xd AS (SELECT source, d, p_num, p_den, count(*)::BIGINT AS x
+         |       FROM ranked, consts WHERE ra <= d AND rb <= d GROUP BY 1, 2, 3, 4),
+         |terms AS (SELECT source, d, x,
+         |                 (x::HUGEINT * p_num * 1000000000) // (d * p_den) AS term
+         |          FROM xd),
+         |agg AS (SELECT source, sum(term) AS rbo_num,
+         |               max(CASE WHEN d = 10 THEN x END) AS x10
+         |        FROM terms GROUP BY 1)
+         |SELECT s.source, coalesce(a.x10, 0)::BIGINT AS overlap_at_10,
+         |       round(coalesce(a.rbo_num, 0)::DOUBLE / 9e9, 6) AS rbo
+         |FROM (SELECT DISTINCT source FROM documents) s
+         |LEFT JOIN agg a USING (source)
+         |ORDER BY s.source""".stripMargin,
     // identical expression tree to the Spark side: IEEE-correctly-rounded
     // ops over identical doubles are engine-exact (see wilsonSourceRanking)
     "q284_wilson_ranking" ->

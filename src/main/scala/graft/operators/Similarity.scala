@@ -539,7 +539,61 @@ object Similarity extends QueryModule {
       .orderBy("pick")
   }
 
+  /** q305: margin-based alignment mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix criterion) between two embedding populations —
+    * label 0 as the "query" side, label 1 as the "target" side. Raw
+    * cosine over-mines hubs (vectors close to EVERYTHING); the ratio
+    * margin sim(x,y) / mean(kNN(x) ∪ kNN(y)) normalizes each pair by
+    * its neighborhoods, and is the standard score for mining bitext /
+    * cross-modal pairs from unaligned corpora.
+    *
+    * Exact-integer doctrine: vectors micro-quantize (×10⁶) so dots are
+    * integers; the margin is the exact rational
+    * 2·dot·cx·cy / (sumkₓ·cy + sumk_y·cx) floor-quantized to ppm in
+    * decimal(38,0) ↔ HUGEINT — k-NN selection, margin ranking, and the
+    * final top-N are all decided on integers (ties broken by id), so
+    * no engine float ever orders a row.
+    *
+    * Scale: brute-force A×B here (the correctness baseline); at corpus
+    * scale the candidate join is the SRP/IVF bucketed path (q76/q59) —
+    * the margin arithmetic is identical either way. The k-NN stats are
+    * two bounded window passes over the candidate set.
+    */
+  def marginMining(embeddings: DataFrame, k: Int = 4, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(label: Int, idName: String, vName: String) =
+      embeddings.filter(col("label") === label)
+        .select(col("vec_id").as(idName),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+            .as(vName))
+    val a = side(0, "id_a", "xq")
+    val b = side(1, "id_b", "yq")
+    // positive-similarity candidates only: keeps every engine division
+    // on non-negative integers (floor == truncate) and matches the
+    // mining semantics — anti-correlated pairs are never alignments
+    val pairs = a.crossJoin(broadcast(b))
+      .select(col("id_a"), col("id_b"),
+        expr("aggregate(zip_with(xq, yq, (x, y) -> x * y), 0L, (s, v) -> s + v)").as("dot"))
+      .filter(col("dot") > 0)
+    val wa = Window.partitionBy("id_a").orderBy(col("dot").desc, col("id_b"))
+    val wb = Window.partitionBy("id_b").orderBy(col("dot").desc, col("id_a"))
+    val kx = pairs.withColumn("rn", row_number().over(wa)).filter(col("rn") <= k)
+      .groupBy("id_a").agg(sum("dot").as("sumk_x"), count(lit(1)).as("cx"))
+    val ky = pairs.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .groupBy("id_b").agg(sum("dot").as("sumk_y"), count(lit(1)).as("cy"))
+    pairs.join(kx, "id_a").join(ky, "id_b")
+      .withColumn("den", expr(
+        "cast(sumk_x as decimal(38,0)) * cy + cast(sumk_y as decimal(38,0)) * cx"))
+      .filter(col("den") > 0)
+      .withColumn("margin_ppm", expr(
+        "cast(dot as decimal(38,0)) * 2000000L * cx * cy div den"))
+      .select(col("id_a"), col("id_b"), col("dot").as("dot_q"), col("margin_ppm"))
+      .orderBy(col("margin_ppm").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_margin_mining" -> ((s, d) => marginMining(Tables(s, d).embeddings)),
     "q285_mmr_rerank" -> ((s, d) => mmrRerank(Tables(s, d).embeddings)),
     "q166_cluster_ari" -> ((s, d) => clusterLabelAgreement(Tables(s, d).embeddings)),
     "q102_hybrid_retrieval" -> ((s, d) =>
@@ -620,6 +674,34 @@ object Similarity extends QueryModule {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
   override def oracles: Map[String, String] = Map(
+    "q305_margin_mining" ->
+      """WITH qa AS (SELECT vec_id AS id_a, list_transform(embedding,
+        |              x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS xq
+        |            FROM embeddings WHERE label = 0),
+        |qb AS (SELECT vec_id AS id_b, list_transform(embedding,
+        |         x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS yq
+        |       FROM embeddings WHERE label = 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b,
+        |         list_sum(list_transform(range(len(xq)),
+        |           i -> xq[i + 1] * yq[i + 1]))::BIGINT AS dot
+        |  FROM qa, qb
+        |  WHERE list_sum(list_transform(range(len(xq)),
+        |          i -> xq[i + 1] * yq[i + 1])) > 0),
+        |kx AS (SELECT id_a, sum(dot)::BIGINT AS sumk_x, count(*)::BIGINT AS cx
+        |       FROM (SELECT id_a, dot, row_number() OVER
+        |               (PARTITION BY id_a ORDER BY dot DESC, id_b) AS rn
+        |             FROM pairs) WHERE rn <= 4 GROUP BY 1),
+        |ky AS (SELECT id_b, sum(dot)::BIGINT AS sumk_y, count(*)::BIGINT AS cy
+        |       FROM (SELECT id_b, dot, row_number() OVER
+        |               (PARTITION BY id_b ORDER BY dot DESC, id_a) AS rn
+        |             FROM pairs) WHERE rn <= 4 GROUP BY 1)
+        |SELECT p.id_a, p.id_b, p.dot AS dot_q,
+        |       ((p.dot::HUGEINT * 2000000 * cx * cy)
+        |         // (sumk_x::HUGEINT * cy + sumk_y::HUGEINT * cx))::BIGINT AS margin_ppm
+        |FROM pairs p JOIN kx USING (id_a) JOIN ky USING (id_b)
+        |WHERE sumk_x::HUGEINT * cy + sumk_y::HUGEINT * cx > 0
+        |ORDER BY margin_ppm DESC, id_a, id_b LIMIT 20""".stripMargin,
     "q285_mmr_rerank" -> mmrSql(20, 5),
     // DuckDB lists are 1-based: embedding[b+1] mirrors Spark's 0-based
     // embedding[b]; ARI terms stay exact-integer until the last line
