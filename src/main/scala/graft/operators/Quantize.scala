@@ -312,14 +312,17 @@ object Quantize extends QueryModule {
     val nPer = g.join(broadcast(dMax), col("di") === col("dd") && col("dj") === col("dd"))
       .select(col("label"), expr("sp div 100000000").as("n"))
     val lab = nPer.alias("la")
-      .join(nPer.alias("lb"), col("la.label") < col("lb.label"))
+      .join(broadcast(nPer.alias("lb")), col("la.label") < col("lb.label"))
       .select(col("la.label").as("label_a"), col("lb.label").as("label_b"),
         col("la.n").as("n_a"), col("lb.n").as("n_b"))
     // linear sums in quantized units: sp = 10⁴·Σ xq_d (exact division)
     val lin = g.join(broadcast(dMax), col("dj") === col("dd") && col("di") < col("dd"))
       .select(col("label"), col("di").as("d"), expr("sp div 10000").as("s"))
+    // moment frames are model-bounded (labels × D) — broadcast explicitly
+    // so the pairwise arithmetic never shuffles, at any corpus size
     val linNum = lin.alias("a")
-      .join(lin.alias("b"), col("a.d") === col("b.d") && col("a.label") < col("b.label"))
+      .join(broadcast(lin.alias("b")),
+        col("a.d") === col("b.d") && col("a.label") < col("b.label"))
       .join(broadcast(lab),
         col("a.label") === col("label_a") && col("b.label") === col("label_b"))
       .groupBy("label_a", "label_b")
@@ -331,7 +334,7 @@ object Quantize extends QueryModule {
       .select(col("label"), col("di"), col("dj"), col("sp"),
         when(col("di") === col("dj"), lit(1L)).otherwise(lit(2L)).as("w"))
     val quadNum = quad.alias("a")
-      .join(quad.alias("b"),
+      .join(broadcast(quad.alias("b")),
         col("a.di") === col("b.di") && col("a.dj") === col("b.dj")
           && col("a.label") < col("b.label"))
       .join(broadcast(lab),

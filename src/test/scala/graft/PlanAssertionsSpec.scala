@@ -476,6 +476,35 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q300 mmd drift: label-pair stage runs on moment tables — no corpus-sized join, dims broadcast") {
+    val p = planText(graft.operators.Quantize.mmdDrift(t.embeddings))
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the only scans are the embeddings pass; the pairwise arithmetic
+    // joins (label,di,dj)-keyed moment frames
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast label-pair frame:\n$p")
+  }
+
+  test("q302 shared passages: top-N compiles to TakeOrderedAndProject, no global sort") {
+    val p = planText(graft.operators.Dedup.sharedPassages(t.documents))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q305 margin mining: candidate side broadcasts and top-N is TakeOrderedAndProject") {
+    val p = planText(graft.operators.Similarity.marginMining(t.embeddings))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast candidate join:\n$p")
+  }
+
+  test("q299 w1 drift: grid windows run per source over the value grid, corpus aggregates once") {
+    val p = planText(graft.operators.CorpusOps.lengthDriftW1(t.documents))
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected windowed CDF:\n$p")
+  }
+
   test("multi_pattern_counts stays inside generated code (no codegen fallback)") {
     val df = t.documents.select(graft.functions.MultiPatternCounts.counts(
       col("text"), Seq("the", "batch batch")).as("c"))
