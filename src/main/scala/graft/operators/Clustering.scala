@@ -536,7 +536,63 @@ object Clustering extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** q306: Hopkins clusterability statistic (Hopkins & Skellam 1954;
+    * Banerjee & Davé 2004 for the modern form) — the go/no-go gate
+    * BEFORE paying for k-means/DBSCAN: H ≈ 0.5 means the embedding
+    * cloud is indistinguishable from uniform noise (clustering it
+    * manufactures structure); H → 1 means real cluster tendency.
+    * Computed with SQUARED distances (the d² variant — keeps every
+    * comparison on exact integers; documented, both engines identical).
+    *
+    * m synthetic probes are md5-uniform per dimension inside the data's
+    * bounding box (the q66/q298 convention — any engine regenerates the
+    * same probes); the real sample is the m smallest md5(vec_id) rows.
+    * H = Σu/(Σu+Σw) where u = probe→data nearest d², w = sample→data
+    * (self-excluded) nearest d².
+    *
+    * Scale shape: both nearest-neighbor passes broadcast the BOUNDED
+    * probe/sample frames (m×D) against ONE corpus scan each; the
+    * per-partition min combines map-side so the shuffle carries m rows
+    * per partition, never the corpus. The bounding box is a D-row
+    * aggregate.
+    */
+  def hopkinsStatistic(embeddings: DataFrame, m: Int = 50,
+                       salt: String = "hop"): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+        .as("xq"))
+    val dims = q.select(posexplode(col("xq")).as(Seq("d", "v")))
+      .groupBy("d").agg(min("v").as("lo"), max("v").as("hi"))
+    val js = dims.sparkSession.range(0, m).select(col("id").as("j"))
+    val h = conv(substring(md5(concat(lit(salt + "|"), col("j"),
+      lit("|"), col("d"))), 1, 15), 16, 10).cast("long")
+    val probes = dims.crossJoin(broadcast(js))
+      .select(col("j"), col("d"), (col("lo") + h % (col("hi") - col("lo") + 1)).as("u"))
+      .groupBy("j")
+      .agg(expr("transform(array_sort(collect_list(struct(d, u))), s -> s.u)").as("uq"))
+    val probeMin = q.crossJoin(broadcast(probes))
+      .select(col("j"), expr(
+        "aggregate(zip_with(xq, uq, (x, y) -> (x - y) * (x - y)), 0L, (s, v) -> s + v)")
+        .as("d2"))
+      .groupBy("j").agg(min("d2").as("u"))
+    val sample = q
+      .orderBy(md5(concat(lit(salt + "s|"), col("vec_id"))), col("vec_id")).limit(m)
+      .select(col("vec_id").as("sid"), col("xq").as("sq"))
+    val sampleMin = q.crossJoin(broadcast(sample)).filter(col("vec_id") =!= col("sid"))
+      .select(col("sid"), expr(
+        "aggregate(zip_with(xq, sq, (x, y) -> (x - y) * (x - y)), 0L, (s, v) -> s + v)")
+        .as("d2"))
+      .groupBy("sid").agg(min("d2").as("w"))
+    probeMin.agg(count(lit(1)).as("m_probes"), sum("u").as("sum_u"))
+      .crossJoin(broadcast(
+        sampleMin.agg(count(lit(1)).as("n_sample"), sum("w").as("sum_w"))))
+      .select(col("m_probes"), col("n_sample"), col("sum_u"), col("sum_w"),
+        round(col("sum_u").cast("double") /
+          (col("sum_u") + col("sum_w")).cast("double"), 6).as("hopkins"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_hopkins" -> ((s, d) => hopkinsStatistic(Tables(s, d).embeddings)),
     "q295_ivfpq_recall" -> ((s, d) => ivfPqRecall(Tables(s, d).embeddings)),
     "q296_dbscan" -> ((s, d) => dbscanReport(Tables(s, d).embeddings)),
     "q176_kmeans"   -> ((s, d) => kmeansReport(Tables(s, d).embeddings)),
@@ -730,6 +786,35 @@ object Clustering extends QueryModule {
       |ORDER BY cluster_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q306_hopkins" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS xq
+        |           FROM embeddings),
+        |dims AS (SELECT i AS d, min(xq[i + 1]) AS lo, max(xq[i + 1]) AS hi
+        |         FROM q, unnest(range(len(xq))) t(i) GROUP BY 1),
+        |pr AS (SELECT r.j, d,
+        |              lo + (list_reduce(list_transform(range(1, 16),
+        |                i -> strpos('0123456789abcdef',
+        |                       substr(md5('hop|' || r.j || '|' || d), i, 1)) - 1),
+        |                (a, b) -> a * 16 + b)::BIGINT % (hi - lo + 1)) AS u
+        |       FROM dims, range(50) r(j)),
+        |pv AS (SELECT j, list_transform(list_sort(list({'d': d, 'u': u})), s -> s.u) AS uq
+        |       FROM pr GROUP BY j),
+        |um AS (SELECT j, min(list_sum(list_transform(range(len(xq)),
+        |         i -> (xq[i+1] - uq[i+1]) * (xq[i+1] - uq[i+1]))))::BIGINT AS u
+        |       FROM q, pv GROUP BY j),
+        |samp AS (SELECT vec_id AS sid, xq AS sq FROM q
+        |         ORDER BY md5('hops|' || vec_id), vec_id LIMIT 50),
+        |wm AS (SELECT sid, min(list_sum(list_transform(range(len(xq)),
+        |         i -> (xq[i+1] - sq[i+1]) * (xq[i+1] - sq[i+1]))))::BIGINT AS w
+        |       FROM q, samp WHERE q.vec_id <> samp.sid GROUP BY sid)
+        |SELECT (SELECT count(*) FROM um)::BIGINT AS m_probes,
+        |       (SELECT count(*) FROM wm)::BIGINT AS n_sample,
+        |       (SELECT sum(u) FROM um)::BIGINT AS sum_u,
+        |       (SELECT sum(w) FROM wm)::BIGINT AS sum_w,
+        |       round((SELECT sum(u) FROM um)::DOUBLE
+        |             / ((SELECT sum(u) FROM um)
+        |                + (SELECT sum(w) FROM wm))::DOUBLE, 6) AS hopkins""".stripMargin,
     "q295_ivfpq_recall" -> ivfPqSql(8, 16, 10, 2, 20),
     "q296_dbscan" -> dbscanSql(9000L, 4),
     "q266_kcenter_coreset" -> kcenterOracle,
