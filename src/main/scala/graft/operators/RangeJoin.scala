@@ -143,13 +143,151 @@ object RangeJoin extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q307: Markov-chain removal-effect attribution (Anderl et al. 2016)
+    * — the data-driven credit model above q194's first/last-touch and
+    * q281's positional heuristics. Per-user-day touch sequences become
+    * a first-order chain START → channels → CONV/NULL; each channel's
+    * credit is its REMOVAL EFFECT: how much absorption probability the
+    * chain loses when that channel's inbound transitions are redirected
+    * to NULL — removing a channel can never help, so effects are
+    * non-negative by construction.
+    *
+    * Absorption runs as `steps` unrolled value-iteration rounds
+    * (k-step absorption probability) on the BOUNDED
+    * (variant × state × state) transition matrix in integer ppb: each
+    * round sums exact cnt·v products and closes with one floor
+    * division by the row's out-degree — order-independent, identical
+    * in any engine. Mirrors the q143/q212 fixed-round doctrine.
+    *
+    * Scale shape: one events pass builds the per-day sequences
+    * (user-day window); everything after — variants, matrix, the six
+    * iteration rounds, shares — runs on a frame whose size is set by
+    * |channels|², not the corpus.
+    */
+  def markovAttribution(events: DataFrame, steps: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    val base = events.filter(col("event_type") =!= "error")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("event_type"))
+    val conv = base.filter(col("event_type") === "purchase")
+      .select("user_id", "day").distinct()
+    val touches = base.filter(col("event_type") =!= "purchase")
+    val w = Window.partitionBy("user_id", "day").orderBy(col("ts"), col("event_id"))
+    val seq = touches.withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+    val withConv = seq.join(conv.withColumn("is_conv", lit(true)),
+        Seq("user_id", "day"), "left")
+      .na.fill(false, Seq("is_conv"))
+    val mid = withConv.select(col("event_type").as("src"),
+      coalesce(col("nxt"),
+        when(col("is_conv"), lit("CONV")).otherwise(lit("NULL"))).as("dst"))
+    val starts = withConv.filter(col("rn") === 1)
+      .select(lit("START").as("src"), col("event_type").as("dst"))
+    val direct = conv
+      .join(touches.select("user_id", "day").distinct(), Seq("user_id", "day"), "left_anti")
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    val edges0 = mid.unionByName(starts).unionByName(direct)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val variants = touches.select(col("event_type").as("variant")).distinct()
+      .unionByName(spark.range(1).select(lit("FULL").as("variant")))
+    val eds = edges0.crossJoin(broadcast(variants))
+      .filter(col("src") =!= col("variant"))
+      .select(col("variant"), col("src"),
+        when(col("dst") === col("variant"), lit("NULL")).otherwise(col("dst")).as("dst"),
+        col("cnt"))
+      .groupBy("variant", "src", "dst").agg(sum("cnt").as("cnt"))
+    val outs = eds.groupBy("variant", "src").agg(sum("cnt").as("o"))
+    var v = outs.select(col("variant"), col("src").as("state"), lit(0L).as("v"))
+    for (_ <- 1 to steps) {
+      v = eds
+        .join(broadcast(v.select(col("variant"), col("state").as("dst"),
+          col("v").as("vt"))), Seq("variant", "dst"), "left")
+        .select(col("variant"), col("src"), (col("cnt") *
+          when(col("dst") === "CONV", lit(1000000000L))
+            .when(col("dst") === "NULL", lit(0L))
+            .otherwise(coalesce(col("vt"), lit(0L)))).as("num"))
+        .groupBy("variant", "src").agg(sum("num").as("num"))
+        .join(broadcast(outs), Seq("variant", "src"))
+        .select(col("variant"), col("src").as("state"), expr("num div o").as("v"))
+    }
+    val p = v.filter(col("state") === "START").select(col("variant"), col("v").as("p_ppb"))
+    val pFull = p.filter(col("variant") === "FULL")
+      .select(col("p_ppb").as("p_full_ppb"))
+    val res = p.filter(col("variant") =!= "FULL").crossJoin(broadcast(pFull))
+      .withColumn("removal_effect_ppb", col("p_full_ppb") - col("p_ppb"))
+    val tot = res.agg(sum("removal_effect_ppb").as("re_tot"))
+    res.crossJoin(broadcast(tot))
+      .select(col("variant").as("channel"), col("p_full_ppb"),
+        col("p_ppb").as("p_removed_ppb"), col("removal_effect_ppb"),
+        when(col("re_tot") <= 0, lit(null).cast("long"))
+          .otherwise(expr("removal_effect_ppb * 1000000L div re_tot")).as("share_ppm"))
+      .orderBy("channel")
+  }
+
+  /** Unrolled k-step oracle for q307 — same integer ppb arithmetic. */
+  private[operators] def markovSql(steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""v$i AS MATERIALIZED (
+         |  SELECT e.variant, e.src AS state,
+         |         (sum(e.cnt * CASE WHEN e.dst = 'CONV' THEN 1000000000
+         |                           WHEN e.dst = 'NULL' THEN 0
+         |                           ELSE coalesce(p.v, 0) END) // o.o)::BIGINT AS v
+         |  FROM eds e JOIN outs o ON o.variant = e.variant AND o.src = e.src
+         |  LEFT JOIN $prev p ON p.variant = e.variant AND p.state = e.dst
+         |  GROUP BY e.variant, e.src, o.o)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT user_id, ts::DATE AS day, ts, event_id, event_type
+       |              FROM events WHERE event_type <> 'error'),
+       |conv AS MATERIALIZED (SELECT DISTINCT user_id, day FROM base WHERE event_type = 'purchase'),
+       |touches AS MATERIALIZED (SELECT * FROM base WHERE event_type <> 'purchase'),
+       |seq AS (SELECT user_id, day, event_type,
+       |               row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn,
+       |               lead(event_type) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS nxt
+       |        FROM touches),
+       |wc AS MATERIALIZED (SELECT s.*, (c.user_id IS NOT NULL) AS is_conv
+       |      FROM seq s LEFT JOIN conv c ON s.user_id = c.user_id AND s.day = c.day),
+       |mid AS (SELECT event_type AS src,
+       |               coalesce(nxt, CASE WHEN is_conv THEN 'CONV' ELSE 'NULL' END) AS dst
+       |        FROM wc),
+       |starts AS (SELECT 'START' AS src, event_type AS dst FROM wc WHERE rn = 1),
+       |direct AS (SELECT 'START' AS src, 'CONV' AS dst FROM conv c
+       |           WHERE NOT EXISTS (SELECT 1 FROM touches t
+       |                             WHERE t.user_id = c.user_id AND t.day = c.day)),
+       |edges0 AS (SELECT src, dst, count(*)::BIGINT AS cnt
+       |           FROM (SELECT * FROM mid UNION ALL SELECT * FROM starts
+       |                 UNION ALL SELECT * FROM direct)
+       |           GROUP BY 1, 2),
+       |variants AS (SELECT DISTINCT event_type AS variant FROM touches
+       |             UNION ALL SELECT 'FULL'),
+       |eds AS MATERIALIZED (
+       |  SELECT variant, src, CASE WHEN dst = variant THEN 'NULL' ELSE dst END AS dst,
+       |         sum(cnt)::BIGINT AS cnt
+       |  FROM edges0, variants WHERE src <> variant GROUP BY 1, 2, 3),
+       |outs AS MATERIALIZED (SELECT variant, src, sum(cnt)::BIGINT AS o FROM eds GROUP BY 1, 2),
+       |v0 AS (SELECT variant, src AS state, 0::BIGINT AS v FROM outs),
+       |$rounds,
+       |p AS (SELECT variant, v AS p_ppb FROM v$steps WHERE state = 'START'),
+       |pf AS (SELECT p_ppb AS p_full_ppb FROM p WHERE variant = 'FULL'),
+       |res AS (SELECT variant AS channel, p_full_ppb, p_ppb AS p_removed_ppb,
+       |               p_full_ppb - p_ppb AS removal_effect_ppb
+       |        FROM p, pf WHERE variant <> 'FULL'),
+       |tot AS (SELECT sum(removal_effect_ppb)::BIGINT AS re_tot FROM res)
+       |SELECT channel, p_full_ppb, p_removed_ppb, removal_effect_ppb,
+       |       CASE WHEN re_tot <= 0 THEN NULL
+       |            ELSE (removal_effect_ppb * 1000000 // re_tot) END::BIGINT AS share_ppm
+       |FROM res, tot ORDER BY channel""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_markov_attribution" -> ((s, d) => markovAttribution(Tables(s, d).events)),
     "q281_positional_attribution" -> ((s, d) => positionalAttribution(Tables(s, d).events)),
     "q61_session_errors" -> ((s, d) => errorsPerSession(Tables(s, d).events)),
     "q194_attribution"   -> ((s, d) => touchAttribution(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
+    "q307_markov_attribution" -> markovSql(6),
     "q281_positional_attribution" ->
       """WITH t AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
