@@ -591,7 +591,49 @@ object Clustering extends QueryModule {
           (col("sum_u") + col("sum_w")).cast("double"), 6).as("hopkins"))
   }
 
+  /** q308: simplified-silhouette quality report for the q176 k-means
+    * model (Hruschka et al. 2004's centroid form of Rousseeuw 1987) —
+    * the per-cluster cohesion/separation gate run AFTER clustering:
+    * s(i) = (b−a)/max(a,b) with a = d²(i, own centroid),
+    * b = min d²(i, other centroids). The centroid form needs k
+    * distances per point, not n — the only silhouette computable at
+    * corpus scale — and with squared L2 it stays on exact integers
+    * (a ≤ b by assignment-optimality, so s ∈ [0,1] and every floor
+    * division is non-negative; per-point s floor-quantizes to ppm
+    * BEFORE the per-cluster mean, which is then one integer division).
+    *
+    * Scale shape: same broadcast-centroid assignment pass as q176 (the
+    * codegen'd sqdist kernel, k·D per point); ranking the k candidate
+    * distances per vector is a bounded window. Nothing pairwise.
+    */
+  def silhouetteReport(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = quantized(embeddings)
+    val c0 = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("u").as("cu"))
+    val c1 = updateCentroids(assign(vecs, c0))
+    val d = vecs.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("cid"), sqDist(col("u"), col("cu")).as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    val ranked = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val r1 = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist").as("adist"))
+    val r2 = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), col("dist").as("bdist"))
+    r1.join(r2, "vec_id")
+      .select(col("cluster"),
+        when(col("bdist") <= 0, lit(0L))
+          .otherwise(expr("cast(bdist - adist as decimal(38,0)) * 1000000L div bdist"))
+          .as("s_ppm"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        expr("sum(s_ppm) div count(1)").as("mean_s_ppm"),
+        min("s_ppm").as("min_s_ppm"))
+      .orderBy("cluster")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_silhouette" -> ((s, d) => silhouetteReport(Tables(s, d).embeddings)),
     "q306_hopkins" -> ((s, d) => hopkinsStatistic(Tables(s, d).embeddings)),
     "q295_ivfpq_recall" -> ((s, d) => ivfPqRecall(Tables(s, d).embeddings)),
     "q296_dbscan" -> ((s, d) => dbscanReport(Tables(s, d).embeddings)),
@@ -786,6 +828,28 @@ object Clustering extends QueryModule {
       |ORDER BY cluster_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // q176's unrolled Lloyd's (e/c0/a1/c1), then k ranked distances per
+    // vector; ppm silhouettes in HUGEINT before the per-cluster mean
+    "q308_silhouette" -> (assignSql +
+      """,
+        |d3 AS (SELECT e.vec_id, c.cid,
+        |              list_sum(list_transform(range(len(e.u)),
+        |                k -> (e.u[k+1] - c.cu[k+1]) * (e.u[k+1] - c.cu[k+1]))) AS dist
+        |       FROM e CROSS JOIN c1 c),
+        |r3 AS (SELECT vec_id, cid, dist,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |       FROM d3),
+        |pr AS (SELECT a.vec_id, a.cid AS cluster, a.dist AS adist, b.dist AS bdist
+        |       FROM r3 a JOIN r3 b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+        |sv AS (SELECT cluster,
+        |              CASE WHEN bdist <= 0 THEN 0
+        |                   ELSE ((bdist - adist)::HUGEINT * 1000000 // bdist)::BIGINT
+        |              END AS s_ppm
+        |       FROM pr)
+        |SELECT cluster, count(*)::BIGINT AS n_points,
+        |       (sum(s_ppm) // count(*))::BIGINT AS mean_s_ppm,
+        |       min(s_ppm)::BIGINT AS min_s_ppm
+        |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin),
     "q306_hopkins" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
         |             x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS xq
