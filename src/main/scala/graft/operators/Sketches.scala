@@ -265,7 +265,39 @@ object Sketches extends QueryModule {
       .orderBy("window_end")
   }
 
+  /** q309: self-join-size (F₂) estimation from the q107 count-min
+    * sketch — the optimizer-support primitive: |R ⋈ₖ R| = Σₖ cnt(k)²
+    * is the second frequency moment, and a CMS estimates it WITHOUT
+    * materializing the key histogram as minⱼ Σ_b c[j][b]² (the
+    * AMS-style inner product of the sketch with itself; collisions
+    * only ADD mass, so the estimate is a guaranteed upper bound —
+    * exactly what a join planner wants before picking a strategy for
+    * a key it has never scanned). Reported against the exact F₂ with
+    * the overestimate in ppm, the same calibration-report contract as
+    * q106/q113.
+    *
+    * Scale shape: the sketch is ONE map-side-combined pass → depth×width
+    * cells; the exact side (kept as the calibration reference, like
+    * q113's exact semi-join) is one keyed count. At 100 TB only the
+    * sketch pass runs; the exact pass is the test harness.
+    */
+  def selfJoinSizeEstimate(li: DataFrame, depth: Int = 4,
+                           width: Int = 64): DataFrame = {
+    val keys = li.select(col("l_partkey").cast("string").as("k"))
+    val cells = keys.select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), (hash60(s"js$j", col("k")) % width).as("b"))): _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b")).agg(count(lit(1)).as("cnt"))
+    val est = cells.groupBy("j").agg(sum(col("cnt") * col("cnt")).as("f2"))
+      .agg(min("f2").as("cms_f2"))
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"), count(lit(1)).as("n_keys"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_keys"), col("exact_f2"), col("cms_f2"),
+        expr("(cms_f2 - exact_f2) * 1000000L div exact_f2").as("overest_ppm"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_joinsize_cms" -> ((s, d) => selfJoinSizeEstimate(Tables(s, d).lineitem)),
     "q257_rolling_hll" -> ((s, d) => rollingHllUsers(Tables(s, d).events)),
     "q106_hll_distinct" -> ((s, d) => hllDistinct(Tables(s, d).documents)),
     "q222_theta_overlap" -> ((s, d) => thetaOverlap(Tables(s, d).documents)),
@@ -342,6 +374,19 @@ object Sketches extends QueryModule {
     s"list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5($saltedArg), i, 1)) - 1), (a, b) -> a * 16 + b)::UBIGINT"
 
   override def oracles: Map[String, String] = Map(
+    "q309_joinsize_cms" ->
+      s"""WITH keys AS (SELECT l_partkey::VARCHAR AS k FROM lineitem),
+        |cells AS (SELECT j, ${hx("'js' || j || '|' || k")} % 64 AS b,
+        |                 count(*)::BIGINT AS cnt
+        |          FROM keys CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+        |          GROUP BY 1, 2),
+        |est AS (SELECT min(f2)::BIGINT AS cms_f2
+        |        FROM (SELECT j, sum(cnt * cnt) AS f2 FROM cells GROUP BY 1)),
+        |ex AS (SELECT sum(c * c)::BIGINT AS exact_f2, count(*)::BIGINT AS n_keys
+        |       FROM (SELECT k, count(*)::BIGINT AS c FROM keys GROUP BY 1))
+        |SELECT n_keys, exact_f2, cms_f2,
+        |       ((cms_f2 - exact_f2) * 1000000 // exact_f2)::BIGINT AS overest_ppm
+        |FROM ex, est""".stripMargin,
     "q257_rolling_hll" ->
       s"""WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |                  ${hx("'rhll|' || user_id::VARCHAR")} AS v
