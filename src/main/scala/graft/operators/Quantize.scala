@@ -356,7 +356,75 @@ object Quantize extends QueryModule {
       .orderBy("label_a", "label_b")
   }
 
+  /** q310: sliced Wasserstein-1 distance between every label pair
+    * (Rabin et al. 2011; Bonneel et al. 2015) — the transport-based
+    * drift metric completing the panel: q300's MMD sees moment shifts,
+    * sliced-W1 sees MASS TRANSPORT (how far probability actually has
+    * to move), and on 1-D projections the optimal transport is exact
+    * CDF arithmetic — no Sinkhorn, no pairing.
+    *
+    * Each of `slices` md5-sign directions (the q279 Achlioptas
+    * convention, salt 'sw') projects the quantized vectors to
+    * integers; projections bin into `bins` equal-width buckets over
+    * the slice's global range, and the per-pair W1 in bin units is the
+    * exact integer Σ|cumA·nB − cumB·nA| summed over slices — ONE
+    * closing division by slices·nA·nB. Binning is the documented
+    * approximation that keeps the CDF grid bounded at corpus scale.
+    *
+    * Scale shape: one corpus pass projects (slices narrow columns);
+    * everything after runs on the slices × labels × bins grid —
+    * bounded by configuration, not the corpus. Range and label dims
+    * broadcast.
+    */
+  def slicedWasserstein(embeddings: DataFrame, slices: Int = 8,
+                        bins: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    val signs = typedLit(Seq.tabulate(slices)(s => Seq.tabulate(64)(d => swSign(d, s))))
+    val proj = embeddings.select(col("label"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))")
+        .as("xq"))
+      .withColumn("signs", signs)
+      .select(col("label"), posexplode(expr(
+        """transform(signs, srow ->
+          |  aggregate(zip_with(srow, xq, (s, x) -> s * x), 0L, (a, v) -> a + v))"""
+          .stripMargin)).as(Seq("s", "p")))
+    val rng = proj.groupBy("s").agg(min("p").as("lo"), max("p").as("hi"))
+    val binned = proj.join(broadcast(rng), "s")
+      .select(col("s"), col("label"),
+        expr(s"(p - lo) * $bins div (hi - lo + 1)").as("bin"))
+      .groupBy("s", "label", "bin").agg(count(lit(1)).as("c"))
+    val labels = embeddings.groupBy("label").agg(count(lit(1)).as("n"))
+    val dense = labels
+      .crossJoin(broadcast(spark.range(bins).select(col("id").as("bin"))))
+      .crossJoin(broadcast(rng.select("s")))
+      .join(binned, Seq("s", "label", "bin"), "left").na.fill(0L, Seq("c"))
+    val w = Window.partitionBy("s", "label").orderBy("bin")
+    val cum = dense.withColumn("cum", sum("c").over(w))
+    cum.alias("a")
+      .join(broadcast(cum.alias("b")),
+        col("a.s") === col("b.s") && col("a.bin") === col("b.bin")
+          && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")).as("gap"))
+      .groupBy("label_a", "label_b")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"), sum("gap").as("gap_sum"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("gap_sum").cast("double") /
+          (lit(slices.toLong) * col("n_a") * col("n_b")).cast("double"), 6).as("sw1_bins"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** md5-sign for the q310 slice directions (q279's jlSign, salt 'sw'). */
+  private[operators] def swSign(d: Int, s: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h0 = md.digest(s"sw|$d|$s".getBytes("UTF-8"))(0) & 0xff
+    if (h0 < 0x80) 1L else -1L
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_sliced_w1" -> ((s, d) => slicedWasserstein(Tables(s, d).embeddings)),
     "q300_mmd_drift" -> ((s, d) => mmdDrift(Tables(s, d).embeddings)),
     "q279_jl_distortion" -> ((s, d) => jlDistortion(Tables(s, d).embeddings)),
     "q55_quantize_stats" -> ((s, d) => quantizeStats(Tables(s, d).embeddings)),
@@ -448,6 +516,38 @@ object Quantize extends QueryModule {
         |       round(max(z), 4) AS max_z,
         |       round(min(z), 4) AS min_z
         |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // regenerates the ±1 slice matrix from md5('sw|d|s'); exact integer
+    // CDF-gap sums over the dense slices×labels×bins grid
+    "q310_sliced_w1" ->
+      """WITH signs AS (SELECT d.d, s.s,
+        |                      CASE WHEN substr(md5('sw|' || d.d || '|' || s.s), 1, 1) < '8'
+        |                           THEN 1 ELSE -1 END AS sg
+        |               FROM generate_series(0, 63) d(d), generate_series(0, 7) s(s)),
+        |q AS (SELECT vec_id, label, list_transform(embedding,
+        |        x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS xq
+        |      FROM embeddings),
+        |comp AS (SELECT vec_id, label, t.d, xq[t.d + 1] AS x
+        |         FROM q, generate_series(0, 63) t(d)),
+        |proj AS (SELECT vec_id, label, s, sum(sg * x)::BIGINT AS p
+        |         FROM comp JOIN signs ON signs.d = comp.d GROUP BY 1, 2, 3),
+        |rng AS (SELECT s, min(p) AS lo, max(p) AS hi FROM proj GROUP BY 1),
+        |binned AS (SELECT pr.s, label, (p - lo) * 64 // (hi - lo + 1) AS bin,
+        |                  count(*)::BIGINT AS c
+        |           FROM proj pr JOIN rng ON rng.s = pr.s GROUP BY 1, 2, 3),
+        |labels AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1),
+        |dense AS (SELECT r.s, l.label, l.n, b.bin, coalesce(bb.c, 0)::BIGINT AS c
+        |          FROM (SELECT DISTINCT s FROM rng) r
+        |          CROSS JOIN labels l CROSS JOIN generate_series(0, 63) b(bin)
+        |          LEFT JOIN binned bb ON bb.s = r.s AND bb.label = l.label
+        |                             AND bb.bin = b.bin),
+        |cum AS (SELECT s, label, n, bin,
+        |               sum(c) OVER (PARTITION BY s, label ORDER BY bin)::BIGINT AS cum
+        |        FROM dense)
+        |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+        |       round(sum(abs(a.cum * b.n - b.cum * a.n))::DOUBLE
+        |             / (8 * a.n * b.n)::DOUBLE, 6) AS sw1_bins
+        |FROM cum a JOIN cum b ON a.s = b.s AND a.bin = b.bin AND a.label < b.label
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
     // per-label homogeneous Gram (q161's pass grouped by label), then
     // moment-gap cross-multiplication in HUGEINT (decimal(38,0) mirror)
     "q300_mmd_drift" ->
