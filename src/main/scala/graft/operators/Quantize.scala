@@ -377,10 +377,10 @@ object Quantize extends QueryModule {
     * broadcast.
     */
   def slicedWasserstein(embeddings: DataFrame, slices: Int = 8,
-                        bins: Int = 64): DataFrame = {
+                        bins: Int = 64, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
-    val signs = typedLit(Seq.tabulate(slices)(s => Seq.tabulate(64)(d => swSign(d, s))))
+    val signs = typedLit(Seq.tabulate(slices)(s => Seq.tabulate(dims)(d => swSign(d, s))))
     val proj = embeddings.select(col("label"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000) as bigint))")
         .as("xq"))

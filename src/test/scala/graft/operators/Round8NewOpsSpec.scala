@@ -169,6 +169,72 @@ class Round8NewOpsSpec extends SparkSpec {
     assert(got.sortBy(t => (t._1, t._2)).toSeq == want.sortBy(t => (t._1, t._2)))
   }
 
+  // ---- q306 Hopkins -------------------------------------------------------
+
+  test("hopkinsStatistic: tightly clustered data scores far above scattered data") {
+    def emb(rows: Seq[(Long, Array[Float], Int)]) = rows.toDF("vec_id", "embedding", "label")
+    // two tight clumps in a wide box (the corners anchor the bounding box)
+    val clustered = emb((0L until 20L).map(i =>
+      (i, Array(if (i < 10) 0.01f else 0.99f, if (i < 10) 0.01f else 0.99f,
+        0f, 0f) ++ Array.fill(4)(0f), 0)))
+    // a regular lattice over the same box
+    val spread = emb((0L until 20L).map { i =>
+      val g = i % 5; val h = i / 5
+      (i, Array(g * 0.25f, h * 0.33f, 0f, 0f) ++ Array.fill(4)(0f), 0)
+    })
+    val hc = Clustering.hopkinsStatistic(clustered, m = 30).collect()(0).getAs[Double]("hopkins")
+    val hs = Clustering.hopkinsStatistic(spread, m = 30).collect()(0).getAs[Double]("hopkins")
+    assert(hc > hs, s"clustered $hc should exceed spread $hs")
+    assert(hc > 0.8)
+  }
+
+  // ---- q308 silhouette ----------------------------------------------------
+
+  test("silhouetteReport: perfectly separated clumps score s near 1, one smeared cloud scores low") {
+    def emb(rows: Seq[(Long, Array[Float], Int)]) = rows.toDF("vec_id", "embedding", "label")
+    // k=2 seeds are vec_id 0 and 1 — place them in different clumps
+    val separated = emb((0L until 20L).map { i =>
+      val c = (i % 2).toFloat
+      (i, Array(c, c, 0f, 0f), 0)
+    })
+    val rows = Clustering.silhouetteReport(separated, k = 2).collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getAs[Long]("mean_s_ppm") > 900000L,
+      s"separated clumps should have s close to 1: $r"))
+  }
+
+  // ---- q309 CMS join size -------------------------------------------------
+
+  test("selfJoinSizeEstimate: CMS estimate upper-bounds the exact F2 and is tight on few keys") {
+    val li = (0L until 300L).map(i => (i % 7)).toDF("l_partkey")
+    val r = Sketches.selfJoinSizeEstimate(li).collect()(0)
+    val exact = r.getAs[Long]("exact_f2")
+    val est = r.getAs[Long]("cms_f2")
+    val byKey = (0L until 300L).groupBy(_ % 7).map(_._2.size.toLong)
+    assert(exact == byKey.map(c => c * c).sum)
+    assert(est >= exact, "CMS inner product must never underestimate")
+    // 7 keys in 64 buckets: collisions unlikely across 4 rows -> tight
+    assert(est == exact, s"expected a collision-free sketch on 7 keys, got $est vs $exact")
+  }
+
+  // ---- q310 sliced W1 -----------------------------------------------------
+
+  test("slicedWasserstein: identical label distributions score 0; a shifted label scores more") {
+    def emb(rows: Seq[(Long, Array[Float], Int)]) = rows.toDF("vec_id", "embedding", "label")
+    val base = (0 until 16).map(i => Array.tabulate(8)(d => (i % 4) * 0.1f + d * 0.01f))
+    val rows = emb(
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) } ++
+      base.zipWithIndex.map { case (v, i) => (100L + i, v, 1) } ++
+      // shift a single dimension so every ±1 slice sees the transport
+      base.zipWithIndex.map { case (v, i) =>
+        (200L + i, v.updated(0, v(0) + 0.4f), 2) })
+    val m = Quantize.slicedWasserstein(rows, dims = 8).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) -> r.getAs[Double]("sw1_bins"))
+      .toMap
+    assert(m(0, 1) == 0.0)
+    assert(m(0, 2) > 0.0 && m(1, 2) > 0.0)
+  }
+
   // ---- q305 margin mining -------------------------------------------------
 
   test("marginMining: hub pairs rank below exclusive pairs with the same raw similarity") {
