@@ -269,6 +269,25 @@ object MediaCodec {
     s
   }
 
+  /** Luminance histogram of a REAL decode at native size: bucket
+    * = gray·buckets/256 over the red channel (the aHash64 gray
+    * convention). Returns (pixel count, dense bucket counts). */
+  def grayHistogram(bytes: Array[Byte], buckets: Int): (Long, Array[Long]) = {
+    val img = readImage(bytes)
+    val hist = new Array[Long](buckets)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val v = (img.getRGB(x, y) >>> 16) & 0xff
+        hist(v * buckets / 256) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth.toLong * img.getHeight, hist)
+  }
+
   /** Encode a grayscale image as PNG: pixel(x, y) supplies the 8-bit
     * value, replicated across RGB. PNG is lossless, so a decode
     * round-trips to the exact generated values.

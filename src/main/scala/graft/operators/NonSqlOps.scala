@@ -336,7 +336,49 @@ object NonSqlOps extends QueryModule {
     hammingPairsFromSigs(sigs, maxHamming, nBlocks = 4)
   }
 
+  /** q311: luminance-histogram similarity between image CLASSES — the
+    * third rung of the image-dedup ladder: q97 aHash catches exact
+    * perceptual copies, q287 dHash catches near-copies at hamming ≤ 2,
+    * and histogram INTERSECTION (Swain & Ballard 1991) scores global
+    * tonal similarity that survives recomposition (crops/rearrangements
+    * keep the histogram; both hash families lose it). Decode is the
+    * REAL JDK codec path at native size (no resize — the histogram is
+    * size-normalized instead).
+    *
+    * The corpus is deduped to its distinct raster classes FIRST (the
+    * q97 posture: fixture classes recur under seed = doc_id % 29), so
+    * decode runs once per class and the pairwise stage is bounded by
+    * |classes|², never |docs|². Similarity is the exact rational
+    * Σ_b min(hA_b·nB, hB_b·nA) · 10⁶ / (nA·nB), floor-quantized —
+    * integer min/products only.
+    */
+  def imageHistSimilarity(documents: DataFrame, buckets: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val classes = documents.select((col("doc_id") % 29).as("seed"))
+      .groupBy("seed").agg(count(lit(1)).as("n_docs"))
+    val hists = classes.as[(Long, Long)].mapPartitions { it =>
+      it.map { case (seed, nd) =>
+        val w = (8 + seed % 13).toInt
+        val h = (8 + seed % 11).toInt
+        val png = MediaCodec.encodePng(w, h,
+          (x, y) => ((x * 31 + y * 17 + seed * 7) % 256).toInt)
+        val (np, hist) = MediaCodec.grayHistogram(png, buckets)
+        (seed, nd, np, hist)
+      }
+    }.toDF("seed", "n_docs", "n_pix", "hist")
+    hists.alias("a").join(broadcast(hists.alias("b")), col("a.seed") < col("b.seed"))
+      .select(col("a.seed").as("seed_a"), col("b.seed").as("seed_b"),
+        col("a.n_docs").as("n_docs_a"), col("b.n_docs").as("n_docs_b"),
+        expr(
+          """aggregate(zip_with(a.hist, b.hist, (x, y) -> least(x * b.n_pix, y * a.n_pix)),
+            |          0L, (s, v) -> s + v) * 1000000L div (a.n_pix * b.n_pix)"""
+            .stripMargin).as("sim_ppm"))
+      .orderBy("seed_a", "seed_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_image_hist" -> ((s, d) => imageHistSimilarity(Tables(s, d).documents)),
     "q287_image_dhash" -> ((s, d) => imageDHashPairs(Tables(s, d).documents)),
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
     "q97_image_ahash"     -> ((s, d) => imageAHashGroups(Tables(s, d).documents)),
@@ -410,6 +452,32 @@ object NonSqlOps extends QueryModule {
         |       sum(v)::BIGINT AS sum_amp,
         |       sum((v - 128) * (v - 128))::BIGINT AS energy
         |FROM apx GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin,
+    // closed-form raster mirror of the REAL decode (q97 contract) at
+    // native size; exact rational histogram intersection in ppm
+    "q311_image_hist" ->
+      """WITH seeds AS (SELECT doc_id % 29 AS seed, count(*)::BIGINT AS n_docs
+        |               FROM documents GROUP BY 1),
+        |dims AS (SELECT seed, n_docs, (8 + seed % 13)::BIGINT AS w,
+        |                (8 + seed % 11)::BIGINT AS h
+        |         FROM seeds),
+        |px AS (SELECT seed, n_docs, w * h AS n_pix, p % w AS x, p // w AS y
+        |       FROM dims, unnest(range(w * h)) t(p)),
+        |v AS (SELECT seed, n_docs, n_pix,
+        |             (((x * 31 + y * 17 + seed * 7) % 256) * 8) // 256 AS b
+        |      FROM px),
+        |hist AS (SELECT seed, n_docs, n_pix, b, count(*)::BIGINT AS c
+        |         FROM v GROUP BY 1, 2, 3, 4),
+        |dense AS (SELECT s.seed, s.n_docs, d.n_pix, bb.b, coalesce(h.c, 0)::BIGINT AS c
+        |          FROM seeds s
+        |          JOIN (SELECT DISTINCT seed, n_pix FROM px) d ON d.seed = s.seed
+        |          CROSS JOIN generate_series(0, 7) bb(b)
+        |          LEFT JOIN hist h ON h.seed = s.seed AND h.b = bb.b)
+        |SELECT a.seed AS seed_a, b.seed AS seed_b,
+        |       max(a.n_docs)::BIGINT AS n_docs_a, max(b.n_docs)::BIGINT AS n_docs_b,
+        |       (sum(least(a.c * b.n_pix, b.c * a.n_pix)) * 1000000
+        |          // (max(a.n_pix) * max(b.n_pix)))::BIGINT AS sim_ppm
+        |FROM dense a JOIN dense b ON a.b = b.b AND a.seed < b.seed
+        |GROUP BY a.seed, b.seed ORDER BY seed_a, seed_b""".stripMargin,
     // q103's closed-form PCM mirror; in-frame consecutive pairs only
     // (i % 160 != 159), midline-sign change, floor-ppm division
     "q304_audio_zcr" ->
