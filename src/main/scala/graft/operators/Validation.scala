@@ -379,7 +379,36 @@ object Validation extends QueryModule {
     ).reduce(_.unionByName(_)).orderBy("table_name")
   }
 
+  /** q312: ORC round-trip fidelity audit — the columnar-format escape
+    * hatch: write the corpus to ORC partitioned by `lang` (Spark's
+    * second first-class columnar sink, zero extra dependencies), read
+    * it back through partition discovery, and prove row fidelity with
+    * per-source counts, sums, and an md5-derived content signature the
+    * oracle recomputes from the ORIGINAL parquet — any encode/decode,
+    * partition-column, or schema-evolution corruption breaks the hash.
+    * (The q24 checksum-manifest contract applied to a format boundary;
+    * a real pipeline runs exactly this gate before switching formats
+    * or engines.)
+    *
+    * Scale: the write is a normal partitioned sink (one shuffle-free
+    * pass); the audit is one map-side-combined aggregate per side.
+    * Overwrite mode keeps the query re-runnable in one session (the
+    * q205 lesson).
+    */
+  def orcRoundTrip(documents: DataFrame, path: String): DataFrame = {
+    documents.write.mode("overwrite").partitionBy("lang").orc(path)
+    val back = documents.sparkSession.read.orc(path)
+    back.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(conv(substring(md5(concat(lit("orc|"), col("text"))), 1, 15), 16, 10)
+          .cast("long") % 1000000000L).as("text_sig"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_orc_roundtrip" -> ((s, d) =>
+      orcRoundTrip(Tables(s, d).documents, "target/graft_orc_roundtrip")),
     "q247_referential_audit" -> ((s, d) => referentialAudit(Tables(s, d))),
     "q248_subject_access" -> ((s, d) => subjectAccessManifest(Tables(s, d))),
     "q228_expectations" -> ((s, d) => expectationSuite(Tables(s, d).orders)),
@@ -407,6 +436,15 @@ object Validation extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // computed from the ORIGINAL parquet — equality proves the ORC
+    // write→partition-discovery→read chain preserved every row
+    "q312_orc_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       sum(list_reduce(list_transform(range(1, 16),
+        |             i -> strpos('0123456789abcdef', substr(md5('orc|' || text), i, 1)) - 1),
+        |             (a, b) -> a * 16 + b)::BIGINT % 1000000000)::BIGINT AS text_sig
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q247_referential_audit" -> {
       val edges = Seq(
         ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
