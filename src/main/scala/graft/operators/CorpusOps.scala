@@ -726,7 +726,43 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
+  /** q313: largest-remainder (Hamilton) apportionment of a training
+    * budget across sources — the EXACT-TOTAL complement to q128's
+    * rounded epoch plan: floor(B·w+½) per source can miss the budget
+    * by up to |sources|/2 slots, while Hamilton's method (floor shares,
+    * then +1 to the largest fractional remainders until the deficit is
+    * spent) is guaranteed to sum to exactly B — the property a
+    * shard-packing stage downstream actually requires.
+    *
+    * Everything is integer: share = B·tokᵢ, base = share div T,
+    * remainder = share mod T, and the bonus ranking orders exact
+    * remainders (tie → source name). Products ride decimal(38,0) ↔
+    * HUGEINT (B·corpus-token-counts overflow int64 at ~10⁹-token
+    * sources). One corpus pass; the apportionment runs on the
+    * |sources| frame.
+    */
+  def hamiltonApportionment(documents: DataFrame, budget: Long = 100000L): DataFrame = {
+    val tok = documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+    val tot = tok.agg(sum("n_tokens").as("tt"))
+    val shares = tok.crossJoin(broadcast(tot))
+      .withColumn("share", expr(s"cast($budget as decimal(38,0)) * n_tokens"))
+      .withColumn("base", expr("cast(share div tt as bigint)"))
+      .withColumn("rem", expr("cast(share % tt as bigint)"))
+    val deficit = shares.agg((lit(budget) - sum("base")).as("deficit"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    shares.crossJoin(broadcast(deficit))
+      .withColumn("bonus_rank", row_number().over(w))
+      .withColumn("got_extra", col("bonus_rank") <= col("deficit"))
+      .select(col("source"), col("n_tokens"), col("base"), col("rem"),
+        col("got_extra"),
+        (col("base") + when(col("got_extra"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_apportionment" -> ((s, d) => hamiltonApportionment(Tables(s, d).documents)),
     "q298_rr_frequency" -> ((s, d) => rrFrequency(Tables(s, d).documents)),
     "q299_length_w1" -> ((s, d) => lengthDriftW1(Tables(s, d).documents)),
     "q251_dataset_card" -> ((s, d) => datasetCard(Tables(s, d).documents)),
@@ -751,6 +787,26 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q313_apportionment" ->
+      """WITH tok AS (SELECT source,
+        |                    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |             FROM documents GROUP BY 1),
+        |tt AS (SELECT sum(n_tokens)::BIGINT AS tt FROM tok),
+        |sh AS (SELECT source, n_tokens,
+        |              (100000::HUGEINT * n_tokens) AS share
+        |       FROM tok),
+        |base AS (SELECT source, n_tokens,
+        |                (share // tt)::BIGINT AS base,
+        |                (share % tt)::BIGINT AS rem
+        |         FROM sh, tt),
+        |def AS (SELECT (100000 - sum(base))::BIGINT AS deficit FROM base),
+        |ranked AS (SELECT b.*, d.deficit,
+        |                  row_number() OVER (ORDER BY rem DESC, source) AS bonus_rank
+        |           FROM base b, def d)
+        |SELECT source, n_tokens, base, rem,
+        |       bonus_rank <= deficit AS got_extra,
+        |       (base + CASE WHEN bonus_rank <= deficit THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM ranked ORDER BY source""".stripMargin,
     "q298_rr_frequency" ->
       """WITH cats AS (SELECT source,
         |                     row_number() OVER (ORDER BY source) - 1 AS idx
