@@ -235,6 +235,62 @@ class Round8NewOpsSpec extends SparkSpec {
     assert(m(0, 2) > 0.0 && m(1, 2) > 0.0)
   }
 
+  // ---- q311 image histogram -----------------------------------------------
+
+  test("grayHistogram: real decode reproduces the closed-form raster histogram") {
+    val w = 12; val h = 9; val seed = 5L
+    val png = MediaCodec.encodePng(w, h,
+      (x, y) => ((x * 31 + y * 17 + seed * 7) % 256).toInt)
+    val (np, hist) = MediaCodec.grayHistogram(png, 8)
+    assert(np == w.toLong * h)
+    val want = new Array[Long](8)
+    for (y <- 0 until h; x <- 0 until w)
+      want(((x * 31 + y * 17 + seed * 7) % 256).toInt / 32) += 1L
+    assert(hist.toSeq == want.toSeq)
+  }
+
+  test("imageHistSimilarity: all 29x28/2 class pairs present, sims in [0, 1e6]") {
+    val d = docs((0L until 60L).map(i => (i, "x", "en", "s", 1L)))
+    val rows = NonSqlOps.imageHistSimilarity(d).collect()
+    assert(rows.length == 29 * 28 / 2)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("sim_ppm")
+      assert(s >= 0L && s <= 1000000L)
+    }
+  }
+
+  // ---- q312 ORC round-trip ------------------------------------------------
+
+  test("orcRoundTrip: aggregates through ORC equal the same aggregates straight off the frame") {
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val viaOrc = Validation.orcRoundTrip(d, "target/test_orc_roundtrip").collect().toSeq
+    val direct = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum(conv(substring(md5(concat(lit("orc|"), col("text"))), 1, 15), 16, 10)
+          .cast("long") % 1000000000L).as("text_sig"))
+      .orderBy("source").collect().toSeq
+    assert(viaOrc == direct)
+  }
+
+  // ---- q313 apportionment -------------------------------------------------
+
+  test("hamiltonApportionment: allocations sum exactly to the budget; remainder order breaks the tie") {
+    // three equal sources: 100 = 34 + 33 + 33, the +1 going to the
+    // lexicographically first source (equal remainders)
+    val d = docs(Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a b c", "en", "s2", 5L),
+      (3L, "a b c", "en", "s3", 5L)))
+    val r = CorpusOps.hamiltonApportionment(d, budget = 100L).collect()
+    assert(r.map(_.getAs[Long]("alloc")).sum == 100L)
+    val byS = r.map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+    assert(byS("s1") == 34L && byS("s2") == 33L && byS("s3") == 33L)
+    // corpus invariant: Σ alloc == budget exactly
+    val corpus = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val tot = CorpusOps.hamiltonApportionment(corpus).collect().map(_.getAs[Long]("alloc")).sum
+    assert(tot == 100000L)
+  }
+
   // ---- q305 margin mining -------------------------------------------------
 
   test("marginMining: hub pairs rank below exclusive pairs with the same raw similarity") {
