@@ -400,8 +400,17 @@ object GraphOps extends QueryModule {
     * partial agg, not a window sort.
     */
   def labelPropagation(li: DataFrame, rounds: Int = 2,
-                       checkpointDir: Option[String] = None): DataFrame = {
-    val und = copurchaseEdges(li)
+                       checkpointDir: Option[String] = None): DataFrame =
+    lpLabels(copurchaseEdges(li), rounds, checkpointDir)
+      .groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+
+  /** The q232 synchronous LPA rounds, factored out so q314 can score the
+    * SAME community assignment — returns the (node, lbl) frame.
+    */
+  def lpLabels(und: DataFrame, rounds: Int,
+               checkpointDir: Option[String]): DataFrame = {
     val edges = graft.plans.Checkpoints.cut(
       und.select(col("u").as("s"), col("v").as("dd"))
         .unionAll(und.select(col("v").as("s"), col("u").as("dd")))
@@ -417,9 +426,173 @@ object GraphOps extends QueryModule {
           .agg(min(struct(col("c") * -1, col("lbl"))).as("m"))
           .select(col("node"), col("m.lbl").as("lbl")), checkpointDir)
     }
-    labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
-      .orderBy("community_size")
+    labels
+  }
+
+  /** q314: MODULARITY of the q232 label-propagation communities — the
+    * quality score the community rung was missing: Q = Σ_c [e_c/m −
+    * (d_c/2m)²] (Newman & Girvan 2004), i.e. how much denser inside
+    * communities the co-purchase graph is than its degree-preserving
+    * random rewiring. q232 reports WHAT the partition is; this reports
+    * whether it is real structure (Q ≈ 0 means the "communities" are a
+    * degree artifact).
+    *
+    * Exactness: Q·4m² = Σ_c (4m·e_c − d_c²) is pure integer arithmetic
+    * — the products run in decimal(38,0) ↔ HUGEINT (the q199
+    * convention: 4m·e_c ≤ 4m² overflows int64 past ~2³¹ edges) and the
+    * ONE double division at the end is engine-exact. Scale shape: the
+    * per-community frames (e_c, d_c) come from one edges⋈labels⋈labels
+    * join + node-sized degree join, both key-local after the LPA
+    * rounds' own exchanges; the community frame is bounded by the
+    * community count, never edge-sized.
+    */
+  def lpModularity(li: DataFrame, rounds: Int = 2,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val und = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    val labels = lpLabels(und, rounds, checkpointDir)
+    val m = und.agg(count(lit(1)).as("m"))
+    val intra = und
+      .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("ec"))
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val dc = deg.join(labels.withColumnRenamed("node", "n"), "n")
+      .groupBy("lbl").agg(sum("d").as("dc"))
+    val per = dc.join(intra, Seq("lbl"), "left")
+      .withColumn("ec", coalesce(col("ec"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("ec"),
+        (col("ec").cast("decimal(38,0)") * lit(4) * col("m") -
+         col("dc").cast("decimal(38,0)") * col("dc")).as("term"))
+    per.agg(count(lit(1)).as("n_communities"),
+        sum("ec").as("n_intra"), sum("term").as("num"))
+      .crossJoin(broadcast(m))
+      .select(col("m").as("n_edges"), col("n_communities"), col("n_intra"),
+        round(col("num").cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 4)
+          .as("modularity"))
+  }
+
+  /** q315: DEGREE ASSORTATIVITY of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over every directed edge (Newman
+    * 2002): positive = hubs link to hubs (social-network shape),
+    * negative = hubs fan out to leaves (catalog/star shape). THE
+    * one-number topology fingerprint that decides which graph
+    * algorithms are safe: disassortative hub fan-out is exactly where
+    * naive wedge enumeration (q142's guarded path) and per-key skew
+    * (q63's salting) blow up.
+    *
+    * Exactness: by edge symmetry Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) over the M = 2m directed
+    * pairs needs just three integer sums — run in decimal(38,0) ↔
+    * HUGEINT (M·Σx² ≈ 2m·2m·d̄² passes int64 already at sf0.1) with ONE
+    * double division. Scale: two node-sized degree joins onto the edge
+    * list, one map-side-combined aggregate; nothing but (int, int)
+    * pairs ever shuffles.
+    */
+  def degreeAssortativity(li: DataFrame): DataFrame = {
+    val und = copurchaseEdges(li)
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+    val xy = sym
+      .join(deg.select(col("n").as("a"), col("d").as("x")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("y")), "b")
+    xy.agg(count(lit(1)).as("mm"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
+      .select(expr("mm div 2").as("n_edges"),
+        round((col("mm") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          when(col("mm") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+            .otherwise((col("mm") * col("sxx") - col("sx") * col("sx")).cast("double")),
+          4).as("assortativity"))
+  }
+
+  /** q316: HYPERBALL neighborhood function (Palmer et al. ANF 2002;
+    * Boldi & Vigna HyperANF 2011) — per-node HLL registers of the
+    * radius-r ball, grown by `rounds` max-merge rounds along edges;
+    * the estimated ball sizes for the `reportN` highest-degree parts
+    * are reported against their EXACT ball sizes (oracle-affordable
+    * calibration, the q106 pattern). This is THE scalable way to get
+    * distance distributions / effective diameter: exact r-hop
+    * reachability needs a frontier per node (quadratic state), while
+    * the register frame is ≤ 16 rows per node FOREVER and a round is
+    * one edges⋈registers join + one (node, bucket) max — the max-merge
+    * is associative, so partial aggregation happens map-side and
+    * registers from different partitions/days merge losslessly.
+    *
+    * Registers: m = 16 buckets (p = 4) over the 60-bit salted md5 of
+    * the node id (the q106 arithmetic at 57-bit rank range); estimator
+    * α₁₆·16²/Σ2^(−r) with linear counting below 2.5·m — each node's
+    * estimate is integer register sums + ONE double division, no
+    * order-dependent float accumulation.
+    */
+  def hyperBall(li: DataFrame, rounds: Int = 2, reportN: Int = 6,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val und = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    val sym = und.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(und.select(col("v").as("s"), col("u").as("t")))
+    val deg = sym.groupBy("s").agg(count(lit(1)).as("degree"))
+    val report = deg.orderBy(col("degree").desc, col("s")).limit(reportN)
+      .select(col("s").as("part"), col("degree"))
+    // WIDE register layout: one row per node, 16 rank columns, 0 = empty
+    // bucket (real ranks are 1..57, so 0 is free as the empty marker and
+    // its 2^57 estimator term coincides with the empty-bucket term).
+    // A merge round then shuffles NODE-sized 17-column rows instead of a
+    // 16x-exploded (node, bucket, rank) stream — same math, same oracle,
+    // measured ~2.5x faster at sf0.1 — and the 16 per-bucket max()es are
+    // one codegen'd hash aggregate.
+    val regIdx = 0 until 16
+    val b0 = deg
+      .select(col("s").as("n"),
+        conv(substring(md5(concat(lit("hb|"), col("s").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("v"))
+      .select(col("n") +: regIdx.map(i =>
+        when(col("v") % 16 === i,
+          when(expr("v div 16") === 0, lit(57))
+            .otherwise(lit(57) - length(bin(expr("v div 16")))).cast("int"))
+          .otherwise(lit(0)).as(s"r$i")): _*)
+
+    def estimate(regs: DataFrame): DataFrame = {
+      val sumPow = regIdx.map(i => expr(s"shiftleft(1L, 57 - r$i)")).reduce(_ + _)
+      val m0 = regIdx.map(i => when(col(s"r$i") === 0, 1L).otherwise(lit(0L))).reduce(_ + _)
+      regs.select(col("n"), m0.as("m0"),
+          (sumPow.cast("double") / lit(math.pow(2, 57))).as("sum_pow"))
+        .withColumn("raw", lit(0.673 * 16 * 16) / col("sum_pow"))
+        .select(col("n"),
+          when(col("raw") <= 40.0 && col("m0") > 0,
+            lit(16.0) * log(lit(16.0) / col("m0"))).otherwise(col("raw")).as("est"))
+    }
+
+    var regs = graft.plans.Checkpoints.cut(b0, checkpointDir)
+    var ball = report.select(col("part"), col("part").as("member"))
+    var out = report.join(estimate(regs), col("part") === col("n"))
+      .select(lit(0).as("round"), col("part"), col("degree"),
+        lit(1L).as("exact_ball"), round(col("est"), 4).as("hll_est"))
+    for (rd <- 1 to rounds) {
+      regs = graft.plans.Checkpoints.cut(
+        regs.unionAll(
+          sym.join(regs, sym("t") === regs("n"))
+            .select(col("s").as("n") +: regIdx.map(i => col(s"r$i")): _*))
+          .groupBy("n")
+          .agg(max(col("r0")).as("r0"),
+            regIdx.drop(1).map(i => max(col(s"r$i")).as(s"r$i")): _*),
+        checkpointDir)
+      ball = graft.plans.Checkpoints.cut(
+        ball.unionAll(
+          ball.join(sym, ball("member") === sym("s"))
+            .select(col("part"), col("t").as("member"))).distinct(), checkpointDir)
+      out = out.unionAll(
+        report.join(estimate(regs), col("part") === col("n"))
+          .join(ball.groupBy("part").agg(count(lit(1)).as("exact_ball")), "part")
+          .select(lit(rd).as("round"), col("part"), col("degree"),
+            col("exact_ball"), round(col("est"), 4).as("hll_est")))
+    }
+    out.orderBy("round", "part")
   }
 
   /** q250: CO-OCCURRENCE RECOMMENDER BACKTEST — the evaluation rung the
@@ -539,6 +712,9 @@ object GraphOps extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_modularity" -> ((s, d) => lpModularity(Tables(s, d).lineitem)),
+    "q315_assortativity" -> ((s, d) => degreeAssortativity(Tables(s, d).lineitem)),
+    "q316_hyperball" -> ((s, d) => hyperBall(Tables(s, d).lineitem)),
     "q288_adamic_adar" -> ((s, d) => adamicAdarLinks(Tables(s, d).lineitem)),
     "q229_personalized_rank" -> ((s, d) => personalizedRank(Tables(s, d).lineitem)),
     "q250_rec_backtest" -> ((s, d) => { val t = Tables(s, d)
@@ -625,7 +801,7 @@ object GraphOps extends QueryModule {
     * doctrine. row_number (c DESC, lbl) mirrors Spark's
     * min(struct(-c, lbl)) argmax exactly.
     */
-  private def lpaSql(rounds: Int): String = {
+  private def lpaSteps(rounds: Int): String = {
     val steps = (1 to rounds).map(r =>
       s"""f$r AS MATERIALIZED (SELECT e.dd AS node, l.lbl, count(*) AS c
          |       FROM e JOIN l${r - 1} l ON e.s = l.node GROUP BY e.dd, l.lbl),
@@ -637,13 +813,113 @@ object GraphOps extends QueryModule {
        |p2 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
        |e AS MATERIALIZED (SELECT u AS s, v AS dd FROM p2 UNION ALL SELECT v AS s, u AS dd FROM p2),
        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private def lpaSql(rounds: Int): String =
+    s"""${lpaSteps(rounds)},
        |sz AS (SELECT lbl, count(*)::BIGINT AS community_size FROM l$rounds GROUP BY lbl)
        |SELECT community_size, count(*)::BIGINT AS n_communities
        |FROM sz GROUP BY community_size ORDER BY community_size""".stripMargin
+
+  /** q314 oracle: the q232 LPA rounds (shared steps) scored by Newman
+    * modularity — all products HUGEINT (the q199 convention), one
+    * double division at the end.
+    */
+  private def modularitySql(rounds: Int): String =
+    s"""${lpaSteps(rounds)},
+       |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+       |          SELECT u AS n FROM p2 UNION ALL SELECT v AS n FROM p2) GROUP BY n),
+       |mm AS (SELECT count(*)::HUGEINT AS m FROM p2),
+       |intra AS (SELECT lu.lbl, count(*)::HUGEINT AS ec
+       |          FROM p2 JOIN l$rounds lu ON p2.u = lu.node
+       |                  JOIN l$rounds lv ON p2.v = lv.node
+       |          WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+       |dc AS (SELECT l.lbl, sum(deg.d)::HUGEINT AS dc
+       |       FROM deg JOIN l$rounds l ON deg.n = l.node GROUP BY l.lbl),
+       |per AS (SELECT dc.lbl, coalesce(intra.ec, 0)::HUGEINT AS ec, dc.dc
+       |        FROM dc LEFT JOIN intra ON dc.lbl = intra.lbl)
+       |SELECT (SELECT m FROM mm)::BIGINT AS n_edges,
+       |       count(*)::BIGINT AS n_communities,
+       |       sum(ec)::BIGINT AS n_intra,
+       |       round(sum(4 * (SELECT m FROM mm) * ec - dc * dc)::DOUBLE /
+       |             (4.0 * (SELECT m FROM mm)::DOUBLE * (SELECT m FROM mm)::DOUBLE), 4)
+       |         AS modularity
+       |FROM per""".stripMargin
+
+  /** The 60-bit salted md5 hash as DuckDB SQL (the Sketches.hx fold). */
+  private def hx60(saltedArg: String): String =
+    s"list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5($saltedArg), i, 1)) - 1), (a, b) -> a * 16 + b)::UBIGINT"
+
+  /** q316 oracle: `rounds` unrolled register max-merge rounds + the
+    * exact balls for the report nodes; estimator arithmetic mirrors the
+    * Spark side digit for digit (integer register sums, one division).
+    */
+  private def hyperBallSql(rounds: Int, reportN: Int): String = {
+    val merges = (1 to rounds).map(r =>
+      s"""r$r AS MATERIALIZED (SELECT n, bucket, max(r) AS r FROM (
+         |  SELECT n, bucket, r FROM r${r - 1}
+         |  UNION ALL
+         |  SELECT sym.s AS n, b.bucket, b.r FROM sym JOIN r${r - 1} b ON sym.t = b.n)
+         |  GROUP BY n, bucket)""".stripMargin).mkString(",\n")
+    val balls = (1 to rounds).map(r =>
+      s"""b$r AS MATERIALIZED (SELECT DISTINCT part, member FROM (
+         |  SELECT part, member FROM b${r - 1}
+         |  UNION ALL
+         |  SELECT b.part, sym.t AS member FROM b${r - 1} b JOIN sym ON sym.s = b.member))""".stripMargin)
+      .mkString(",\n")
+    val ests = (0 to rounds).map(r =>
+      s"""e$r AS (SELECT n,
+         |  CASE WHEN (0.673 * 16 * 16) / sp <= 40.0 AND m0 > 0
+         |       THEN 16.0 * ln(16.0 / m0)
+         |       ELSE (0.673 * 16 * 16) / sp END AS est
+         |  FROM (SELECT n, (16 - count(*))::BIGINT AS m0,
+         |               (sum((1::UBIGINT << (57 - r))::HUGEINT)
+         |                + (16 - count(*))::HUGEINT * (1::UBIGINT << 57)::HUGEINT)::DOUBLE
+         |                 / 144115188075855872.0 AS sp
+         |        FROM r$r GROUP BY n))""".stripMargin).mkString(",\n")
+    val rows = (0 to rounds).map { r =>
+      val exact = if (r == 0) "1::BIGINT AS exact_ball"
+                  else s"(SELECT count(*) FROM b$r b WHERE b.part = rep.part)::BIGINT AS exact_ball"
+      s"""SELECT $r AS round, rep.part, rep.degree, $exact, round(e$r.est, 4) AS hll_est
+         |FROM rep JOIN e$r ON rep.part = e$r.n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+       |sym AS MATERIALIZED (SELECT u AS s, v AS t FROM und UNION ALL SELECT v AS s, u AS t FROM und),
+       |deg AS (SELECT s, count(*)::BIGINT AS degree FROM sym GROUP BY s),
+       |rep AS MATERIALIZED (SELECT s AS part, degree FROM deg ORDER BY degree DESC, s LIMIT $reportN),
+       |h AS (SELECT s AS n, ${hx60("'hb|' || s::VARCHAR")} AS v FROM deg),
+       |r0 AS MATERIALIZED (SELECT n, (v % 16)::BIGINT AS bucket,
+       |       (CASE WHEN v // 16 = 0 THEN 57
+       |             ELSE 57 - length(bin(v // 16)) END)::INTEGER AS r FROM h),
+       |b0 AS (SELECT part, part AS member FROM rep),
+       |$merges,
+       |$balls,
+       |$ests
+       |$rows
+       |ORDER BY round, part""".stripMargin
   }
 
   override def oracles: Map[String, String] = Map(
+    "q314_modularity" -> modularitySql(2),
+    "q316_hyperball" -> hyperBallSql(2, 6),
+    "q315_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |     FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+        |          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        |xy AS (SELECT da.d AS x, db.d AS y FROM sym
+        |       JOIN deg da ON sym.a = da.n JOIN deg db ON sym.b = db.n),
+        |s AS (SELECT count(*)::HUGEINT AS mm, sum(x::HUGEINT) AS sx,
+        |             sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+        |      FROM xy)
+        |SELECT (mm // 2)::BIGINT AS n_edges,
+        |       round((mm * sxy - sx * sx)::DOUBLE /
+        |             nullif((mm * sxx - sx * sx)::DOUBLE, 0), 4) AS assortativity
+        |FROM s""".stripMargin,
     // seed-scoped wedges; the adjacency anti-join runs on the
     // (min, max)-normalized key, mirroring the Spark plan
     "q288_adamic_adar" ->

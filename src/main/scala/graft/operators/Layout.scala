@@ -236,7 +236,51 @@ object Layout extends QueryModule {
       .orderBy("pid")
   }
 
+  /** q320: RENDEZVOUS (highest-random-weight) shard placement audit —
+    * the data-placement rung between q278's range plan (needs a
+    * coordinated histogram) and q66's mod-hash sampling (reshards
+    * EVERYTHING when the shard count changes): each doc lands on the
+    * shard whose salted hash h(shard, doc) is highest (Thaler &
+    * Ravishankar 1996), so placement needs NO central directory, and
+    * growing `shards` → `shards`+1 moves ONLY the docs whose new
+    * winner is the added shard — expected 1/(n+1) of the corpus, the
+    * minimal-disruption property consistent hashing is used for. The
+    * report shows per-shard load (docs, chars, ppm share) plus
+    * `n_moved_out`, the migration cost of adding one shard; the spec
+    * pins the theorem (every mover's destination IS the new shard).
+    *
+    * Determinism: winner = max(struct(h, s)) over 60-bit salted md5 —
+    * integer comparison, tie-broken by shard id (unreachable at 60
+    * bits, but pinned). Scale: one narrow pass with a bounded
+    * (shards+1)-way explode, one per-doc argmax (map-side partial
+    * max), one shard-sized rollup — no shuffle wider than (doc, int).
+    */
+  def rendezvousPlacement(documents: DataFrame, shards: Int = 8): DataFrame = {
+    val cand = documents.select(col("doc_id"), col("n_chars"))
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(shards))).as("s"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("hrw"), col("s").cast("string"),
+          lit("|"), col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+    val placed = cand.groupBy("doc_id", "n_chars").agg(
+        max(when(col("s") < shards, struct(col("h"), col("s")))).as("cur"),
+        max(struct(col("h"), col("s"))).as("nxt"))
+      .select(col("doc_id"), col("n_chars"),
+        col("cur.s").as("shard"), col("nxt.s").as("shard_new"))
+    val tot = placed.agg(count(lit(1)).as("n_total"))
+    placed.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum(when(col("shard_new") =!= col("shard"), 1L).otherwise(0L))
+          .as("n_moved_out"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"), col("n_chars"),
+        expr("n_docs * 1000000 div n_total").as("share_ppm"),
+        col("n_moved_out"))
+      .orderBy("shard")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_rendezvous" -> ((s, d) => rendezvousPlacement(Tables(s, d).documents)),
     "q215_zorder_layout" -> ((s, d) => zorderLayoutReport(Tables(s, d).lineitem)),
     "q271_compaction_plan" -> ((s, d) => compactionPlan(Tables(s, d).documents)),
     "q278_range_partition_plan" -> ((s, d) => rangePartitionPlan(Tables(s, d).lineitem)),
@@ -289,7 +333,31 @@ object Layout extends QueryModule {
     val morton = (0 until 8).map(i =>
       s"((bx >> $i) & 1) * ${1L << (2 * i)} + ((by >> $i) & 1) * ${1L << (2 * i + 1)}")
       .mkString(" + ")
+    val hx = (arg: String) =>
+      s"list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substr(md5($arg), i, 1)) - 1), (a, b) -> a * 16 + b)::UBIGINT"
     Map(
+      // same 60-bit salted winner hash; the argmax mirrors Spark's
+      // max(struct(h, s)) via ORDER BY h DESC, s DESC
+      "q320_rendezvous" ->
+        s"""WITH cand AS (SELECT doc_id, n_chars, s,
+          |         ${hx("'hrw' || s::VARCHAR || '|' || doc_id::VARCHAR")} AS h
+          |       FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS s)),
+          |cur AS (SELECT doc_id, n_chars, s AS shard FROM (
+          |        SELECT doc_id, n_chars, s, row_number() OVER (
+          |          PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+          |        FROM cand WHERE s < 8) WHERE rn = 1),
+          |nxt AS (SELECT doc_id, s AS shard_new FROM (
+          |        SELECT doc_id, s, row_number() OVER (
+          |          PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+          |        FROM cand) WHERE rn = 1),
+          |j AS (SELECT cur.doc_id, cur.n_chars, cur.shard, nxt.shard_new
+          |      FROM cur JOIN nxt USING (doc_id)),
+          |tot AS (SELECT count(*)::BIGINT AS n_total FROM j)
+          |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+          |       sum(n_chars)::BIGINT AS n_chars,
+          |       (count(*) * 1000000 // (SELECT n_total FROM tot))::BIGINT AS share_ppm,
+          |       sum(CASE WHEN shard_new <> shard THEN 1 ELSE 0 END)::BIGINT AS n_moved_out
+          |FROM j GROUP BY shard ORDER BY shard""".stripMargin,
       "q215_zorder_layout" ->
         s"""WITH mm AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
           |                   min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),

@@ -502,6 +502,46 @@ object MediaCodec {
     * integer arithmetic over the decoded raster, so the hash is
     * closed-form re-derivable for generated fixtures (q97).
     */
+  /** 64-bit Walsh–Hadamard spectral hash: decode → nearest-resize to
+    * 8×8 through the REAL codec round trip → 2-D Walsh–Hadamard
+    * transform → bit u·8+v set iff coefficient W[u,v] > 0. The WHT is
+    * the EXACT-integer member of the spectral-hash family (pHash's DCT
+    * basis is irrational; the Hadamard basis is ±1), so low-sequency
+    * structure is captured with zero float arithmetic:
+    * W[u,v] = Σ_{x,y} gray(x,y)·(−1)^(popcount(x∧u)+popcount(y∧v)).
+    */
+  def wHash64(bytes: Array[Byte]): Long = {
+    val img = readImage(resizeNearest(bytes, 8, 8))
+    val vals = new Array[Long](64)
+    var p = 0
+    while (p < 64) {
+      vals(p) = (img.getRGB(p % 8, p / 8) >>> 16) & 0xff
+      p += 1
+    }
+    var hsh = 0L
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var c = 0L
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            val neg = (Integer.bitCount(x & u) + Integer.bitCount(y & v)) & 1
+            c += (if (neg == 1) -vals(y * 8 + x) else vals(y * 8 + x))
+            y += 1
+          }
+          x += 1
+        }
+        if (c > 0) hsh |= 1L << (u * 8 + v)
+        v += 1
+      }
+      u += 1
+    }
+    hsh
+  }
+
   def aHash64(bytes: Array[Byte]): Long = {
     val img = readImage(resizeNearest(bytes, 8, 8))
     val vals = new Array[Int](64)

@@ -318,6 +318,42 @@ object NonSqlOps extends QueryModule {
     * repartition; the only shuffle is the 16-bit-block band join —
     * exactly the q98 posture, reused via [[hammingPairsFromSigs]].
     */
+  /** q321: WALSH–HADAMARD spectral hash groups — the fourth rung of
+    * the image-dedup ladder: q97 aHash (global mean) and q287 dHash
+    * (local gradient) are spatial; the WHT hash is SPECTRAL — it keys
+    * on low-sequency structure the way pHash does, but on the ±1
+    * Hadamard basis, so the whole transform is exact integer
+    * arithmetic through the REAL decode (pHash's DCT cosines would
+    * put a float ulp under every sign bit; see
+    * [[MediaCodec.wHash64]]).
+    *
+    * The corpus dedupes to its raster classes FIRST (the q311
+    * posture: fixture rasters recur under seed = doc_id % 29), so the
+    * REAL decode runs once per class and the report stays bounded:
+    * per hash, the classes and total images it covers. At 100 TB the
+    * same shape holds — decode work scales with DISTINCT content
+    * (pre-grouped by cheap byte hash), never with the copy count.
+    */
+  def imageWHashGroups(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val classes = documents.select((col("doc_id") % 29).as("seed"))
+      .groupBy("seed").agg(count(lit(1)).as("n_docs"))
+    val hashes = classes.as[(Long, Long)].mapPartitions { it =>
+      it.map { case (seed, nd) =>
+        val w = (8 + seed % 13).toInt
+        val h = (8 + seed % 11).toInt
+        val png = MediaCodec.encodePng(w, h,
+          (x, y) => ((x * 31 + y * 17 + seed * 7) % 256).toInt)
+        (seed, nd, MediaCodec.wHash64(png))
+      }
+    }.toDF("seed", "n_docs", "whash")
+    hashes.groupBy("whash")
+      .agg(count(lit(1)).as("n_classes"), sum("n_docs").as("n_images"),
+        concat_ws(",", sort_array(collect_list(col("seed")))).as("seeds"))
+      .orderBy("whash")
+  }
+
   def imageDHashPairs(documents: DataFrame, maxHamming: Int = 2): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -380,6 +416,7 @@ object NonSqlOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q311_image_hist" -> ((s, d) => imageHistSimilarity(Tables(s, d).documents)),
     "q287_image_dhash" -> ((s, d) => imageDHashPairs(Tables(s, d).documents)),
+    "q321_image_whash" -> ((s, d) => imageWHashGroups(Tables(s, d).documents)),
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
     "q97_image_ahash"     -> ((s, d) => imageAHashGroups(Tables(s, d).documents)),
     "q98_simhash_pairs"   -> ((s, d) => simhashHammingPairs(Tables(s, d).documents)),
@@ -406,6 +443,39 @@ object NonSqlOps extends QueryModule {
     * hash-match.
     */
   override def oracles: Map[String, String] = Map(
+    // WHT coefficients re-derived closed-form over the 8×8 nearest-resize
+    // geometry (the q97 convention): ±val signed by
+    // popcount(x&u)+popcount(y&v) parity, bit u*8+v set iff the exact
+    // integer coefficient is positive — the Spark side must push real
+    // bytes through ImageIO and get every pixel back exactly
+    "q321_image_whash" ->
+      """WITH seeds AS (SELECT doc_id % 29 AS seed, count(*)::BIGINT AS n_docs
+        |               FROM documents GROUP BY 1),
+        |dims AS (SELECT seed, n_docs, (8 + seed % 13)::BIGINT AS sw,
+        |                (8 + seed % 11)::BIGINT AS sh
+        |         FROM seeds),
+        |v AS (SELECT seed, n_docs, p % 8 AS x, p // 8 AS y,
+        |             ((((p % 8) * sw) // 8) * 31
+        |              + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256 AS val
+        |      FROM dims, unnest(range(64)) AS t(p)),
+        |coef AS (SELECT seed, n_docs, q // 8 AS u, q % 8 AS w_v,
+        |                sum(CASE WHEN (bit_count(x & (q // 8))
+        |                              + bit_count(y & (q % 8))) % 2 = 0
+        |                         THEN val ELSE -val END)::BIGINT AS c
+        |         FROM v, unnest(range(64)) AS t2(q) GROUP BY seed, n_docs, q),
+        |h AS (SELECT seed, n_docs,
+        |             sum(CASE WHEN c > 0
+        |                      THEN (1::UBIGINT << (u * 8 + w_v)::INTEGER)::HUGEINT
+        |                      ELSE 0::HUGEINT END) AS uh
+        |      FROM coef GROUP BY seed, n_docs),
+        |s AS (SELECT seed, n_docs,
+        |             (CASE WHEN uh >= 9223372036854775808::HUGEINT
+        |                   THEN uh - 18446744073709551616::HUGEINT
+        |                   ELSE uh END)::BIGINT AS whash
+        |      FROM h)
+        |SELECT whash, count(*)::BIGINT AS n_classes, sum(n_docs)::BIGINT AS n_images,
+        |       string_agg(seed, ',' ORDER BY seed) AS seeds
+        |FROM s GROUP BY whash ORDER BY whash""".stripMargin,
     // dHash re-derived closed-form over the 9×8 nearest-resize geometry
     // (the q97 convention), then BRUTE-FORCE all-pairs hamming — the
     // banded Spark path must recover exactly these pairs (pigeonhole

@@ -549,7 +549,113 @@ object RobustStats extends QueryModule {
           .as("cramers_v"))
   }
 
+  /** q317: KENDALL tau-b rank agreement between two revenue periods —
+    * did the nation revenue LEADERBOARD hold across the date split?
+    * The third rung of the rank-association ladder: Spearman (q269)
+    * correlates rank VALUES, RBO (q303) weights ranking PREFIXES, and
+    * Kendall counts pairwise ORDER INVERSIONS — the statistic with the
+    * direct "fraction of leaderboard swaps" reading, and the tie-aware
+    * tau-b denominator makes zero-revenue nations exact, not noise.
+    *
+    * Exactness: revenue quantizes to cents BEFORE summation (double
+    * o_totalprice would sum order-dependently), so every pairwise
+    * concordance/discordance/tie decision is a SIGN comparison of
+    * integer differences — never a product, which at corpus scale
+    * would square past int64. The closing √ ratio is one double
+    * expression over five exact integers.
+    *
+    * Scale: the fact collapses to one row per nation (map-side
+    * combined); the pairwise frame is |nations|² — model-sized, not
+    * corpus-sized — via a broadcast self-join. At 100 TB nothing
+    * changes: tau over a bounded entity set is aggregate-then-pair.
+    */
+  def kendallTau(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                 splitDate: String = "1998-07-01"): DataFrame = {
+    val o = orders
+      .select(col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .join(customer.select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+    val per = o.groupBy("c_nationkey").agg(
+      sum(when(col("o_orderdate") < lit(splitDate), col("cents"))
+        .otherwise(lit(0L))).as("xa"),
+      sum(when(col("o_orderdate") >= lit(splitDate), col("cents"))
+        .otherwise(lit(0L))).as("yb"))
+    val nx = nation.select(col("n_nationkey").as("k"))
+      .join(per.withColumnRenamed("c_nationkey", "k"), Seq("k"), "left")
+      .na.fill(0L, Seq("xa", "yb"))
+    val pairs = nx.alias("i").join(broadcast(nx.alias("j")), col("i.k") < col("j.k"))
+      .select((col("i.xa") - col("j.xa")).as("dx"),
+        (col("i.yb") - col("j.yb")).as("dy"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when((col("dx") > 0 && col("dy") > 0) ||
+                 (col("dx") < 0 && col("dy") < 0), 1L).otherwise(0L)).as("nc"),
+        sum(when((col("dx") > 0 && col("dy") < 0) ||
+                 (col("dx") < 0 && col("dy") > 0), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+      .select(col("n_pairs"), col("nc").as("n_concordant"),
+        col("nd").as("n_discordant"), col("tx").as("n_tied_x"),
+        col("ty").as("n_tied_y"),
+        when(col("n_pairs") === col("tx") || col("n_pairs") === col("ty"),
+          lit(null).cast("double"))
+          .otherwise(round((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n_pairs") - col("tx")).cast("double") *
+                 (col("n_pairs") - col("ty")).cast("double")), 4))
+          .as("tau_b"))
+  }
+
+  /** q319: DIFFERENCE-IN-DIFFERENCES engagement estimate — the causal
+    * rung between q148's randomized A/B read and q289's propensity
+    * matching: when assignment isn't randomized but both groups are
+    * observed before AND after the cut, the treated group's post-pre
+    * change nets out the control group's common trend. Treatment =
+    * odd user id, post = second half of the event window, outcome =
+    * purchases per user.
+    *
+    * Exactness: the estimate is a single rational —
+    * ((T_post − T_pre)·n_C − (C_post − C_pre)·n_T) / (n_T·n_C) —
+    * evaluated as integer counts with ONE double division, so no
+    * mean-of-means float chaining; the four cell means are reported
+    * alongside, each its own single division. Scale: one map-side
+    * combined (group, period) rollup plus a distinct-user count —
+    * the event stream never shuffles anything wider than its keys.
+    */
+  def diffInDiff(events: DataFrame, splitTs: String = "2024-01-16"): DataFrame = {
+    val e = events.select((col("user_id") % 2 === 1).as("treat"),
+      (col("ts") >= lit(splitTs)).as("post"), col("event_type"))
+    val uCnt = events.select(col("user_id")).distinct()
+      .groupBy((col("user_id") % 2 === 1).as("treat"))
+      .agg(count(lit(1)).as("n_users"))
+    val cells = e.filter(col("event_type") === "purchase")
+      .groupBy("treat", "post").agg(count(lit(1)).as("purchases"))
+    val flat = cells.join(uCnt, "treat")
+      .select(col("treat"), col("post"), col("purchases"), col("n_users"))
+      .groupBy().pivot(concat(
+          when(col("treat"), lit("t")).otherwise(lit("c")),
+          when(col("post"), lit("_post")).otherwise(lit("_pre"))),
+        Seq("t_pre", "t_post", "c_pre", "c_post"))
+      .agg(first("purchases"))
+      .select(Seq("t_pre", "t_post", "c_pre", "c_post")
+        .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    val nT = uCnt.filter(col("treat")).select(col("n_users").as("n_treat"))
+    val nC = uCnt.filter(!col("treat")).select(col("n_users").as("n_ctrl"))
+    flat.crossJoin(broadcast(nT)).crossJoin(broadcast(nC))
+      .select(col("n_treat"), col("n_ctrl"),
+        round(col("t_pre").cast("double") / col("n_treat"), 4).as("mean_treat_pre"),
+        round(col("t_post").cast("double") / col("n_treat"), 4).as("mean_treat_post"),
+        round(col("c_pre").cast("double") / col("n_ctrl"), 4).as("mean_ctrl_pre"),
+        round(col("c_post").cast("double") / col("n_ctrl"), 4).as("mean_ctrl_post"),
+        round(((col("t_post") - col("t_pre")) * col("n_ctrl") -
+               (col("c_post") - col("c_pre")) * col("n_treat")).cast("double") /
+          (col("n_treat") * col("n_ctrl")).cast("double"), 4).as("did_estimate"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_kendall_tau" -> ((s, d) => { val t = Tables(s, d)
+      kendallTau(t.orders, t.customer, t.nation) }),
+    "q319_diff_in_diff" -> ((s, d) => diffInDiff(Tables(s, d).events)),
     "q293_mann_whitney" -> ((s, d) => mannWhitney(Tables(s, d).documents)),
     "q294_chi2_independence" -> ((s, d) => chiSquaredIndependence(Tables(s, d).documents)),
     "q282_resample_locf" -> ((s, d) => resampleLocf(Tables(s, d).events)),
@@ -568,6 +674,57 @@ object RobustStats extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q317_kendall_tau" ->
+      """WITH o AS (SELECT c.c_nationkey AS k,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |                  o_orderdate < TIMESTAMP '1998-07-01' AS pre
+        |           FROM orders JOIN customer c ON o_custkey = c_custkey),
+        |per AS (SELECT k, sum(CASE WHEN pre THEN cents ELSE 0 END)::BIGINT AS xa,
+        |               sum(CASE WHEN NOT pre THEN cents ELSE 0 END)::BIGINT AS yb
+        |        FROM o GROUP BY k),
+        |nx AS (SELECT n.n_nationkey AS k, coalesce(p.xa, 0)::BIGINT AS xa,
+        |              coalesce(p.yb, 0)::BIGINT AS yb
+        |       FROM nation n LEFT JOIN per p ON n.n_nationkey = p.k),
+        |pairs AS (SELECT i.xa - j.xa AS dx, i.yb - j.yb AS dy
+        |          FROM nx i JOIN nx j ON i.k < j.k),
+        |s AS (SELECT count(*)::BIGINT AS n_pairs,
+        |             sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+        |                      THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |             sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+        |                      THEN 1 ELSE 0 END)::BIGINT AS nd,
+        |             sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END)::BIGINT AS tx,
+        |             sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END)::BIGINT AS ty
+        |      FROM pairs)
+        |SELECT n_pairs, nc AS n_concordant, nd AS n_discordant,
+        |       tx AS n_tied_x, ty AS n_tied_y,
+        |       CASE WHEN n_pairs = tx OR n_pairs = ty THEN NULL
+        |            ELSE round((nc - nd)::DOUBLE /
+        |                 sqrt((n_pairs - tx)::DOUBLE * (n_pairs - ty)::DOUBLE), 4)
+        |       END AS tau_b
+        |FROM s""".stripMargin,
+    "q319_diff_in_diff" ->
+      """WITH e AS (SELECT user_id % 2 = 1 AS treat,
+        |                  ts >= TIMESTAMP '2024-01-16' AS post, event_type
+        |           FROM events),
+        |u AS (SELECT user_id % 2 = 1 AS treat, count(*)::BIGINT AS n_users
+        |      FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1),
+        |cells AS (SELECT treat, post, count(*)::BIGINT AS p FROM e
+        |          WHERE event_type = 'purchase' GROUP BY treat, post),
+        |f AS (SELECT
+        |  coalesce((SELECT p FROM cells WHERE treat AND NOT post), 0)::BIGINT AS t_pre,
+        |  coalesce((SELECT p FROM cells WHERE treat AND post), 0)::BIGINT AS t_post,
+        |  coalesce((SELECT p FROM cells WHERE NOT treat AND NOT post), 0)::BIGINT AS c_pre,
+        |  coalesce((SELECT p FROM cells WHERE NOT treat AND post), 0)::BIGINT AS c_post,
+        |  (SELECT n_users FROM u WHERE treat)::BIGINT AS n_treat,
+        |  (SELECT n_users FROM u WHERE NOT treat)::BIGINT AS n_ctrl)
+        |SELECT n_treat, n_ctrl,
+        |  round(t_pre::DOUBLE / n_treat, 4) AS mean_treat_pre,
+        |  round(t_post::DOUBLE / n_treat, 4) AS mean_treat_post,
+        |  round(c_pre::DOUBLE / n_ctrl, 4) AS mean_ctrl_pre,
+        |  round(c_post::DOUBLE / n_ctrl, 4) AS mean_ctrl_post,
+        |  round(((t_post - t_pre) * n_ctrl - (c_post - c_pre) * n_treat)::DOUBLE /
+        |        (n_treat * n_ctrl)::DOUBLE, 4) AS did_estimate
+        |FROM f""".stripMargin,
     // value-celled doubled midranks (q269 device); HUGEINT mirrors the
     // Spark side's decimal(38,0) rank/tie sums
     "q293_mann_whitney" ->

@@ -534,7 +534,12 @@ object TextAnalysis extends QueryModule {
     * narrow corpus pass, a single global aggregate, division only in
     * the final projection. Order-independent under any partitioning.
     */
-  def fleissKappa(documents: DataFrame): DataFrame = {
+  /** The q297 three-rater "is English" vote count per document (0..3):
+    * stored label, stopword argmax, e-letter frequency — shared by
+    * Fleiss' κ (q297) and Krippendorff's α (q318) so both agreement
+    * statistics score the SAME annotator panel.
+    */
+  private def enVoteCount: Column = {
     val toks = tokens(lower(col("text")))
     def hits(ws: Seq[String]): Column =
       size(filter(toks, w => ws.map(s => w === s).reduce(_ || _))).cast("long")
@@ -547,8 +552,12 @@ object TextAnalysis extends QueryModule {
     val eCnt = (length(lower(col("text"))) -
       length(regexp_replace(lower(col("text")), "e", ""))).cast("long")
     val rc = (eCnt * 1000L >= length(col("text")).cast("long") * 75L).cast("long")
+    ra + rb + rc
+  }
+
+  def fleissKappa(documents: DataFrame): DataFrame = {
     val m = documents
-      .select((ra + rb + rc).as("n1"))
+      .select(enVoteCount.as("n1"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("n1") * col("n1") + (lit(3L) - col("n1")) * (lit(3L) - col("n1")))
           .as("s_sq"),
@@ -562,6 +571,40 @@ object TextAnalysis extends QueryModule {
       round(pBar, 4).as("p_bar"), round(pE, 4).as("p_expected"),
       round((pBar - pE) / when(pE === 1d, lit(null)).otherwise(lit(1d) - pE), 4)
         .as("fleiss_kappa"))
+  }
+
+  /** q318: KRIPPENDORFF's α over the q297 annotator panel — the
+    * agreement statistic the κ family can't replace: κ's chance model
+    * uses marginals WITH replacement (N²), α's uses pairings WITHOUT
+    * (N(N−1)), which keeps it unbiased at small N, comparable across
+    * studies, and extensible to missing ratings — the content-analysis
+    * standard (Krippendorff 1970). Reported beside q297's Fleiss κ on
+    * the SAME votes so the two chance models are directly comparable.
+    *
+    * Exact closed form for R = 3 raters / 2 categories, no missing
+    * data: α = 1 − Σᵤ n₁ᵤ(3−n₁ᵤ) · (3n−1) / (2·t_en·t_other) — pure
+    * integer sums (products in decimal(38,0) ↔ HUGEINT; t_en·t_other
+    * is n²-scale, past int64 at corpus scale) and ONE double division.
+    * Scale: one narrow corpus pass into a single global aggregate,
+    * map-side combined; nothing shuffles but six longs.
+    */
+  def krippendorffAlpha(documents: DataFrame): DataFrame = {
+    val m = documents.select(enVoteCount.as("n1"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n1") * (lit(3L) - col("n1"))).as("sdis"),
+        sum(col("n1")).as("t_en"))
+      .withColumn("t_other", lit(3L) * col("n_items") - col("t_en"))
+    m.select(col("n_items"), col("t_en"), col("t_other"),
+      round(col("sdis").cast("double") /
+        (lit(3L) * col("n_items")).cast("double"), 6).as("d_obs"),
+      round((lit(2).cast("decimal(38,0)") * col("t_en") * col("t_other")).cast("double") /
+        ((lit(3L) * col("n_items")).cast("decimal(38,0)") *
+         (lit(3L) * col("n_items") - 1)).cast("double"), 6).as("d_exp"),
+      when(col("t_en") === 0 || col("t_other") === 0, lit(null).cast("double"))
+        .otherwise(round(lit(1d) -
+          (col("sdis").cast("decimal(38,0)") * (lit(3L) * col("n_items") - 1)).cast("double") /
+          (lit(2).cast("decimal(38,0)") * col("t_en") * col("t_other")).cast("double"), 4))
+        .as("k_alpha"))
   }
 
   /** q150: Hill tail-index estimator over document lengths (Hill 1975;
@@ -976,6 +1019,7 @@ object TextAnalysis extends QueryModule {
     "q197_isotonic"     -> ((s, d) => isotonicCalibration(Tables(s, d).documents)),
     "q154_rater_kappa"  -> ((s, d) => labelAgreementKappa(Tables(s, d).documents)),
     "q297_fleiss_kappa" -> ((s, d) => fleissKappa(Tables(s, d).documents)),
+    "q318_krippendorff" -> ((s, d) => krippendorffAlpha(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1398,6 +1442,30 @@ object TextAnalysis extends QueryModule {
         |       round(((n11 + n00) / CAST(n AS DOUBLE)
         |               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / CAST(n * n AS DOUBLE))
         |             / nullif(1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / CAST(n * n AS DOUBLE), 0), 4) AS kappa
+        |FROM m""".stripMargin,
+    // same rater CTEs as q297; α's closed form for 3 raters / 2 cats
+    "q318_krippendorff" ->
+      """WITH h AS (SELECT lang = 'en' AS ra,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) AS en,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los'))) AS es,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und'))) AS de,
+        |                  len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des'))) AS fr,
+        |                  (length(lower(text)) - length(replace(lower(text), 'e', ''))) * 1000
+        |                    >= length(text) * 75 AS rc
+        |           FROM documents),
+        |v AS (SELECT ra::BIGINT
+        |             + (en >= es AND en >= de AND en >= fr AND en > 0)::BIGINT
+        |             + rc::BIGINT AS n1 FROM h),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(n1 * (3 - n1))::BIGINT AS sdis,
+        |             sum(n1)::BIGINT AS t_en FROM v)
+        |SELECT n AS n_items, t_en, (3 * n - t_en)::BIGINT AS t_other,
+        |       round(sdis::DOUBLE / (3 * n)::DOUBLE, 6) AS d_obs,
+        |       round((2::HUGEINT * t_en * (3 * n - t_en))::DOUBLE /
+        |             ((3 * n)::HUGEINT * (3 * n - 1))::DOUBLE, 6) AS d_exp,
+        |       CASE WHEN t_en = 0 OR 3 * n - t_en = 0 THEN NULL
+        |            ELSE round(1 - (sdis::HUGEINT * (3 * n - 1))::DOUBLE /
+        |                 (2::HUGEINT * t_en * (3 * n - t_en))::DOUBLE, 4)
+        |       END AS k_alpha
         |FROM m""".stripMargin,
     "q297_fleiss_kappa" ->
       """WITH h AS (SELECT lang = 'en' AS ra,

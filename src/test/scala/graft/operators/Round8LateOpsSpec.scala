@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixture and property tests for the late round-8 additions q314–q321:
+  * modularity, assortativity, HyperBall, Kendall tau-b, Krippendorff α,
+  * rendezvous placement, Walsh–Hadamard image hash, diff-in-differences.
+  */
+class Round8LateOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li(pairs: Seq[(Long, Long)]) =
+    pairs.toDF("l_orderkey", "l_partkey")
+
+  // ---- q314 modularity ----------------------------------------------------
+
+  test("lpModularity: two disjoint triangles -> Q = 0.5 over 2 communities") {
+    // orders 1 and 2 each buy a 3-item set: two triangles, no bridge
+    val d = li(Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L)))
+    val r = GraphOps.lpModularity(d).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("n_intra") == 6L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+  }
+
+  test("lpModularity: corpus graph scores a bounded, defined Q") {
+    val d = spark.read.parquet(s"${sf("")}/lineitem.parquet")
+    val r = GraphOps.lpModularity(d).collect()(0)
+    val q = r.getAs[Double]("modularity")
+    assert(q >= -1.0 && q <= 1.0)
+    assert(r.getAs[Long]("n_intra") <= r.getAs[Long]("n_edges"))
+  }
+
+  // ---- q315 assortativity -------------------------------------------------
+
+  test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
+    // three 2-item orders sharing part 1: star K1,3
+    val d = li(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val r = GraphOps.degreeAssortativity(d).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("degreeAssortativity: a regular graph (triangle) has zero variance -> null") {
+    val d = li(Seq((1L, 1L), (1L, 2L), (1L, 3L)))
+    val r = GraphOps.degreeAssortativity(d).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("assortativity")))
+  }
+
+  // ---- q316 HyperBall -----------------------------------------------------
+
+  test("hyperBall: path graph exact balls are exact and estimates grow with radius") {
+    // path 1-2-3-4-5 from four 2-item orders
+    val d = li(Seq((100L, 1L), (100L, 2L), (101L, 2L), (101L, 3L),
+      (102L, 3L), (102L, 4L), (103L, 4L), (103L, 5L)))
+    val rows = GraphOps.hyperBall(d, rounds = 2, reportN = 6).collect()
+    val exact = rows.map(r => (r.getAs[Int]("round"), r.getAs[Long]("part")) ->
+      r.getAs[Long]("exact_ball")).toMap
+    assert(exact((1, 1L)) == 2 && exact((1, 2L)) == 3 && exact((1, 3L)) == 3
+      && exact((1, 5L)) == 2)
+    assert(exact((2, 1L)) == 3 && exact((2, 2L)) == 4 && exact((2, 3L)) == 5
+      && exact((2, 4L)) == 4 && exact((2, 5L)) == 3)
+    // radius-0 ball is a single element: linear counting gives 16*ln(16/15)
+    // exactly unless two ids collide in one register (impossible for 1 node)
+    rows.filter(_.getAs[Int]("round") == 0).foreach { r =>
+      assert(math.abs(r.getAs[Double]("hll_est") - 16.0 * math.log(16.0 / 15.0)) < 1e-3)
+    }
+    // register sets only grow, so the estimate is monotone in the radius
+    val byPart = rows.groupBy(_.getAs[Long]("part"))
+    byPart.values.foreach { rs =>
+      val est = rs.sortBy(_.getAs[Int]("round")).map(_.getAs[Double]("hll_est"))
+      est.sliding(2).foreach(w => assert(w(1) >= w(0) - 1e-9))
+    }
+  }
+
+  // ---- q317 Kendall tau-b -------------------------------------------------
+
+  private def tauFixture(post: Seq[Double]) = {
+    val nation = Seq(0L, 1L, 2L).toDF("n_nationkey")
+    val customer = Seq((10L, 0L), (11L, 1L), (12L, 2L)).toDF("c_custkey", "c_nationkey")
+    val pre = Seq(100.0, 200.0, 300.0)
+    val orders = (pre.zipWithIndex.map { case (p, i) => (10L + i, "1997-01-01", p) } ++
+      post.zipWithIndex.map { case (p, i) => (10L + i, "1999-01-01", p) })
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    (orders, customer, nation)
+  }
+
+  test("kendallTau: preserved leaderboard -> tau 1, reversed -> tau -1") {
+    val (o1, c, n) = tauFixture(Seq(10.0, 20.0, 30.0))
+    val r1 = RobustStats.kendallTau(o1, c, n).collect()(0)
+    assert(r1.getAs[Long]("n_pairs") == 3 && r1.getAs[Long]("n_concordant") == 3)
+    assert(r1.getAs[Double]("tau_b") == 1.0)
+    val (o2, _, _) = tauFixture(Seq(30.0, 20.0, 10.0))
+    val r2 = RobustStats.kendallTau(o2, c, n).collect()(0)
+    assert(r2.getAs[Long]("n_discordant") == 3)
+    assert(r2.getAs[Double]("tau_b") == -1.0)
+  }
+
+  // ---- q318 Krippendorff alpha --------------------------------------------
+
+  test("krippendorffAlpha: unanimous raters with both categories present -> alpha 1") {
+    val d = (Seq.tabulate(5)(i =>
+      (i.toLong, "the thee and a sentence here everyone agrees", "en", "s", 45L)) :+
+      (9L, "zzz yyy xxx www", "de", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.krippendorffAlpha(d).collect()(0)
+    assert(r.getAs[Double]("d_obs") == 0.0)
+    assert(r.getAs[Double]("k_alpha") == 1.0)
+  }
+
+  test("krippendorffAlpha: corpus alpha is bounded and its chance model differs from Fleiss") {
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val a = TextAnalysis.krippendorffAlpha(d).collect()(0)
+    val k = TextAnalysis.fleissKappa(d).collect()(0)
+    assert(a.getAs[Double]("k_alpha") <= 1.0)
+    assert(a.getAs[Double]("d_exp") > 0.0)
+    // same panel, same votes: the two statistics must sit close (the
+    // N vs N-1 chance model is the only difference) but not collide
+    assert(math.abs(a.getAs[Double]("k_alpha") - k.getAs[Double]("fleiss_kappa")) < 0.05)
+  }
+
+  // ---- q320 rendezvous placement ------------------------------------------
+
+  test("rendezvousPlacement: JVM argmax parity and movers all land on the added shard") {
+    val docs = spark.read.parquet(s"${sf("")}/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: Int, d: Long): Long = {
+      val hex = md.digest(s"hrw$s|$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def winner(d: Long, n: Int): Int =
+      (0 until n).maxBy(s => (h(s, d), s))
+    val expected = docs.map { case (d, nc) =>
+      (winner(d, 8), nc, winner(d, 9) != winner(d, 8), winner(d, 9))
+    }
+    // HRW minimal-migration theorem: every mover's destination IS shard 8
+    expected.filter(_._3).foreach { case (_, _, _, dest) => assert(dest == 8) }
+    val exp = expected.groupBy(_._1).map { case (s, rs) =>
+      s.toLong -> (rs.length.toLong, rs.map(_._2).sum, rs.count(_._3).toLong)
+    }
+    val got = Layout.rendezvousPlacement(
+      spark.read.parquet(s"${sf("")}/documents.parquet")).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    got.foreach { r =>
+      val (nd, nc, mv) = exp(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_chars") == nc)
+      assert(r.getAs[Long]("n_moved_out") == mv)
+    }
+  }
+
+  // ---- q321 Walsh-Hadamard image hash -------------------------------------
+
+  test("wHash64: constant raster keeps only the DC bit") {
+    val png = MediaCodec.encodePng(8, 8, (_, _) => 100)
+    assert(MediaCodec.wHash64(png) == 1L)
+  }
+
+  test("wHash64: real decode matches the closed-form WHT of the fixture raster") {
+    for (seed <- Seq(0L, 5L, 17L, 28L)) {
+      val w = (8 + seed % 13).toInt
+      val h = (8 + seed % 11).toInt
+      val png = MediaCodec.encodePng(w, h,
+        (x, y) => ((x * 31 + y * 17 + seed * 7) % 256).toInt)
+      // closed form: nearest resize then signed Hadamard sum
+      def px(x: Int, y: Int): Long = ((x * w / 8) * 31 + (y * h / 8) * 17 + seed * 7) % 256
+      var expect = 0L
+      for (u <- 0 until 8; v <- 0 until 8) {
+        var c = 0L
+        for (x <- 0 until 8; y <- 0 until 8) {
+          val neg = (Integer.bitCount(x & u) + Integer.bitCount(y & v)) & 1
+          c += (if (neg == 1) -px(x, y) else px(x, y))
+        }
+        if (c > 0) expect |= 1L << (u * 8 + v)
+      }
+      assert(MediaCodec.wHash64(png) == expect, s"seed $seed")
+    }
+  }
+
+  test("imageWHashGroups: covers every document exactly once across 29 classes") {
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val rows = NonSqlOps.imageWHashGroups(d).collect()
+    assert(rows.map(_.getAs[Long]("n_classes")).sum == 29L)
+    assert(rows.map(_.getAs[Long]("n_images")).sum == d.count())
+  }
+
+  // ---- q319 diff-in-differences -------------------------------------------
+
+  test("diffInDiff: hand-computed 2x2 panel") {
+    // treat users 1,3 (odd); control 2,4; purchases t: 1 pre / 5 post,
+    // c: 2 pre / 3 post -> DiD = ((5-1)*2 - (3-2)*2) / (2*2) = 1.5
+    val rows =
+      Seq.tabulate(1)(i => (1L, "2024-01-05 00:00:00", "purchase")) ++
+      Seq.tabulate(5)(i => (1L, "2024-01-20 00:00:00", "purchase")) ++
+      Seq.tabulate(2)(i => (2L, "2024-01-05 00:00:00", "purchase")) ++
+      Seq.tabulate(3)(i => (2L, "2024-01-20 00:00:00", "purchase")) ++
+      Seq((3L, "2024-01-05 00:00:00", "view"), (4L, "2024-01-05 00:00:00", "view"))
+    val e = rows.toDF("user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = RobustStats.diffInDiff(e).collect()(0)
+    assert(r.getAs[Long]("n_treat") == 2 && r.getAs[Long]("n_ctrl") == 2)
+    assert(r.getAs[Double]("mean_treat_pre") == 0.5)
+    assert(r.getAs[Double]("mean_treat_post") == 2.5)
+    assert(r.getAs[Double]("did_estimate") == 1.5)
+  }
+}
