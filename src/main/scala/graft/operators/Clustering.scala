@@ -632,7 +632,81 @@ object Clustering extends QueryModule {
       .orderBy("cluster")
   }
 
+  /** q323: LEAVE-ONE-SOURCE-OUT data valuation — the "which supplier's
+    * data is WORTH anything" question answered without 20 retrains:
+    * a nearest-centroid classifier's sufficient statistics are ADDITIVE
+    * (per-label vector sums and counts), so the model with source s
+    * excluded is literally `global − s` on the stats frame. Every
+    * source's marginal value (LOO eval accuracy minus full-model
+    * accuracy) then costs ONE extra bounded join, not one retrain —
+    * the property that makes data valuation feasible at 100 TB, where
+    * retrain-per-source is off the table. (Same doctrine as q99's
+    * incremental dedup: design the model so ingest/retract is algebra
+    * on sketches, not recomputation.)
+    *
+    * Determinism: the q176 fixed-point anatomy — micro-unit offset
+    * vectors, truncating integer division for centroids (numerators
+    * are sums of non-negative units, so `div` == floor on both
+    * engines), exact integer squared-L2 via the codegen'd vec_sqdist
+    * kernel, (dist, label) struct-min argmin. A label whose train rows
+    * all came from the excluded source simply drops from that model.
+    *
+    * Scale: one posexplode pass → two bounded stats frames
+    * (labels×dims and labels×sources×dims); models/centroids are
+    * model-sized and broadcast; scoring is eval×(sources+1)×labels
+    * rows of codegen'd kernel work, never corpus×corpus.
+    */
+  def looSourceValuation(embeddings: DataFrame, documents: DataFrame): DataFrame = {
+    val e = quantized(embeddings)
+      .join(documents.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    // mod-7 split: the source key correlates with doc_id mod 20, so a
+    // mod-5 split would silently drop 4 whole sources from train;
+    // 7 ⊥ 20 keeps every source on both sides
+    val train = e.filter(col("vec_id") % 7 =!= 0)
+    val evalSet = e.filter(col("vec_id") % 7 === 0)
+    val long = train.select(col("label"), col("source"),
+      posexplode(col("u")).as(Seq("dim", "v")))
+    val gl = long.groupBy("label", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("nv"))
+    val sl = long.groupBy("source", "label", "dim")
+      .agg(sum("v").as("ssv"), count(lit(1)).as("nsv"))
+    val sources = train.select("source").distinct()
+    val full = gl.select(lit("full").as("model"), col("label"), col("dim"),
+      expr("sv div nv").as("c"))
+    val loo = sources.crossJoin(gl)
+      .join(sl, Seq("source", "label", "dim"), "left")
+      .na.fill(0L, Seq("ssv", "nsv"))
+      .filter(col("nv") > col("nsv"))
+      .select(col("source").as("model"), col("label"), col("dim"),
+        expr("(sv - ssv) div (nv - nsv)").as("c"))
+    val cent = full.unionByName(loo).groupBy("model", "label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cu"))
+    val pred = evalSet.select(col("vec_id"), col("label").as("true_label"), col("u"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("true_label"), col("model"),
+        struct(sqDist(col("u"), col("cu")).as("dist"), col("label")).as("s"))
+      .groupBy("model", "vec_id", "true_label").agg(min("s").as("m"))
+      .select(col("model"),
+        (col("m.label") === col("true_label")).cast("long").as("ok"))
+    val acc = pred.groupBy("model")
+      .agg(count(lit(1)).as("n_eval"), sum("ok").as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_eval"))
+    val fullAcc = acc.filter(col("model") === "full")
+      .select(col("acc_ppm").as("full_ppm"))
+    val nExcl = train.groupBy("source").agg(count(lit(1)).as("n_train_excluded"))
+    acc.filter(col("model") =!= "full")
+      .join(nExcl, col("model") === col("source"))
+      .crossJoin(broadcast(fullAcc))
+      .select(col("model").as("excluded_source"), col("n_train_excluded"),
+        col("n_eval"), col("n_correct"), col("acc_ppm"),
+        (col("acc_ppm") - col("full_ppm")).as("delta_ppm"))
+      .orderBy("excluded_source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_loo_valuation" -> ((s, d) => { val t = Tables(s, d)
+      looSourceValuation(t.embeddings, t.documents) }),
     "q308_silhouette" -> ((s, d) => silhouetteReport(Tables(s, d).embeddings)),
     "q306_hopkins" -> ((s, d) => hopkinsStatistic(Tables(s, d).embeddings)),
     "q295_ivfpq_recall" -> ((s, d) => ivfPqRecall(Tables(s, d).embeddings)),
@@ -828,6 +902,58 @@ object Clustering extends QueryModule {
       |ORDER BY cluster_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // LOO models re-derived from the additive stats frame (global − source);
+    // same micro-unit offset, same truncating centroid division, same
+    // (dist, label) argmin as the Spark side
+    "q323_loo_valuation" ->
+      """WITH e AS (SELECT vec_id, label,
+        |       list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS u
+        |     FROM embeddings),
+        |ed AS (SELECT e.vec_id, e.label, d.source, e.u
+        |       FROM e JOIN documents d ON e.vec_id = d.doc_id),
+        |train AS (SELECT * FROM ed WHERE vec_id % 7 <> 0),
+        |ev AS (SELECT * FROM ed WHERE vec_id % 7 = 0),
+        |lng AS (SELECT label, source, unnest(range(len(u))) AS dim, unnest(u) AS v
+        |        FROM train),
+        |gl AS (SELECT label, dim, sum(v)::BIGINT AS sv, count(*)::BIGINT AS nv
+        |       FROM lng GROUP BY 1, 2),
+        |sl AS (SELECT source, label, dim, sum(v)::BIGINT AS ssv, count(*)::BIGINT AS nsv
+        |       FROM lng GROUP BY 1, 2, 3),
+        |srcs AS (SELECT DISTINCT source FROM train),
+        |fullm AS (SELECT 'full' AS model, label, dim, sv // nv AS c FROM gl),
+        |loo AS (SELECT s.source AS model, g.label, g.dim,
+        |               (g.sv - coalesce(x.ssv, 0)) // (g.nv - coalesce(x.nsv, 0)) AS c
+        |        FROM srcs s CROSS JOIN gl g
+        |        LEFT JOIN sl x ON x.source = s.source AND x.label = g.label
+        |                      AND x.dim = g.dim
+        |        WHERE g.nv > coalesce(x.nsv, 0)),
+        |cent AS MATERIALIZED (SELECT model, label, list(c ORDER BY dim) AS cu
+        |        FROM (SELECT * FROM fullm UNION ALL SELECT * FROM loo)
+        |        GROUP BY model, label),
+        |sc AS (SELECT ev.vec_id, ev.label AS true_label, c.model, c.label,
+        |              list_sum(list_transform(range(len(ev.u)),
+        |                k -> (ev.u[k+1] - c.cu[k+1]) * (ev.u[k+1] - c.cu[k+1]))) AS dist
+        |       FROM ev CROSS JOIN cent c),
+        |pr AS (SELECT model, vec_id, true_label, label FROM (
+        |         SELECT model, vec_id, true_label, label,
+        |                row_number() OVER (PARTITION BY model, vec_id
+        |                                   ORDER BY dist, label) AS rn
+        |         FROM sc) WHERE rn = 1),
+        |acc AS (SELECT model, count(*)::BIGINT AS n_eval,
+        |               sum((label = true_label)::BIGINT)::BIGINT AS n_correct
+        |        FROM pr GROUP BY model),
+        |a2 AS MATERIALIZED (SELECT model, n_eval, n_correct,
+        |       n_correct * 1000000 // n_eval AS acc_ppm FROM acc),
+        |nx AS (SELECT source, count(*)::BIGINT AS n_train_excluded
+        |       FROM train GROUP BY source)
+        |SELECT a2.model AS excluded_source, nx.n_train_excluded, a2.n_eval,
+        |       a2.n_correct, a2.acc_ppm,
+        |       (a2.acc_ppm - (SELECT acc_ppm FROM a2 WHERE model = 'full'))::BIGINT
+        |         AS delta_ppm
+        |FROM a2 JOIN nx ON a2.model = nx.source
+        |WHERE a2.model <> 'full'
+        |ORDER BY excluded_source""".stripMargin,
     // q176's unrolled Lloyd's (e/c0/a1/c1), then k ranked distances per
     // vector; ppm silhouettes in HUGEINT before the per-cluster mean
     "q308_silhouette" -> (assignSql +

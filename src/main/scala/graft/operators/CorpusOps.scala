@@ -761,7 +761,55 @@ object CorpusOps extends QueryModule {
       .orderBy("source")
   }
 
+  /** q324: GREEDY MAX-COVERAGE source selection — "which K sources
+    * should we license/ingest to cover the most vocabulary?" This is
+    * submodular maximization, where greedy is provably within (1−1/e)
+    * of optimal (Nemhauser et al. 1978) and exact optimization is
+    * NP-hard — the data-ACQUISITION planner that complements q323's
+    * data-RETENTION valuation: q323 prices what we have, this picks
+    * what to add next. Each round picks the source with the most
+    * not-yet-covered distinct shingles (count desc, source asc — both
+    * integer-deterministic) and removes its tokens from every
+    * remaining source's count.
+    *
+    * Scale: the corpus collapses once to the distinct (source, token)
+    * frame; each of the K rounds is one map-side-combined count + two
+    * hash anti-joins on that shrinking frame (lineage-cut per round so
+    * round r doesn't replan rounds 1..r−1). Nothing corpus-sized ever
+    * recomputes, and K is small by construction.
+    */
+  def maxCoverageSources(documents: DataFrame, k: Int = 3): DataFrame = {
+    // coverage unit = character 3-gram shingles (the q91/q113 slice
+    // form): the fixtures' whitespace vocabulary is degenerately tiny
+    // and shared, while shingles vary by source — and at corpus scale
+    // shingles are the unit decontamination/dedup actually key on
+    val st = graft.plans.Checkpoints.cut(
+      documents.filter(length(col("text")) >= 3)
+        .select(col("source"), lower(col("text")).as("t"))
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("w"))
+        .distinct(), None)
+    var remaining = st
+    var picks = Seq.empty[DataFrame]
+    for (r <- 1 to k) {
+      val counts = remaining.groupBy("source").agg(count(lit(1)).as("new_tokens"))
+      val pick = graft.plans.Checkpoints.cut(
+        counts.orderBy(col("new_tokens").desc, col("source")).limit(1), None)
+      picks = picks :+ pick.select(lit(r).as("round"), col("source"), col("new_tokens"))
+      val coveredTokens = remaining
+        .join(pick.select("source"), Seq("source"), "left_semi").select("w")
+      remaining = graft.plans.Checkpoints.cut(
+        remaining.join(pick.select("source"), Seq("source"), "left_anti")
+          .join(coveredTokens, Seq("w"), "left_anti"), None)
+    }
+    picks.reduce(_ unionAll _)
+      .withColumn("cum_tokens", sum("new_tokens").over(
+        org.apache.spark.sql.expressions.Window.orderBy("round")))
+      .orderBy("round")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_max_coverage" -> ((s, d) => maxCoverageSources(Tables(s, d).documents)),
     "q313_apportionment" -> ((s, d) => hamiltonApportionment(Tables(s, d).documents)),
     "q298_rr_frequency" -> ((s, d) => rrFrequency(Tables(s, d).documents)),
     "q299_length_w1" -> ((s, d) => lengthDriftW1(Tables(s, d).documents)),
@@ -787,6 +835,31 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // 3 greedy rounds unrolled, every level MATERIALIZED (the q223
+    // doctrine); NOT IN is safe — w is never null after the filter
+    "q324_max_coverage" ->
+      """WITH st AS MATERIALIZED (SELECT DISTINCT source, w FROM (
+        |       SELECT source, substr(lower(text), CAST(i AS INT), 3) AS w
+        |       FROM (SELECT source, text, unnest(range(1, length(text) - 1)) AS i
+        |             FROM documents WHERE length(text) >= 3))),
+        |c1 AS (SELECT source, count(*)::BIGINT AS nw FROM st GROUP BY source),
+        |p1 AS MATERIALIZED (SELECT source, nw FROM c1 ORDER BY nw DESC, source LIMIT 1),
+        |r1 AS MATERIALIZED (SELECT st.source, st.w FROM st
+        |      WHERE st.source <> (SELECT source FROM p1)
+        |        AND st.w NOT IN (SELECT w FROM st WHERE source = (SELECT source FROM p1))),
+        |c2 AS (SELECT source, count(*)::BIGINT AS nw FROM r1 GROUP BY source),
+        |p2 AS MATERIALIZED (SELECT source, nw FROM c2 ORDER BY nw DESC, source LIMIT 1),
+        |r2 AS MATERIALIZED (SELECT r1.source, r1.w FROM r1
+        |      WHERE r1.source <> (SELECT source FROM p2)
+        |        AND r1.w NOT IN (SELECT w FROM r1 WHERE source = (SELECT source FROM p2))),
+        |c3 AS (SELECT source, count(*)::BIGINT AS nw FROM r2 GROUP BY source),
+        |p3 AS MATERIALIZED (SELECT source, nw FROM c3 ORDER BY nw DESC, source LIMIT 1),
+        |u AS (SELECT 1 AS round, source, nw AS new_tokens FROM p1
+        |      UNION ALL SELECT 2, source, nw FROM p2
+        |      UNION ALL SELECT 3, source, nw FROM p3)
+        |SELECT round, source, new_tokens,
+        |       sum(new_tokens) OVER (ORDER BY round)::BIGINT AS cum_tokens
+        |FROM u ORDER BY round""".stripMargin,
     "q313_apportionment" ->
       """WITH tok AS (SELECT source,
         |                    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

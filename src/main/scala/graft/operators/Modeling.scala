@@ -248,6 +248,64 @@ object Modeling extends QueryModule {
     * (HUGEINT on the oracle side) so the identity stays exact at
     * 100 TB per-source counts where n⁺·n⁻ overflows a long.
     */
+  /** q322: BRIER SCORE with the Murphy (1973) decomposition — the
+    * probabilistic-forecast rung of the eval ladder: ROC/AP (q169/q201)
+    * rank, F1/MCC (q210/q270) threshold, isotonic (q197) recalibrates;
+    * the Brier decomposition says WHERE a probability forecast loses —
+    * reliability (calibration gap), resolution (how much the bins
+    * separate the base rate), uncertainty (the irreducible ȳ(1−ȳ)) —
+    * plus ECE, the modern summary of the same reliability diagram.
+    * Forecaster under test: e-letter-frequency binned to 10 levels,
+    * forecasting `lang = 'en'` at the bin midpoint (2k+1)/20.
+    *
+    * Exactness: with midpoint forecasts in twentieths and y ∈ {0, 1},
+    * Brier·400·N = Σₖ[mₖ(Pₖ−20)² + (nₖ−mₖ)Pₖ²] is an exact integer,
+    * as is ECE·20·N = Σₖ|Pₖnₖ − 20mₖ| and UNC = M(N−M)/N² up to one
+    * division. REL/RES per-bin terms are rational with DIFFERENT
+    * denominators, so each is floor-quantized to nano-units BEFORE the
+    * sum (the q187 micro-nat device) — order-independent integer
+    * aggregation, products in decimal(38,0) ↔ HUGEINT. The spec checks
+    * Murphy's identity Brier = REL − RES + UNC to quantization
+    * tolerance. Scale: one narrow pass → 10 bin cells; everything
+    * downstream is bounded.
+    */
+  def brierDecomposition(documents: DataFrame, bins: Int = 10): DataFrame = {
+    val base = documents.select(
+        (col("lang") === "en").cast("long").as("y"),
+        (length(lower(col("text"))) -
+          length(regexp_replace(lower(col("text")), "e", ""))).cast("long").as("ec"),
+        length(col("text")).cast("long").as("len"))
+      .select(col("y"),
+        least(lit((bins - 1).toLong), expr("ec * 40 div (len + 1)")).as("k"))
+    val cells = base.groupBy("k")
+      .agg(count(lit(1)).as("nk"), sum("y").as("mk"))
+      .withColumn("pk", lit(2L) * col("k") + 1L)
+    val tot = cells.agg(sum("nk").as("n"), sum("mk").as("m"))
+    val terms = cells.crossJoin(broadcast(tot)).select(
+      col("n"), col("m"),
+      (col("mk") * (col("pk") - 20L) * (col("pk") - 20L) +
+        (col("nk") - col("mk")) * col("pk") * col("pk")).as("bq"),
+      abs(col("pk") * col("nk") - lit(20L) * col("mk")).as("eq"),
+      expr("""cast(pk * nk - 20 * mk as decimal(38,0))
+              * cast(pk * nk - 20 * mk as decimal(38,0))
+              * 1000000000L div (400 * nk)""").as("rel_nano"),
+      expr("""(cast(mk as decimal(38,0)) * n - cast(nk as decimal(38,0)) * m)
+              * (cast(mk as decimal(38,0)) * n - cast(nk as decimal(38,0)) * m)
+              * 1000000000L div (cast(nk as decimal(38,0)) * n * n)""").as("res_nano"))
+    terms.groupBy("n", "m")
+      .agg(sum("bq").as("bq"), sum("eq").as("eq"),
+        sum("rel_nano").as("reln"), sum("res_nano").as("resn"))
+      .select(col("n"), col("m"),
+        round(col("bq").cast("double") / (lit(400d) * col("n")), 6).as("brier"),
+        round(col("reln").cast("double") / (col("n").cast("double") * 1e9), 6)
+          .as("reliability"),
+        round(col("resn").cast("double") / (col("n").cast("double") * 1e9), 6)
+          .as("resolution"),
+        round((col("m") * (col("n") - col("m"))).cast("double") /
+          (col("n") * col("n")).cast("double"), 6).as("uncertainty"),
+        round(col("eq").cast("double") / (lit(20d) * col("n")), 6).as("ece"))
+  }
+
   def rocAuc(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy("source").orderBy("n_chars")
@@ -1121,6 +1179,7 @@ object Modeling extends QueryModule {
     "q168_bpe_merges" -> ((s, d) => bpeMerges(Tables(s, d).documents)),
     "q191_bpe_encode" -> ((s, d) => bpeEncodeReport(Tables(s, d).documents)),
     "q169_roc_auc" -> ((s, d) => rocAuc(Tables(s, d).documents)),
+    "q322_brier_decomposition" -> ((s, d) => brierDecomposition(Tables(s, d).documents)),
     "q201_avg_precision" -> ((s, d) => averagePrecision(Tables(s, d).documents)),
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
     "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents)),
@@ -1258,6 +1317,35 @@ object Modeling extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // same bins, same integer Brier/ECE numerators, same nano-quantized
+    // REL/RES per-bin terms on HUGEINT
+    "q322_brier_decomposition" ->
+      """WITH base AS (SELECT (lang = 'en')::BIGINT AS y,
+        |       least(9, ((length(lower(text)) - length(replace(lower(text), 'e', ''))) * 40)
+        |         // (length(text) + 1)) AS k
+        |     FROM documents),
+        |cells AS (SELECT k, count(*)::BIGINT AS nk, sum(y)::BIGINT AS mk,
+        |                 (2 * k + 1)::BIGINT AS pk
+        |          FROM base GROUP BY k),
+        |tot AS (SELECT sum(nk)::BIGINT AS n, sum(mk)::BIGINT AS m FROM cells),
+        |terms AS (SELECT n, m,
+        |    (mk * (pk - 20) * (pk - 20) + (nk - mk) * pk * pk)::BIGINT AS bq,
+        |    abs(pk * nk - 20 * mk)::BIGINT AS eq,
+        |    ((pk * nk - 20 * mk)::HUGEINT * (pk * nk - 20 * mk) * 1000000000)
+        |      // (400 * nk) AS rel_nano,
+        |    ((mk::HUGEINT * n - nk::HUGEINT * m) * (mk::HUGEINT * n - nk::HUGEINT * m)
+        |      * 1000000000) // (nk::HUGEINT * n * n) AS res_nano
+        |  FROM cells, tot),
+        |s AS (SELECT n, m, sum(bq)::BIGINT AS bq, sum(eq)::BIGINT AS eq,
+        |             sum(rel_nano) AS reln, sum(res_nano) AS resn
+        |      FROM terms GROUP BY n, m)
+        |SELECT n, m,
+        |  round(bq::DOUBLE / (400 * n)::DOUBLE, 6) AS brier,
+        |  round(reln::DOUBLE / (n::DOUBLE * 1e9), 6) AS reliability,
+        |  round(resn::DOUBLE / (n::DOUBLE * 1e9), 6) AS resolution,
+        |  round((m * (n - m))::DOUBLE / (n * n)::DOUBLE, 6) AS uncertainty,
+        |  round(eq::DOUBLE / (20 * n)::DOUBLE, 6) AS ece
+        |FROM s""".stripMargin,
     "q291_ndcg" -> ndcgSql(10, "1999-01-01"),
     "q290_unigram_segment" -> unigramSegmentSql(50, 4, 16, 20),
     // 3 unrolled MM rounds; every division is integer floor (// on

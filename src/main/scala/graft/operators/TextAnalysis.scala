@@ -607,6 +607,57 @@ object TextAnalysis extends QueryModule {
         .as("k_alpha"))
   }
 
+  /** q325: GROUP FAIRNESS AUDIT of the q23 language classifier across
+    * sources — the governance rung the eval ladder was missing: per
+    * protected group (source), DEMOGRAPHIC PARITY (selection-rate gap
+    * vs global) and EQUALIZED ODDS (TPR/FPR gaps vs global, Hardt et
+    * al. 2016) for the prediction "document is English". An aggregate
+    * accuracy number (q111/q270) can hide a classifier that
+    * systematically under-selects one source's documents; this surfaces
+    * exactly that before a filter built on the classifier reshapes the
+    * corpus mix.
+    *
+    * Determinism: every metric is an integer ppm division of exact
+    * counts; groups where a rate is undefined (no positives / no
+    * negatives) report null rather than a fake 0. Scale: one narrow
+    * corpus pass into a sources-sized rollup (map-side combined), one
+    * broadcast of the 1-row global frame — no second pass, no window.
+    */
+  def fairnessAudit(documents: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, w => ws.map(s => w === s).reduce(_ || _))).cast("long")
+    val en = hits(Seq("the", "a", "and"))
+    val es = hits(Seq("el", "la", "los"))
+    val de = hits(Seq("der", "die", "und"))
+    val fr = hits(Seq("le", "les", "des"))
+    val predEn = en >= es && en >= de && en >= fr && en > 0
+    val per = documents
+      .select(col("source"), (col("lang") === "en").as("y"), predEn.as("p"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("npos"),
+        sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"))
+    val g = per.agg(sum("n_docs").as("gn"), sum("pos").as("gpos"),
+      sum("npos").as("gnpos"), sum("tp").as("gtp"), sum("fp").as("gfp"))
+    per.crossJoin(broadcast(g)).select(
+        col("source"), col("n_docs"),
+        expr("pos * 1000000 div n_docs").as("sel_ppm"),
+        when(col("npos") > 0, expr("tp * 1000000 div npos")).as("tpr_ppm"),
+        when(col("n_docs") > col("npos"),
+          expr("fp * 1000000 div (n_docs - npos)")).as("fpr_ppm"),
+        (expr("pos * 1000000 div n_docs") -
+          expr("gpos * 1000000 div gn")).as("dp_gap_ppm"),
+        when(col("npos") > 0, expr("tp * 1000000 div npos") -
+          expr("gtp * 1000000 div gnpos")).as("tpr_gap_ppm"),
+        when(col("n_docs") > col("npos"),
+          expr("fp * 1000000 div (n_docs - npos)") -
+            expr("gfp * 1000000 div (gn - gnpos)")).as("fpr_gap_ppm"))
+      .orderBy("source")
+  }
+
   /** q150: Hill tail-index estimator over document lengths (Hill 1975;
     * the standard check that a corpus' length distribution is power-law
     * and HOW heavy — α ≈ 1–2 means a few giant documents dominate token
@@ -1020,6 +1071,7 @@ object TextAnalysis extends QueryModule {
     "q154_rater_kappa"  -> ((s, d) => labelAgreementKappa(Tables(s, d).documents)),
     "q297_fleiss_kappa" -> ((s, d) => fleissKappa(Tables(s, d).documents)),
     "q318_krippendorff" -> ((s, d) => krippendorffAlpha(Tables(s, d).documents)),
+    "q325_fairness_audit" -> ((s, d) => fairnessAudit(Tables(s, d).documents)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1443,6 +1495,39 @@ object TextAnalysis extends QueryModule {
         |               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / CAST(n * n AS DOUBLE))
         |             / nullif(1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / CAST(n * n AS DOUBLE), 0), 4) AS kappa
         |FROM m""".stripMargin,
+    // same q23 stopword-argmax predictor; all rates integer ppm divisions
+    "q325_fairness_audit" ->
+      """WITH h AS (SELECT source, lang = 'en' AS y,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) AS en,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los'))) AS es,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und'))) AS de,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des'))) AS fr
+        |     FROM documents),
+        |b AS (SELECT source, y,
+        |             (en >= es AND en >= de AND en >= fr AND en > 0) AS p FROM h),
+        |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |               sum(p::BIGINT)::BIGINT AS pos,
+        |               sum(y::BIGINT)::BIGINT AS npos,
+        |               sum((p AND y)::BIGINT)::BIGINT AS tp,
+        |               sum((p AND NOT y)::BIGINT)::BIGINT AS fp
+        |        FROM b GROUP BY source),
+        |g AS (SELECT sum(n_docs)::BIGINT AS gn, sum(pos)::BIGINT AS gpos,
+        |             sum(npos)::BIGINT AS gnpos, sum(tp)::BIGINT AS gtp,
+        |             sum(fp)::BIGINT AS gfp FROM per)
+        |SELECT source, n_docs,
+        |  (pos * 1000000 // n_docs)::BIGINT AS sel_ppm,
+        |  CASE WHEN npos > 0 THEN (tp * 1000000 // npos)::BIGINT END AS tpr_ppm,
+        |  CASE WHEN n_docs > npos
+        |       THEN (fp * 1000000 // (n_docs - npos))::BIGINT END AS fpr_ppm,
+        |  (pos * 1000000 // n_docs - gpos * 1000000 // gn)::BIGINT AS dp_gap_ppm,
+        |  CASE WHEN npos > 0
+        |       THEN (tp * 1000000 // npos - gtp * 1000000 // gnpos)::BIGINT
+        |  END AS tpr_gap_ppm,
+        |  CASE WHEN n_docs > npos
+        |       THEN (fp * 1000000 // (n_docs - npos)
+        |             - gfp * 1000000 // (gn - gnpos))::BIGINT
+        |  END AS fpr_gap_ppm
+        |FROM per, g ORDER BY source""".stripMargin,
     // same rater CTEs as q297; α's closed form for 3 raters / 2 cats
     "q318_krippendorff" ->
       """WITH h AS (SELECT lang = 'en' AS ra,

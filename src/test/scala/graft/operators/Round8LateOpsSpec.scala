@@ -208,4 +208,88 @@ class Round8LateOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_treat_post") == 2.5)
     assert(r.getAs[Double]("did_estimate") == 1.5)
   }
+
+  // ---- q322 Brier decomposition -------------------------------------------
+
+  test("brierDecomposition: Murphy identity holds to quantization tolerance on the corpus") {
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val r = Modeling.brierDecomposition(d).collect()(0)
+    val (b, rel, res, unc, ece) = (r.getAs[Double]("brier"), r.getAs[Double]("reliability"),
+      r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"), r.getAs[Double]("ece"))
+    // Brier = REL - RES + UNC (each term nano-quantized + rounded to 6dp)
+    assert(math.abs(b - (rel - res + unc)) < 2e-5, s"$b vs ${rel - res + unc}")
+    Seq(b, rel, res, unc, ece).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(res <= unc + 1e-9) // resolution can never exceed uncertainty
+  }
+
+  // ---- q323 leave-one-source-out valuation --------------------------------
+
+  test("looSourceValuation: removing a poisoned source raises eval accuracy") {
+    // label 0 lives near (0,0), label 1 near (0.5,0.5); source 'bad'
+    // contributes label-0 rows placed AT label 1's location, dragging the
+    // full model's label-0 centroid toward label 1
+    def emb(a: Float, b: Float) = Array(a, b)
+    val rows = Seq(
+      // good train rows (ids not divisible by 7)
+      (1L, emb(0f, 0f), 0), (2L, emb(0.02f, 0f), 0), (3L, emb(0f, 0.02f), 0),
+      (4L, emb(0.5f, 0.5f), 1), (5L, emb(0.52f, 0.5f), 1), (6L, emb(0.5f, 0.52f), 1),
+      // poisoned train rows: label 0 far PAST label 1, dragging the full
+      // model's label-0 centroid to ~(0.67, 0.67)
+      (8L, emb(1f, 1f), 0), (9L, emb(1.02f, 1f), 0), (10L, emb(1f, 1.02f), 0),
+      (11L, emb(0.98f, 1f), 0), (12L, emb(1f, 0.98f), 0), (13L, emb(1.02f, 1.02f), 0),
+      // eval rows (ids divisible by 7): label 1 displaced toward the
+      // poisoned centroid, label 0 at the clean origin
+      (7L, emb(0f, 0f), 0), (14L, emb(0.6f, 0.6f), 1), (21L, emb(0.02f, 0.02f), 0),
+      (28L, emb(0.62f, 0.62f), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val docs = rows.map { case (id, _, _) =>
+      (id, if (id >= 8L && id <= 13L) "bad" else "good")
+    }.toDF("doc_id", "source")
+    val out = Clustering.looSourceValuation(e, docs).collect()
+      .map(r => r.getAs[String]("excluded_source") -> r).toMap
+    assert(out("bad").getAs[Long]("delta_ppm") > 0L,
+      "excluding the poisoned source must raise accuracy")
+    assert(out("bad").getAs[Long]("acc_ppm") == 1000000L)
+    assert(out("bad").getAs[Long]("delta_ppm") > out("good").getAs[Long]("delta_ppm"))
+  }
+
+  // ---- q324 greedy max-coverage -------------------------------------------
+
+  test("maxCoverageSources: greedy picks by marginal shingle gain and stops when exhausted") {
+    val d = Seq(
+      (1L, "abcdefgh", "en", "A", 8L),   // shingles abc..fgh (6)
+      (2L, "vwxyz", "en", "B", 5L),      // vwx, wxy, xyz (3)
+      (3L, "abcd", "en", "C", 4L))       // subset of A
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = CorpusOps.maxCoverageSources(d).collect()
+    assert(rows.length == 2) // C adds nothing; round 3 contributes no row
+    assert(rows(0).getAs[String]("source") == "A")
+    assert(rows(0).getAs[Long]("new_tokens") == 6L)
+    assert(rows(1).getAs[String]("source") == "B")
+    assert(rows(1).getAs[Long]("new_tokens") == 3L)
+    assert(rows(1).getAs[Long]("cum_tokens") == 9L)
+  }
+
+  // ---- q325 fairness audit ------------------------------------------------
+
+  test("fairnessAudit: hand-computed rates and gaps on a two-source fixture") {
+    // source s1: 2 en docs predicted en (tp) + 2 de docs predicted en (fp)
+    // source s2: 2 en docs predicted not-en (fn) + 2 de docs not-en (tn)
+    val d = Seq(
+      (1L, "the a and", "en", "s1", 9L), (2L, "the a and", "en", "s1", 9L),
+      (3L, "the a and", "de", "s1", 9L), (4L, "the a and", "de", "s1", 9L),
+      (5L, "zz yy xx", "en", "s2", 8L), (6L, "zz yy xx", "en", "s2", 8L),
+      (7L, "zz yy xx", "de", "s2", 8L), (8L, "zz yy xx", "de", "s2", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.fairnessAudit(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("sel_ppm") == 1000000L)
+    assert(out("s2").getAs[Long]("sel_ppm") == 0L)
+    assert(out("s1").getAs[Long]("tpr_ppm") == 1000000L)
+    assert(out("s2").getAs[Long]("tpr_ppm") == 0L)
+    assert(out("s1").getAs[Long]("fpr_ppm") == 1000000L)
+    // global selection rate = 1/2 -> dp gaps symmetric ±500000
+    assert(out("s1").getAs[Long]("dp_gap_ppm") == 500000L)
+    assert(out("s2").getAs[Long]("dp_gap_ppm") == -500000L)
+  }
 }
