@@ -894,6 +894,52 @@ object Dedup extends QueryModule {
     * τ is carried as the integer test 9·|∩| ≥ 4·(|a|+|b|), so the
     * accept decision is engine-exact.
     */
+  /** q326: BLOCKING-QUALITY audit — the calibration capstone of the
+    * dedup ladder: q94 scores the minhash ESTIMATOR, this scores the
+    * BLOCKING. For each multi-band configuration b ∈ {1, 2, 4}, the LSH
+    * candidate set (q65's banding) is graded against the EXACT τ=0.8
+    * Jaccard pairs (q216's PPJoin — zero false negatives by theorem,
+    * so it IS ground truth): pair completeness (recall — what fraction
+    * of true near-dup pairs the blocking surfaces), candidate
+    * precision at τ, and the reduction ratio vs all n(n−1)/2 pairs —
+    * the three numbers an entity-resolution/dedup rollout quotes
+    * before trusting a blocking scheme (Christen 2012). The expected
+    * S-curve (recall rises with b, precision falls) is what the spec
+    * pins.
+    *
+    * Scale: truth and candidates reuse the production operators
+    * unchanged (prefix-filtered verify; one banding shuffle per
+    * config); the audit adds only pair-keyed semi-joins on (int, int)
+    * frames and bounded counts. The reduction-ratio product rides
+    * decimal(38,0) — n(n−1)/2 squares past int64 at corpus scale.
+    */
+  def blockingQuality(documents: DataFrame,
+                      bandCounts: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val truth = graft.plans.Checkpoints.cut(
+      ppjoinExact(documents).select("left_id", "right_id"), None)
+    val nDocs = documents.agg(count(lit(1)).as("nd"))
+    val rows = bandCounts.map { b =>
+      val cand = graft.plans.Checkpoints.cut(
+        multiBandCandidatePairs(documents, b).select("left_id", "right_id"), None)
+      val caught = cand.join(truth, Seq("left_id", "right_id"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(lit(b).as("bands"), col("n_candidates"), col("n_true"),
+          col("n_caught"))
+    }
+    rows.reduce(_ unionAll _).crossJoin(broadcast(nDocs))
+      .select(col("bands"), col("n_candidates"), col("n_true"), col("n_caught"),
+        when(col("n_true") > 0,
+          expr("n_caught * 1000000 div n_true")).as("recall_ppm"),
+        when(col("n_candidates") > 0,
+          expr("n_caught * 1000000 div n_candidates")).as("precision_ppm"),
+        expr("""cast((cast(nd as decimal(38,0)) * (nd - 1) div 2 - n_candidates)
+                * 1000000000 div (cast(nd as decimal(38,0)) * (nd - 1) div 2)
+                as bigint)""").as("reduction_ppb"))
+      .orderBy("bands")
+  }
+
   def ppjoinExact(documents: DataFrame): DataFrame = {
     val sh = documents.select(col("doc_id"),
       graft.functions.ShingleSet.shingleSet(col("text")).as("shs"))
@@ -1159,6 +1205,7 @@ object Dedup extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_blocking_quality" -> ((s, d) => blockingQuality(Tables(s, d).documents)),
     "q302_shared_passages" -> ((s, d) => sharedPassages(Tables(s, d).documents)),
     "q286_band_plan" -> ((s, d) => bandPlanner(Tables(s, d).documents)),
     "q58_neardup_clusters" -> ((s, d) => nearDupClusters(Tables(s, d).documents)),
@@ -1571,6 +1618,58 @@ object Dedup extends QueryModule {
     // deliberately the NAIVE all-pairs form: the oracle checks the
     // SEMANTICS (every pair with Jaccard >= 4/5), so a green row proves
     // the prefix filter loses nothing — the exactness theorem, tested.
+    // truth = the q216 distinct-shingle τ=0.8 pairs; candidates = the
+    // q65 md5-string minhash bands; metrics are integer ppm/ppb divisions
+    "q326_blocking_quality" ->
+      """WITH raw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+        |                       i -> array_to_string(ws[i:i+2], ' ')) AS s
+        |      FROM raw),
+        |sigs AS MATERIALIZED (SELECT doc_id,
+        |    list_aggregate(list_transform(s, x -> md5('salt0|' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(s, x -> md5('salt1|' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(s, x -> md5('salt2|' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(s, x -> md5('salt3|' || x)), 'min') AS mh3
+        |  FROM g),
+        |shd AS MATERIALIZED (SELECT doc_id, list_distinct(s) AS s FROM g),
+        |truth AS MATERIALIZED (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        |  FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+        |  WHERE 9 * len(list_intersect(a.s, b.s)) >= 4 * (len(a.s) + len(b.s))),
+        |cand1 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND a.mh0 = b.mh0),
+        |cand2 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |   AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1)),
+        |cand4 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |   AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)),
+        |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |m AS (
+        |  SELECT 1 AS bands,
+        |         (SELECT count(*) FROM cand1)::BIGINT AS n_candidates,
+        |         (SELECT count(*) FROM truth)::BIGINT AS n_true,
+        |         (SELECT count(*) FROM cand1 c JOIN truth t
+        |          ON c.l = t.left_id AND c.r = t.right_id)::BIGINT AS n_caught
+        |  UNION ALL
+        |  SELECT 2, (SELECT count(*) FROM cand2)::BIGINT,
+        |         (SELECT count(*) FROM truth)::BIGINT,
+        |         (SELECT count(*) FROM cand2 c JOIN truth t
+        |          ON c.l = t.left_id AND c.r = t.right_id)::BIGINT
+        |  UNION ALL
+        |  SELECT 4, (SELECT count(*) FROM cand4)::BIGINT,
+        |         (SELECT count(*) FROM truth)::BIGINT,
+        |         (SELECT count(*) FROM cand4 c JOIN truth t
+        |          ON c.l = t.left_id AND c.r = t.right_id)::BIGINT)
+        |SELECT bands, n_candidates, n_true, n_caught,
+        |  CASE WHEN n_true > 0
+        |       THEN (n_caught * 1000000 // n_true)::BIGINT END AS recall_ppm,
+        |  CASE WHEN n_candidates > 0
+        |       THEN (n_caught * 1000000 // n_candidates)::BIGINT END AS precision_ppm,
+        |  ((n::HUGEINT * (n - 1) // 2 - n_candidates) * 1000000000
+        |    // (n::HUGEINT * (n - 1) // 2))::BIGINT AS reduction_ppb
+        |FROM m, nd ORDER BY bands""".stripMargin,
     "q216_ppjoin_exact" ->
       """WITH sh AS (
         |  SELECT doc_id,

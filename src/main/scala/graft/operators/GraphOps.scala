@@ -574,9 +574,15 @@ object GraphOps extends QueryModule {
       .select(lit(0).as("round"), col("part"), col("degree"),
         lit(1L).as("exact_ball"), round(col("est"), 4).as("hll_est"))
     for (rd <- 1 to rounds) {
+      // the register frame is NODE-sized (17 longs per node) — broadcast
+      // it into the edge scan so the 2m-row edge list never shuffles;
+      // the per-bucket max() aggregate partial-combines map-side, so the
+      // exchange carries ~nodes×partitions rows, not the edge stream.
+      // (Past broadcast size — billions of nodes — this join falls back
+      // to the shuffled form automatically by dropping the hint.)
       regs = graft.plans.Checkpoints.cut(
         regs.unionAll(
-          sym.join(regs, sym("t") === regs("n"))
+          sym.join(broadcast(regs), sym("t") === regs("n"))
             .select(col("s").as("n") +: regIdx.map(i => col(s"r$i")): _*))
           .groupBy("n")
           .agg(max(col("r0")).as("r0"),
@@ -584,7 +590,7 @@ object GraphOps extends QueryModule {
         checkpointDir)
       ball = graft.plans.Checkpoints.cut(
         ball.unionAll(
-          ball.join(sym, ball("member") === sym("s"))
+          sym.join(broadcast(ball), ball("member") === sym("s"))
             .select(col("part"), col("t").as("member"))).distinct(), checkpointDir)
       out = out.unionAll(
         report.join(estimate(regs), col("part") === col("n"))

@@ -270,6 +270,24 @@ class Round8LateOpsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("cum_tokens") == 9L)
   }
 
+  // ---- q326 blocking quality ----------------------------------------------
+
+  test("blockingQuality: recall and candidates grow with bands, precision does not") {
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val rows = Dedup.blockingQuality(d).collect().sortBy(_.getAs[Int]("bands"))
+    assert(rows.map(_.getAs[Int]("bands")).toSeq == Seq(1, 2, 4))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <=
+        math.min(r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates")))
+      assert(r.getAs[Long]("reduction_ppb") <= 1000000000L)
+    }
+    // more bands -> superset candidates -> monotone candidates and recall
+    rows.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("n_candidates") >= w(0).getAs[Long]("n_candidates"))
+      assert(w(1).getAs[Long]("n_caught") >= w(0).getAs[Long]("n_caught"))
+    }
+  }
+
   // ---- q325 fairness audit ------------------------------------------------
 
   test("fairnessAudit: hand-computed rates and gaps on a two-source fixture") {
