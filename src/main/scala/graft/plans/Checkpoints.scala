@@ -52,6 +52,15 @@ object Checkpoints {
   /** Session conf key for the reliable-checkpoint upgrade. */
   val DirConf = "spark.graft.checkpointDir"
 
+  /** Session conf key that turns every [[cut]] into a no-op. A cut
+    * truncates lineage, so `explain`/plan-contract tooling sees only the
+    * final segment of an iterative operator; flipping this knob exposes
+    * the WHOLE composed plan for inspection (at the cost of the
+    * re-execution the cuts exist to prevent — inspection only, never
+    * production).
+    */
+  val DisableConf = "spark.graft.checkpoint.disable"
+
   @volatile private var lastDir: Option[String] = None
 
   // RDD ids pinned by localCheckpoint cuts, and cached Datasets pinned
@@ -63,6 +72,7 @@ object Checkpoints {
 
   def cut(df: DataFrame, dir: Option[String]): DataFrame = {
     val spark = df.sparkSession
+    if (spark.conf.getOption(DisableConf).contains("true")) return df
     val effective =
       dir.orElse(spark.conf.getOption(DirConf).map(_.trim).filter(_.nonEmpty))
     effective match {

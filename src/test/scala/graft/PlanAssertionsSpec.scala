@@ -505,6 +505,35 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected windowed CDF:\n$p")
   }
 
+  test("q316 hyperball: register merge broadcasts the node frame — the edge list never shuffles into the join") {
+    // lineage cuts hide the merge rounds from the final plan; the
+    // inspection knob composes the whole operator into ONE plan
+    spark.conf.set(graft.plans.Checkpoints.DisableConf, "true")
+    try {
+      val p = planText(graft.operators.GraphOps.hyperBall(t.lineitem))
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast register join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+      // the per-bucket max merge must partial-combine map-side so the
+      // post-broadcast aggregate exchanges node-sized, not edge-sized, rows
+      assert(p.contains("partial_max"), s"expected map-side partial max merge:\n$p")
+    } finally spark.conf.unset(graft.plans.Checkpoints.DisableConf)
+  }
+
+  test("q323 loo valuation: centroid models broadcast into the scoring pass") {
+    val p = planText(graft.operators.Clustering.looSourceValuation(t.embeddings, t.documents))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast model frame:\n$p")
+    assert(p.contains("vec_sqdist") || p.contains("LongVecSqDist"),
+      s"expected the codegen'd distance kernel:\n$p")
+  }
+
+  test("q314 modularity: per-community frames aggregate map-side, no cartesian") {
+    val p = planText(graft.operators.GraphOps.lpModularity(t.lineitem))
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partials:\n$p")
+  }
+
   test("multi_pattern_counts stays inside generated code (no codegen fallback)") {
     val df = t.documents.select(graft.functions.MultiPatternCounts.counts(
       col("text"), Seq("the", "batch batch")).as("c"))
