@@ -306,6 +306,49 @@ object Modeling extends QueryModule {
         round(col("eq").cast("double") / (lit(20d) * col("n")), 6).as("ece"))
   }
 
+  /** q327: WEIGHT-OF-EVIDENCE binning + INFORMATION VALUE — the
+    * credit-scoring feature screen (Siddiqi 2006) that complements
+    * q172's target encoding (q172 builds the feature, this DECIDES
+    * whether a feature is worth building): equal-frequency bins of the
+    * candidate feature (n_chars), per-bin WOE = ln(p_k/q_k) of the
+    * smoothed positive/negative shares, and IV = Σ(p_k − q_k)·WOE_k —
+    * the classic <0.02 useless / >0.3 strong screen.
+    *
+    * Determinism: bins are ntile over the TOTAL order (n_chars,
+    * doc_id) — identical on both engines; WOE quantizes to integer
+    * micro-nats (the q187 device; libm-ulp residual documented there);
+    * the IV term (p−q)·WOE is sign-aligned BY CONSTRUCTION (both
+    * factors share the sign of p−q), so its pico-unit floor division
+    * is non-negative and truncation == floor on both engines — the IV
+    * total is an exact integer sum. Laplace smoothing (+1 per cell,
+    * +bins per total) keeps empty cells finite on both sides.
+    * Scale: one rank pass (the same O(n log n) any quantile binning
+    * pays), then a bins-sized frame; at 100 TB the ntile would swap
+    * for q127's sketch cuts — the WOE/IV arithmetic is unchanged.
+    */
+  def woeInformationValue(documents: DataFrame, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents.select((col("lang") === "en").cast("long").as("y"),
+        col("n_chars"), col("doc_id"))
+      .withColumn("bin", ntile(bins).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    val cells = base.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+    val tot = cells.agg(sum("pos").as("tp"), sum("neg").as("tn"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("woe_micro",
+        floor(log(((col("pos") + 1) * (col("tn") + bins)).cast("double") /
+          ((col("neg") + 1) * (col("tp") + bins)).cast("double")) * 1e6).cast("long"))
+      .withColumn("iv_micro",
+        expr(s"""(cast(pos + 1 as decimal(38,0)) * (tn + $bins)
+                 - cast(neg + 1 as decimal(38,0)) * (tp + $bins)) * woe_micro
+                div (cast(tp + $bins as decimal(38,0)) * (tn + $bins))"""))
+      .select(col("bin"), col("n"), col("pos"), col("neg"),
+        col("woe_micro"), col("iv_micro").cast("long").as("iv_micro"))
+      .orderBy("bin")
+  }
+
   def rocAuc(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy("source").orderBy("n_chars")
@@ -1180,6 +1223,7 @@ object Modeling extends QueryModule {
     "q191_bpe_encode" -> ((s, d) => bpeEncodeReport(Tables(s, d).documents)),
     "q169_roc_auc" -> ((s, d) => rocAuc(Tables(s, d).documents)),
     "q322_brier_decomposition" -> ((s, d) => brierDecomposition(Tables(s, d).documents)),
+    "q327_woe_iv" -> ((s, d) => woeInformationValue(Tables(s, d).documents)),
     "q201_avg_precision" -> ((s, d) => averagePrecision(Tables(s, d).documents)),
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
     "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents)),
@@ -1317,6 +1361,24 @@ object Modeling extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // same ntile total order, micro-nat WOE, sign-aligned IV floor terms
+    "q327_woe_iv" ->
+      """WITH base AS (SELECT (lang = 'en')::BIGINT AS y, n_chars, doc_id,
+        |       ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM documents),
+        |cells AS (SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+        |                 sum(y)::BIGINT AS pos,
+        |                 (count(*) - sum(y))::BIGINT AS neg
+        |          FROM base GROUP BY bin),
+        |tot AS (SELECT sum(pos)::BIGINT AS tp, sum(neg)::BIGINT AS tn FROM cells),
+        |w AS (SELECT bin, n, pos, neg, tp, tn,
+        |        CAST(floor(ln(((pos + 1) * (tn + 10))::DOUBLE /
+        |                      ((neg + 1) * (tp + 10))::DOUBLE) * 1000000) AS BIGINT)
+        |          AS woe_micro
+        |      FROM cells, tot)
+        |SELECT bin, n, pos, neg, woe_micro,
+        |  (((pos + 1)::HUGEINT * (tn + 10) - (neg + 1)::HUGEINT * (tp + 10))
+        |    * woe_micro // ((tp + 10)::HUGEINT * (tn + 10)))::BIGINT AS iv_micro
+        |FROM w ORDER BY bin""".stripMargin,
     // same bins, same integer Brier/ECE numerators, same nano-quantized
     // REL/RES per-bin terms on HUGEINT
     "q322_brier_decomposition" ->

@@ -288,6 +288,29 @@ class Round8LateOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q327 WOE / information value ---------------------------------------
+
+  test("woeInformationValue: sign-aligned IV terms, balanced bins, separation ranks higher") {
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val rows = Modeling.woeInformationValue(d).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getAs[Long]("iv_micro") >= 0L,
+      "IV terms are non-negative by sign alignment"))
+    val sizes = rows.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1, "ntile bins within 1 of each other")
+    // a perfectly separating feature must dominate an uninformative one
+    val sep = (0 until 100).map(i =>
+      (i.toLong, "t", if (i < 50) "en" else "de", "s", if (i < 50) 10L else 1000L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flat = (0 until 100).map(i =>
+      (i.toLong, "t", if (i % 2 == 0) "en" else "de", "s", 100L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ivSep = Modeling.woeInformationValue(sep).collect().map(_.getAs[Long]("iv_micro")).sum
+    val ivFlat = Modeling.woeInformationValue(flat).collect().map(_.getAs[Long]("iv_micro")).sum
+    assert(ivSep > 10 * ivFlat,
+      s"separating feature IV $ivSep should dwarf uninformative $ivFlat")
+  }
+
   // ---- q325 fairness audit ------------------------------------------------
 
   test("fairnessAudit: hand-computed rates and gaps on a two-source fixture") {
