@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -347,6 +347,64 @@ object Modeling extends QueryModule {
       .select(col("bin"), col("n"), col("pos"), col("neg"),
         col("woe_micro"), col("iv_micro").cast("long").as("iv_micro"))
       .orderBy("bin")
+  }
+
+  /** q329: PAIRED k-FOLD MODEL COMPARISON — the model-SELECTION rung
+    * above the per-model evals (q169/q201/q210): two classifiers for
+    * "is English" (the q23 stopword argmax vs the q322 e-letter-rate
+    * gate) are scored on the SAME deterministic md5 folds, and the
+    * per-fold accuracy DIFFERENCES feed a paired t statistic
+    * (Dietterich 1998's resampled-t caveat noted: folds share no test
+    * rows here, the k-fold CV variant). Pairing matters because fold
+    * difficulty is shared noise — an unpaired comparison would need
+    * far larger gaps to resolve the same winner.
+    *
+    * Determinism: folds are the q66/q172 md5-bucket convention;
+    * per-fold accuracies are integer ppm; mean and variance of the k
+    * differences are exact integer sums (k·Σd² − (Σd)² in
+    * decimal(38,0)); the closing t = d̄·√(k(k−1)) / √(kΣd²−(Σd)²) is
+    * one double expression. Scale: one narrow corpus pass → k-row
+    * frame; everything after is k-sized.
+    */
+  def pairedFoldComparison(documents: DataFrame, k: Int = 5): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, w => ws.map(s => w === s).reduce(_ || _))).cast("long")
+    val en = hits(Seq("the", "a", "and"))
+    val es = hits(Seq("el", "la", "los"))
+    val de = hits(Seq("der", "die", "und"))
+    val fr = hits(Seq("le", "les", "des"))
+    val predA = en >= es && en >= de && en >= fr && en > 0
+    val eCnt = (length(lower(col("text"))) -
+      length(regexp_replace(lower(col("text")), "e", ""))).cast("long")
+    val predB = eCnt * 1000L >= length(col("text")).cast("long") * 75L
+    val folds = documents.select(
+        (col("lang") === "en").as("y"), predA.as("pa"), predB.as("pb"),
+        (conv(substring(md5(concat(lit("fold|"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % k).as("fold"))
+      .groupBy("fold").agg(count(lit(1)).as("n"),
+        sum(when(col("pa") === col("y"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("pb") === col("y"), 1L).otherwise(0L)).as("cb"))
+      .select(col("fold"), col("n"),
+        expr("ca * 1000000 div n").as("acc_a_ppm"),
+        expr("cb * 1000000 div n").as("acc_b_ppm"))
+      .withColumn("d", col("acc_a_ppm") - col("acc_b_ppm"))
+    folds.agg(count(lit(1)).as("k"),
+        sum("d").as("sd"),
+        sum(expr("cast(d as decimal(38,0)) * d")).as("sdd"),
+        sum("n").as("n_total"))
+      .select(col("k"), col("n_total"),
+        // double, not integer division: S can be negative, where Spark's
+        // div truncates but DuckDB's // floors
+        round(col("sd").cast("double") / col("k"), 2).as("mean_diff_ppm"),
+        // t = d̄·√k/s_d, algebraically S·√(k−1)/√(k·Σd² − S²) with S = Σd
+        round(
+          when(col("k") * col("sdd") - col("sd") * col("sd") === 0,
+            lit(null).cast("double"))
+            .otherwise(col("sd").cast("double") *
+              sqrt((col("k") - 1).cast("double")) /
+              sqrt((col("k") * col("sdd") - col("sd") * col("sd")).cast("double"))),
+          4).as("t_stat"))
   }
 
   def rocAuc(documents: DataFrame): DataFrame = {
@@ -1224,6 +1282,7 @@ object Modeling extends QueryModule {
     "q169_roc_auc" -> ((s, d) => rocAuc(Tables(s, d).documents)),
     "q322_brier_decomposition" -> ((s, d) => brierDecomposition(Tables(s, d).documents)),
     "q327_woe_iv" -> ((s, d) => woeInformationValue(Tables(s, d).documents)),
+    "q329_paired_folds" -> ((s, d) => pairedFoldComparison(Tables(s, d).documents)),
     "q201_avg_precision" -> ((s, d) => averagePrecision(Tables(s, d).documents)),
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
     "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents)),
@@ -1361,6 +1420,38 @@ object Modeling extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // same md5 folds, integer ppm fold accuracies, one closing double t
+    "q329_paired_folds" ->
+      """WITH h AS (SELECT lang = 'en' AS y, text, doc_id,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) AS en,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los'))) AS es,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und'))) AS de,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des'))) AS fr,
+        |       (length(lower(text)) - length(replace(lower(text), 'e', ''))) AS ec,
+        |       list_reduce(list_transform(range(1, 16),
+        |         i -> strpos('0123456789abcdef',
+        |                     substr(md5('fold|' || doc_id::VARCHAR), i, 1)) - 1),
+        |         (a, b) -> a * 16 + b)::UBIGINT % 5 AS fold
+        |     FROM documents),
+        |b AS (SELECT y, fold,
+        |             (en >= es AND en >= de AND en >= fr AND en > 0) AS pa,
+        |             (ec * 1000 >= length(text) * 75) AS pb
+        |      FROM h),
+        |folds AS (SELECT fold, count(*)::BIGINT AS n,
+        |                 sum((pa = y)::BIGINT)::BIGINT AS ca,
+        |                 sum((pb = y)::BIGINT)::BIGINT AS cb
+        |          FROM b GROUP BY fold),
+        |d AS (SELECT n, (ca * 1000000 // n - cb * 1000000 // n)::BIGINT AS d FROM folds),
+        |s AS (SELECT count(*)::BIGINT AS k, sum(d)::BIGINT AS sd,
+        |             sum(d::HUGEINT * d) AS sdd, sum(n)::BIGINT AS n_total
+        |      FROM d)
+        |SELECT k, n_total,
+        |  round(sd::DOUBLE / k, 2) AS mean_diff_ppm,
+        |  CASE WHEN k * sdd - sd::HUGEINT * sd = 0 THEN NULL
+        |       ELSE round(sd::DOUBLE * sqrt((k - 1)::DOUBLE) /
+        |                  sqrt((k * sdd - sd::HUGEINT * sd)::DOUBLE), 4)
+        |  END AS t_stat
+        |FROM s""".stripMargin,
     // same ntile total order, micro-nat WOE, sign-aligned IV floor terms
     "q327_woe_iv" ->
       """WITH base AS (SELECT (lang = 'en')::BIGINT AS y, n_chars, doc_id,

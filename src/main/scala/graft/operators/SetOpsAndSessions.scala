@@ -725,6 +725,66 @@ object SetOpsAndSessions extends QueryModule {
     rows.toSeq.toDF("state", "mass", "p").orderBy("state")
   }
 
+  /** q328: ENTROPY RATE of the event-transition Markov chain — the
+    * information-theoretic capstone of the chain family: q112 measures
+    * the transitions, q167 finds where the chain LIVES (stationary π),
+    * this says how PREDICTABLE it is there — H = Σᵢ πᵢ·H(next|state=i)
+    * nats/step (Shannon). Near ln(k) means user flows are noise; near 0
+    * means deterministic funnels — the one number that decides whether
+    * sequence features (q225/q255) carry any signal worth modeling.
+    *
+    * Exactness: per-cell surprisal ln(n_from/n) floor-quantizes to
+    * integer micro-nats (the q187 device), per-state conditional
+    * entropy and the π-weighted total are then pure integer floor
+    * divisions (all operands non-negative — truncation == floor on
+    * both engines), with the q167 stationary mass reused verbatim.
+    * Scale: the corpus collapses to the k×k transition frame in the
+    * one q167 pass; everything after is model-sized (the same
+    * justified driver-side bounded iteration as q167).
+    */
+  def markovEntropyRate(events: DataFrame, iters: Int = 12): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+    val counts = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val states = counts.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val c = Array.ofDim[Long](k, k)
+    counts.foreach(r => c(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+    val rowSum = c.map(_.sum)
+    var v = Array.fill(k)(1000000000000L / k)
+    for (_ <- 1 to iters) {
+      val nv = Array.fill(k)(0L)
+      for (i <- 0 until k; j <- 0 until k if c(i)(j) != 0L && rowSum(i) != 0L)
+        nv(j) += (BigInt(v(i)) * c(i)(j) / rowSum(i)).toLong
+      v = nv
+    }
+    val sumV = v.sum
+    val hMicro = (0 until k).map { i =>
+      if (rowSum(i) == 0L) 0L
+      else {
+        val num = (0 until k).map { j =>
+          if (c(i)(j) == 0L) BigInt(0)
+          else BigInt(c(i)(j)) * math.floor(
+            math.log(rowSum(i).toDouble / c(i)(j).toDouble) * 1e6).toLong
+        }.sum
+        (num / rowSum(i)).toLong
+      }
+    }
+    val contrib = (0 until k).map(i => (BigInt(v(i)) * hMicro(i) / sumV).toLong)
+    val rate = contrib.sum
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.zipWithIndex.map { case (s, i) =>
+      (s, rowSum(i), v(i), hMicro(i), contrib(i), rate)
+    }.toSeq.toDF("state", "n_out", "mass", "h_micro", "contrib_micro", "rate_micro")
+      .orderBy("state")
+  }
+
   /** q171: Kaplan-Meier time-to-conversion curve — survival S(t) over
     * "days from a user's first event to their first `purchase`",
     * right-censoring users who never purchase at their full observed
@@ -1114,6 +1174,7 @@ object SetOpsAndSessions extends QueryModule {
     "q173_psi_drift"          -> ((s, d) => psiDrift(Tables(s, d).events)),
     "q171_kaplan_meier"       -> ((s, d) => kaplanMeier(Tables(s, d).events)),
     "q167_markov_stationary"  -> ((s, d) => markovStationary(Tables(s, d).events)),
+    "q328_entropy_rate"       -> ((s, d) => markovEntropyRate(Tables(s, d).events)),
     "q149_cuped"         -> ((s, d) => cupedAbTest(Tables(s, d).events)),
     "q51_survey_report"  -> ((s, d) => surveyReport(Tables(s, d).orders)),
     "q39_segment_sets"   -> ((s, d) => { val t = Tables(s, d); segmentSets(t.customer, t.nation) }),
@@ -1167,7 +1228,48 @@ object SetOpsAndSessions extends QueryModule {
        |ORDER BY state""".stripMargin
   }
 
+  /** q328 oracle: the q167 CTE chain + micro-nat surprisal cells, all
+    * floor divisions on non-negative integers.
+    */
+  private val entropyRateOracle: String = {
+    val iterCtes = (1 to 12).map { i =>
+      s"""i$i AS (SELECT t.to_type AS state, sum((i${i - 1}.v * t.n) // t.n_from)::BIGINT AS v
+         |       FROM i${i - 1} JOIN t ON i${i - 1}.state = t.from_type GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT from_type, to_type, n,
+       |         sum(n) OVER (PARTITION BY from_type)::BIGINT AS n_from
+       |  FROM (SELECT event_type AS from_type, next_type AS to_type, count(*)::BIGINT AS n
+       |        FROM (SELECT event_type,
+       |                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       |              FROM events)
+       |        WHERE next_type IS NOT NULL GROUP BY 1, 2)),
+       |states AS (SELECT DISTINCT from_type AS s FROM t
+       |           UNION SELECT DISTINCT to_type FROM t),
+       |kk AS (SELECT count(*)::BIGINT AS k FROM states),
+       |i0 AS (SELECT s AS state, 1000000000000 // k AS v FROM states, kk),
+       |$iterCtes,
+       |tot AS (SELECT sum(v)::BIGINT AS sv FROM i12),
+       |cells AS (SELECT from_type, n_from, n,
+       |          CAST(floor(ln(n_from::DOUBLE / n::DOUBLE) * 1000000) AS BIGINT) AS cost
+       |          FROM t),
+       |hs AS (SELECT from_type AS state, max(n_from)::BIGINT AS n_out,
+       |              (sum(n * cost) // max(n_from))::BIGINT AS h_micro
+       |       FROM cells GROUP BY from_type),
+       |j AS (SELECT states.s AS state,
+       |             coalesce(h.n_out, 0)::BIGINT AS n_out,
+       |             coalesce(i12.v, 0)::BIGINT AS mass,
+       |             coalesce(h.h_micro, 0)::BIGINT AS h_micro,
+       |             (coalesce(i12.v, 0) * coalesce(h.h_micro, 0) // sv)::BIGINT AS contrib_micro
+       |      FROM states LEFT JOIN hs h ON states.s = h.state
+       |           LEFT JOIN i12 ON states.s = i12.state, tot)
+       |SELECT state, n_out, mass, h_micro, contrib_micro,
+       |       sum(contrib_micro) OVER ()::BIGINT AS rate_micro
+       |FROM j ORDER BY state""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q328_entropy_rate" -> entropyRateOracle,
     // same interleaved-stream windows, same tie rules (prev control wins
     // equal distance; equal-score control sorts before the treated row)
     "q289_propensity_match" ->

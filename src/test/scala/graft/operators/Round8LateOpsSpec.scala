@@ -288,6 +288,48 @@ class Round8LateOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q329 paired fold comparison ----------------------------------------
+
+  test("pairedFoldComparison: equal classifiers give zero mean and undefined t; corpus is finite") {
+    // texts where BOTH raters agree on every doc: all-stopword English
+    // (both predict en, y = en) and e-free German (both predict not-en)
+    val tie = (0 until 40).map(i =>
+      if (i % 2 == 0) (i.toLong, "the the the the", "en", "s", 15L)
+      else (i.toLong, "zz yy xx ww", "de", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Modeling.pairedFoldComparison(tie).collect()(0)
+    assert(r.getAs[Double]("mean_diff_ppm") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("t_stat")), "zero variance -> undefined t")
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val c = Modeling.pairedFoldComparison(d).collect()(0)
+    assert(c.getAs[Long]("k") == 5L)
+    assert(c.getAs[Long]("n_total") == d.count())
+    // sign of t must follow the sign of the mean difference (or both null)
+    if (!c.isNullAt(c.fieldIndex("t_stat")))
+      assert(c.getAs[Double]("t_stat").sign == c.getAs[Double]("mean_diff_ppm").sign ||
+        c.getAs[Double]("mean_diff_ppm") == 0.0)
+  }
+
+  // ---- q328 Markov entropy rate -------------------------------------------
+
+  test("markovEntropyRate: deterministic chain scores 0, uniform 2-state scores ln 2") {
+    def ev(rows: Seq[(Long, Int, String)]) = rows.map { case (u, i, t) =>
+      (u * 1000 + i, f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d", u, t)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // strict alternation: A->B and B->A are the only transitions
+    val det = ev((0 until 20).map(i => (1L, i, if (i % 2 == 0) "A" else "B")))
+    val rDet = SetOpsAndSessions.markovEntropyRate(det).collect()
+    assert(rDet.forall(_.getAs[Long]("h_micro") == 0L))
+    assert(rDet.head.getAs[Long]("rate_micro") == 0L)
+    // uniform: from each state, next is A or B with equal counts
+    // (sequence AABB repeated: transitions A->A, A->B, B->B, B->A equal)
+    val uni = ev((0 until 41).map(i => (1L, i, if (i % 4 < 2) "A" else "B")))
+    val rUni = SetOpsAndSessions.markovEntropyRate(uni).collect()
+    val rate = rUni.head.getAs[Long]("rate_micro")
+    assert(math.abs(rate - 693147L) < 200L, s"expected ~ln2 micro-nats, got $rate")
+  }
+
   // ---- q327 WOE / information value ---------------------------------------
 
   test("woeInformationValue: sign-aligned IV terms, balanced bins, separation ranks higher") {
