@@ -808,7 +808,49 @@ object CorpusOps extends QueryModule {
       .orderBy("round")
   }
 
+  /** q331: NEYMAN ALLOCATION — the statistically optimal way to split a
+    * fixed sampling budget across strata (Neyman 1934): n_h ∝ N_h·σ_h,
+    * so big AND internally-varied sources get the samples, while large
+    *-but-uniform feeds (template spam) are cheap to summarize. This is
+    * the principled upgrade of q71's proportional stratified sample —
+    * same stratification, better variance per sample — and the exact-
+    * total integer allocation reuses q313's Hamilton largest-remainder
+    * device so Σ n_h ≡ budget exactly.
+    *
+    * Determinism: per-stratum variance comes from integer moment sums
+    * (Σx, Σx² in decimal(38,0) ↔ HUGEINT); the weight N_h·σ_h floor-
+    * quantizes to micro-units (ONE √ per stratum — the documented libm
+    * residual), after which base shares, remainders, and the top-up
+    * ranking are pure integer arithmetic with a (remainder desc,
+    * source) total order. Scale: one map-combined moment pass →
+    * strata-sized frame; everything after is bounded.
+    */
+  def neymanAllocation(documents: DataFrame, budget: Long = 1000L): DataFrame = {
+    val m = documents.groupBy("source").agg(
+        count(lit(1)).as("nh"),
+        sum(expr("cast(n_chars as decimal(38,0))")).as("s1"),
+        sum(expr("cast(n_chars as decimal(38,0)) * n_chars")).as("s2"))
+      .filter(col("nh") > 1)
+      .withColumn("sd", sqrt(
+        (col("nh") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("nh") * (col("nh") - 1)).cast("double")))
+      .withColumn("w_micro", floor(col("nh").cast("double") * col("sd") * 1e6).cast("long"))
+    val tot = m.agg(sum("w_micro").as("wt"))
+    val based = m.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w_micro) div wt"))
+      .withColumn("rem", expr(s"($budget * w_micro) % wt"))
+    val spill = based.agg((lit(budget) - sum("base")).as("k"))
+    based.crossJoin(broadcast(spill))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source"))).cast("long"))
+      .select(col("source"), col("nh").as("n_docs"), round(col("sd"), 4).as("sd"),
+        (col("base") + when(col("rk") <= col("k"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_neyman_alloc" -> ((s, d) => neymanAllocation(Tables(s, d).documents)),
     "q324_max_coverage" -> ((s, d) => maxCoverageSources(Tables(s, d).documents)),
     "q313_apportionment" -> ((s, d) => hamiltonApportionment(Tables(s, d).documents)),
     "q298_rr_frequency" -> ((s, d) => rrFrequency(Tables(s, d).documents)),
@@ -835,6 +877,30 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // same micro-quantized Neyman weights + Hamilton top-up; all
+    // divisions integer-floor on non-negative operands
+    "q331_neyman_alloc" ->
+      """WITH m AS (SELECT source, count(*)::BIGINT AS nh,
+        |                  sum(n_chars::HUGEINT)::HUGEINT AS s1,
+        |                  sum(n_chars::HUGEINT * n_chars)::HUGEINT AS s2
+        |           FROM documents GROUP BY source HAVING count(*) > 1),
+        |w AS (SELECT source, nh,
+        |             sqrt((nh * s2 - s1 * s1)::DOUBLE / (nh * (nh - 1))::DOUBLE) AS sd
+        |      FROM m),
+        |q AS (SELECT source, nh, sd,
+        |             CAST(floor(nh::DOUBLE * sd * 1000000) AS BIGINT) AS w_micro
+        |      FROM w),
+        |tot AS (SELECT sum(w_micro)::BIGINT AS wt FROM q),
+        |based AS (SELECT source, nh, sd, w_micro,
+        |                 (1000 * w_micro) // wt AS base,
+        |                 (1000 * w_micro) % wt AS rem
+        |          FROM q, tot),
+        |spill AS (SELECT (1000 - sum(base))::BIGINT AS k FROM based),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |       FROM based)
+        |SELECT rk.source, rk.nh AS n_docs, round(rk.sd, 4) AS sd,
+        |       (rk.base + CASE WHEN rk.rk <= spill.k THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM rk, spill ORDER BY rk.source""".stripMargin,
     // 3 greedy rounds unrolled, every level MATERIALIZED (the q223
     // doctrine); NOT IN is safe — w is never null after the filter
     "q324_max_coverage" ->

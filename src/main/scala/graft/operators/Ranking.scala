@@ -250,6 +250,48 @@ object Ranking extends QueryModule {
       .orderBy("source")
   }
 
+  /** q330: pairwise JENSEN–SHANNON divergence matrix between source
+    * unigram distributions — the symmetric, bounded (≤ ln 2), always-
+    * finite companion to q95's KL-to-corpus: KL says how far each
+    * source drifted from the mix, JSD says which sources are
+    * INTERCHANGEABLE with each other — the distance that drives source
+    * clustering, mixture design (q82), and "drop the redundant feed"
+    * calls (its √ is a metric, unlike KL). Same smoothing, vocabulary
+    * cut, and determinism devices as q95: Laplace +1 over the shared
+    * top-K vocabulary, and the per-pair double sum folds in SORTED
+    * order on both engines, so float summation has one canonical order.
+    *
+    * Scale: the corpus collapses once to the (source × top-K) grid
+    * (bounded, broadcastable); the pairwise stage joins the grid to
+    * itself on the term key — |sources|²·K rows of model-sized work,
+    * never corpus-sized.
+    */
+  def sourceJsdMatrix(documents: DataFrame, topK: Int = 50): DataFrame = {
+    val toks = documents.select(col("source"), termsOf("text").as("w"))
+    val top = graft.plans.Checkpoints.pin(
+      toks.groupBy("w").agg(count(lit(1)).as("c_c"))
+        .orderBy(col("c_c").desc, col("w")).limit(topK))
+    val v = top.agg(count(lit(1)).cast("double").as("v"))
+    val sc = toks.join(broadcast(top.select("w")), "w")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val srcs = sc.groupBy("source").agg(sum("c").cast("double").as("n"))
+    val grid = srcs.crossJoin(broadcast(top.select("w")))
+      .join(sc, Seq("source", "w"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(v))
+      .select(col("source"), col("w"),
+        ((col("c") + lit(1.0)) / (col("n") + col("v"))).as("p"))
+    val pairs = grid.alias("a").join(grid.alias("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        (col("a.p") * log(col("a.p") * 2.0 / (col("a.p") + col("b.p"))) / 2.0 +
+         col("b.p") * log(col("b.p") * 2.0 / (col("a.p") + col("b.p"))) / 2.0).as("t"))
+    pairs.groupBy("src_a", "src_b")
+      .agg((round(aggregate(array_sort(collect_list(col("t"))), lit(0.0),
+        (acc, x) => acc + x), 6) + lit(0.0)).as("jsd"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q100: per-source vocabulary health — token count, vocabulary size,
     * type-token ratio, and hapax-legomena fraction (terms occurring
     * once). The classic corpus diagnostics: a source whose TTR
@@ -553,6 +595,7 @@ object Ranking extends QueryModule {
     "q90_dsir_weights"   -> ((s, d) => dsirWeights(Tables(s, d).documents)),
     "q105_zipf_fit"      -> ((s, d) => zipfFit(Tables(s, d).documents)),
     "q95_source_kl"      -> ((s, d) => sourceKlDrift(Tables(s, d).documents)),
+    "q330_source_jsd"    -> ((s, d) => sourceJsdMatrix(Tables(s, d).documents)),
     "q100_vocab_stats"   -> ((s, d) => vocabularyStats(Tables(s, d).documents)),
     "q77_tfidf_topterms" -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)),
     "q86_pmi_bigrams"    -> ((s, d) => pmiBigrams(Tables(s, d).documents)),
@@ -736,6 +779,28 @@ object Ranking extends QueryModule {
     // contributions are pure functions of integer counts (identical
     // doubles both engines); per-source sum folds over the ≤K sorted
     // contributions; top-K cut pinned by (count DESC, term)
+    // q95's grid + the symmetric JSD terms; same sorted-fold double sum
+    "q330_source_jsd" ->
+      """WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |cc AS (SELECT w, count(*)::BIGINT AS c_c FROM toks GROUP BY w),
+        |top AS (SELECT w, c_c FROM cc ORDER BY c_c DESC, w LIMIT 50),
+        |vv AS (SELECT count(*)::DOUBLE AS v FROM top),
+        |sc AS (SELECT source, toks.w AS w, count(*)::BIGINT AS c
+        |       FROM toks JOIN top ON toks.w = top.w GROUP BY 1, 2),
+        |srcs AS (SELECT source, sum(c)::DOUBLE AS n FROM sc GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, t.w,
+        |         (coalesce(sc.c, 0) + 1.0) / (s.n + vv.v) AS p
+        |  FROM srcs s CROSS JOIN top t
+        |  LEFT JOIN sc ON sc.source = s.source AND sc.w = t.w, vv),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         a.p * ln(a.p * 2.0 / (a.p + b.p)) / 2.0
+        |         + b.p * ln(b.p * 2.0 / (a.p + b.p)) / 2.0 AS t
+        |  FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source)
+        |SELECT src_a, src_b,
+        |       round(list_sum(list_sort(list(t))), 6) + 0.0 AS jsd
+        |FROM pairs GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
     "q95_source_kl" ->
       """WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
         |cc AS (SELECT w, count(*)::BIGINT AS c_c FROM toks GROUP BY w),

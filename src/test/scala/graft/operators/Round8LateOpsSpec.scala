@@ -288,6 +288,42 @@ class Round8LateOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q331 Neyman allocation ---------------------------------------------
+
+  test("neymanAllocation: allocations sum exactly to the budget and follow N_h*sd") {
+    val corpus = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val rows = CorpusOps.neymanAllocation(corpus).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L, "Hamilton hits the budget exactly")
+    // a high-variance stratum must out-allocate an equal-size uniform one
+    val d = (
+      (0 until 50).map(i => (i.toLong, "t", "en", "flat", 100L)) ++
+      (50 until 100).map(i => (i.toLong, "t", "en", "wild", if (i % 2 == 0) 10L else 5000L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.neymanAllocation(d).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    assert(out("wild") > out("flat"))
+    assert(out("wild") + out("flat") == 1000L)
+  }
+
+  // ---- q330 source JSD matrix ---------------------------------------------
+
+  test("sourceJsdMatrix: zero for identical sources, bounded by ln 2, full matrix on corpus") {
+    val d = Seq(
+      (1L, "alpha beta gamma", "en", "s1", 16L), (2L, "alpha beta delta", "en", "s1", 16L),
+      (3L, "alpha beta gamma", "en", "s2", 16L), (4L, "alpha beta delta", "en", "s2", 16L),
+      (5L, "omega omega omega", "en", "s3", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Ranking.sourceJsdMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("jsd")).toMap
+    assert(out(("s1", "s2")) == 0.0, "identical distributions -> JSD 0")
+    assert(out(("s1", "s3")) > out(("s1", "s2")))
+    out.values.foreach(v => assert(v >= 0.0 && v <= math.log(2) + 1e-9))
+    val corpus = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val rows = Ranking.sourceJsdMatrix(corpus).collect()
+    val nSrc = corpus.select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+  }
+
   // ---- q329 paired fold comparison ----------------------------------------
 
   test("pairedFoldComparison: equal classifiers give zero mean and undefined t; corpus is finite") {
