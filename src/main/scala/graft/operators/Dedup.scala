@@ -598,36 +598,50 @@ object Dedup extends QueryModule {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.toDF("src", "dst")
-    val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val sym = graft.plans.Checkpoints.cut(
+      edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))), None)
     // warm start at the 1-hop fixpoint candidate — min over self+neighbors
     // (every node appears as dst in the symmetric list), which already IS
-    // the answer for pair-shaped components, the common near-dup case
-    var labels = sym.groupBy(col("dst").as("id")).agg(min(col("src")).as("m"))
-      .select(col("id"), least(col("id"), col("m")).as("label"))
-      .cache()
+    // the answer for pair-shaped components, the common near-dup case.
+    //
+    // Every round LINEAGE-CUTS the label frame (Checkpoints.cut), not
+    // just cache(): a cache leaves the logical plan intact, and since a
+    // round references the previous labels twice, the plan TREE doubles
+    // per iteration — on a long-chain component (q296's DBSCAN core
+    // graph at sf0.1 needs 10+ rounds) the 2^rounds tree OOMed the
+    // driver while merely STRINGIFYING the plan for the job description.
+    // The cut truncates the plan to a leaf each round, so round r's plan
+    // is O(1) regardless of r; blocks from superseded rounds unpersist
+    // immediately (node-sized, but why keep them), the rest drain via
+    // Checkpoints.release.
+    var labels = graft.plans.Checkpoints.cut(
+      sym.groupBy(col("dst").as("id")).agg(min(col("src")).as("m"))
+        .select(col("id"), least(col("id"), col("m")).as("label")), None)
     var i = 0
     var converged = false
     while (!converged && i < maxIters) {
       val fromNeighbors = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      // carry the old label through so convergence is checked in the SAME
-      // job that materializes the new labels — one action per iteration
-      val next = labels.withColumnRenamed("label", "old")
-        .join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"), col("old"),
-                least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
-        .cache()
+      // carry the old label through so convergence is checked against the
+      // SAME materialized frame the next round reads — the cut is eager,
+      // so `next` is computed exactly once
+      val next = graft.plans.Checkpoints.cut(
+        labels.withColumnRenamed("label", "old")
+          .join(fromNeighbors, Seq("id"), "left")
+          .select(col("id"), col("old"),
+                  least(col("old"), coalesce(col("nlabel"), col("old"))).as("label")),
+        None)
       val changed = next.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      labels.unpersist(false)
       labels = next.select("id", "label")
       if (changed == 0L) converged = true else i += 1
     }
     if (!converged) System.err.println(
       s"[graft] connectedComponents stopped at maxIters=$maxIters before convergence")
-    // the loop's count() actions have materialized `labels`; the edge
-    // list is no longer needed (the labels cache itself is the return
-    // value and stays resident until the caller is done with it)
-    sym.unpersist()
+    // the cuts have materialized `labels`; the edge list is no longer
+    // needed (the final cut blocks back the returned frame and drain via
+    // Checkpoints.release once the caller is done)
+    sym.unpersist(false)
     labels
   }
 

@@ -190,13 +190,21 @@ object RangeJoin extends QueryModule {
       .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
     val variants = touches.select(col("event_type").as("variant")).distinct()
       .unionByName(spark.range(1).select(lit("FULL").as("variant")))
-    val eds = edges0.crossJoin(broadcast(variants))
-      .filter(col("src") =!= col("variant"))
-      .select(col("variant"), col("src"),
-        when(col("dst") === col("variant"), lit("NULL")).otherwise(col("dst")).as("dst"),
-        col("cnt"))
-      .groupBy("variant", "src", "dst").agg(sum("cnt").as("cnt"))
-    val outs = eds.groupBy("variant", "src").agg(sum("cnt").as("o"))
+    // the variant-expanded edge frame is MODEL-sized ((|types|+2)² per
+    // variant) but its lineage is the full corpus pipeline — without a
+    // cut, every value-iteration round (and the outs/START consumers)
+    // re-derives the per-user-day windows from scratch: measured ~10 s
+    // at sf0.1, ~3 s with the cut. One corpus pass, then 6 rounds of
+    // bounded-frame algebra.
+    val eds = graft.plans.Checkpoints.cut(
+      edges0.crossJoin(broadcast(variants))
+        .filter(col("src") =!= col("variant"))
+        .select(col("variant"), col("src"),
+          when(col("dst") === col("variant"), lit("NULL")).otherwise(col("dst")).as("dst"),
+          col("cnt"))
+        .groupBy("variant", "src", "dst").agg(sum("cnt").as("cnt")), None)
+    val outs = graft.plans.Checkpoints.cut(
+      eds.groupBy("variant", "src").agg(sum("cnt").as("o")), None)
     var v = outs.select(col("variant"), col("src").as("state"), lit(0L).as("v"))
     for (_ <- 1 to steps) {
       v = eds
