@@ -115,6 +115,46 @@ object LogPipeline extends QueryModule {
   /** K4/W3 (status_manager.py append + latest-wins view): current status
     * per entity = last event by time — the status-store read path.
     */
+  /** q332: SCD TYPE-2 STATUS HISTORY build — the slowly-changing-
+    * dimension table the warehouse keeps BETWEEN q26's latest-status
+    * snapshot and q112's transition counts: every (user, status) spell
+    * becomes a validity interval [valid_from, valid_to) with a version
+    * number and an is_current flag, consecutive duplicate statuses
+    * COLLAPSED into one spell (the SCD2 change-detection rule — a
+    * repeated reading is not a new version). This is the table as-of
+    * joins (q60) point into and audits replay.
+    *
+    * Determinism: spell boundaries come from lag() over the (ts,
+    * event_id) total order; interval endpoints render via the q26
+    * date_format convention. Scale: two windows over the SAME
+    * (user_id)-clustered sort — one shuffle, no self-join, and the
+    * spell collapse is a running-flag sum, not a gaps-and-islands
+    * self-join.
+    */
+  def statusHistory(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val spells = events
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+             lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("spell", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("spell"))
+      .agg(first(col("event_type")).as("status"),
+        min(struct(col("ts"), col("event_id"))).as("fromk"),
+        max(struct(col("ts"), col("event_id"))).as("tok"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy("spell")
+    spells
+      .withColumn("valid_to_ts", lead(col("fromk.ts"), 1).over(w2))
+      .select(col("user_id"), col("spell").as("version"), col("status"),
+        date_format(col("fromk.ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_events"), col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   def latestStatus(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     events.withColumn("rn", row_number().over(w))
@@ -203,6 +243,7 @@ object LogPipeline extends QueryModule {
     "q14_sessionize"     -> ((s, d) => sessionize(Tables(s, d).events)),
     "q25_weekly_usage"   -> ((s, d) => weeklyUsage(Tables(s, d).events)),
     "q26_latest_status"  -> ((s, d) => latestStatus(Tables(s, d).events)),
+    "q332_status_history" -> ((s, d) => statusHistory(Tables(s, d).events)),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -276,6 +317,29 @@ object LogPipeline extends QueryModule {
          FROM events
          WHERE event_type IN ('purchase', 'click') AND ts >= TIMESTAMP '2024-01-08'
          GROUP BY 1 ORDER BY week""",
+    // same (ts, event_id) total order, running-flag spell numbering,
+    // q26 timestamp rendering; statuses inside a spell are identical so
+    // min(event_type) is the spell status
+    "q332_status_history" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |     FROM events),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |                         THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS UNBOUNDED PRECEDING)::BIGINT AS spell
+        |      FROM o),
+        |sp AS (SELECT user_id, spell, min(event_type) AS status,
+        |              min(ts) AS from_ts, count(*)::BIGINT AS n_events
+        |       FROM s GROUP BY user_id, spell)
+        |SELECT user_id, spell AS version, status,
+        |       strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY spell),
+        |                '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       n_events,
+        |       lead(from_ts) OVER (PARTITION BY user_id ORDER BY spell) IS NULL
+        |         AS is_current
+        |FROM sp ORDER BY user_id, version""".stripMargin,
     "q26_latest_status" ->
       """SELECT user_id, last_status, last_seen FROM (
            SELECT user_id, event_type AS last_status,

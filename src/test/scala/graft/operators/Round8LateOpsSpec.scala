@@ -288,6 +288,25 @@ class Round8LateOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q332 SCD2 status history -------------------------------------------
+
+  test("statusHistory: duplicate readings collapse, intervals chain, last spell is current") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "A"), (2L, "2024-01-01 11:00:00", 7L, "A"),
+      (3L, "2024-01-01 12:00:00", 7L, "B"), (4L, "2024-01-01 13:00:00", 7L, "A"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rows = graft.operators.LogPipeline.statusHistory(e).collect()
+    assert(rows.length == 3, "A,A collapses into one spell")
+    assert(rows.map(_.getAs[String]("status")).toSeq == Seq("A", "B", "A"))
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    // each spell's valid_to is the next spell's valid_from; only the last is open
+    assert(rows(0).getAs[String]("valid_to") == rows(1).getAs[String]("valid_from"))
+    assert(rows(1).getAs[String]("valid_to") == rows(2).getAs[String]("valid_from"))
+    assert(!rows(0).getAs[Boolean]("is_current") && rows(2).getAs[Boolean]("is_current"))
+    assert(rows(2).getAs[String]("valid_to") == null)
+  }
+
   // ---- q331 Neyman allocation ---------------------------------------------
 
   test("neymanAllocation: allocations sum exactly to the budget and follow N_h*sd") {
