@@ -932,9 +932,27 @@ object Dedup extends QueryModule {
     val truth = graft.plans.Checkpoints.cut(
       ppjoinExact(documents).select("left_id", "right_id"), None)
     val nDocs = documents.agg(count(lit(1)).as("nd"))
+    // ONE signature pass: the b-band salts are a prefix of the max-band
+    // salts, so every config's candidate set is a band_idx < b filter of
+    // the same stacked (doc, band, key) frame — computing signatures per
+    // config tripled the text-hashing work (measured ~10 s → ~6 s)
+    val maxBands = bandCounts.max
+    val stacked = graft.plans.Checkpoints.cut(
+      minhashSignatures(documents, nHashes = maxBands, sorted = false)
+        .select(col("doc_id"),
+          explode(array((0 until maxBands).map(j =>
+            struct(lit(j).as("band_idx"), col(s"mh$j").as("band_key"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_key"))
+        .filter(col("band_key").isNotNull), None)
     val rows = bandCounts.map { b =>
       val cand = graft.plans.Checkpoints.cut(
-        multiBandCandidatePairs(documents, b).select("left_id", "right_id"), None)
+        stacked.filter(col("band_idx") < b)
+          .groupBy(col("band_idx"), col("band_key"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(PairExpansionExpr)).as("pair"))
+          .select(col("pair.l").as("left_id"), col("pair.r").as("right_id"))
+          .distinct(), None)
       val caught = cand.join(truth, Seq("left_id", "right_id"), "left_semi")
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(truth.agg(count(lit(1)).as("n_true")))
