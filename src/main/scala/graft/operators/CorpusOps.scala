@@ -837,8 +837,11 @@ object CorpusOps extends QueryModule {
       .withColumn("w_micro", floor(col("nh").cast("double") * col("sd") * 1e6).cast("long"))
     val tot = m.agg(sum("w_micro").as("wt"))
     val based = m.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($budget * w_micro) div wt"))
-      .withColumn("rem", expr(s"($budget * w_micro) % wt"))
+      // wt = 0 (every surviving stratum flat) would divide by zero in
+      // the oracle's // while Spark's div returns null — guard BOTH
+      // engines so the degenerate fixture yields the same null allocs
+      .withColumn("base", expr(s"case when wt > 0 then ($budget * w_micro) div wt end"))
+      .withColumn("rem", expr(s"case when wt > 0 then ($budget * w_micro) % wt end"))
     val spill = based.agg((lit(budget) - sum("base")).as("k"))
     based.crossJoin(broadcast(spill))
       .withColumn("rk", row_number().over(
@@ -892,8 +895,8 @@ object CorpusOps extends QueryModule {
         |      FROM w),
         |tot AS (SELECT sum(w_micro)::BIGINT AS wt FROM q),
         |based AS (SELECT source, nh, sd, w_micro,
-        |                 (1000 * w_micro) // wt AS base,
-        |                 (1000 * w_micro) % wt AS rem
+        |                 CASE WHEN wt > 0 THEN (1000 * w_micro) // wt END AS base,
+        |                 CASE WHEN wt > 0 THEN (1000 * w_micro) % wt END AS rem
         |          FROM q, tot),
         |spill AS (SELECT (1000 - sum(base))::BIGINT AS k FROM based),
         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk

@@ -966,9 +966,10 @@ object Dedup extends QueryModule {
           expr("n_caught * 1000000 div n_true")).as("recall_ppm"),
         when(col("n_candidates") > 0,
           expr("n_caught * 1000000 div n_candidates")).as("precision_ppm"),
-        expr("""cast((cast(nd as decimal(38,0)) * (nd - 1) div 2 - n_candidates)
+        when(col("nd") > 1,
+          expr("""cast((cast(nd as decimal(38,0)) * (nd - 1) div 2 - n_candidates)
                 * 1000000000 div (cast(nd as decimal(38,0)) * (nd - 1) div 2)
-                as bigint)""").as("reduction_ppb"))
+                as bigint)""")).as("reduction_ppb"))
       .orderBy("bands")
   }
 
@@ -1699,8 +1700,9 @@ object Dedup extends QueryModule {
         |       THEN (n_caught * 1000000 // n_true)::BIGINT END AS recall_ppm,
         |  CASE WHEN n_candidates > 0
         |       THEN (n_caught * 1000000 // n_candidates)::BIGINT END AS precision_ppm,
-        |  ((n::HUGEINT * (n - 1) // 2 - n_candidates) * 1000000000
-        |    // (n::HUGEINT * (n - 1) // 2))::BIGINT AS reduction_ppb
+        |  CASE WHEN n > 1 THEN
+        |    ((n::HUGEINT * (n - 1) // 2 - n_candidates) * 1000000000
+        |      // (n::HUGEINT * (n - 1) // 2))::BIGINT END AS reduction_ppb
         |FROM m, nd ORDER BY bands""".stripMargin,
     "q216_ppjoin_exact" ->
       """WITH sh AS (

@@ -50,6 +50,31 @@ object GraphOps extends QueryModule {
       .select(explode(expr(Dedup.pairExpansionExpr("ids"))).as("pair"))
       .select(col("pair.l").as("u"), col("pair.r").as("v")).distinct()
 
+  /** The co-purchase edge table, materialized ONCE per (process, data
+    * dir) as a bucketed managed table (key = u) and shared by every
+    * graph query: 10+ `SparkEntry.queries` entries consume the same
+    * edge set, and each used to re-run the order-grouping build (~4 s
+    * at sf0.1) from scratch. Bucketing (vs a plain cache) mirrors the
+    * q205 dedup-index posture — the table survives as a real artifact,
+    * a join/groupBy on `u` needs no Exchange on the edge side, and on
+    * a cluster the write happens once per corpus version, not once per
+    * query. Consumers take the edge frame as a parameter, so specs
+    * still pass small computed fixtures (recomputing a fixture is
+    * free; the table path is the bench/production shape).
+    */
+  def sharedEdges(spark: SparkSession, dir: String): DataFrame = edgeLock.synchronized {
+    if (!Option(edgeBuiltFor.get(EdgeTable)).contains(dir)) {
+      graft.sources.Bucketing.writeBucketed(
+        copurchaseEdges(Tables(spark, dir).lineitem), EdgeTable, "u", 32)
+      edgeBuiltFor.put(EdgeTable, dir)
+    }
+    spark.table(EdgeTable)
+  }
+
+  val EdgeTable = "graft_copurchase_edges"
+  private val edgeLock = new Object
+  private val edgeBuiltFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q142: triangle census + global clustering coefficient.
     *
     * Orientation total order is (degree, id); a triangle a≺b≺c is found
@@ -57,14 +82,14 @@ object GraphOps extends QueryModule {
     * probe is a semi-join of wedge endpoints against the oriented edge
     * list — hashes of int pairs, never payloads.
     */
-  def triangleCensus(li: DataFrame,
+  def triangleCensus(und: DataFrame,
                      checkpointDir: Option[String] = None,
                      broadcastEdgeLimit: Long = 20000000L): DataFrame = {
-    // materialize edges once: degree pass + orientation + closure probe
-    // all read it, and recomputing means re-running the order self-join.
-    // checkpointDir switches the lineage cut from executor-local to a
-    // fault-tolerant store (see graft.plans.Checkpoints).
-    val edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    // edges arrive materialized (the [[sharedEdges]] bucketed table in
+    // production; a small computed frame in specs) — re-reading them is
+    // a bounded scan, and skipping the cut keeps the table's bucketed
+    // partitioning visible to the u-keyed joins below.
+    val edges = und
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = edges
@@ -135,9 +160,9 @@ object GraphOps extends QueryModule {
     * Graphs past the broadcast limit would swap in q142's wedge-join
     * form — the credit union is identical from the (a, b, c) stream.
     */
-  def clusteringCoefficients(li: DataFrame, topN: Int = 20,
+  def clusteringCoefficients(und: DataFrame, topN: Int = 20,
                              checkpointDir: Option[String] = None): DataFrame = {
-    val edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    val edges = und
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = edges
@@ -272,9 +297,9 @@ object GraphOps extends QueryModule {
     * ([[graft.plans.Checkpoints]]) so round r doesn't replan rounds
     * 1..r−1.
     */
-  def kCorePeel(li: DataFrame, k: Int = 3, rounds: Int = 4,
+  def kCorePeel(und: DataFrame, k: Int = 3, rounds: Int = 4,
                 checkpointDir: Option[String] = None): DataFrame = {
-    var edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    var edges = graft.plans.Checkpoints.cut(und, checkpointDir)
     // Early exit at the fixpoint: a round that removes no edge makes
     // every later round a no-op (peeling is monotone), so re-running
     // them would just re-materialize identical frames. Result-identical
@@ -354,9 +379,8 @@ object GraphOps extends QueryModule {
     * only nodes within r hops of the seed, so a 3-round PPR on a
     * 100 TB graph is frontier-sized work, not graph-sized.
     */
-  def personalizedRank(li: DataFrame, iters: Int = 3, topN: Int = 10,
+  def personalizedRank(und: DataFrame, iters: Int = 3, topN: Int = 10,
                        checkpointDir: Option[String] = None): DataFrame = {
-    val und = copurchaseEdges(li)
     val edges = graft.plans.Checkpoints.cut(
       und.select(col("u").as("s"), col("v").as("dd"))
         .unionAll(und.select(col("v").as("s"), col("u").as("dd")))
@@ -399,9 +423,9 @@ object GraphOps extends QueryModule {
     * edge-sized, and the argmax is `min(struct(-c, lbl))`, a map-side
     * partial agg, not a window sort.
     */
-  def labelPropagation(li: DataFrame, rounds: Int = 2,
+  def labelPropagation(und: DataFrame, rounds: Int = 2,
                        checkpointDir: Option[String] = None): DataFrame =
-    lpLabels(copurchaseEdges(li), rounds, checkpointDir)
+    lpLabels(und, rounds, checkpointDir)
       .groupBy("lbl").agg(count(lit(1)).as("community_size"))
       .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
       .orderBy("community_size")
@@ -446,9 +470,8 @@ object GraphOps extends QueryModule {
     * rounds' own exchanges; the community frame is bounded by the
     * community count, never edge-sized.
     */
-  def lpModularity(li: DataFrame, rounds: Int = 2,
+  def lpModularity(und: DataFrame, rounds: Int = 2,
                    checkpointDir: Option[String] = None): DataFrame = {
-    val und = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
     val labels = lpLabels(und, rounds, checkpointDir)
     val m = und.agg(count(lit(1)).as("m"))
     val intra = und
@@ -492,8 +515,7 @@ object GraphOps extends QueryModule {
     * list, one map-side-combined aggregate; nothing but (int, int)
     * pairs ever shuffles.
     */
-  def degreeAssortativity(li: DataFrame): DataFrame = {
-    val und = copurchaseEdges(li)
+  def degreeAssortativity(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val sym = und.select(col("u").as("a"), col("v").as("b"))
@@ -531,11 +553,13 @@ object GraphOps extends QueryModule {
     * estimate is integer register sums + ONE double division, no
     * order-dependent float accumulation.
     */
-  def hyperBall(li: DataFrame, rounds: Int = 2, reportN: Int = 6,
+  def hyperBall(und: DataFrame, rounds: Int = 2, reportN: Int = 6,
                 checkpointDir: Option[String] = None): DataFrame = {
-    val und = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
-    val sym = und.select(col("u").as("s"), col("v").as("t"))
-      .unionAll(und.select(col("v").as("s"), col("u").as("t")))
+    // every merge round re-reads the symmetric edge stream — pin it once
+    // (measured ~10% at sf0.1 vs re-scanning the bucketed table per round)
+    val sym = graft.plans.Checkpoints.cut(
+      und.select(col("u").as("s"), col("v").as("t"))
+        .unionAll(und.select(col("v").as("s"), col("u").as("t"))), checkpointDir)
     val deg = sym.groupBy("s").agg(count(lit(1)).as("degree"))
     val report = deg.orderBy(col("degree").desc, col("s")).limit(reportN)
       .select(col("s").as("part"), col("degree"))
@@ -680,9 +704,9 @@ object GraphOps extends QueryModule {
     * set on one arm before the center join. Per-seed top-k compiles to
     * WindowGroupLimit, not a global sort.
     */
-  def adamicAdarLinks(li: DataFrame, seedN: Int = 100, perSeed: Int = 3,
+  def adamicAdarLinks(und: DataFrame, seedN: Int = 100, perSeed: Int = 3,
                       checkpointDir: Option[String] = None): DataFrame = {
-    val edges = graft.plans.Checkpoints.cut(copurchaseEdges(li), checkpointDir)
+    val edges = und
     val sym = edges.select(col("u").as("w"), col("v").as("n"))
       .unionAll(edges.select(col("v").as("w"), col("u").as("n")))
     val deg = sym.groupBy("w").agg(count(lit(1)).as("d"))
@@ -718,20 +742,27 @@ object GraphOps extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q314_modularity" -> ((s, d) => lpModularity(Tables(s, d).lineitem)),
-    "q315_assortativity" -> ((s, d) => degreeAssortativity(Tables(s, d).lineitem)),
-    "q316_hyperball" -> ((s, d) => hyperBall(Tables(s, d).lineitem)),
-    "q288_adamic_adar" -> ((s, d) => adamicAdarLinks(Tables(s, d).lineitem)),
-    "q229_personalized_rank" -> ((s, d) => personalizedRank(Tables(s, d).lineitem)),
+    "q314_modularity" -> ((s, d) => lpModularity(sharedEdges(s, d),
+      rounds = graft.plans.Rounds.of(s, "lpa", 2))),
+    "q315_assortativity" -> ((s, d) => degreeAssortativity(sharedEdges(s, d))),
+    "q316_hyperball" -> ((s, d) => hyperBall(sharedEdges(s, d),
+      rounds = graft.plans.Rounds.of(s, "hyperball", 2))),
+    "q288_adamic_adar" -> ((s, d) => adamicAdarLinks(sharedEdges(s, d))),
+    "q229_personalized_rank" -> ((s, d) => personalizedRank(sharedEdges(s, d),
+      iters = graft.plans.Rounds.of(s, "ppr", 3))),
     "q250_rec_backtest" -> ((s, d) => { val t = Tables(s, d)
       recommenderBacktest(t.lineitem, t.orders, t.customer) }),
-    "q232_label_propagation" -> ((s, d) => labelPropagation(Tables(s, d).lineitem)),
-    "q142_triangles" -> ((s, d) => triangleCensus(Tables(s, d).lineitem)),
-    "q276_clustering_coef" -> ((s, d) => clusteringCoefficients(Tables(s, d).lineitem)),
-    "q143_pagerank"  -> ((s, d) => copurchaseRank(copurchaseEdges(Tables(s, d).lineitem), 3, 10)),
+    "q232_label_propagation" -> ((s, d) => labelPropagation(sharedEdges(s, d),
+      rounds = graft.plans.Rounds.of(s, "lpa", 2))),
+    "q142_triangles" -> ((s, d) => triangleCensus(sharedEdges(s, d))),
+    "q276_clustering_coef" -> ((s, d) => clusteringCoefficients(sharedEdges(s, d))),
+    "q143_pagerank"  -> ((s, d) => copurchaseRank(sharedEdges(s, d),
+      iters = graft.plans.Rounds.of(s, "pagerank", 3), topN = 10)),
     "q212_hits"      -> ((s, d) => { val t = Tables(s, d); hitsAuthorities(t.lineitem, t.orders) }),
-    "q223_kcore"     -> ((s, d) => kCorePeel(Tables(s, d).lineitem, k = 3, rounds = 4)),
-    "q224_cheapest_paths" -> ((s, d) => cheapestPaths(Tables(s, d).lineitem)),
+    "q223_kcore"     -> ((s, d) => kCorePeel(sharedEdges(s, d), k = 3,
+      rounds = graft.plans.Rounds.of(s, "kcore", 4))),
+    "q224_cheapest_paths" -> ((s, d) => cheapestPaths(Tables(s, d).lineitem,
+      hops = graft.plans.Rounds.of(s, "bellmanford", 3))),
   )
 
   /** q223 oracle: the 4 peel rounds unrolled (the q143 doctrine). Every

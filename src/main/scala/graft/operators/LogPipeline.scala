@@ -143,7 +143,6 @@ object LogPipeline extends QueryModule {
       .groupBy(col("user_id"), col("spell"))
       .agg(first(col("event_type")).as("status"),
         min(struct(col("ts"), col("event_id"))).as("fromk"),
-        max(struct(col("ts"), col("event_id"))).as("tok"),
         count(lit(1)).as("n_events"))
     val w2 = Window.partitionBy("user_id").orderBy("spell")
     spells

@@ -314,27 +314,45 @@ object Modeling extends QueryModule {
     * smoothed positive/negative shares, and IV = Σ(p_k − q_k)·WOE_k —
     * the classic <0.02 useless / >0.3 strong screen.
     *
-    * Determinism: bins are ntile over the TOTAL order (n_chars,
-    * doc_id) — identical on both engines; WOE quantizes to integer
-    * micro-nats (the q187 device; libm-ulp residual documented there);
-    * the IV term (p−q)·WOE is sign-aligned BY CONSTRUCTION (both
-    * factors share the sign of p−q), so its pico-unit floor division
-    * is non-negative and truncation == floor on both engines — the IV
+    * Determinism: bin cuts are the q93 broadcast-percentile-cut shape
+    * — k/bins exact percentiles of n_chars from ONE aggregation,
+    * rounded to 4 (the q85 contract: Spark `percentile` and DuckDB
+    * `quantile_cont` interpolate identically up to ulps, rounding
+    * absorbs the ulps), broadcast back, and bins assigned by
+    * comparison. No global-window sort exists anywhere in the plan —
+    * the r8 ntile form dragged the whole corpus through ONE sort task
+    * (Exchange SinglePartition), the exact shape q93 was built to
+    * avoid. Equal-frequency is now up to ties (value binning puts
+    * duplicate n_chars in one bin — the standard WOE practice; the
+    * ntile form split ties by doc_id, an arbitrary order no scorer
+    * can reproduce anyway). WOE quantizes to integer micro-nats (the
+    * q187 device; libm-ulp residual documented there); the IV term
+    * (p−q)·WOE is sign-aligned BY CONSTRUCTION (both factors share
+    * the sign of p−q), so its pico-unit floor division is
+    * non-negative and truncation == floor on both engines — the IV
     * total is an exact integer sum. Laplace smoothing (+1 per cell,
-    * +bins per total) keeps empty cells finite on both sides.
-    * Scale: one rank pass (the same O(n log n) any quantile binning
-    * pays), then a bins-sized frame; at 100 TB the ntile would swap
-    * for q127's sketch cuts — the WOE/IV arithmetic is unchanged.
+    * +bins per total) keeps empty cells finite on both sides; a cut
+    * region emptied by ties simply yields no row.
+    * Scale: one percentile aggregate (map-side partials of a
+    * value→count map) + one comparison pass + a bins-sized frame —
+    * two narrow corpus scans, zero global sorts; the bins-sized cells
+    * frame is lineage-cut so its two consumers (totals + the report)
+    * read materialized blocks instead of re-deriving it.
     */
   def woeInformationValue(documents: DataFrame, bins: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = documents.select((col("lang") === "en").cast("long").as("y"),
-        col("n_chars"), col("doc_id"))
-      .withColumn("bin", ntile(bins).over(
-        Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
-    val cells = base.groupBy("bin")
-      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
-      .withColumn("neg", col("n") - col("pos"))
+      col("n_chars"))
+    val ps = (1 until bins).map(k => s"${k.toDouble / bins}D").mkString(", ")
+    val cuts = base.agg(expr(s"percentile(n_chars, array($ps))").as("c"))
+      .select((1 until bins).map(k =>
+        round(element_at(col("c"), k), 4).as(s"c$k")): _*)
+    val binned = base.crossJoin(broadcast(cuts))
+      .withColumn("bin", lit(1L) + (1 until bins).map(k =>
+        when(col("n_chars") > col(s"c$k"), 1L).otherwise(0L)).reduce(_ + _))
+    val cells = graft.plans.Checkpoints.cut(
+      binned.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .withColumn("neg", col("n") - col("pos")), None)
     val tot = cells.agg(sum("pos").as("tp"), sum("neg").as("tn"))
     cells.crossJoin(broadcast(tot))
       .withColumn("woe_micro",
@@ -366,7 +384,11 @@ object Modeling extends QueryModule {
     * one double expression. Scale: one narrow corpus pass → k-row
     * frame; everything after is k-sized.
     */
-  def pairedFoldComparison(documents: DataFrame, k: Int = 5): DataFrame = {
+  /** The two "is English" classifiers q329 compares (and q342's McNemar
+    * re-tests at the per-document level): A = stopword-hit argmax across
+    * four languages; B = e-letter-rate gate at 7.5%.
+    */
+  private[operators] def stopwordArgmaxEn: Column = {
     val toks = split(lower(col("text")), " ")
     def hits(ws: Seq[String]): Column =
       size(filter(toks, w => ws.map(s => w === s).reduce(_ || _))).cast("long")
@@ -374,10 +396,47 @@ object Modeling extends QueryModule {
     val es = hits(Seq("el", "la", "los"))
     val de = hits(Seq("der", "die", "und"))
     val fr = hits(Seq("le", "les", "des"))
-    val predA = en >= es && en >= de && en >= fr && en > 0
+    en >= es && en >= de && en >= fr && en > 0
+  }
+
+  private[operators] def eRateEn: Column = {
     val eCnt = (length(lower(col("text"))) -
       length(regexp_replace(lower(col("text")), "e", ""))).cast("long")
-    val predB = eCnt * 1000L >= length(col("text")).cast("long") * 75L
+    eCnt * 1000L >= length(col("text")).cast("long") * 75L
+  }
+
+  /** q342: McNEMAR'S TEST on the q329 classifier pair — the PER-ITEM
+    * complement of the fold-level paired t: only the discordant
+    * documents (A right & B wrong = b, A wrong & B right = c) carry
+    * information about which classifier is better, and the
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) ~ χ²₁ needs one
+    * corpus aggregate. Dietterich 1998 ranks exactly this test as the
+    * low-variance alternative when retraining per fold is too
+    * expensive — at 100 TB it always is.
+    *
+    * Exact: b and c are integer sums with map-side partials; the
+    * statistic is ONE double division (null when b + c = 0, i.e. the
+    * classifiers never disagree).
+    */
+  def mcnemarTest(documents: DataFrame): DataFrame = {
+    val predA = stopwordArgmaxEn
+    val predB = eRateEn
+    documents
+      .select((col("lang") === "en").as("y"), predA.as("pa"), predB.as("pb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pa") === col("y") && col("pb") =!= col("y"), 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("pa") =!= col("y") && col("pb") === col("y"), 1L)
+          .otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          round((abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1)
+            / (col("b") + col("c")).cast("double"), 4)).as("mcnemar_chi2"))
+  }
+
+  def pairedFoldComparison(documents: DataFrame, k: Int = 5): DataFrame = {
+    val predA = stopwordArgmaxEn
+    val predB = eRateEn
     val folds = documents.select(
         (col("lang") === "en").as("y"), predA.as("pa"), predB.as("pb"),
         (conv(substring(md5(concat(lit("fold|"), col("doc_id").cast("string"))), 1, 15),
@@ -1226,23 +1285,34 @@ object Modeling extends QueryModule {
     * integer arithmetic — no engine-dependent float ever decides a
     * value.
     *
-    * Scale shape: one corpus pass builds the duel stream; everything
-    * after runs on the |sources|² win matrix (bounded by the schema,
-    * not the corpus). The iteration state is k rows.
+    * Scale shape: one corpus pass builds the duel stream and collapses
+    * it to the ≤2·|sources|² (sa, sb, winner) count frame, which is
+    * LINEAGE-CUT before the loop (the irlsStep doctrine at
+    * [[irlsStep]]: without the cut, round k's plan embeds rounds
+    * 1..k−1 as subplans of BOTH broadcast arms — measured 27k plan
+    * lines / 1540 parquet scans by round 3). Everything after the cut
+    * runs on schema-bounded frames; `pi` is cut each round so the
+    * iteration state stays a k-row leaf.
     */
-  def bradleyTerry(documents: DataFrame, iters: Int = 3): DataFrame = {
+  def bradleyTerry(documents: DataFrame, iters: Int = 3,
+                   checkpointDir: Option[String] = None): DataFrame = {
     val a = documents.select(col("doc_id"), col("source"), col("n_chars"))
     val duels = a.alias("a").join(a.alias("b"), expr("b.doc_id = a.doc_id + 1"))
       .filter(col("a.source") =!= col("b.source"))
       .select(col("a.source").as("sa"), col("b.source").as("sb"),
         when(col("a.n_chars") >= col("b.n_chars"), col("a.source"))
           .otherwise(col("b.source")).as("w"))
-    val pairs = duels.select(col("sa").as("i"), col("sb").as("j"))
-      .unionAll(duels.select(col("sb").as("i"), col("sa").as("j")))
-      .groupBy("i", "j").agg(count(lit(1)).as("n"))
+    // the ONLY corpus-sized work: one pass collapses duels to per-
+    // (i, j, winner) counts; the cut makes every downstream reference
+    // (pairs, wins, 3×2 broadcast arms, games) a scan of bounded blocks
+    val duelStats = graft.plans.Checkpoints.cut(
+      duels.groupBy("sa", "sb", "w").agg(count(lit(1)).as("dn")), checkpointDir)
+    val pairs = duelStats.select(col("sa").as("i"), col("sb").as("j"), col("dn"))
+      .unionAll(duelStats.select(col("sb").as("i"), col("sa").as("j"), col("dn")))
+      .groupBy("i", "j").agg(sum("dn").as("n"))
     val teams = pairs.select("i").distinct()
     val wins = teams
-      .join(duels.groupBy(col("w").as("i")).agg(count(lit(1)).as("wn")), Seq("i"), "left")
+      .join(duelStats.groupBy(col("w").as("i")).agg(sum("dn").as("wn")), Seq("i"), "left")
       .na.fill(0L, Seq("wn"))
     val kk = teams.agg(count(lit(1)).as("k"))
     var pi = teams.select(col("i"), lit(1000000L).as("p"))
@@ -1256,8 +1326,10 @@ object Modeling extends QueryModule {
         .select(col("i"),
           expr("cast(wn as decimal(38,0)) * 1000000000000000000L div den").as("raw"))
       val tot = raw.agg(sum("raw").as("tot"))
-      pi = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(kk))
-        .select(col("i"), expr("cast(raw as decimal(38,0)) * k * 1000000L div tot").as("p"))
+      pi = graft.plans.Checkpoints.cut(
+        raw.crossJoin(broadcast(tot)).crossJoin(broadcast(kk))
+          .select(col("i"), expr("cast(raw as decimal(38,0)) * k * 1000000L div tot").as("p")),
+        checkpointDir)
     }
     val games = pairs.groupBy("i").agg(sum("n").as("n_games"))
     wins.join(games, "i").join(pi, "i")
@@ -1267,7 +1339,8 @@ object Modeling extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q301_bradley_terry" -> ((s, d) => bradleyTerry(Tables(s, d).documents)),
+    "q301_bradley_terry" -> ((s, d) => bradleyTerry(Tables(s, d).documents,
+      iters = graft.plans.Rounds.of(s, "bradleyterry", 3))),
     "q291_ndcg" -> ((s, d) => { val t = Tables(s, d)
       ndcgReport(t.lineitem, t.orders, t.part) }),
     "q290_unigram_segment" -> ((s, d) => unigramSegmentReport(Tables(s, d).documents)),
@@ -1283,9 +1356,11 @@ object Modeling extends QueryModule {
     "q322_brier_decomposition" -> ((s, d) => brierDecomposition(Tables(s, d).documents)),
     "q327_woe_iv" -> ((s, d) => woeInformationValue(Tables(s, d).documents)),
     "q329_paired_folds" -> ((s, d) => pairedFoldComparison(Tables(s, d).documents)),
+    "q337_mcnemar" -> ((s, d) => mcnemarTest(Tables(s, d).documents)),
     "q201_avg_precision" -> ((s, d) => averagePrecision(Tables(s, d).documents)),
     "q172_target_encoding" -> ((s, d) => targetEncoding(Tables(s, d).documents)),
-    "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents)),
+    "q206_quality_logistic" -> ((s, d) => qualityLogistic(Tables(s, d).documents,
+      iters = graft.plans.Rounds.of(s, "irls", 2))),
     "q207_cv_logistic" -> ((s, d) => cvLogistic(Tables(s, d).documents)),
     "q208_mi_ranking" -> ((s, d) => miFeatureRanking(Tables(s, d).documents)),
     "q210_best_f1" -> ((s, d) => bestF1Thresholds(Tables(s, d).documents)),
@@ -1420,6 +1495,29 @@ object Modeling extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    // same classifier pair as q329; b/c integer sums; one double division
+    "q337_mcnemar" ->
+      """WITH h AS (SELECT lang = 'en' AS y,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) AS en,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los'))) AS es,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und'))) AS de,
+        |       len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des'))) AS fr,
+        |       (length(lower(text)) - length(replace(lower(text), 'e', ''))) AS ec,
+        |       length(text) AS lt
+        |     FROM documents),
+        |p AS (SELECT y,
+        |             (en >= es AND en >= de AND en >= fr AND en > 0) AS pa,
+        |             (ec * 1000 >= lt * 75) AS pb
+        |      FROM h),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |             sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)::BIGINT AS b,
+        |             sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)::BIGINT AS c
+        |      FROM p)
+        |SELECT n, b, c,
+        |       CASE WHEN b + c > 0
+        |            THEN round((abs(b - c) - 1) * (abs(b - c) - 1) / (b + c)::DOUBLE, 4)
+        |       END AS mcnemar_chi2
+        |FROM s""".stripMargin,
     // same md5 folds, integer ppm fold accuracies, one closing double t
     "q329_paired_folds" ->
       """WITH h AS (SELECT lang = 'en' AS y, text, doc_id,
@@ -1452,14 +1550,22 @@ object Modeling extends QueryModule {
         |                  sqrt((k * sdd - sd::HUGEINT * sd)::DOUBLE), 4)
         |  END AS t_stat
         |FROM s""".stripMargin,
-    // same ntile total order, micro-nat WOE, sign-aligned IV floor terms
+    // same percentile cuts (quantile_cont == Spark percentile up to the
+    // round-4 absorbed ulps), same comparison binning, micro-nat WOE,
+    // sign-aligned IV floor terms
     "q327_woe_iv" ->
-      """WITH base AS (SELECT (lang = 'en')::BIGINT AS y, n_chars, doc_id,
-        |       ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM documents),
-        |cells AS (SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+      ("""WITH base AS (SELECT (lang = 'en')::BIGINT AS y, n_chars FROM documents),
+        |cuts AS (SELECT quantile_cont(n_chars, [""" +
+        (1 until 10).map(k => s"${k / 10.0}::DOUBLE").mkString(", ") + """]) AS c
+        |         FROM base),
+        |binned AS (SELECT y, (1 + """ +
+        (1 until 10).map(k => s"(n_chars > round(c[$k], 4))::BIGINT").mkString(" + ") +
+        """)::BIGINT AS bin
+        |          FROM base, cuts),
+        |cells AS (SELECT bin, count(*)::BIGINT AS n,
         |                 sum(y)::BIGINT AS pos,
         |                 (count(*) - sum(y))::BIGINT AS neg
-        |          FROM base GROUP BY bin),
+        |          FROM binned GROUP BY bin),
         |tot AS (SELECT sum(pos)::BIGINT AS tp, sum(neg)::BIGINT AS tn FROM cells),
         |w AS (SELECT bin, n, pos, neg, tp, tn,
         |        CAST(floor(ln(((pos + 1) * (tn + 10))::DOUBLE /
@@ -1469,7 +1575,7 @@ object Modeling extends QueryModule {
         |SELECT bin, n, pos, neg, woe_micro,
         |  (((pos + 1)::HUGEINT * (tn + 10) - (neg + 1)::HUGEINT * (tp + 10))
         |    * woe_micro // ((tp + 10)::HUGEINT * (tn + 10)))::BIGINT AS iv_micro
-        |FROM w ORDER BY bin""".stripMargin,
+        |FROM w ORDER BY bin""").stripMargin,
     // same bins, same integer Brier/ECE numerators, same nano-quantized
     // REL/RES per-bin terms on HUGEINT
     "q322_brier_decomposition" ->

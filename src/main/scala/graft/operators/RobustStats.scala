@@ -628,17 +628,19 @@ object RobustStats extends QueryModule {
     val uCnt = events.select(col("user_id")).distinct()
       .groupBy((col("user_id") % 2 === 1).as("treat"))
       .agg(count(lit(1)).as("n_users"))
-    val cells = e.filter(col("event_type") === "purchase")
-      .groupBy("treat", "post").agg(count(lit(1)).as("purchases"))
-    val flat = cells.join(uCnt, "treat")
-      .select(col("treat"), col("post"), col("purchases"), col("n_users"))
-      .groupBy().pivot(concat(
-          when(col("treat"), lit("t")).otherwise(lit("c")),
-          when(col("post"), lit("_post")).otherwise(lit("_pre"))),
-        Seq("t_pre", "t_post", "c_pre", "c_post"))
-      .agg(first("purchases"))
-      .select(Seq("t_pre", "t_post", "c_pre", "c_post")
-        .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    // the 2×2 panel as ONE conditional-sum pass over the full events
+    // frame (not a pivot of a filtered cells frame, which yields ZERO
+    // rows when no purchase events exist while the oracle's scalar
+    // subqueries always return one — the empty-input divergence the r8
+    // advisor flagged). A global aggregate always emits exactly one row.
+    def cell(tr: Boolean, po: Boolean) = coalesce(sum(
+      when(col("event_type") === "purchase" &&
+        col("treat") === tr && col("post") === po, 1L).otherwise(0L)), lit(0L))
+    val flat = e.groupBy().agg(
+      cell(tr = true, po = false).as("t_pre"),
+      cell(tr = true, po = true).as("t_post"),
+      cell(tr = false, po = false).as("c_pre"),
+      cell(tr = false, po = true).as("c_post"))
     val nT = uCnt.filter(col("treat")).select(col("n_users").as("n_treat"))
     val nC = uCnt.filter(!col("treat")).select(col("n_users").as("n_ctrl"))
     flat.crossJoin(broadcast(nT)).crossJoin(broadcast(nC))

@@ -429,6 +429,8 @@ object SetOpsAndSessions extends QueryModule {
     * plan, not a post-process.
     */
   def surveyReport(orders: DataFrame): DataFrame = {
+    // unpartitioned rank over a BOUNDED frame: the window input is the
+    // post-aggregate status x priority grid (<= 15 rows), never orders
     val w = Window.orderBy(col("o_orderstatus"), col("o_orderpriority"))
     orders
       .groupBy("o_orderstatus", "o_orderpriority")
@@ -1110,12 +1112,19 @@ object SetOpsAndSessions extends QueryModule {
     * integer micro-units until the two final divisions.
     *
     * Scale: everything up to the windows clusters by user_id; the
-    * interleaved stream is ONE global sort over the user-level frame
-    * (cardinality = users, not events). Past single-sort scale, the
-    * same merge runs per score-bucket with the q60 bucketed-as-of
-    * machinery.
+    * merge then runs PER SCORE BAND (band = score div 64, so the
+    * running windows are `Window.partitionBy(band)` — users scale
+    * with the corpus and a global-window sort would drag every user
+    * through ONE task). Band edges stitch exactly: each band's
+    * missing floor/ceiling control is the last control of any earlier
+    * band / first control of any later band, computed on the BOUNDED
+    * per-band control frame (one row per occupied band) via a
+    * triangular broadcast join — no unpartitioned window anywhere,
+    * and a fixture spec pins band-edge matches == the global-window
+    * answer.
     */
   def propensityMatch(events: DataFrame, caliper: Long = 3L): DataFrame = {
+    val bandW = 64L
     val u = events.groupBy("user_id").agg(
       count(lit(1)).as("score"),
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
@@ -1128,16 +1137,43 @@ object SetOpsAndSessions extends QueryModule {
         col("cvq").as("vq"))
       .unionByName(u.filter(col("treated")).select(col("score"), lit(1).as("flag"),
         col("user_id").as("id"), col("vq")))
-    val ord = Window.orderBy("score", "flag", "id")
+      .withColumn("band", expr(s"score div $bandW"))
+    val ord = Window.partitionBy("band").orderBy("score", "flag", "id")
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val ctrlScore = when(col("flag") === 0, col("score"))
     val ctrlVq = when(col("flag") === 0, col("vq"))
+    // band-edge carry: controls are unique per score (ctrlRep), so the
+    // last control before band b in stream order is the max-(score)
+    // control over bands < b, and symmetrically for the first after.
+    // Both frames are band-count-sized (bounded); the triangular join
+    // broadcasts them, so no global sort and no single-partition window
+    // exists anywhere in the plan.
+    val bandCtrl = stream.filter(col("flag") === 0)
+      .groupBy(col("band").as("cb"))
+      .agg(max(struct(col("score"), col("vq"))).as("mx"),
+           min(struct(col("score"), col("vq"))).as("mn"))
+    val allBands = stream.select("band").distinct()
+    val carry = allBands
+      .join(broadcast(bandCtrl), col("cb") < col("band"), "left")
+      .groupBy("band").agg(max(struct(col("cb"), col("mx"))).as("cp"))
+      .join(allBands.join(broadcast(bandCtrl), col("cb") > col("band"), "left")
+          .groupBy(col("band").as("band2"))
+          .agg(min(struct(col("cb"), col("mn"))).as("cn")),
+        col("band") === col("band2"))
+      .select(col("band"),
+        col("cp.mx.score").as("cps"), col("cp.mx.vq").as("cpv"),
+        col("cn.mn.score").as("cns"), col("cn.mn.vq").as("cnv"))
     val matched = stream
-      .withColumn("ps", last(ctrlScore, ignoreNulls = true).over(wPrev))
-      .withColumn("pv", last(ctrlVq, ignoreNulls = true).over(wPrev))
-      .withColumn("ns", first(ctrlScore, ignoreNulls = true).over(wNext))
-      .withColumn("nv", first(ctrlVq, ignoreNulls = true).over(wNext))
+      .withColumn("ps0", last(ctrlScore, ignoreNulls = true).over(wPrev))
+      .withColumn("pv0", last(ctrlVq, ignoreNulls = true).over(wPrev))
+      .withColumn("ns0", first(ctrlScore, ignoreNulls = true).over(wNext))
+      .withColumn("nv0", first(ctrlVq, ignoreNulls = true).over(wNext))
+      .join(broadcast(carry), Seq("band"), "left")
+      .withColumn("ps", coalesce(col("ps0"), col("cps")))
+      .withColumn("pv", when(col("ps0").isNotNull, col("pv0")).otherwise(col("cpv")))
+      .withColumn("ns", coalesce(col("ns0"), col("cns")))
+      .withColumn("nv", when(col("ns0").isNotNull, col("nv0")).otherwise(col("cnv")))
       .filter(col("flag") === 1)
       .withColumn("usePrev", col("ps").isNotNull &&
         (col("ns").isNull || (col("score") - col("ps")) <= (col("ns") - col("score"))))
@@ -1205,7 +1241,7 @@ object SetOpsAndSessions extends QueryModule {
     */
   private val markovOracle: String = {
     val iterCtes = (1 to 12).map { i =>
-      s"""i$i AS (SELECT t.to_type AS state, sum((i${i - 1}.v * t.n) // t.n_from)::BIGINT AS v
+      s"""i$i AS (SELECT t.to_type AS state, sum((i${i - 1}.v::HUGEINT * t.n) // t.n_from)::BIGINT AS v
          |       FROM i${i - 1} JOIN t ON i${i - 1}.state = t.from_type GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH t AS (
@@ -1233,7 +1269,7 @@ object SetOpsAndSessions extends QueryModule {
     */
   private val entropyRateOracle: String = {
     val iterCtes = (1 to 12).map { i =>
-      s"""i$i AS (SELECT t.to_type AS state, sum((i${i - 1}.v * t.n) // t.n_from)::BIGINT AS v
+      s"""i$i AS (SELECT t.to_type AS state, sum((i${i - 1}.v::HUGEINT * t.n) // t.n_from)::BIGINT AS v
          |       FROM i${i - 1} JOIN t ON i${i - 1}.state = t.from_type GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH t AS (
@@ -1260,7 +1296,7 @@ object SetOpsAndSessions extends QueryModule {
        |             coalesce(h.n_out, 0)::BIGINT AS n_out,
        |             coalesce(i12.v, 0)::BIGINT AS mass,
        |             coalesce(h.h_micro, 0)::BIGINT AS h_micro,
-       |             (coalesce(i12.v, 0) * coalesce(h.h_micro, 0) // sv)::BIGINT AS contrib_micro
+       |             (coalesce(i12.v, 0)::HUGEINT * coalesce(h.h_micro, 0) // sv)::BIGINT AS contrib_micro
        |      FROM states LEFT JOIN hs h ON states.s = h.state
        |           LEFT JOIN i12 ON states.s = i12.state, tot)
        |SELECT state, n_out, mass, h_micro, contrib_micro,

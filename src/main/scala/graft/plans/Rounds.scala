@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Cluster-operator knob for iteration depth, the counterpart of
+  * [[Checkpoints.DirConf]]: every iterative `SparkEntry.queries` entry
+  * constructs its operator with the oracle-pinned default round count,
+  * and `spark.conf.set("spark.graft.rounds.<op>", n)` deepens (or
+  * shortens) the iteration session-wide with NO code edits — e.g.
+  * `spark.graft.rounds.lpa = 10` for real community convergence on a
+  * cluster, or `spark.graft.rounds.hyperball = 8` for the full distance
+  * distribution. Defaults unchanged ⇒ oracle results unchanged; a
+  * non-default count is a deliberate semantic choice (the fixed-round
+  * unrolled oracles pin the default only).
+  */
+object Rounds {
+
+  /** Conf prefix; full key is `spark.graft.rounds.<op>`. */
+  val Prefix = "spark.graft.rounds."
+
+  def of(spark: SparkSession, op: String, default: Int): Int =
+    spark.conf.getOption(Prefix + op)
+      .map(_.trim)
+      .filter(_.nonEmpty)
+      .map(_.toInt)
+      .getOrElse(default)
+}

@@ -510,7 +510,7 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // inspection knob composes the whole operator into ONE plan
     spark.conf.set(graft.plans.Checkpoints.DisableConf, "true")
     try {
-      val p = planText(graft.operators.GraphOps.hyperBall(t.lineitem))
+      val p = planText(graft.operators.GraphOps.hyperBall(graft.operators.GraphOps.copurchaseEdges(t.lineitem)))
       assert(p.contains("BroadcastHashJoin"), s"expected broadcast register join:\n$p")
       assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
       // the per-bucket max merge must partial-combine map-side so the
@@ -528,10 +528,48 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("q314 modularity: per-community frames aggregate map-side, no cartesian") {
-    val p = planText(graft.operators.GraphOps.lpModularity(t.lineitem))
+    val p = planText(graft.operators.GraphOps.lpModularity(graft.operators.GraphOps.copurchaseEdges(t.lineitem)))
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"expected map-side partials:\n$p")
+  }
+
+  test("q327 WOE binning plans no window and no single-partition exchange") {
+    val p = planText(graft.operators.Modeling.woeInformationValue(t.documents))
+    // the r8 form dragged the corpus through ntile over ONE sort task —
+    // the percentile-cut form must contain no window operator at all
+    // (the remaining SinglePartition exchanges carry pre-aggregated
+    // partials, the accepted scalar-aggregate shape)
+    assert(!p.contains("Window"), s"expected no window:\n$p")
+  }
+
+  test("q289 propensity match: every window is band-partitioned") {
+    val df = graft.operators.SetOpsAndSessions.propensityMatch(t.events)
+    df.collect()
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the four running-match windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned (single-task) window:\n$w"))
+  }
+
+  test("q301 bradley-terry's final plan reads cut leaves, not the corpus") {
+    // the MM rounds run during the eager cuts; the plan the driver
+    // executes must touch only bounded materialized frames (the r8 form
+    // embedded 1540 parquet scans by round 3)
+    val p = graft.operators.Modeling.bradleyTerry(t.documents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"), s"expected zero corpus scans:\n$p")
+  }
+
+  test("shared co-purchase edge table aggregates on u with no exchange") {
+    val e = graft.operators.GraphOps.sharedEdges(spark, sf(""))
+    val agg = e.groupBy("u").count()
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucketed edge side must not shuffle on its own key:\n$p")
   }
 
   test("multi_pattern_counts stays inside generated code (no codegen fallback)") {

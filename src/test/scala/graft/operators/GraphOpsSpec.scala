@@ -18,7 +18,7 @@ class GraphOpsSpec extends SparkSpec {
   ).toDF("l_orderkey", "l_partkey")
 
   test("triangleCensus: hand-built graph with dup edges and a pendant") {
-    val got = GraphOps.triangleCensus(li)
+    val got = GraphOps.triangleCensus(GraphOps.copurchaseEdges(li))
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((8L, 10L, 17L, 5L, 0.8824)))
   }
@@ -30,7 +30,7 @@ class GraphOpsSpec extends SparkSpec {
       a <- nodes; b <- nodes if a < b && edges((a, b))
       c <- nodes if b < c && edges((b, c)) && edges((a, c))
     } yield 1).size
-    val spark_ = GraphOps.triangleCensus(li).select("n_triangles").as[Long].head()
+    val spark_ = GraphOps.triangleCensus(GraphOps.copurchaseEdges(li)).select("n_triangles").as[Long].head()
     assert(spark_ == naive && naive == 5)
   }
 
@@ -58,9 +58,9 @@ class GraphOpsSpec extends SparkSpec {
 
   test("reliable checkpointDir path agrees with the localCheckpoint default") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val viaReliable = GraphOps.triangleCensus(li, checkpointDir = Some(dir))
+    val viaReliable = GraphOps.triangleCensus(GraphOps.copurchaseEdges(li), checkpointDir = Some(dir))
       .as[(Long, Long, Long, Long, Double)].head()
-    val viaLocal = GraphOps.triangleCensus(li)
+    val viaLocal = GraphOps.triangleCensus(GraphOps.copurchaseEdges(li))
       .as[(Long, Long, Long, Long, Double)].head()
     assert(viaReliable == viaLocal)
     val undirected = GraphOps.copurchaseEdges(li)
@@ -78,15 +78,15 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("closure probe degrades to a shuffled semi-join past broadcastEdgeLimit") {
-    val got = GraphOps.triangleCensus(li, broadcastEdgeLimit = 0L)
+    val got = GraphOps.triangleCensus(GraphOps.copurchaseEdges(li), broadcastEdgeLimit = 0L)
       .as[(Long, Long, Long, Long, Double)].head()
     assert(got == ((8L, 10L, 17L, 5L, 0.8824)))
   }
 
   test("forward (edge-iterator) and wedge-join counting paths agree on real data") {
     val real = graft.Tables(spark, sf("")).lineitem
-    val fwd = GraphOps.triangleCensus(real).as[(Long, Long, Long, Long, Double)].head()
-    val wedge = GraphOps.triangleCensus(real, broadcastEdgeLimit = 0L)
+    val fwd = GraphOps.triangleCensus(GraphOps.copurchaseEdges(real)).as[(Long, Long, Long, Long, Double)].head()
+    val wedge = GraphOps.triangleCensus(GraphOps.copurchaseEdges(real), broadcastEdgeLimit = 0L)
       .as[(Long, Long, Long, Long, Double)].head()
     assert(fwd == wedge)
     assert(fwd._4 > 0L, "expected triangles in the co-purchase graph")
@@ -99,21 +99,21 @@ class GraphOpsSpec extends SparkSpec {
       (13L, 5L), (13L, 6L), (13L, 7L), (13L, 8L),       // K4
       (21L, 1L), (21L, 2L), (22L, 2L), (22L, 3L), (23L, 3L), (23L, 4L))
       .toDF("l_orderkey", "l_partkey")
-    val done = GraphOps.kCorePeel(liK, k = 2, rounds = 4)
+    val done = GraphOps.kCorePeel(GraphOps.copurchaseEdges(liK), k = 2, rounds = 4)
       .as[(Long, Long, Long, Long, Boolean)].head()
     assert(done == ((4L, 6L, 3L, 3L, true)))
     // one round is NOT enough: ends 1 and 4 peel, 2-3 survives at degree 1
-    val partial = GraphOps.kCorePeel(liK, k = 2, rounds = 1)
+    val partial = GraphOps.kCorePeel(GraphOps.copurchaseEdges(liK), k = 2, rounds = 1)
       .as[(Long, Long, Long, Long, Boolean)].head()
     assert(!partial._5 && partial._1 == 6L)
     // k above the max degree empties the graph and still reports converged
-    val empty = GraphOps.kCorePeel(liK, k = 10, rounds = 2)
+    val empty = GraphOps.kCorePeel(GraphOps.copurchaseEdges(liK), k = 10, rounds = 2)
       .as[(Long, Long, Long, Long, Boolean)].head()
     assert(empty == ((0L, 0L, 0L, 0L, true)))
   }
 
   test("personalizedRank: exact driver-side walk reference; neighbors outrank distant nodes") {
-    val got = GraphOps.personalizedRank(li, iters = 3, topN = 100)
+    val got = GraphOps.personalizedRank(GraphOps.copurchaseEdges(li), iters = 3, topN = 100)
       .as[(Long, Long)].collect().toMap
     // driver reference on the collected graph
     val pairs = GraphOps.copurchaseEdges(li).as[(Long, Long)].collect().toSeq
@@ -159,7 +159,7 @@ class GraphOpsSpec extends SparkSpec {
     // order 1 buys parts {1,2,3} → triangle; order 2 buys {1,4} → pendant 4
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L))
       .toDF("l_orderkey", "l_partkey")
-    val got = GraphOps.clusteringCoefficients(li)
+    val got = GraphOps.clusteringCoefficients(GraphOps.copurchaseEdges(li))
       .as[(Long, Long, Long, Long)].collect().toSeq
     // node 1: d=3, tri=1 → 2·10⁶/6 = 333333; nodes 2,3: d=2, tri=1 → 10⁶;
     // node 4: d=1 filtered out
@@ -176,7 +176,7 @@ class GraphOpsSpec extends SparkSpec {
     val li = Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L),
       (12L, 3L), (12L, 4L), (13L, 4L), (13L, 1L))
       .toDF("l_orderkey", "l_partkey")
-    val got = GraphOps.adamicAdarLinks(li)
+    val got = GraphOps.adamicAdarLinks(GraphOps.copurchaseEdges(li))
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
       (1L, 3L, 2L, 2885390080L, 1L), (2L, 4L, 2L, 2885390080L, 1L),
@@ -185,6 +185,6 @@ class GraphOpsSpec extends SparkSpec {
 
   test("adamicAdarLinks: a triangle has no distance-2 pairs to predict") {
     val li = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("l_orderkey", "l_partkey")
-    assert(GraphOps.adamicAdarLinks(li).count() == 0)
+    assert(GraphOps.adamicAdarLinks(GraphOps.copurchaseEdges(li)).count() == 0)
   }
 }

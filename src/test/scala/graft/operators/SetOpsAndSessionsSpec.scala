@@ -437,4 +437,38 @@ class SetOpsAndSessionsSpec extends SparkSpec {
     assert(r.getAs[Double]("naive_gap") == 100.0)
     assert(r.getAs[Double]("att") == 400.0)
   }
+
+  test("propensityMatch: band-edge matches equal the global-window answer") {
+    // The match windows run per score band (band = score div 64); this
+    // fixture forces BOTH carry directions across band boundaries:
+    //   u5 control score 10  (band 0, outcome 999)  — never matched
+    //   u1 control score 63  (band 0, outcome 150)
+    //   u2 treated score 64  (band 1, outcome 500) — floor control u1 is
+    //      in band 0, reachable only via the carry-prev stitch; dist 1
+    //   u3 treated score 127 (band 1, outcome 900) — ceiling control u4
+    //      is in band 2, reachable only via carry-next; dist 2 beats the
+    //      carry-prev dist 64
+    //   u4 control score 129 (band 2, outcome 300)
+    // Global-window semantics: u2→u1 (d=350), u3→u4 (d=600) → ATT 475;
+    // naive gap = 700 − (150+300+999)/3 = 217.
+    def user(id: Long, nEvents: Int, nPurchase: Int, totalValue: Double) =
+      (0 until nEvents).map { i =>
+        (id * 1000 + i, id, 1700000000000000L + i,
+          if (i < nPurchase) "purchase" else "view",
+          if (i == 0) totalValue else 0.0, "{}")
+      }
+    val ev = (user(1, 63, 1, 150.0) ++ user(2, 64, 13, 500.0) ++
+      user(3, 127, 26, 900.0) ++ user(4, 129, 1, 300.0) ++
+      user(5, 10, 0, 999.0))
+      .toDF("event_id", "user_id", "us", "event_type", "value", "props")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("value"), col("props"))
+    val r = SetOpsAndSessions.propensityMatch(ev).collect()(0)
+    assert(r.getAs[Long]("n_treated") == 2L)
+    assert(r.getAs[Long]("n_control") == 3L)
+    assert(r.getAs[Long]("n_matched") == 2L)
+    assert(r.getAs[Double]("naive_gap") == 217.0)
+    assert(r.getAs[Double]("att") == 475.0)
+  }
 }
