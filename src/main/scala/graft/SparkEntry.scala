@@ -38,6 +38,7 @@ object SparkEntry {
     NaiveBayes,
     LanguageModel,
     SeqPack,
+    RoundNineOps,
     graft.streaming.StreamParity,
   )
 

@@ -1,0 +1,421 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions — each the missing rung of a ladder earlier
+  * rounds built:
+  *   - q333 Poisson bootstrap (the REAL bootstrap next to q152's
+  *     half-sample approximation; per-source CIs),
+  *   - q334 Dawid–Skene rater reliability (the model q297/q318 measure
+  *     agreement FOR: who to trust, per rater),
+  *   - q335 confident-learning label noise (Northcutt et al.: how much
+  *     of the lang column is wrong),
+  *   - q336 embedding isotropy (is the vector space collapsed along a
+  *     common direction — the health check under every ANN/semantic op),
+  *   - q337 McNemar's per-item paired test (the low-variance complement
+  *     of q329's fold-level t).
+  */
+object RoundNineOps extends QueryModule {
+
+  /** q333: POISSON-BOOTSTRAP confidence intervals for per-source mean
+    * document length — THE scalable bootstrap (Chamandy et al., Google
+    * 2012). Classical resampling draws n rows with replacement per
+    * replicate (a global pass per replicate); the Poisson approximation
+    * gives every (row, replicate) an independent Poisson(1) weight, so
+    * all `reps` replicates ride ONE corpus scan with map-side partial
+    * aggregation and the replicate frame is |sources|×reps forever.
+    * Upgrades q152's half-sample CI two ways: Poisson(1) weights match
+    * the bootstrap's variance exactly (a half-sample mean has ~2× the
+    * bootstrap replicate variance, so q152's band is directionally
+    * right but not calibrated), and the CI here is per SOURCE, the
+    * grain curation decisions are made at.
+    *
+    * Determinism: the weight is an INTEGER comparison — the row's
+    * md5-uniform 60-bit value against ⌊CDF_Poisson(1)(k)·2⁶⁰⌋ literals
+    * (k = 0..7; the 8-cap truncates ~1e-6 of mass identically on both
+    * engines) — so no float enters until the final reporting division.
+    * Replicate means are micro-unit floor divisions; the CI bounds are
+    * the 2nd-smallest / 2nd-largest replicate means (≈ the 3rd/97th
+    * percentile at reps = 32), picked by rank, not interpolation, on
+    * the bounded |sources|×reps frame.
+    */
+  def poissonBootstrap(documents: DataFrame, reps: Int = 32): DataFrame = {
+    // ⌊CDF_Poisson(1)(k) · 2^60⌋ for k = 0..7
+    val thresholds = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+      1152236456152946176L, 1152825534095764608L, 1152909688087595776L)
+    val h = conv(substring(md5(concat(lit("boot|"), col("r"), lit("|"),
+      col("doc_id"))), 1, 15), 16, 10).cast("long")
+    val w = thresholds.map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val repMeans = documents.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("r", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("w", w)
+      .groupBy("source", "r")
+      .agg(sum("w").as("neff"), sum(expr("w * n_chars")).as("ws"))
+      .filter(col("neff") > 0)
+      .withColumn("m", expr("cast(ws as decimal(38,0)) * 1000000 div neff").cast("long"))
+    // bounded frame: |sources| × reps rows — the rank windows are cheap
+    val ra = Window.partitionBy("source").orderBy(col("m"), col("r"))
+    val rd = Window.partitionBy("source").orderBy(col("m").desc, col("r").desc)
+    val ci = repMeans
+      .withColumn("ra", row_number().over(ra))
+      .withColumn("rd", row_number().over(rd))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("ra") === 2, col("m"))).as("lo_micro"),
+        max(when(col("rd") === 2, col("m"))).as("hi_micro"))
+    val pt = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(n_chars) as decimal(38,0)) * 1000000 div count(*)")
+          .cast("long").as("mean_micro"))
+    pt.join(ci, "source")
+      .select(col("source"), col("n_docs"), col("mean_micro"),
+        col("n_reps"), col("lo_micro"), col("hi_micro"))
+      .orderBy("source")
+  }
+
+  /** The q297 rater panel as separate binary votes: the stored lang
+    * label, the stopword-argmax heuristic, the e-letter-rate gate.
+    */
+  private def votes(documents: DataFrame): DataFrame =
+    documents.select(
+      (col("lang") === "en").cast("long").as("v1"),
+      Modeling.stopwordArgmaxEn.cast("long").as("v2"),
+      Modeling.eRateEn.cast("long").as("v3"))
+
+  /** One Dawid–Skene M-step over the vote-pattern frame: prevalence π
+    * and per-rater sensitivity/specificity from the soft labels `q`
+    * (all integer micro-units; divisions floor, guarded null on the
+    * degenerate all-one-class corpus).
+    */
+  private def dsModel(pat: DataFrame): DataFrame =
+    pat.agg(
+      sum("cnt").as("n"),
+      sum(expr("cast(cnt as decimal(38,0)) * q")).as("sq"),
+      sum(expr("cast(cnt as decimal(38,0)) * (1000000 - q)")).as("snq"),
+      sum(expr("cast(cnt as decimal(38,0)) * q * v1")).as("a1"),
+      sum(expr("cast(cnt as decimal(38,0)) * q * v2")).as("a2"),
+      sum(expr("cast(cnt as decimal(38,0)) * q * v3")).as("a3"),
+      sum(expr("cast(cnt as decimal(38,0)) * (1000000 - q) * (1 - v1)")).as("b1"),
+      sum(expr("cast(cnt as decimal(38,0)) * (1000000 - q) * (1 - v2)")).as("b2"),
+      sum(expr("cast(cnt as decimal(38,0)) * (1000000 - q) * (1 - v3)")).as("b3"))
+    .select(col("n"),
+      expr("sq div n").as("pi"),
+      expr("case when sq > 0 then a1 * 1000000 div sq end").as("se1"),
+      expr("case when sq > 0 then a2 * 1000000 div sq end").as("se2"),
+      expr("case when sq > 0 then a3 * 1000000 div sq end").as("se3"),
+      expr("case when snq > 0 then b1 * 1000000 div snq end").as("sp1"),
+      expr("case when snq > 0 then b2 * 1000000 div snq end").as("sp2"),
+      expr("case when snq > 0 then b3 * 1000000 div snq end").as("sp3"))
+
+  /** One Dawid–Skene E-step: per vote pattern, the posterior of "truly
+    * English" under the current model, by Bayes in exact decimal —
+    * a = π·∏ᵣ P(voteᵣ | en), b = (1−π)·∏ᵣ P(voteᵣ | ¬en), q' =
+    * a/(a+b) floor-quantized to micro. Products are ≤ 10²⁴ and ride
+    * decimal(38,0) ↔ HUGEINT.
+    */
+  private def dsEStep(pat: DataFrame, model: DataFrame): DataFrame =
+    pat.crossJoin(broadcast(model))
+      .withColumn("a", expr(
+        """cast(pi as decimal(38,0))
+          | * (case when v1 = 1 then se1 else 1000000 - se1 end)
+          | * (case when v2 = 1 then se2 else 1000000 - se2 end)
+          | * (case when v3 = 1 then se3 else 1000000 - se3 end)""".stripMargin))
+      .withColumn("b", expr(
+        """cast(1000000 - pi as decimal(38,0))
+          | * (case when v1 = 1 then 1000000 - sp1 else sp1 end)
+          | * (case when v2 = 1 then 1000000 - sp2 else sp2 end)
+          | * (case when v3 = 1 then 1000000 - sp3 else sp3 end)""".stripMargin))
+      .select(col("v1"), col("v2"), col("v3"), col("cnt"),
+        expr("case when a + b > 0 then cast(a * 1000000 div (a + b) as bigint) " +
+          "else 500000 end").as("q"))
+
+  /** q334: DAWID–SKENE rater reliability (Dawid & Skene 1979, by EM) —
+    * the model BEHIND every crowd/heuristic labeling pipeline: q297
+    * and q318 measure whether the raters agree; this estimates, per
+    * rater, HOW GOOD each one is (sensitivity/specificity against the
+    * latent truth) and what the true prevalence is, so downstream
+    * weighting can trust the e-rate gate less than the stored label
+    * without any gold set.
+    *
+    * The 100 TB shape is the whole point: with R binary raters the
+    * corpus is a SUFFICIENT-STATISTIC histogram over 2^R vote patterns
+    * (8 rows here) — one corpus pass builds it, and every EM round is
+    * bounded algebra on that frame (the q323 additive-statistics
+    * doctrine). Two unrolled rounds; majority-vote soft init; every
+    * probability an integer micro-unit with floor divisions mirrored
+    * by the oracle's HUGEINT `//`.
+    */
+  def dawidSkene(documents: DataFrame, rounds: Int = 2): DataFrame = {
+    val pat0 = votes(documents)
+      .groupBy("v1", "v2", "v3").agg(count(lit(1)).as("cnt"))
+      .withColumn("q", expr("(v1 + v2 + v3) * 1000000 div 3"))
+    // the ONLY corpus-sized work; cut so each EM round reads an 8-row
+    // leaf instead of re-scanning the corpus (the q301 lesson)
+    var pat = graft.plans.Checkpoints.cut(pat0, None)
+    for (_ <- 1 until rounds) pat = dsEStep(pat, dsModel(pat))
+    val m = dsModel(pat)
+    def rater(name: String, se: String, sp: String) =
+      m.select(lit(name).as("rater"), col(se).as("se_micro"),
+        col(sp).as("sp_micro"), col("pi").as("pi_micro"), col("n").as("n_docs"))
+    rater("a_label", "se1", "sp1")
+      .unionAll(rater("b_stopword", "se2", "sp2"))
+      .unionAll(rater("c_erate", "se3", "sp3"))
+      .orderBy("rater")
+  }
+
+  /** q335: CONFIDENT-LEARNING label-noise estimate (Northcutt, Jiang &
+    * Chuang 2021) — "how much of the lang column is simply wrong":
+    * per-class confidence thresholds t_c = mean predicted probability
+    * of class c among rows LABELED c, then the confident joint counts
+    * rows whose predicted probability clears the OTHER class's
+    * threshold — off-diagonal mass estimates the label-noise rate
+    * without any gold labels. The missing rung between q187 (train a
+    * classifier on the labels) and q325 (audit outcomes per group):
+    * audit the labels themselves.
+    *
+    * Predicted P(en) is the q329 e-rate score in ppm (integer).
+    * Thresholds are floor-divided means; qualification and argmax are
+    * integer comparisons; rows clearing neither threshold drop (the
+    * CL convention). One corpus pass + a broadcast 1-row threshold
+    * frame; output is a single confusion row.
+    */
+  def confidentLearning(documents: DataFrame): DataFrame = {
+    val p = expr("""(length(lower(text)) - length(replace(lower(text), 'e', '')))
+                   | * 1000000 div greatest(length(text), 1)""".stripMargin)
+    val base = documents.select((col("lang") === "en").cast("long").as("y"), p.as("p"))
+    val th = base.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("y") === 1, col("p"))).as("s1"),
+      sum(when(col("y") === 0, lit(1000000L) - col("p"))).as("s0"))
+      .select(col("n1"), col("n0"),
+        expr("case when n1 > 0 then s1 div n1 end").as("t1"),
+        expr("case when n0 > 0 then s0 div n0 end").as("t0"))
+    base.crossJoin(broadcast(th))
+      .withColumn("q1", col("p") >= col("t1"))
+      .withColumn("q0", lit(1000000L) - col("p") >= col("t0"))
+      .withColumn("pred",
+        when(col("q1") && col("q0"),
+          when(col("p") * 2 >= 1000000L, 1L).otherwise(0L))
+          .when(col("q1"), 1L)
+          .when(col("q0"), 0L))
+      .agg(count(lit(1)).as("n"),
+        max(col("t1")).as("t1_micro"), max(col("t0")).as("t0_micro"),
+        sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("c11"),
+        sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("c10"),
+        sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("c01"),
+        sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("c00"))
+      .select(col("n"), col("t1_micro"), col("t0_micro"),
+        col("c11"), col("c10"), col("c01"), col("c00"),
+        (col("c11") + col("c10") + col("c01") + col("c00")).as("n_counted"),
+        expr("""case when c11 + c10 + c01 + c00 > 0
+                then (c10 + c01) * 1000000 div (c11 + c10 + c01 + c00) end""")
+          .as("noise_ppm"))
+  }
+
+  /** q336: EMBEDDING ISOTROPY audit — anisotropic ("cone-shaped")
+    * embedding spaces make cosine similarity saturate (Ethayarajh
+    * 2019), which silently degrades every ANN / near-dup / retrieval
+    * op downstream (q28/q76/q102...). q157/q161 report PER-DIMENSION
+    * health (variance, covariance); this is the one-number CROSS-dim
+    * collapse score those matrices don't surface. Per label: the mean
+    * self dot,
+    * the mean PAIRWISE dot, and their ratio — ≈0 for isotropic
+    * vectors, →1 when a common direction dominates.
+    *
+    * The mean pairwise dot over n² pairs needs NO pairwise pass:
+    * Σᵢ≠ⱼ xᵢ·xⱼ = ‖Σx‖² − Σ‖x‖² — one scan for the per-label sum
+    * vector and self-dot total (micro-quantized integers, the q111
+    * convention), then bounded label×dim algebra in decimal(38,0).
+    */
+  def embeddingIsotropy(embeddings: DataFrame): DataFrame = {
+    val qv = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+    val base = embeddings.select(col("label"), qv.as("qv"))
+    val self = base
+      .select(col("label"),
+        expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)").as("sd"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(expr("cast(sd as decimal(38,0))")).as("ssum"))
+    val sums = base.select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum("x").as("s"))
+      .groupBy("label")
+      .agg(sum(expr("cast(s as decimal(38,0)) * s")).as("s2"))
+    self.join(sums, "label")
+      .select(col("label"), col("n").as("n_vecs"),
+        round(col("ssum").cast("double") / col("n") / lit(1e12), 6)
+          .as("avg_self_dot"),
+        when(col("n") > 1,
+          round((col("s2") - col("ssum")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double") / lit(1e12), 6))
+          .as("avg_pair_dot"),
+        when(col("n") > 1 && col("ssum") > 0,
+          round((col("s2") - col("ssum")).cast("double") /
+            (col("ssum") * (col("n") - 1)).cast("double"), 6))
+          .as("isotropy_ratio"))
+      .orderBy("label")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_poisson_bootstrap" -> ((s, d) => poissonBootstrap(Tables(s, d).documents)),
+    "q334_dawid_skene" -> ((s, d) => dawidSkene(Tables(s, d).documents)),
+    "q335_confident_learning" -> ((s, d) => confidentLearning(Tables(s, d).documents)),
+    "q336_embedding_isotropy" -> ((s, d) => embeddingIsotropy(Tables(s, d).embeddings)),
+  )
+
+  private def mdUnits(salt: String): String =
+    s"list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', " +
+      s"substr(md5($salt), i, 1)) - 1), (a, b) -> a * 16 + b)::BIGINT"
+
+  /** The q334 oracle's per-round CTE pair (M-step + E-step), unrolled. */
+  private def dsRoundSql(i: Int): String =
+    s"""m$i AS (SELECT sum(cnt)::BIGINT AS n,
+       |         sum(cnt::HUGEINT * q) AS sq, sum(cnt::HUGEINT * (1000000 - q)) AS snq,
+       |         sum(cnt::HUGEINT * q * v1) AS a1, sum(cnt::HUGEINT * q * v2) AS a2,
+       |         sum(cnt::HUGEINT * q * v3) AS a3,
+       |         sum(cnt::HUGEINT * (1000000 - q) * (1 - v1)) AS b1,
+       |         sum(cnt::HUGEINT * (1000000 - q) * (1 - v2)) AS b2,
+       |         sum(cnt::HUGEINT * (1000000 - q) * (1 - v3)) AS b3
+       |       FROM p${i - 1}),
+       |mm$i AS (SELECT n, (sq // n)::BIGINT AS pi,
+       |         CASE WHEN sq > 0 THEN (a1 * 1000000 // sq)::BIGINT END AS se1,
+       |         CASE WHEN sq > 0 THEN (a2 * 1000000 // sq)::BIGINT END AS se2,
+       |         CASE WHEN sq > 0 THEN (a3 * 1000000 // sq)::BIGINT END AS se3,
+       |         CASE WHEN snq > 0 THEN (b1 * 1000000 // snq)::BIGINT END AS sp1,
+       |         CASE WHEN snq > 0 THEN (b2 * 1000000 // snq)::BIGINT END AS sp2,
+       |         CASE WHEN snq > 0 THEN (b3 * 1000000 // snq)::BIGINT END AS sp3
+       |       FROM m$i),
+       |p$i AS MATERIALIZED (SELECT v1, v2, v3, cnt,
+       |         CASE WHEN a + b > 0 THEN (a * 1000000 // (a + b))::BIGINT
+       |              ELSE 500000 END AS q
+       |       FROM (SELECT p.v1, p.v2, p.v3, p.cnt,
+       |               m.pi::HUGEINT
+       |                 * (CASE WHEN p.v1 = 1 THEN m.se1 ELSE 1000000 - m.se1 END)
+       |                 * (CASE WHEN p.v2 = 1 THEN m.se2 ELSE 1000000 - m.se2 END)
+       |                 * (CASE WHEN p.v3 = 1 THEN m.se3 ELSE 1000000 - m.se3 END) AS a,
+       |               (1000000 - m.pi)::HUGEINT
+       |                 * (CASE WHEN p.v1 = 1 THEN 1000000 - m.sp1 ELSE m.sp1 END)
+       |                 * (CASE WHEN p.v2 = 1 THEN 1000000 - m.sp2 ELSE m.sp2 END)
+       |                 * (CASE WHEN p.v3 = 1 THEN 1000000 - m.sp3 ELSE m.sp3 END) AS b
+       |             FROM p${i - 1} p, mm$i m))""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    // identical integer Poisson thresholds, identical md5 units, same
+    // rank-picked CI bounds
+    "q333_poisson_bootstrap" -> {
+      val hexpr = mdUnits("'boot|' || r::VARCHAR || '|' || doc_id::VARCHAR")
+      val wexpr = Seq(424136118829305344L, 848272237658610688L,
+        1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+        1152236456152946176L, 1152825534095764608L, 1152909688087595776L)
+        .map(t => s"(h >= $t)::BIGINT").mkString(" + ")
+      s"""WITH base AS (SELECT source, n_chars, r, $hexpr AS h
+         |              FROM documents, range(0, 32) t(r)),
+         |w AS (SELECT source, r, n_chars, ($wexpr)::BIGINT AS w FROM base),
+         |rm AS (SELECT source, r, sum(w)::BIGINT AS neff,
+         |              sum(w * n_chars)::BIGINT AS ws
+         |       FROM w GROUP BY 1, 2),
+         |mm AS (SELECT source, r, ((ws::HUGEINT * 1000000) // neff)::BIGINT AS m
+         |       FROM rm WHERE neff > 0),
+         |rk AS (SELECT source, m,
+         |         row_number() OVER (PARTITION BY source ORDER BY m, r) AS ra,
+         |         row_number() OVER (PARTITION BY source ORDER BY m DESC, r DESC) AS rd
+         |       FROM mm),
+         |ci AS (SELECT source, count(*)::BIGINT AS n_reps,
+         |              max(CASE WHEN ra = 2 THEN m END)::BIGINT AS lo_micro,
+         |              max(CASE WHEN rd = 2 THEN m END)::BIGINT AS hi_micro
+         |       FROM rk GROUP BY source),
+         |pt AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |              ((sum(n_chars)::HUGEINT * 1000000) // count(*))::BIGINT AS mean_micro
+         |       FROM documents GROUP BY source)
+         |SELECT pt.source, n_docs, mean_micro, n_reps, lo_micro, hi_micro
+         |FROM pt JOIN ci ON pt.source = ci.source ORDER BY pt.source""".stripMargin
+    },
+    // same 8-row vote-pattern frame, same unrolled EM in HUGEINT //
+    "q334_dawid_skene" ->
+      ("""WITH h AS (SELECT (lang = 'en')::BIGINT AS v1,
+        |       (len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and')))
+        |          >= len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los')))
+        |        AND len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and')))
+        |          >= len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und')))
+        |        AND len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and')))
+        |          >= len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des')))
+        |        AND len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) > 0
+        |       )::BIGINT AS v2,
+        |       ((length(lower(text)) - length(replace(lower(text), 'e', ''))) * 1000
+        |          >= length(text) * 75)::BIGINT AS v3
+        |     FROM documents),
+        |p0 AS MATERIALIZED (SELECT v1, v2, v3, count(*)::BIGINT AS cnt,
+        |       ((v1 + v2 + v3) * 1000000 // 3)::BIGINT AS q
+        |     FROM h GROUP BY 1, 2, 3),
+        |""" + dsRoundSql(1) + ",\n" + dsRoundSql(2) + """
+        |
+        |SELECT r.rater, r.se_micro, r.sp_micro, mm2.pi AS pi_micro, mm2.n AS n_docs
+        |FROM mm2, (
+        |  SELECT 'a_label' AS rater, se1 AS se_micro, sp1 AS sp_micro FROM mm2
+        |  UNION ALL SELECT 'b_stopword', se2, sp2 FROM mm2
+        |  UNION ALL SELECT 'c_erate', se3, sp3 FROM mm2) r
+        |ORDER BY r.rater""").stripMargin,
+    // same ppm score, same floor-mean thresholds, same argmax tie rule
+    "q335_confident_learning" ->
+      """WITH base AS (SELECT (lang = 'en')::BIGINT AS y,
+        |       ((length(lower(text)) - length(replace(lower(text), 'e', ''))) * 1000000
+        |         // greatest(length(text), 1))::BIGINT AS p
+        |     FROM documents),
+        |th AS (SELECT
+        |         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |         sum(CASE WHEN y = 1 THEN p END)::BIGINT AS s1,
+        |         sum(CASE WHEN y = 0 THEN 1000000 - p END)::BIGINT AS s0
+        |       FROM base),
+        |tt AS (SELECT n1, n0,
+        |         CASE WHEN n1 > 0 THEN s1 // n1 END AS t1,
+        |         CASE WHEN n0 > 0 THEN s0 // n0 END AS t0
+        |       FROM th),
+        |j AS (SELECT y, p, p >= t1 AS q1, 1000000 - p >= t0 AS q0, t1, t0
+        |      FROM base, tt),
+        |pr AS (SELECT y, t1, t0,
+        |         CASE WHEN q1 AND q0 THEN CASE WHEN p * 2 >= 1000000 THEN 1 ELSE 0 END
+        |              WHEN q1 THEN 1
+        |              WHEN q0 THEN 0 END AS pred
+        |       FROM j),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |        max(t1)::BIGINT AS t1_micro, max(t0)::BIGINT AS t0_micro,
+        |        sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS c11,
+        |        sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT AS c10,
+        |        sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS c01,
+        |        sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT AS c00
+        |      FROM pr)
+        |SELECT n, t1_micro, t0_micro, c11, c10, c01, c00,
+        |       (c11 + c10 + c01 + c00)::BIGINT AS n_counted,
+        |       CASE WHEN c11 + c10 + c01 + c00 > 0
+        |            THEN ((c10 + c01) * 1000000 // (c11 + c10 + c01 + c00))::BIGINT
+        |       END AS noise_ppm
+        |FROM s""".stripMargin,
+    // same micro quantization; ||Σx||² − Σ||x||² identity on both sides
+    "q336_embedding_isotropy" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |selfd AS (SELECT vec_id, label, sum(x * x)::BIGINT AS sd
+        |          FROM ex GROUP BY 1, 2),
+        |selfa AS (SELECT label, count(*)::BIGINT AS n, sum(sd::HUGEINT) AS ssum
+        |          FROM selfd GROUP BY label),
+        |dims AS (SELECT label, i, sum(x)::BIGINT AS s FROM ex GROUP BY 1, 2),
+        |s2 AS (SELECT label, sum(s::HUGEINT * s) AS s2 FROM dims GROUP BY label)
+        |SELECT selfa.label, n AS n_vecs,
+        |  round(ssum::DOUBLE / n / 1e12, 6) AS avg_self_dot,
+        |  CASE WHEN n > 1
+        |       THEN round((s2 - ssum)::DOUBLE / (n * (n - 1))::DOUBLE / 1e12, 6)
+        |  END AS avg_pair_dot,
+        |  CASE WHEN n > 1 AND ssum > 0
+        |       THEN round((s2 - ssum)::DOUBLE / (ssum * (n - 1))::DOUBLE, 6)
+        |  END AS isotropy_ratio
+        |FROM selfa JOIN s2 ON selfa.label = s2.label
+        |ORDER BY selfa.label""".stripMargin,
+  )
+}
