@@ -260,7 +260,159 @@ object RoundNineOps extends QueryModule {
       .orderBy("label")
   }
 
+  /** q338: COCHRAN'S Q over the q297 three-rater panel — the k-rater
+    * generalization of q337's McNemar (k = 2): do the three "is
+    * English" raters have the SAME marginal hit rate, or is one
+    * systematically trigger-happy? Significant Q + q318's α tells you
+    * disagreement is structured, not noise — run this BEFORE trusting
+    * a majority vote. Q = (k−1)·(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²) needs
+    * five integer sums (Rᵢ = per-item vote count, Cⱼ = per-rater
+    * total, T = ΣRᵢ): one corpus pass, squares in decimal(38,0), ONE
+    * double division (null when every item is unanimous-all or -none,
+    * where Q is undefined).
+    */
+  def cochranQ(documents: DataFrame): DataFrame = {
+    val k = 3
+    votes(documents)
+      .agg(count(lit(1)).as("n_items"),
+        sum("v1").as("c1"), sum("v2").as("c2"), sum("v3").as("c3"),
+        sum(expr("v1 + v2 + v3")).as("t"),
+        sum(expr("cast(v1 + v2 + v3 as decimal(38,0)) * (v1 + v2 + v3)")).as("sr2"))
+      .select(col("n_items"), col("c1"), col("c2"), col("c3"),
+        when(lit(k) * col("t") - col("sr2") > 0,
+          round(lit(k - 1).cast("double") *
+            (lit(k) * (expr("cast(c1 as decimal(38,0)) * c1") +
+              expr("cast(c2 as decimal(38,0)) * c2") +
+              expr("cast(c3 as decimal(38,0)) * c3")) -
+              expr("cast(t as decimal(38,0)) * t")).cast("double") /
+            (lit(k) * col("t") - col("sr2")).cast("double"), 4))
+          .as("cochran_q"))
+  }
+
+  /** q339: HEAPS'-LAW vocabulary growth fit — V(n) ≈ K·n^β, the curve
+    * that answers "how much NEW vocabulary does the next shard buy"
+    * (dedup value, tokenizer sizing, scaling projections; complements
+    * q105's Zipf slope — the two exponents are theoretically linked).
+    *
+    * The classic fit needs vocabulary at several corpus sizes —
+    * naively one distinct-count per prefix. Here: NESTED md5 samples.
+    * Each doc gets level ℓ = #{j ≤ L : h < 2⁶⁰/2ʲ} (level ℓ docs are
+    * a uniform 1/2^ℓ subset, and subsets nest by construction), so ONE
+    * token pass + a per-token max(level) gives every subset's exact
+    * vocabulary via a suffix sum over the (L+1)-row level frame. β is
+    * the closed-form least-squares slope of (ln nₜ, ln V) in micro-nat
+    * integers (the q187 floor convention) — bounded 5-point algebra,
+    * one double division.
+    */
+  def heapsLaw(documents: DataFrame, levels: Int = 4): DataFrame = {
+    val th = Seq(576460752303423488L, 288230376151711744L,
+      144115188075855872L, 72057594037927936L) // 2^60 / 2^j, j = 1..4
+    val h = conv(substring(md5(concat(lit("heaps|"), col("doc_id"))), 1, 15),
+      16, 10).cast("long")
+    val lvl = th.take(levels).map(t => when(h < t, 1L).otherwise(0L)).reduce(_ + _)
+    val d = documents.select(col("doc_id"), col("text")).withColumn("lvl", lvl)
+    val docAgg = d.select(col("lvl"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy("lvl").agg(count(lit(1)).as("nd"), sum("ntok").as("nt"))
+    val tokAgg = d.select(col("lvl"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(max("lvl").as("ml"))
+      .groupBy("ml").agg(count(lit(1)).as("nv"))
+    // suffix sums over the bounded (levels+1)-row frames: subset ℓ
+    // contains every doc/token whose level is ≥ ℓ (samples nest)
+    val lv = documents.sparkSession.range(0, levels + 1)
+      .select(col("id").cast("long").as("l"))
+    val pts = lv
+      .join(docAgg, col("lvl") >= col("l"))
+      .groupBy("l").agg(sum("nd").as("n_docs"), sum("nt").as("n_tokens"))
+      .join(lv.join(tokAgg, col("ml") >= col("l"))
+        .groupBy(col("l").as("l2")).agg(sum("nv").as("vocab")),
+        col("l") === col("l2"))
+      .select(col("l").as("level"), col("n_docs"), col("n_tokens"), col("vocab"),
+        floor(log(col("n_tokens").cast("double")) * 1e6).cast("long").as("x"),
+        floor(log(col("vocab").cast("double")) * 1e6).cast("long").as("y"))
+    val fit = pts.agg(count(lit(1)).as("m"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .select(when(expr("m * sxx - cast(sx as decimal(38,0)) * sx") > 0,
+        round(expr("cast(m * sxy - cast(sx as decimal(38,0)) * sy as double)") /
+          expr("cast(m * sxx - cast(sx as decimal(38,0)) * sx as double)"), 4))
+        .as("heaps_beta"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("level"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("heaps_beta"))
+      .orderBy("level")
+  }
+
+  /** q340: RÉNYI TOKEN-DISTRIBUTION EFFICIENCY (α = 2.5) — the
+    * tokenizer-health metric of Zouhar et al. 2023, which tracks
+    * downstream model quality better than Shannon entropy or fertility
+    * (q123): H_α = ln(Σ p^2.5)/(1−2.5), normalized by ln V. A
+    * low-efficiency distribution means a few mega-frequent tokens
+    * dominate — the tokenizer wastes its vocabulary.
+    *
+    * One token-count pass; each p^α term is floor-quantized to atto
+    * units (10⁻¹⁸) BEFORE the sum (the q187 device: per-term libm,
+    * order-independent integer total ≤ 10¹⁸ since Σp^α ≤ 1), then two
+    * closing double expressions.
+    */
+  def renyiEfficiency(documents: DataFrame): DataFrame = {
+    val counts = documents.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("nn"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("nn"), col("v"),
+        expr("""cast(floor(exp(2.5 * (ln(cast(c as double)) - ln(cast(nn as double))))
+                * 1e18) as bigint)""").as("term"))
+      .groupBy("nn", "v").agg(sum("term").as("s_atto"))
+      .select(col("nn").as("n_tokens"), col("v").as("vocab"), col("s_atto"),
+        round(log(col("s_atto").cast("double") / lit(1e18)) / lit(1.0 - 2.5), 6)
+          .as("renyi_h"),
+        when(col("v") > 1,
+          round(log(col("s_atto").cast("double") / lit(1e18)) / lit(1.0 - 2.5) /
+            log(col("v").cast("double")), 6)).as("renyi_efficiency"))
+  }
+
+  /** q341: SPRT SEQUENTIAL MONITOR (Wald 1945) on the treatment arm's
+    * purchase rate — the always-valid complement of q148's fixed-
+    * horizon A/B test and q258's SRM gate: a fixed-horizon test peeked
+    * at daily inflates false positives; the SPRT's log-likelihood
+    * ratio is DESIGNED to be read every day, stopping the moment the
+    * evidence clears ln((1−β)/α). H₀: p = 0.20 vs H₁: p = 0.25,
+    * α = β = 0.05.
+    *
+    * Exact: per-day purchase counts are integers; the LLR is
+    * cum_x·⌊ln(p₁/p₀)·10⁶⌋ + (cum_n−cum_x)·⌊ln(q₁/q₀)·10⁶⌋ — integer
+    * micro-nats, embedded constants, no runtime libm. The running sum
+    * is an unpartitioned window over the BOUNDED per-day frame (one
+    * row per calendar day).
+    */
+  def sprtMonitor(events: DataFrame): DataFrame = {
+    val days = events.filter(col("user_id") % 2 === 1)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_x", sum("x").over(w))
+      .withColumn("llr_micro",
+        col("cum_x") * 223143L + (col("cum_n") - col("cum_x")) * -64539L)
+      .withColumn("decision",
+        when(col("llr_micro") >= 2944438L, "accept_h1")
+          .when(col("llr_micro") <= -2944439L, "accept_h0")
+          .otherwise("continue"))
+      .select(col("day"), col("n"), col("x"), col("cum_n"), col("cum_x"),
+        col("llr_micro"), col("decision"))
+      .orderBy("day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_cochran_q" -> ((s, d) => cochranQ(Tables(s, d).documents)),
+    "q339_heaps_law" -> ((s, d) => heapsLaw(Tables(s, d).documents)),
+    "q340_renyi_efficiency" -> ((s, d) => renyiEfficiency(Tables(s, d).documents)),
+    "q341_sprt_monitor" -> ((s, d) => sprtMonitor(Tables(s, d).events)),
     "q333_poisson_bootstrap" -> ((s, d) => poissonBootstrap(Tables(s, d).documents)),
     "q334_dawid_skene" -> ((s, d) => dawidSkene(Tables(s, d).documents)),
     "q335_confident_learning" -> ((s, d) => confidentLearning(Tables(s, d).documents)),
@@ -303,7 +455,110 @@ object RoundNineOps extends QueryModule {
        |                 * (CASE WHEN p.v3 = 1 THEN 1000000 - m.sp3 ELSE m.sp3 END) AS b
        |             FROM p${i - 1} p, mm$i m))""".stripMargin
 
+  /** The q297/q334 rater-vote CTE shared by the q338 oracle. */
+  private val votesSql: String =
+    """SELECT (lang = 'en')::BIGINT AS v1,
+      |       (len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and')))
+      |          >= len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','los')))
+      |        AND len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and')))
+      |          >= len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und')))
+      |        AND len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and')))
+      |          >= len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','les','des')))
+      |        AND len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','and'))) > 0
+      |       )::BIGINT AS v2,
+      |       ((length(lower(text)) - length(replace(lower(text), 'e', ''))) * 1000
+      |          >= length(text) * 75)::BIGINT AS v3
+      |     FROM documents""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    // same five integer sums, squares in HUGEINT, one double division
+    "q338_cochran_q" ->
+      (s"""WITH h AS ($votesSql),
+         |s AS (SELECT count(*)::BIGINT AS n_items,
+         |        sum(v1)::BIGINT AS c1, sum(v2)::BIGINT AS c2, sum(v3)::BIGINT AS c3,
+         |        sum(v1 + v2 + v3)::BIGINT AS t,
+         |        sum((v1 + v2 + v3)::HUGEINT * (v1 + v2 + v3)) AS sr2
+         |      FROM h)
+         |SELECT n_items, c1, c2, c3,
+         |       CASE WHEN 3 * t - sr2 > 0
+         |            THEN round(2.0 * (3 * (c1::HUGEINT * c1 + c2::HUGEINT * c2
+         |                                   + c3::HUGEINT * c3)
+         |                              - t::HUGEINT * t)::DOUBLE
+         |                       / (3 * t - sr2)::DOUBLE, 4)
+         |       END AS cochran_q
+         |FROM s""").stripMargin,
+    // same nested md5 levels, same suffix sums, same micro-nat slope fit
+    "q339_heaps_law" -> {
+      val hexpr = mdUnits("'heaps|' || doc_id::VARCHAR")
+      val lvlExpr = Seq(576460752303423488L, 288230376151711744L,
+        144115188075855872L, 72057594037927936L)
+        .map(t => s"(h < $t)::BIGINT").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, $hexpr AS h FROM documents),
+         |dl AS (SELECT doc_id, text, ($lvlExpr)::BIGINT AS lvl FROM d),
+         |da AS (SELECT lvl, count(*)::BIGINT AS nd,
+         |              sum(len(string_split(text, ' ')))::BIGINT AS nt
+         |       FROM dl GROUP BY lvl),
+         |ta AS (SELECT ml, count(*)::BIGINT AS nv FROM (
+         |         SELECT tok, max(lvl) AS ml FROM (
+         |           SELECT lvl, unnest(string_split(text, ' ')) AS tok FROM dl)
+         |         GROUP BY tok)
+         |       GROUP BY ml),
+         |lv AS (SELECT range AS l FROM range(0, 5)),
+         |pts AS (
+         |  SELECT dd.l AS level, dd.n_docs, dd.n_tokens, vv.vocab,
+         |         CAST(floor(ln(dd.n_tokens::DOUBLE) * 1000000) AS BIGINT) AS x,
+         |         CAST(floor(ln(vv.vocab::DOUBLE) * 1000000) AS BIGINT) AS y
+         |  FROM (SELECT l, sum(nd)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+         |        FROM lv JOIN da ON da.lvl >= lv.l GROUP BY l) dd
+         |  JOIN (SELECT l, sum(nv)::BIGINT AS vocab
+         |        FROM lv JOIN ta ON ta.ml >= lv.l GROUP BY l) vv ON vv.l = dd.l),
+         |fit AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+         |               sum(y)::BIGINT AS sy, sum(x::HUGEINT * y) AS sxy,
+         |               sum(x::HUGEINT * x) AS sxx
+         |        FROM pts)
+         |SELECT level, n_docs, n_tokens, vocab,
+         |       CASE WHEN m * sxx - sx::HUGEINT * sx > 0
+         |            THEN round((m * sxy - sx::HUGEINT * sy)::DOUBLE
+         |                       / (m * sxx - sx::HUGEINT * sx)::DOUBLE, 4)
+         |       END AS heaps_beta
+         |FROM pts, fit ORDER BY level""".stripMargin
+    },
+    // same per-term atto quantization before the sum
+    "q340_renyi_efficiency" ->
+      """WITH c AS (SELECT tok, count(*)::BIGINT AS c FROM (
+        |             SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |           GROUP BY tok),
+        |tot AS (SELECT sum(c)::BIGINT AS nn, count(*)::BIGINT AS v FROM c),
+        |terms AS (SELECT nn, v,
+        |            CAST(floor(exp(2.5 * (ln(c::DOUBLE) - ln(nn::DOUBLE))) * 1e18)
+        |                 AS BIGINT) AS term
+        |          FROM c, tot),
+        |s AS (SELECT nn, v, sum(term)::BIGINT AS s_atto FROM terms GROUP BY nn, v)
+        |SELECT nn AS n_tokens, v AS vocab, s_atto,
+        |       round(ln(s_atto::DOUBLE / 1e18) / (1.0 - 2.5), 6) AS renyi_h,
+        |       CASE WHEN v > 1
+        |            THEN round(ln(s_atto::DOUBLE / 1e18) / (1.0 - 2.5)
+        |                       / ln(v::DOUBLE), 6)
+        |       END AS renyi_efficiency
+        |FROM s""".stripMargin,
+    // same embedded micro-nat LLR constants, same running day frame
+    "q341_sprt_monitor" ->
+      """WITH days AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x
+        |  FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        |cum AS (SELECT day, n, x,
+        |          sum(n) OVER (ORDER BY day)::BIGINT AS cum_n,
+        |          sum(x) OVER (ORDER BY day)::BIGINT AS cum_x
+        |        FROM days)
+        |SELECT day, n, x, cum_n, cum_x,
+        |       (cum_x * 223143 + (cum_n - cum_x) * -64539)::BIGINT AS llr_micro,
+        |       CASE WHEN cum_x * 223143 + (cum_n - cum_x) * -64539 >= 2944438
+        |              THEN 'accept_h1'
+        |            WHEN cum_x * 223143 + (cum_n - cum_x) * -64539 <= -2944439
+        |              THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM cum ORDER BY day""".stripMargin,
     // identical integer Poisson thresholds, identical md5 units, same
     // rank-picked CI bounds
     "q333_poisson_bootstrap" -> {

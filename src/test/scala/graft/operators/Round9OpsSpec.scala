@@ -111,6 +111,91 @@ class Round9OpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("avg_self_dot") == 1.0)
   }
 
+  // ---- q338 Cochran's Q ----------------------------------------------------
+
+  test("cochranQ: hand-computed three-rater fixture; unanimous panel undefined") {
+    // rows (v1,v2,v3): (1,1,0), (1,0,1), (0,0,1) → C=(2,1,2), T=5, ΣR²=9
+    // Q = 2·(3·(4+1+4) − 25) / (15 − 9) = 4/6
+    val d = docs(Seq(
+      (1L, "the a and xxxxxxxxxx", "en"),
+      (2L, "zz ee ee", "en"),
+      (3L, "zz ee ee", "de")))
+    val r = RoundNineOps.cochranQ(d).collect()(0)
+    assert(r.getAs[Long]("n_items") == 3L)
+    assert(r.getAs[Double]("cochran_q") == 0.6667)
+    // every item unanimous → kT − ΣR² = 0 → undefined
+    val u = docs(Seq((1L, "the a and", "en"), (2L, "the a and", "en")))
+    val ru = RoundNineOps.cochranQ(u).collect()(0)
+    assert(ru.isNullAt(ru.fieldIndex("cochran_q")))
+  }
+
+  // ---- q339 Heaps's law ----------------------------------------------------
+
+  test("heapsLaw: one new token per doc fits beta = 1, constant vocab fits 0") {
+    val unique = docs((1L to 64L).map(i => (i, s"tok$i", "en")))
+    val b1 = RoundNineOps.heapsLaw(unique).collect()
+    assert(b1.forall(_.getAs[Double]("heaps_beta") == 1.0),
+      "V(n) = n must fit slope exactly 1")
+    assert(b1.map(r => (r.getAs[Long]("level"), r.getAs[Long]("n_docs")))
+      .toMap.apply(0L) == 64L)
+    val same = docs((1L to 64L).map(i => (i, "tok", "en")))
+    val b0 = RoundNineOps.heapsLaw(same).collect()
+    assert(b0.forall(_.getAs[Long]("vocab") == 1L))
+    assert(b0.forall(_.getAs[Double]("heaps_beta") == 0.0),
+      "constant vocabulary must fit slope exactly 0")
+  }
+
+  test("heapsLaw: corpus levels nest and the exponent is a real fraction") {
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val rows = RoundNineOps.heapsLaw(d).collect().sortBy(_.getAs[Long]("level"))
+    rows.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("n_docs") <= w(0).getAs[Long]("n_docs"))
+      assert(w(1).getAs[Long]("vocab") <= w(0).getAs[Long]("vocab"))
+    }
+    // the synthetic corpus draws from a ~31-word vocabulary, so V(n)
+    // saturates and the honest exponent is ~0; a natural corpus sits in
+    // (0, 1) — the fixture test above pins both exact endpoints
+    val beta = rows.head.getAs[Double]("heaps_beta")
+    assert(beta >= 0.0 && beta < 1.0, s"Heaps exponent out of range: $beta")
+  }
+
+  // ---- q340 Renyi efficiency -----------------------------------------------
+
+  test("renyiEfficiency: uniform tokens score 1, a dominated stream scores low") {
+    val uni = docs(Seq((1L, "a b c d", "en")))
+    val r = RoundNineOps.renyiEfficiency(uni).collect()(0)
+    assert(r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Double]("renyi_efficiency") == 1.0)
+    assert(r.getAs[Double]("renyi_h") ==
+      BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val skew = docs(Seq((1L, "a a a a a a a b", "en")))
+    val rs = RoundNineOps.renyiEfficiency(skew).collect()(0)
+    assert(rs.getAs[Double]("renyi_efficiency") < 0.6)
+  }
+
+  // ---- q341 SPRT monitor ---------------------------------------------------
+
+  test("sprtMonitor: LLR accumulates by day and crosses the Wald boundary") {
+    // user 1 (treatment arm): 30/100 purchases per day at p0=.2/p1=.25
+    // day 1: LLR = 30·223143 − 70·64539 = 2176560 (continue)
+    // day 2 cumulative: 4353120 ≥ 2944438 (accept_h1)
+    def day(d: Int, n: Int, np: Int) = (0 until n).map { i =>
+      (d * 1000L + i, 1L, 1700000000000000L + d * 86400000000L + i,
+        if (i < np) "purchase" else "view", 1.0, "{}")
+    }
+    val ev = (day(1, 100, 30) ++ day(2, 100, 30))
+      .toDF("event_id", "user_id", "us", "event_type", "value", "props")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("value"), col("props"))
+    val rows = RoundNineOps.sprtMonitor(ev).collect().sortBy(_.getAs[String]("day"))
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("llr_micro") == 2176560L)
+    assert(rows(0).getAs[String]("decision") == "continue")
+    assert(rows(1).getAs[Long]("llr_micro") == 4353120L)
+    assert(rows(1).getAs[String]("decision") == "accept_h1")
+  }
+
   // ---- q337 McNemar --------------------------------------------------------
 
   test("mcnemarTest: hand-counted discordant pairs and the corrected statistic") {
