@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   *   - q336 embedding isotropy (is the vector space collapsed along a
   *     common direction — the health check under every ANN/semantic op),
   *   - q337 McNemar's per-item paired test (the low-variance complement
-  *     of q329's fold-level t).
+  *     of q329's fold-level t),
+  *   - q338 Cochran's Q (k-rater marginal homogeneity),
+  *   - q339 Heaps'-law vocabulary growth (nested md5 samples, one pass),
+  *   - q340 Rényi token efficiency (the tokenizer-health metric),
+  *   - q341 Wald SPRT sequential A/B monitor,
+  *   - q342 cross-source quantile normalization (score batch effects),
+  *   - q343 Simpson's-paradox slice audit,
+  *   - q344 Benjamini–Hochberg FDR over the per-source drift panel.
   */
 object RoundNineOps extends QueryModule {
 
@@ -408,7 +415,141 @@ object RoundNineOps extends QueryModule {
       .orderBy("day")
   }
 
+  /** q342: CROSS-SOURCE QUANTILE NORMALIZATION map — the batch-effect
+    * correction every multi-crawl quality score needs before a single
+    * threshold is applied corpus-wide (q93's buckets assume scores are
+    * comparable across sources; they rarely are). For each source and
+    * decile: the source's cut, the corpus cut it maps to, and the
+    * shift — apply as a piecewise-monotone recalibration, audit as a
+    * drift table.
+    *
+    * Determinism: exact `percentile` per group and globally (one
+    * grouped aggregation each), cuts rounded to 4 — the q85/q93
+    * Spark↔DuckDB interpolation contract. Scale: two aggregations with
+    * map-side partial value maps; everything after is the bounded
+    * |sources|×9 mapping frame.
+    */
+  def quantileNormalize(documents: DataFrame, bins: Int = 10): DataFrame = {
+    val ps = (1 until bins).map(k => s"${k.toDouble / bins}D").mkString(", ")
+    val per = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"percentile(n_chars, array($ps))").as("c"))
+      .select(col("source"), col("n_docs"),
+        posexplode(col("c")).as(Seq("p", "src_cut")))
+      .select(col("source"), col("n_docs"), (col("p") + 1).cast("long").as("decile"),
+        round(col("src_cut"), 4).as("src_cut"))
+    val glob = documents
+      .agg(expr(s"percentile(n_chars, array($ps))").as("c"))
+      .select(posexplode(col("c")).as(Seq("p", "global_cut")))
+      .select((col("p") + 1).cast("long").as("decile"),
+        round(col("global_cut"), 4).as("global_cut"))
+    per.join(broadcast(glob), "decile")
+      .select(col("source"), col("n_docs"), col("decile"), col("src_cut"),
+        col("global_cut"), round(col("global_cut") - col("src_cut"), 4).as("shift"))
+      .orderBy("source", "decile")
+  }
+
+  /** q343: SIMPSON'S-PARADOX SLICE AUDIT — per-source correlation of
+    * document length with the English label vs the POOLED correlation:
+    * a source whose within-slice sign contradicts the pooled sign is
+    * the aggregation trap (Simpson 1951) that makes corpus-wide
+    * quality~feature conclusions wrong for every slice they're applied
+    * to. The governance sibling of q122's global corr and q325's
+    * per-group gaps.
+    *
+    * One corpus pass → per-source integer moment sums (decimal(38,0)
+    * products); the pooled moments are the SUM of the per-source frame
+    * (bounded), so the corpus is scanned once. Pearson r per slice and
+    * pooled, each ONE double expression, null when a slice is constant
+    * in either variable.
+    */
+  def simpsonAudit(documents: DataFrame): DataFrame = {
+    val m = documents
+      .select(col("source"), col("n_chars").as("x"),
+        (col("lang") === "en").cast("long").as("y"))
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    val corr = (pre: String) => {
+      val num = expr(s"cast(${pre}n * ${pre}sxy - ${pre}sx * ${pre}sy as double)")
+      val vx = expr(s"cast(${pre}n * ${pre}sxx - ${pre}sx * ${pre}sx as double)")
+      val vy = expr(s"cast(${pre}n * ${pre}syy - ${pre}sy * ${pre}sy as double)")
+      when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 4))
+    }
+    val pooled = m.agg(sum("n").as("pn"), sum("sx").as("psx"), sum("sy").as("psy"),
+        sum("sxy").as("psxy"), sum("sxx").as("psxx"), sum("syy").as("psyy"))
+      .select(corr("p").as("corr_pooled"))
+    m.crossJoin(broadcast(pooled))
+      .select(col("source"), col("n"), corr("").as("corr_src"), col("corr_pooled"),
+        when(corr("").isNotNull && col("corr_pooled").isNotNull,
+          corr("") * col("corr_pooled") < 0).as("sign_flip"))
+      .orderBy("source")
+  }
+
+  /** q344: BENJAMINI–HOCHBERG FDR over the per-source drift panel —
+    * the multiplicity control q133's per-source KS alarms need: with
+    * hundreds of sources, thresholding each test at α fires ~α·m false
+    * alarms per run; BH (1995) bounds the FALSE DISCOVERY RATE across
+    * the whole panel. Each source's lengths are tested against the
+    * REST of the corpus (the q133 grid with the complement's ECDF),
+    * the asymptotic two-sample KS p-value 2·exp(−2·nₑ·D²) quantizes to
+    * micro units per source, and the BH step-up runs on the bounded
+    * source frame (rank window + suffix max — commented bounded).
+    *
+    * Scale: identical to q133 — one map-side (source, value) count,
+    * ECDF windows per source over the value-bounded grid; the p/BH
+    * stage is |sources|-sized.
+    */
+  def bhFdrDrift(documents: DataFrame, alphaMicro: Long = 50000L): DataFrame = {
+    val counts = documents.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val values = counts.select("v").distinct()
+    val sources = documents.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val corpusByV = documents.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cc"))
+    val nTotal = documents.agg(count(lit(1)).as("n_c"))
+    val grid = sources.crossJoin(values)
+      .join(counts, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(corpusByV), "v")
+    val w = Window.partitionBy("source").orderBy("v")
+    val ks = grid
+      .withColumn("cum_s", sum(col("c")).over(w))
+      .withColumn("cum_c", sum(col("cc")).over(w))
+      .crossJoin(broadcast(nTotal))
+      // source vs COMPLEMENT: F_rest = (cum_c − cum_s)/(n_c − n_s)
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_s"), max(col("n_c")).as("n_c"),
+        max(abs(expr("cast(cum_s as decimal(38,0)) * (n_c - n_s) - cast(cum_c - cum_s as decimal(38,0)) * n_s")))
+          .as("d_num"))
+      .filter(col("n_c") > col("n_s"))
+      .withColumn("d", col("d_num").cast("double") /
+        (col("n_s").cast("double") * (col("n_c") - col("n_s")).cast("double")))
+      .withColumn("p_micro", least(lit(1000000L),
+        floor(lit(2.0) * exp(lit(-2.0) *
+          (col("n_s") * (col("n_c") - col("n_s"))).cast("double") /
+          col("n_c").cast("double") * col("d") * col("d")) * 1e6).cast("long")))
+    // bounded frame from here: one row per source — cut so the three
+    // consumers (rank, m, k*) read materialized rows, not the ECDF grid
+    val ksCut = graft.plans.Checkpoints.cut(ks, None)
+    val ranked = ksCut
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_micro"), col("source"))).cast("long"))
+      .crossJoin(broadcast(ksCut.agg(count(lit(1)).as("m"))))
+      .withColumn("ok", col("p_micro") * col("m") <= col("rank") * alphaMicro)
+    val kStar = ranked.agg(coalesce(max(when(col("ok"), col("rank"))), lit(0L)).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("source"), col("n_s"),
+        round(col("d"), 4).as("ks_d"), col("p_micro"), col("rank"),
+        (col("rank") <= col("k_star")).as("rejected"))
+      .orderBy("rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_quantile_normalize" -> ((s, d) => quantileNormalize(Tables(s, d).documents)),
+    "q343_simpson_audit" -> ((s, d) => simpsonAudit(Tables(s, d).documents)),
+    "q344_bh_fdr" -> ((s, d) => bhFdrDrift(Tables(s, d).documents)),
     "q338_cochran_q" -> ((s, d) => cochranQ(Tables(s, d).documents)),
     "q339_heaps_law" -> ((s, d) => heapsLaw(Tables(s, d).documents)),
     "q340_renyi_efficiency" -> ((s, d) => renyiEfficiency(Tables(s, d).documents)),
@@ -471,6 +612,102 @@ object RoundNineOps extends QueryModule {
       |     FROM documents""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // same exact per-group percentiles, same round-4 cut contract
+    "q342_quantile_normalize" -> {
+      val ps = (1 until 10).map(k => s"${k / 10.0}::DOUBLE").mkString(", ")
+      s"""WITH per AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |         quantile_cont(n_chars, [$ps]) AS c
+         |  FROM documents GROUP BY source),
+         |perx AS (
+         |  SELECT source, n_docs, i::BIGINT AS decile, round(c[i], 4) AS src_cut
+         |  FROM per, unnest(generate_series(1, 9)) AS u(i)),
+         |gq AS (SELECT quantile_cont(n_chars, [$ps]) AS c FROM documents),
+         |globx AS (SELECT i::BIGINT AS decile, round(c[i], 4) AS global_cut
+         |          FROM gq, unnest(generate_series(1, 9)) AS u(i))
+         |SELECT source, n_docs, perx.decile, src_cut, global_cut,
+         |       round(global_cut - src_cut, 4) AS shift
+         |FROM perx JOIN globx ON globx.decile = perx.decile
+         |ORDER BY source, perx.decile""".stripMargin
+    },
+    // same integer moment sums; pooled = sum of the per-source frame
+    "q343_simpson_audit" ->
+      """WITH m AS (
+        |  SELECT source, count(*)::BIGINT AS n,
+        |         sum(n_chars::HUGEINT) AS sx,
+        |         sum((lang = 'en')::HUGEINT) AS sy,
+        |         sum(n_chars::HUGEINT * (lang = 'en')::BIGINT) AS sxy,
+        |         sum(n_chars::HUGEINT * n_chars) AS sxx,
+        |         sum(((lang = 'en')::HUGEINT) * ((lang = 'en')::BIGINT)) AS syy
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT sum(n)::BIGINT AS pn, sum(sx) AS psx, sum(sy) AS psy,
+        |             sum(sxy) AS psxy, sum(sxx) AS psxx, sum(syy) AS psyy
+        |      FROM m),
+        |pc AS (SELECT CASE WHEN (pn * psxx - psx * psx)::DOUBLE > 0
+        |                    AND (pn * psyy - psy * psy)::DOUBLE > 0
+        |              THEN round((pn * psxy - psx * psy)::DOUBLE /
+        |                sqrt((pn * psxx - psx * psx)::DOUBLE
+        |                     * (pn * psyy - psy * psy)::DOUBLE), 4)
+        |              END AS corr_pooled
+        |      FROM p)
+        |SELECT source, n,
+        |  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+        |        AND (n * syy - sy * sy)::DOUBLE > 0
+        |       THEN round((n * sxy - sx * sy)::DOUBLE /
+        |         sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 4)
+        |  END AS corr_src,
+        |  corr_pooled,
+        |  CASE WHEN (CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+        |                   AND (n * syy - sy * sy)::DOUBLE > 0
+        |             THEN round((n * sxy - sx * sy)::DOUBLE /
+        |               sqrt((n * sxx - sx * sx)::DOUBLE
+        |                    * (n * syy - sy * sy)::DOUBLE), 4) END) IS NOT NULL
+        |         AND corr_pooled IS NOT NULL
+        |       THEN (CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+        |                   AND (n * syy - sy * sy)::DOUBLE > 0
+        |             THEN round((n * sxy - sx * sy)::DOUBLE /
+        |               sqrt((n * sxx - sx * sx)::DOUBLE
+        |                    * (n * syy - sy * sy)::DOUBLE), 4) END) * corr_pooled < 0
+        |  END AS sign_flip
+        |FROM m, pc ORDER BY source""".stripMargin,
+    // same complement ECDF numerator, same asymptotic p quantization,
+    // same integer BH step-up
+    "q344_bh_fdr" ->
+      """WITH counts AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+        |                FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM counts),
+        |srcs AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
+        |byv AS (SELECT n_chars AS v, count(*)::BIGINT AS cc FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n_c FROM documents),
+        |grid AS (SELECT s.source, s.n_s, x.v, coalesce(c.c, 0)::BIGINT AS c, byv.cc
+        |         FROM srcs s CROSS JOIN vals x
+        |         LEFT JOIN counts c ON c.source = s.source AND c.v = x.v
+        |         JOIN byv ON byv.v = x.v),
+        |cum AS (SELECT source, n_s, v, cc,
+        |          sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum_s,
+        |          sum(cc) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum_c
+        |        FROM grid),
+        |ks AS (SELECT source, max(n_s)::BIGINT AS n_s, max(n_c)::BIGINT AS n_c,
+        |          max(abs(cum_s::HUGEINT * (n_c - n_s)
+        |                  - (cum_c - cum_s)::HUGEINT * n_s)) AS d_num
+        |       FROM cum, tot GROUP BY source),
+        |kd AS (SELECT source, n_s,
+        |         d_num::DOUBLE / (n_s::DOUBLE * (n_c - n_s)::DOUBLE) AS d,
+        |         n_s * (n_c - n_s) AS ne_num, n_c
+        |       FROM ks WHERE n_c > n_s),
+        |kp AS (SELECT source, n_s, d,
+        |         least(1000000, CAST(floor(2.0 * exp(-2.0 * ne_num::DOUBLE
+        |           / n_c::DOUBLE * d * d) * 1e6) AS BIGINT)) AS p_micro
+        |       FROM kd),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY p_micro, source)::BIGINT AS rank,
+        |              (SELECT count(*) FROM kp)::BIGINT AS m
+        |       FROM kp),
+        |ok AS (SELECT *, p_micro * m <= rank * 50000 AS ok FROM rk),
+        |kstar AS (SELECT coalesce(max(CASE WHEN ok THEN rank END), 0)::BIGINT AS k_star
+        |          FROM ok)
+        |SELECT source, n_s, round(d, 4) AS ks_d, p_micro, rank,
+        |       rank <= k_star AS rejected
+        |FROM ok, kstar ORDER BY rank""".stripMargin,
     // same five integer sums, squares in HUGEINT, one double division
     "q338_cochran_q" ->
       (s"""WITH h AS ($votesSql),

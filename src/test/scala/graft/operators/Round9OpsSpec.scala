@@ -196,6 +196,72 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows(1).getAs[String]("decision") == "accept_h1")
   }
 
+  // ---- q342 quantile normalization -----------------------------------------
+
+  test("quantileNormalize: shifted sources map onto the pooled deciles") {
+    // source A: 10,20..100; source B: 110,120..200 — exact interpolated cuts
+    val d = docs((1L to 10L).map(i => (i, "t", "en")) ++
+      (11L to 20L).map(i => (i, "t", "en")))
+      .withColumn("source", when(col("doc_id") <= 10, "A").otherwise("B"))
+      .withColumn("n_chars",
+        when(col("doc_id") <= 10, col("doc_id") * 10).otherwise(col("doc_id") * 10))
+    val out = RoundNineOps.quantileNormalize(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("decile")) -> r).toMap
+    // A's median: values 10..100, p=0.5 → idx 4.5 → 55.0
+    assert(out(("A", 5L)).getAs[Double]("src_cut") == 55.0)
+    assert(out(("B", 5L)).getAs[Double]("src_cut") == 155.0)
+    // pooled median: values 10..200 step 10, idx 9.5 → 105.0
+    assert(out(("A", 5L)).getAs[Double]("global_cut") == 105.0)
+    assert(out(("A", 5L)).getAs[Double]("shift") == 50.0)
+    assert(out(("B", 5L)).getAs[Double]("shift") == -50.0)
+    (1L to 9L).foreach { k =>
+      assert(out(("A", k)).getAs[Double]("shift") > 0)
+      assert(out(("B", k)).getAs[Double]("shift") < 0)
+    }
+  }
+
+  // ---- q343 Simpson's-paradox audit -----------------------------------------
+
+  test("simpsonAudit: within-slice positive, pooled negative -> flip flagged") {
+    // s1 (short docs, mostly en), s2 (long docs, mostly not): each slice
+    // correlates length~en POSITIVELY, the pool correlates NEGATIVELY
+    val d = Seq(
+      (1L, "t", "de", "s1", 1L), (2L, "t", "en", "s1", 2L), (3L, "t", "en", "s1", 3L),
+      (4L, "t", "de", "s2", 101L), (5L, "t", "de", "s2", 102L), (6L, "t", "en", "s2", 103L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = RoundNineOps.simpsonAudit(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Double]("corr_src") > 0)
+    assert(out("s2").getAs[Double]("corr_src") > 0)
+    assert(out("s1").getAs[Double]("corr_pooled") < 0)
+    assert(out("s1").getAs[Boolean]("sign_flip"))
+    assert(out("s2").getAs[Boolean]("sign_flip"))
+  }
+
+  // ---- q344 BH-FDR drift panel ----------------------------------------------
+
+  test("bhFdrDrift: the shifted source is rejected, interleaved twins are not") {
+    // sA (evens 2..100) and sB (odds 1..99) interleave — tiny KS vs rest;
+    // sC sits at 1000+ with only 5 docs — KS 1.0, p ~1.5e-4, the only reject
+    val d = docs(
+      (1L to 50L).map(i => (i, "t", "en")) ++
+      (51L to 100L).map(i => (i, "t", "en")) ++
+      (101L to 105L).map(i => (i, "t", "en")))
+      .withColumn("source", when(col("doc_id") <= 50, "sA")
+        .when(col("doc_id") <= 100, "sB").otherwise("sC"))
+      .withColumn("n_chars",
+        when(col("doc_id") <= 50, col("doc_id") * 2)
+          .when(col("doc_id") <= 100, (col("doc_id") - 50) * 2 - 1)
+          .otherwise(col("doc_id") * 10))
+    val out = RoundNineOps.bhFdrDrift(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("sC").getAs[Boolean]("rejected"))
+    assert(out("sC").getAs[Double]("ks_d") == 1.0)
+    assert(!out("sA").getAs[Boolean]("rejected"))
+    assert(!out("sB").getAs[Boolean]("rejected"))
+    assert(out("sC").getAs[Long]("rank") == 1L)
+  }
+
   // ---- q337 McNemar --------------------------------------------------------
 
   test("mcnemarTest: hand-counted discordant pairs and the corrected statistic") {
