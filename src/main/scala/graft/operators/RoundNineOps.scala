@@ -546,7 +546,97 @@ object RoundNineOps extends QueryModule {
       .orderBy("rank")
   }
 
+  /** q345: DIAGONAL-MAHALANOBIS OOD AUDIT per embedding label — the
+    * parametric outlier gate next to q126's kNN density outliers: each
+    * vector's squared Mahalanobis distance to ITS label's centroid
+    * under a diagonal covariance, md² = Σ_d (x_d − μ_d)²/σ_d². Vectors
+    * beyond the 3-sigma-per-dim budget (md² > 9·D) are mislabeled,
+    * corrupted, or genuinely out of distribution — the triage list
+    * before any per-label centroid op (q111/q176/q323) is trusted.
+    *
+    * EXACT, no libm anywhere: on micro-quantized integer coordinates,
+    * (x − S/n)² / ((nQ − S²)/n²) = (x·n − S)² / (nQ − S²) — an integer
+    * ratio per dimension, floor-quantized to micro before the per-
+    * vector sum (zero-variance dims contribute 0 on both engines).
+    *
+    * Scale: one (label, dim) moment pass (map-side partials on the
+    * posexploded stream), moments frame is |labels|×D and BROADCAST
+    * back onto the same stream; the only shuffle is the per-vector
+    * re-aggregation on vec_id.
+    */
+  def mahalanobisAudit(embeddings: DataFrame): DataFrame = {
+    val qv = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+    val ex = embeddings.select(col("vec_id"), col("label"), posexplode(qv).as(Seq("d", "x")))
+    val mom = ex.groupBy("label", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(x as decimal(38,0))")).as("s"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("qq"))
+    val terms = ex.join(broadcast(mom), Seq("label", "d"))
+      .select(col("vec_id"), col("label"),
+        expr("""case when n * qq - s * s > 0
+                then cast((cast(x as decimal(38,0)) * n - s)
+                          * (cast(x as decimal(38,0)) * n - s)
+                          * 1000000 div (n * qq - s * s) as bigint)
+                else 0 end""").as("t"), col("d"))
+    val dims = embeddings.select(size(col("embedding")).cast("long").as("dd"))
+      .groupBy().agg(max("dd").as("dims"))
+    terms.groupBy("vec_id", "label").agg(sum("t").as("md2_micro"))
+      .crossJoin(broadcast(dims))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), max("dims").as("dims"),
+        expr("sum(md2_micro) div count(*)").as("avg_md2_micro"),
+        max("md2_micro").as("max_md2_micro"),
+        sum(when(col("md2_micro") > lit(9000000L) * col("dims"), 1L)
+          .otherwise(0L)).as("n_beyond_3sigma"))
+      .orderBy("label")
+  }
+
+  /** q346: PADDING-WASTE audit — random vs length-bucketed batching:
+    * training batches pad every sequence to the batch max, so the
+    * padded-token share is decided by HOW batches are formed. For
+    * batch size B: random batching wastes (E[max of B draws] − E[L])
+    * per doc — and E[max] is EXACT from the length histogram via
+    * P(max ≤ v) = F(v)^B — while bucketed batching (sort into width-W
+    * length buckets first, the q67/q189 layout) pads only to the
+    * bucket ceiling. The one-row report quantifies what the sort buys
+    * — typically the difference between ~2× token throughput and none.
+    *
+    * Scale: ONE token-length histogram (value-bounded, the q133 grid
+    * argument); E[max] folds over it with per-value floor-quantized
+    * F^B terms (per-term libm pow, the q187 convention); the bucketed
+    * waste is a pure integer aggregate on the same pass.
+    */
+  def paddingWaste(documents: DataFrame, batch: Int = 16, bucketW: Int = 32): DataFrame = {
+    val len = size(split(col("text"), " ")).cast("long")
+    val hist = documents.select(len.as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum("c").as("n"), sum(expr("v * c")).as("t"),
+      sum(expr(s"(((v + $bucketW - 1) div $bucketW) * $bucketW - v) * c")).as("wb"))
+    // bounded frame: one row per distinct length — the cumulative F and
+    // the per-value E[max] mass term F(v)^B − F(v⁻)^B
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emax = hist
+      .withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(tot.select("n")))
+      .select(expr(s"""cast(floor(v * (pow(cast(cum as double) / n, $batch)
+                      - pow(cast(cum - c as double) / n, $batch)) * 1e6) as bigint)""")
+        .as("term"))
+      .agg(sum("term").as("emax_micro"))
+    tot.crossJoin(broadcast(emax))
+      .select(col("n").as("n_docs"), col("t").as("total_tokens"),
+        col("emax_micro").as("expected_max_micro"),
+        expr("wb * 1000000 div (t + wb)").as("bucketed_waste_ppm"),
+        expr("""case when emax_micro * n > 0
+                then (cast(emax_micro as decimal(38,0)) * n - t * 1000000)
+                     * 1000000 div (cast(emax_micro as decimal(38,0)) * n)
+                end""").cast("long").as("random_waste_ppm"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_mahalanobis_ood" -> ((s, d) => mahalanobisAudit(Tables(s, d).embeddings)),
+    "q346_padding_waste" -> ((s, d) => paddingWaste(Tables(s, d).documents)),
     "q342_quantile_normalize" -> ((s, d) => quantileNormalize(Tables(s, d).documents)),
     "q343_simpson_audit" -> ((s, d) => simpsonAudit(Tables(s, d).documents)),
     "q344_bh_fdr" -> ((s, d) => bhFdrDrift(Tables(s, d).documents)),
@@ -612,6 +702,49 @@ object RoundNineOps extends QueryModule {
       |     FROM documents""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // same integer (xn−S)²/(nQ−S²) per-dim terms, micro-floored
+    "q345_mahalanobis_ood" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS d,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |mom AS (SELECT label, d, count(*)::BIGINT AS n,
+        |               sum(x::HUGEINT) AS s, sum(x::HUGEINT * x) AS qq
+        |        FROM ex GROUP BY 1, 2),
+        |t AS (SELECT ex.vec_id, ex.label,
+        |        CASE WHEN m.n * m.qq - m.s * m.s > 0
+        |             THEN ((ex.x::HUGEINT * m.n - m.s) * (ex.x::HUGEINT * m.n - m.s)
+        |                   * 1000000 // (m.n * m.qq - m.s * m.s))::BIGINT
+        |             ELSE 0 END AS t
+        |      FROM ex JOIN mom m ON m.label = ex.label AND m.d = ex.d),
+        |dd AS (SELECT max(len(embedding))::BIGINT AS dims FROM embeddings),
+        |per AS (SELECT vec_id, label, sum(t)::BIGINT AS md2 FROM t GROUP BY 1, 2)
+        |SELECT label, count(*)::BIGINT AS n_vecs, max(dims)::BIGINT AS dims,
+        |       (sum(md2) // count(*))::BIGINT AS avg_md2_micro,
+        |       max(md2)::BIGINT AS max_md2_micro,
+        |       sum(CASE WHEN md2 > 9000000 * dims THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_beyond_3sigma
+        |FROM per, dd GROUP BY label ORDER BY label""".stripMargin,
+    // same length histogram, same floor-quantized F^B mass terms
+    "q346_padding_waste" ->
+      """WITH hist AS (SELECT len(string_split(text, ' '))::BIGINT AS v,
+        |                     count(*)::BIGINT AS c
+        |              FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n, sum(v * c)::BIGINT AS t,
+        |               sum((((v + 31) // 32) * 32 - v) * c)::BIGINT AS wb
+        |        FROM hist),
+        |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v)::BIGINT AS cum FROM hist),
+        |emax AS (SELECT sum(CAST(floor(v * (pow(cum::DOUBLE / n, 16)
+        |                  - pow((cum - c)::DOUBLE / n, 16)) * 1e6) AS BIGINT))::BIGINT
+        |           AS emax_micro
+        |         FROM cum, tot)
+        |SELECT n AS n_docs, t AS total_tokens, emax_micro AS expected_max_micro,
+        |       (wb * 1000000 // (t + wb))::BIGINT AS bucketed_waste_ppm,
+        |       CASE WHEN emax_micro * n > 0
+        |            THEN ((emax_micro::HUGEINT * n - t::HUGEINT * 1000000)
+        |                  * 1000000 // (emax_micro::HUGEINT * n))::BIGINT
+        |       END AS random_waste_ppm
+        |FROM tot, emax""".stripMargin,
     // same exact per-group percentiles, same round-4 cut contract
     "q342_quantile_normalize" -> {
       val ps = (1 until 10).map(k => s"${k / 10.0}::DOUBLE").mkString(", ")

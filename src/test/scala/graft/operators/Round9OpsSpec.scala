@@ -262,6 +262,40 @@ class Round9OpsSpec extends SparkSpec {
     assert(out("sC").getAs[Long]("rank") == 1L)
   }
 
+  // ---- q345 Mahalanobis OOD audit --------------------------------------------
+
+  test("mahalanobisAudit: exact integer z² terms; the planted outlier is flagged") {
+    // 20 vectors at (0,0) + one at (10,0): dim0 population z² = 20 for
+    // the outlier (beyond the 9·D = 18 budget), 0.05 for the rest;
+    // dim1 is zero-variance and contributes exactly 0
+    val d = vecs((1L to 20L).map(i => (i, Seq(0f, 0f), 0)) :+ (21L, Seq(10f, 0f), 0))
+    val r = RoundNineOps.mahalanobisAudit(d).collect()(0)
+    assert(r.getAs[Long]("n_vecs") == 21L)
+    assert(r.getAs[Long]("dims") == 2L)
+    assert(r.getAs[Long]("max_md2_micro") == 20000000L)
+    assert(r.getAs[Long]("avg_md2_micro") == 1000000L)
+    assert(r.getAs[Long]("n_beyond_3sigma") == 1L)
+  }
+
+  // ---- q346 padding waste ----------------------------------------------------
+
+  test("paddingWaste: constant lengths waste nothing randomly; bimodal does") {
+    val const = docs((1L to 32L).map(i => (i, "a b c d e", "en")))
+    val r0 = RoundNineOps.paddingWaste(const).collect()(0)
+    assert(r0.getAs[Long]("expected_max_micro") == 5000000L)
+    assert(r0.getAs[Long]("random_waste_ppm") == 0L)
+    // bucket ceiling 32: waste 27 of every 32 padded tokens
+    assert(r0.getAs[Long]("bucketed_waste_ppm") == 27L * 1000000L / 32L)
+    // half the docs have 1 token, half 101: E[max of 16] =
+    // 1·(1/2^16) + 101·(1 − 1/2^16), per-value floors → 15 + 100998458
+    val bimodal = docs((1L to 10L).map(i => (i, "a", "en")) ++
+      (11L to 20L).map(i => (i, Seq.fill(101)("a").mkString(" "), "en")))
+    val r1 = RoundNineOps.paddingWaste(bimodal).collect()(0)
+    assert(r1.getAs[Long]("expected_max_micro") == 15L + 100998458L)
+    assert(r1.getAs[Long]("random_waste_ppm") > 400000L,
+      "random batching wastes ~half the padded tokens on a bimodal mix")
+  }
+
   // ---- q337 McNemar --------------------------------------------------------
 
   test("mcnemarTest: hand-counted discordant pairs and the corrected statistic") {
