@@ -634,7 +634,97 @@ object RoundNineOps extends QueryModule {
                 end""").cast("long").as("random_waste_ppm"))
   }
 
+  /** q347: EMPIRICAL-BAYES (beta-binomial) SHRINKAGE of per-source
+    * rates — the winner's-curse guard for every per-slice leaderboard
+    * (q325's gaps, q151's shares, q333's CIs): a 3-doc source with
+    * rate 1.0 is NOISE, not signal, and ranking raw rates promotes
+    * exactly those. Method-of-moments beta prior from the source-rate
+    * spread (prior strength K = μ(1−μ)/v − 1), posterior rate
+    * (x + μK)/(n + K) — small sources shrink hard toward the pooled
+    * mean, big sources barely move (Efron & Morris 1975's argument in
+    * rate form).
+    *
+    * Exact: per-source rates quantize to ppm BEFORE the bounded-frame
+    * moment sums (order-independent integers); μ, v, K, and every
+    * posterior are integer floor divisions — no float anywhere. Scale:
+    * one corpus pass → |sources| frame; everything after is bounded.
+    */
+  def ebShrinkage(documents: DataFrame): DataFrame = {
+    val per = documents.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum((col("lang") === "en").cast("long")).as("x"))
+      .withColumn("p_ppm", expr("x * 1000000 div n"))
+    val prior = per.agg(count(lit(1)).as("m"),
+        sum("p_ppm").as("sp"),
+        sum(expr("cast(p_ppm as decimal(38,0)) * p_ppm")).as("spp"))
+      .select(col("m"),
+        expr("sp div m").as("mu_ppm"),
+        expr("cast((m * spp - cast(sp as decimal(38,0)) * sp) div (cast(m as decimal(38,0)) * m) as bigint)")
+          .as("v_pp2"))
+      .select(col("m"), col("mu_ppm"), col("v_pp2"),
+        expr("""case when v_pp2 > 0
+                then cast(mu_ppm as decimal(38,0)) * (1000000 - mu_ppm)
+                     * 1000000 div v_pp2 - 1000000
+                end""").cast("long").as("k_micro"))
+    per.crossJoin(broadcast(prior))
+      .select(col("source"), col("n"), col("x"), col("p_ppm").as("raw_ppm"),
+        col("mu_ppm"), col("k_micro"),
+        expr("""case when k_micro > 0
+                then (cast(x as decimal(38,0)) * 1000000 * 1000000
+                      + cast(mu_ppm as decimal(38,0)) * k_micro)
+                     div (cast(n as decimal(38,0)) * 1000000 + k_micro)
+                else p_ppm end""").cast("long").as("shrunk_ppm"))
+      .orderBy("source")
+  }
+
+  /** q348: POST-STRATIFIED TREATMENT EFFECT — the causal rung between
+    * q148's raw A/B difference and q289's propensity matching: when
+    * randomization is fine but an observed covariate (user activity)
+    * still correlates with both arm size and outcome by chance,
+    * stratifying on it removes the variance (and any accidental
+    * imbalance) the naive difference carries: ATE = Σ_b (N_b/N)·
+    * (ȳ_tb − ȳ_cb) over activity bands. Bands where either arm is
+    * empty are excluded and counted (the standard positivity report).
+    *
+    * Exact: per-band arm means are micro floor divisions; the weighted
+    * sum rides decimal(38,0); one corpus→user pass, then a bounded
+    * band frame.
+    */
+  def postStratifiedAte(events: DataFrame, bandW: Int = 32): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(count(lit(1)).as("activity"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2 === 1).as("treated"),
+        expr(s"activity div $bandW").as("band"), col("y"))
+    val bands = users.groupBy("band")
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treated"), col("y"))).as("st"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("treated"), col("y"))).as("sc"))
+    val tot = users.agg(count(lit(1)).as("n_users"),
+      sum(when(col("treated"), col("y"))).as("ty"),
+      sum(when(col("treated"), 1L).otherwise(0L)).as("tn"),
+      sum(when(!col("treated"), col("y"))).as("cy"),
+      sum(when(!col("treated"), 1L).otherwise(0L)).as("cn"))
+    bands
+      .withColumn("usable", col("nt") > 0 && col("nc") > 0)
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("usable"), 1L).otherwise(0L)).as("n_bands_used"),
+        sum(when(col("usable"), col("nt") + col("nc")).otherwise(0L)).as("n_covered"),
+        sum(when(col("usable"),
+          expr("""cast(nt + nc as decimal(38,0))
+                  * (st * 1000000 div nt - sc * 1000000 div nc)"""))
+          .otherwise(expr("cast(0 as decimal(38,0))"))).as("wsum"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_users"), col("n_bands"), col("n_bands_used"), col("n_covered"),
+        expr("ty * 1000000 div tn - cy * 1000000 div cn").as("naive_diff_micro"),
+        when(col("n_covered") > 0,
+          expr("cast(wsum div n_covered as bigint)")).as("ate_ps_micro"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_eb_shrinkage" -> ((s, d) => ebShrinkage(Tables(s, d).documents)),
+    "q348_post_strat_ate" -> ((s, d) => postStratifiedAte(Tables(s, d).events)),
     "q345_mahalanobis_ood" -> ((s, d) => mahalanobisAudit(Tables(s, d).embeddings)),
     "q346_padding_waste" -> ((s, d) => paddingWaste(Tables(s, d).documents)),
     "q342_quantile_normalize" -> ((s, d) => quantileNormalize(Tables(s, d).documents)),
@@ -702,6 +792,64 @@ object RoundNineOps extends QueryModule {
       |     FROM documents""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // same ppm-quantized rates, same integer MoM prior and posteriors
+    "q347_eb_shrinkage" ->
+      """WITH per AS (SELECT source, count(*)::BIGINT AS n,
+        |                    sum((lang = 'en')::BIGINT)::BIGINT AS x
+        |             FROM documents GROUP BY source),
+        |pp AS (SELECT *, (x * 1000000 // n)::BIGINT AS p_ppm FROM per),
+        |pr AS (SELECT count(*)::BIGINT AS m, sum(p_ppm)::BIGINT AS sp,
+        |              sum(p_ppm::HUGEINT * p_ppm) AS spp
+        |       FROM pp),
+        |mo AS (SELECT m, (sp // m)::BIGINT AS mu_ppm,
+        |              ((m * spp - sp::HUGEINT * sp) // (m::HUGEINT * m))::BIGINT AS v_pp2
+        |       FROM pr),
+        |kk AS (SELECT m, mu_ppm, v_pp2,
+        |         CASE WHEN v_pp2 > 0
+        |              THEN (mu_ppm::HUGEINT * (1000000 - mu_ppm) * 1000000 // v_pp2
+        |                    - 1000000)::BIGINT
+        |         END AS k_micro
+        |       FROM mo)
+        |SELECT source, n, x, p_ppm AS raw_ppm, mu_ppm, k_micro,
+        |       CASE WHEN k_micro > 0
+        |            THEN ((x::HUGEINT * 1000000 * 1000000
+        |                   + mu_ppm::HUGEINT * k_micro)
+        |                  // (n::HUGEINT * 1000000 + k_micro))::BIGINT
+        |            ELSE p_ppm END AS shrunk_ppm
+        |FROM pp, kk ORDER BY source""".stripMargin,
+    // same user frame, same band floors, same micro arm means
+    "q348_post_strat_ate" ->
+      """WITH u AS (SELECT user_id % 2 = 1 AS treated,
+        |                  count(*) // 32 AS band,
+        |                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |           FROM events GROUP BY user_id),
+        |b AS (SELECT band,
+        |        sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |        sum(CASE WHEN treated THEN y END)::BIGINT AS st,
+        |        sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |        sum(CASE WHEN NOT treated THEN y END)::BIGINT AS sc
+        |      FROM u GROUP BY band),
+        |t AS (SELECT count(*)::BIGINT AS n_users,
+        |        sum(CASE WHEN treated THEN y END)::BIGINT AS ty,
+        |        sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS tn,
+        |        sum(CASE WHEN NOT treated THEN y END)::BIGINT AS cy,
+        |        sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)::BIGINT AS cn
+        |      FROM u),
+        |agg AS (SELECT count(*)::BIGINT AS n_bands,
+        |          sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)::BIGINT
+        |            AS n_bands_used,
+        |          sum(CASE WHEN nt > 0 AND nc > 0 THEN nt + nc ELSE 0 END)::BIGINT
+        |            AS n_covered,
+        |          sum(CASE WHEN nt > 0 AND nc > 0
+        |              THEN (nt + nc)::HUGEINT
+        |                   * (st * 1000000 // nt - sc * 1000000 // nc)
+        |              ELSE 0 END) AS wsum
+        |        FROM b)
+        |SELECT n_users, n_bands, n_bands_used, n_covered,
+        |       (ty * 1000000 // tn - cy * 1000000 // cn)::BIGINT AS naive_diff_micro,
+        |       CASE WHEN n_covered > 0 THEN (wsum // n_covered)::BIGINT
+        |       END AS ate_ps_micro
+        |FROM agg, t""".stripMargin,
     // same integer (xn−S)²/(nQ−S²) per-dim terms, micro-floored
     "q345_mahalanobis_ood" ->
       """WITH ex AS (

@@ -296,6 +296,60 @@ class Round9OpsSpec extends SparkSpec {
       "random batching wastes ~half the padded tokens on a bimodal mix")
   }
 
+  // ---- q347 empirical-Bayes shrinkage ----------------------------------------
+
+  test("ebShrinkage: the tiny source shrinks hardest; flat rates don't move") {
+    val d = docs(
+      (1L to 100L).map(i => (i, "t", if (i <= 20) "en" else "de")) ++
+        (101L to 200L).map(i => (i, "t", if (i <= 180) "en" else "de")) ++
+        Seq((201L, "t", "en"), (202L, "t", "en")))
+      .withColumn("source", when(col("doc_id") <= 100, "A")
+        .when(col("doc_id") <= 200, "B").otherwise("C"))
+    val out = RoundNineOps.ebShrinkage(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val mu = out("A").getAs[Long]("mu_ppm").toDouble
+    def frac(s: String) = {
+      val raw = out(s).getAs[Long]("raw_ppm").toDouble
+      val shr = out(s).getAs[Long]("shrunk_ppm").toDouble
+      math.abs(raw - shr) / math.abs(raw - mu)
+    }
+    assert(out("C").getAs[Long]("shrunk_ppm") < out("C").getAs[Long]("raw_ppm"))
+    assert(frac("C") > 5 * frac("A"), "n=2 source shrinks far harder than n=100")
+    // zero between-source variance → no prior strength → rates unchanged
+    val flat = docs((1L to 20L).map(i =>
+      (i, "t", if (i % 2 == 0) "en" else "de")))
+      .withColumn("source", when(col("doc_id") <= 10, "A").otherwise("B"))
+    RoundNineOps.ebShrinkage(flat).collect().foreach { r =>
+      assert(r.getAs[Long]("shrunk_ppm") == r.getAs[Long]("raw_ppm"))
+    }
+  }
+
+  // ---- q348 post-stratified ATE ----------------------------------------------
+
+  test("postStratifiedAte: stratification removes the activity confound") {
+    // band 2 (64 events): 3 treated + 1 control, everyone buys 32 times;
+    // band 1 (32 events): 1 treated + 3 control, nobody buys.
+    // Within every band the arms are identical → ATE_ps = 0, but the
+    // treated arm is activity-heavy → naive diff = 24 − 8 = 16.
+    def user(id: Long, nEvents: Int, nPurchase: Int) =
+      (0 until nEvents).map { i =>
+        (id * 1000 + i, id, 1700000000000000L + i,
+          if (i < nPurchase) "purchase" else "view", 0.0, "{}")
+      }
+    val ev = (user(1, 64, 32) ++ user(3, 64, 32) ++ user(5, 64, 32) ++
+      user(2, 64, 32) ++ user(7, 32, 0) ++
+      user(4, 32, 0) ++ user(6, 32, 0) ++ user(8, 32, 0))
+      .toDF("event_id", "user_id", "us", "event_type", "value", "props")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("value"), col("props"))
+    val r = RoundNineOps.postStratifiedAte(ev).collect()(0)
+    assert(r.getAs[Long]("n_users") == 8L)
+    assert(r.getAs[Long]("n_bands_used") == 2L)
+    assert(r.getAs[Long]("naive_diff_micro") == 16000000L)
+    assert(r.getAs[Long]("ate_ps_micro") == 0L)
+  }
+
   // ---- q337 McNemar --------------------------------------------------------
 
   test("mcnemarTest: hand-counted discordant pairs and the corrected statistic") {
