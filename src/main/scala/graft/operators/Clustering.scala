@@ -673,7 +673,10 @@ object Clustering extends QueryModule {
     val sources = train.select("source").distinct()
     val full = gl.select(lit("full").as("model"), col("label"), col("dim"),
       expr("sv div nv").as("c"))
-    val loo = sources.crossJoin(gl)
+    // broadcast the (label × dim) stats grid: both sides are bounded,
+    // but without the hint Catalyst plans a CartesianProduct (row-level
+    // n·m task grid) where a BroadcastNestedLoop is one pass
+    val loo = sources.crossJoin(broadcast(gl))
       .join(sl, Seq("source", "label", "dim"), "left")
       .na.fill(0L, Seq("ssv", "nsv"))
       .filter(col("nv") > col("nsv"))

@@ -722,7 +722,50 @@ object RoundNineOps extends QueryModule {
           expr("cast(wsum div n_covered as bigint)")).as("ate_ps_micro"))
   }
 
+  /** q349: MINIMUM DETECTABLE EFFECT for the purchase-rate A/B panel —
+    * the experiment-PLANNING number q148 (read), q341 (monitor), and
+    * q348 (adjust) all presume someone computed: at the current arm
+    * sizes, the smallest true lift a two-proportion z-test resolves at
+    * α = 0.05 / power 80% is MDE = (z_{α/2}+z_β)·√(2p̄(1−p̄)/n̄) (arms
+    * harmonic-balanced). Reported beside the observed difference with
+    * a `powered` verdict — the "your A/B test can't see what you're
+    * asking it to" gate.
+    *
+    * One user-level aggregate (bounded output); z-constants embedded
+    * (2.801585218112969 = z₀.₀₂₅ + z₀.₂); micro-floored closing
+    * expressions mirrored verbatim by the oracle.
+    */
+  def minDetectableEffect(events: DataFrame): DataFrame = {
+    val u = events.groupBy("user_id")
+      .agg((max(when(col("event_type") === "purchase", 1L).otherwise(0L)) > 0)
+        .as("converted"))
+      .select((col("user_id") % 2 === 1).as("treated"), col("converted"))
+    u.agg(
+        sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated") && col("converted"), 1L).otherwise(0L)).as("x_t"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("treated") && col("converted"), 1L).otherwise(0L)).as("x_c"))
+      .withColumn("p_ppm", expr("(x_t + x_c) * 1000000 div (n_t + n_c)"))
+      // harmonic mean of the arm sizes — the balanced-n the z-test sees
+      .withColumn("nh_micro", expr(
+        "case when n_t > 0 and n_c > 0 then " +
+          "cast(2 as decimal(38,0)) * n_t * n_c * 1000000 div (n_t + n_c) end"))
+      .withColumn("mde_micro", expr(
+        """case when nh_micro > 0 then cast(floor(
+          |  2.801585218112969 * sqrt(
+          |    2.0 * (cast(p_ppm as double) / 1e6) * (1.0 - cast(p_ppm as double) / 1e6)
+          |    / (cast(nh_micro as double) / 1e6)) * 1e6) as bigint) end""".stripMargin))
+      .withColumn("diff_micro", expr(
+        "case when n_t > 0 and n_c > 0 then " +
+          "x_t * 1000000 div n_t - x_c * 1000000 div n_c end"))
+      .select(col("n_t"), col("n_c"), col("p_ppm"), col("mde_micro"),
+        col("diff_micro"),
+        when(col("mde_micro").isNotNull,
+          abs(col("diff_micro")) >= col("mde_micro")).as("powered"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_mde_power" -> ((s, d) => minDetectableEffect(Tables(s, d).events)),
     "q347_eb_shrinkage" -> ((s, d) => ebShrinkage(Tables(s, d).documents)),
     "q348_post_strat_ate" -> ((s, d) => postStratifiedAte(Tables(s, d).events)),
     "q345_mahalanobis_ood" -> ((s, d) => mahalanobisAudit(Tables(s, d).embeddings)),
@@ -792,6 +835,35 @@ object RoundNineOps extends QueryModule {
       |     FROM documents""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // same embedded z-sum, same harmonic-n, same micro floors
+    "q349_mde_power" ->
+      """WITH u AS (SELECT user_id % 2 = 1 AS treated,
+        |                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |                    AS converted
+        |           FROM events GROUP BY user_id),
+        |s AS (SELECT sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |             sum(CASE WHEN treated AND converted THEN 1 ELSE 0 END)::BIGINT AS x_t,
+        |             sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |             sum(CASE WHEN NOT treated AND converted THEN 1 ELSE 0 END)::BIGINT AS x_c
+        |      FROM u),
+        |m AS (SELECT *, ((x_t + x_c) * 1000000 // (n_t + n_c))::BIGINT AS p_ppm,
+        |        CASE WHEN n_t > 0 AND n_c > 0
+        |             THEN (2::HUGEINT * n_t * n_c * 1000000 // (n_t + n_c))::BIGINT
+        |        END AS nh_micro
+        |      FROM s),
+        |k AS (SELECT *,
+        |        CASE WHEN nh_micro > 0 THEN CAST(floor(
+        |          2.801585218112969 * sqrt(
+        |            2.0 * (p_ppm::DOUBLE / 1e6) * (1.0 - p_ppm::DOUBLE / 1e6)
+        |            / (nh_micro::DOUBLE / 1e6)) * 1e6) AS BIGINT) END AS mde_micro,
+        |        CASE WHEN n_t > 0 AND n_c > 0
+        |             THEN (x_t * 1000000 // n_t - x_c * 1000000 // n_c)::BIGINT
+        |        END AS diff_micro
+        |      FROM m)
+        |SELECT n_t, n_c, p_ppm, mde_micro, diff_micro,
+        |       CASE WHEN mde_micro IS NOT NULL
+        |            THEN abs(diff_micro) >= mde_micro END AS powered
+        |FROM k""".stripMargin,
     // same ppm-quantized rates, same integer MoM prior and posteriors
     "q347_eb_shrinkage" ->
       """WITH per AS (SELECT source, count(*)::BIGINT AS n,

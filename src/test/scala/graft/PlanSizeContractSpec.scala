@@ -42,6 +42,12 @@ class PlanSizeContractSpec extends SparkSpec {
         val lines = p.count(_ == '\n') + 1
         val scans = "Scan parquet".r.findAllIn(p).size
         sizes += ((name, lines, scans))
+        // a second repo-wide scale-killer ban: no unbounded cartesian
+        // anywhere (scalar-frame crossJoins plan as BroadcastNestedLoop,
+        // which is allowed; a CartesianProduct node means both sides
+        // were row-level)
+        if (p.contains("CartesianProduct"))
+          failures += s"$name plans a CartesianProduct"
       } catch {
         case e: Throwable => failures += s"$name threw: ${e.getMessage}"
       } finally graft.plans.Checkpoints.release(spark)

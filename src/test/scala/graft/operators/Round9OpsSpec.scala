@@ -350,6 +350,34 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("ate_ps_micro") == 0L)
   }
 
+  // ---- q349 MDE power gate ----------------------------------------------------
+
+  test("minDetectableEffect: exact floors; small lift unpowered, big lift powered") {
+    def user(id: Long, converted: Boolean) = Seq(
+      (id * 10, id, 1700000000000000L + id,
+        if (converted) "purchase" else "view", 0.0, "{}"))
+    def ev(tConv: Int, cConv: Int) =
+      ((1L to 100L).flatMap(i => user(2 * i - 1, i <= tConv)) ++
+        (1L to 100L).flatMap(i => user(2 * i, i <= cConv)))
+        .toDF("event_id", "user_id", "us", "event_type", "value", "props")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("us")).as("ts"), col("event_type"),
+          col("value"), col("props"))
+    def mde(pPpm: Long, nh: Double) = math.floor(
+      2.801585218112969 * math.sqrt(
+        2.0 * (pPpm / 1e6) * (1.0 - pPpm / 1e6) / nh) * 1e6).toLong
+    // 20% vs 10%: p̄ = .15, harmonic n = 100 → MDE ≈ 0.1415 > 0.10 diff
+    val r0 = RoundNineOps.minDetectableEffect(ev(20, 10)).collect()(0)
+    assert(r0.getAs[Long]("p_ppm") == 150000L)
+    assert(r0.getAs[Long]("mde_micro") == mde(150000L, 100.0))
+    assert(r0.getAs[Long]("diff_micro") == 100000L)
+    assert(!r0.getAs[Boolean]("powered"))
+    // 80% vs 10%: diff 0.70 ≫ MDE → powered
+    val r1 = RoundNineOps.minDetectableEffect(ev(80, 10)).collect()(0)
+    assert(r1.getAs[Long]("diff_micro") == 700000L)
+    assert(r1.getAs[Boolean]("powered"))
+  }
+
   // ---- q337 McNemar --------------------------------------------------------
 
   test("mcnemarTest: hand-counted discordant pairs and the corrected statistic") {
