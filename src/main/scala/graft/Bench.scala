@@ -82,16 +82,19 @@ object Bench {
     //           surviving outlier is visibly a re-measured one.
     // min-of-k cannot overstate a true regression: genuinely slow code
     // is slow every time.
+    // a FAILED re-run returns the -1 sentinel and must never replace a
+    // valid first-pass time — min-of-k only over successful timings
+    def minOk(a: Double, b: Double): Double = if (b > 0) math.min(a, b) else a
     val afterPass2 = firstPass.map { case (name, fn, t) =>
       val suspect = t > 0 &&
         (t > 2.0 || history.get(name).exists(h => h > 0 && t > 3.0 * h))
-      (name, fn, if (suspect) math.min(t, timeOne(name, fn)) else t)
+      (name, fn, if (suspect) minOk(t, timeOne(name, fn)) else t)
     }
     val results = afterPass2.map { case (name, fn, t) =>
       val stillSuspect = t > 0 &&
         history.get(name).exists(h => h > 0 && t > 3.0 * h)
       name -> (if (stillSuspect) {
-        val t3 = math.min(t, timeOne(name, fn))
+        val t3 = minOk(t, timeOne(name, fn))
         System.err.println(
           f"[bench] $name min-of-3 $t3%.2fs (history ${history(name)}%.2fs)")
         t3

@@ -63,17 +63,22 @@ object GraphOps extends QueryModule {
     * free; the table path is the bench/production shape).
     */
   def sharedEdges(spark: SparkSession, dir: String): DataFrame = edgeLock.synchronized {
-    if (!Option(edgeBuiltFor.get(EdgeTable)).contains(dir)) {
+    // table name carries the corpus-dir fingerprint: a second dir in the
+    // same process builds its OWN table instead of dropping the first
+    // one under lazily-resolved DataFrames already pointing at it
+    val table = EdgeTable + "_" + org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(dir).substring(0, 8)
+    if (!edgeBuilt.contains(table)) {
       graft.sources.Bucketing.writeBucketed(
-        copurchaseEdges(Tables(spark, dir).lineitem), EdgeTable, "u", 32)
-      edgeBuiltFor.put(EdgeTable, dir)
+        copurchaseEdges(Tables(spark, dir).lineitem), table, "u", 32)
+      edgeBuilt += table
     }
-    spark.table(EdgeTable)
+    spark.table(table)
   }
 
   val EdgeTable = "graft_copurchase_edges"
   private val edgeLock = new Object
-  private val edgeBuiltFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private var edgeBuilt = Set.empty[String]
 
   /** q142: triangle census + global clustering coefficient.
     *
@@ -704,8 +709,7 @@ object GraphOps extends QueryModule {
     * set on one arm before the center join. Per-seed top-k compiles to
     * WindowGroupLimit, not a global sort.
     */
-  def adamicAdarLinks(und: DataFrame, seedN: Int = 100, perSeed: Int = 3,
-                      checkpointDir: Option[String] = None): DataFrame = {
+  def adamicAdarLinks(und: DataFrame, seedN: Int = 100, perSeed: Int = 3): DataFrame = {
     val edges = und
     val sym = edges.select(col("u").as("w"), col("v").as("n"))
       .unionAll(edges.select(col("v").as("w"), col("u").as("n")))

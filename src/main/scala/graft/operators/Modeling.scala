@@ -384,7 +384,7 @@ object Modeling extends QueryModule {
     * one double expression. Scale: one narrow corpus pass → k-row
     * frame; everything after is k-sized.
     */
-  /** The two "is English" classifiers q329 compares (and q342's McNemar
+  /** The two "is English" classifiers q329 compares (and q337's McNemar
     * re-tests at the per-document level): A = stopword-hit argmax across
     * four languages; B = e-letter-rate gate at 7.5%.
     */
@@ -405,7 +405,7 @@ object Modeling extends QueryModule {
     eCnt * 1000L >= length(col("text")).cast("long") * 75L
   }
 
-  /** q342: McNEMAR'S TEST on the q329 classifier pair — the PER-ITEM
+  /** q337: McNEMAR'S TEST on the q329 classifier pair — the PER-ITEM
     * complement of the fold-level paired t: only the discordant
     * documents (A right & B wrong = b, A wrong & B right = c) carry
     * information about which classifier is better, and the

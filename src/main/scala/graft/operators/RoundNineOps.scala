@@ -242,7 +242,11 @@ object RoundNineOps extends QueryModule {
   def embeddingIsotropy(embeddings: DataFrame): DataFrame = {
     val qv = expr(
       "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
-    val base = embeddings.select(col("label"), qv.as("qv"))
+    // empty/NULL embeddings carry no geometry — drop them on BOTH engines
+    // (the oracle's unnest would silently drop them from its vector count
+    // while a bare Spark count(*) would not: a latent n divergence)
+    val base = embeddings.filter(size(col("embedding")) > 0)
+      .select(col("label"), qv.as("qv"))
     val self = base
       .select(col("label"),
         expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)").as("sd"))
@@ -628,8 +632,9 @@ object RoundNineOps extends QueryModule {
       .select(col("n").as("n_docs"), col("t").as("total_tokens"),
         col("emax_micro").as("expected_max_micro"),
         expr("wb * 1000000 div (t + wb)").as("bucketed_waste_ppm"),
-        expr("""case when emax_micro * n > 0
-                then (cast(emax_micro as decimal(38,0)) * n - t * 1000000)
+        expr("""case when cast(emax_micro as decimal(38,0)) * n > 0
+                then (cast(emax_micro as decimal(38,0)) * n
+                      - cast(t as decimal(38,0)) * 1000000)
                      * 1000000 div (cast(emax_micro as decimal(38,0)) * n)
                 end""").cast("long").as("random_waste_ppm"))
   }
@@ -1245,7 +1250,8 @@ object RoundNineOps extends QueryModule {
       """WITH ex AS (
         |  SELECT vec_id, label, i,
         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
-        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |  WHERE len(embedding) > 0),
         |selfd AS (SELECT vec_id, label, sum(x * x)::BIGINT AS sd
         |          FROM ex GROUP BY 1, 2),
         |selfa AS (SELECT label, count(*)::BIGINT AS n, sum(sd::HUGEINT) AS ssum

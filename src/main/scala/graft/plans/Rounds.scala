@@ -22,6 +22,12 @@ object Rounds {
     spark.conf.getOption(Prefix + op)
       .map(_.trim)
       .filter(_.nonEmpty)
-      .map(_.toInt)
+      .map { v =>
+        try v.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${Prefix}$op must be an integer round count, got '$v'")
+        }
+      }
       .getOrElse(default)
 }
