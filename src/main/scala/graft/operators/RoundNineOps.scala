@@ -769,7 +769,61 @@ object RoundNineOps extends QueryModule {
           abs(col("diff_micro")) >= col("mde_micro")).as("powered"))
   }
 
+  /** q350: EMBEDDING-SPACE PSI drift — the production drift monitor for
+    * vector populations: hash every embedding into one of 2^projs
+    * sign-pattern buckets (md5-seeded ±1 projections — the q310
+    * device), then run q173's population-stability index over the
+    * bucket histograms of the reference vs current halves. Complements
+    * the heavy alarms (q300 MMD needs moment matrices, q310 sliced-W1
+    * needs transport): PSI on hash buckets is what a daily monitor can
+    * afford at any scale, and its per-bucket parts LOCALIZE the drift.
+    *
+    * Exact: projections are integer dot products of micro-quantized
+    * coordinates with ±1 signs from md5 parity (engine-identical);
+    * buckets are integer bit packs; the PSI parts are q173's smoothed
+    * per-row double expressions over exact integer counts on the
+    * bounded ≤2^projs frame.
+    *
+    * Scale: one posexplode pass joined to the BROADCAST (dim × projs)
+    * sign grid, two keyed aggregations — nothing wider than
+    * (vec_id, long) shuffles; the histogram frame is 64 rows forever.
+    */
+  def embeddingPsiDrift(embeddings: DataFrame, projs: Int = 6): DataFrame = {
+    val qv = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+    val ex = embeddings.filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), posexplode(qv).as(Seq("d", "x")))
+    val signs = ex.select("d").distinct()
+      .withColumn("r", explode(sequence(lit(0), lit(projs - 1))))
+      .withColumn("s", when(
+        conv(substring(md5(concat(lit("psi|"), col("r"), lit("|"), col("d"))),
+          1, 15), 16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L))
+    val buckets = ex.join(broadcast(signs), "d")
+      .groupBy("vec_id", "r").agg(sum(expr("s * x")).as("p"))
+      .groupBy("vec_id")
+      .agg(sum(expr("case when p >= 0 then shiftleft(1L, r) else 0L end")).as("bucket"))
+    val cells = buckets
+      .withColumn("cur", (col("vec_id") % 2 === 1).cast("long"))
+      .groupBy("bucket")
+      .agg(sum(lit(1L) - col("cur")).as("n_ref"), sum("cur").as("n_cur"))
+    // bounded frame: ≤ 2^projs bucket rows (the q173 window shape)
+    val w = Window.partitionBy(lit(1))
+    cells
+      .withColumn("tot_ref", sum("n_ref").over(w))
+      .withColumn("tot_cur", sum("n_cur").over(w))
+      .withColumn("n_bands", count(lit(1)).over(w))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(expr(
+          """((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bands))
+            |  - (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bands)))
+            | * ln((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bands))
+            |     / (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bands)))""".stripMargin), 6)
+          .as("psi_part"))
+      .orderBy("bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q350_embedding_psi" -> ((s, d) => embeddingPsiDrift(Tables(s, d).embeddings)),
     "q349_mde_power" -> ((s, d) => minDetectableEffect(Tables(s, d).events)),
     "q347_eb_shrinkage" -> ((s, d) => ebShrinkage(Tables(s, d).documents)),
     "q348_post_strat_ate" -> ((s, d) => postStratifiedAte(Tables(s, d).events)),
@@ -840,6 +894,39 @@ object RoundNineOps extends QueryModule {
       |     FROM documents""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // same md5-parity signs, same integer projections and bit packs,
+    // same q173 smoothed PSI parts
+    "q350_embedding_psi" -> {
+      val hexpr = mdUnits("'psi|' || r || '|' || d")
+      s"""WITH ex AS (
+         |  SELECT vec_id, i - 1 AS d,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+         |  WHERE len(embedding) > 0),
+         |dims AS (SELECT DISTINCT d FROM ex),
+         |signs AS (SELECT d, r,
+         |            CASE WHEN $hexpr % 2 = 0 THEN 1 ELSE -1 END AS s
+         |          FROM dims, range(0, 6) t(r)),
+         |proj AS (SELECT vec_id, r, sum(s * x)::BIGINT AS p
+         |         FROM ex JOIN signs USING (d) GROUP BY 1, 2),
+         |bkt AS (SELECT vec_id,
+         |          sum(CASE WHEN p >= 0 THEN 1::BIGINT << r ELSE 0 END)::BIGINT AS bucket
+         |        FROM proj GROUP BY vec_id),
+         |cells AS (SELECT bucket,
+         |            sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         |            sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+         |          FROM bkt GROUP BY bucket),
+         |tot AS (SELECT sum(n_ref)::BIGINT AS tot_ref, sum(n_cur)::BIGINT AS tot_cur,
+         |               count(*)::BIGINT AS n_bands
+         |        FROM cells)
+         |SELECT bucket, n_ref, n_cur,
+         |  round(((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bands))
+         |         - (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bands)))
+         |        * ln((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + n_bands))
+         |             / (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + n_bands))), 6)
+         |    AS psi_part
+         |FROM cells, tot ORDER BY bucket""".stripMargin
+    },
     // same embedded z-sum, same harmonic-n, same micro floors
     "q349_mde_power" ->
       """WITH u AS (SELECT user_id % 2 = 1 AS treated,

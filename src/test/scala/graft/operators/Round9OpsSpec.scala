@@ -378,6 +378,24 @@ class Round9OpsSpec extends SparkSpec {
     assert(r1.getAs[Boolean]("powered"))
   }
 
+  // ---- q350 embedding PSI drift ------------------------------------------------
+
+  test("embeddingPsiDrift: identical halves score 0; a flipped half alarms") {
+    val same = vecs((1L to 40L).map(i => (i, Seq(1f, 2f, -1f), 0)))
+    RoundNineOps.embeddingPsiDrift(same).collect().foreach { r =>
+      assert(r.getAs[Long]("n_ref") == r.getAs[Long]("n_cur"))
+      assert(r.getAs[Double]("psi_part") == 0.0)
+    }
+    // even ids at +e1, odd ids at −e1: the two halves occupy different
+    // sign buckets → large positive PSI mass
+    val flipped = vecs((1L to 40L).map(i =>
+      (i, if (i % 2 == 0) Seq(1f, 0f) else Seq(-1f, 0f), 0)))
+    val parts = RoundNineOps.embeddingPsiDrift(flipped).collect()
+    assert(parts.map(_.getAs[Double]("psi_part")).sum > 1.0,
+      "a fully separated population must alarm")
+    assert(parts.length <= 64)
+  }
+
   // ---- q337 McNemar --------------------------------------------------------
 
   test("mcnemarTest: hand-counted discordant pairs and the corrected statistic") {
