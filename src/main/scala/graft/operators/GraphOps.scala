@@ -80,6 +80,26 @@ object GraphOps extends QueryModule {
   private val edgeLock = new Object
   private var edgeBuilt = Set.empty[String]
 
+  /** The q232 label-propagation COMMUNITY ASSIGNMENT as a session
+    * artifact, same posture as [[sharedEdges]]: q232 reports its
+    * histogram and q314 scores its modularity — both used to re-run
+    * the LPA rounds from scratch. Built once per (process, corpus dir,
+    * round count) as a bucketed table keyed on the node id; the round
+    * count is part of the table name so the `spark.graft.rounds.lpa`
+    * knob still produces a distinct, correct artifact.
+    */
+  def sharedLpLabels(spark: SparkSession, dir: String, rounds: Int): DataFrame =
+    edgeLock.synchronized {
+      val table = "graft_lpa_labels_" + org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(dir).substring(0, 8) + "_r" + rounds
+      if (!edgeBuilt.contains(table)) {
+        graft.sources.Bucketing.writeBucketed(
+          lpLabels(sharedEdges(spark, dir), rounds, None), table, "node", 32)
+        edgeBuilt += table
+      }
+      spark.table(table)
+    }
+
   /** q142: triangle census + global clustering coefficient.
     *
     * Orientation total order is (degree, id); a triangle a≺b≺c is found
@@ -430,7 +450,12 @@ object GraphOps extends QueryModule {
     */
   def labelPropagation(und: DataFrame, rounds: Int = 2,
                        checkpointDir: Option[String] = None): DataFrame =
-    lpLabels(und, rounds, checkpointDir)
+    labelHistogram(lpLabels(und, rounds, checkpointDir))
+
+  /** The q232 report over an already-computed (node, lbl) assignment —
+    * the entry the shared labels artifact feeds. */
+  def labelHistogram(labels: DataFrame): DataFrame =
+    labels
       .groupBy("lbl").agg(count(lit(1)).as("community_size"))
       .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
       .orderBy("community_size")
@@ -475,9 +500,7 @@ object GraphOps extends QueryModule {
     * rounds' own exchanges; the community frame is bounded by the
     * community count, never edge-sized.
     */
-  def lpModularity(und: DataFrame, rounds: Int = 2,
-                   checkpointDir: Option[String] = None): DataFrame = {
-    val labels = lpLabels(und, rounds, checkpointDir)
+  def lpModularity(und: DataFrame, labels: DataFrame): DataFrame = {
     val m = und.agg(count(lit(1)).as("m"))
     val intra = und
       .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
@@ -747,7 +770,7 @@ object GraphOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q314_modularity" -> ((s, d) => lpModularity(sharedEdges(s, d),
-      rounds = graft.plans.Rounds.of(s, "lpa", 2))),
+      sharedLpLabels(s, d, graft.plans.Rounds.of(s, "lpa", 2)))),
     "q315_assortativity" -> ((s, d) => degreeAssortativity(sharedEdges(s, d))),
     "q316_hyperball" -> ((s, d) => hyperBall(sharedEdges(s, d),
       rounds = graft.plans.Rounds.of(s, "hyperball", 2))),
@@ -756,8 +779,8 @@ object GraphOps extends QueryModule {
       iters = graft.plans.Rounds.of(s, "ppr", 3))),
     "q250_rec_backtest" -> ((s, d) => { val t = Tables(s, d)
       recommenderBacktest(t.lineitem, t.orders, t.customer) }),
-    "q232_label_propagation" -> ((s, d) => labelPropagation(sharedEdges(s, d),
-      rounds = graft.plans.Rounds.of(s, "lpa", 2))),
+    "q232_label_propagation" -> ((s, d) => labelHistogram(
+      sharedLpLabels(s, d, graft.plans.Rounds.of(s, "lpa", 2)))),
     "q142_triangles" -> ((s, d) => triangleCensus(sharedEdges(s, d))),
     "q276_clustering_coef" -> ((s, d) => clusteringCoefficients(sharedEdges(s, d))),
     "q143_pagerank"  -> ((s, d) => copurchaseRank(sharedEdges(s, d),
