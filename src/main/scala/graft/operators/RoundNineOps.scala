@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   *   - q341 Wald SPRT sequential A/B monitor,
   *   - q342 cross-source quantile normalization (score batch effects),
   *   - q343 Simpson's-paradox slice audit,
-  *   - q344 Benjamini–Hochberg FDR over the per-source drift panel.
+  *   - q344 Benjamini–Hochberg FDR over the per-source drift panel,
+  *   - q345 diagonal-Mahalanobis OOD audit (exact integer z²),
+  *   - q346 padding-waste batching report (exact E[max of B]),
+  *   - q347 empirical-Bayes rate shrinkage (winner's-curse guard),
+  *   - q348 post-stratified treatment effect,
+  *   - q349 minimum-detectable-effect power gate,
+  *   - q350 embedding-space PSI drift (sign-projection buckets).
   */
 object RoundNineOps extends QueryModule {
 
