@@ -828,7 +828,46 @@ object RoundNineOps extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** q351: DEDUP-WEIGHTED EFFECTIVE TOKEN MASS — the soft alternative
+    * to dropping near-duplicates (q92's canonical pick): weight every
+    * document by 1/|its near-dup cluster| so each piece of CONTENT
+    * contributes one unit of training mass regardless of how many
+    * copies crawled in. Reported per source: raw vs effective tokens
+    * and the effective-data ratio — the number that decides whether a
+    * source's size is content or copies, feeding the mixture planners
+    * (q82/q128/q188) the denominator they actually want.
+    *
+    * Reuses the q58 cluster machinery verbatim (LSH candidates →
+    * Jaccard verify → connected components); unlabeled docs are
+    * singleton clusters of size 1. Per-doc weights floor-quantize to
+    * micro BEFORE the source sum (order-independent), one closing
+    * integer division per source.
+    *
+    * Scale: the label frame covers only docs in some verified edge
+    * (≪ corpus); two id-keyed left joins attach cluster size, then one
+    * map-side-combined rollup.
+    */
+  def dedupWeightedMass(documents: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val labels = Dedup.nearDupLabels(documents, threshold)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csz"))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("label"), "left")
+      .withColumn("csz", coalesce(col("csz"), lit(1L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        sum(expr("ntok * 1000000 div csz")).as("eff_micro"))
+      .withColumn("eff_ratio_ppm",
+        expr("case when n_tokens > 0 then eff_micro div n_tokens end"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_dedup_weighted_mass" -> ((s, d) => dedupWeightedMass(Tables(s, d).documents)),
     "q350_embedding_psi" -> ((s, d) => embeddingPsiDrift(Tables(s, d).embeddings)),
     "q349_mde_power" -> ((s, d) => minDetectableEffect(Tables(s, d).events)),
     "q347_eb_shrinkage" -> ((s, d) => ebShrinkage(Tables(s, d).documents)),
@@ -900,6 +939,46 @@ object RoundNineOps extends QueryModule {
       |     FROM documents""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // the q58 cluster pipeline verbatim (LSH -> verify -> recursive CC),
+    // then 1/cluster-size weights floor-quantized per doc
+    "q351_dedup_weighted_mass" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id, list_aggregate(list_transform(
+        |      list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |                     i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')),
+        |      s -> md5('salt0|' || s)), 'min') AS mh0
+        |  FROM documents),
+        |cand AS (SELECT a.doc_id AS l, b.doc_id AS r
+        |         FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT l, r FROM cand
+        |  JOIN sh a ON a.doc_id = l JOIN sh b ON b.doc_id = r
+        |  WHERE len(list_intersect(a.s, b.s)) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.2),
+        |edges AS (SELECT l AS src, r AS dst FROM ver UNION SELECT r, l FROM ver),
+        |reach(src, node) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT rc.src, e.dst FROM reach rc JOIN edges e ON rc.node = e.src
+        |),
+        |comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_id, count(*)::BIGINT AS csz FROM comp GROUP BY cluster_id),
+        |d AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS ntok
+        |      FROM documents),
+        |j AS (SELECT d.source, d.ntok, coalesce(sz.csz, 1)::BIGINT AS csz
+        |      FROM d LEFT JOIN comp USING (doc_id) LEFT JOIN sz USING (cluster_id))
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
+        |       sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_clustered,
+        |       sum(ntok * 1000000 // csz)::BIGINT AS eff_micro,
+        |       CASE WHEN sum(ntok) > 0
+        |            THEN (sum(ntok * 1000000 // csz) // sum(ntok))::BIGINT
+        |       END AS eff_ratio_ppm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // same md5-parity signs, same integer projections and bit packs,
     // same q173 smoothed PSI parts
     "q350_embedding_psi" -> {

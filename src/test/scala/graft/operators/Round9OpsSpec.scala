@@ -396,6 +396,20 @@ class Round9OpsSpec extends SparkSpec {
     assert(parts.length <= 64)
   }
 
+  // ---- q351 dedup-weighted mass --------------------------------------------
+
+  test("dedupWeightedMass: duplicates split one unit of mass; singletons keep theirs") {
+    // docs 1,2 are identical (one 2-cluster), doc 3 unique:
+    // eff = 3/2 + 3/2 + 3 = 6 of 9 raw tokens → 666666 ppm
+    val d = docs(Seq((1L, "a b c", "en"), (2L, "a b c", "en"), (3L, "x y z", "en")))
+    val r = RoundNineOps.dedupWeightedMass(d).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 9L)
+    assert(r.getAs[Long]("n_clustered") == 2L)
+    assert(r.getAs[Long]("eff_micro") == 6000000L)
+    assert(r.getAs[Long]("eff_ratio_ppm") == 666666L)
+  }
+
   // ---- q337 McNemar --------------------------------------------------------
 
   test("mcnemarTest: hand-counted discordant pairs and the corrected statistic") {
