@@ -410,6 +410,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("eff_ratio_ppm") == 666666L)
   }
 
+  // ---- partition-order independence ------------------------------------------
+
+  test("round-9 reductions are partition-order independent") {
+    // the per-term quantize-before-sum doctrine, checked end-to-end: a
+    // different partitioning must reproduce every row bit-for-bit
+    val d = spark.read.parquet(s"${sf("")}/documents.parquet")
+    val d7 = d.repartition(7)
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      RoundNineOps.poissonBootstrap(_),
+      RoundNineOps.heapsLaw(_),
+      RoundNineOps.renyiEfficiency(_),
+      RoundNineOps.ebShrinkage(_),
+      RoundNineOps.confidentLearning(_),
+      RoundNineOps.dawidSkene(_)
+    ).foreach { op =>
+      assert(op(d).collect().toSeq == op(d7).collect().toSeq)
+    }
+    val e = spark.read.parquet(s"${sf("")}/embeddings.parquet")
+    assert(RoundNineOps.embeddingPsiDrift(e).collect().toSeq ==
+      RoundNineOps.embeddingPsiDrift(e.repartition(7)).collect().toSeq)
+  }
+
   // ---- q337 McNemar --------------------------------------------------------
 
   test("mcnemarTest: hand-counted discordant pairs and the corrected statistic") {
