@@ -597,6 +597,11 @@ object Dedup extends QueryModule {
     * Returns (id, label) for every node that appears in some edge.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // session-conf round-cap knob, same pattern as the graph family:
+    // `spark.graft.rounds.cc` raises the convergence cap cluster-wide
+    // with no code edits (a deeper cap never changes a CONVERGED answer
+    // — it only lets long-diameter components finish)
+    val cap = graft.plans.Rounds.of(pairs.sparkSession, "cc", maxIters)
     val edges = pairs.toDF("src", "dst")
     val sym = graft.plans.Checkpoints.cut(
       edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))), None)
@@ -619,7 +624,7 @@ object Dedup extends QueryModule {
         .select(col("id"), least(col("id"), col("m")).as("label")), None)
     var i = 0
     var converged = false
-    while (!converged && i < maxIters) {
+    while (!converged && i < cap) {
       val fromNeighbors = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
       // carry the old label through so convergence is checked against the
@@ -637,7 +642,7 @@ object Dedup extends QueryModule {
       if (changed == 0L) converged = true else i += 1
     }
     if (!converged) System.err.println(
-      s"[graft] connectedComponents stopped at maxIters=$maxIters before convergence")
+      s"[graft] connectedComponents stopped at maxIters=$cap before convergence")
     // the cuts have materialized `labels`; the edge list is no longer
     // needed (the final cut blocks back the returned frame and drain via
     // Checkpoints.release once the caller is done)
@@ -1068,6 +1073,8 @@ object Dedup extends QueryModule {
     */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25,
                               checkpointDir: Option[String] = None): DataFrame = {
+    // same `spark.graft.rounds.cc` cap knob as [[connectedComponents]]
+    val cap = graft.plans.Rounds.of(pairs.sparkSession, "cc", maxIters)
     // m(u) via groupBy + join-back rather than an unbounded window:
     // min() gets map-side partial aggregation (a 10^8-degree hub
     // combines locally instead of sorting its whole neighbor list in
@@ -1097,7 +1104,7 @@ object Dedup extends QueryModule {
     var signature = (-1L, 0L)
     var i = 0
     var converged = false
-    while (!converged && i < maxIters) {
+    while (!converged && i < cap) {
       // eager localCheckpoint BOTH materializes the round and truncates
       // lineage — without it each round's plan embeds the previous
       // round's twice (the star expansions reference their input twice),
@@ -1117,7 +1124,7 @@ object Dedup extends QueryModule {
       if (sig == signature) converged = true else { signature = sig; i += 1 }
     }
     if (!converged) System.err.println(
-      s"[graft] connectedComponentsStar stopped at maxIters=$maxIters before convergence")
+      s"[graft] connectedComponentsStar stopped at maxIters=$cap before convergence")
     // fixpoint edges form stars child → component-min; the roots label
     // themselves
     edges.select(col("u").as("id"), col("v").as("label"))

@@ -520,7 +520,11 @@ object RoundNineOps extends QueryModule {
     val sources = documents.groupBy("source").agg(count(lit(1)).as("n_s"))
     val corpusByV = documents.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cc"))
     val nTotal = documents.agg(count(lit(1)).as("n_c"))
-    val grid = sources.crossJoin(values)
+    // broadcast hint on the value grid: a bounded-frame crossJoin without
+    // it is one stats-estimate away from a row-level n·m CartesianProduct
+    // task grid (the q323 lesson) — the hint makes the plan contract
+    // guard it structurally instead of accidentally
+    val grid = sources.crossJoin(broadcast(values))
       .join(counts, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
       .join(broadcast(corpusByV), "v")
     val w = Window.partitionBy("source").orderBy("v")
@@ -637,7 +641,10 @@ object RoundNineOps extends QueryModule {
     tot.crossJoin(broadcast(emax))
       .select(col("n").as("n_docs"), col("t").as("total_tokens"),
         col("emax_micro").as("expected_max_micro"),
-        expr("wb * 1000000 div (t + wb)").as("bucketed_waste_ppm"),
+        // decimal(38,0) before the ×10⁶: wb is corpus-total padding tokens
+        // and would wrap plain BIGINT beyond ~9.2e12 (non-ANSI Spark)
+        expr("cast(wb as decimal(38,0)) * 1000000 div (t + wb)")
+          .cast("long").as("bucketed_waste_ppm"),
         expr("""case when cast(emax_micro as decimal(38,0)) * n > 0
                 then (cast(emax_micro as decimal(38,0)) * n
                       - cast(t as decimal(38,0)) * 1000000)
@@ -860,7 +867,12 @@ object RoundNineOps extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         sum("ntok").as("n_tokens"),
         sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_clustered"),
-        sum(expr("ntok * 1000000 div csz")).as("eff_micro"))
+        // decimal(38,0) BEFORE the micro-scale product: a per-source token
+        // mass above ~9.2e12 would silently wrap the plain-BIGINT product
+        // under Spark's non-ANSI arithmetic at the 100 TB design point
+        // (the q333/q343/q345 convention; oracle mirrors with HUGEINT)
+        sum(expr("cast(ntok as decimal(38,0)) * 1000000 div csz"))
+          .cast("long").as("eff_micro"))
       .withColumn("eff_ratio_ppm",
         expr("case when n_tokens > 0 then eff_micro div n_tokens end"))
       .orderBy("source")
@@ -882,7 +894,8 @@ object RoundNineOps extends QueryModule {
     "q340_renyi_efficiency" -> ((s, d) => renyiEfficiency(Tables(s, d).documents)),
     "q341_sprt_monitor" -> ((s, d) => sprtMonitor(Tables(s, d).events)),
     "q333_poisson_bootstrap" -> ((s, d) => poissonBootstrap(Tables(s, d).documents)),
-    "q334_dawid_skene" -> ((s, d) => dawidSkene(Tables(s, d).documents)),
+    "q334_dawid_skene" -> ((s, d) => dawidSkene(Tables(s, d).documents,
+      rounds = graft.plans.Rounds.of(s, "dawidskene", 2))),
     "q335_confident_learning" -> ((s, d) => confidentLearning(Tables(s, d).documents)),
     "q336_embedding_isotropy" -> ((s, d) => embeddingIsotropy(Tables(s, d).embeddings)),
   )
@@ -974,9 +987,9 @@ object RoundNineOps extends QueryModule {
         |      FROM d LEFT JOIN comp USING (doc_id) LEFT JOIN sz USING (cluster_id))
         |SELECT source, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens,
         |       sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_clustered,
-        |       sum(ntok * 1000000 // csz)::BIGINT AS eff_micro,
+        |       sum(ntok::HUGEINT * 1000000 // csz)::BIGINT AS eff_micro,
         |       CASE WHEN sum(ntok) > 0
-        |            THEN (sum(ntok * 1000000 // csz) // sum(ntok))::BIGINT
+        |            THEN (sum(ntok::HUGEINT * 1000000 // csz) // sum(ntok))::BIGINT
         |       END AS eff_ratio_ppm
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // same md5-parity signs, same integer projections and bit packs,
@@ -1136,7 +1149,7 @@ object RoundNineOps extends QueryModule {
         |           AS emax_micro
         |         FROM cum, tot)
         |SELECT n AS n_docs, t AS total_tokens, emax_micro AS expected_max_micro,
-        |       (wb * 1000000 // (t + wb))::BIGINT AS bucketed_waste_ppm,
+        |       (wb::HUGEINT * 1000000 // (t + wb))::BIGINT AS bucketed_waste_ppm,
         |       CASE WHEN emax_micro * n > 0
         |            THEN ((emax_micro::HUGEINT * n - t::HUGEINT * 1000000)
         |                  * 1000000 // (emax_micro::HUGEINT * n))::BIGINT

@@ -23,11 +23,18 @@ object Rounds {
       .map(_.trim)
       .filter(_.nonEmpty)
       .map { v =>
-        try v.toInt
-        catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"${Prefix}$op must be an integer round count, got '$v'")
-        }
+        val n =
+          try v.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"${Prefix}$op must be an integer round count, got '$v'")
+          }
+        // 0 or negative rounds silently degenerate (0-round LPA returns
+        // the warm start; 0-round k-core peels nothing) — fail fast like
+        // the non-integer path instead
+        if (n < 1) throw new IllegalArgumentException(
+          s"${Prefix}$op must be >= 1, got '$v'")
+        n
       }
       .getOrElse(default)
 }
