@@ -39,16 +39,36 @@ object Bench {
     }
     try SparkEntry.queries.headOption.foreach(q => Bench.runFullPlan(q._2(spark, sfDir)))
     catch { case _: Throwable => () }
+    // artifact path is per-SF-overridable (SPARK_GRAFT_BENCH_OUT): a
+    // scale-slope run at a different SF must keep its own history file —
+    // writing sf1 numbers over the sf0.1 history would both corrupt the
+    // noise guard's thresholds and erase the slope baseline
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    // absolute slow-query re-time threshold (seconds): 2 s fits sf0.1;
+    // a 10x-data run sets it higher so min-of-2 doesn't double the
+    // whole run's wall-clock just because everything is honestly slower
+    val retimeSec = sys.env.get("SPARK_GRAFT_RETIME_SEC").map(_.toDouble).getOrElse(2.0)
     // last run's per-query history (the file about to be overwritten) —
     // used below to spot ambient-load outliers worth re-timing
     val history: Map[String, Double] = try {
-      val f = java.nio.file.Paths.get("target/bench_full.json")
+      val f = java.nio.file.Paths.get(benchOut)
       if (java.nio.file.Files.exists(f)) {
         val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
         "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
+    // every attempt is recorded (per-query), so the persisted artifact can
+    // report {attempts, min, median} instead of one ambiguous number — the
+    // round-9 lesson: two full runs 446 s vs 371 s apart on ambient load
+    // are indistinguishable unless the artifact carries the attempt set
+    val attemptLog = scala.collection.mutable.Map.empty[String, List[Double]]
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+          .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg())
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast one: record the -1
@@ -58,7 +78,9 @@ object Bench {
       // drain graft-pinned storage between queries so pinned blocks from
       // one query can't squeeze the next one's execution memory
       graft.plans.Checkpoints.release(spark)
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      attemptLog(name) = attemptLog.getOrElse(name, Nil) :+ t
+      t
     }
     // optional args: query-name filter for fast local iteration (the
     // driver passes none → full set; bench_full.json is only written on
@@ -87,7 +109,7 @@ object Bench {
     def minOk(a: Double, b: Double): Double = if (b > 0) math.min(a, b) else a
     val afterPass2 = firstPass.map { case (name, fn, t) =>
       val suspect = t > 0 &&
-        (t > 2.0 || history.get(name).exists(h => h > 0 && t > 3.0 * h))
+        (t > retimeSec || history.get(name).exists(h => h > 0 && t > 3.0 * h))
       (name, fn, if (suspect) minOk(t, timeOne(name, fn)) else t)
     }
     val results = afterPass2.map { case (name, fn, t) =>
@@ -100,6 +122,7 @@ object Bench {
         t3
       } else t)
     }
+    loadSamples += loadavg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -109,11 +132,38 @@ object Bench {
     // some log-tail captures — persist the same line to a file so
     // per-query history survives stdout truncation
     if (only.isEmpty) try {
-      val out = java.nio.file.Paths.get("target/bench_full.json")
+      val out = java.nio.file.Paths.get(benchOut)
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING could not write target/bench_full.json: ${e.getMessage}")
+      System.err.println(s"[bench] WARNING could not write $benchOut: ${e.getMessage}")
+    }
+    // richer sibling artifact (separate file so the history regex above
+    // and the driver's one-line parse never see nested objects): every
+    // attempt per query plus {attempts, min, median} and the host's
+    // loadavg at start/end — the provenance that makes two diverging
+    // full runs adjudicable from the artifacts alone
+    try {
+      def d(v: Double) = if (v.isNaN) "-1" else f"$v%.4f"
+      val detail = results.map { case (name, reported) =>
+        val all = attemptLog.getOrElse(name, Nil)
+        val ok = all.filter(_ >= 0).sorted
+        val med = if (ok.isEmpty) -1.0
+          else if (ok.size % 2 == 1) ok(ok.size / 2)
+          else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
+        s"""\"$name\":{"attempts":${all.size},"times":[${all.map(d).mkString(",")}],""" +
+          s""""min":${d(if (ok.isEmpty) -1.0 else ok.head)},"median":${d(med)},""" +
+          s""""reported":${d(reported)}}"""
+      }.mkString("{", ",", "}")
+      val dj = s"""{"sf":"$sfDir","loadavg_start":"${loadSamples.head}","loadavg_end":"${loadSamples.last}","total_reported":${f"$total%.4f"},"queries":$detail}"""
+      val outName =
+        if (only.isEmpty) benchOut.stripSuffix(".json") + "_detail.json"
+        else "target/bench_detail_scoped.json"
+      val out = java.nio.file.Paths.get(outName)
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, dj.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING could not write bench detail: ${e.getMessage}")
     }
     spark.stop()
   }

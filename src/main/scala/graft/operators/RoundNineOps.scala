@@ -404,11 +404,21 @@ object RoundNineOps extends QueryModule {
     * is an unpartitioned window over the BOUNDED per-day frame (one
     * row per calendar day).
     */
-  def sprtMonitor(events: DataFrame): DataFrame = {
-    val days = events.filter(col("user_id") % 2 === 1)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+  def sprtMonitor(events: DataFrame): DataFrame =
+    sprtFromDays(
+      events.filter(col("user_id") % 2 === 1)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x")))
+
+  /** The SPRT finisher over an already-aggregated per-day (day, n, x)
+    * frame — shared by the batch monitor above and the streaming twin
+    * ([[graft.streaming.IngestStream.sprtDayStream]]'s foreachBatch
+    * refold), so batch==stream parity is parity of CODE, not of two
+    * reimplementations. The running sum is an unpartitioned window
+    * over the BOUNDED per-day frame (one row per calendar day).
+    */
+  def sprtFromDays(days: DataFrame): DataFrame = {
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     days
@@ -801,7 +811,16 @@ object RoundNineOps extends QueryModule {
     * sign grid, two keyed aggregations — nothing wider than
     * (vec_id, long) shuffles; the histogram frame is 64 rows forever.
     */
-  def embeddingPsiDrift(embeddings: DataFrame, projs: Int = 6): DataFrame = {
+  def embeddingPsiDrift(embeddings: DataFrame, projs: Int = 6): DataFrame =
+    psiFromCells(psiBucketCells(embeddings, projs))
+
+  /** The distributed half of q350: embeddings → per-(bucket) ref/cur
+    * counts. This is the only corpus-sized stage, and it is the stage a
+    * STREAMING monitor re-runs per micro-batch
+    * ([[graft.streaming.IngestStream.psiCellStream]]); the finisher
+    * below then reads only the bounded cell histogram.
+    */
+  def psiBucketCells(embeddings: DataFrame, projs: Int = 6): DataFrame = {
     val qv = expr(
       "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
     val ex = embeddings.filter(size(col("embedding")) > 0)
@@ -815,10 +834,17 @@ object RoundNineOps extends QueryModule {
       .groupBy("vec_id", "r").agg(sum(expr("s * x")).as("p"))
       .groupBy("vec_id")
       .agg(sum(expr("case when p >= 0 then shiftleft(1L, r) else 0L end")).as("bucket"))
-    val cells = buckets
+    buckets
       .withColumn("cur", (col("vec_id") % 2 === 1).cast("long"))
       .groupBy("bucket")
       .agg(sum(lit(1L) - col("cur")).as("n_ref"), sum("cur").as("n_cur"))
+  }
+
+  /** The PSI finisher over (bucket, n_ref, n_cur) cells — shared by the
+    * batch monitor and the streaming twin's per-batch refold, so
+    * batch==stream parity is parity of code.
+    */
+  def psiFromCells(cells: DataFrame): DataFrame = {
     // bounded frame: ≤ 2^projs bucket rows (the q173 window shape)
     val w = Window.partitionBy(lit(1))
     cells

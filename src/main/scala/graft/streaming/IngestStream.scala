@@ -210,6 +210,84 @@ object IngestStream {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) => onBatch(routeBatch(batch, rules)) }
       .start()
+
+  /** q341's streaming twin, distributed half: the treatment arm's
+    * per-day (n, x) counts as a watermarked tumbling 1-day event-time
+    * window — append mode finalizes each calendar day exactly once when
+    * the watermark passes its end (the "read the monitor once per day"
+    * cadence the SPRT is designed for). Day boundaries are UTC-session
+    * `window(ts, "1 day")` buckets, identical to the batch monitor's
+    * `date_format(ts, 'yyyy-MM-dd')` groups.
+    */
+  def sprtDayStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .filter(col("user_id") % 2 === 1)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n"), col("x"))
+
+  /** q341's streaming twin, wired: finalized day rows accumulate in a
+    * driver-side map (BOUNDED: one (day → n, x) entry per calendar day,
+    * idempotent under micro-batch replay) and every update refolds the
+    * SPRT decision table through the SAME finisher the batch monitor
+    * uses ([[graft.operators.RoundNineOps.sprtFromDays]]) — the q57/q101
+    * batch==stream parity contract as code sharing, proven row-for-row
+    * in IngestStreamSpec.
+    */
+  def startSprtMonitor(events: DataFrame, watermark: String = "1 day")
+                      (onDecision: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val days = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    sprtDayStream(events, watermark)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // ≤ a-few-rows collect: append mode emits only newly-finalized
+        // calendar days, never the event stream
+        batch.collect().foreach(r =>
+          days(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+        if (days.nonEmpty)
+          onDecision(graft.operators.RoundNineOps.sprtFromDays(
+            days.toSeq.map { case (d, (n, x)) => (d, n, x) }
+              .toDF("day", "n", "x")))
+        ()
+      }.start()
+  }
+
+  /** q350's streaming twin: the embedding stream's PSI drift monitor.
+    * Each micro-batch runs the DISTRIBUTED bucket-cell aggregation
+    * ([[graft.operators.RoundNineOps.psiBucketCells]] — posexplode +
+    * broadcast sign grid + two keyed aggs, nothing wider than
+    * (vec_id, long) shuffles); only the ≤2^projs cell histogram reaches
+    * the driver, merges into the cumulative cell map, and refolds
+    * through the SAME PSI finisher the batch monitor uses
+    * ([[graft.operators.RoundNineOps.psiFromCells]]). State is 64 rows
+    * forever — what a daily vector-drift monitor can afford at any
+    * corpus rate.
+    */
+  def startPsiMonitor(embeddings: DataFrame, projs: Int = 6)
+                     (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cells = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    embeddings
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        graft.operators.RoundNineOps.psiBucketCells(batch, projs)
+          .collect().foreach { r =>
+            val (pr, pc) = cells.getOrElse(r.getLong(0), (0L, 0L))
+            cells(r.getLong(0)) = (pr + r.getLong(1), pc + r.getLong(2))
+          }
+        if (cells.nonEmpty)
+          onUpdate(graft.operators.RoundNineOps.psiFromCells(
+            cells.toSeq.map { case (b, (nr, nc)) => (b, nr, nc) }
+              .toDF("bucket", "n_ref", "n_cur")))
+        ()
+      }.start()
+  }
 }
 
 /** The [[IngestStream.cappedBySource]] processor: one ValueState[Long]

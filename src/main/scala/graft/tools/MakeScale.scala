@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builder-side SCALE-EVIDENCE generator: writes a synthetic N× blow-up
+  * of a driver testdata dir (default 10× sf0.1 ≈ "sf1") so the bench can
+  * measure each query's scaling SLOPE t(sf1)/t(sf0.1) instead of
+  * extrapolating 100 TB claims from a single scale point.
+  *
+  * Design: N disjoint re-keyed copies (key stride 10M — far above every
+  * key domain), NOT row duplication under the same keys:
+  *  - every TPC-H key column shifts consistently across fact/dim tables,
+  *    so joins fan out exactly as the original (10 independent
+  *    star-schema copies); nation/region stay 1× (true dimensions);
+  *  - `documents`: copy i>0 suffixes every WORD with "xi", so copies
+  *    share no shingles — the near-dup/LSH workload becomes 10
+  *    independent corpora with the ORIGINAL dup structure each, the
+  *    clean 10× semantics (identical text would instead put every doc
+  *    in a 10-clique and measure a data artifact, not the plan);
+  *    n_chars is recomputed for the suffixed text;
+  *  - `embeddings`: copy i offsets dim 0 by +32·i, separating the copies
+  *    into disjoint clouds so density/grid methods (DBSCAN, IVF) see 10×
+  *    the data at the ORIGINAL local density;
+  *  - `events`: ids/users shift, timestamps stay — window aggregations
+  *    see 10× density per window, the realistic stream-growth shape.
+  *
+  * Determinism of the data does not matter for its purpose (plan
+  * behavior); the transforms are nonetheless deterministic.
+  */
+object MakeScale {
+  val Stride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+
+    /** Union `copies` transformed replicas; copy 0 is the original. */
+    def blowUp(t: String)(tf: (DataFrame, Int) => DataFrame): Unit = {
+      val base = src(t)
+      val all = (0 until copies).map(i => tf(base, i)).reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[make-scale] $t -> ${copies}x")
+    }
+
+    def shift(df: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Stride)))
+
+    // true dimensions stay 1x
+    Seq("region", "nation").foreach { t =>
+      src(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[make-scale] $t -> 1x (dimension)")
+    }
+    blowUp("customer")((d, i) => shift(d, i, "c_custkey"))
+    blowUp("supplier")((d, i) => shift(d, i, "s_suppkey"))
+    blowUp("part")((d, i) => shift(d, i, "p_partkey"))
+    blowUp("orders")((d, i) => shift(d, i, "o_orderkey", "o_custkey"))
+    blowUp("lineitem")((d, i) => shift(d, i, "l_orderkey", "l_partkey", "l_suppkey"))
+    blowUp("events")((d, i) => shift(d, i, "event_id", "user_id"))
+    blowUp("documents") { (d, i) =>
+      val shifted = shift(d, i, "doc_id")
+      if (i == 0) shifted
+      else shifted
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"x$i"))), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    blowUp("embeddings") { (d, i) =>
+      val shifted = shift(d, i, "vec_id")
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        concat(array((col("embedding")(0) + lit(32.0f * i)).cast("float")),
+               slice(col("embedding"), 2, 10000)))
+    }
+    spark.stop()
+  }
+}

@@ -255,4 +255,67 @@ class IngestStreamSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(got == Set(("a", 3L, 1L), ("a", 5L, 2L), ("b", 1L, 1L), ("b", 2L, 2L)))
   }
+
+  test("startSprtMonitor: streaming decision table equals the batch monitor (q341 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    // 3 closed days of treatment-arm (odd user) purchases + misc events;
+    // even-user rows must be ignored by both sides
+    val rows = Seq(
+      (ts("2024-01-01 01:00:00"), 1L, "purchase", 1.0),
+      (ts("2024-01-01 02:00:00"), 3L, "click", 1.0),
+      (ts("2024-01-01 03:00:00"), 2L, "purchase", 1.0), // control arm
+      (ts("2024-01-02 01:00:00"), 1L, "purchase", 1.0),
+      (ts("2024-01-02 02:00:00"), 5L, "purchase", 1.0),
+      (ts("2024-01-03 01:00:00"), 7L, "view", 1.0),
+      (ts("2024-01-03 02:00:00"), 1L, "purchase", 1.0))
+    // the flusher advances the watermark past every fixture day's end;
+    // its OWN day stays open in the stream, so the batch comparison
+    // excludes it (stream semantics: the open day is not yet decided)
+    val flush = (ts("2024-01-10 00:00:00"), 9L, "view", 1.0)
+    val batch = graft.operators.RoundNineOps
+      .sprtMonitor((rows :+ flush).toDF("ts", "user_id", "event_type", "value"))
+      .filter(col("day") < "2024-01-10")
+      .collect().map(_.toString).toSeq
+    var last: Seq[String] = Seq.empty
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val q = IngestStream.startSprtMonitor(
+        input.toDF().toDF("ts", "user_id", "event_type", "value")) { decision =>
+      last = decision.collect().map(_.toString).toSeq
+    }
+    input.addData(rows.take(4): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(4): _*)
+    input.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    assert(last == batch,
+      "streaming SPRT decisions must equal the batch monitor row-for-row")
+  }
+
+  test("startPsiMonitor: cumulative streaming PSI equals the batch monitor (q350 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic 8-dim vectors, both parities (ref = even vec_id,
+    // cur = odd), values spread so buckets differ between arms
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 24L).map { i =>
+      (i, (0 until 8).map(d => ((i * 7 + d * 13) % 11 - 5).toFloat / 4f))
+    }
+    val batch = graft.operators.RoundNineOps
+      .embeddingPsiDrift(vecs.toDF("vec_id", "embedding"), projs = 4)
+      .collect().map(_.toString).toSeq
+    var last: Seq[String] = Seq.empty
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = IngestStream.startPsiMonitor(
+        input.toDF().toDF("vec_id", "embedding"), projs = 4) { psi =>
+      last = psi.collect().map(_.toString).toSeq
+    }
+    // two micro-batches: the cumulative cell merge must make the final
+    // refold identical to one batch over everything
+    input.addData(vecs.take(10): _*)
+    q.processAllAvailable()
+    input.addData(vecs.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(last == batch,
+      "cumulative streaming PSI must equal the batch monitor row-for-row")
+  }
 }
