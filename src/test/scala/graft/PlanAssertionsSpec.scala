@@ -573,6 +573,14 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bucketed edge side must not shuffle on its own key:\n$p")
   }
 
+  test("q344 ECDF grid plans the value crossJoin as broadcast regardless of stats") {
+    val p = planText(graft.operators.RoundNineOps.bhFdrDrift(t.documents))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the hinted value-grid crossJoin to broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the grid must never degrade to a row-level task grid:\n$p")
+  }
+
   test("multi_pattern_counts stays inside generated code (no codegen fallback)") {
     val df = t.documents.select(graft.functions.MultiPatternCounts.counts(
       col("text"), Seq("the", "batch batch")).as("c"))
