@@ -69,17 +69,44 @@ object Bench {
           .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
     val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg())
+    // optional per-query wall-clock cap (seconds): a scale-hunt run sets it
+    // so ONE wedged query (e.g. a quadratic bucket at 10x data) records a
+    // named sentinel and the sweep continues, instead of anonymously
+    // wedging the whole run. Unset (the driver's mode) = no cap.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_TIMEOUT_SEC").map(_.toLong)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast one: record the -1
-      // sentinel and keep it out of the total
-      val ok = try { Bench.runFullPlan(fn(spark, sfDir)); true }
-               catch { case _: Throwable => false }
+      // sentinel and keep it out of the total (named on stderr so a scale
+      // sweep's failures are diagnosable from the log)
+      val ok =
+        try {
+          timeoutSec match {
+            case None => Bench.runFullPlan(fn(spark, sfDir)); true
+            case Some(cap) =>
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.duration._
+              import scala.concurrent.ExecutionContext.Implicits.global
+              val f = Future { Bench.runFullPlan(fn(spark, sfDir)) }
+              try { Await.result(f, cap.seconds); true }
+              catch { case _: java.util.concurrent.TimeoutException =>
+                System.err.println(s"[bench] $name TIMEOUT after ${cap}s — cancelling jobs")
+                spark.sparkContext.cancelAllJobs()
+                try Await.result(f, 60.seconds) catch { case _: Throwable => () }
+                false
+              }
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | "))
+          false
+        }
       // drain graft-pinned storage between queries so pinned blocks from
       // one query can't squeeze the next one's execution memory
       graft.plans.Checkpoints.release(spark)
       val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       attemptLog(name) = attemptLog.getOrElse(name, Nil) :+ t
+      System.err.println(f"[bench] $name ${t}%.2f s")
       t
     }
     // optional args: query-name filter for fast local iteration (the
