@@ -98,19 +98,29 @@ object Clustering extends QueryModule {
     assigned
   }
 
-  /** q176: k-means cluster report — size, exact-integer inertia, and
-    * label purity (majority label over member class labels, count-desc /
-    * label-asc tie-break) per cluster. The purity column is the
-    * SemDeDup-era sanity check that geometric clusters track semantic
-    * classes before trusting within-cluster dedup.
+  /** q176: k-means cluster report — size, exact-integer inertia
+    * (decimal(38,0) sum of micro-unit² distances, reported in WHOLE
+    * squared units = div 10¹² so the column stays int64-representable at
+    * corpus scale), and label purity (majority label over member class
+    * labels, count-desc / label-asc tie-break) per cluster. The purity
+    * column is the SemDeDup-era sanity check that geometric clusters
+    * track semantic classes before trusting within-cluster dedup.
     */
   def kmeansReport(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
                    checkpointDir: Option[String] = None): DataFrame = {
     // sizes and majority-label both read the assignment — cut once
     val a = graft.plans.Checkpoints.cut(
       kmeansAssign(embeddings, k, iters), checkpointDir)
+    // inertia through decimal(38,0), REPORTED IN WHOLE squared units
+    // (micro-units² div 10¹²): per-point dist reaches ~6e18 at 64 dims of
+    // micro-unit diffs, so a plain BIGINT sum wraps within ONE cluster
+    // (the sf1 scale sweep hit exactly this), and even the exact decimal
+    // total exceeds int64 at corpus scale — the whole-unit quotient is
+    // the value that stays representable at any realistic n·D
     val sizes = a.groupBy("cid").agg(
-      count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
+      count(lit(1)).as("n_points"),
+      expr("sum(cast(dist as decimal(38,0))) div 1000000000000")
+        .cast("long").as("inertia"))
     val maj = a.groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
       .groupBy("cid").agg(max(struct(col("cnt"), (-col("label")).as("nl"),
         col("label"))).as("m"))
@@ -320,9 +330,9 @@ object Clustering extends QueryModule {
     * Scale: two corpus passes (centroid update, scatter), both
     * collapsing map-side to label-keyed frames; the pair matrix is
     * |labels|² over broadcast centroids — model-sized, never data-sized.
-    * Residual int64 headroom: the per-label scatter SUM overflows past
-    * ~3.6e4 members/label at 64 dims — widen `d` to decimal(38,0) (the
-    * q199 convention) before summing when classes grow that large.
+    * Int64 headroom: the per-label scatter SUM and the ×1000 separation
+    * product both ride decimal(38,0) (HUGEINT in the oracle) — the sf1
+    * scale sweep caught the BIGINT sum wrapping at ~3.6e4 members/label.
     */
   def classSeparability(embeddings: DataFrame): DataFrame = {
     val vecs = quantized(embeddings)
@@ -331,9 +341,14 @@ object Clustering extends QueryModule {
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cm")))),
         s => s.getField("cm")).as("cu"))
+    // scatter SUM through decimal(38,0): per-member d reaches ~6e18, so
+    // the BIGINT sum wraps past ~a handful of members — the sf1 sweep hit
+    // this; the MEAN (within) fits int64 because it is bounded by max d
     val within = vecs.join(broadcast(cents), "label")
       .select(col("label"), sqDist(col("u"), col("cu")).as("d"))
-      .groupBy("label").agg(expr("sum(d) div count(*)").as("within"))
+      .groupBy("label").agg(
+        expr("sum(cast(d as decimal(38,0))) div count(*)")
+          .cast("long").as("within"))
     val pairs = cents.alias("a").join(broadcast(cents.alias("b")),
         col("a.label") < col("b.label"))
       .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
@@ -345,7 +360,11 @@ object Clustering extends QueryModule {
         col("within").as("within_b"))), "label_b")
       .select(col("label_a"), col("label_b"), col("between_dist"),
         col("within_a"), col("within_b"),
-        expr("between_dist * 1000 div (within_a + within_b + 1)").as("sep_permille"))
+        // decimal before the ×1000: between_dist alone can sit near the
+        // int64 ceiling, so the plain product is one wide pair away from
+        // wrapping (the q346 convention)
+        expr("cast(between_dist as decimal(38,0)) * 1000 div (within_a + within_b + 1)")
+          .cast("long").as("sep_permille"))
       .orderBy("label_a", "label_b")
   }
 
@@ -714,8 +733,13 @@ object Clustering extends QueryModule {
     "q306_hopkins" -> ((s, d) => hopkinsStatistic(Tables(s, d).embeddings)),
     "q295_ivfpq_recall" -> ((s, d) => ivfPqRecall(Tables(s, d).embeddings)),
     "q296_dbscan" -> ((s, d) => dbscanReport(Tables(s, d).embeddings)),
-    "q176_kmeans"   -> ((s, d) => kmeansReport(Tables(s, d).embeddings)),
-    "q177_semdedup" -> ((s, d) => semDedupReport(Tables(s, d).embeddings)),
+    // k is the SIZE knob that must scale with the corpus: SemDeDup's
+    // Σnᵢ² pairwise bound is linear only when k ∝ n (fixed k=8 on 10×
+    // data measured 18× in the sf1 scale sweep — by design, not defect)
+    "q176_kmeans"   -> ((s, d) => kmeansReport(Tables(s, d).embeddings,
+      k = graft.plans.Rounds.posInt(s, "spark.graft.kmeans.k", 8))),
+    "q177_semdedup" -> ((s, d) => semDedupReport(Tables(s, d).embeddings,
+      k = graft.plans.Rounds.posInt(s, "spark.graft.kmeans.k", 8))),
     "q240_pq_topk"  -> ((s, d) => pqTopK(Tables(s, d).embeddings)),
     "q245_class_separability" -> ((s, d) => classSeparability(Tables(s, d).embeddings)),
     "q266_kcenter_coreset" -> ((s, d) => kCenterCoreset(Tables(s, d).embeddings)),
@@ -1052,7 +1076,7 @@ object Clustering extends QueryModule {
         |                 row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label) AS rn
         |          FROM lab) WHERE rn = 1)
         |SELECT a2.cid AS cluster, count(*)::BIGINT AS n_points,
-        |       sum(a2.dist)::BIGINT AS inertia,
+        |       (sum(a2.dist::HUGEINT) // 1000000000000)::BIGINT AS inertia,
         |       m.label AS majority_label,
         |       round(m.cnt / CAST(count(*) AS DOUBLE), 4) AS purity
         |FROM a2 JOIN maj m ON a2.cid = m.cid
@@ -1137,7 +1161,7 @@ object Clustering extends QueryModule {
         |          FROM cents a JOIN cents b ON a.label < b.label)
         |SELECT p.label_a, p.label_b, p.between_dist,
         |       wa.within AS within_a, wb.within AS within_b,
-        |       (p.between_dist * 1000 // (wa.within + wb.within + 1))::BIGINT AS sep_permille
+        |       (p.between_dist::HUGEINT * 1000 // (wa.within + wb.within + 1))::BIGINT AS sep_permille
         |FROM pairs p JOIN within wa ON wa.label = p.label_a
         |             JOIN within wb ON wb.label = p.label_b
         |ORDER BY p.label_a, p.label_b""".stripMargin,

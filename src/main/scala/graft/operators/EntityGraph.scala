@@ -92,6 +92,15 @@ object EntityGraph extends QueryModule {
     */
   def hierarchyRollup(part: DataFrame): DataFrame = {
     val spark = part.sparkSession
+    // the default cteRecursionRowLimit (10⁶) is a row-VOLUME guardrail
+    // that any linear-in-data recursion outgrows (total rows = n_parts ×
+    // tree depth — the sf1 scale sweep tripped it); this recursion's
+    // termination is STRUCTURAL (anc div 4 strictly decreases to 0, ≤32
+    // levels for int64 keys), so the depth guard
+    // (spark.sql.cteRecursionLevelLimit, default 100) is the right one
+    // and the row cap is lifted. Session conf: must stay set until the
+    // returned frame executes.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     val view = "eg_part_hier"
     part.select(col("p_partkey"), col("p_retailprice")).createOrReplaceTempView(view)
     try spark.sql(

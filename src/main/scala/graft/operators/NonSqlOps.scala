@@ -307,16 +307,26 @@ object NonSqlOps extends QueryModule {
       .orderBy("ahash")
   }
 
-  /** q287: perceptual NEAR-duplicate image pairs — the hamming-radius
-    * complement to q97's exact-equality aHash groups: dHash (gradient
-    * sign) fingerprints through the REAL decode→resize codec chain,
-    * then the pigeonhole band join at radius ≤ 2 (6 two-block bands —
-    * zero false negatives by the q98 theorem, which the oracle proves
-    * by brute-forcing ALL pairs closed-form and matching).
+  /** q287: perceptual NEAR-duplicate image CLASS pairs — the
+    * hamming-radius complement to q97's exact-equality aHash groups:
+    * dHash (gradient sign) fingerprints through the REAL decode→resize
+    * codec chain, then the pigeonhole band join at radius ≤ 2 (6
+    * two-block bands — zero false negatives by the q98 theorem, which
+    * the oracle proves by brute-forcing all class pairs closed-form).
     *
-    * Scale shape: decode+hash is narrow per-row work behind the by-id
-    * repartition; the only shuffle is the 16-bit-block band join —
-    * exactly the q98 posture, reused via [[hammingPairsFromSigs]].
+    * The corpus dedupes to its distinct raster classes FIRST (the
+    * q97/q311/q321 posture) and the report pairs CLASSES, carrying the
+    * member counts — the original doc-level pair list was inherently
+    * quadratic in the copy count (the sf1 scale sweep measured a 66×
+    * slope on 10× data before this redesign: 29 raster classes × 10×
+    * members = 100× pairs). Decode runs once per class; the implied
+    * doc-pair volume is reported as the exact n_docs_a·n_docs_b count,
+    * never materialized.
+    *
+    * Scale shape: the class collapse is one map-side-combined groupBy;
+    * decode+hash is |classes| rows of narrow work; the band join and
+    * pair expansion run on the class-sized frame — at 100 TB, work
+    * scales with DISTINCT content, never with the copy count.
     */
   /** q321: WALSH–HADAMARD spectral hash groups — the fourth rung of
     * the image-dedup ladder: q97 aHash (global mean) and q287 dHash
@@ -357,19 +367,44 @@ object NonSqlOps extends QueryModule {
   def imageDHashPairs(documents: DataFrame, maxHamming: Int = 2): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val sigs = documents.select(col("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .as[Long].mapPartitions { it =>
-        it.map { d =>
-          val seed = d % 29
+    val classes = documents.select((col("doc_id") % 29).as("seed"))
+      .groupBy("seed").agg(count(lit(1)).as("n_docs"))
+    // the fixture's 29 raster classes are mutually far (min cross-class
+    // hamming = 7 at this formula), so near-dups are PLANTED in-plan
+    // (the q76 posture): every class re-enters as class_id + 29 with ONE
+    // sampled pixel perturbed (+128 mod 256 at the col-8/row-0 dHash
+    // sample), which flips at most gradient bit 7 — each (base, variant)
+    // pair lands at hamming ∈ {0, 1} and the band join must recover
+    // exactly those 29 pairs
+    val planted = classes
+      .select(col("seed"), col("n_docs"), lit(false).as("isvar"))
+      .unionByName(classes
+        .select((col("seed") + 29).as("seed"), col("n_docs"), lit(true).as("isvar")))
+    val sigs = planted.as[(Long, Long, Boolean)].mapPartitions { it =>
+        it.map { case (cid, nd, isVar) =>
+          val seed = if (isVar) cid - 29 else cid
           val w = (8 + seed % 13).toInt
           val h = (8 + seed % 11).toInt
-          val png = MediaCodec.encodePng(w, h,
-            (x, y) => ((x * 31 + y * 17 + seed * 7) % 256).toInt)
-          (d, MediaCodec.dHash64(png))
+          val x8 = (8 * w) / 9
+          val png = MediaCodec.encodePng(w, h, (x, y) => {
+            val base = ((x * 31 + y * 17 + seed * 7) % 256).toInt
+            if (isVar && x == x8 && y == 0) (base + 128) % 256 else base
+          })
+          (cid, nd, MediaCodec.dHash64(png))
         }
-      }.toDF("doc_id", "sig")
-    hammingPairsFromSigs(sigs, maxHamming, nBlocks = 4)
+      }.toDF("doc_id", "n_docs", "sig")
+    val counts = sigs.select(col("doc_id").as("seed"), col("n_docs"))
+    hammingPairsFromSigs(sigs.select("doc_id", "sig"), maxHamming, nBlocks = 4)
+      .withColumnRenamed("left_id", "seed_a")
+      .withColumnRenamed("right_id", "seed_b")
+      .join(broadcast(counts.select(col("seed").as("seed_a"),
+        col("n_docs").as("n_docs_a"))), "seed_a")
+      .join(broadcast(counts.select(col("seed").as("seed_b"),
+        col("n_docs").as("n_docs_b"))), "seed_b")
+      .select(col("seed_a"), col("seed_b"), col("hamming"),
+        col("n_docs_a"), col("n_docs_b"),
+        (col("n_docs_a") * col("n_docs_b")).as("n_doc_pairs"))
+      .orderBy("seed_a", "seed_b")
   }
 
   /** q311: luminance-histogram similarity between image CLASSES — the
@@ -481,35 +516,58 @@ object NonSqlOps extends QueryModule {
     // banded Spark path must recover exactly these pairs (pigeonhole
     // zero-false-negative proof at radius ≤ 2)
     "q287_image_dhash" ->
-      """WITH dims AS (
-        |  SELECT doc_id, doc_id % 29 AS seed,
-        |         (8 + (doc_id % 29) % 13)::BIGINT AS sw,
-        |         (8 + (doc_id % 29) % 11)::BIGINT AS sh
-        |  FROM documents),
+      """WITH cls AS (
+        |  SELECT doc_id % 29 AS seed, count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1),
+        |pl AS (
+        |  SELECT seed AS cid, seed, n_docs, 0 AS isvar FROM cls
+        |  UNION ALL
+        |  SELECT seed + 29, seed, n_docs, 1 FROM cls),
+        |dims AS (
+        |  SELECT cid, seed, n_docs, isvar,
+        |         (8 + seed % 13)::BIGINT AS sw,
+        |         (8 + seed % 11)::BIGINT AS sh
+        |  FROM pl),
         |bits AS (
-        |  SELECT doc_id, p,
-        |         CASE WHEN (((((p % 8) + 1) * sw) // 9) * 31
-        |                    + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256
-        |                 > ((((p % 8) * sw) // 9) * 31
-        |                    + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256
-        |              THEN 1 ELSE 0 END AS bit
+        |  SELECT cid, p,
+        |         CASE WHEN
+        |           (CASE WHEN isvar = 1 AND ((((p % 8) + 1) * sw) // 9) = ((8 * sw) // 9)
+        |                      AND ((p // 8) * sh) // 8 = 0
+        |                 THEN (((((p % 8) + 1) * sw) // 9) * 31
+        |                       + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256 + 128
+        |                 ELSE (((((p % 8) + 1) * sw) // 9) * 31
+        |                       + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256
+        |            END) % 256
+        |           >
+        |           (CASE WHEN isvar = 1 AND (((p % 8) * sw) // 9) = ((8 * sw) // 9)
+        |                      AND ((p // 8) * sh) // 8 = 0
+        |                 THEN ((((p % 8) * sw) // 9) * 31
+        |                       + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256 + 128
+        |                 ELSE ((((p % 8) * sw) // 9) * 31
+        |                       + (((p // 8) * sh) // 8) * 17 + seed * 7) % 256
+        |            END) % 256
+        |         THEN 1 ELSE 0 END AS bit
         |  FROM dims, unnest(range(64)) AS t(p)),
         |h AS (
-        |  SELECT doc_id,
+        |  SELECT cid,
         |         sum(CASE WHEN bit = 1 THEN (1::UBIGINT << p::INTEGER)::HUGEINT
         |                  ELSE 0::HUGEINT END) AS usig
-        |  FROM bits GROUP BY doc_id),
+        |  FROM bits GROUP BY cid),
         |signed AS (
-        |  SELECT doc_id,
+        |  SELECT cid,
         |         (CASE WHEN usig >= 9223372036854775808::HUGEINT
         |               THEN usig - 18446744073709551616::HUGEINT
         |               ELSE usig END)::BIGINT AS sig
         |  FROM h)
-        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-        |       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
-        |FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+        |SELECT a.cid AS seed_a, b.cid AS seed_b,
+        |       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming,
+        |       pa.n_docs AS n_docs_a, pb.n_docs AS n_docs_b,
+        |       (pa.n_docs * pb.n_docs)::BIGINT AS n_doc_pairs
+        |FROM signed a JOIN signed b ON a.cid < b.cid
+        |JOIN pl pa ON pa.cid = a.cid
+        |JOIN pl pb ON pb.cid = b.cid
         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
-        |ORDER BY left_id, right_id""".stripMargin,
+        |ORDER BY seed_a, seed_b""".stripMargin,
     // frame features re-derived from the WAV generation formula
     // ((7i + d) mod 256 over n = 800 + d mod 800 samples, frames of
     // 160): all-integer, so the real decode must be sample-exact

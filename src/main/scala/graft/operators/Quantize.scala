@@ -115,8 +115,10 @@ object Quantize extends QueryModule {
     * Scale shape: posexplode is a dim× row multiplier that collapses
     * immediately into a dims-sized hash aggregate with map-side
     * partials — the shuffle carries (dim, moments) rows, never the
-    * exploded stream. (int64 moment sums need decimal widening past
-    * ~10^6 vectors × |v|≈1 — the q122 note.)
+    * exploded stream. Moment SUMS go through decimal(38,0) (HUGEINT in
+    * the oracle): a BIGINT suu wraps past ~10^6 vectors × |v|≈1 — the
+    * sf1 scale sweep hit exactly that. Per-element u*u stays long
+    * (exact up to |v| ≤ 3037 — far above any unit-ish embedding).
     */
   def embeddingDimHealth(embeddings: DataFrame,
                          vecCol: String = "embedding"): DataFrame = {
@@ -126,12 +128,14 @@ object Quantize extends QueryModule {
         expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("u"))
     e.groupBy("dim").agg(
         count(lit(1)).as("n"),
-        sum("u").as("su"), sum(expr("u * u")).as("suu"),
+        sum(expr("CAST(u AS DECIMAL(38,0))")).as("su"),
+        sum(expr("CAST(u * u AS DECIMAL(38,0))")).as("suu"),
         min("u").as("minu"), max("u").as("maxu"),
         sum(when(col("u") === 0L, 1L).otherwise(0L)).as("n_zero"))
       .select(col("dim"), col("n"),
-        round(col("su") / col("n") / lit(1000000.0), 6).as("mean"),
-        round((col("suu") / col("n") - (col("su") / col("n")) * (col("su") / col("n")))
+        round(col("su").cast("double") / col("n") / lit(1000000.0), 6).as("mean"),
+        round((col("suu").cast("double") / col("n")
+          - (col("su").cast("double") / col("n")) * (col("su").cast("double") / col("n")))
           / lit(1000000.0) / lit(1000000.0), 6).as("variance"),
         round(col("minu") / lit(1000000.0), 6).as("vmin"),
         round(col("maxu") / lit(1000000.0), 6).as("vmax"),
@@ -468,13 +472,13 @@ object Quantize extends QueryModule {
         |                  unnest(embedding) AS v
         |           FROM embeddings),
         |u AS (SELECT dim, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS u FROM e),
-        |m AS (SELECT dim, count(*)::BIGINT AS n, sum(u)::BIGINT AS su,
-        |             sum(u * u)::BIGINT AS suu, min(u) AS minu, max(u) AS maxu,
+        |m AS (SELECT dim, count(*)::BIGINT AS n, sum(u)::HUGEINT AS su,
+        |             sum(u * u)::HUGEINT AS suu, min(u) AS minu, max(u) AS maxu,
         |             sum(CASE WHEN u = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
         |      FROM u GROUP BY dim)
         |SELECT CAST(dim AS INT) AS dim, n,
-        |       round(su / n / 1000000.0, 6) AS mean,
-        |       round((suu / n - (su / n) * (su / n)) / 1000000.0 / 1000000.0, 6) AS variance,
+        |       round(CAST(su AS DOUBLE) / n / 1000000.0, 6) AS mean,
+        |       round((CAST(suu AS DOUBLE) / n - (CAST(su AS DOUBLE) / n) * (CAST(su AS DOUBLE) / n)) / 1000000.0 / 1000000.0, 6) AS variance,
         |       round(minu / 1000000.0, 6) AS vmin,
         |       round(maxu / 1000000.0, 6) AS vmax,
         |       round(n_zero / CAST(n AS DOUBLE), 4) AS dead_rate

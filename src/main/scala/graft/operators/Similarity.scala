@@ -357,8 +357,10 @@ object Similarity extends QueryModule {
               (x, i) => when(i === dim, x + lit(0.1f)).otherwise(x)).as("embedding")))
     }
 
-  def srpNearDupReport(embeddings: DataFrame): DataFrame =
-    srpNearDupPairs(plantedCorpus(embeddings, Seq((10, 10000000L, 0))))
+  def srpNearDupReport(embeddings: DataFrame,
+                       bands: Int = 8, bitsPerBand: Int = 8): DataFrame =
+    srpNearDupPairs(plantedCorpus(embeddings, Seq((10, 10000000L, 0))),
+      bands, bitsPerBand)
 
   /** q84: embedding-space near-duplicate CLUSTERS — the SRP candidate →
     * exact-verify pipeline feeding connected components (the q58 shape
@@ -368,10 +370,11 @@ object Similarity extends QueryModule {
     * other only transitively (their direct cosine sits at the threshold's
     * edge) — exactly the chain shape near-dup clustering exists for.
     */
-  def srpNearDupClusterReport(embeddings: DataFrame): DataFrame = {
+  def srpNearDupClusterReport(embeddings: DataFrame,
+                              bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     val corpus = plantedCorpus(embeddings,
       Seq((10, 10000000L, 0), (20, 20000000L, 1)))
-    val pairs = srpNearDupPairs(corpus, sorted = false)
+    val pairs = srpNearDupPairs(corpus, bands, bitsPerBand, sorted = false)
       .select(col("left_id"), col("right_id"))
     Dedup.connectedComponents(pairs)
       .groupBy(col("label").as("cluster_id"))
@@ -497,9 +500,17 @@ object Similarity extends QueryModule {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val quant = "transform(embedding, x -> cast(floor(cast(x as double) * cast(1000000 as double)) as bigint))"
+    // query = floor-MEAN of the label-0 population per dim (not the raw
+    // SUM): a sum-query's magnitude grows with corpus size, so every
+    // dot against it overflows int64 at scale (the sf1 sweep hit this);
+    // the mean keeps query coordinates in micro-units like the vectors
+    // and cosine is scale-invariant. The +10⁶ shift before the div keeps
+    // the dividend non-negative so Spark div == DuckDB // == floor.
     val qArr = embeddings.filter(col("label") === 0)
       .select(posexplode(expr(quant)).as(Seq("i", "xq")))
-      .groupBy("i").agg(sum("xq").as("qq"))
+      .groupBy("i").agg(
+        expr("(sum(cast(xq + 1000000 as decimal(38,0))) div count(*)) - 1000000")
+          .cast("long").as("qq"))
       .orderBy("i").select("qq").as[Long].collect()       // one row per dim
     val nq = qArr.map(q => q * q).sum                      // exact int64
     val qLit = typedlit(qArr.toSeq)
@@ -607,8 +618,17 @@ object Similarity extends QueryModule {
     "q118_knn_purity"      -> ((s, d) => knnLabelPurity(Tables(s, d).embeddings)),
     "q126_density_outliers" -> ((s, d) => densityOutliers(Tables(s, d).embeddings)),
     "q131_class_balance"   -> ((s, d) => classBalance(Tables(s, d).embeddings)),
-    "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings)),
-    "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings)),
+    // bitsPerBand is SRP's size knob: random-pair collisions (and so the
+    // verify-join volume) scale as n²/2^bits, so bits must grow ~2·log₂n
+    // with the corpus — the sf1 scale sweep measured 16× on 10× data at
+    // the pinned default 8, and ~linear at bits=16 (SCALE.md). Defaults
+    // oracle-pinned; a non-default width is a deliberate recall choice.
+    "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings,
+      bands = graft.plans.Rounds.posInt(s, "spark.graft.srp.bands", 8),
+      bitsPerBand = graft.plans.Rounds.posInt(s, "spark.graft.srp.bits", 8))),
+    "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings,
+      bands = graft.plans.Rounds.posInt(s, "spark.graft.srp.bands", 8),
+      bitsPerBand = graft.plans.Rounds.posInt(s, "spark.graft.srp.bits", 8))),
   )
 
   /** q285 oracle: the greedy MMR selection unrolled into one CTE per
@@ -635,7 +655,7 @@ object Similarity extends QueryModule {
        |           x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS vq
        |  FROM embeddings),
        |qv AS (
-       |  SELECT i, sum(vq[i])::BIGINT AS qq
+       |  SELECT i, ((sum(vq[i] + 1000000) // count(*)) - 1000000)::BIGINT AS qq
        |  FROM v, unnest(generate_series(1, len(vq))) AS t(i)
        |  WHERE label = 0 GROUP BY i),
        |ql AS (SELECT list(qq ORDER BY i) AS ql FROM qv),

@@ -19,7 +19,18 @@ object Rounds {
   val Prefix = "spark.graft.rounds."
 
   def of(spark: SparkSession, op: String, default: Int): Int =
-    spark.conf.getOption(Prefix + op)
+    posInt(spark, Prefix + op, default)
+
+  /** General positive-int session knob under any `spark.graft.*` key,
+    * with the same fail-fast validation as the rounds knobs. Used for
+    * model-SIZE parameters that must grow with the corpus — e.g.
+    * `spark.graft.kmeans.k`: SemDeDup's within-cluster pairwise bound
+    * Σnᵢ² only stays linear when k scales ∝ corpus size (fixed k on
+    * 10× data is 10× the per-cluster membership = 100× the pairwise
+    * work — measured by the sf1 scale sweep). Defaults oracle-pinned.
+    */
+  def posInt(spark: SparkSession, key: String, default: Int): Int =
+    spark.conf.getOption(key)
       .map(_.trim)
       .filter(_.nonEmpty)
       .map { v =>
@@ -27,13 +38,13 @@ object Rounds {
           try v.toInt
           catch {
             case _: NumberFormatException => throw new IllegalArgumentException(
-              s"${Prefix}$op must be an integer round count, got '$v'")
+              s"$key must be an integer, got '$v'")
           }
-        // 0 or negative rounds silently degenerate (0-round LPA returns
-        // the warm start; 0-round k-core peels nothing) — fail fast like
+        // 0 or negative silently degenerate (0-round LPA returns the
+        // warm start; k=0 k-means has no clusters) — fail fast like
         // the non-integer path instead
         if (n < 1) throw new IllegalArgumentException(
-          s"${Prefix}$op must be >= 1, got '$v'")
+          s"$key must be >= 1, got '$v'")
         n
       }
       .getOrElse(default)

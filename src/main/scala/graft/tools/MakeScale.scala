@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * measure each query's scaling SLOPE t(sf1)/t(sf0.1) instead of
   * extrapolating 100 TB claims from a single scale point.
   *
-  * Design: N disjoint re-keyed copies (key stride 10M — far above every
-  * key domain), NOT row duplication under the same keys:
+  * Design: N disjoint re-keyed copies (key stride 10⁹ — far above every
+  * key domain AND above the planted-id offsets q76/q84 add in-plan),
+  * NOT row duplication under the same keys:
   *  - every TPC-H key column shifts consistently across fact/dim tables,
   *    so joins fan out exactly as the original (10 independent
   *    star-schema copies); nation/region stay 1× (true dimensions);
@@ -19,9 +20,17 @@ import org.apache.spark.sql.functions._
   *    clean 10× semantics (identical text would instead put every doc
   *    in a 10-clique and measure a data artifact, not the plan);
   *    n_chars is recomputed for the suffixed text;
-  *  - `embeddings`: copy i offsets dim 0 by +32·i, separating the copies
-  *    into disjoint clouds so density/grid methods (DBSCAN, IVF) see 10×
-  *    the data at the ORIGINAL local density;
+  *  - `embeddings`: copy i>0 applies a SIGNED DIMENSION ROTATION
+  *    (x → s_i ⊙ x∘π_i, a ±1-permutation matrix — exactly orthogonal
+  *    and float-exact): every within-copy distance AND cosine is
+  *    bit-preserved, so density methods (DBSCAN, IVF) and angular
+  *    methods (SRP, cosine near-dup) both see 10× the data with the
+  *    ORIGINAL local structure, while cross-copy pairs land at
+  *    unrelated angles/neighborhoods. (The first design translated
+  *    copies by +32·i along dim 0 — which made every within-copy pair
+  *    cosine ≈ 1, a 60k-clique of TRUE near-dups per copy: the
+  *    quadratic SRP output it caused was the correct answer to
+  *    degenerate data, not a plan defect.)
   *  - `events`: ids/users shift, timestamps stay — window aggregations
   *    see 10× density per window, the realistic stream-growth shape.
   *
@@ -29,7 +38,7 @@ import org.apache.spark.sql.functions._
   * behavior); the transforms are nonetheless deterministic.
   */
 object MakeScale {
-  val Stride = 10000000L
+  val Stride = 1000000000L
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -78,12 +87,23 @@ object MakeScale {
             w => concat(w, lit(s"x$i"))), " "))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
+    val dim = src("embeddings").selectExpr("size(embedding) AS d").head().getInt(0)
     blowUp("embeddings") { (d, i) =>
       val shifted = shift(d, i, "vec_id")
       if (i == 0) shifted
-      else shifted.withColumn("embedding",
-        concat(array((col("embedding")(0) + lit(32.0f * i)).cast("float")),
-               slice(col("embedding"), 2, 10000)))
+      else {
+        // signed dimension rotation: deterministic per copy, exactly
+        // orthogonal, float-exact (±1 products introduce no rounding)
+        val rnd = new scala.util.Random(i * 9973 + 7)
+        val signs = Seq.fill(dim)(if (rnd.nextBoolean()) "1.0" else "-1.0")
+          .map(s => s"CAST($s AS FLOAT)").mkString("array(", ",", ")")
+        val perm = (0 until dim).map(dd => (dd + i) % dim)
+          .mkString("array(", ",", ")")
+        shifted.withColumn("embedding", expr(
+          s"""zip_with($signs,
+             |         transform($perm, p -> element_at(embedding, p + 1)),
+             |         (s, x) -> CAST(s * x AS FLOAT))""".stripMargin))
+      }
     }
     spark.stop()
   }
