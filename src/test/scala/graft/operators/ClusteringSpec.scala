@@ -44,10 +44,12 @@ class ClusteringSpec extends SparkSpec {
     // cluster 1 labels: {1,1,1} → purity 1
     assert(byCluster(1L).getInt(3) == 1)
     assert(byCluster(1L).getDouble(4) == 1.0)
-    // inertia is exact: recompute from the assignment
+    // inertia is exact: recompute from the assignment. Reported in WHOLE
+    // squared units (micro-units² div 10¹² — the round-10 int64-headroom
+    // re-unit; ScaleHeadroomSpec pins the decimal sum path itself)
     val a = Clustering.kmeansAssign(toy, 2, 2)
     val inertia = a.groupBy("cid").agg(sum("dist")).as[(Long, Long)].collect().toMap
-    assert(byCluster(0L).getLong(2) == inertia(0L))
+    assert(byCluster(0L).getLong(2) == inertia(0L) / 1000000000000L)
   }
 
   test("semDedupReport drops the higher id of every in-threshold pair") {
