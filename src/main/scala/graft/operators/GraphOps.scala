@@ -141,9 +141,10 @@ object GraphOps extends QueryModule {
   /** q142: triangle census + global clustering coefficient.
     *
     * Orientation total order is (degree, id); a triangle a≺b≺c is found
-    * exactly once, as the wedge (a→b, a→c) closed by b→c. The closure
-    * probe is a semi-join of wedge endpoints against the oriented edge
-    * list — hashes of int pairs, never payloads.
+    * exactly once, as the wedge (a→b, a→c) closed by b→c. Closure is
+    * counted by the forward edge-iterator: each oriented edge intersects
+    * the two endpoints' sorted out-neighbor lists map-side — the wedge
+    * stream never materializes (see the strategy note in the body).
     */
   def triangleCensus(und: DataFrame,
                      checkpointDir: Option[String] = None,
@@ -170,42 +171,30 @@ object GraphOps extends QueryModule {
     // passing a COMPUTED frame (spec fixtures) never re-runs its build
     // just to pick a counting strategy
     val nEdges = orientedCut.count()
-    // Counting strategy switch (AUTOMATIC — orientedCut is materialized,
-    // so counting it is a cheap scan of checkpointed blocks):
-    //  - Below `broadcastEdgeLimit`, the FORWARD (edge-iterator) form:
-    //    triangles = Σ over oriented edges (a→b) of |N⁺(a) ∩ N⁺(b)|.
-    //    The oriented adjacency table is NODE-count-sized (total
-    //    elements = m longs), broadcast twice; each edge intersects two
-    //    sorted O(√m)-bounded lists map-side. Nothing wedge-sized ever
-    //    materializes or shuffles — the Σ outdeg² wedge stream of the
-    //    join formulation (measured 40M rows at sf0.1, ~5× the query's
-    //    whole runtime) disappears into per-row array intersections.
-    //  - Past the limit (adjacency no longer broadcastable), the wedge
-    //    self-join + shuffled payload-free semi-join, the classic
-    //    distributed bound.
-    val nTriangles =
-      if (nEdges <= broadcastEdgeLimit) {
-        val adj = orientedCut.groupBy("src")
-          .agg(sort_array(collect_list(col("dst"))).as("nb"))
-        val emptyNb = expr("cast(array() as array<bigint>)")
-        orientedCut
-          .join(broadcast(adj.select(col("src").as("a_key"), col("nb").as("na"))),
-            col("src") === col("a_key"), "left")
-          .join(broadcast(adj.select(col("src").as("b_key"), col("nb").as("nb_"))),
-            col("dst") === col("b_key"), "left")
-          .select(size(array_intersect(coalesce(col("na"), emptyNb),
-            coalesce(col("nb_"), emptyNb))).cast("long").as("t"))
-          .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
-      } else {
-        val wedges = orientedCut.alias("x").join(orientedCut.alias("y"),
-            col("x.src") === col("y.src") &&
-            (col("x.dd") < col("y.dd") ||
-             (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
-          .select(col("x.dst").as("b"), col("y.dst").as("c"))
-        val probe = orientedCut.select(col("src").as("b"), col("dst").as("c"))
-        wedges.join(probe, Seq("b", "c"), "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
-      }
+    // FORWARD (edge-iterator) counting at every size: triangles =
+    // Σ over oriented edges (a→b) of |N⁺(a) ∩ N⁺(b)|. The oriented
+    // adjacency table is NODE-count-sized (total elements = m longs);
+    // each edge intersects two sorted O(√m)-bounded lists map-side —
+    // nothing wedge-sized ever materializes or shuffles (the Σ outdeg²
+    // wedge stream of the join formulation measured 40M rows at sf0.1,
+    // ~5× the query's whole runtime, and TIMED OUT outright at 30× in
+    // the round-10 scale sweep). The only thing the edge count decides
+    // is HOW the adjacency reaches the edges: broadcast below
+    // `broadcastEdgeLimit`, a plain shuffled hash join past it —
+    // shuffle volume O(m) either way, never Σ outdeg².
+    val adj = orientedCut.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    def ship(df: DataFrame): DataFrame =
+      if (nEdges <= broadcastEdgeLimit) broadcast(df) else df
+    val emptyNb = expr("cast(array() as array<bigint>)")
+    val nTriangles = orientedCut
+      .join(ship(adj.select(col("src").as("a_key"), col("nb").as("na"))),
+        col("src") === col("a_key"), "left")
+      .join(ship(adj.select(col("src").as("b_key"), col("nb").as("nb_"))),
+        col("dst") === col("b_key"), "left")
+      .select(size(array_intersect(coalesce(col("na"), emptyNb),
+        coalesce(col("nb_"), emptyNb))).cast("long").as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"),
             sum(expr("d * (d - 1) div 2")).as("n_wedges"))
       .crossJoin(orientedCut.agg(count(lit(1)).as("n_edges")))

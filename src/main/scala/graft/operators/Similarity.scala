@@ -198,15 +198,22 @@ object Similarity extends QueryModule {
     * narrow per-row cosine, WindowGroupLimit top-k), then a probes-
     * sized aggregation and a TakeOrdered bottom-N — auditing by
     * deterministic sample is exactly how this runs at 100 TB; the full
-    * corpus is never ranked globally.
+    * corpus is never ranked globally. The probe set is a BOUNDED PANEL
+    * (every 7th id, capped at `probePanel` probes), not a fixed
+    * fraction: a fraction makes the probe×corpus work quadratic in n
+    * (the round-10 30× sweep measured 111× on 30× data before the cap),
+    * while density estimation needs only a fixed-size sample — the
+    * capped audit is linear in the corpus.
     *
     * Determinism: each probe's k rounded cosines are integer-scaled
     * (round(c·10⁶) is exact on the already-rounded double) and SUMMED
     * AS LONGS — no float fold order; the mean is one division. Bottom-N
     * cut pinned by (mean asc, query_id).
     */
-  def densityOutliers(embeddings: DataFrame, k: Int = 5, bottomN: Int = 20): DataFrame = {
-    val probes = embeddings.filter(col("vec_id") % 7 === 0)
+  def densityOutliers(embeddings: DataFrame, k: Int = 5, bottomN: Int = 20,
+                      probePanel: Int = 1000): DataFrame = {
+    val probes = embeddings.filter(
+      col("vec_id") % 7 === 0 && col("vec_id") < lit(7L * probePanel))
     val density = knnJoin(probes, embeddings, k)
       .withColumn("scaled", expr("cast(round(cos_sim * 1000000) as bigint)"))
       .groupBy("query_id")
@@ -885,7 +892,7 @@ object Similarity extends QueryModule {
     // q70 anatomy + integer-scaled cosine sums; bottom-N by (mean, id)
     "q126_density_outliers" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-                     WHERE vec_id % 7 = 0),
+                     WHERE vec_id % 7 = 0 AND vec_id < 7000),
           scored AS (
             SELECT q.query_id, e.vec_id,
                    round(${cosSql("e.embedding", "q.qv")}, 6) AS cos_sim
