@@ -572,12 +572,21 @@ object Similarity extends QueryModule {
     * final top-N are all decided on integers (ties broken by id), so
     * no engine float ever orders a row.
     *
-    * Scale: brute-force A×B here (the correctness baseline); at corpus
-    * scale the candidate join is the SRP/IVF bucketed path (q76/q59) —
-    * the margin arithmetic is identical either way. The k-NN stats are
-    * two bounded window passes over the candidate set.
+    * Scale: brute-force A×B by default (the correctness baseline, and
+    * what the oracle pins); `srpBands > 0` switches the candidate
+    * generation to BIPARTITE SRP blocking — both sides band-key under
+    * the same hyperplanes (q76's kernel) and only bucket-colliding
+    * (a, b) pairs reach the dot/margin stage, so the join cost follows
+    * the collision law |A|·|B|/2^bits instead of |A|·|B|. The margin
+    * arithmetic (and its k-NN normalization, which the paper defines
+    * over the CANDIDATE set) is identical either way; a non-default
+    * band count is a deliberate recall choice, same doctrine as the
+    * q76 size knob. The k-NN stats are two bounded window passes over
+    * the candidate set.
     */
-  def marginMining(embeddings: DataFrame, k: Int = 4, topN: Int = 20): DataFrame = {
+  def marginMining(embeddings: DataFrame, k: Int = 4, topN: Int = 20,
+                   srpBands: Int = 0, srpBits: Int = 8,
+                   dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def side(label: Int, idName: String, vName: String) =
       embeddings.filter(col("label") === label)
@@ -586,13 +595,27 @@ object Similarity extends QueryModule {
             .as(vName))
     val a = side(0, "id_a", "xq")
     val b = side(1, "id_b", "yq")
-    // positive-similarity candidates only: keeps every engine division
-    // on non-negative integers (floor == truncate) and matches the
-    // mining semantics — anti-correlated pairs are never alignments
-    val pairs = a.crossJoin(broadcast(b))
+    def dotPairs(cand: DataFrame): DataFrame = cand
       .select(col("id_a"), col("id_b"),
         expr("aggregate(zip_with(xq, yq, (x, y) -> x * y), 0L, (s, v) -> s + v)").as("dot"))
       .filter(col("dot") > 0)
+    // positive-similarity candidates only: keeps every engine division
+    // on non-negative integers (floor == truncate) and matches the
+    // mining semantics — anti-correlated pairs are never alignments
+    val pairs =
+      if (srpBands <= 0) dotPairs(a.crossJoin(broadcast(b)))
+      else {
+        val planes = graft.functions.SrpBandKeys.planes(srpBands * srpBits, dim)
+        def keys(label: Int, idName: String) =
+          embeddings.filter(col("label") === label)
+            .select(col("vec_id").as(idName),
+              posexplode(graft.functions.SrpBandKeys.srpBandKeys(
+                col("embedding"), planes, srpBits)))
+            .toDF(idName, "band_idx", "band_key")
+        val cand = keys(0, "id_a").join(keys(1, "id_b"), Seq("band_idx", "band_key"))
+          .select("id_a", "id_b").distinct()
+        dotPairs(cand.join(a, "id_a").join(b, "id_b"))
+      }
     val wa = Window.partitionBy("id_a").orderBy(col("dot").desc, col("id_b"))
     val wb = Window.partitionBy("id_b").orderBy(col("dot").desc, col("id_a"))
     val kx = pairs.withColumn("rn", row_number().over(wa)).filter(col("rn") <= k)
@@ -611,7 +634,14 @@ object Similarity extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q305_margin_mining" -> ((s, d) => marginMining(Tables(s, d).embeddings)),
+    // setting spark.graft.margin.bands switches candidate generation to
+    // bipartite SRP blocking with that many bands (collision law
+    // |A|·|B|/2^bits); unset = exact brute A×B, oracle-pinned
+    "q305_margin_mining" -> ((s, d) => marginMining(Tables(s, d).embeddings,
+      srpBands = s.conf.getOption("spark.graft.margin.bands")
+        .map(_ => graft.plans.Rounds.posInt(s, "spark.graft.margin.bands", 8))
+        .getOrElse(0),
+      srpBits = graft.plans.Rounds.posInt(s, "spark.graft.srp.bits", 8))),
     "q285_mmr_rerank" -> ((s, d) => mmrRerank(Tables(s, d).embeddings)),
     "q166_cluster_ari" -> ((s, d) => clusterLabelAgreement(Tables(s, d).embeddings)),
     "q102_hybrid_retrieval" -> ((s, d) =>

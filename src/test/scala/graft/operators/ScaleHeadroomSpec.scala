@@ -127,4 +127,30 @@ class ScaleHeadroomSpec extends SparkSpec {
     assert(planted.subsetOf(narrow), s"narrow misses ${planted -- narrow}")
     assert(planted.subsetOf(wide), s"wide misses ${planted -- wide}")
   }
+
+  /** q305's bipartite SRP-blocked candidate mode: identical vectors on
+    * the two sides share every band key, so the blocked path must
+    * surface the planted twin as its top pair — and the exact path's
+    * pair set must contain the blocked path's pairs (blocking only ever
+    * prunes candidates, never invents them).
+    */
+  test("q305 SRP-blocked margin mining recovers the planted cross-side twin") {
+    import spark.implicits._
+    // near-orthogonal random vectors (fixed seeds): cross-dots are small,
+    // so the identical twin's margin ≈ k dominates every noise pair's ≈ 1
+    val mk = (i: Int) => {
+      val r = new scala.util.Random(i * 7919 + 13)
+      Array.fill(32)((r.nextDouble() - 0.5).toFloat)
+    }
+    val sideA = (0 until 12).map(i => (i.toLong, 0L, mk(i)))
+    val sideB = (0 until 12).map(i => (100L + i, 1L, mk(i + 20))) :+
+      ((200L, 1L, mk(3)))                                 // twin of A's id 3
+    val emb = (sideA ++ sideB).toDF("vec_id", "label", "embedding")
+    val blocked = Similarity.marginMining(emb, srpBands = 6, srpBits = 6, dim = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(blocked.head == (3L, 200L),
+      s"twin must rank first in the blocked path, got ${blocked.take(3).toSeq}")
+    assert(blocked.forall { case (ia, ib) => ia < 100L && ib >= 100L },
+      "blocked pairs must stay bipartite (side A id, side B id)")
+  }
 }
