@@ -735,11 +735,13 @@ object Clustering extends QueryModule {
     "q296_dbscan" -> ((s, d) => dbscanReport(Tables(s, d).embeddings)),
     // k is the SIZE knob that must scale with the corpus: SemDeDup's
     // Σnᵢ² pairwise bound is linear only when k ∝ n (fixed k=8 on 10×
-    // data measured 18× in the sf1 scale sweep — by design, not defect)
+    // data measured 18× in the sf1 scale sweep — by design, not defect).
+    // Explicit spark.graft.kmeans.k wins; spark.graft.autosize derives
+    // k = max(8, ⌈n/250⌉) (the sf0.1 default's per-cluster membership)
     "q176_kmeans"   -> ((s, d) => kmeansReport(Tables(s, d).embeddings,
-      k = graft.plans.Rounds.posInt(s, "spark.graft.kmeans.k", 8))),
+      k = graft.plans.Autosize.kmeansConf(s, d))),
     "q177_semdedup" -> ((s, d) => semDedupReport(Tables(s, d).embeddings,
-      k = graft.plans.Rounds.posInt(s, "spark.graft.kmeans.k", 8))),
+      k = graft.plans.Autosize.kmeansConf(s, d))),
     "q240_pq_topk"  -> ((s, d) => pqTopK(Tables(s, d).embeddings)),
     "q245_class_separability" -> ((s, d) => classSeparability(Tables(s, d).embeddings)),
     "q266_kcenter_coreset" -> ((s, d) => kCenterCoreset(Tables(s, d).embeddings)),

@@ -98,9 +98,13 @@ object EntityGraph extends QueryModule {
     // termination is STRUCTURAL (anc div 4 strictly decreases to 0, ≤32
     // levels for int64 keys), so the depth guard
     // (spark.sql.cteRecursionLevelLimit, default 100) is the right one
-    // and the row cap is lifted. Session conf: must stay set until the
-    // returned frame executes.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    // and the row cap is lifted FOR THIS QUERY ONLY: the recursion is
+    // forced eagerly (localCheckpoint — ≤15 rows after the LIMIT) inside
+    // a save/restore of the prior limit, so later recursive CTEs on the
+    // shared session keep their own guardrail.
+    val limitKey = "spark.sql.cteRecursionRowLimit"
+    val prior = spark.conf.getOption(limitKey)
+    spark.conf.set(limitKey, "-1")
     val view = "eg_part_hier"
     part.select(col("p_partkey"), col("p_retailprice")).createOrReplaceTempView(view)
     try spark.sql(
@@ -114,7 +118,15 @@ object EntityGraph extends QueryModule {
          |FROM anc a JOIN $view p ON p.p_partkey = a.node
          |GROUP BY a.anc
          |ORDER BY n_members DESC, ancestor LIMIT 15""".stripMargin)
-    finally spark.catalog.dropTempView(view) // plan is analyzed eagerly; safe
+      .localCheckpoint() // eager: recursion runs NOW, under the lifted cap
+      .orderBy(col("n_members").desc, col("ancestor")) // checkpoint keeps rows, not order
+    finally {
+      spark.catalog.dropTempView(view)
+      prior match {
+        case Some(v) => spark.conf.set(limitKey, v)
+        case None    => spark.conf.unset(limitKey)
+      }
+    }
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -454,7 +454,11 @@ object NonSqlOps extends QueryModule {
     "q321_image_whash" -> ((s, d) => imageWHashGroups(Tables(s, d).documents)),
     "q52_simhash_buckets" -> ((s, d) => simhashBuckets(Tables(s, d).documents)),
     "q97_image_ahash"     -> ((s, d) => imageAHashGroups(Tables(s, d).documents)),
-    "q98_simhash_pairs"   -> ((s, d) => simhashHammingPairs(Tables(s, d).documents)),
+    // pigeonhole recall is EXACT for every valid (nBlocks, maxHamming),
+    // so the autosize flip to (8,3) past 10⁶ docs (40-bit keys) changes
+    // the PLAN only — output pairs are identical by theorem (spec'd)
+    "q98_simhash_pairs"   -> ((s, d) => simhashHammingPairs(Tables(s, d).documents,
+      nBlocks = graft.plans.Autosize.simhashConf(s, d))),
     "q103_audio_frames"   -> ((s, d) => audioFrameFeatures(Tables(s, d).documents)),
     "q304_audio_zcr"      -> ((s, d) => audioZeroCrossings(Tables(s, d).documents)),
     "q53_winnow_stats"    -> ((s, d) => winnowStats(Tables(s, d).documents)),

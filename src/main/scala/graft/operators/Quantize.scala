@@ -117,8 +117,11 @@ object Quantize extends QueryModule {
     * partials — the shuffle carries (dim, moments) rows, never the
     * exploded stream. Moment SUMS go through decimal(38,0) (HUGEINT in
     * the oracle): a BIGINT suu wraps past ~10^6 vectors × |v|≈1 — the
-    * sf1 scale sweep hit exactly that. Per-element u*u stays long
-    * (exact up to |v| ≤ 3037 — far above any unit-ish embedding).
+    * sf1 scale sweep hit exactly that. The square itself is taken AFTER
+    * widening (decimal × long), so a |v| > ~3037 element is exact too —
+    * an int64 u*u would wrap silently per-element while the HUGEINT
+    * oracle stayed exact, an asymmetric corruption just past the
+    * envelope.
     */
   def embeddingDimHealth(embeddings: DataFrame,
                          vecCol: String = "embedding"): DataFrame = {
@@ -129,7 +132,7 @@ object Quantize extends QueryModule {
     e.groupBy("dim").agg(
         count(lit(1)).as("n"),
         sum(expr("CAST(u AS DECIMAL(38,0))")).as("su"),
-        sum(expr("CAST(u * u AS DECIMAL(38,0))")).as("suu"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("suu"),
         min("u").as("minu"), max("u").as("maxu"),
         sum(when(col("u") === 0L, 1L).otherwise(0L)).as("n_zero"))
       .select(col("dim"), col("n"),
@@ -473,7 +476,7 @@ object Quantize extends QueryModule {
         |           FROM embeddings),
         |u AS (SELECT dim, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS u FROM e),
         |m AS (SELECT dim, count(*)::BIGINT AS n, sum(u)::HUGEINT AS su,
-        |             sum(u * u)::HUGEINT AS suu, min(u) AS minu, max(u) AS maxu,
+        |             sum(u::HUGEINT * u) AS suu, min(u) AS minu, max(u) AS maxu,
         |             sum(CASE WHEN u = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
         |      FROM u GROUP BY dim)
         |SELECT CAST(dim AS INT) AS dim, n,

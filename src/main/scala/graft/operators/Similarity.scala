@@ -322,8 +322,14 @@ object Similarity extends QueryModule {
   }
 
   def srpNearDupPairs(vectors: DataFrame, bands: Int = 8, bitsPerBand: Int = 8,
-                      dim: Int = 64, threshold: Double = 0.98,
+                      threshold: Double = 0.98,
                       sorted: Boolean = true): DataFrame = {
+    // plane width from the DATA (one-row bounded probe): the md5 plane
+    // matrix is prefix-stable in dim, so for narrower vectors this is
+    // value-identical to any wider hard-coded width (evalVec truncates
+    // the fold), and for wider vectors it stops silently ignoring the
+    // tail dimensions (the q305 finding)
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
     val cands = srpCandidatePairs(vectors, bands, bitsPerBand, dim)
     val e = vectors.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("norm"))
@@ -512,13 +518,22 @@ object Similarity extends QueryModule {
     // dot against it overflows int64 at scale (the sf1 sweep hit this);
     // the mean keeps query coordinates in micro-units like the vectors
     // and cosine is scale-invariant. The +10⁶ shift before the div keeps
-    // the dividend non-negative so Spark div == DuckDB // == floor.
-    val qArr = embeddings.filter(col("label") === 0)
+    // the dividend non-negative so Spark div == DuckDB // == floor —
+    // which only holds while every coordinate is ≥ −1.0 (xq ≥ −10⁶), so
+    // the same bounded aggregate carries min(xq) and the envelope is
+    // ENFORCED, not assumed: outside it Spark's truncating div would
+    // silently diverge from the oracle's floor.
+    val qAgg = embeddings.filter(col("label") === 0)
       .select(posexplode(expr(quant)).as(Seq("i", "xq")))
       .groupBy("i").agg(
         expr("(sum(cast(xq + 1000000 as decimal(38,0))) div count(*)) - 1000000")
-          .cast("long").as("qq"))
-      .orderBy("i").select("qq").as[Long].collect()       // one row per dim
+          .cast("long").as("qq"),
+        min(col("xq")).as("min_xq"))
+      .orderBy("i").select("qq", "min_xq").as[(Long, Long)].collect() // one row per dim
+    require(qAgg.forall(_._2 >= -1000000L),
+      s"mmrRerank query-mean shift assumes coordinates >= -1.0; min micro-unit was " +
+        s"${qAgg.map(_._2).min} — rescale the embeddings or widen the shift")
+    val qArr = qAgg.map(_._1)
     val nq = qArr.map(q => q * q).sum                      // exact int64
     val qLit = typedlit(qArr.toSeq)
     val cand = embeddings
@@ -585,8 +600,7 @@ object Similarity extends QueryModule {
     * the candidate set.
     */
   def marginMining(embeddings: DataFrame, k: Int = 4, topN: Int = 20,
-                   srpBands: Int = 0, srpBits: Int = 8,
-                   dim: Int = 64): DataFrame = {
+                   srpBands: Int = 0, srpBits: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def side(label: Int, idName: String, vName: String) =
       embeddings.filter(col("label") === label)
@@ -605,6 +619,11 @@ object Similarity extends QueryModule {
     val pairs =
       if (srpBands <= 0) dotPairs(a.crossJoin(broadcast(b)))
       else {
+        // plane dimensionality comes from the DATA (one-row bounded
+        // probe, the MakeScale device) — a hard-coded width on
+        // differently-sized embeddings would silently produce wrong
+        // band keys and degraded recall with no error
+        val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
         val planes = graft.functions.SrpBandKeys.planes(srpBands * srpBits, dim)
         def keys(label: Int, idName: String) =
           embeddings.filter(col("label") === label)
@@ -636,12 +655,13 @@ object Similarity extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // setting spark.graft.margin.bands switches candidate generation to
     // bipartite SRP blocking with that many bands (collision law
-    // |A|·|B|/2^bits); unset = exact brute A×B, oracle-pinned
-    "q305_margin_mining" -> ((s, d) => marginMining(Tables(s, d).embeddings,
-      srpBands = s.conf.getOption("spark.graft.margin.bands")
-        .map(_ => graft.plans.Rounds.posInt(s, "spark.graft.margin.bands", 8))
-        .getOrElse(0),
-      srpBits = graft.plans.Rounds.posInt(s, "spark.graft.srp.bits", 8))),
+    // |A|·|B|/2^bits); unset = exact brute A×B, oracle-pinned — unless
+    // spark.graft.autosize is on, which flips to blocked mode past
+    // |A|·|B| = 2·10⁷ candidate dots (Autosize.marginShouldBlock)
+    "q305_margin_mining" -> ((s, d) => {
+      val (bands, bits) = graft.plans.Autosize.marginConf(s, d)
+      marginMining(Tables(s, d).embeddings, srpBands = bands, srpBits = bits)
+    }),
     "q285_mmr_rerank" -> ((s, d) => mmrRerank(Tables(s, d).embeddings)),
     "q166_cluster_ari" -> ((s, d) => clusterLabelAgreement(Tables(s, d).embeddings)),
     "q102_hybrid_retrieval" -> ((s, d) =>
@@ -656,16 +676,19 @@ object Similarity extends QueryModule {
     "q126_density_outliers" -> ((s, d) => densityOutliers(Tables(s, d).embeddings)),
     "q131_class_balance"   -> ((s, d) => classBalance(Tables(s, d).embeddings)),
     // bitsPerBand is SRP's size knob: random-pair collisions (and so the
-    // verify-join volume) scale as n²/2^bits, so bits must grow ~2·log₂n
-    // with the corpus — the sf1 scale sweep measured 16× on 10× data at
-    // the pinned default 8, and ~linear at bits=16 (SCALE.md). Defaults
-    // oracle-pinned; a non-default width is a deliberate recall choice.
-    "q76_srp_neardup"  -> ((s, d) => srpNearDupReport(Tables(s, d).embeddings,
-      bands = graft.plans.Rounds.posInt(s, "spark.graft.srp.bands", 8),
-      bitsPerBand = graft.plans.Rounds.posInt(s, "spark.graft.srp.bits", 8))),
-    "q84_srp_clusters" -> ((s, d) => srpNearDupClusterReport(Tables(s, d).embeddings,
-      bands = graft.plans.Rounds.posInt(s, "spark.graft.srp.bands", 8),
-      bitsPerBand = graft.plans.Rounds.posInt(s, "spark.graft.srp.bits", 8))),
+    // verify-join volume) scale as n²/2^bits — the sf1 scale sweep
+    // measured 16× on 10× data at the pinned default 8, and ~linear at
+    // bits=16 (SCALE.md). Defaults oracle-pinned; explicit conf wins;
+    // spark.graft.autosize derives bits = ⌈log₂ n⌉ + 2 from the corpus
+    // so the OUT-OF-THE-BOX production plan stays linear at any size.
+    "q76_srp_neardup"  -> ((s, d) => {
+      val (bands, bits) = graft.plans.Autosize.srpConf(s, d)
+      srpNearDupReport(Tables(s, d).embeddings, bands = bands, bitsPerBand = bits)
+    }),
+    "q84_srp_clusters" -> ((s, d) => {
+      val (bands, bits) = graft.plans.Autosize.srpConf(s, d)
+      srpNearDupClusterReport(Tables(s, d).embeddings, bands = bands, bitsPerBand = bits)
+    }),
   )
 
   /** q285 oracle: the greedy MMR selection unrolled into one CTE per

@@ -229,29 +229,93 @@ object IngestStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("n"), col("x"))
 
-  /** q341's streaming twin, wired: finalized day rows accumulate in a
-    * driver-side map (BOUNDED: one (day → n, x) entry per calendar day,
-    * idempotent under micro-batch replay) and every update refolds the
+  /** Durable driver-side monitor state: the tiny cumulative
+    * (key → (a, b)) map the SPRT/PSI monitors fold lives OUTSIDE the
+    * streaming checkpoint, so a restarted query would resume its source
+    * offsets while the monitor silently forgot its history — the
+    * crash-resume hole the round-11 spec exercises. Persisted as one
+    * TSV (header = last applied batchId) rewritten atomically
+    * (tmp + ATOMIC_MOVE) per micro-batch, reloaded on monitor start.
+    * The batchId guard makes replayed micro-batches (foreachBatch is
+    * at-least-once) idempotent even for ADDITIVE merges like PSI's.
+    * `stateDir = None` keeps the pre-round-11 in-memory behavior.
+    */
+  private[streaming] final class MonitorState(stateDir: Option[String]) {
+    val map = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    private var lastBatch = -1L
+    private def file = stateDir.map(d => java.nio.file.Paths.get(d, "monitor_state.tsv"))
+    file.filter(java.nio.file.Files.exists(_)).foreach { f =>
+      val lines = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(f)).asScala
+      lines.headOption.foreach(h => lastBatch = h.stripPrefix("#batch\t").toLong)
+      lines.drop(1).foreach { l =>
+        val Array(k, a, b) = l.split("\t", 3)
+        map(k) = (a.toLong, b.toLong)
+      }
+    }
+    def alreadyApplied(batchId: Long): Boolean = batchId <= lastBatch
+    def commit(batchId: Long): Unit = {
+      lastBatch = batchId
+      file.foreach { f =>
+        java.nio.file.Files.createDirectories(f.getParent)
+        val tmp = f.resolveSibling("monitor_state.tsv.tmp")
+        val body = (s"#batch\t$lastBatch" +:
+          map.toSeq.sortBy(_._1).map { case (k, (a, b)) => s"$k\t$a\t$b" })
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** Monitor durability wiring: an explicit `stateDir` wins; otherwise
+    * the session's `spark.graft.checkpointDir` (the same knob that
+    * upgrades batch lineage cuts to reliable checkpoints) gives each
+    * monitor a `<base>/streaming/<name>` home. When a dir resolves, the
+    * streaming query ALSO gets its checkpointLocation under it, so
+    * source offsets, window state, and the driver-side monitor map all
+    * restart together. No dir (the pre-round-11 default) = in-memory
+    * monitor + sink-managed checkpoint, the throwaway-session shape.
+    */
+  private def resolveMonitorDir(spark: SparkSession, stateDir: Option[String],
+                                name: String): Option[String] =
+    stateDir.orElse(spark.conf.getOption(graft.plans.Checkpoints.DirConf)
+      .map(b => s"$b/streaming/$name"))
+
+  private def withCheckpoint(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+                             dir: Option[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    dir.map(d => w.option("checkpointLocation", s"$d/ckpt")).getOrElse(w)
+
+  /** q341's streaming twin, wired: finalized day rows accumulate in the
+    * (durable, batch-idempotent) [[MonitorState]] map — one
+    * (day → n, x) entry per calendar day — and every update refolds the
     * SPRT decision table through the SAME finisher the batch monitor
     * uses ([[graft.operators.RoundNineOps.sprtFromDays]]) — the q57/q101
     * batch==stream parity contract as code sharing, proven row-for-row
-    * in IngestStreamSpec.
+    * in IngestStreamSpec; crash-resume proven by the restart spec.
     */
-  def startSprtMonitor(events: DataFrame, watermark: String = "1 day")
+  def startSprtMonitor(events: DataFrame, watermark: String = "1 day",
+                       stateDir: Option[String] = None)
                       (onDecision: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val days = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    sprtDayStream(events, watermark)
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    val dir = resolveMonitorDir(events.sparkSession, stateDir, "sprt_monitor")
+    val st = new MonitorState(dir)
+    withCheckpoint(sprtDayStream(events, watermark)
+      .writeStream.outputMode("append"), dir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         // ≤ a-few-rows collect: append mode emits only newly-finalized
         // calendar days, never the event stream
-        batch.collect().foreach(r =>
-          days(r.getString(0)) = (r.getLong(1), r.getLong(2)))
-        if (days.nonEmpty)
+        if (!st.alreadyApplied(batchId)) {
+          batch.collect().foreach(r =>
+            st.map(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+          st.commit(batchId)
+        }
+        if (st.map.nonEmpty)
           onDecision(graft.operators.RoundNineOps.sprtFromDays(
-            days.toSeq.map { case (d, (n, x)) => (d, n, x) }
+            st.map.toSeq.map { case (d, (n, x)) => (d, n, x) }
               .toDF("day", "n", "x")))
         ()
       }.start()
@@ -268,22 +332,31 @@ object IngestStream {
     * forever — what a daily vector-drift monitor can afford at any
     * corpus rate.
     */
-  def startPsiMonitor(embeddings: DataFrame, projs: Int = 6)
+  def startPsiMonitor(embeddings: DataFrame, projs: Int = 6,
+                      stateDir: Option[String] = None)
                      (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val cells = scala.collection.mutable.Map.empty[Long, (Long, Long)]
-    embeddings
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    val dir = resolveMonitorDir(embeddings.sparkSession, stateDir, "psi_monitor")
+    val st = new MonitorState(dir)
+    withCheckpoint(embeddings
+      .writeStream.outputMode("append"), dir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        graft.operators.RoundNineOps.psiBucketCells(batch, projs)
-          .collect().foreach { r =>
-            val (pr, pc) = cells.getOrElse(r.getLong(0), (0L, 0L))
-            cells(r.getLong(0)) = (pr + r.getLong(1), pc + r.getLong(2))
-          }
-        if (cells.nonEmpty)
+        // PSI's merge is ADDITIVE, so the MonitorState batchId guard is
+        // load-bearing here: a replayed micro-batch after a crash would
+        // otherwise double-count its cells
+        if (!st.alreadyApplied(batchId)) {
+          graft.operators.RoundNineOps.psiBucketCells(batch, projs)
+            .collect().foreach { r =>
+              val k = r.getLong(0).toString
+              val (pr, pc) = st.map.getOrElse(k, (0L, 0L))
+              st.map(k) = (pr + r.getLong(1), pc + r.getLong(2))
+            }
+          st.commit(batchId)
+        }
+        if (st.map.nonEmpty)
           onUpdate(graft.operators.RoundNineOps.psiFromCells(
-            cells.toSeq.map { case (b, (nr, nc)) => (b, nr, nc) }
+            st.map.toSeq.map { case (b, (nr, nc)) => (b.toLong, nr, nc) }
               .toDF("bucket", "n_ref", "n_cur")))
         ()
       }.start()

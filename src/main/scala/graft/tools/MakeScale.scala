@@ -40,10 +40,37 @@ import org.apache.spark.sql.functions._
 object MakeScale {
   val Stride = 1000000000L
 
+  /** Skew-mode constants (args(3) == "skew"): the three hot shapes the
+    * round-10 uniform sweep never exercised, at the verdict's sizes.
+    *  - HOT JOIN KEY: customer 0 owns every 5th order (~20% of the fact
+    *    side) and part 0 rides every 5th order's line items — one
+    *    zipf-hot equi-join key for AQE's skew splitter AND a co-purchase
+    *    hub whose degree approaches the whole part dictionary (the
+    *    degree-ordered triangle orientation must absorb it).
+    *  - HOT STREAM KEY: user 0 owns every 5th event — one window/session
+    *    partition carrying 20% of all events.
+    *  - HOT LSH BUCKET: a 10⁴-member TRUE near-dup clique appended to
+    *    embeddings (base = vec 0, dim-0 nudges j·10⁻⁵ keep every pair at
+    *    cos ≥ 0.995) — every SRP band funnels the clique into one
+    *    bucket, and the Θ(clique²) candidate set is the CORRECT output,
+    *    so this measures the engine's worst bucket, not a data artifact.
+    *    documents get the text twin at 10³ members (identical text ⇒ one
+    *    MinHash/SimHash bucket; 10³ keeps the quadratic-output family's
+    *    wall-clock inside a sweep budget while still 100× the organic
+    *    bucket size).
+    * Ids sit above every uniform copy's stride range and above the
+    * in-plan planted-id offsets.
+    */
+  val CliqueVecs = 10000
+  val CliqueDocs = 1000
+  val CliqueVecBase = 20000000000L
+  val CliqueDocBase = 30000000000L
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,13 +83,18 @@ object MakeScale {
 
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
 
-    /** Union `copies` transformed replicas; copy 0 is the original. */
-    def blowUp(t: String)(tf: (DataFrame, Int) => DataFrame): Unit = {
+    /** Union `copies` transformed replicas; copy 0 is the original.
+      * `post` reshapes the unioned frame (skew-mode hot keys/cliques).
+      */
+    def blowUp(t: String, post: DataFrame => DataFrame = identity)
+              (tf: (DataFrame, Int) => DataFrame): Unit = {
       val base = src(t)
-      val all = (0 until copies).map(i => tf(base, i)).reduce(_ unionByName _)
+      val all = post((0 until copies).map(i => tf(base, i)).reduce(_ unionByName _))
       all.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      println(s"[make-scale] $t -> ${copies}x")
+      println(s"[make-scale] $t -> ${copies}x" + (if (skew) " (skewed)" else ""))
     }
+    def ifSkew(f: DataFrame => DataFrame): DataFrame => DataFrame =
+      if (skew) f else identity
 
     def shift(df: DataFrame, i: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Stride)))
@@ -75,10 +107,24 @@ object MakeScale {
     blowUp("customer")((d, i) => shift(d, i, "c_custkey"))
     blowUp("supplier")((d, i) => shift(d, i, "s_suppkey"))
     blowUp("part")((d, i) => shift(d, i, "p_partkey"))
-    blowUp("orders")((d, i) => shift(d, i, "o_orderkey", "o_custkey"))
-    blowUp("lineitem")((d, i) => shift(d, i, "l_orderkey", "l_partkey", "l_suppkey"))
-    blowUp("events")((d, i) => shift(d, i, "event_id", "user_id"))
-    blowUp("documents") { (d, i) =>
+    blowUp("orders", ifSkew(_.withColumn("o_custkey",
+      when(col("o_orderkey") % 5 === 0, lit(0L)).otherwise(col("o_custkey")))))(
+      (d, i) => shift(d, i, "o_orderkey", "o_custkey"))
+    blowUp("lineitem", ifSkew(_.withColumn("l_partkey",
+      when(col("l_orderkey") % 5 === 0, lit(0L)).otherwise(col("l_partkey")))))(
+      (d, i) => shift(d, i, "l_orderkey", "l_partkey", "l_suppkey"))
+    blowUp("events", ifSkew(_.withColumn("user_id",
+      when(col("event_id") % 5 === 0, lit(0L)).otherwise(col("user_id")))))(
+      (d, i) => shift(d, i, "event_id", "user_id"))
+    blowUp("documents", ifSkew { df =>
+      // clique = CliqueDocs verbatim replicas of doc 0 (identical text ⇒
+      // identical shingles/signature ⇒ ONE MinHash/SimHash bucket) under
+      // fresh ids; lang/source/n_chars ride along so no column goes null
+      val base = broadcast(src("documents").filter(col("doc_id") === 0).drop("doc_id"))
+      val clique = spark.range(CliqueDocs.toLong).crossJoin(base)
+        .withColumn("doc_id", col("id") + lit(CliqueDocBase)).drop("id")
+      df.unionByName(clique.select(df.columns.map(col).toIndexedSeq: _*))
+    }) { (d, i) =>
       val shifted = shift(d, i, "doc_id")
       if (i == 0) shifted
       else shifted
@@ -88,7 +134,19 @@ object MakeScale {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     val dim = src("embeddings").selectExpr("size(embedding) AS d").head().getInt(0)
-    blowUp("embeddings") { (d, i) =>
+    blowUp("embeddings", ifSkew { df =>
+      // clique = CliqueVecs TRUE near-duplicates of vec 0 (dim-0 nudged
+      // by (j+1)·10⁻⁵ — distinct vectors, every pair at cos ≥ ~0.995 for
+      // unit-ish bases): all SRP bands funnel them into one bucket — the
+      // hot-LSH-bucket shape. label rides along from the base row.
+      val base = broadcast(src("embeddings").filter(col("vec_id") === 0).drop("vec_id"))
+      val clique = spark.range(CliqueVecs.toLong).crossJoin(base)
+        .withColumn("vec_id", col("id") + lit(CliqueVecBase))
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> IF(i = 0, CAST(x + (id + 1) * CAST(1e-5 AS DOUBLE) AS FLOAT), x))"))
+        .drop("id")
+      df.unionByName(clique.select(df.columns.map(col).toIndexedSeq: _*))
+    }) { (d, i) =>
       val shifted = shift(d, i, "vec_id")
       if (i == 0) shifted
       else {

@@ -146,7 +146,7 @@ class ScaleHeadroomSpec extends SparkSpec {
     val sideB = (0 until 12).map(i => (100L + i, 1L, mk(i + 20))) :+
       ((200L, 1L, mk(3)))                                 // twin of A's id 3
     val emb = (sideA ++ sideB).toDF("vec_id", "label", "embedding")
-    val blocked = Similarity.marginMining(emb, srpBands = 6, srpBits = 6, dim = 32)
+    val blocked = Similarity.marginMining(emb, srpBands = 6, srpBits = 6)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(blocked.head == (3L, 200L),
       s"twin must rank first in the blocked path, got ${blocked.take(3).toSeq}")

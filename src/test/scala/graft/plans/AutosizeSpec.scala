@@ -1,0 +1,120 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The autosize contract (round-11): `spark.graft.autosize=true` derives
+  * every model-size knob from the corpus, explicit conf always wins, and
+  * — the part that makes it safe to ship on — RECALL of the planted true
+  * near-duplicates survives the derived widths. Oracle runs set nothing,
+  * so every pinned default (and hash) is untouched; asserted here too.
+  */
+class AutosizeSpec extends SparkSpec {
+
+  private val dir = sf("")
+
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("laws reproduce the slope-sweep calibration points") {
+    // SRP width: 2^bits ≈ 4n — lands on the measured-linear widths
+    // (sf0.1 n=2000 → 13; 10× n=20000 → 17 ≈ measured 16; 30× n=60000
+    // → 18 = measured 18), never below the oracle default, capped at 30
+    assert(Autosize.ceilLog2(1L) == 0 && Autosize.ceilLog2(2L) == 1 &&
+      Autosize.ceilLog2(2048L) == 11 && Autosize.ceilLog2(2049L) == 12)
+    assert(Autosize.srpBitsLaw(500L) == 11)
+    assert(Autosize.srpBitsLaw(2000L) == 13)
+    assert(Autosize.srpBitsLaw(20000L) == 17)
+    assert(Autosize.srpBitsLaw(60000L) == 18)
+    assert(Autosize.srpBitsLaw(10L) == 8, "floor = oracle default")
+    assert(Autosize.srpBitsLaw(Long.MaxValue / 2) == 30, "cap")
+    // k-means k: per-cluster pinned at 250 (the sf0.1 default's ratio)
+    assert(Autosize.kmeansKLaw(2000L) == 8)
+    assert(Autosize.kmeansKLaw(20000L) == 80)
+    assert(Autosize.kmeansKLaw(60000L) == 240)
+    assert(Autosize.kmeansKLaw(100L) == 8, "floor = oracle default")
+    // simhash blocks: (4,3) to 10⁶ docs, (8,3) past
+    assert(Autosize.simhashBlocksLaw(1000000L) == 4)
+    assert(Autosize.simhashBlocksLaw(1000001L) == 8)
+    // margin mode: brute below 10⁶ dots, blocked above (no i64 overflow)
+    assert(!Autosize.marginShouldBlock(1000L, 1000L))
+    assert(Autosize.marginShouldBlock(1001L, 1000L))
+    assert(Autosize.marginShouldBlock(Long.MaxValue, Long.MaxValue))
+  }
+
+  test("precedence: explicit conf > autosize law > pinned default") {
+    // off + unset → pinned defaults
+    assert(Autosize.srpConf(spark, dir) == ((8, 8)))
+    assert(Autosize.kmeansConf(spark, dir) == 8)
+    assert(Autosize.simhashConf(spark, dir) == 4)
+    assert(Autosize.marginConf(spark, dir) == ((0, 8)), "brute mode by default")
+    // autosize on → derived from the sf0.001 corpus (500 embeddings)
+    withConf(Autosize.Key -> "true") {
+      assert(Autosize.srpConf(spark, dir) == ((8, 11)))
+      assert(Autosize.kmeansConf(spark, dir) == 8, "law floors at the default")
+      assert(Autosize.simhashConf(spark, dir) == 4, "500 docs ≪ 10⁶")
+      assert(Autosize.marginConf(spark, dir)._1 == 0,
+        "sf0.001 sides are far below the brute cap — stays exact")
+    }
+    // explicit knob beats autosize
+    withConf(Autosize.Key -> "true", "spark.graft.srp.bits" -> "16") {
+      assert(Autosize.srpConf(spark, dir) == ((8, 16)))
+    }
+    withConf("spark.graft.kmeans.k" -> "3") {
+      assert(Autosize.kmeansConf(spark, dir) == 3)
+    }
+    withConf(Autosize.Key -> "true", "spark.graft.margin.bands" -> "6") {
+      assert(Autosize.marginConf(spark, dir)._1 == 6)
+    }
+  }
+
+  test("q76/q84 planted recall survives the autosized SRP width") {
+    import spark.implicits._
+    withConf(Autosize.Key -> "true") {
+      val nVecs = graft.Tables(spark, dir).embeddings.count()
+      val pairs = graft.SparkEntry.queries("q76_srp_neardup")(spark, dir)
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      val planted = (0L until nVecs by 10).map(i => (i, i + 10000000L)).toSet
+      assert(planted.subsetOf(pairs),
+        s"autosized width lost planted pairs: ${planted -- pairs}")
+      val clusters = graft.SparkEntry.queries("q84_srp_clusters")(spark, dir)
+        .as[(Long, Long, String)].collect()
+      assert(clusters.length == (nVecs / 10).toInt)
+      clusters.foreach { case (cid, n, members) =>
+        val expected =
+          if (cid % 20 == 0) Seq(cid, cid + 10000000L, cid + 20000000L)
+          else Seq(cid, cid + 10000000L)
+        assert(n == expected.length && members == expected.mkString(","),
+          s"cluster $cid degraded under autosize")
+      }
+    }
+  }
+
+  test("q98 output is invariant to the autosize block flip (pigeonhole exactness)") {
+    val docs = graft.Tables(spark, dir).documents
+    val narrow = graft.operators.NonSqlOps.simhashHammingPairs(docs, nBlocks = 4)
+      .collect().map(_.toSeq).toSeq
+    val wide = graft.operators.NonSqlOps.simhashHammingPairs(docs, nBlocks = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(narrow == wide, "(4,3) and (8,3) must emit identical exact pairs")
+  }
+
+  test("q305/q177 results at oracle scale are unchanged by autosize=true") {
+    // below every flip threshold the autosize path must be a no-op —
+    // the guarantee that lets a production session leave the flag on
+    val defMargin = graft.SparkEntry.queries("q305_margin_mining")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val defSem = graft.SparkEntry.queries("q177_semdedup")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    withConf(Autosize.Key -> "true") {
+      val m = graft.SparkEntry.queries("q305_margin_mining")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val s = graft.SparkEntry.queries("q177_semdedup")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(m == defMargin)
+      assert(s == defSem)
+    }
+  }
+}

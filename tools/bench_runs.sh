@@ -1,12 +1,26 @@
 #!/bin/bash
-# Builder-side: two back-to-back full sf0.1 benches (noise-band evidence)
-# followed by the sf1 scale-slope bench. Plain `java` (same opts as
-# build.sbt's forked run) so sbt's build lock stays free for foreground
-# work. Artifacts:
-#   /tmp/bench_full_run{1,2}.json + *_detail  (sf0.1 back-to-back)
-#   target/bench_sf1.json + _detail           (sf1 slope numerator)
+# Builder-side scale-evidence matrix (round 11). Plain `java` (same opts
+# as build.sbt's forked run) so sbt's build lock stays free for
+# foreground work. All builder sweeps run the PRODUCTION config
+# (SPARK_GRAFT_AUTOSIZE=true); the driver's own per-round bench sets
+# nothing and so stays on the oracle-pinned defaults.
+#
+# Stages (skippable via BENCH_STAGES="1 3 5"-style allowlist):
+#   1  sf0.1 x2 back-to-back          -> /tmp/bench_full_run{1,2}.json
+#   2  sf1 uniform (slope numerator)  -> target/bench_sf1.json
+#   3  sf1 SKEWED (hot key/bucket/hub)-> target/bench_skew.json
+#   4  sf1 uniform at -Xmx8g          -> target/bench_sf1_8g.json
+#   5  30x structural subset          -> target/bench_sf3_subset.json
+#
+# Prereqs (MakeScale writes these):
+#   /tmp/graft_sf1       = MakeScale sf0.1 -> 10x uniform
+#   /tmp/graft_sf1_skew  = MakeScale sf0.1 -> 10x skew
+#   /tmp/graft_sf3       = MakeScale sf0.1 -> 30x uniform
 set -u
 cd /root/repo
+STAGES="${BENCH_STAGES:-1 2 3 4 5}"
+has_stage() { case " $STAGES " in *" $1 "*) return 0;; *) return 1;; esac; }
+
 # snapshot the compiled classes: foreground sbt recompiles must not swap
 # class files under a running bench JVM
 rm -rf /tmp/graft_bench_classes
@@ -15,25 +29,60 @@ CP="/tmp/graft_bench_classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 # own warehouse per script run: the shared bucketed graph artifacts must
 # not race foreground test JVMs using ./spark-warehouse
-JAVA="java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.sql.warehouse.dir=/tmp/graft_bench_wh -Dderby.system.home=/tmp/graft_bench_wh -Xmx8g -cp $CP"
+JAVA="java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.sql.warehouse.dir=/tmp/graft_bench_wh -Dderby.system.home=/tmp/graft_bench_wh -cp $CP"
 rm -rf /tmp/graft_bench_wh
+export SPARK_GRAFT_AUTOSIZE=true
 
-echo "=== sf0.1 run 1 ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $JAVA graft.Bench \
-  > /tmp/bench_run1.out 2>/tmp/bench_run1.err
-cp target/bench_full.json /tmp/bench_full_run1.json
-cp target/bench_full_detail.json /tmp/bench_detail_run1.json
+# the ~30 structurally interesting queries (graph, dedup/LSH, similarity,
+# clustering, recursion, heavy text, sessions) for the standing 30x point
+STRUCT30="q100_vocab_stats q117_source_overlap q126_density_outliers q142_triangles q143_pagerank q146_activity_islands q155_ngram_novelty q176_kmeans q177_semdedup q19_text_normalize q205_indexed_dedup q20_dedup_exact q212_hits q216_ppjoin_exact q219_hierarchy_rollup q224_cheapest_paths q232_label_propagation q276_clustering_coef q296_dbscan q305_margin_mining q316_hyperball q326_blocking_quality q33_minhash_signatures q35_lsh_candidates q36_blocked_pairs q52_simhash_buckets q58_neardup_clusters q65_multiband_lsh q70_knn_join q76_srp_neardup q84_srp_clusters q92_neardup_canonical q98_simhash_pairs"
 
-echo "=== sf0.1 run 2 ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $JAVA graft.Bench \
-  > /tmp/bench_run2.out 2>/tmp/bench_run2.err
-cp target/bench_full.json /tmp/bench_full_run2.json
-cp target/bench_full_detail.json /tmp/bench_detail_run2.json
+if has_stage 1; then
+  echo "=== stage 1: sf0.1 run 1 ==="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $JAVA -Xmx8g graft.Bench \
+    > /tmp/bench_run1.out 2>/tmp/bench_run1.err
+  cp target/bench_full.json /tmp/bench_full_run1.json
+  cp target/bench_full_detail.json /tmp/bench_detail_run1.json
+  echo "=== stage 1: sf0.1 run 2 ==="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $JAVA -Xmx8g graft.Bench \
+    > /tmp/bench_run2.out 2>/tmp/bench_run2.err
+  cp target/bench_full.json /tmp/bench_full_run2.json
+  cp target/bench_full_detail.json /tmp/bench_detail_run2.json
+fi
 
-echo "=== sf1 scale run ==="
-SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 \
-SPARK_GRAFT_BENCH_OUT=target/bench_sf1.json \
-SPARK_GRAFT_RETIME_SEC=10 \
-$JAVA -Xmx24g graft.Bench \
-  > /tmp/bench_sf1.out 2>/tmp/bench_sf1.err
+if has_stage 2; then
+  echo "=== stage 2: sf1 uniform ==="
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 \
+  SPARK_GRAFT_BENCH_OUT=target/bench_sf1.json \
+  SPARK_GRAFT_RETIME_SEC=10 SPARK_GRAFT_TIMEOUT_SEC=600 \
+  $JAVA -Xmx24g graft.Bench \
+    > /tmp/bench_sf1.out 2>/tmp/bench_sf1.err
+fi
+
+if has_stage 3; then
+  echo "=== stage 3: sf1 skewed (hot join key / stream key / LSH clique / graph hub) ==="
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf1_skew \
+  SPARK_GRAFT_BENCH_OUT=target/bench_skew.json \
+  SPARK_GRAFT_RETIME_SEC=10 SPARK_GRAFT_TIMEOUT_SEC=600 \
+  $JAVA -Xmx24g graft.Bench \
+    > /tmp/bench_skew.out 2>/tmp/bench_skew.err
+fi
+
+if has_stage 4; then
+  echo "=== stage 4: sf1 uniform, constrained heap (-Xmx8g) ==="
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 \
+  SPARK_GRAFT_BENCH_OUT=target/bench_sf1_8g.json \
+  SPARK_GRAFT_RETIME_SEC=10 SPARK_GRAFT_TIMEOUT_SEC=600 \
+  $JAVA -Xmx8g graft.Bench \
+    > /tmp/bench_sf1_8g.out 2>/tmp/bench_sf1_8g.err
+fi
+
+if has_stage 5; then
+  echo "=== stage 5: 30x structural subset ==="
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf3 \
+  SPARK_GRAFT_BENCH_OUT=target/bench_sf3_subset.json \
+  SPARK_GRAFT_RETIME_SEC=30 SPARK_GRAFT_TIMEOUT_SEC=600 \
+  $JAVA -Xmx24g graft.Bench $STRUCT30 \
+    > /tmp/bench_sf3.out 2>/tmp/bench_sf3.err
+fi
 echo "=== done ==="

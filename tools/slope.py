@@ -14,6 +14,12 @@ Builder-side tooling only — NOT part of the shipped library.
 import json
 import sys
 
+# adjudicated non-defect slopes: queries whose cost is linear in BYTES,
+# not rows (MakeScale's word-suffixing grows chars/row on the blown-up
+# copies), flagged so future sweeps don't re-litigate them (round 10:
+# q19 at 10.9x was exactly this)
+BYTES_LINEAR = {"q19_text_normalize"}
+
 
 def mins(paths):
     out = {}
@@ -39,7 +45,10 @@ def main():
             rows.append((float("inf"), name, b, h, "SENTINEL/MISSING"))
         else:
             r = h / b
-            flag = ">15x" if r > 15 else ("<lin" if r < 10 else "")
+            if name in BYTES_LINEAR:
+                flag = "bytes"
+            else:
+                flag = ">15x" if r > 15 else ("<lin" if r < 10 else "")
             rows.append((r, name, b, h, flag))
     rows.sort(reverse=True)
     print(f"{'ratio':>8}  {'sf0.1':>8}  {'sf1':>8}  flag   query")
