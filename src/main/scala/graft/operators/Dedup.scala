@@ -971,8 +971,13 @@ object Dedup extends QueryModule {
           expr("n_caught * 1000000 div n_true")).as("recall_ppm"),
         when(col("n_candidates") > 0,
           expr("n_caught * 1000000 div n_candidates")).as("precision_ppm"),
+        // the × 10⁹ must happen in DECIMAL: `div 2` yields a LONG, and
+        // long(n(n−1)/2) × 10⁹ wraps past n ≈ 136k docs — the r11 30×
+        // sweep threw ARITHMETIC_OVERFLOW exactly there (sf1's 51k docs
+        // still fit, the derivative-defect class again)
         when(col("nd") > 1,
-          expr("""cast((cast(nd as decimal(38,0)) * (nd - 1) div 2 - n_candidates)
+          expr("""cast(cast(cast(nd as decimal(38,0)) * (nd - 1) div 2 - n_candidates
+                       as decimal(38,0))
                 * 1000000000 div (cast(nd as decimal(38,0)) * (nd - 1) div 2)
                 as bigint)""")).as("reduction_ppb"))
       .orderBy("bands")

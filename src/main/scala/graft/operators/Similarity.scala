@@ -307,30 +307,51 @@ object Similarity extends QueryModule {
     * (id, band) rows — vectors only ride the verify join.
     */
   def srpCandidatePairs(vectors: DataFrame, bands: Int, bitsPerBand: Int,
-                        dim: Int): DataFrame = {
+                        dim: Int, bucketCap: Int = Int.MaxValue): DataFrame = {
     val planes = graft.functions.SrpBandKeys.planes(bands * bitsPerBand, dim)
-    vectors
+    val buckets = vectors
       .select(col("vec_id"),
         posexplode(graft.functions.SrpBandKeys.srpBandKeys(col("embedding"), planes, bitsPerBand)))
       .toDF("vec_id", "band_idx", "band_key")
       .groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(Dedup.PairExpansionExpr)).as("pair"))
+    // oversized-bucket STAR COMPRESSION (CONNECTIVITY consumers only —
+    // q84's clustering; a pair REPORT like q76 must not cap): a bucket
+    // larger than bucketCap is, at an autosized band width, almost
+    // surely one true near-dup clique, and its full expansion is
+    // Θ(k²) rows per band. The star (every member → the bucket's min
+    // id) carries the same CONNECTED COMPONENTS for a true clique —
+    // every member-rep pair is itself a clique pair, so it passes the
+    // exact-cosine verify — at k−1 rows. For a mixed oversized bucket
+    // the star can miss a member-member edge whose rep edges fail
+    // verify (a recall trade the r11 skew sweep measured: 391 s → the
+    // clique run's post-fix number in SCALE.md); default = no cap,
+    // which is what the oracle pins.
+    val expanded =
+      if (bucketCap == Int.MaxValue)
+        buckets.select(explode(expr(Dedup.PairExpansionExpr)).as("pair"))
+      else buckets.select(explode(
+        when(size(col("ids")) <= bucketCap, expr(Dedup.PairExpansionExpr))
+          .otherwise(expr(
+            "transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS l, y AS r))")))
+        .as("pair"))
+    expanded
       .select(col("pair.l").as("left_id"), col("pair.r").as("right_id"))
       .distinct()
   }
 
   def srpNearDupPairs(vectors: DataFrame, bands: Int = 8, bitsPerBand: Int = 8,
                       threshold: Double = 0.98,
-                      sorted: Boolean = true): DataFrame = {
+                      sorted: Boolean = true,
+                      bucketCap: Int = Int.MaxValue): DataFrame = {
     // plane width from the DATA (one-row bounded probe): the md5 plane
     // matrix is prefix-stable in dim, so for narrower vectors this is
     // value-identical to any wider hard-coded width (evalVec truncates
     // the fold), and for wider vectors it stops silently ignoring the
     // tail dimensions (the q305 finding)
     val dim = vectors.select(size(col("embedding"))).head().getInt(0)
-    val cands = srpCandidatePairs(vectors, bands, bitsPerBand, dim)
+    val cands = srpCandidatePairs(vectors, bands, bitsPerBand, dim, bucketCap)
     val e = vectors.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("norm"))
     val pairs = cands
@@ -384,10 +405,12 @@ object Similarity extends QueryModule {
     * edge) — exactly the chain shape near-dup clustering exists for.
     */
   def srpNearDupClusterReport(embeddings: DataFrame,
-                              bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+                              bands: Int = 8, bitsPerBand: Int = 8,
+                              bucketCap: Int = Int.MaxValue): DataFrame = {
     val corpus = plantedCorpus(embeddings,
       Seq((10, 10000000L, 0), (20, 20000000L, 1)))
-    val pairs = srpNearDupPairs(corpus, bands, bitsPerBand, sorted = false)
+    val pairs = srpNearDupPairs(corpus, bands, bitsPerBand, sorted = false,
+        bucketCap = bucketCap)
       .select(col("left_id"), col("right_id"))
     Dedup.connectedComponents(pairs)
       .groupBy(col("label").as("cluster_id"))
@@ -687,7 +710,8 @@ object Similarity extends QueryModule {
     }),
     "q84_srp_clusters" -> ((s, d) => {
       val (bands, bits) = graft.plans.Autosize.srpConf(s, d)
-      srpNearDupClusterReport(Tables(s, d).embeddings, bands = bands, bitsPerBand = bits)
+      srpNearDupClusterReport(Tables(s, d).embeddings, bands = bands,
+        bitsPerBand = bits, bucketCap = graft.plans.Autosize.srpBucketCap(s))
     }),
   )
 

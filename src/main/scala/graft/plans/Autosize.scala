@@ -103,6 +103,18 @@ object Autosize {
     (bands, bits)
   }
 
+  /** Per-bucket expansion cap for CONNECTIVITY consumers of the SRP
+    * banding (q84's clustering — never the q76 pair report): oversized
+    * buckets star-compress to their min-id member, exact for true
+    * near-dup cliques (see Similarity.srpCandidatePairs). Unset +
+    * autosize-off = no cap (oracle-pinned); autosize = 256 — far above
+    * any random-collision bucket at the derived band width, so only
+    * genuine mega-cliques (the skew sweep's 10⁴ clique: 391 s → linear)
+    * take the star path.
+    */
+  def srpBucketCap(spark: SparkSession): Int =
+    knob(spark, "spark.graft.srp.bucketCap", Int.MaxValue)(256)
+
   /** (srpBands, srpBits) for q305 margin mining; srpBands = 0 ⇒ brute. */
   def marginConf(spark: SparkSession, dir: String): (Int, Int) = {
     val explicitBands = spark.conf.getOption("spark.graft.margin.bands")

@@ -128,6 +128,26 @@ class ScaleHeadroomSpec extends SparkSpec {
     assert(planted.subsetOf(wide), s"wide misses ${planted -- wide}")
   }
 
+  /** q326's reduction ratio: n(n−1)/2 × 10⁹ wraps int64 past n ≈ 136k
+    * docs — the r11 30× sweep (150k docs) threw ARITHMETIC_OVERFLOW
+    * while sf1 (51k) still fit. 140k unique-trigram docs (no candidate
+    * pairs, no truth pairs) keep the fixture fast while the ratio math
+    * crosses the ceiling: reduction must come back exactly 10⁹.
+    */
+  test("q326 reduction ratio survives doc counts whose pair-count product wraps int64") {
+    val docs = spark.range(140000L).selectExpr(
+      "id AS doc_id", "concat('u', id, ' v', id, ' w', id) AS text")
+    val n = 140000L
+    assert(BigInt(n) * (n - 1) / 2 * 1000000000L > BigInt(Long.MaxValue),
+      "fixture must exceed int64 in the scaled pair count")
+    val rows = Dedup.blockingQuality(docs).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") == 0L)
+      assert(r.getAs[Long]("reduction_ppb") == 1000000000L)
+    }
+  }
+
   /** q305's bipartite SRP-blocked candidate mode: identical vectors on
     * the two sides share every band key, so the blocked path must
     * surface the planted twin as its top pair — and the exact path's

@@ -101,6 +101,47 @@ class AutosizeSpec extends SparkSpec {
     assert(narrow == wide, "(4,3) and (8,3) must emit identical exact pairs")
   }
 
+  test("oversized-bucket star compression preserves true-clique connectivity (q84 path)") {
+    import spark.implicits._
+    // a 20-member TRUE near-dup clique (dim-0 nudges, every pair at
+    // cos ≥ ~0.999) + 20 near-orthogonal random vectors
+    val base = Array.tabulate(16)(d => math.sin(0.7 * d + 0.3).toFloat)
+    val clique = (0 until 20).map(j => (j.toLong,
+      base.zipWithIndex.map { case (x, d) => if (d == 0) x + j * 1e-4f else x }))
+    val noise = (100 until 120).map { i =>
+      val r = new scala.util.Random(i * 7919 + 3)
+      (i.toLong, Array.fill(16)((r.nextDouble() - 0.5).toFloat))
+    }
+    val corpus = (clique ++ noise).toDF("vec_id", "embedding")
+    def components(cap: Int): Map[Long, Set[Long]] = {
+      val pairs = graft.operators.Similarity
+        .srpNearDupPairs(corpus, sorted = false, bucketCap = cap)
+        .select("left_id", "right_id")
+      graft.operators.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().groupBy(_._2)
+        .map { case (l, m) => l -> m.map(_._1).toSet }
+    }
+    val full = components(Int.MaxValue)
+    val star = components(8)
+    assert(full.values.toSet == star.values.toSet,
+      "star compression must carry the same components for a true clique")
+    assert(full.values.exists(_.size == 20), "the clique must cluster whole")
+    val fullPairs = graft.operators.Similarity
+      .srpNearDupPairs(corpus, sorted = false).count()
+    val starPairs = graft.operators.Similarity
+      .srpNearDupPairs(corpus, sorted = false, bucketCap = 8).count()
+    assert(starPairs < fullPairs,
+      s"star must shrink the candidate set (got $starPairs vs $fullPairs)")
+    // knob resolution: pinned default = no cap; autosize = 256
+    assert(Autosize.srpBucketCap(spark) == Int.MaxValue)
+    withConf(Autosize.Key -> "true") {
+      assert(Autosize.srpBucketCap(spark) == 256)
+    }
+    withConf("spark.graft.srp.bucketCap" -> "64") {
+      assert(Autosize.srpBucketCap(spark) == 64)
+    }
+  }
+
   test("q305/q177 results at oracle scale are unchanged by autosize=true") {
     // below every flip threshold the autosize path must be a no-op —
     // the guarantee that lets a production session leave the flag on
