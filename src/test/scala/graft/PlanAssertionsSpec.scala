@@ -581,6 +581,16 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the grid must never degrade to a row-level task grid:\n$p")
   }
 
+  test("q132 interval join carries the time band in its equi-keys (hot-key shield)") {
+    val p = planText(graft.streaming.IngestStream.errorAttribution(t.events))
+    // the band must ride the JOIN KEYS, not the post-join filter: on
+    // user alone, one hot user degenerates the merge join into a
+    // single-key nested loop (r11 skew sweep: 80 s -> 5.2 s banded)
+    assert(p.contains("err_band") && p.contains("act_band"),
+      s"expected the lookback band in the join keys:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no row-level task grid:\n$p")
+  }
+
   test("multi_pattern_counts stays inside generated code (no codegen fallback)") {
     val df = t.documents.select(graft.functions.MultiPatternCounts.counts(
       col("text"), Seq("the", "batch batch")).as("c"))
