@@ -629,15 +629,32 @@ object Dedup extends QueryModule {
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
       // carry the old label through so convergence is checked against the
       // SAME materialized frame the next round reads — the cut is eager,
-      // so `next` is computed exactly once
-      val next = graft.plans.Checkpoints.cut(
+      // so `prop` is computed exactly once
+      val prop = graft.plans.Checkpoints.cut(
         labels.withColumnRenamed("label", "old")
           .join(fromNeighbors, Seq("id"), "left")
           .select(col("id"), col("old"),
                   least(col("old"), coalesce(col("nlabel"), col("old"))).as("label")),
         None)
+      // POINTER JUMP (path halving): label ← min(label, label(label)).
+      // Neighbor-min alone moves a label one hop per round, so rounds =
+      // component DIAMETER — q296's DBSCAN core graph at sf0.1 is an
+      // eps-chain with diameter > 20 and the capped loop returned an
+      // UNDER-MERGED labeling (caught by the r11 sf0.1 oracle pass).
+      // The jump doubles the lookahead each round → O(log diameter)
+      // rounds, so cap=20 covers diameters past 10⁶. A label is always
+      // the id of a node in the same component (init = self/neighbor
+      // min), so label-of-label stays in-component and the converged
+      // fixpoint — min id per component — is unchanged.
+      val parents = prop.select(col("id").as("pid"), col("label").as("plabel"))
+      val next = graft.plans.Checkpoints.cut(
+        prop.join(parents, prop("label") === parents("pid"), "left")
+          .select(prop("id"), prop("old"),
+            least(prop("label"), coalesce(col("plabel"), prop("label"))).as("label")),
+        None)
       val changed = next.filter(col("label") =!= col("old")).count()
       labels.unpersist(false)
+      prop.unpersist(false)
       labels = next.select("id", "label")
       if (changed == 0L) converged = true else i += 1
     }

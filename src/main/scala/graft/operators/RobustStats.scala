@@ -407,7 +407,16 @@ object RobustStats extends QueryModule {
       .agg(count(lit(1)).as("n_buckets"),
         count(col("last_vq")).as("n_observed"),
         (count(lit(1)) - count(col("last_vq"))).as("n_filled"),
-        expr("round(cast(sum(locf) as double) / cast(count(1) * 1000000 as double), 4)")
+        // the closing mean rounds in EXACT integer arithmetic:
+        // round₄(S/(C·10⁶)) = ⌊(2S + 100C)/(200C)⌋ / 10⁴ for the
+        // non-negative values this stream carries. A double round(x, 4)
+        // here diverged between engines at sf0.1 — the true ratio sat
+        // exactly on a .00005 boundary, Spark rounds the SHORTEST
+        // decimal repr (BigDecimal.valueOf) while DuckDB rounds the raw
+        // binary, so one said .0083 and the other .0082. Integer-exact
+        // HALF_UP on both sides closes the class.
+        expr("""cast((2 * cast(sum(locf) as decimal(38,0)) + 100 * count(1))
+                     div (200 * count(1)) as double) / 10000.0""")
           .as("locf_mean"))
       .orderBy("user_id")
   }
@@ -818,7 +827,8 @@ object RobustStats extends QueryModule {
         |SELECT user_id, count(*)::BIGINT AS n_buckets,
         |       count(last_vq)::BIGINT AS n_observed,
         |       (count(*) - count(last_vq))::BIGINT AS n_filled,
-        |       round(sum(locf)::DOUBLE / (count(*) * 1000000)::DOUBLE, 4) AS locf_mean
+        |       ((2 * sum(locf)::HUGEINT + 100 * count(*))
+        |         // (200 * count(*)))::DOUBLE / 10000.0 AS locf_mean
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     // doubled midranks keep U_t integer; the significance bound is the
     // integer cross-multiplication 6K²·10⁶ ≥ (n³+n²)·⌊ln(40)·10⁶⌋

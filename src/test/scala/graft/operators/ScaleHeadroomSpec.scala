@@ -148,6 +148,41 @@ class ScaleHeadroomSpec extends SparkSpec {
     }
   }
 
+  /** Connected components on a long CHAIN: min-label propagation alone
+    * advances one hop per round, so a diameter-200 path under the
+    * default 20-round cap returned an UNDER-MERGED labeling — exactly
+    * how q296's DBSCAN eps-chain at sf0.1 split one cluster into two
+    * (caught by the r11 sf0.1 oracle pass). Pointer jumping makes
+    * convergence O(log diameter): the same cap must now label the whole
+    * chain 0.
+    */
+  test("connectedComponents converges on a diameter-200 chain within the default cap") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val labels = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 201)
+    assert(labels.values.forall(_ == 0L),
+      s"chain must collapse to min label 0; got ${labels.values.toSet}")
+  }
+
+  /** q282's closing mean at an exact half boundary: value 1/32 is a
+    * clean binary float (vq = 31250, mean = 0.03125 → the 4-decimal
+    * HALF_UP answer is 0.0313). A double round(x, 4) here is
+    * engine-dependent (shortest-repr vs raw-binary rounding — the r11
+    * sf0.1 oracle divergence); the integer-exact formula must give the
+    * decimal HALF_UP answer.
+    */
+  test("q282 locf mean rounds half-up exactly at the .00005 boundary") {
+    import spark.implicits._
+    val ev = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.03125, 1L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val row = RobustStats.resampleLocf(ev).collect()(0)
+    assert(row.getAs[Long]("n_buckets") == 1L)
+    assert(row.getAs[Double]("locf_mean") == 0.0313,
+      s"expected half-up 0.0313, got ${row.getAs[Double]("locf_mean")}")
+  }
+
   /** q305's bipartite SRP-blocked candidate mode: identical vectors on
     * the two sides share every band key, so the blocked path must
     * surface the planted twin as its top pair — and the exact path's
