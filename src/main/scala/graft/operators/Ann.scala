@@ -21,7 +21,6 @@ object Ann {
     * the driver (k × dim floats — tiny); assignments are distributed.
     */
   def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 5): Array[Array[Float]] = {
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     var centroids: Array[Array[Float]] = embeddings
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
@@ -29,6 +28,8 @@ object Ann {
     // fewer vectors than requested cells → train with what exists
     val kEff = centroids.length
     require(kEff > 0, "trainCentroids: embeddings table is empty")
+    // dim from the seed rows already on the driver — no separate probe job
+    val dim = centroids(0).length
     var it = 0
     while (it < iters) {
       val assigned = assignCells(embeddings, centroids)

@@ -414,10 +414,23 @@ object RobustStats extends QueryModule {
         // exactly on a .00005 boundary, Spark rounds the SHORTEST
         // decimal repr (BigDecimal.valueOf) while DuckDB rounds the raw
         // binary, so one said .0083 and the other .0082. Integer-exact
-        // HALF_UP on both sides closes the class.
+        // HALF_UP on both sides closes the class — but only while
+        // sum(locf) ≥ 0: for a NEGATIVE dividend Spark's `div`
+        // truncates where DuckDB's `//` floors, silently reintroducing
+        // the divergence. min(locf) rides the same aggregate and
+        // assert_true turns that assumption into a loud failure (the
+        // q285 min-envelope doctrine, distributed form).
+        min(col("locf")).as("min_locf"),
         expr("""cast((2 * cast(sum(locf) as decimal(38,0)) + 100 * count(1))
                      div (200 * count(1)) as double) / 10000.0""")
-          .as("locf_mean"))
+          .as("locf_mean_raw"))
+      .select(col("user_id"), col("n_buckets"), col("n_observed"), col("n_filled"),
+        coalesce(
+          expr("assert_true(coalesce(min_locf, 0L) >= 0, " +
+            "'q282 locf_mean integer-HALF_UP formula assumes non-negative values; " +
+            "negative sums make Spark div (truncate) diverge from DuckDB // (floor)')")
+            .cast("double"),
+          col("locf_mean_raw")).as("locf_mean"))
       .orderBy("user_id")
   }
 

@@ -349,8 +349,12 @@ object Similarity extends QueryModule {
     // matrix is prefix-stable in dim, so for narrower vectors this is
     // value-identical to any wider hard-coded width (evalVec truncates
     // the fold), and for wider vectors it stops silently ignoring the
-    // tail dimensions (the q305 finding)
-    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    // tail dimensions (the q305 finding). An EMPTY corpus falls back to
+    // a nominal width — any plane set yields the same empty pair frame,
+    // and head() here would throw where the old fixed-dim path returned
+    // empty (the r11 advice regression).
+    val dim = vectors.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(8)
     val cands = srpCandidatePairs(vectors, bands, bitsPerBand, dim, bucketCap)
     val e = vectors.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("norm"))
@@ -645,8 +649,10 @@ object Similarity extends QueryModule {
         // plane dimensionality comes from the DATA (one-row bounded
         // probe, the MakeScale device) — a hard-coded width on
         // differently-sized embeddings would silently produce wrong
-        // band keys and degraded recall with no error
-        val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+        // band keys and degraded recall with no error; empty corpus
+        // falls back to a nominal width (empty candidates either way)
+        val dim = embeddings.select(size(col("embedding"))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(8)
         val planes = graft.functions.SrpBandKeys.planes(srpBands * srpBits, dim)
         def keys(label: Int, idName: String) =
           embeddings.filter(col("label") === label)
@@ -680,7 +686,8 @@ object Similarity extends QueryModule {
     // bipartite SRP blocking with that many bands (collision law
     // |A|·|B|/2^bits); unset = exact brute A×B, oracle-pinned — unless
     // spark.graft.autosize is on, which flips to blocked mode past
-    // |A|·|B| = 2·10⁷ candidate dots (Autosize.marginShouldBlock)
+    // |A|·|B| = 10⁶ candidate dots (Autosize.BruteDotCap — the sf1
+    // calibration point in Autosize's header)
     "q305_margin_mining" -> ((s, d) => {
       val (bands, bits) = graft.plans.Autosize.marginConf(s, d)
       marginMining(Tables(s, d).embeddings, srpBands = bands, srpBits = bits)

@@ -253,38 +253,103 @@ object IngestStream {
     * streaming checkpoint, so a restarted query would resume its source
     * offsets while the monitor silently forgot its history — the
     * crash-resume hole the round-11 spec exercises. Persisted as one
-    * TSV (header = last applied batchId) rewritten atomically
-    * (tmp + ATOMIC_MOVE) per micro-batch, reloaded on monitor start.
-    * The batchId guard makes replayed micro-batches (foreachBatch is
-    * at-least-once) idempotent even for ADDITIVE merges like PSI's.
-    * `stateDir = None` keeps the pre-round-11 in-memory behavior.
+    * TSV rewritten atomically (tmp + overwrite-rename) per micro-batch,
+    * reloaded on monitor start. The batchId guard makes replayed
+    * micro-batches (foreachBatch is at-least-once) idempotent even for
+    * ADDITIVE merges like PSI's. `stateDir = None` keeps the
+    * pre-round-11 in-memory behavior.
+    *
+    * All I/O goes through the Hadoop FileSystem/FileContext API, NOT
+    * java.nio: the dir resolves from the same `spark.graft.checkpointDir`
+    * knob Checkpoints.scala advertises for `hdfs://`/object stores, so
+    * the monitor must speak every scheme the checkpoint does (the r11
+    * one-knob-two-path-stacks finding). `FileContext.rename(OVERWRITE)`
+    * carries the same atomicity contract on HDFS that ATOMIC_MOVE gave
+    * on the local FS (it is what Spark's own HDFSMetadataLog uses).
+    *
+    * The header also records the streaming CHECKPOINT IDENTITY — the
+    * query id Spark mints into `<stateDir>/ckpt/metadata` on first start
+    * and keeps across restarts. Deleting/relocating the checkpoint mints
+    * a new id and replays the source from offset 0 with batch ids
+    * restarting at 0, so state keyed to the old id must reset: a stale
+    * `lastBatch` would otherwise silently drop every early replayed
+    * micro-batch, and a stale map would double-count the replay through
+    * PSI's additive merge.
     */
-  private[streaming] final class MonitorState(stateDir: Option[String]) {
+  private[streaming] final class MonitorState(stateDir: Option[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration) {
+    import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
     val map = scala.collection.mutable.Map.empty[String, (Long, Long)]
     private var lastBatch = -1L
-    private def file = stateDir.map(d => java.nio.file.Paths.get(d, "monitor_state.tsv"))
-    file.filter(java.nio.file.Files.exists(_)).foreach { f =>
-      val lines = scala.jdk.CollectionConverters
-        .ListHasAsScala(java.nio.file.Files.readAllLines(f)).asScala
-      lines.headOption.foreach(h => lastBatch = h.stripPrefix("#batch\t").toLong)
-      lines.drop(1).foreach { l =>
-        val Array(k, a, b) = l.split("\t", 3)
-        map(k) = (a.toLong, b.toLong)
+    private def statePath = stateDir.map(d => new Path(d, "monitor_state.tsv"))
+
+    private def readFully(p: Path): String = {
+      val fs = p.getFileSystem(hadoopConf)
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString("UTF-8")
+      } finally in.close()
+    }
+
+    /** Current checkpoint identity, or None while the query has never
+      * started (Spark writes `ckpt/metadata` = {"id": "<uuid>"} on first
+      * start and preserves it across restarts). Cached once found — the
+      * id is immutable for the life of a checkpoint dir.
+      */
+    private var ckptIdCache: Option[String] = None
+    private def checkpointId: Option[String] = {
+      if (ckptIdCache.isEmpty) ckptIdCache = stateDir.flatMap { d =>
+        val meta = new Path(new Path(d, "ckpt"), "metadata")
+        val fs = meta.getFileSystem(hadoopConf)
+        if (!fs.exists(meta)) None
+        else "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(readFully(meta)).map(_.group(1))
+      }
+      ckptIdCache
+    }
+
+    statePath.foreach { p =>
+      val fs = p.getFileSystem(hadoopConf)
+      if (fs.exists(p)) {
+        val lines = readFully(p).split("\n").toSeq.filter(_.nonEmpty)
+        val savedId = lines.find(_.startsWith("#ckpt\t"))
+          .map(_.stripPrefix("#ckpt\t"))
+        // a recorded identity must match the LIVE checkpoint's; a
+        // missing metadata file means the checkpoint was deleted and the
+        // restarted query will replay from scratch under a fresh id —
+        // either way the saved state belongs to a dead lineage. Legacy
+        // files without a #ckpt line load as before.
+        val lineageAlive = savedId.forall(id => checkpointId.contains(id))
+        if (lineageAlive) {
+          lines.find(_.startsWith("#batch\t"))
+            .foreach(h => lastBatch = h.stripPrefix("#batch\t").toLong)
+          lines.filterNot(_.startsWith("#")).foreach { l =>
+            val Array(k, a, b) = l.split("\t", 3)
+            map(k) = (a.toLong, b.toLong)
+          }
+        }
       }
     }
     def alreadyApplied(batchId: Long): Boolean = batchId <= lastBatch
     def commit(batchId: Long): Unit = {
       lastBatch = batchId
-      file.foreach { f =>
-        java.nio.file.Files.createDirectories(f.getParent)
-        val tmp = f.resolveSibling("monitor_state.tsv.tmp")
-        val body = (s"#batch\t$lastBatch" +:
+      statePath.foreach { p =>
+        val fc = FileContext.getFileContext(p.toUri, hadoopConf)
+        val tmp = new Path(p.getParent, "monitor_state.tsv.tmp")
+        val header = checkpointId.map(id => s"#ckpt\t$id").toSeq :+
+          s"#batch\t$lastBatch"
+        val body = (header ++
           map.toSeq.sortBy(_._1).map { case (k, (a, b)) => s"$k\t$a\t$b" })
           .mkString("", "\n", "\n")
-        java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-        java.nio.file.Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val out = fc.create(tmp,
+          java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+          Options.CreateOpts.createParent())
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        fc.rename(tmp, p, Options.Rename.OVERWRITE)
       }
     }
   }
@@ -319,7 +384,7 @@ object IngestStream {
                        stateDir: Option[String] = None)
                       (onDecision: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val dir = resolveMonitorDir(events.sparkSession, stateDir, "sprt_monitor")
-    val st = new MonitorState(dir)
+    val st = new MonitorState(dir, events.sparkSession.sessionState.newHadoopConf())
     withCheckpoint(sprtDayStream(events, watermark)
       .writeStream.outputMode("append"), dir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -355,7 +420,7 @@ object IngestStream {
                       stateDir: Option[String] = None)
                      (onUpdate: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val dir = resolveMonitorDir(embeddings.sparkSession, stateDir, "psi_monitor")
-    val st = new MonitorState(dir)
+    val st = new MonitorState(dir, embeddings.sparkSession.sessionState.newHadoopConf())
     withCheckpoint(embeddings
       .writeStream.outputMode("append"), dir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -71,6 +71,12 @@ object MakeScale {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
     val skew = args.length > 3 && args(3) == "skew"
+    // the clique id bases clear the uniform stride range only while
+    // copies·Stride stays below them — past that a skew run would
+    // silently collide clique ids with shifted-copy ids (r11 advice)
+    require(!skew || copies.toLong * Stride < CliqueVecBase,
+      s"skew mode: copies=$copies would push shifted ids (copies*Stride=" +
+        s"${copies.toLong * Stride}) into the clique id range ($CliqueVecBase+)")
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -54,11 +54,100 @@ class MonitorResumeSpec extends SparkSpec {
       graft.operators.RoundNineOps.psiBucketCells(all, projs = 4)).collect().toSeq
     assert(resumed == batchRef,
       "restarted monitor must equal the uninterrupted cumulative fold")
-    // durable state artifact exists and recorded the last batch id
+    // durable state artifact exists and recorded the checkpoint
+    // identity + last batch id headers
     val f = java.nio.file.Paths.get(monDir, "monitor_state.tsv")
     assert(java.nio.file.Files.exists(f))
-    assert(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      .startsWith("#batch\t"))
+    val tsv = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    assert(tsv.startsWith("#ckpt\t"), s"missing checkpoint-identity header:\n$tsv")
+    assert(tsv.linesIterator.exists(_.startsWith("#batch\t")))
+  }
+
+  test("psi monitor state dir works scheme-qualified (file:/// through the Hadoop FS stack)") {
+    // the monitor dir resolves from the same spark.graft.checkpointDir
+    // knob Checkpoints markets for hdfs:// — so MonitorState must speak
+    // URI schemes, not just bare java.nio paths (the r11 finding). A
+    // file:/// URI exercises the Hadoop FileSystem/FileContext path end
+    // to end: fs.open/exists on load, FileContext create+OVERWRITE-
+    // rename on commit.
+    val root = java.nio.file.Files.createTempDirectory("graft_psi_uri").toString
+    val srcDir = s"$root/src"
+    val monDir = s"file://$root/mon"
+    def mkVecs(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 1.7 + 0.9 * d).toFloat)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def stream = spark.readStream.schema(schema).parquet(srcDir)
+    val updates = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    def run(): Unit = {
+      val q = IngestStream.startPsiMonitor(stream, projs = 4,
+        stateDir = Some(monDir)) { df => updates += df.collect().toSeq }
+      q.processAllAvailable()
+      q.stop()
+    }
+    mkVecs(0, 30).toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    run()
+    mkVecs(30, 80).toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    run()
+    val batchRef = graft.operators.RoundNineOps.psiFromCells(
+      graft.operators.RoundNineOps.psiBucketCells(
+        mkVecs(0, 80).toDF("vec_id", "embedding"), projs = 4)).collect().toSeq
+    assert(updates.last == batchRef,
+      "scheme-qualified restart must equal the uninterrupted cumulative fold")
+    val f = java.nio.file.Paths.get(s"$root/mon", "monitor_state.tsv")
+    assert(java.nio.file.Files.exists(f),
+      "state TSV must land under the URI's local path")
+  }
+
+  test("deleting the streaming checkpoint resets monitor state (identity guard)") {
+    // checkpoint deleted + monitor TSV kept: the restarted query mints a
+    // NEW query id and replays the source from scratch with batch ids
+    // restarting at 0. Without the #ckpt identity guard the stale
+    // lastBatch silently drops the early replayed micro-batches AND the
+    // stale map double-counts the replay through PSI's additive merge —
+    // either way the final cells diverge from the uninterrupted fold.
+    val root = java.nio.file.Files.createTempDirectory("graft_psi_reset").toString
+    val srcDir = s"$root/src"
+    val monDir = s"$root/mon"
+    def mkVecs(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 1.7 + 0.9 * d).toFloat)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def stream = spark.readStream.schema(schema).parquet(srcDir)
+    val updates = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+    def run(): Unit = {
+      val q = IngestStream.startPsiMonitor(stream, projs = 4,
+        stateDir = Some(monDir)) { df => updates += df.collect().toSeq }
+      q.processAllAvailable()
+      q.stop()
+    }
+    mkVecs(0, 40).toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    run()                                  // first life: id X, batch 0
+    val firstTsv = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(monDir, "monitor_state.tsv")), "UTF-8")
+    // kill the checkpoint, keep the monitor TSV
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(java.nio.file.Paths.get(monDir, "ckpt"))
+    mkVecs(40, 100).toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    run()                                  // second life: fresh id, replays ALL files
+    val batchRef = graft.operators.RoundNineOps.psiFromCells(
+      graft.operators.RoundNineOps.psiBucketCells(
+        mkVecs(0, 100).toDF("vec_id", "embedding"), projs = 4)).collect().toSeq
+    assert(updates.last == batchRef,
+      "post-reset monitor must equal the uninterrupted fold over the full replay")
+    val secondTsv = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(monDir, "monitor_state.tsv")), "UTF-8")
+    def ckptId(tsv: String) = tsv.linesIterator
+      .find(_.startsWith("#ckpt\t")).map(_.stripPrefix("#ckpt\t"))
+    assert(ckptId(firstTsv).isDefined && ckptId(secondTsv).isDefined &&
+      ckptId(firstTsv) != ckptId(secondTsv),
+      "the recorded checkpoint identity must rotate with the checkpoint")
   }
 
   test("sprt monitor restart resumes the finalized-day table and decisions") {

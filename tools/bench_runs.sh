@@ -38,16 +38,23 @@ export SPARK_GRAFT_AUTOSIZE=true
 STRUCT30="q100_vocab_stats q117_source_overlap q126_density_outliers q142_triangles q143_pagerank q146_activity_islands q155_ngram_novelty q176_kmeans q177_semdedup q19_text_normalize q205_indexed_dedup q20_dedup_exact q212_hits q216_ppjoin_exact q219_hierarchy_rollup q224_cheapest_paths q232_label_propagation q276_clustering_coef q296_dbscan q305_margin_mining q316_hyperball q326_blocking_quality q33_minhash_signatures q35_lsh_candidates q36_blocked_pairs q52_simhash_buckets q58_neardup_clusters q65_multiband_lsh q70_knn_join q76_srp_neardup q84_srp_clusters q92_neardup_canonical q98_simhash_pairs"
 
 if has_stage 1; then
+  # own history file: these sf0.1 runs are PRODUCTION config (autosize),
+  # so they must not overwrite target/bench_full.json — the oracle-default
+  # history the driver's full runs read for the 3x noise guard (r11 advice)
   echo "=== stage 1: sf0.1 run 1 ==="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $JAVA -Xmx8g graft.Bench \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_OUT=target/bench_sf01_prod.json \
+  $JAVA -Xmx8g graft.Bench \
     > /tmp/bench_run1.out 2>/tmp/bench_run1.err
-  cp target/bench_full.json /tmp/bench_full_run1.json
-  cp target/bench_full_detail.json /tmp/bench_detail_run1.json
+  cp target/bench_sf01_prod.json /tmp/bench_full_run1.json
+  cp target/bench_sf01_prod_detail.json /tmp/bench_detail_run1.json 2>/dev/null || true
   echo "=== stage 1: sf0.1 run 2 ==="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $JAVA -Xmx8g graft.Bench \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_OUT=target/bench_sf01_prod.json \
+  $JAVA -Xmx8g graft.Bench \
     > /tmp/bench_run2.out 2>/tmp/bench_run2.err
-  cp target/bench_full.json /tmp/bench_full_run2.json
-  cp target/bench_full_detail.json /tmp/bench_detail_run2.json
+  cp target/bench_sf01_prod.json /tmp/bench_full_run2.json
+  cp target/bench_sf01_prod_detail.json /tmp/bench_detail_run2.json 2>/dev/null || true
 fi
 
 if has_stage 2; then
