@@ -731,7 +731,13 @@ object Clustering extends QueryModule {
       looSourceValuation(t.embeddings, t.documents) }),
     "q308_silhouette" -> ((s, d) => silhouetteReport(Tables(s, d).embeddings)),
     "q306_hopkins" -> ((s, d) => hopkinsStatistic(Tables(s, d).embeddings)),
-    "q295_ivfpq_recall" -> ((s, d) => ivfPqRecall(Tables(s, d).embeddings)),
+    // kc (coarse cells) is the IVF size knob — probe cost ≈ nprobe/kc
+    // of the corpus, so a pinned kc is linear-per-probe at any size.
+    // Explicit spark.graft.ivf.cells wins; autosize derives kc = ⌈√n⌉
+    // (Autosize.ivfCellsLaw — balances centroid scan vs cell scan);
+    // default stays the oracle-pinned 8. Same for q267 below.
+    "q295_ivfpq_recall" -> ((s, d) => ivfPqRecall(Tables(s, d).embeddings,
+      kc = graft.plans.Autosize.ivfConf(s, d))),
     "q296_dbscan" -> ((s, d) => dbscanReport(Tables(s, d).embeddings)),
     // k is the SIZE knob that must scale with the corpus: SemDeDup's
     // Σnᵢ² pairwise bound is linear only when k ∝ n (fixed k=8 on 10×
@@ -745,7 +751,8 @@ object Clustering extends QueryModule {
     "q240_pq_topk"  -> ((s, d) => pqTopK(Tables(s, d).embeddings)),
     "q245_class_separability" -> ((s, d) => classSeparability(Tables(s, d).embeddings)),
     "q266_kcenter_coreset" -> ((s, d) => kCenterCoreset(Tables(s, d).embeddings)),
-    "q267_ivf_recall" -> ((s, d) => ivfRecall(Tables(s, d).embeddings)),
+    "q267_ivf_recall" -> ((s, d) => ivfRecall(Tables(s, d).embeddings,
+      k = graft.plans.Autosize.ivfConf(s, d))),
   )
 
   /** Unrolled SQL of the greedy k-center traversal (k=8): each round's

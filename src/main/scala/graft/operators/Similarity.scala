@@ -698,7 +698,12 @@ object Similarity extends QueryModule {
       hybridRetrieval(Tables(s, d).documents, Tables(s, d).embeddings)),
     "q28_cosine_topk"  -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
     "q36_blocked_pairs" -> ((s, d) => blockedSimilarPairs(Tables(s, d).embeddings)),
-    "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings)),
+    // the coarse-centroid count is IVF's size knob (probe reads
+    // ~nprobe/cells of the corpus): autosize derives cells = ⌈√n⌉
+    // (Autosize.ivfCellsLaw). Full-probe exactness makes this one
+    // hash-identical at ANY cells value — oracle untouched by design
+    "q59_ann_ivf"      -> ((s, d) => ivfExactTopK(Tables(s, d).embeddings,
+      cells = graft.plans.Autosize.ivfConf(s, d))),
     "q70_knn_join"     -> ((s, d) => knnJoinReport(Tables(s, d).embeddings)),
     "q108_hard_negatives" -> ((s, d) => hardNegativeReport(Tables(s, d).embeddings)),
     "q111_label_confusion" -> ((s, d) => labelCentroidConfusion(Tables(s, d).embeddings)),

@@ -86,6 +86,21 @@ object Autosize {
   /** SimHash pigeonhole nBlocks law: 16-bit keys to ~10⁶ docs, 40-bit past. */
   def simhashBlocksLaw(n: Long): Int = if (n > 1000000L) 8 else 4
 
+  /** IVF coarse-centroid law: `kc = max(floor, ⌈√n⌉)`. The probe path
+    * pays two costs per query — the centroid scan (kc distances) and
+    * the probed-cell scan (≈ nprobe·n/kc) — and √n balances them at
+    * O(√n) each, the published FAISS sizing guideline (4√n…16√n
+    * training points per centroid). NOT the k-means `⌈n/250⌉` law:
+    * that pins per-CELL membership, which is right when the product is
+    * the Σnᵢ² within-cluster pair work (SemDeDup), but for IVF it
+    * makes the centroid scan itself linear in the corpus — trading one
+    * linear probe term for another. A FIXED kc (the oracle default 8)
+    * leaves the probed-cell scan at nprobe/8 of the corpus at any
+    * size, which is the fixed-width-law class this closes.
+    */
+  def ivfCellsLaw(n: Long, floor: Int = 8): Int =
+    math.max(floor, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
+
   /** Margin-mining mode law: brute A×B below `BruteDotCap` candidate
     * dots, bipartite SRP-blocked above it.
     */
@@ -146,4 +161,15 @@ object Autosize {
   def simhashConf(spark: SparkSession, dir: String): Int =
     knob(spark, "spark.graft.simhash.blocks", 4)(
       simhashBlocksLaw(tableCount(spark, dir, "documents")))
+
+  /** Coarse-centroid count for the q59/q267/q295 IVF family
+    * (`spark.graft.ivf.cells`). nprobe stays a fixed recall choice —
+    * the probe's read fraction nprobe/kc then SHRINKS as the corpus
+    * grows instead of staying pinned at nprobe/8. q59 (full probe,
+    * nprobe = kc) is hash-identical at any kc — the exactness gate
+    * certifies the path, not a particular index width.
+    */
+  def ivfConf(spark: SparkSession, dir: String): Int =
+    knob(spark, "spark.graft.ivf.cells", 8)(
+      ivfCellsLaw(tableCount(spark, dir, "embeddings")))
 }

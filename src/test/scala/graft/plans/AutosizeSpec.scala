@@ -42,6 +42,13 @@ class AutosizeSpec extends SparkSpec {
     assert(!Autosize.marginShouldBlock(1000L, 1000L))
     assert(Autosize.marginShouldBlock(1001L, 1000L))
     assert(Autosize.marginShouldBlock(Long.MaxValue, Long.MaxValue))
+    // IVF coarse cells: ⌈√n⌉ balances centroid scan vs probed-cell scan
+    assert(Autosize.ivfCellsLaw(500L) == 23)
+    assert(Autosize.ivfCellsLaw(2000L) == 45)
+    assert(Autosize.ivfCellsLaw(20000L) == 142)
+    assert(Autosize.ivfCellsLaw(60000L) == 245)
+    assert(Autosize.ivfCellsLaw(49L) == 8, "floor = oracle default")
+    assert(Autosize.ivfCellsLaw(0L) == 8)
   }
 
   test("precedence: explicit conf > autosize law > pinned default") {
@@ -67,6 +74,64 @@ class AutosizeSpec extends SparkSpec {
     }
     withConf(Autosize.Key -> "true", "spark.graft.margin.bands" -> "6") {
       assert(Autosize.marginConf(spark, dir)._1 == 6)
+    }
+    // IVF cells: pinned 8 / derived ⌈√500⌉ = 23 / explicit wins
+    assert(Autosize.ivfConf(spark, dir) == 8)
+    withConf(Autosize.Key -> "true") {
+      assert(Autosize.ivfConf(spark, dir) == 23)
+    }
+    withConf(Autosize.Key -> "true", "spark.graft.ivf.cells" -> "12") {
+      assert(Autosize.ivfConf(spark, dir) == 12)
+    }
+  }
+
+  test("q59 full-probe exactness is invariant to the autosized cell count") {
+    // nprobe = cells probes EVERY cell, so the IVF answer equals brute
+    // top-k for ANY index width — the property that makes q59's oracle
+    // hash safe under autosize (the gate certifies the path, not a
+    // particular kc)
+    val defRows = graft.SparkEntry.queries("q59_ann_ivf")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    withConf(Autosize.Key -> "true") {
+      val auto = graft.SparkEntry.queries("q59_ann_ivf")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(auto == defRows, "full-probe IVF must be width-invariant")
+    }
+  }
+
+  test("q267 planted-neighbor recall is exact at the autosized cell count") {
+    import spark.implicits._
+    // 20 query clusters: query q (id q) + 10 twins (dim-0 nudges ≤ 1e-3,
+    // every within-cluster distance ≪ any cross-cluster one) + 280
+    // noise vectors. The brute top-10 of each query is exactly its twin
+    // set, so recall@10 == 1.0 iff the probe finds the cluster's cell.
+    // At kc = ivfCellsLaw(500) = 23 the seeds (ids < 23) put ONE seed
+    // inside each cluster (ids 0..19 are the queries) — Lloyd then keeps
+    // one centroid per cluster, the query's nearest cell IS the twins'
+    // cell, and nprobe = 2 must recover every twin: planted recall is
+    // deterministic 1.0, not a tolerance.
+    def baseVec(q: Int) = Array.tabulate(16)(d => math.sin(q * 1.7 + d * 0.9).toFloat)
+    val clusters = (0 until 20).flatMap { q =>
+      (q.toLong, baseVec(q)) +: (0 until 10).map { t =>
+        (1000L + q * 100 + t,
+          baseVec(q).zipWithIndex.map { case (x, d) =>
+            if (d == 0) x + (t + 1) * 1e-4f else x })
+      }
+    }
+    val noise = (20 until 300).map { i =>
+      val r = new scala.util.Random(i * 7919 + 11)
+      (i.toLong, Array.fill(16)((r.nextDouble() - 0.5).toFloat))
+    }
+    val corpus = (clusters ++ noise).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0L)) // schema parity with the embeddings table
+    assert(corpus.count() == 500L)
+    val kc = Autosize.ivfCellsLaw(500L)
+    val recalls = graft.operators.Clustering
+      .ivfRecall(corpus, k = kc, topK = 10, nprobe = 2, nQueries = 20)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(recalls.size == 20)
+    recalls.foreach { case (q, r) =>
+      assert(r == 1.0, s"query $q lost planted twins at autosized kc=$kc (recall $r)")
     }
   }
 
