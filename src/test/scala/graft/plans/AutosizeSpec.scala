@@ -207,6 +207,60 @@ class AutosizeSpec extends SparkSpec {
     }
   }
 
+  test("mixed oversized bucket: two-rep star stays component-exact where single-rep misses") {
+    import spark.implicits._
+    // ADVERSARIAL fixture (the r11 verdict's missing case): an oversized
+    // bucket that is NOT one clique but a verify-chain of three tight
+    // 100-member groups on the dim0–dim1 great circle — A at 0°, B at
+    // 9°, C at 18°. cos(9°) = 0.9877 > 0.98, so A–B and B–C edges pass
+    // the exact-cosine verify; cos(18°) = 0.9511 fails, so A–C rep
+    // edges die. The ±1 md5 planes' sign boundaries on that circle sit
+    // at ±45° directions, far outside the 18° arc, so ALL three groups
+    // share EVERY band key (the dim-2 distinctness nudges are 10⁻⁵
+    // against plane dots ≥ 0.7): the only bucket is the full 300, its
+    // min id lives in A and its max id in C — the construction is
+    // deterministic, not plane-luck.
+    def grp(theta: Double, base: Long) = (0 until 100).map { j =>
+      (base + j, Array.tabulate(16) {
+        case 0 => math.cos(theta).toFloat
+        case 1 => math.sin(theta).toFloat
+        case 2 => (j + 1) * 1e-5f
+        case _ => 0f
+      })
+    }
+    val rad = math.Pi / 180
+    val corpus = (grp(0, 0L) ++ grp(9 * rad, 1000L) ++ grp(18 * rad, 2000L))
+      .toDF("vec_id", "embedding")
+    def cc(pairs: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      graft.operators.Dedup.connectedComponents(pairs.select("left_id", "right_id"))
+        .as[(Long, Long)].collect().groupBy(_._2)
+        .values.map(_.map(_._1).toSet).toSet
+    val full = graft.operators.Similarity.srpNearDupPairs(corpus, sorted = false)
+    val star = graft.operators.Similarity.srpNearDupPairs(corpus, sorted = false,
+      bucketCap = 64)
+    // full expansion: one 300-member component (A–B–C chained through B)
+    val fullCC = cc(full)
+    assert(fullCC == Set((0L until 100L).toSet ++ (1000L until 1100L) ++ (2000L until 2100L)),
+      s"fixture broke: $fullCC")
+    // two-rep star: B reaches the min rep (∈A) and C reaches the max rep
+    // (∈C), so the chain survives — component-exact on this mixed bucket
+    assert(cc(star) == fullCC,
+      "two-rep star must keep the verify-chain connected")
+    // the measured single-rep outcome this fixture was built to expose:
+    // with one rep (the bucket min ∈ A) every C edge fails verify and
+    // the 100-member C subgroup vanishes from the pair graph. All
+    // buckets here are the full 300 with min id 0, so single-rep's
+    // candidate set is exactly the left_id = 0 slice of the star's.
+    val singleRep = star.filter(col("left_id") === 0L)
+    assert(cc(singleRep) == Set((0L until 100L).toSet ++ (1000L until 1100L)),
+      "single-rep was expected to (measurably) lose subgroup C")
+    // missed-edge rate vs the full expansion, pinned: C's 14850
+    // internal + 10000 B–C cross edges of 34850 total = 71.3% of the
+    // component's verified edges ride on the second rep here
+    assert(full.count() == 34850L)
+    assert(singleRep.count() == 199L)
+  }
+
   test("q305/q177 results at oracle scale are unchanged by autosize=true") {
     // below every flip threshold the autosize path must be a no-op —
     // the guarantee that lets a production session leave the flag on
