@@ -48,6 +48,15 @@ object Similarity extends QueryModule {
   /** Blocked near-duplicate pair search: candidate pairs only within the
     * same `label` block (the IVF-cell pattern — at 100 TB the blocking
     * key is the coarse quantizer cell). Shuffles on label, not all-pairs.
+    *
+    * ADJUDICATED super-linear (SCALE.md, r12): with corpus-spanning
+    * labels the within-label pair count grows quadratically in the
+    * corpus — that IS the declared output domain at threshold 0.3
+    * (72°, far below anything SRP banding can recall usefully), so the
+    * 30× slope (~12×) is algorithmic truth, not a plan defect. The
+    * plan contract (label-keyed equi-join, no cartesian, pre-join
+    * norms) is pinned in PlanAssertionsSpec; the high-threshold scale
+    * rung is q76.
     */
   def blockedSimilarPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
     // Precompute each vector's norm ONCE before the self-join: the pair

@@ -25,6 +25,28 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
   }
 
+  test("q36 blocked pairs shuffle on label only — the quadratic term is the contract") {
+    // ADJUDICATION PIN (r11 verdict item 5, SCALE.md "Measurement
+    // adjudications"): q36's 30× slope (~12×) is the operator's defined
+    // work — ALL within-label pairs above cos 0.3 (72°), a threshold no
+    // LSH family can band usefully (banding recalls HIGH-cosine
+    // regions; at 0.3 nearly every within-label pair is a candidate
+    // AND most are output). The plan contract asserted here is that the
+    // ONLY quadratic term is that within-label enumeration: the join is
+    // a label-keyed equi-join (shuffle ∝ corpus, never all-pairs
+    // cartesian), and per-vector norms are computed once pre-join, not
+    // per pair. The scale rung for high-threshold near-dup IS q76's
+    // banded kernel; a cheaper eval at 100 TB samples labels, it does
+    // not re-plan this operator.
+    val p = planText(graft.operators.Similarity.blockedSimilarPairs(t.embeddings))
+    assert(!p.contains("CartesianProduct"), s"label join degenerated:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on label:\n$p")
+    // the equi-key is label (vec_id ordering rides as a post-join filter
+    // or non-equi condition, never a cartesian)
+    assert(p.contains("label"), s"join not keyed on label:\n$p")
+  }
+
   test("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
     val df = graft.operators.RelationalReports.pricingSummary(t.lineitem)
     val p = planText(df)
