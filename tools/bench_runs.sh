@@ -9,6 +9,7 @@
 #   1  sf0.1 x2 back-to-back          -> /tmp/bench_full_run{1,2}.json
 #   2  sf1 uniform (slope numerator)  -> target/bench_sf1.json
 #   3  sf1 SKEWED (hot key/bucket/hub)-> target/bench_skew.json
+#   3b sf1 SKEWED, oracle defaults    -> target/bench_skew_default.json
 #   4  sf1 uniform at -Xmx8g          -> target/bench_sf1_8g.json
 #   5  30x structural subset          -> target/bench_sf3_subset.json
 #
@@ -18,7 +19,7 @@
 #   /tmp/graft_sf3       = MakeScale sf0.1 -> 30x uniform
 set -u
 cd /root/repo
-STAGES="${BENCH_STAGES:-1 2 3 4 5}"
+STAGES="${BENCH_STAGES:-1 2 3 3b 4 5}"
 has_stage() { case " $STAGES " in *" $1 "*) return 0;; *) return 1;; esac; }
 
 # snapshot the compiled classes: foreground sbt recompiles must not swap
@@ -35,7 +36,7 @@ export SPARK_GRAFT_AUTOSIZE=true
 
 # the ~30 structurally interesting queries (graph, dedup/LSH, similarity,
 # clustering, recursion, heavy text, sessions) for the standing 30x point
-STRUCT30="q100_vocab_stats q117_source_overlap q126_density_outliers q142_triangles q143_pagerank q146_activity_islands q155_ngram_novelty q176_kmeans q177_semdedup q19_text_normalize q205_indexed_dedup q20_dedup_exact q212_hits q216_ppjoin_exact q219_hierarchy_rollup q224_cheapest_paths q232_label_propagation q276_clustering_coef q296_dbscan q305_margin_mining q316_hyperball q326_blocking_quality q33_minhash_signatures q35_lsh_candidates q36_blocked_pairs q52_simhash_buckets q58_neardup_clusters q65_multiband_lsh q70_knn_join q76_srp_neardup q84_srp_clusters q92_neardup_canonical q98_simhash_pairs"
+STRUCT30="q100_vocab_stats q117_source_overlap q126_density_outliers q142_triangles q143_pagerank q146_activity_islands q155_ngram_novelty q176_kmeans q177_semdedup q19_text_normalize q205_indexed_dedup q20_dedup_exact q212_hits q216_ppjoin_exact q219_hierarchy_rollup q224_cheapest_paths q232_label_propagation q267_ivf_recall q276_clustering_coef q295_ivfpq_recall q296_dbscan q305_margin_mining q316_hyperball q326_blocking_quality q33_minhash_signatures q35_lsh_candidates q36_blocked_pairs q52_simhash_buckets q58_neardup_clusters q59_ann_ivf q65_multiband_lsh q70_knn_join q76_srp_neardup q84_srp_clusters q92_neardup_canonical q98_simhash_pairs"
 
 if has_stage 1; then
   # own history file: these sf0.1 runs are PRODUCTION config (autosize),
@@ -73,6 +74,21 @@ if has_stage 3; then
   SPARK_GRAFT_RETIME_SEC=10 SPARK_GRAFT_TIMEOUT_SEC=600 \
   $JAVA -Xmx24g graft.Bench \
     > /tmp/bench_skew.out 2>/tmp/bench_skew.err
+fi
+
+if has_stage 3b; then
+  # ORACLE-DEFAULT config on the skew corpus (r11 verdict item 4): the
+  # default-config clique risk recorded next to the production number,
+  # not inferred. Subset = the five skew-sensitive shapes; 900 s timeout
+  # so a degenerate default is a recorded sentinel, not a hung sweep.
+  echo "=== stage 3b: sf1 skewed, oracle defaults (no autosize) ==="
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf1_skew \
+  SPARK_GRAFT_BENCH_OUT=target/bench_skew_default.json \
+  SPARK_GRAFT_RETIME_SEC=10 SPARK_GRAFT_TIMEOUT_SEC=900 \
+  env -u SPARK_GRAFT_AUTOSIZE \
+  $JAVA -Xmx24g graft.Bench \
+    q84_srp_clusters q132_error_attribution q177_semdedup q288_adamic_adar q76_srp_neardup \
+    > /tmp/bench_skew_default.out 2>/tmp/bench_skew_default.err
 fi
 
 if has_stage 4; then
