@@ -622,10 +622,26 @@ object Dedup extends QueryModule {
     var labels = graft.plans.Checkpoints.cut(
       sym.groupBy(col("dst").as("id")).agg(min(col("src")).as("m"))
         .select(col("id"), least(col("id"), col("m")).as("label")), None)
+    // CHANGE FRONTIER (r12): only a node whose label just improved can
+    // improve a neighbor, so the edge-side neighbor-min join needs the
+    // DELTA rows, not the full label map — the standard monotone-min
+    // frontier argument (a node u that changed in round k is read by
+    // its neighbors in round k+1; initial round = every node, so every
+    // label is exposed exactly once after its last change; pointer-jump
+    // improvements re-enter the frontier like any other change, keeping
+    // the induction airtight). Late rounds then join the edge list
+    // against a SHRINKING materialized frame — and because the cut
+    // makes delta's true size visible, AQE flips the round's join to
+    // broadcast once the frontier is small, so the tail rounds stop
+    // shuffling the edge list entirely (q296's sf1 DBSCAN core graph:
+    // the first measured converged run spent its 45 s re-shuffling all
+    // edges every round; the frontier cut it to the rounds that carry
+    // information).
+    var delta = labels
     var i = 0
     var converged = false
     while (!converged && i < cap) {
-      val fromNeighbors = sym.join(labels, sym("src") === labels("id"))
+      val fromNeighbors = sym.join(delta, sym("src") === delta("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
       // carry the old label through so convergence is checked against the
       // SAME materialized frame the next round reads — the cut is eager,
@@ -652,17 +668,23 @@ object Dedup extends QueryModule {
           .select(prop("id"), prop("old"),
             least(prop("label"), coalesce(col("plabel"), prop("label"))).as("label")),
         None)
-      val changed = next.filter(col("label") =!= col("old")).count()
+      val deltaNext = graft.plans.Checkpoints.cut(
+        next.filter(col("label") =!= col("old")).select("id", "label"), None)
+      val changed = deltaNext.count()
       labels.unpersist(false)
       prop.unpersist(false)
+      if (delta ne labels) delta.unpersist(false)
       labels = next.select("id", "label")
+      delta = deltaNext
       if (changed == 0L) converged = true else i += 1
     }
     if (!converged) System.err.println(
       s"[graft] connectedComponents stopped at maxIters=$cap before convergence")
-    // the cuts have materialized `labels`; the edge list is no longer
-    // needed (the final cut blocks back the returned frame and drain via
+    // the cuts have materialized `labels`; the edge list and the final
+    // (empty-at-convergence) frontier are no longer needed (the final
+    // cut blocks back the returned frame and drain via
     // Checkpoints.release once the caller is done)
+    if (delta ne labels) delta.unpersist(false)
     sym.unpersist(false)
     labels
   }
