@@ -140,9 +140,12 @@ object Bench {
     //           surviving outlier is visibly a re-measured one.
     // min-of-k cannot overstate a true regression: genuinely slow code
     // is slow every time.
-    // a FAILED re-run returns the -1 sentinel and must never replace a
-    // valid first-pass time — min-of-k only over successful timings
-    def minOk(a: Double, b: Double): Double = if (b > 0) math.min(a, b) else a
+    // a FAILED attempt returns the -1 sentinel and must never replace a
+    // valid time in EITHER direction — min-of-k only over successful
+    // timings (the old guard kept a first-attempt -1 through min(),
+    // masking a successful retry as a sentinel)
+    def minOk(a: Double, b: Double): Double =
+      if (a > 0 && b > 0) math.min(a, b) else if (b > 0) b else a
     // codec-family queries (ImageIO / javax.sound decode in the hot
     // path) post up to 2× run-to-run JIT/codec noise BELOW the absolute
     // re-time threshold (r10: q54 1.53 s vs min-of-4 0.672 s) — always
@@ -151,9 +154,13 @@ object Bench {
       "q97_image_ahash", "q103_audio_frames", "q287_image_dhash",
       "q304_audio_zcr", "q321_image_whash")
     val afterPass2 = firstPass.map { case (name, fn, t) =>
-      val suspect = t > 0 &&
+      // a capped-run TIMEOUT (-1 under SPARK_GRAFT_TIMEOUT_SEC) gets one
+      // retry too: an ambient-wedged first attempt otherwise records a
+      // permanent sentinel that a clean second attempt would clear
+      val suspect = (t > 0 &&
         (t > retimeSec || mediaFamily(name) ||
-          history.get(name).exists(h => h > 0 && t > 3.0 * h))
+          history.get(name).exists(h => h > 0 && t > 3.0 * h))) ||
+        (t < 0 && timeoutSec.isDefined)
       (name, fn, if (suspect) minOk(t, timeOne(name, fn)) else t)
     }
     val results = afterPass2.map { case (name, fn, t) =>
