@@ -81,35 +81,40 @@ object Bench {
     val timeoutSec = sys.env.get("SPARK_GRAFT_TIMEOUT_SEC").map(_.toLong)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // a failed query must NOT masquerade as a fast one: record the -1
-      // sentinel and keep it out of the total (named on stderr so a scale
-      // sweep's failures are diagnosable from the log)
-      val ok =
+      // a failed query must NOT masquerade as a fast one: record a
+      // negative sentinel and keep it out of the total (named on stderr
+      // so a scale sweep's failures are diagnosable from the log). The
+      // sentinel distinguishes WHY: -1 = wall-clock TIMEOUT under a
+      // capped sweep (worth one retry — ambient load can wedge a single
+      // attempt), -2 = a thrown exception (deterministic failure; a
+      // retry would just burn a second full timeout budget per query)
+      val Timeout = -1.0; val Failed = -2.0
+      val sentinel =
         try {
           timeoutSec match {
-            case None => Bench.runFullPlan(fn(spark, sfDir)); true
+            case None => Bench.runFullPlan(fn(spark, sfDir)); 0.0
             case Some(cap) =>
               import scala.concurrent.{Await, Future}
               import scala.concurrent.duration._
               import scala.concurrent.ExecutionContext.Implicits.global
               val f = Future { Bench.runFullPlan(fn(spark, sfDir)) }
-              try { Await.result(f, cap.seconds); true }
+              try { Await.result(f, cap.seconds); 0.0 }
               catch { case _: java.util.concurrent.TimeoutException =>
                 System.err.println(s"[bench] $name TIMEOUT after ${cap}s — cancelling jobs")
                 spark.sparkContext.cancelAllJobs()
                 try Await.result(f, 60.seconds) catch { case _: Throwable => () }
-                false
+                Timeout
               }
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | "))
-          false
+          Failed
         }
       // drain graft-pinned storage between queries so pinned blocks from
       // one query can't squeeze the next one's execution memory
       graft.plans.Checkpoints.release(spark)
-      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val t = if (sentinel == 0.0) (System.nanoTime() - t0) / 1e9 else sentinel
       attemptLog(name) = attemptLog.getOrElse(name, Nil) :+ t
       System.err.println(f"[bench] $name ${t}%.2f s")
       t
@@ -154,13 +159,15 @@ object Bench {
       "q97_image_ahash", "q103_audio_frames", "q287_image_dhash",
       "q304_audio_zcr", "q321_image_whash")
     val afterPass2 = firstPass.map { case (name, fn, t) =>
-      // a capped-run TIMEOUT (-1 under SPARK_GRAFT_TIMEOUT_SEC) gets one
-      // retry too: an ambient-wedged first attempt otherwise records a
-      // permanent sentinel that a clean second attempt would clear
+      // a capped-run TIMEOUT (the -1 sentinel) gets one retry too: an
+      // ambient-wedged first attempt otherwise records a permanent
+      // sentinel that a clean second attempt would clear. A -2 (thrown
+      // exception) does NOT retry: deterministic failures fail again and
+      // would burn a second full timeout budget per erroring query
       val suspect = (t > 0 &&
         (t > retimeSec || mediaFamily(name) ||
           history.get(name).exists(h => h > 0 && t > 3.0 * h))) ||
-        (t < 0 && timeoutSec.isDefined)
+        (t == -1.0 && timeoutSec.isDefined)
       (name, fn, if (suspect) minOk(t, timeOne(name, fn)) else t)
     }
     val results = afterPass2.map { case (name, fn, t) =>

@@ -20,10 +20,23 @@ object Ann {
   /** Train coarse centroids with Lloyd's algorithm. Centroids live on
     * the driver (k × dim floats — tiny); assignments are distributed.
     */
+  /** Deterministic seed stage: the k lowest-vec_id embeddings. The
+    * Sort+Limit pair compiles to `TakeOrderedAndProject` — a BOUNDED
+    * per-partition top-k heap merged on the driver, NOT a global sort:
+    * no exchange, no range partitioner, each task keeps at most k rows.
+    * At kc = ⌈√n⌉ and 10⁹ vectors that is ~31k rows per task heap —
+    * fine — where a true global sort would shuffle the whole corpus to
+    * take √n rows. Plan shape is asserted in PlanAssertionsSpec (no
+    * SortExec / no ShuffleExchange in the seed stage), so a Spark
+    * upgrade or a refactor that silently defeats the top-k rewrite
+    * (e.g. exceeding spark.sql.execution.topKSortFallbackThreshold)
+    * fails a spec instead of regressing the 100 TB plan.
+    */
+  private[graft] def seedPlan(embeddings: DataFrame, k: Int): DataFrame =
+    embeddings.orderBy("vec_id").limit(k).select("embedding")
+
   def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 5): Array[Array[Float]] = {
-    var centroids: Array[Array[Float]] = embeddings
-      .orderBy("vec_id").limit(k)
-      .select("embedding").collect()
+    var centroids: Array[Array[Float]] = seedPlan(embeddings, k).collect()
       .map(_.getSeq[Float](0).toArray)
     // fewer vectors than requested cells → train with what exists
     val kEff = centroids.length

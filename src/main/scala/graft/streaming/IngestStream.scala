@@ -349,7 +349,21 @@ object IngestStream {
           java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
           Options.CreateOpts.createParent())
         try out.write(body.getBytes("UTF-8")) finally out.close()
-        fc.rename(tmp, p, Options.Rename.OVERWRITE)
+        // publish tmp → live. FileContext.rename(OVERWRITE) is the
+        // HDFSMetadataLog contract and is atomic on HDFS, but the LOCAL
+        // AbstractFileSystem implements OVERWRITE as delete-dest-then-
+        // rename — a crash in that window would lose monitor_state.tsv
+        // entirely while the streaming checkpoint survives, silently
+        // resetting monitor history (the exact hole this file closes).
+        // For file:// (and scheme-less local) paths use the OS-level
+        // java.nio ATOMIC_MOVE instead; every other scheme keeps the
+        // Hadoop contract.
+        val scheme = Option(p.toUri.getScheme)
+        if (scheme.forall(_ == "file")) {
+          import java.nio.file.{Files, Paths, StandardCopyOption}
+          Files.move(Paths.get(tmp.toUri.getPath), Paths.get(p.toUri.getPath),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        } else fc.rename(tmp, p, Options.Rename.OVERWRITE)
       }
     }
   }

@@ -613,6 +613,20 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), s"no row-level task grid:\n$p")
   }
 
+  test("k-means/IVF seed stage is a bounded top-k, not a global sort") {
+    // trainCentroids seeds from the k lowest vec_ids. The contract at
+    // 100 TB: Sort+Limit must compile to TakeOrderedAndProject (bounded
+    // per-partition heap, driver merge — no exchange); a global SortExec
+    // or any shuffle here would exchange the whole corpus to take √n
+    // rows. Guards the topKSortFallbackThreshold assumption too: a seed
+    // k above that conf would silently fall back to the full sort.
+    val p = planText(graft.operators.Ann.seedPlan(t.embeddings, 23))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"seed stage must plan as bounded top-k:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Sort ["),
+      s"seed stage must not shuffle or globally sort the corpus:\n$p")
+  }
+
   test("multi_pattern_counts stays inside generated code (no codegen fallback)") {
     val df = t.documents.select(graft.functions.MultiPatternCounts.counts(
       col("text"), Seq("the", "batch batch")).as("c"))
