@@ -318,13 +318,20 @@ object Similarity extends QueryModule {
   def srpCandidatePairs(vectors: DataFrame, bands: Int, bitsPerBand: Int,
                         dim: Int, bucketCap: Int = Int.MaxValue): DataFrame = {
     val planes = graft.functions.SrpBandKeys.planes(bands * bitsPerBand, dim)
-    val buckets = vectors
+    val grouped = vectors
       .select(col("vec_id"),
         posexplode(graft.functions.SrpBandKeys.srpBandKeys(col("embedding"), planes, bitsPerBand)))
       .toDF("vec_id", "band_idx", "band_key")
       .groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // default config (no cap) self-diagnoses the quadratic-bucket hazard
+    // the oracle pins in place: an observe() metric on the bucket frame
+    // (rows untouched — hash-neutral) warns past the production cap with
+    // the autosize remediation (the r12 skew sweep's recorded 101×)
+    val buckets =
+      if (bucketCap == Int.MaxValue) graft.plans.BucketWatch.tagSrpBuckets(grouped)
+      else grouped
     // oversized-bucket STAR COMPRESSION (CONNECTIVITY consumers only —
     // q84's clustering; a pair REPORT like q76 must not cap): a bucket
     // larger than bucketCap is, at an autosized band width, almost
@@ -341,9 +348,17 @@ object Similarity extends QueryModule {
     // 100-member subgroup fully disconnected on that fixture
     // (AutosizeSpec pins both outcomes). The residual miss is a
     // ≥3-subgroup bucket whose middle subgroup holds neither extreme
-    // id and fails verify against both reps — accepted and documented:
-    // at the autosized band width an oversized bucket is near-surely
-    // one clique (the r11 skew sweep's 10⁴ clique: 391 s → 8.2 s).
+    // id and fails verify against both reps — accepted, and MEASURED
+    // (r13, AutosizeSpec's five-subgroup great-circle chain A–E at 9°
+    // steps): the middle group C fails verify against both reps and
+    // its 100 members vanish — components split {A∪B} | {D∪E}, 398 of
+    // 64750 verified edges survive. The acceptance is principled, not
+    // lazy: NO o(k²) compression is component-exact for arbitrary
+    // verify predicates (an adversarial predicate can keep exactly one
+    // omitted edge as the only bridge), so any cap trades exactness
+    // past 2 subgroups; at the autosized band width an oversized
+    // bucket is near-surely one true clique (the r11 skew sweep's 10⁴
+    // clique: 391 s → 8.2 s), where the star IS provably exact.
     // Default = no cap, which is what the oracle pins.
     val expanded =
       if (bucketCap == Int.MaxValue)

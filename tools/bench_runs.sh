@@ -12,14 +12,17 @@
 #   3b sf1 SKEWED, oracle defaults    -> target/bench_skew_default.json
 #   4  sf1 uniform at -Xmx8g          -> target/bench_sf1_8g.json
 #   5  30x structural subset          -> target/bench_sf3_subset.json
+#   6  100x structural subset         -> target/bench_sf10_subset.json
+#   R  IVF recall probes (10x/30x)    -> target/recall_sf{1,3}.json
 #
 # Prereqs (MakeScale writes these):
 #   /tmp/graft_sf1       = MakeScale sf0.1 -> 10x uniform
 #   /tmp/graft_sf1_skew  = MakeScale sf0.1 -> 10x skew
 #   /tmp/graft_sf3       = MakeScale sf0.1 -> 30x uniform
+#   /tmp/graft_sf10      = MakeScale sf0.1 -> 100x uniform (stage 6)
 set -u
 cd /root/repo
-STAGES="${BENCH_STAGES:-1 2 3 3b 4 5}"
+STAGES="${BENCH_STAGES:-1 2 3 3b 4 5 6 R}"
 has_stage() { case " $STAGES " in *" $1 "*) return 0;; *) return 1;; esac; }
 
 # snapshot the compiled classes: foreground sbt recompiles must not swap
@@ -107,5 +110,36 @@ if has_stage 5; then
   SPARK_GRAFT_RETIME_SEC=30 SPARK_GRAFT_TIMEOUT_SEC=600 \
   $JAVA -Xmx24g graft.Bench $STRUCT30 \
     > /tmp/bench_sf3.out 2>/tmp/bench_sf3.err
+fi
+
+if has_stage 6; then
+  # the 100x point (r12 verdict item 1): the next decade past the 30x
+  # stage that caught the q326 int64 wrap and the q296 under-merge.
+  # Cap sized to the adjudicated super-linear classes (q36 contract-
+  # quadratic ~(10/3)^2 x its 90 s sf3 reading; q142 wedge growth):
+  # a clean run has zero sentinels, a degenerate one records WHICH
+  # query and WHY (timeout -1 vs failure -2) instead of wedging.
+  echo "=== stage 6: 100x structural subset ==="
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 \
+  SPARK_GRAFT_BENCH_OUT=target/bench_sf10_subset.json \
+  SPARK_GRAFT_RETIME_SEC=120 SPARK_GRAFT_TIMEOUT_SEC=2400 \
+  $JAVA -Xmx48g graft.Bench $STRUCT30 \
+    > /tmp/bench_sf10.out 2>/tmp/bench_sf10.err
+fi
+
+if has_stage R; then
+  # IVF recall at the autosized kc on the ORGANIC scale corpora (r12
+  # verdict item 2): the planted spec proves the mechanism; this
+  # records the law's recall trade per round on real data, with an
+  # nprobe curve at the derived kc for SCALE.md.
+  echo "=== stage R: IVF recall probes (production config) ==="
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 \
+  SPARK_GRAFT_RECALL_OUT=target/recall_sf1.json \
+  $JAVA -Xmx24g graft.tools.RecallProbe \
+    > /tmp/recall_sf1.out 2>/tmp/recall_sf1.err
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf3 \
+  SPARK_GRAFT_RECALL_OUT=target/recall_sf3.json \
+  $JAVA -Xmx24g graft.tools.RecallProbe \
+    > /tmp/recall_sf3.out 2>/tmp/recall_sf3.err
 fi
 echo "=== done ==="
