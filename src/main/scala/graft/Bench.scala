@@ -21,6 +21,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims dead broadcast/shuffle/RDD state when
+      // the JVM actually GCs (it works off weak references); a 349-query
+      // run generates thousands of them but little allocation pressure
+      // between queries, so with the 30-min default the whole run can
+      // finish before a single cleaner sweep. The accumulated dead
+      // broadcast blocks squeeze the unified-memory execution pool and
+      // dead shuffle files pin disk (the sf10 sweep hit disk-full on 54 GB
+      // of DEAD shuffle files; at sf0.1 the same backlog measured q276
+      // 7 s scoped-fresh vs 21-27 s in-run). 2 min bounds the backlog.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // builder-side scale sweeps measure the PRODUCTION config
@@ -115,6 +125,12 @@ object Bench {
       // one query can't squeeze the next one's execution memory
       graft.plans.Checkpoints.release(spark)
       val t = if (sentinel == 0.0) (System.nanoTime() - t0) / 1e9 else sentinel
+      // ...and give the ContextCleaner its GC edge OUTSIDE the timed
+      // window: dead broadcasts/shuffles from query k must not be the
+      // memory/disk pressure query k+1 is timed under (each query then
+      // measures ITS OWN work — the methodology fix behind the r13
+      // in-run inflation; see the periodicGC comment on the session)
+      System.gc()
       attemptLog(name) = attemptLog.getOrElse(name, Nil) :+ t
       System.err.println(f"[bench] $name ${t}%.2f s")
       t
