@@ -668,8 +668,14 @@ object Dedup extends QueryModule {
           .select(prop("id"), prop("old"),
             least(prop("label"), coalesce(col("plabel"), prop("label"))).as("label")),
         None)
-      val deltaNext = graft.plans.Checkpoints.cut(
-        next.filter(col("label") =!= col("old")).select("id", "label"), None)
+      // the frontier is a narrow FILTER of the just-materialized `next`
+      // — leave it lazy instead of paying a third localCheckpoint job
+      // per round: its two consumers (the count here, next round's
+      // neighbor-min join) each re-scan next's cached blocks, which is
+      // cheaper than materializing a third copy, and AQE still sees the
+      // frontier's true size at the join's own shuffle stage, so the
+      // shrinking-frontier broadcast flip is preserved
+      val deltaNext = next.filter(col("label") =!= col("old")).select("id", "label")
       val changed = deltaNext.count()
       labels.unpersist(false)
       prop.unpersist(false)
@@ -1032,6 +1038,13 @@ object Dedup extends QueryModule {
       count(lit(1)).as("sz"))
     val pre = d.select(col("doc_id"),
       explode(expr("slice(toks, 1, cast(sz - (4 * sz + 4) div 5 + 1 as int))")).as("tok"))
+    // NOTE (r13 optimization round): the repeated d/pre/cands subtrees
+    // below LOOK like 5x recompute in the initial plan (~20 scans), but
+    // AQE stage reuse deduplicates the identical exchanges at runtime —
+    // lineage-cutting d and/or cands was A/B-measured SLOWER at sf0.1
+    // (5.1 -> 7.8 s with both cuts; 5.1 -> 5.7 with cands only) because
+    // the eager localCheckpoint of token-array rows costs more than the
+    // reuse saves. Left uncut on purpose.
     val cands = pre.as("a").join(pre.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id")).distinct()
@@ -1268,8 +1281,18 @@ object Dedup extends QueryModule {
       posexplode(expr(
         s"transform(sequence(0, size(tk) - $gram), s -> concat_ws(' ', slice(tk, s + 1, $gram)))"))
         .as(Seq("p", "g")))
+    // cnt >= 2 on top of the rarity cap: a gram seen ONCE cannot form a
+    // cross-document pair (the self-join below needs two distinct docs),
+    // and on a mostly-novel corpus singletons are the bulk of the gram
+    // table — dropping them before the exchange shrinks the self-join
+    // input to just the duplicated rare grams (guide §2.3: shuffle fewer
+    // bytes). Result-identical by construction.
     val rare = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") <= maxFreq).select("g")
+      .filter(col("cnt") <= maxFreq && col("cnt") >= 2).select("g")
+    // gr is consumed by both arms of the self-join, but AQE stage reuse
+    // already deduplicates the identical subtrees at runtime — an eager
+    // cut here A/B-measured SLOWER (2.4 s filter-only vs 3.4 s with the
+    // cut at sf0.1), so the frame stays lazy
     val gr = grams.join(rare, "g")
     val m = gr.alias("a").join(gr.alias("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
