@@ -46,6 +46,10 @@ object Clustering extends QueryModule {
 
   /** (vec_id, label, u: Array[Long]) — fixed-point non-negative vectors. */
   def quantized(embeddings: DataFrame): DataFrame =
+    // NOT fanned out (r13 optimization round): the embeddings frame is
+    // model-small (2k rows at sf0.1) and its consumers' hot loops sit
+    // AFTER broadcasts/windows, so Scans.fanOut here A/B-measured pure
+    // overhead (q295 3.6 -> 5.5 s, q267 2.1 -> 3.2, q296 6.9 -> 8.1)
     embeddings.select(
       col("vec_id"), col("label"),
       transform(col("embedding"),

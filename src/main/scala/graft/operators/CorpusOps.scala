@@ -784,7 +784,7 @@ object CorpusOps extends QueryModule {
     // and shared, while shingles vary by source — and at corpus scale
     // shingles are the unit decontamination/dedup actually key on
     val st = graft.plans.Checkpoints.cut(
-      documents.filter(length(col("text")) >= 3)
+      graft.plans.Scans.fanOut(documents).filter(length(col("text")) >= 3)
         .select(col("source"), lower(col("text")).as("t"))
         .select(col("source"), explode(expr(
           "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("w"))

@@ -1275,7 +1275,8 @@ object Dedup extends QueryModule {
   def sharedPassages(documents: DataFrame, gram: Int = 5, maxFreq: Long = 8,
                      minSpan: Int = 8, topN: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = documents.select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+    val toks = graft.plans.Scans.fanOut(documents)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
       .filter(size(col("tk")) >= gram)
     val grams = toks.select(col("doc_id"),
       posexplode(expr(

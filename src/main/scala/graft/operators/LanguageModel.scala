@@ -49,7 +49,11 @@ object LanguageModel extends QueryModule {
     * language (n_docs, median cutoff in micro-nats, head/tail counts).
     */
   def perplexityFilter(docs: DataFrame): DataFrame = {
-    val eligible = docs.select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+    // fanOut: the per-character bigram explode below multiplies each doc
+    // into len(t) rows BEFORE the first exchange — over a one-row-group
+    // scan that whole expansion runs on one core (graft.plans.Scans)
+    val eligible = graft.plans.Scans.fanOut(docs)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 2)
     val train = eligible.filter(col("doc_id") % 10 < 8)
     val test  = eligible.filter(col("doc_id") % 10 >= 8)

@@ -52,7 +52,10 @@ object NaiveBayes extends QueryModule {
     // Docs too short to yield a bigram are excluded from BOTH splits so the
     // priors / n_train denominators count exactly the docs the model can see
     // (the oracle's train/test CTEs apply the same length >= 2 filter).
-    val eligible = docs.filter(length(col("text")) >= 2)
+    // fanOut: per-character bigram explodes on both splits run before
+    // any exchange — single-threaded over a one-row-group scan otherwise
+    val eligible = graft.plans.Scans.fanOut(docs)
+      .filter(length(col("text")) >= 2)
     val train = eligible.filter(col("doc_id") % 5 =!= 0)
     val test  = eligible.filter(col("doc_id") % 5 === 0)
 

@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
 object Sketches extends QueryModule {
 
   private def toks(documents: DataFrame): DataFrame =
-    documents.select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+    // fanOut: the tokenize-explode (and the 4-way hash expansion most
+    // consumers stack on it) runs before any exchange — one core over a
+    // one-row-group scan otherwise (graft.plans.Scans)
+    graft.plans.Scans.fanOut(documents)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
 
   /** 60-bit salted hash of a token: md5 hex prefix parsed as an integer
     * (identical arithmetic on the DuckDB side via a list_reduce fold).

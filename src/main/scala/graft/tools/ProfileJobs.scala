@@ -34,8 +34,8 @@ object ProfileJobs {
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val site = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+          .getOrElse("?")
         starts.put(js.jobId, (js.time, site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
