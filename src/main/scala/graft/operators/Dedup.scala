@@ -1321,11 +1321,11 @@ object Dedup extends QueryModule {
     "q47_checksum_blocks" -> ((s, d) => checksumBlocks(Tables(s, d).documents)),
     "q20_dedup_exact"    -> ((s, d) => exactDedup(Tables(s, d).documents)),
     "q24_checksum_manifest" -> ((s, d) => checksumManifest(Tables(s, d).documents)),
-    "q33_minhash_signatures" -> ((s, d) => minhashSignatures(Tables(s, d).documents)),
+    "q33_minhash_signatures" -> ((s, d) => minhashSignatures(graft.plans.Scans.fanOut(Tables(s, d).documents))),
     "q34_ngram_jaccard"  -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "q35_lsh_candidates" -> ((s, d) => lshCandidatePairs(Tables(s, d).documents)),
     "q65_multiband_lsh"  -> ((s, d) => multiBandCandidatePairs(Tables(s, d).documents)),
-    "q94_minhash_accuracy" -> ((s, d) => minhashAccuracy(Tables(s, d).documents)),
+    "q94_minhash_accuracy" -> ((s, d) => minhashAccuracy(graft.plans.Scans.fanOut(Tables(s, d).documents))),
     "q73_chunk_dedup"    -> ((s, d) => chunkDedup(Tables(s, d).documents)),
     "q121_chunk_histogram" -> ((s, d) => chunkDupHistogram(Tables(s, d).documents)),
     "q134_dup_rate"      -> ((s, d) => dupRateBySource(Tables(s, d).documents)),
@@ -1333,7 +1333,7 @@ object Dedup extends QueryModule {
     "q242_neardup_split_audit" -> ((s, d) => nearDupSplitAudit(Tables(s, d).documents)),
     "q144_fuzzy_linkage" -> ((s, d) => fuzzyNameLinkage(Tables(s, d).part)),
     "q155_ngram_novelty" -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
-    "q156_span_coverage" -> ((s, d) => dedupSpanCoverage(Tables(s, d).documents)),
+    "q156_span_coverage" -> ((s, d) => dedupSpanCoverage(graft.plans.Scans.fanOut(Tables(s, d).documents))),
     "q158_prefix_pairs"  -> ((s, d) => prefixNearDupPairs(Tables(s, d).documents)),
     "q216_ppjoin_exact"  -> ((s, d) => ppjoinExact(Tables(s, d).documents)),
     "q274_truncation_dups" -> ((s, d) => truncationDupPairs(Tables(s, d).documents)),
