@@ -187,13 +187,15 @@ object GraphOps extends QueryModule {
     def ship(df: DataFrame): DataFrame =
       if (nEdges <= broadcastEdgeLimit) broadcast(df) else df
     val emptyNb = expr("cast(array() as array<bigint>)")
-    val nTriangles = orientedCut
-      .join(ship(adj.select(col("src").as("a_key"), col("nb").as("na"))),
-        col("src") === col("a_key"), "left")
-      .join(ship(adj.select(col("src").as("b_key"), col("nb").as("nb_"))),
-        col("dst") === col("b_key"), "left")
-      .select(size(array_intersect(coalesce(col("na"), emptyNb),
-        coalesce(col("nb_"), emptyNb))).cast("long").as("t"))
+    // dataset aliases (not column renames) keep the two adjacency arms
+    // canonically identical, so the second broadcast is a ReusedExchange
+    val nTriangles = orientedCut.as("edges")
+      .join(ship(adj.as("na_arm")),
+        col("edges.src") === col("na_arm.src"), "left")
+      .join(ship(adj.as("nb_arm")),
+        col("edges.dst") === col("nb_arm.src"), "left")
+      .select(size(array_intersect(coalesce(col("na_arm.nb"), emptyNb),
+        coalesce(col("nb_arm.nb"), emptyNb))).cast("long").as("t"))
       .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
     deg.agg(count(lit(1)).as("n_nodes"),
             sum(expr("d * (d - 1) div 2")).as("n_wedges"))
@@ -232,17 +234,28 @@ object GraphOps extends QueryModule {
     val adj = oriented.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nb"))
     val emptyNb = expr("cast(array() as array<bigint>)")
-    val tri = oriented
-      .join(broadcast(adj.select(col("src").as("a_key"), col("nb").as("na"))),
-        col("src") === col("a_key"), "left")
-      .join(broadcast(adj.select(col("src").as("b_key"), col("nb").as("nb_"))),
-        col("dst") === col("b_key"), "left")
-      .select(col("src"), col("dst"),
-        array_intersect(coalesce(col("na"), emptyNb),
-          coalesce(col("nb_"), emptyNb)).as("cs"))
-    val credits = tri.select(col("src").as("node"), size(col("cs")).cast("long").as("t"))
-      .unionAll(tri.select(col("dst").as("node"), size(col("cs")).cast("long").as("t")))
-      .unionAll(tri.select(explode(col("cs")).as("node"), lit(1L).as("t")))
+    // both adjacency arms broadcast the SAME frame under dataset aliases
+    // (not column renames) so the two BroadcastExchanges canonicalize
+    // identically and the second is a ReusedExchange — one broadcast
+    // build instead of two (r13 optimization round)
+    val tri = oriented.as("edges")
+      .join(broadcast(adj.as("na_arm")),
+        col("edges.src") === col("na_arm.src"), "left")
+      .join(broadcast(adj.as("nb_arm")),
+        col("edges.dst") === col("nb_arm.src"), "left")
+      .select(col("edges.src").as("src"), col("edges.dst").as("dst"),
+        array_intersect(coalesce(col("na_arm.nb"), emptyNb),
+          coalesce(col("nb_arm.nb"), emptyNb)).as("cs"))
+    // credit all three triangle corners from ONE pass over the wedge
+    // stream: the old three-way unionAll re-ran the join + intersect per
+    // arm (no exchange above it to reuse) — measured 3x the map work.
+    // concat(corner structs, member structs) -> explode is the same
+    // credit multiset, one evaluation.
+    val credits = tri.select(explode(concat(
+        array(struct(col("src").as("node"), size(col("cs")).cast("long").as("t")),
+              struct(col("dst").as("node"), size(col("cs")).cast("long").as("t"))),
+        transform(col("cs"), c => struct(c.as("node"), lit(1L).as("t"))))).as("e"))
+      .select(col("e.node").as("node"), col("e.t").as("t"))
     val perNode = credits.groupBy("node").agg(sum("t").as("tri"))
     deg.select(col("n").as("node"), col("d"))
       .join(perNode, Seq("node"), "left")
@@ -728,8 +741,11 @@ object GraphOps extends QueryModule {
       .agg(min(struct((col("c") * -1).as("nc"), col("b"))).as("m"))
       .select(col("a").as("item"), col("m.b").as("rec"))
 
+    // no distinct on the recommendation frame: its only consumers are an
+    // anti-join and the hit semi-join + per-customer distinct below, all
+    // multiplicity-insensitive — the dedup exchange bought nothing
     val recs = pastItems.join(top1, "item")
-      .select(col("cust"), col("rec").as("item")).distinct()
+      .select(col("cust"), col("rec").as("item"))
       .join(pastItems, Seq("cust", "item"), "left_anti")
     val eval = pastItems.select("cust").distinct()
       .join(futureItems.select("cust").distinct(), Seq("cust"), "left_semi")
