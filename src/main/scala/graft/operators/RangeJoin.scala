@@ -203,6 +203,14 @@ object RangeJoin extends QueryModule {
           when(col("dst") === col("variant"), lit("NULL")).otherwise(col("dst")).as("dst"),
           col("cnt"))
         .groupBy("variant", "src", "dst").agg(sum("cnt").as("cnt")), None)
+    // NOTE (r13 optimization round): collapsing the per-round
+    // join+aggregate into higher-order-function algebra over a
+    // one-row-per-variant adjacency array was tried and REVERTED —
+    // CollapseProject inlines round k−1's map expression into every
+    // vm[e.dst] access of round k's lambdas (Catalyst does no CSE inside
+    // lambda bodies), so evaluation cost grows exponentially in `steps`
+    // (measured 4.1 s -> 13.9 s at sf0.1). The broadcast iteration below
+    // keeps each round's frame materialized by the exchange.
     val outs = graft.plans.Checkpoints.cut(
       eds.groupBy("variant", "src").agg(sum("cnt").as("o")), None)
     var v = outs.select(col("variant"), col("src").as("state"), lit(0L).as("v"))
