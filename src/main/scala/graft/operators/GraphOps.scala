@@ -634,8 +634,11 @@ object GraphOps extends QueryModule {
       und.select(col("u").as("s"), col("v").as("t"))
         .unionAll(und.select(col("v").as("s"), col("u").as("t"))), checkpointDir)
     val deg = sym.groupBy("s").agg(count(lit(1)).as("degree"))
-    val report = deg.orderBy(col("degree").desc, col("s")).limit(reportN)
-      .select(col("s").as("part"), col("degree"))
+    // reportN rows consumed by the ball seed and every round's output
+    // join — cut so the degree aggregate + top-k run once, not 4×
+    val report = graft.plans.Checkpoints.cut(
+      deg.orderBy(col("degree").desc, col("s")).limit(reportN)
+        .select(col("s").as("part"), col("degree")), checkpointDir)
     // WIDE register layout: one row per node, 16 rank columns, 0 = empty
     // bucket (real ranks are 1..57, so 0 is free as the empty marker and
     // its 2^57 estimator term coincides with the empty-bucket term).

@@ -287,7 +287,11 @@ object Sketches extends QueryModule {
     */
   def selfJoinSizeEstimate(li: DataFrame, depth: Int = 4,
                            width: Int = 64): DataFrame = {
-    val keys = li.select(col("l_partkey").cast("string").as("k"))
+    // fanOut: four salted md5 hashes per lineitem row run before the
+    // first exchange — single-threaded over a one-row-group scan
+    // otherwise (graft.plans.Scans)
+    val keys = graft.plans.Scans.fanOut(
+      li.select(col("l_partkey").cast("string").as("k")))
     val cells = keys.select(explode(array((0 until depth).map(j =>
         struct(lit(j).as("j"), (hash60(s"js$j", col("k")) % width).as("b"))): _*)).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b")).agg(count(lit(1)).as("cnt"))
