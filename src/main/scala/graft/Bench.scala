@@ -197,10 +197,18 @@ object Bench {
       } else t)
     }
     loadSamples += loadavg()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // r14 formatting-only change (VERDICT_r13 item 2): print seconds at
+    // 4 decimals instead of the double's full 9+ digits. 0.1 ms is far
+    // below run-to-run noise, and the ~1.7 KB it shaves off the one-line
+    // JSON is the margin that kept BENCH_r12's tail capture from
+    // truncating mid-object (which cost r13 its entire round-over-round
+    // per-query comparison: n_common=0). Values, methodology, and the
+    // one-line stdout contract are unchanged.
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink full-plan execution; r1 used count(), which let Catalyst prune unaggregated projections"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink full-plan execution; r1 used count(), which let Catalyst prune unaggregated projections"}"""
     println(json)
     // the one-line stdout contract stands, but a 146-query map exceeds
     // some log-tail captures — persist the same line to a file so

@@ -84,6 +84,45 @@ object GraphOps extends QueryModule {
   private val edgeLock = new Object
   private var edgeBuilt = Set.empty[String]
 
+  /** WEIGHTED co-purchase edges (u < v, cnt = number of orders that
+    * contain both parts) via the same bucket trick as
+    * [[copurchaseEdges]]: `collect_set` makes each order contribute
+    * each unordered pair exactly once, so `groupBy(u, v).count` equals
+    * the order-keyed self-join's `groupBy(a.p, b.p).count` — the count
+    * the q224 edge weights are defined over — for one shuffle instead
+    * of the join's two exchange legs.
+    */
+  def weightedCopurchaseEdges(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(Dedup.pairExpansionExpr("ids"))).as("pair"))
+      .select(col("pair.l").as("u"), col("pair.r").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+
+  /** The weighted edge table as a shared bucketed artifact, same
+    * posture and staleness key as [[sharedEdges]] — q224's co-occurrence
+    * build (distinct + order-key self-join + pair aggregate, ~4 s at
+    * sf0.1) was the one graph input still recomputed from lineitem on
+    * every run because [[sharedEdges]] lost the multiplicity the edge
+    * weights need. A second table carrying `cnt` closes that gap; on a
+    * cluster it is written once per corpus version next to the
+    * unweighted one.
+    */
+  def sharedWeightedEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeLock.synchronized {
+      val table = WEdgeTable + "_" +
+        corpusFingerprint(spark, s"$dir/lineitem.parquet")
+      if (!edgeBuilt.contains(table)) {
+        graft.sources.Bucketing.writeBucketed(
+          weightedCopurchaseEdges(Tables(spark, dir).lineitem), table, "u", 32)
+        edgeBuilt += table
+      }
+      spark.table(table)
+    }
+
+  val WEdgeTable = "graft_copurchase_wedges"
+
   /** md5 over the recursive file listing (relative path, length,
     * modification time) of `path` — the shared-artifact staleness key.
     * Same content ⇒ same table name (reuse); any rewrite, even
@@ -111,7 +150,8 @@ object GraphOps extends QueryModule {
   def dropSharedArtifacts(spark: SparkSession): Unit = edgeLock.synchronized {
     val names = spark.sessionState.catalog.listTables("default")
       .map(_.table)
-      .filter(t => t.startsWith(EdgeTable) || t.startsWith(LpLabelTable))
+      .filter(t => t.startsWith(EdgeTable) || t.startsWith(WEdgeTable) ||
+        t.startsWith(LpLabelTable))
     names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     edgeBuilt = Set.empty[String]
   }
@@ -416,15 +456,25 @@ object GraphOps extends QueryModule {
     * diameter in a few rounds).
     */
   def cheapestPaths(li: DataFrame, hops: Int = 3, topN: Int = 20,
-                    checkpointDir: Option[String] = None): DataFrame = {
-    val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val co = items.as("a").join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("w", expr("1000000 div cnt"))
+                    checkpointDir: Option[String] = None,
+                    weightedEdges: Option[DataFrame] = None): DataFrame = {
+    // weightedEdges (u, v, cnt), when supplied, is the shared bucketed
+    // [[sharedWeightedEdges]] artifact — identical by construction to
+    // the inline build (see [[weightedCopurchaseEdges]]); the inline
+    // path remains for spec fixtures. The SEED stays lineitem-derived
+    // either way: min(l_partkey) ranges over every part that appears in
+    // ANY order (a part seen only in single-item orders has no edge but
+    // is still the valid distance-0 source), and as a bare column-min it
+    // is a pushdown-friendly scan aggregate, not a join input.
+    val co = weightedEdges.getOrElse {
+      val items = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      items.as("a").join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v")).agg(count(lit(1)).as("cnt"))
+    }.withColumn("w", expr("1000000 div cnt"))
     val sym = graft.plans.Checkpoints.cut(
       co.select(col("u").as("s"), col("v").as("t"), col("w"))
         .unionAll(co.select(col("v").as("s"), col("u").as("t"), col("w"))), checkpointDir)
-    var dist = items.agg(min("p").as("node")).withColumn("dist", lit(0L))
+    var dist = li.agg(min("l_partkey").as("node")).withColumn("dist", lit(0L))
       .select("node", "dist")
     for (_ <- 1 to hops) {
       val relaxed = sym.join(dist, col("s") === col("node"))
@@ -668,6 +718,21 @@ object GraphOps extends QueryModule {
             lit(16.0) * log(lit(16.0) / col("m0"))).otherwise(col("raw")).as("est"))
     }
 
+    // NEGATIVE RESULT (r14 optimization, VERDICT_r13 item 3): rewriting
+    // this exact-ball arm as a single BFS — hop(r) = distinct neighbors
+    // of hop(r-1), dist = min round of first appearance (walk parity
+    // can skip later rounds but never the first), exact_ball(rd) from
+    // ONE (part, member) min aggregate instead of a ball-sized count
+    // per round — was result-identical (oracle green at sf0.01, the
+    // bipartite path-graph spec pins the parity case) but A/B-measured
+    // SLOWER isolated at sf0.1: old min-of-2 4.18/5.05 s, BFS form
+    // 5.64/5.60 s, and 5.19/5.71 s with the min-dist aggregate left
+    // lazy (plans/r14/bench/ab316_*). At reportN=6 / rounds=2 every
+    // frame here is tiny, so the added frontier-join + min-dist
+    // aggregate stages cost more than the per-round cumulative-ball
+    // distinct+count they replace; the trade would only flip where the
+    // cumulative ball dwarfs the frontier (high rounds / dense balls),
+    // which the oracle-pinned default never reaches. Reverted.
     var regs = graft.plans.Checkpoints.cut(b0, checkpointDir)
     var ball = report.select(col("part"), col("part").as("member"))
     var out = report.join(estimate(regs), col("part") === col("n"))
@@ -840,7 +905,8 @@ object GraphOps extends QueryModule {
     "q223_kcore"     -> ((s, d) => kCorePeel(sharedEdges(s, d), k = 3,
       rounds = graft.plans.Rounds.of(s, "kcore", 4))),
     "q224_cheapest_paths" -> ((s, d) => cheapestPaths(Tables(s, d).lineitem,
-      hops = graft.plans.Rounds.of(s, "bellmanford", 3))),
+      hops = graft.plans.Rounds.of(s, "bellmanford", 3),
+      weightedEdges = Some(sharedWeightedEdges(s, d)))),
   )
 
   /** q223 oracle: the 4 peel rounds unrolled (the q143 doctrine). Every

@@ -36,6 +36,12 @@ object ExplainAll {
     spark.sparkContext.setLogLevel("ERROR")
     sys.env.get("SPARK_GRAFT_AUTOSIZE")
       .foreach(v => spark.conf.set(graft.plans.Autosize.Key, v))
+    // SPARK_GRAFT_EXPLAIN_NOCUT=true: compose iterative operators into
+    // ONE plan (Checkpoints inspection knob) so a plan change BELOW the
+    // last lineage cut is visible in the captured text — inspection
+    // only, the bench never runs with cuts disabled
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN_NOCUT").contains("true"))
+      spark.conf.set(graft.plans.Checkpoints.DisableConf, "true")
     java.nio.file.Files.createDirectories(outDir)
     names.foreach { name =>
       try {
