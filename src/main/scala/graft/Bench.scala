@@ -30,6 +30,10 @@ object Bench {
       // dead shuffle files pin disk (the sf10 sweep hit disk-full on 54 GB
       // of DEAD shuffle files; at sf0.1 the same backlog measured q276
       // 7 s scoped-fresh vs 21-27 s in-run). 2 min bounds the backlog.
+      // NOTE: any cross-HARNESS comparison (e.g. against a reference
+      // runner without forced GC) must run both sides under the same
+      // GC policy — within this harness before/after numbers both
+      // include it, so round-over-round comparisons are unaffected.
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

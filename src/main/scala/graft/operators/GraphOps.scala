@@ -228,7 +228,8 @@ object GraphOps extends QueryModule {
       if (nEdges <= broadcastEdgeLimit) broadcast(df) else df
     val emptyNb = expr("cast(array() as array<bigint>)")
     // dataset aliases (not column renames) keep the two adjacency arms
-    // canonically identical, so the second broadcast is a ReusedExchange
+    // canonically identical — eligible for AQE runtime stage reuse (the
+    // initial plan text still shows two BroadcastExchange nodes)
     val nTriangles = orientedCut.as("edges")
       .join(ship(adj.as("na_arm")),
         col("edges.src") === col("na_arm.src"), "left")
@@ -276,8 +277,9 @@ object GraphOps extends QueryModule {
     val emptyNb = expr("cast(array() as array<bigint>)")
     // both adjacency arms broadcast the SAME frame under dataset aliases
     // (not column renames) so the two BroadcastExchanges canonicalize
-    // identically and the second is a ReusedExchange — one broadcast
-    // build instead of two (r13 optimization round)
+    // identically — eligible for AQE runtime stage reuse, one broadcast
+    // build instead of two (r13 optimization round; the initial plan
+    // text cannot show the reuse, only the canonical match)
     val tri = oriented.as("edges")
       .join(broadcast(adj.as("na_arm")),
         col("edges.src") === col("na_arm.src"), "left")

@@ -288,6 +288,17 @@ object RobustStats extends QueryModule {
     * ONE pass over one partitioning (no second shuffle: the price
     * window re-sorts within the already-co-located brand partition).
     * Degenerate brands (an all-tied axis) yield null rho, not a crash.
+    *
+    * SLOPE-backed keep decision (r14, VERDICT_r13 item 6): the r13
+    * histogram-rank rewrite (hash-agg histograms + rank-map joins in
+    * place of the four window passes) measured 4.2 → 5.1 s at sf0.1
+    * and was reverted with a "may flip at scale" caveat. Measured at
+    * sf1 (10× rows, production config): this window form scales at
+    * 3.6× on 10× data (plans/r14/bench/sf1_fanout_on_detail.json,
+    * q269 9.93 s vs 2.73 s) — sublinear, no per-brand sort-skew
+    * blow-up, because brands are a fixed 25-key dictionary whose
+    * partitions grow uniformly. The histogram variant stays reverted;
+    * revisit only if a real corpus shows a dominant single brand.
     */
   def spearmanCorrelation(li: DataFrame, part: DataFrame): DataFrame = {
     val base = li

@@ -310,6 +310,12 @@ object Sketches extends QueryModule {
     "q106_hll_distinct" -> ((s, d) => hllDistinct(Tables(s, d).documents)),
     "q222_theta_overlap" -> ((s, d) => thetaOverlap(Tables(s, d).documents)),
     "q107_cms_freq"     -> ((s, d) => cmsFrequencies(Tables(s, d).documents)),
+    // fanOut A/B'd NEGATIVE here too (r14, plans/r14/bench/ab113_*): 4
+    // alternated pairs, old min-of-2 [2.13, 2.30, 2.30, 1.73] vs fanned
+    // [1.71, 2.57, 2.79, 2.85] — the two shingle consumers (ref filter,
+    // probe distinct) each shuffle immediately, so the single-task
+    // pre-exchange segment is short and the inserted round-robin
+    // exchange buys nothing. Same verdict as the r13 17-query sweep.
     "q113_bloom_calibration" -> ((s, d) => bloomCalibration(Tables(s, d).documents)),
     "q127_quantile_sketch" -> ((s, d) => quantileSketchCalibration(Tables(s, d).documents)),
   )

@@ -70,8 +70,15 @@ object ProfileJobs {
       val t0 = System.nanoTime()
       graft.Bench.runFullPlan(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
-      // let the listener bus drain before reading
-      Thread.sleep(300)
+      // drain the listener bus deterministically: poll until the row
+      // count is stable for 500 ms (a fixed sleep under-attributes
+      // late JobEnd events on a loaded box), capped at 5 s
+      var stableSince = System.nanoTime(); var lastN = rows.size
+      while ((System.nanoTime() - stableSince) < 500e6.toLong &&
+             (System.nanoTime() - t0) / 1e9 < wall + 5.0) {
+        Thread.sleep(50)
+        if (rows.size != lastN) { lastN = rows.size; stableSince = System.nanoTime() }
+      }
       println(f"[profilejobs] $name iter $i wall $wall%.3f s, ${rows.size} jobs")
       if (i == iters) {
         import scala.jdk.CollectionConverters._
